@@ -1,13 +1,571 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.BBox
+import graft.operators.{Crop, PointExtract, TemporalResample, VariableMerge}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{SyntheticGrid, Tables}
+import graft.streaming.EventStreams
+
+/** Driver contract (see SURVEY.md §7): one `queries` entry per
+  * implemented operator from SURVEY.md §2, with equivalent DuckDB SQL in
+  * `oracleSql` for the hash-match correctness gate.
+  *
+  * Conventions that keep the cross-engine compare exact:
+  *  - every query has a deterministic total ORDER BY on non-null keys;
+  *  - floating-point results of order-dependent reductions are rounded
+  *    (round(x, n) on identical doubles agrees across engines);
+  *  - Spark int-typed results (row_number, size) are cast to long to
+  *    match DuckDB's BIGINT;
+  *  - grid queries derive from `SyntheticGrid` whose values are exact
+  *    binary fractions (order-independent sums — see SyntheticGrid).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- constants shared by Spark queries and oracle SQL ---------------
+  private val xa = SyntheticGrid.meta.xAxis.get
+  private val ya = SyntheticGrid.meta.yAxis.get
+  // bbox crop (P2): raw box snaps to nearest grid lines
+  private val cropBox = BBox(-82.9, 41.6, -80.2, 42.4)
+  private val cxLo = xa.nearestValue(cropBox.west)
+  private val cxHi = xa.nearestValue(cropBox.east)
+  private val cyLo = ya.nearestValue(cropBox.south)
+  private val cyHi = ya.nearestValue(cropBox.north)
+  // reference sample points (FIXTURES.md §1), snapped to cells
+  private val points = Seq(("p0", -82.98, 41.63), ("p1", -79.43, 42.88), ("p2", -83.23, 41.85))
+  private val snapped = points.map { case (id, lon, lat) =>
+    (id, xa.nearestValue(lon), ya.nearestValue(lat))
+  }
+  // small 2x2-cell box for the upsample queries
+  private val upBox = BBox(-83.5, 41.25, -83.25, 41.5)
+
+  private val grid = SyntheticGrid.sqlCte // WITH-clause body for oracles
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ================= relational core (driver tables) ================
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_revenue_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n"))
+    }),
+
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q04_order_rank_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q05_top10_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    "q06_nations_no_suppliers" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      c.except(sup).orderBy("nationkey")
+    }),
+
+    "q07_big_orders_semi" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q08_customers_no_orders" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q09_status_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q10_part_type_stats" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+             round(avg("p_retailprice"), 4).as("avg_price"),
+             round(stddev("p_retailprice"), 4).as("std_price"),
+             min("p_size").cast("long").as("min_size"),
+             max("p_size").cast("long").as("max_size"),
+             round(median(col("p_retailprice")), 4).as("med_price"))
+        .orderBy("p_brand")
+    }),
+
+    // ============ streaming-shaped windows (batch = same plan) ========
+    "q11_events_tumbling" -> ((s, dir) => {
+      EventStreams.tumblingCounts(t(s, dir, "events"), "1 hour")
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy("window_start", "event_type")
+    }),
+
+    "q12_events_sliding" -> ((s, dir) => {
+      EventStreams.slidingCounts(t(s, dir, "events"), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")
+    }),
+
+    "q13_events_sessions" -> ((s, dir) => {
+      EventStreams.sessionCounts(t(s, dir, "events"), "30 minutes")
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ================= grid operators (SyntheticGrid) =================
+    "g01_crop" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
+      Crop.time(Crop.bbox(g, cropBox), "2019-01-30 12:00:00", "2019-01-31 06:00:00")
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "g02_downsample_6h_mean" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
+      TemporalResample.downsample(g, "6 hours", "mean").df.orderBy("time", "y", "x")
+    }),
+
+    "g03_daily_stats" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s)
+      g.df.groupBy(date_trunc("day", col("time")).as("day"), col("y"), col("x"))
+        .agg(median(col("t2m")).as("med_t2m"), min("t2m").as("min_t2m"),
+             max("t2m").as("max_t2m"), sum("t2m").as("sum_t2m"))
+        .orderBy("day", "y", "x")
+    }),
+
+    "g04_spatial_stats" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s)
+      g.df.groupBy(col("time"))
+        .agg(avg("t2m").as("mean_t2m"), round(stddev("t2m"), 6).as("std_t2m"),
+             min("t2m").as("min_t2m"), max("t2m").as("max_t2m"))
+        .orderBy("time")
+    }),
+
+    "g05_points_table" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      PointExtract.pointsToTable(g, points, "t2m")
+    }),
+
+    "g06_var_merge" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s)
+      val a = Crop.bbox(g.selectVariables(Seq("t2m")), BBox(-83.5, 41.25, -81.0, 42.75))
+      val b = Crop.bbox(g.selectVariables(Seq("u100")), BBox(-82.0, 41.25, -79.0, 42.75))
+      VariableMerge.merge(Seq(a, b)).df.orderBy("time", "y", "x")
+    }),
+
+    "g07_upsample_linear" -> ((s, _) => {
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
+      TemporalResample.upsample(g, 1800, "linear").df.orderBy("time", "y", "x")
+    }),
+
+    "g08_upsample_ffill" -> ((s, _) => {
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
+      TemporalResample.upsample(g, 1800, "ffill").df.orderBy("time", "y", "x")
+    }),
+
+    // ================= LLM-pipeline north-star ops ====================
+    "n01_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"))
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
+    "n02_dup_groups" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"))
+        .select("digest", "keep_id", "n_copies").orderBy("digest")
+    }),
+
+    "n03_token_counts" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    "n04_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "n05_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "n06_fingerprints" -> ((s, dir) => {
+      TextAnalysis.fingerprints(t(s, dir, "documents"))
+        .select("doc_id", "md5_fingerprint").orderBy("doc_id")
+    }),
+
+    "n07_fingerprints_rolling" -> ((s, dir) => { // rows-only (native expr)
+      TextAnalysis.fingerprints(t(s, dir, "documents"))
+        .select("doc_id", "rolling_fingerprint").orderBy("doc_id")
+    }),
+
+    "n08_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "n09_knn_lsh" -> ((s, dir) => { // rows-only (approximate by design)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "n10_minhash_neardups" -> ((s, dir) => { // rows-only (LSH candidates)
+      Dedup.minhashNearDups(t(s, dir, "documents"), k = 5, numHashes = 64,
+          bands = 16, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "n11_simhash_neardups" -> ((s, dir) => { // rows-only (native expr)
+      Dedup.simhashNearDups(t(s, dir, "documents"), maxDistance = 6)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "n12_media_schema" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("media_type"), col("byte_len"))
+        .orderBy("media_id")
+    }),
+
+    "n13_media_features" -> ((s, dir) => { // rows-only (stubbed decode)
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select("media_id", "media_type", "byte_len", "width", "height", "n_frames")
+        .orderBy("media_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = ListMap(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_order_rank_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q05_top10_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q06_nations_no_suppliers" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q07_big_orders_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_status_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_part_type_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | round(avg(p_retailprice), 4) AS avg_price,
+        | round(stddev_samp(p_retailprice), 4) AS std_price,
+        | CAST(min(p_size) AS BIGINT) AS min_size,
+        | CAST(max(p_size) AS BIGINT) AS max_size,
+        | round(median(p_retailprice), 4) AS med_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q11_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_events_sliding" ->
+      """SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, event_type,
+        | count(*) AS n_events
+        |FROM (SELECT event_type,
+        |       make_timestamp(CAST((floor(epoch(ts) / 1800) - k) * 1800 AS BIGINT) * 1000000) AS ws
+        |      FROM events, (VALUES (0), (1)) t(k))
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q13_events_sessions" ->
+      """WITH m AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM m)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "g01_crop" ->
+      s"""WITH $grid
+         |SELECT time, y, x, t2m, u100 FROM grid
+         |WHERE x BETWEEN $cxLo AND $cxHi AND y BETWEEN $cyLo AND $cyHi
+         |  AND time BETWEEN TIMESTAMP '2019-01-30 12:00:00' AND TIMESTAMP '2019-01-31 06:00:00'
+         |ORDER BY time, y, x""".stripMargin,
+
+    "g02_downsample_6h_mean" ->
+      s"""WITH $grid
+         |SELECT make_timestamp(CAST(floor(epoch(time) / 21600) * 21600 AS BIGINT) * 1000000) AS time,
+         | y, x, avg(t2m) AS t2m, avg(u100) AS u100
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g03_daily_stats" ->
+      s"""WITH $grid
+         |SELECT date_trunc('day', time) AS day, y, x,
+         | median(t2m) AS med_t2m, min(t2m) AS min_t2m,
+         | max(t2m) AS max_t2m, sum(t2m) AS sum_t2m
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g04_spatial_stats" ->
+      s"""WITH $grid
+         |SELECT time, avg(t2m) AS mean_t2m, round(stddev_samp(t2m), 6) AS std_t2m,
+         | min(t2m) AS min_t2m, max(t2m) AS max_t2m
+         |FROM grid GROUP BY time ORDER BY time""".stripMargin,
+
+    "g05_points_table" -> {
+      val cols = snapped.map { case (id, sx, sy) =>
+        s" max(t2m) FILTER (WHERE x = $sx AND y = $sy) AS $id"
+      }.mkString(",\n")
+      s"""WITH $grid
+         |SELECT time,
+         |$cols
+         |FROM grid GROUP BY time ORDER BY time""".stripMargin
+    },
+
+    "g06_var_merge" ->
+      s"""WITH $grid,
+         |a AS (SELECT time, y, x, t2m FROM grid WHERE x BETWEEN -83.5 AND -81.0),
+         |b AS (SELECT time, y, x, u100 FROM grid WHERE x BETWEEN -82.0 AND -79.0)
+         |SELECT time, y, x, t2m, u100 FROM a FULL OUTER JOIN b USING (time, y, x)
+         |ORDER BY time, y, x""".stripMargin,
+
+    "g07_upsample_linear" ->
+      s"""WITH $grid,
+         |src AS (SELECT time, y, x, t2m FROM grid
+         |        WHERE x BETWEEN ${upBox.west} AND ${upBox.east}
+         |          AND y BETWEEN ${upBox.south} AND ${upBox.north}),
+         |times AS (SELECT generate_series AS time FROM generate_series(
+         |  TIMESTAMP '2019-01-30 00:00:00', TIMESTAMP '2019-02-02 00:00:00', INTERVAL 30 MINUTE)),
+         |cells AS (SELECT DISTINCT y, x FROM src),
+         |g AS (SELECT t.time, c.y, c.x, s.t2m
+         |      FROM times t CROSS JOIN cells c
+         |      LEFT JOIN src s ON s.time = t.time AND s.y = c.y AND s.x = c.x),
+         |f AS (SELECT time, y, x, t2m,
+         |  last_value(t2m IGNORE NULLS) OVER w AS pv,
+         |  last_value(CASE WHEN t2m IS NOT NULL THEN time END IGNORE NULLS) OVER w AS pt,
+         |  first_value(t2m IGNORE NULLS) OVER w2 AS nv,
+         |  first_value(CASE WHEN t2m IS NOT NULL THEN time END IGNORE NULLS) OVER w2 AS nt
+         | FROM g WINDOW
+         |  w AS (PARTITION BY y, x ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  w2 AS (PARTITION BY y, x ORDER BY time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT time, y, x,
+         | CASE WHEN t2m IS NOT NULL THEN t2m
+         |      WHEN pt IS NULL OR nt IS NULL THEN NULL
+         |      ELSE pv + (nv - pv) * (epoch(time) - epoch(pt)) / (epoch(nt) - epoch(pt)) END AS t2m
+         |FROM f ORDER BY time, y, x""".stripMargin,
+
+    "g08_upsample_ffill" ->
+      s"""WITH $grid,
+         |src AS (SELECT time, y, x, t2m FROM grid
+         |        WHERE x BETWEEN ${upBox.west} AND ${upBox.east}
+         |          AND y BETWEEN ${upBox.south} AND ${upBox.north}),
+         |times AS (SELECT generate_series AS time FROM generate_series(
+         |  TIMESTAMP '2019-01-30 00:00:00', TIMESTAMP '2019-02-02 00:00:00', INTERVAL 30 MINUTE)),
+         |cells AS (SELECT DISTINCT y, x FROM src),
+         |g AS (SELECT t.time, c.y, c.x, s.t2m
+         |      FROM times t CROSS JOIN cells c
+         |      LEFT JOIN src s ON s.time = t.time AND s.y = c.y AND s.x = c.x)
+         |SELECT time, y, x,
+         | last_value(t2m IGNORE NULLS) OVER (PARTITION BY y, x ORDER BY time
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2m
+         |FROM g ORDER BY time, y, x""".stripMargin,
+
+    "n01_exact_dedup" ->
+      """SELECT doc_id, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "n02_dup_groups" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
+
+    "n03_token_counts" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "n04_quality" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        |  length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS n_punct,
+        |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|with|for|it)\b')) AS en_hits
+        | FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(n_alpha * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+        | round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+        | round(en_hits * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+        | (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END +
+        |  CASE WHEN n_alpha * 1.0 / greatest(n_chars, 1) >= 0.6 THEN 1.0 ELSE 0.0 END +
+        |  CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.1 THEN 1.0 ELSE 0.0 END +
+        |  CASE WHEN en_hits * 1.0 / greatest(n_tokens, 1) >= 0.01 THEN 1.0 ELSE 0.0 END) / 4.0
+        |   AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "n05_langid" -> {
+      val hits = Map(
+        "de" -> "(?i)\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b",
+        "en" -> "(?i)\\b(the|and|of|to|in|is|that|with|for|it)\\b",
+        "es" -> "(?i)\\b(el|la|los|y|es|en|que|por|una|con)\\b",
+        "fr" -> "(?i)\\b(le|la|les|et|est|dans|pour|que|une|des)\\b")
+      s"""WITH h AS (
+         | SELECT doc_id,
+         |  len(regexp_extract_all(text, '${hits("de")}')) AS h_de,
+         |  len(regexp_extract_all(text, '${hits("en")}')) AS h_en,
+         |  len(regexp_extract_all(text, '${hits("es")}')) AS h_es,
+         |  len(regexp_extract_all(text, '${hits("fr")}')) AS h_fr
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |      WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |      WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_guess
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "n06_fingerprints" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "n08_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n12_media_schema" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(strlen(text) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

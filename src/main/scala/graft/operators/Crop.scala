@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.time.{LocalDateTime, ZoneId}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{BBox, GridDataset}
+
+/** Spatial / temporal / timezone cropping (SURVEY.md §2.2 P2-P4).
+  *
+  * Semantics replicated from the reference:
+  *  - bbox crop is *snapped*: each bbox edge is moved to the nearest grid
+  *    line before an inclusive range filter, so a cell just outside the
+  *    raw bbox can be retained (reference: shared_functions.py:160-198,
+  *    nearest-index slicing at :185-191);
+  *  - time crop is inclusive on BOTH ends (xarray label-slice semantics,
+  *    reference: shared_functions.py:201-212);
+  *  - timezone subsetting converts the *bounds* to the dataset timezone
+  *    driver-side — never touches row data (reference:
+  *    core_functions.py:205-255).
+  */
+object Crop {
+
+  /** Nearest distinct value of `colName` to `target`; ties resolve to the
+    * smaller value (NumPy argmin first-occurrence on an ascending axis).
+    * Used only when the grid has no uniform-axis metadata; the distinct
+    * set is axis-sized (tiny), so this is a metadata-scale job.
+    */
+  def nearestAxisValue(df: DataFrame, colName: String, target: Double): Double =
+    df.select(col(colName)).distinct()
+      .orderBy(abs(col(colName) - lit(target)), col(colName))
+      .limit(1).collect()(0).getDouble(0)
+
+  /** Snapped inclusive bbox crop. Closed-form snap when axis metadata is
+    * present (no extra jobs — the filter constant-folds into the scan);
+    * otherwise two tiny distinct-axis lookups.
+    */
+  def bbox(g: GridDataset, b: BBox): GridDataset = {
+    val box = b.expandIfDegenerate()
+    val (xLo, xHi) = g.meta.xAxis match {
+      case Some(ax) => (ax.nearestValue(box.west), ax.nearestValue(box.east))
+      case None => (nearestAxisValue(g.df, g.meta.xDim, box.west),
+                    nearestAxisValue(g.df, g.meta.xDim, box.east))
+    }
+    val (yLo, yHi) = g.meta.yAxis match {
+      case Some(ay) => (ay.nearestValue(box.south), ay.nearestValue(box.north))
+      case None => (nearestAxisValue(g.df, g.meta.yDim, box.south),
+                    nearestAxisValue(g.df, g.meta.yDim, box.north))
+    }
+    g.copy(df = g.df.filter(
+      g.x.between(math.min(xLo, xHi), math.max(xLo, xHi)) &&
+      g.y.between(math.min(yLo, yHi), math.max(yLo, yHi))))
+  }
+
+  /** Inclusive-both-ends time crop (P3). */
+  def time(g: GridDataset, start: String, end: String): GridDataset =
+    g.copy(df = g.df.filter(g.time.between(lit(start).cast("timestamp"),
+                                           lit(end).cast("timestamp"))))
+
+  /** Timezone-aware subset (P4): interpret `start`/`end` as wall-clock in
+    * `localZone`, convert to the dataset's zone (default UTC when the
+    * metadata lacks one — reference warns and assumes UTC), then time-crop.
+    */
+  def timeByZone(g: GridDataset, start: LocalDateTime, end: LocalDateTime,
+                 localZone: String): GridDataset = {
+    val dsZone = ZoneId.of(Option(g.meta.timeZone).filter(_.nonEmpty).getOrElse("UTC"))
+    def conv(t: LocalDateTime): Timestamp =
+      Timestamp.valueOf(t.atZone(ZoneId.of(localZone)).withZoneSameInstant(dsZone).toLocalDateTime)
+    g.copy(df = g.df.filter(g.time.between(lit(conv(start)), lit(conv(end)))))
+  }
+}

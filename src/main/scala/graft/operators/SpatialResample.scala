@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{AxisSpec, GridDataset, GridMeta}
+
+/** Spatial resample / regrid (SURVEY.md §2.11 X1).
+  *
+  * Reference: `rio.reproject` to `(int(height*fy), int(width*fx))` with a
+  * resampling kernel (reference: core_functions.py:258-347; target shape
+  * at :317-318; default bilinear at :293-299). Re-expressed relationally:
+  *
+  *  1. generate the target grid from `spark.range` (GDAL-style geometry:
+  *     source cells are centers on a regular axis; the raster extent is
+  *     [origin - step/2, last + step/2]; target cells are `n' = int(n*f)`
+  *     equal subdivisions of the same extent, labeled at centers);
+  *  2. map each target center into fractional source-index space;
+  *  3. `nearest`: the containing source cell (floor), one equi-join;
+  *     `bilinear`: the 4 bracketing cells via a corner explode, one
+  *     equi-join + weighted-sum groupBy.
+  *
+  * The target-cell mapping is metadata-sized (n'x * n'y rows) and
+  * broadcasts; the only shuffle is the bilinear groupBy, keyed by output
+  * cell — linear in output size, so the plan survives 100x scale-up.
+  */
+object SpatialResample {
+
+  private def targetAxis(src: AxisSpec, factor: Double): AxisSpec = {
+    val n2 = (src.n * factor).toInt
+    val extent = src.step * src.n
+    val step2 = extent / n2
+    val west = src.origin - src.step / 2.0
+    AxisSpec(west + step2 / 2.0, step2, n2)
+  }
+
+  /** Target-cell mapping: one row per output cell with the source index
+    * bracket and interpolation weights along each axis.
+    */
+  private def mapping(spark: SparkSession, xa: AxisSpec, ya: AxisSpec,
+                      fx: Double, fy: Double): (DataFrame, AxisSpec, AxisSpec) = {
+    val xt = targetAxis(xa, fx); val yt = targetAxis(ya, fy)
+    val m = spark.range(xt.n.toLong * yt.n)
+      .select(expr(s"id div ${xt.n}").as("jy2"), expr(s"id % ${xt.n}").as("jx2"))
+      .withColumn("x2", lit(xt.origin) + col("jx2") * lit(xt.step))
+      .withColumn("y2", lit(yt.origin) + col("jy2") * lit(yt.step))
+      // fractional position in source-center index space
+      .withColumn("gx", (col("x2") - lit(xa.origin)) / lit(xa.step))
+      .withColumn("gy", (col("y2") - lit(ya.origin)) / lit(ya.step))
+    (m, xt, yt)
+  }
+
+  private def clampIdx(c: org.apache.spark.sql.Column, n: Int) =
+    greatest(lit(0L), least(lit(n - 1L), c))
+
+  /** Nearest-neighbor regrid: target center -> containing source cell
+    * (GDAL nearest semantics: floor in pixel space, clamped at edges).
+    * Requires integer index columns `jy`/`jx` on the grid (present on
+    * lake/synthetic grids; derivable from axis metadata otherwise).
+    */
+  def nearest(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+    val (xa, ya) = axes(g)
+    val (m, xt, yt) = mapping(g.df.sparkSession, xa, ya, fx, fy)
+    val tgt = m.select(col("jy2"), col("jx2"), col("x2"), col("y2"),
+      clampIdx(floor(col("gx") + 0.5).cast("long"), xa.n).as("jx"),
+      clampIdx(floor(col("gy") + 0.5).cast("long"), ya.n).as("jy"))
+    val src = withIndexes(g, xa, ya)
+    val vars = g.variables
+    val out = src
+      .join(broadcast(tgt), Seq("jy", "jx"))
+      .select((Seq(col(g.meta.timeDim), col("y2").as(g.meta.yDim),
+                   col("x2").as(g.meta.xDim)) ++ vars.map(col)): _*)
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
+  /** Bilinear regrid: weighted average of the 4 bracketing source cells
+    * (edge-clamped, so border cells replicate — GDAL edge padding).
+    */
+  def bilinear(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+    val (xa, ya) = axes(g)
+    val (m, xt, yt) = mapping(g.df.sparkSession, xa, ya, fx, fy)
+    val withBracket = m
+      .withColumn("jx0", clampIdx(floor(col("gx")).cast("long"), xa.n))
+      .withColumn("jx1", clampIdx(floor(col("gx")).cast("long") + 1, xa.n))
+      .withColumn("jy0", clampIdx(floor(col("gy")).cast("long"), ya.n))
+      .withColumn("jy1", clampIdx(floor(col("gy")).cast("long") + 1, ya.n))
+      .withColumn("wx1", col("gx") - floor(col("gx")))
+      .withColumn("wy1", col("gy") - floor(col("gy")))
+    // 4 corners exploded: (jy, jx, weight) per target cell
+    val corners = withBracket.select(col("jy2"), col("jx2"), col("x2"), col("y2"),
+      explode(array(
+        struct(col("jy0").as("jy"), col("jx0").as("jx"),
+               ((lit(1.0) - col("wy1")) * (lit(1.0) - col("wx1"))).as("w")),
+        struct(col("jy0").as("jy"), col("jx1").as("jx"),
+               ((lit(1.0) - col("wy1")) * col("wx1")).as("w")),
+        struct(col("jy1").as("jy"), col("jx0").as("jx"),
+               (col("wy1") * (lit(1.0) - col("wx1"))).as("w")),
+        struct(col("jy1").as("jy"), col("jx1").as("jx"),
+               (col("wy1") * col("wx1")).as("w")))).as("c"))
+      .select(col("jy2"), col("jx2"), col("x2"), col("y2"),
+              col("c.jy").as("jy"), col("c.jx").as("jx"), col("c.w").as("w"))
+      .filter(col("w") =!= 0.0)
+    val src = withIndexes(g, xa, ya)
+    val vars = g.variables
+    val aggs = vars.map(v => sum(col(v) * col("w")).as(v))
+    val out = src
+      .join(broadcast(corners), Seq("jy", "jx"))
+      .groupBy(col(g.meta.timeDim), col("y2"), col("x2"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnsRenamed(Map("y2" -> g.meta.yDim, "x2" -> g.meta.xDim))
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
+  private def axes(g: GridDataset): (AxisSpec, AxisSpec) = (
+    g.meta.xAxis.getOrElse(throw new IllegalArgumentException(
+      "spatial resample needs xAxis metadata")),
+    g.meta.yAxis.getOrElse(throw new IllegalArgumentException(
+      "spatial resample needs yAxis metadata")))
+
+  /** Ensure integer axis-index columns jy/jx exist (closed form from the
+    * uniform axis — constant-folded arithmetic, no extra scan).
+    */
+  private def withIndexes(g: GridDataset, xa: AxisSpec, ya: AxisSpec): DataFrame = {
+    val d0 = if (g.df.columns.contains("jx")) g.df
+      else g.df.withColumn("jx",
+        floor((g.x - lit(xa.origin)) / lit(xa.step) + 0.5).cast("long"))
+    if (d0.columns.contains("jy")) d0
+    else d0.withColumn("jy",
+      floor((g.y - lit(ya.origin)) / lit(ya.step) + 0.5).cast("long"))
+  }
+}

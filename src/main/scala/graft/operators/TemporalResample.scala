@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.GridDataset
+
+/** Temporal resampling (SURVEY.md §2.4 A1/A2, §2.5 W1-W3).
+  *
+  * Downsampling = time-bucket aggregation (`groupBy(window(time, freq))`):
+  * map-side partial aggregation + one shuffle on (bucket, y, x) — the
+  * shuffle key count equals the output size, so this scales linearly.
+  * Upsampling = target-time-grid generation (`sequence` + `explode`) +
+  * left join + gap fill via window functions.
+  *
+  * Reference semantics: `ds.resample(time=freq).<method>()` with methods
+  * {all, any, ffill, first, bfill, last, max, mean, median, min, sum}
+  * (reference: shared_types.py:31-43, dispatch core_functions.py:384-406)
+  * and interpolation {linear, nearest, zero, slinear} (slinear == linear
+  * on a 1-D axis, zero == forward-fill of the previous knot value;
+  * reference: core_functions.py:381-402).
+  */
+object TemporalResample {
+
+  /** Aggregation methods for downsampling. `first`/`last` are by event
+    * time within the bucket (min_by/max_by — deterministic, unlike
+    * Spark's order-sensitive first()/last() aggregates). `any`/`all`
+    * follow xarray nonzero-truthiness over numeric data.
+    */
+  def aggFor(method: String, v: Column, t: Column): Column = method match {
+    case "mean"   => avg(v)
+    case "sum"    => sum(v)
+    case "max"    => max(v)
+    case "min"    => min(v)
+    case "median" => median(v)
+    case "count"  => count(v).cast("double")
+    case "std"    => stddev(v)
+    case "first"  => min_by(v, t)
+    case "last"   => max_by(v, t)
+    case "any"    => max((v =!= 0.0).cast("int")) === 1
+    case "all"    => min((v =!= 0.0).cast("int")) === 1
+    case other    => throw new IllegalArgumentException(s"unknown method: $other")
+  }
+
+  /** Downsample: one output row per (time bucket, y, x). `freq` is a
+    * Spark window duration, e.g. "6 hours". Bucket label = window start
+    * (pandas/xarray left-labeled resample default).
+    */
+  def downsample(g: GridDataset, freq: String, method: String): GridDataset = {
+    val aggs = g.variables.map(v => aggFor(method, col(v), g.time).as(v))
+    val out = g.df
+      .groupBy(window(g.time, freq).getField("start").as(g.meta.timeDim), g.y, g.x)
+      .agg(aggs.head, aggs.tail: _*)
+    g.copy(df = out)
+  }
+
+  /** Downsample with a caller-supplied aggregation — the engine's
+    * extension point mirroring `custom_resample_method` (reference:
+    * core_functions.py:354,387,405-406). Pass any Column-level aggregate,
+    * including a registered `Aggregator` UDAF.
+    */
+  def downsampleCustom(g: GridDataset, freq: String, customAgg: Column => Column): GridDataset = {
+    val aggs = g.variables.map(v => customAgg(col(v)).as(v))
+    val out = g.df
+      .groupBy(window(g.time, freq).getField("start").as(g.meta.timeDim), g.y, g.x)
+      .agg(aggs.head, aggs.tail: _*)
+    g.copy(df = out)
+  }
+
+  /** Target time grid spanning [min(time), max(time)] at `stepSeconds`,
+    * crossed with the distinct (y, x) cells, left-joined to the source —
+    * rows absent from the source carry null variables for the fill stage.
+    * The time axis is tiny (one `sequence` row exploded), so the cross
+    * join broadcasts; the left join shuffles on (time, y, x) once.
+    */
+  def upsampleGrid(g: GridDataset, stepSeconds: Long): DataFrame = {
+    val t = g.meta.timeDim
+    val times = g.df
+      .agg(min(g.time).as("lo"), max(g.time).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL '$stepSeconds' SECOND"))).as(t))
+    val cells = g.df.select(g.y, g.x).distinct()
+    times.crossJoin(cells)
+      .join(g.df, Seq(t, g.meta.yDim, g.meta.xDim), "left")
+  }
+
+  private def cellW(g: GridDataset) =
+    Window.partitionBy(g.y, g.x).orderBy(g.time)
+
+  /** Forward-fill nulls within each cell (W1). */
+  def ffill(g: GridDataset): GridDataset = {
+    val w = cellW(g).rowsBetween(Window.unboundedPreceding, 0)
+    g.copy(df = g.variables.foldLeft(g.df) { (d, v) =>
+      d.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    })
+  }
+
+  /** Backward-fill nulls within each cell (W2). */
+  def bfill(g: GridDataset): GridDataset = {
+    val w = cellW(g).rowsBetween(0, Window.unboundedFollowing)
+    g.copy(df = g.variables.foldLeft(g.df) { (d, v) =>
+      d.withColumn(v, first(col(v), ignoreNulls = true).over(w))
+    })
+  }
+
+  /** Gap interpolation over each cell's time series (W3).
+    * `linear`: y = y0 + (y1-y0)*(t-t0)/(t1-t0) between bracketing knots;
+    * `nearest`: closer knot, ties to the earlier one;
+    * `zero` (and `slinear` alias of linear): previous knot value.
+    * Edges (no bracket on one side) stay null, matching 1-D interpolation
+    * that does not extrapolate.
+    */
+  def interpolate(g: GridDataset, method: String): GridDataset = {
+    val wPrev = cellW(g).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = cellW(g).rowsBetween(0, Window.unboundedFollowing)
+    val t = g.time.cast("double")
+    val out = g.variables.foldLeft(g.df) { (d, v) =>
+      val vc = col(v)
+      val knotT = when(vc.isNotNull, t)
+      val pv = last(vc, ignoreNulls = true).over(wPrev)
+      val pt = last(knotT, ignoreNulls = true).over(wPrev)
+      val nv = first(vc, ignoreNulls = true).over(wNext)
+      val nt = first(knotT, ignoreNulls = true).over(wNext)
+      val filled = method match {
+        case "linear" | "slinear" =>
+          when(vc.isNotNull, vc).otherwise(
+            pv + (nv - pv) * (t - pt) / (nt - pt))
+        case "nearest" =>
+          when(vc.isNotNull, vc).otherwise(
+            when(pt.isNull, nv).when(nt.isNull, pv)
+              .when(t - pt <= nt - t, pv).otherwise(nv))
+        case "zero" =>
+          when(vc.isNotNull, vc).otherwise(pv)
+        case other => throw new IllegalArgumentException(s"unknown interp: $other")
+      }
+      // never extrapolate for linear/zero: require both brackets for linear
+      val guarded = method match {
+        case "linear" | "slinear" => when(pt.isNull || nt.isNull, when(vc.isNotNull, vc)).otherwise(filled)
+        case "zero"               => when(vc.isNotNull, vc).otherwise(when(pt.isNotNull, filled))
+        case _                    => filled
+      }
+      d.withColumn(v, guarded)
+    }
+    g.copy(df = out)
+  }
+
+  /** Full upsample pipeline: grid generation + fill.
+    * method in {ffill, bfill, linear, slinear, nearest, zero}.
+    */
+  def upsample(g: GridDataset, stepSeconds: Long, method: String): GridDataset = {
+    val gg = g.copy(df = upsampleGrid(g, stepSeconds))
+    method match {
+      case "ffill" => ffill(gg)
+      case "bfill" => bfill(gg)
+      case m       => interpolate(gg, m)
+    }
+  }
+}

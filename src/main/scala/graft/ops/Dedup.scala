@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.GraftFunctions._
+
+/** Deduplication operators for LLM-training-data pipelines, over a
+  * `documents(doc_id, text, ...)` table. Designed for 100 TB inputs:
+  *
+  *  - exact dedup is one hash-partitioned groupBy on the text (or its
+  *    digest — grouping by a 128-bit digest keeps shuffle rows small
+  *    when documents are large);
+  *  - MinHash/LSH dedup never goes quadratic: candidates are generated
+  *    per LSH band bucket, buckets larger than `maxBucket` are dropped
+  *    (standard guardrail — such buckets are near-duplicates of
+  *    boilerplate and would dominate the pair join), and exact Jaccard
+  *    verification runs only on candidate pairs;
+  *  - SimHash dedup bands the 64-bit fingerprint into 4 x 16-bit chunks
+  *    (any chunk equality is a candidate at Hamming distance <= 3) and
+  *    verifies with `bit_count(xor)`.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text with >1 copy. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"),
+           count(lit(1)).as("n_copies"),
+           sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact dedup: keep the lowest doc_id per distinct text. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    * Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard >= threshold.
+    */
+  def minhashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8,
+                      maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sigs = docs.select(col("doc_id"), minhash_signature(col("text"), k, numHashes, seed).as("sig"))
+    // band key: (band index, hash of the signature slice)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), hash(lit(b), slice(col("sig"), b * r + 1, r)).as("bucket")))
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // pairs within a bucket: explode ids twice with i < j, dedup across bands
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    // exact verification on candidate pairs only
+    val sh = docs.select(col("doc_id"), shingle_set(col("text"), k).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_id_a"), col("b").as("doc_id_b"), col("jaccard"))
+  }
+
+  /** MinHash-LSH dedup: drop every doc that near-duplicates a lower id. */
+  def minhashDedup(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val dups = minhashNearDups(docs, k, numHashes, bands, threshold)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    docs.join(dups, Seq("doc_id"), "left_anti")
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance <= maxDistance. */
+  def simhashNearDups(docs: DataFrame, maxDistance: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val hashed = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    // 4 bands of 16 bits: d<=3 guarantees at least one identical band
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))
+    val banded = hashed
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.key").as("key"))
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+    buckets
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .filter(col("ia.doc_id") < col("ib.doc_id"))
+      .select(col("ia.doc_id").as("doc_id_a"), col("ib.doc_id").as("doc_id_b"),
+        bit_count(col("ia.sh").bitwiseXOR(col("ib.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** N-gram Jaccard similarity for ALL pairs above a threshold within
+    * LSH candidates — convenience wrapper combining minhash candidates
+    * with exact verification (already exact in minhashNearDups).
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashNearDups(docs, k = k, numHashes = 64, bands = 32, threshold = threshold)
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Candidates via
+    * sign-LSH buckets (hyperplane simhash over the embedding) to stay
+    * sub-quadratic; exact cosine verification on candidates.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
+                        planes: Int = 12, tables: Int = 4,
+                        maxBucket: Int = 2000): DataFrame = {
+    val withBuckets = Similarity.withSignBuckets(emb, "embedding", planes, tables)
+    val buckets = withBuckets.groupBy(col("table"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+    buckets
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .filter(col("ia.vec_id") < col("ib.vec_id"))
+      .select(col("ia.vec_id").as("vec_id_a"), col("ib.vec_id").as("vec_id_b"),
+        cosine_similarity(col("ia.embedding"), col("ib.embedding")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

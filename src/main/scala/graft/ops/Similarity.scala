@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import org.apache.spark.sql.graft.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop of the
+  * (small) query set against the corpus, ranked per query. Exact, one
+  * pass over the corpus, no shuffle of the corpus itself; this is the
+  * right plan even at 100 TB when the query set broadcasts.
+  *
+  * Scale path: sign-LSH (random-hyperplane) bucketing — `tables`
+  * independent hash tables of `planes` sign bits each. Corpus and
+  * queries bucket identically; candidates come from bucket equi-joins
+  * (shuffle keyed by bucket, linear in corpus size), then exact cosine
+  * re-ranks. Recall grows with `tables`; cost stays corpus-linear.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim) — derived from splitmix64, uniform in [-1, 1).
+    */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Float = {
+    val h = Hashing.splitmix64(table.toLong * 1000003L + plane.toLong * 8191L + dim)
+    (h.toDouble / Long.MaxValue.toDouble).toFloat
+  }
+
+  /** Adds (table, bucket) rows per input row: bucket = sign bits of the
+    * embedding against `planes` hyperplanes, one row per hash table.
+    */
+  def withSignBuckets(emb: DataFrame, embedCol: String, planes: Int, tables: Int): DataFrame = {
+    val dim = emb.select(size(col(embedCol))).head().getInt(0)
+    def bucketFor(t: Int): Column = {
+      val bits: Seq[Column] = (0 until planes).map { p =>
+        val hp = array((0 until dim).map(d => lit(planeComponent(t, p, d))): _*)
+        when(dot_product(col(embedCol), hp) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    }
+    emb.select((emb.columns.map(col) :+
+      posexplode(array((0 until tables).map(bucketFor): _*)).as(Seq("table", "bucket"))): _*)
+  }
+
+  /** Exact brute-force top-k by cosine. `queries` must be small enough
+    * to broadcast (driver enforces nothing; Spark's AQE would demote if
+    * not). Returns (query_id, vec_id, cos, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
+    * buckets across `tables` tables, exact cosine re-rank.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 10, tables: Int = 6): DataFrame = {
+    val cb = withSignBuckets(corpus, "embedding", planes, tables)
+      .select(col("table"), col("bucket"), col("vec_id"), col("embedding"))
+    val qb = withSignBuckets(queries, "embedding", planes, tables)
+      .select(col("table"), col("bucket"),
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select(col("query_id"), col("vec_id"),
+      cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.GraftFunctions._
+
+/** Text-analysis operators over `documents(doc_id, text, ...)` — all
+  * pure column expressions (whole-stage codegen, no UDFs), so they cost
+  * one scan regardless of corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: word-piece regex (letter runs, digit runs,
+    * single punctuation) — an upper-bound proxy for tokenizer cost.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "por", "una", "con"))
+
+  private def stopwordHits(text: Column, lang: String): Column = {
+    val pattern = stopwords(lang).mkString("(?i)\\b(", "|", ")\\b")
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+  }
+
+  /** N-gram-heuristic language ID: the language whose stopword lexicon
+    * hits most; ties resolve alphabetically; no hits -> "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    // max over structs = lexicographic (hits, -rank) -> highest hit count,
+    // alphabetically-first language on ties
+    val entries = langs.zipWithIndex.map { case (l, i) =>
+      struct(stopwordHits(text, l).as("hits"), lit(-i).as("neg_rank"), lit(l).as("lang"))
+    }
+    val best = greatest(entries: _*)
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality features + a composite score in [0, 1]:
+    * mean of (length in [100, 10000] chars), (alpha ratio >= 0.6),
+    * (punct ratio <= 0.1), (stopword ratio >= 0.01), each graded 0/1.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("long")
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("long")
+    val nTokens = tokenCount(text)
+    val enHits = stopwordHits(text, "en")
+    val safeTok = greatest(nTokens, lit(1L))
+    val safeChars = greatest(nChars, lit(1L))
+    docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        (nAlpha.cast("double") / safeChars).as("alpha_ratio"),
+        (nPunct.cast("double") / safeChars).as("punct_ratio"),
+        (enHits.cast("double") / safeTok).as("stopword_ratio"),
+        (nChars.cast("double") / safeTok).as("mean_token_len"))
+      .withColumn("quality_score",
+        ((col("n_chars").between(100, 10000)).cast("double") +
+         (col("alpha_ratio") >= 0.6).cast("double") +
+         (col("punct_ratio") <= 0.1).cast("double") +
+         (col("stopword_ratio") >= 0.01).cast("double")) / 4.0)
+  }
+
+  /** Document fingerprints: md5 (cross-engine verifiable) + the rolling
+    * polynomial hash (native expression), both over whitespace-normalized
+    * lowercase text.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs.select(col("doc_id"),
+      md5(norm).as("md5_fingerprint"),
+      rolling_hash64(norm).as("rolling_fingerprint"))
+  }
+}

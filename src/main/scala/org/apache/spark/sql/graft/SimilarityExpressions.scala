@@ -1,0 +1,230 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Hashing
+
+/** Native Catalyst expressions for the similarity / dedup operators
+  * (SURVEY.md §7.2 phase 6 north-star ops). All implement `doGenCode`
+  * via static helper calls, so they stay inside whole-stage codegen —
+  * no UDF serialization, no codegen fallback in the hot path.
+  *
+  * Lives under `org.apache.spark.sql` because `AbstractDataType` and the
+  * Column<->Expression bridge (`classic.ExpressionUtils`) are
+  * `private[sql]` — the standard packaging for Spark extension libraries.
+  */
+object SimilarityKernels {
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Mismatched lengths use the common prefix; zero vectors -> 0.0.
+    */
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble; val b = y.getFloat(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var i = 0
+    while (i < n) { d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    d
+  }
+
+  /** MinHash signature over character k-shingles of `text`.
+    * Permutation i is `fmix64(shingleHash ^ splitmix64(seed+i))`; the
+    * signature element is the minimum over shingles. Texts shorter than
+    * k yield the single shingle = the whole text.
+    */
+  def minhash(text: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val nShingles = math.max(1, len - k + 1)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < nShingles) {
+      val h = Hashing.fnv1a64(s, j, math.min(len, j + k))
+      var i = 0
+      while (i < numHashes) {
+        val v = Hashing.fmix64(h ^ Hashing.splitmix64(seed + i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over whitespace-separated tokens: each token votes
+    * +1/-1 per bit of its hash; the sign of each bit-sum is the output
+    * bit. Empty text -> 0L.
+    */
+  def simhash(text: UTF8String): Long = {
+    val s = text.toString
+    val counts = new Array[Int](64)
+    var start = -1; var i = 0
+    val len = s.length
+    def flush(end: Int): Unit = if (start >= 0) {
+      val h = Hashing.fnv1a64(s, start, end)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      start = -1
+    }
+    while (i < len) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws) flush(i)
+      i += 1
+    }
+    flush(len)
+    var out = 0L; var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial rolling hash (Rabin-Karp style) of the text, mod 2^61-1 —
+    * the document-fingerprint primitive.
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    val M = (1L << 61) - 1
+    val B = 131L
+    var h = 0L; var i = 0
+    while (i < s.length) {
+      // (h*B + c) mod M using 128-bit-safe math (Math.multiplyHigh)
+      val lo = h * B
+      val hi = Math.multiplyHigh(h, B)
+      var v = (lo & M) + ((hi << 3) | (lo >>> 61))
+      if (v >= M) v -= M
+      h = v + s.charAt(i).toLong
+      if (h >= M) h -= M
+      i += 1
+    }
+    h
+  }
+
+  /** Character k-shingle set (distinct, sorted hashes) — the exact-
+    * Jaccard verification primitive for candidate pairs.
+    */
+  def shingleSet(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val nShingles = math.max(1, len - k + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nShingles) {
+      set.add(Hashing.fnv1a64(s, j, math.min(len, j + k)))
+      j += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHashSignature(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.minhash(t.asInstanceOf[UTF8String], k, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.minhash($t, $k, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.simhash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.simhash($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class RollingHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.rollingHash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.rollingHash($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ShingleSet(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.shingleSet(t.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.shingleSet($t, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-level API for the custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+  def minhash_signature(text: Column, k: Int = 5, numHashes: Int = 64,
+                        seed: Long = 42L): Column =
+    column(MinHashSignature(expression(text), k, numHashes, seed))
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+  def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
+  def shingle_set(text: Column, k: Int = 5): Column = column(ShingleSet(expression(text), k))
+}
