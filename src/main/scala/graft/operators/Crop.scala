@@ -49,9 +49,20 @@ object Crop {
       case None => (nearestAxisValue(g.df, g.meta.yDim, box.south),
                     nearestAxisValue(g.df, g.meta.yDim, box.north))
     }
-    g.copy(df = g.df.filter(
+    val df = g.df.filter(
       g.x.between(math.min(xLo, xHi), math.max(xLo, xHi)) &&
-      g.y.between(math.min(yLo, yHi), math.max(yLo, yHi))))
+      g.y.between(math.min(yLo, yHi), math.max(yLo, yHi)))
+    // keep axis metadata in sync with the cropped extent (downstream
+    // operators — spatial resample, GSSHA headers — derive shape from it)
+    val xAxis2 = g.meta.xAxis.map { ax =>
+      val lo = math.min(xLo, xHi)
+      ax.copy(origin = lo, n = (math.round((math.max(xLo, xHi) - lo) / ax.step) + 1).toInt)
+    }
+    val yAxis2 = g.meta.yAxis.map { ay =>
+      val lo = math.min(yLo, yHi)
+      ay.copy(origin = lo, n = (math.round((math.max(yLo, yHi) - lo) / ay.step) + 1).toInt)
+    }
+    g.copy(df = df, meta = g.meta.copy(xAxis = xAxis2, yAxis = yAxis2))
   }
 
   /** Inclusive-both-ends time crop (P3). */

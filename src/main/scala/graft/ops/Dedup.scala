@@ -101,7 +101,7 @@ object Dedup {
       .select(col("ia"), explode(col("items")).as("ib"))
       .filter(col("ia.doc_id") < col("ib.doc_id"))
       .select(col("ia.doc_id").as("doc_id_a"), col("ib.doc_id").as("doc_id_b"),
-        bit_count(col("ia.sh").bitwiseXOR(col("ib.sh"))).as("hamming"))
+        bit_count(col("ia.sh").bitwiseXOR(col("ib.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }

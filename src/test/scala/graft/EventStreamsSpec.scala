@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("tumbling window counts agree with a plain groupBy (batch path)") {
+    val ev = Tables(spark, sf, "events")
+    val win = EventStreams.tumblingCounts(ev, "1 hour")
+    val direct = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(win.count() == direct.count())
+    assert(win.agg(sum("n_events")).collect()(0).getLong(0) == ev.count())
+  }
+
+  test("sliding windows cover each event twice (1h window, 30m hop)") {
+    val ev = Tables(spark, sf, "events")
+    val win = EventStreams.slidingCounts(ev, "1 hour", "30 minutes")
+    assert(win.agg(sum("n_events")).collect()(0).getLong(0) == 2 * ev.count())
+  }
+
+  test("session windows close after the gap (batch session_window)") {
+    import spark.implicits._
+    val ev = Seq(
+      ("2024-01-01 00:00:00", 1L, "click", 1.0),
+      ("2024-01-01 00:10:00", 1L, "click", 2.0),
+      ("2024-01-01 01:00:00", 1L, "click", 3.0),  // 50 min gap -> new session
+      ("2024-01-01 00:05:00", 2L, "view", 4.0)
+    ).toDF("ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val s = EventStreams.sessionCounts(ev, "30 minutes").orderBy("user_id", "session_start").collect()
+    assert(s.length == 3)
+    assert(s(0).getAs[Long]("n_events") == 2 && s(1).getAs[Long]("n_events") == 1)
+    // session end = last event + gap
+    assert(s(1).getAs[Timestamp]("session_end").toString == "2024-01-01 01:30:00.0")
+  }
+
+  test("streaming tumbling aggregation over MemoryStream emits on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = EventStreams.tumblingCounts(df, "1 hour", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:25:00"), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark past the first hour so it finalizes
+      mem.addData((Timestamp.valueOf("2024-01-01 02:00:00"), 3L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM tumb").collect()
+      assert(rows.exists(r => r.getAs[Long]("n_events") == 2 &&
+        r.getAs[Double]("sum_value") == 3.0))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        Event(Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // an event far past the gap both closes user 1's session (event-time
+      // timeout) and starts a new one
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 03:00:00"), 1L, "click", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 06:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").collect()
+      assert(rows.exists(r => r.getAs[Long]("user_id") == 1L &&
+        r.getAs[Long]("n_events") == 2 && r.getAs[Double]("sum_value") == 3.0))
+    } finally q.stop()
+  }
+}

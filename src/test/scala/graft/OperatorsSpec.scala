@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.BBox
+import graft.operators._
+import graft.sources.SyntheticGrid
+
+class OperatorsSpec extends SparkSpec {
+
+  private def grid = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+
+  test("snapped bbox crop can retain cells outside the raw bbox (P2)") {
+    // raw east edge -80.2 snaps OUT to -80.25... and -80.2's nearest line
+    // is -80.25 (inside); west -82.9 snaps to -83.0 which is OUTSIDE the
+    // raw box — the reference's nearest-index semantics.
+    val c = Crop.bbox(grid, BBox(-82.9, 41.6, -80.2, 42.4))
+    val xs = c.df.select("x").distinct().collect().map(_.getDouble(0)).sorted
+    assert(xs.head == -83.0 && xs.last == -80.25)
+    assert(xs.length == 12)
+    val ys = c.df.select("y").distinct().collect().map(_.getDouble(0)).sorted
+    assert(ys.head == 41.5 && ys.last == 42.5)
+  }
+
+  test("time crop is inclusive on both ends: 73 hourly steps (P3)") {
+    val c = Crop.time(grid, "2019-01-30 00:00:00", "2019-02-02 00:00:00")
+    assert(c.df.select("time").distinct().count() == 73)
+    // sub-range keeps both boundary steps
+    val c2 = Crop.time(grid, "2019-01-30 12:00:00", "2019-01-31 06:00:00")
+    assert(c2.df.select("time").distinct().count() == 19)
+  }
+
+  test("timezone subset converts bounds, not data (P4)") {
+    import java.time.LocalDateTime
+    // 2019-01-30 07:00 in UTC-5 == 12:00 UTC
+    val c = Crop.timeByZone(grid,
+      LocalDateTime.parse("2019-01-30T07:00:00"),
+      LocalDateTime.parse("2019-01-30T09:00:00"), "America/New_York")
+    val times = c.df.select("time").distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0).toString)
+    assert(times.toSeq == Seq("2019-01-30 12:00:00.0", "2019-01-30 13:00:00.0", "2019-01-30 14:00:00.0"))
+  }
+
+  test("upsample row-count law: hourly -> minutely is 4321 steps (A1)") {
+    val one = grid.copy(df = grid.df.filter(col("x") === -83.5 && col("y") === 41.25))
+    val up = TemporalResample.upsample(one, 60, "linear")
+    assert(up.df.count() == 4321) // (73-1)*60 + 1, endpoint inclusive
+  }
+
+  test("downsample aggregates per cell and bucket (A1)") {
+    val d = TemporalResample.downsample(grid, "1 day", "mean")
+    // 73 hours span 4 calendar days -> 4 buckets x 7 x 19 cells
+    assert(d.df.count() == 4L * 7 * 19)
+    val s = TemporalResample.downsample(grid, "1 day", "sum")
+    val total = s.df.agg(sum("t2m")).collect()(0).getDouble(0)
+    val direct = grid.df.agg(sum("t2m")).collect()(0).getDouble(0)
+    assert(math.abs(total - direct) < 1e-6)
+  }
+
+  test("ffill/bfill/linear interpolation fill semantics (W1-W3)") {
+    import spark.implicits._
+    val df = Seq(
+      ("2020-01-01 00:00:00", 1.0, 1.0, Some(10.0)),
+      ("2020-01-01 01:00:00", 1.0, 1.0, None),
+      ("2020-01-01 02:00:00", 1.0, 1.0, None),
+      ("2020-01-01 03:00:00", 1.0, 1.0, Some(40.0))
+    ).toDF("ts", "y", "x", "v")
+      .select(col("ts").cast("timestamp").as("time"), col("y"), col("x"), col("v"))
+    val g = grid.copy(df = df)
+    def vals(d: org.apache.spark.sql.DataFrame): Seq[Option[Double]] =
+      d.orderBy("time").collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double])).toSeq
+    assert(vals(TemporalResample.ffill(g).df) == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0)))
+    assert(vals(TemporalResample.bfill(g).df) == Seq(Some(10.0), Some(40.0), Some(40.0), Some(40.0)))
+    assert(vals(TemporalResample.interpolate(g, "linear").df) == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0)))
+    assert(vals(TemporalResample.interpolate(g, "nearest").df) == Seq(Some(10.0), Some(10.0), Some(40.0), Some(40.0)))
+    assert(vals(TemporalResample.interpolate(g, "zero").df) == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0)))
+  }
+
+  test("downsample any/all follow nonzero truthiness") {
+    import spark.implicits._
+    val df = Seq(("2020-01-01 00:00:00", 1.0, 1.0, 0.0), ("2020-01-01 01:00:00", 1.0, 1.0, 2.0))
+      .toDF("ts", "y", "x", "v")
+      .select(col("ts").cast("timestamp").as("time"), col("y"), col("x"), col("v"))
+    val g = grid.copy(df = df)
+    val any = TemporalResample.downsample(g, "1 day", "any").df.collect()(0).getBoolean(3)
+    val all = TemporalResample.downsample(g, "1 day", "all").df.collect()(0).getBoolean(3)
+    assert(any && !all)
+  }
+
+  test("custom resample aggregation hook (A2/E1)") {
+    val d = TemporalResample.downsampleCustom(grid, "1 day", c => max(c) - min(c))
+    assert(d.df.count() == 4L * 7 * 19)
+    assert(d.df.agg(min("t2m")).collect()(0).getDouble(0) >= 0.0)
+  }
+
+  test("points-to-table: 73 rows x 3 point columns (R1)") {
+    val pts = Seq(("p0", -82.98, 41.63), ("p1", -79.43, 42.88), ("p2", -83.23, 41.85))
+    val tbl = PointExtract.pointsToTable(grid, pts, "t2m")
+    assert(tbl.columns.toSeq == Seq("time", "p0", "p1", "p2"))
+    assert(tbl.count() == 73)
+    // p0 column equals the snapped cell's series (x=-83.0, y=41.75)
+    val expect = grid.df.filter(col("x") === -83.0 && col("y") === 41.75)
+      .orderBy("time").select("t2m").collect().map(_.getDouble(0))
+    val got = tbl.orderBy("time").select("p0").collect().map(_.getDouble(0))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("two points snapping to the same cell each get a column") {
+    val pts = Seq(("a", -83.49, 41.26), ("b", -83.51, 41.24))
+    val tbl = PointExtract.pointsToTable(grid, pts, "t2m")
+    assert(tbl.columns.toSeq == Seq("time", "a", "b"))
+    val r = tbl.orderBy("time").limit(1).collect()(0)
+    assert(r.getDouble(1) == r.getDouble(2))
+  }
+
+  test("variable merge aligns on coords with nulls outside overlap (J1)") {
+    val g = SyntheticGrid.grid(spark)
+    val a = Crop.bbox(g.selectVariables(Seq("t2m")), BBox(-83.5, 41.25, -82.0, 42.75))
+    val b = Crop.bbox(g.selectVariables(Seq("u100")), BBox(-83.0, 41.25, -79.0, 42.75))
+    val m = VariableMerge.merge(Seq(a, b)).df
+    assert(m.filter(col("t2m").isNull && col("u100").isNull).count() == 0)
+    assert(m.filter(col("t2m").isNotNull && col("u100").isNull).count() > 0)
+    assert(m.filter(col("t2m").isNull && col("u100").isNotNull).count() > 0)
+    // overlap region has both
+    assert(m.filter(col("x") === -82.5 && col("t2m").isNotNull && col("u100").isNotNull).count() > 0)
+  }
+
+  test("concatTime unions disjoint chunks (U1)") {
+    val g = grid
+    val a = Crop.time(g, "2019-01-30 00:00:00", "2019-01-30 23:00:00")
+    val b = Crop.time(g, "2019-01-31 00:00:00", "2019-02-02 00:00:00")
+    assert(VariableMerge.concatTime(Seq(a, b)).df.count() == g.df.count())
+  }
+}

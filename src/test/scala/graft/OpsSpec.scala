@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions._
+
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),   // exact dup of 1
+      (3L, "the quick brown fox jumped over the lazy dog", "en", "web", 44L),  // near dup
+      (4L, "der schnelle braune fuchs springt und ist nicht faul", "de", "web", 52L),
+      (5L, "completely different content about spark engines", "en", "web", 48L),
+      (6L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("exact dedup keeps the lowest doc_id per distinct text") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L
+      && groups(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds near-duplicates and verifies exact jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, k = 5, numHashes = 64, bands = 32,
+      threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((2L, 3L)) && keys.contains((1L, 3L)))
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j12 == 1.0) // identical texts
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L))
+    val deduped = Dedup.minhashDedup(docs, k = 5, numHashes = 64, bands = 32, threshold = 0.5)
+    assert(!deduped.select("doc_id").collect().map(_.getLong(0)).contains(2L))
+  }
+
+  test("simhash: identical texts at distance 0, unrelated texts far") {
+    val pairs = Dedup.simhashNearDups(docs, maxDistance = 3).collect()
+    val d12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(d12.isDefined && d12.get.getLong(2) == 0L)
+  }
+
+  test("token counting and subword counting (text analysis)") {
+    val r = docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("t"),
+        TextAnalysis.subwordCount(col("text")).as("s"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (9L, 9L))
+    assert(r(6L) == (0L, 0L))
+  }
+
+  test("language ID picks the lexicon with most hits") {
+    val r = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(4L) == "de" && r(6L) == "und")
+  }
+
+  test("fingerprints are whitespace/case normalized") {
+    import spark.implicits._
+    val d2 = Seq((1L, "Hello  World"), (2L, " hello world ")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d2).collect()
+    assert(fp(0).getString(1) == fp(1).getString(1))   // md5
+    assert(fp(0).getLong(2) == fp(1).getLong(2))       // rolling
+  }
+
+  test("cosine expression: identity 1.0, orthogonal 0.0, null-safe") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(0f, 1f)))
+      .toDF("a", "b")
+    val r = df.select(cosine_similarity(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-12 && math.abs(r(1)) < 1e-12)
+  }
+
+  test("brute-force top-k: self-similar corpus ranks by cosine desc") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 5)
+    val rows = top.orderBy("rank").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(0) == 0L))
+    val coss = rows.map(_.getDouble(2))
+    assert(coss.sliding(2).forall(p => p(0) >= p(1))) // descending
+    assert(!rows.map(_.getLong(1)).contains(0L))      // excludes self
+  }
+
+  test("LSH top-k recall against brute force is high on the fixture") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random-embedding "neighbors" are only mildly correlated (cos ~0.4),
+    // so use short buckets and many tables: per-table hit ~p^4, p ~0.6
+    val approx = Similarity.lshTopK(emb, q, 5, planes = 4, tables = 16)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("multimodal plumbing: schema, deterministic stub, frame sampling") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.feature.length == 8))
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+    val frames = Multimodal.sampleFrames(feats, stride = 10)
+    assert(frames.columns.contains("frame_idx"))
+    assert(frames.filter(col("media_type") =!= "video").count() == 0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpatialResample
+import graft.sources.SyntheticGrid
+
+class SpatialResampleSpec extends SparkSpec {
+
+  private def grid = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+
+  test("factor 2 regrid: 19x7 -> 38x14 output shape (X1, reference test)") {
+    val r = SpatialResample.nearest(grid, fy = 2.0, fx = 2.0)
+    assert(r.meta.xAxis.get.n == 38 && r.meta.yAxis.get.n == 14)
+    assert(r.df.select("x").distinct().count() == 38)
+    assert(r.df.select("y").distinct().count() == 14)
+    assert(r.df.count() == 73L * 38 * 14)
+  }
+
+  test("asymmetric factors (1, 3): 19x7 -> 57x7 (x-major factor)") {
+    val r = SpatialResample.bilinear(grid, fy = 1.0, fx = 3.0)
+    assert(r.meta.xAxis.get.n == 57 && r.meta.yAxis.get.n == 7)
+    assert(r.df.count() == 73L * 57 * 7)
+  }
+
+  test("bilinear on a constant field stays constant; nearest preserves values") {
+    val const = grid.copy(df = grid.df.withColumn("t2m", lit(5.0)))
+    val b = SpatialResample.bilinear(const, 2.0, 2.0)
+    val mm = b.df.agg(min("t2m"), max("t2m")).collect()(0)
+    assert(mm.getDouble(0) == 5.0 && mm.getDouble(1) == 5.0)
+    val n = SpatialResample.nearest(grid, 2.0, 2.0)
+    // every nearest-resampled value exists in the source value set
+    val src = grid.df.select("t2m").distinct()
+    assert(n.df.select("t2m").distinct().except(src).count() == 0)
+  }
+
+  test("bilinear interpolates linearly between cell centers") {
+    // linear-in-x field: t2m = x  ->  any bilinear resample must reproduce x
+    val lin = grid.copy(df = grid.df.withColumn("t2m", col("x")))
+    val b = SpatialResample.bilinear(lin, 1.0, 2.0)
+    val bad = b.df.filter(
+      // interior cells only (edge-clamped border replicates)
+      col("x") > -83.5 && col("x") < -79.0 &&
+      abs(col("t2m") - col("x")) > lit(1e-9)).count()
+    assert(bad == 0)
+  }
+}
