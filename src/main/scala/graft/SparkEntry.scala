@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.BBox
-import graft.operators.{Crop, PointExtract, TemporalResample, VariableMerge}
+import graft.operators.{AsOfJoin, Crop, Gssha, PointExtract, SpatialResample, TemporalResample, VariableMerge}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{SyntheticGrid, Tables}
 import graft.streaming.EventStreams
@@ -52,6 +52,17 @@ object SparkEntry {
   private val upBox = BBox(-83.5, 41.25, -83.25, 41.5)
 
   private val grid = SyntheticGrid.sqlCte // WITH-clause body for oracles
+  // target axes for the spatial-resample queries (shared with oracles)
+  private val xt2 = SpatialResample.targetAxis(xa, 2.0)
+  private val yt2 = SpatialResample.targetAxis(ya, 2.0)
+  // timezone-subset bounds: wall-clock America/New_York -> UTC constants
+  private val tzStart = java.time.LocalDateTime.parse("2019-01-30T07:00:00")
+  private val tzEnd = java.time.LocalDateTime.parse("2019-01-31T04:00:00")
+  private def toUtc(t: java.time.LocalDateTime): String =
+    t.atZone(java.time.ZoneId.of("America/New_York"))
+      .withZoneSameInstant(java.time.ZoneId.of("UTC"))
+      .toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
@@ -220,6 +231,106 @@ object SparkEntry {
       TemporalResample.upsample(g, 1800, "ffill").df.orderBy("time", "y", "x")
     }),
 
+    "g09_spatial_nearest_x2" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.nearest(g, fy = 2.0, fx = 2.0).df.orderBy("time", "y", "x")
+    }),
+
+    "g10_spatial_bilinear_x2" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.bilinear(g, fy = 2.0, fx = 2.0).df
+        .withColumn("t2m", round(col("t2m"), 6))
+        .orderBy("time", "y", "x")
+    }),
+
+    "g11_tz_subset" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      Crop.timeByZone(g, tzStart, tzEnd, "America/New_York")
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "g12_bbox_extremes" -> ((s, _) => {
+      SyntheticGrid.grid(s).df
+        .agg(min("x").as("west"), max("x").as("east"),
+             min("y").as("south"), max("y").as("north"))
+    }),
+
+    "g13_downsample_first_last" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      g.df.groupBy(window(col("time"), "1 day").getField("start").as("time"),
+          col("y"), col("x"))
+        .agg(TemporalResample.aggFor("first", col("t2m"), col("time")).as("first_t2m"),
+             TemporalResample.aggFor("last", col("t2m"), col("time")).as("last_t2m"))
+        .orderBy("time", "y", "x")
+    }),
+
+    "g14_upsample_nearest" -> ((s, _) => {
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
+      TemporalResample.upsample(g, 1800, "nearest").df.orderBy("time", "y", "x")
+    }),
+
+    "g15_gage_render" -> ((s, _) => { // rows-only (float->string rendering)
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
+        BBox(-83.5, 41.25, -83.0, 41.5))
+      Gssha.gageRows(g, "t2m", "GAGES",
+        Seq(("e1", "2019-01-30 00:00:00", "2019-01-30 23:00:00"),
+            ("e2", "2019-02-01 00:00:00", "2019-02-02 00:00:00")))
+    }),
+
+    "g16_wes_render" -> ((s, _) => { // rows-only (float->string rendering)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
+      Gssha.wesRows(g, Map("t2m" -> "Dry Bulb Temperature", "u100" -> "Wind Speed"))
+    }),
+
+    "g17_grass_render" -> ((s, _) => { // rows-only (float->string rendering)
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
+        BBox(-83.5, 41.25, -83.0, 41.5))
+      Gssha.grassAscii(g, "t2m", Some("Dry Bulb Temperature")).drop("content")
+        .withColumn("len", length(col("file_name")))
+    }),
+
+    // ============== more relational: subquery / rollup / as-of =========
+    "q14_above_avg_orders" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+      // cust_avg itself is excluded from the output: a windowed double
+      // average is order-dependent in its last bits, which the exact
+      // hash-compare would see; the comparison against it is stable
+      t(s, dir, "orders")
+        .withColumn("cust_avg", avg("o_totalprice").over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q15_rollup_revenue" -> ((s, dir) => {
+      // via the engine's SQL surface: Dataset.rollup after a multi-join
+      // trips Spark 4.1's ambiguous-self-join check (false positive; even
+      // with fresh aliases), while SQL-path resolution plans it cleanly
+      Seq("orders", "customer", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS r_name,
+              |       coalesce(n_name, 'ALL') AS n_name,
+              |       round(sum(o_totalprice), 2) AS revenue,
+              |       count(*) AS n_orders
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              | JOIN nation ON c_nationkey = n_nationkey
+              | JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    "q16_asof_click_before_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+                col("event_id").as("click_id"))
+      AsOfJoin.backward(purchases, clicks, leftOn = "ts", rightOn = "click_ts",
+          by = Seq("user_id"), payload = Seq("click_id", "click_ts"))
+        .orderBy("event_id")
+    }),
+
     // ================= LLM-pipeline north-star ops ====================
     "n01_exact_dedup" -> ((s, dir) => {
       Dedup.exactDedup(t(s, dir, "documents"))
@@ -305,6 +416,13 @@ object SparkEntry {
       Multimodal.extractFeatures(media).toDF()
         .select("media_id", "media_type", "byte_len", "width", "height", "n_frames")
         .orderBy("media_id")
+    }),
+
+    "n14_embedding_neardups" -> ((s, dir) => { // rows-only (LSH candidates)
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.8,
+          planes = 8, tables = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_id_a", "vec_id_b")
     })
   )
 
@@ -485,6 +603,119 @@ object SparkEntry {
          | last_value(t2m IGNORE NULLS) OVER (PARTITION BY y, x ORDER BY time
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2m
          |FROM g ORDER BY time, y, x""".stripMargin,
+
+    "g09_spatial_nearest_x2" ->
+      s"""WITH $grid,
+         |tgt AS (SELECT id // ${xt2.n} AS jy2, id % ${xt2.n} AS jx2
+         |        FROM range(${xt2.n.toLong * yt2.n}) t(id)),
+         |m AS (SELECT (${yt2.origin} + jy2 * ${yt2.step}) AS y2,
+         |             (${xt2.origin} + jx2 * ${xt2.step}) AS x2,
+         |  least(greatest(CAST(floor((${xt2.origin} + jx2 * ${xt2.step} - ${xa.origin}) / ${xa.step} + 0.5) AS BIGINT), 0), ${xa.n - 1}) AS jx,
+         |  least(greatest(CAST(floor((${yt2.origin} + jy2 * ${yt2.step} - ${ya.origin}) / ${ya.step} + 0.5) AS BIGINT), 0), ${ya.n - 1}) AS jy
+         | FROM tgt)
+         |SELECT g.time, m.y2 AS y, m.x2 AS x, g.t2m
+         |FROM grid g JOIN m ON g.jy = m.jy AND g.jx = m.jx
+         |ORDER BY time, y, x""".stripMargin,
+
+    "g10_spatial_bilinear_x2" ->
+      s"""WITH $grid,
+         |tgt AS (SELECT id // ${xt2.n} AS jy2, id % ${xt2.n} AS jx2
+         |        FROM range(${xt2.n.toLong * yt2.n}) t(id)),
+         |m AS (SELECT (${yt2.origin} + jy2 * ${yt2.step}) AS y2,
+         |             (${xt2.origin} + jx2 * ${xt2.step}) AS x2,
+         |  (${xt2.origin} + jx2 * ${xt2.step} - ${xa.origin}) / ${xa.step} AS gx,
+         |  (${yt2.origin} + jy2 * ${yt2.step} - ${ya.origin}) / ${ya.step} AS gy
+         | FROM tgt),
+         |mb AS (SELECT y2, x2,
+         |  least(greatest(CAST(floor(gx) AS BIGINT), 0), ${xa.n - 1}) AS jx0,
+         |  least(greatest(CAST(floor(gx) AS BIGINT) + 1, 0), ${xa.n - 1}) AS jx1,
+         |  least(greatest(CAST(floor(gy) AS BIGINT), 0), ${ya.n - 1}) AS jy0,
+         |  least(greatest(CAST(floor(gy) AS BIGINT) + 1, 0), ${ya.n - 1}) AS jy1,
+         |  gx - floor(gx) AS wx1, gy - floor(gy) AS wy1
+         | FROM m),
+         |corners AS (
+         | SELECT y2, x2, jy0 AS jy, jx0 AS jx, (1.0 - wy1) * (1.0 - wx1) AS w FROM mb
+         | UNION ALL SELECT y2, x2, jy0, jx1, (1.0 - wy1) * wx1 FROM mb
+         | UNION ALL SELECT y2, x2, jy1, jx0, wy1 * (1.0 - wx1) FROM mb
+         | UNION ALL SELECT y2, x2, jy1, jx1, wy1 * wx1 FROM mb)
+         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w), 6) AS t2m
+         |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g11_tz_subset" ->
+      s"""WITH $grid
+         |SELECT time, y, x, t2m FROM grid
+         |WHERE time BETWEEN TIMESTAMP '${toUtc(tzStart)}' AND TIMESTAMP '${toUtc(tzEnd)}'
+         |ORDER BY time, y, x""".stripMargin,
+
+    "g12_bbox_extremes" ->
+      s"""WITH $grid
+         |SELECT min(x) AS west, max(x) AS east, min(y) AS south, max(y) AS north
+         |FROM grid""".stripMargin,
+
+    "g13_downsample_first_last" ->
+      s"""WITH $grid
+         |SELECT date_trunc('day', time) AS time, y, x,
+         | arg_min(t2m, time) AS first_t2m, arg_max(t2m, time) AS last_t2m
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g14_upsample_nearest" ->
+      s"""WITH $grid,
+         |src AS (SELECT time, y, x, t2m FROM grid
+         |        WHERE x BETWEEN ${upBox.west} AND ${upBox.east}
+         |          AND y BETWEEN ${upBox.south} AND ${upBox.north}),
+         |times AS (SELECT generate_series AS time FROM generate_series(
+         |  TIMESTAMP '2019-01-30 00:00:00', TIMESTAMP '2019-02-02 00:00:00', INTERVAL 30 MINUTE)),
+         |cells AS (SELECT DISTINCT y, x FROM src),
+         |g AS (SELECT t.time, c.y, c.x, s.t2m
+         |      FROM times t CROSS JOIN cells c
+         |      LEFT JOIN src s ON s.time = t.time AND s.y = c.y AND s.x = c.x),
+         |f AS (SELECT time, y, x, t2m,
+         |  last_value(t2m IGNORE NULLS) OVER w AS pv,
+         |  last_value(CASE WHEN t2m IS NOT NULL THEN time END IGNORE NULLS) OVER w AS pt,
+         |  first_value(t2m IGNORE NULLS) OVER w2 AS nv,
+         |  first_value(CASE WHEN t2m IS NOT NULL THEN time END IGNORE NULLS) OVER w2 AS nt
+         | FROM g WINDOW
+         |  w AS (PARTITION BY y, x ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  w2 AS (PARTITION BY y, x ORDER BY time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT time, y, x,
+         | CASE WHEN t2m IS NOT NULL THEN t2m
+         |      WHEN pt IS NULL THEN nv
+         |      WHEN nt IS NULL THEN pv
+         |      WHEN epoch(time) - epoch(pt) <= epoch(nt) - epoch(time) THEN pv
+         |      ELSE nv END AS t2m
+         |FROM f ORDER BY time, y, x""".stripMargin,
+
+    "g17_grass_render" ->
+      s"""WITH $grid,
+         |f AS (SELECT DISTINCT time FROM grid)
+         |SELECT time, strftime(time, '%Y%m%d%H') || '_Temp.asc' AS file_name,
+         | CAST(length(strftime(time, '%Y%m%d%H') || '_Temp.asc') AS INTEGER) AS len
+         |FROM f ORDER BY time""".stripMargin,
+
+    "q14_above_avg_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |       avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |      FROM orders)
+        |WHERE o_totalprice > cust_avg ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q15_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name""".stripMargin,
+
+    "q16_asof_click_before_purchase" ->
+      """WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "n01_exact_dedup" ->
       """SELECT doc_id, n_chars FROM documents

@@ -26,7 +26,10 @@ import graft.model.{AxisSpec, GridDataset, GridMeta}
   */
 object SpatialResample {
 
-  private def targetAxis(src: AxisSpec, factor: Double): AxisSpec = {
+  /** Target axis for a resample factor (GDAL geometry; public so the
+    * oracle SQL in SparkEntry can be built from the same constants).
+    */
+  def targetAxis(src: AxisSpec, factor: Double): AxisSpec = {
     val n2 = (src.n * factor).toInt
     val extent = src.step * src.n
     val step2 = extent / n2

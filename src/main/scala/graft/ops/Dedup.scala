@@ -62,8 +62,14 @@ object Dedup {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-    // exact verification on candidate pairs only
-    val sh = docs.select(col("doc_id"), shingle_set(col("text"), k).as("sh"))
+    // exact verification on candidate pairs only — shingle sets are
+    // computed just for docs that appear in a candidate pair (semi-join
+    // prune), not the whole corpus: at 100 TB the candidate set is
+    // orders of magnitude smaller than the input
+    val candIds = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingle_set(col("text"), k).as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of join picks latest right <= left, ties inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, "2020-01-01 10:00:00", 100L), (1L, "2020-01-01 12:00:00", 101L),
+                   (2L, "2020-01-01 09:00:00", 102L))
+      .toDF("user_id", "ts", "order_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq((1L, "2020-01-01 09:30:00", 900L), (1L, "2020-01-01 10:00:00", 901L),
+                    (1L, "2020-01-01 11:00:00", 902L), (2L, "2020-01-01 09:30:00", 903L))
+      .toDF("user_id", "click_ts", "click_id")
+      .withColumn("click_ts", col("click_ts").cast("timestamp"))
+    val out = AsOfJoin.backward(left, right, "ts", "click_ts",
+        by = Seq("user_id"), payload = Seq("click_id"))
+      .orderBy("order_id").collect()
+    // order 100 at 10:00 ties with click 901 at 10:00 -> inclusive (<=)
+    assert(out(0).getAs[Long]("click_id") == 901L)
+    // order 101 at 12:00 -> latest prior click is 902
+    assert(out(1).getAs[Long]("click_id") == 902L)
+    // order 102 at 09:00 has no prior click -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("click_id")))
+  }
+}
