@@ -56,12 +56,19 @@ object Dedup {
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // pairs within a bucket: explode ids twice with i < j, dedup across bands
+    // pairs within a bucket: explode ids twice with i < j, dedup across
+    // bands. Persisted because the pair set is referenced three times
+    // below (two candidate-id branches + the verification join) and
+    // Spark has no cross-branch subplan reuse — without this the whole
+    // minhash+banding pipeline runs 3x. The pair set is tiny relative
+    // to the corpus (that is the entire point of LSH), so this holds
+    // at 100 TB where the corpus itself never would.
     val pairs = buckets
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verification on candidate pairs only — shingle sets are
     // computed just for docs that appear in a candidate pair (semi-join
     // prune), not the whole corpus: at 100 TB the candidate set is

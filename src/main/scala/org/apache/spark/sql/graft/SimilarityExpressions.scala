@@ -39,6 +39,17 @@ object SimilarityKernels {
     d
   }
 
+  /** Per-(seed, numHashes) permutation keys, cached so the inner loop is
+    * xor+fmix only (splitmix64 per permutation would otherwise run
+    * nShingles * numHashes times per row).
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Array[Long]]()
+  def perms(seed: Long, numHashes: Int): Array[Long] =
+    permCache.computeIfAbsent((seed, numHashes), { key =>
+      Array.tabulate(key._2)(i => Hashing.splitmix64(key._1 + i))
+    })
+
   /** MinHash signature over character k-shingles of `text`.
     * Permutation i is `fmix64(shingleHash ^ splitmix64(seed+i))`; the
     * signature element is the minimum over shingles. Texts shorter than
@@ -48,6 +59,7 @@ object SimilarityKernels {
     val s = text.toString
     val len = s.length
     val nShingles = math.max(1, len - k + 1)
+    val p = perms(seed, numHashes)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
@@ -55,7 +67,7 @@ object SimilarityKernels {
       val h = Hashing.fnv1a64(s, j, math.min(len, j + k))
       var i = 0
       while (i < numHashes) {
-        val v = Hashing.fmix64(h ^ Hashing.splitmix64(seed + i))
+        val v = Hashing.fmix64(h ^ p(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
