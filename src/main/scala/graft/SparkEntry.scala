@@ -30,9 +30,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the reference's signature pipeline (SURVEY.md §3.1+§3.2)
+    * — load a grid dataset via the accessor registry, crop to AOI and
+    * time range, extract a points-to-wide time-series table. 73 rows.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = graft.sources.SourceRegistry.get("SyntheticEra5")
+      .load(spark, "synthetic-era5-single-levels", Seq("t2m"),
+        bbox = Some(BBox(-83.5, 41.25, -79.0, 42.75)),
+        timeRange = Some(("2019-01-30 00:00:00", "2019-02-02 00:00:00")))
+    PointExtract.pointsToTable(g, points, "t2m")
+  }
 
   // ---- constants shared by Spark queries and oracle SQL ---------------
   private val xa = SyntheticGrid.meta.xAxis.get
@@ -423,6 +431,22 @@ object SparkEntry {
           planes = 8, tables = 8)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_id_a", "vec_id_b")
+    }),
+
+    "g18_resample_rms_udaf" -> ((s, _) => {
+      // custom typed Aggregator through the resample hook (E1/A2)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      TemporalResample.downsampleCustom(g, "1 day", c => graft.functions.Udafs.rms(c))
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "n15_sql_surface" -> ((s, dir) => { // rows-only (native exprs via SQL)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, simhash64(text) AS sh,
+              |       rolling_hash64(text) AS rh,
+              |       size(shingle_set(text, 5)) AS n_shingles
+              |FROM documents ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -791,6 +815,12 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "g18_resample_rms_udaf" ->
+      s"""WITH $grid
+         |SELECT date_trunc('day', time) AS time, y, x,
+         | sqrt(avg(t2m * t2m)) AS t2m
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "n12_media_schema" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,59 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the graft native expressions: makes
+  * `cosine_similarity`, `dot_product`, `minhash_signature`, `simhash64`,
+  * `rolling_hash64`, `shingle_set` callable from `spark.sql(...)`.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *    at session build time (the standard plugin mechanism);
+  *  - `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
+    "dot_product" -> (args => DotProduct(args(0), args(1))),
+    "simhash64" -> (args => SimHash64(args(0))),
+    "rolling_hash64" -> (args => RollingHash64(args(0))),
+    "shingle_set" -> (args =>
+      ShingleSet(args(0), if (args.length > 1) intArg(args(1), "k") else 5)),
+    "minhash_signature" -> (args => MinHashSignature(args(0),
+      if (args.length > 1) intArg(args(1), "k") else 5,
+      if (args.length > 2) intArg(args(2), "numHashes") else 64,
+      if (args.length > 3) longArg(args(3), "seed") else 42L))
+  )
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

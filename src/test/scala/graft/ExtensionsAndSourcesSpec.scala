@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TimeParse, Udafs}
+import graft.sources.{PointSource, SourceRegistry, TableSink}
+
+class ExtensionsAndSourcesSpec extends SparkSpec {
+
+  test("SQL surface: native expressions callable from spark.sql") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       simhash64('hello world') AS sh,
+        |       simhash64('hello world') = simhash64('hello world') AS stable,
+        |       size(shingle_set('abcdef', 3)) AS n
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getBoolean(2))
+    assert(r.getInt(3) == 4)
+  }
+
+  test("spark.sql.extensions plugin path registers functions at build time") {
+    val s2 = SparkSession.builder()
+      .master("local[1]")
+      .appName("ext-test")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // newSession shares extensions; just evaluate through SQL
+      val v = s2.sql("SELECT rolling_hash64('abc') AS h").collect()(0).getLong(0)
+      assert(v == spark.range(1).select(
+        org.apache.spark.sql.graft.GraftFunctions.rolling_hash64(lit("abc"))).collect()(0).getLong(0))
+    } finally () // keep shared session running (same JVM master)
+  }
+
+  test("rms/geomean Aggregators match closed forms and skip nulls") {
+    import spark.implicits._
+    val df = Seq(Some(3.0), Some(4.0), None).toDF("v")
+    val r = df.agg(Udafs.rms(col("v")).as("rms"), Udafs.geomean(col("v")).as("gm")).collect()(0)
+    assert(math.abs(r.getDouble(0) - math.sqrt(12.5)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(12.0)) < 1e-12)
+    val empty = Seq.empty[Option[Double]].toDF("v")
+      .agg(Udafs.rms(col("v"))).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
+  test("CSV points source reads and assigns ids like the reference") {
+    val dir = Files.createTempDirectory("pts")
+    val f = dir.resolve("points.csv")
+    Files.writeString(f, "lon,lat\n-82.98,41.63\n-79.43,42.88\n")
+    val pts = PointSource.fromCsv(spark, f.toString)
+    val collected = PointSource.collectPoints(pts)
+    assert(collected.length == 2)
+    assert(collected.map(_._2).toSet == Set(-82.98, -79.43))
+    // with an explicit id column
+    val f2 = dir.resolve("points2.csv")
+    Files.writeString(f2, "site,lon,lat\ngageA,-82.98,41.63\n")
+    val p2 = PointSource.collectPoints(
+      PointSource.fromCsv(spark, f2.toString, idCol = Some("site")))
+    assert(p2.head._1 == "gageA")
+  }
+
+  test("table sink dispatches by suffix; xlsx is a documented deviation") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val dir = Files.createTempDirectory("sink")
+    TableSink.write(df, s"$dir/out.parquet")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
+    TableSink.write(df, s"$dir/out.csv")
+    assert(spark.read.option("header", "true").csv(s"$dir/out.csv").count() == 2)
+    assertThrows[IllegalArgumentException](TableSink.write(df, s"$dir/out.xlsx"))
+    assertThrows[IllegalArgumentException](TableSink.write(df, s"$dir/out.bin"))
+  }
+
+  test("datetime input-union parsing incl. int-year validation (P7/F1)") {
+    assert(TimeParse.parse("2019-01-30").toString == "2019-01-30 00:00:00.0")
+    assert(TimeParse.parse("2019-01-30 12:34:56").toString == "2019-01-30 12:34:56.0")
+    assert(TimeParse.parse("2019-01-30T12:34:56").toString == "2019-01-30 12:34:56.0")
+    assert(TimeParse.parse(2018).toString == "2018-01-01 00:00:00.0")
+    assertThrows[IllegalArgumentException](TimeParse.parse(1900))
+    assertThrows[IllegalArgumentException](TimeParse.parse("not a date"))
+  }
+
+  test("accessor registry mirrors the reference factory surface (E3)") {
+    assert(SourceRegistry.dataAccessorNames.contains("SyntheticEra5"))
+    assert(SourceRegistry.supportedDatasets("SyntheticEra5")
+      .contains("synthetic-era5-single-levels"))
+    assertThrows[IllegalArgumentException](SourceRegistry.get("nope"))
+  }
+
+  test("lake adapter prunes partitions on a year/month layout") {
+    val dir = Files.createTempDirectory("lake").toString
+    val g = sources.SyntheticGrid.df(spark)
+      .withColumn("year", year(col("time")))
+      .withColumn("month", month(col("time")))
+    g.write.partitionBy("year", "month").mode("overwrite").parquet(s"$dir/era5")
+    graft.sources.LakeAdapter.root = dir
+    val loaded = graft.sources.LakeAdapter.load(spark, "era5", Seq.empty,
+      bbox = None, timeRange = None)
+    val pruned = loaded.df.filter(col("month") === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("(month") || plan.contains("month#")))
+    assert(pruned.count() == 25L * 7 * 19) // Feb 1-2: 25 hourly steps
+  }
+}
