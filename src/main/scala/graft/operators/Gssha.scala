@@ -44,6 +44,24 @@ object Gssha {
 
   private def ts(c: Column): Column = date_format(c, "yyyy MM dd HH mm")
 
+  /** Gage-file header: one `COORD <x> <y>` line per grid cell, optionally
+    * transformed to `outputEpsg` (reference: to_gssha.py:116-155 runs the
+    * same per-cell pyproj transform driver-side; cell count is tiny).
+    */
+  def gageHeader(g: GridDataset, variable: String, eventName: String,
+                 nGages: Int, outputEpsg: Option[Int] = None): Seq[String] = {
+    val cells = g.df.select(g.x, g.y).distinct()
+      .orderBy(g.x, g.y).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val proj = outputEpsg.flatMap(graft.functions.Crs.forEpsg)
+    val coords = proj match {
+      case Some(p) => cells.map { case (lon, lat) => p.forward(lon, lat) }
+      case None => cells
+    }
+    Seq(s"EVENT $eventName", s"NRPDS $nGages", s"NRGAG ${coords.length}") ++
+      coords.zipWithIndex.map { case ((x, y), i) => s"COORD $x $y \"gage_$i\"" }
+  }
+
   /** Precipitation gage event block rows (G-a): per event, the data rows
     * `<TYPE> <yyyy MM dd HH mm> <v_cell1> <v_cell2> ...` with cells
     * ordered by (x, time) as the reference sorts (to_gssha.py:299-309);

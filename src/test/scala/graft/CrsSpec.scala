@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Crs, ShapefileBounds}
+import graft.model.{AxisSpec, GridDataset, GridMeta}
+import graft.operators.Reproject
+
+class CrsSpec extends SparkSpec {
+
+  test("shapefile header bounds reproject to the reference's exact AOI (S4)") {
+    val shp = "/root/reference/testing/test_data/LEEM_boundary.shp"
+    val b = ShapefileBounds.wgs84Bounds(shp)
+    // expected bbox from reference test_2_era5.py:91-104
+    assert(math.abs(b.west - -83.47519) < 1e-4, s"west ${b.west}")
+    assert(math.abs(b.south - 41.38284) < 1e-4, s"south ${b.south}")
+    assert(math.abs(b.east - -78.85399) < 1e-4, s"east ${b.east}")
+    assert(math.abs(b.north - 42.90550) < 1e-4, s"north ${b.north}")
+  }
+
+  test("web mercator round-trips and matches the spherical formula") {
+    val (x, y) = Crs.WebMercator.forward(-83.0, 41.5)
+    val (lon, lat) = Crs.WebMercator.inverse(x, y)
+    assert(math.abs(lon - -83.0) < 1e-12 && math.abs(lat - 41.5) < 1e-12)
+    assert(math.abs(x - 6378137.0 * -83.0 * math.Pi / 180) < 1e-6) // R * lon(rad)
+  }
+
+  test("UTM 15N (EPSG:26915): central-meridian easting and round-trip") {
+    val utm = Crs.forEpsg(26915).get
+    val (e0, n0) = utm.forward(-93.0, 45.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6)       // on the central meridian
+    assert(math.abs(n0 - 4982950.4) < 5.0)       // k0 * meridian arc to 45N
+    val (lon, lat) = utm.inverse(e0, n0)
+    assert(math.abs(lon - -93.0) < 1e-9 && math.abs(lat - 45.0) < 1e-9)
+    // off-meridian round trip
+    val (e1, n1) = utm.forward(-90.25, 41.3)
+    val (lon1, lat1) = utm.inverse(e1, n1)
+    assert(math.abs(lon1 - -90.25) < 1e-8 && math.abs(lat1 - 41.3) < 1e-8)
+  }
+
+  test("GLanCE LAEA: center maps to origin, round-trips, equal-area sanity") {
+    val p = Crs.GlanceNA
+    val (x0, y0) = p.forward(-100.0, 50.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+    val (e, n) = p.forward(-83.2, 41.6)
+    val (lon, lat) = p.inverse(e, n)
+    assert(math.abs(lon - -83.2) < 1e-7 && math.abs(lat - 41.6) < 1e-7)
+  }
+
+  test("reproject: LAEA grid warps to a lat/lon grid (X2)") {
+    import spark.implicits._
+    // build a small projected grid around the Lake Erie area in GLanCE CRS
+    val p = Crs.GlanceNA
+    val (cx, cy) = p.forward(-81.0, 42.0)
+    val nx = 20; val ny = 10; val step = 30000.0
+    val xa = AxisSpec(cx - step * (nx - 1) / 2, step, nx)
+    val ya = AxisSpec(cy - step * (ny - 1) / 2, step, ny)
+    val rows = for (jy <- 0 until ny; jx <- 0 until nx)
+      yield ("2019-01-30 00:00:00", ya.valueAt(jy), xa.valueAt(jx), (jy * nx + jx).toDouble)
+    val df = rows.toDF("ts", "y", "x", "v")
+      .select(col("ts").cast("timestamp").as("time"), col("y"), col("x"), col("v"))
+    val g = GridDataset(df, GridMeta(datasetName = "glance-test", epsg = 0,
+      xAxis = Some(xa), yAxis = Some(ya)))
+    val out = Reproject.toWgs84(g, p)
+    assert(out.meta.epsg == 4326)
+    assert(out.meta.xDim == "lon" && out.meta.yDim == "lat")
+    val n = out.df.count()
+    assert(n > 0 && n <= nx.toLong * ny)
+    // values survive the warp unchanged (nearest-neighbour)
+    val vals = out.df.select("v").distinct().count()
+    assert(vals > nx) // many distinct source cells represented
+    val lonRange = out.df.agg(min("lon"), max("lon")).collect()(0)
+    assert(lonRange.getDouble(0) > -85.5 && lonRange.getDouble(1) < -76.5)
+  }
+}

@@ -43,6 +43,18 @@ class GsshaSpec extends SparkSpec {
     assert(parts(9) != "999.0")   // Temp mapped -> real aggregate
   }
 
+  test("gage header transforms cell coords to the output EPSG (to_gssha:116-155)") {
+    val header = Gssha.gageHeader(smallGrid, "t2m", "e1", nGages = 2,
+      outputEpsg = Some(26915))
+    assert(header.take(3) == Seq("EVENT e1", "NRPDS 2", "NRGAG 6"))
+    // projected eastings for ~-83.x lon in UTM 15N are ~1.3M meters
+    val coord = header(3).split(" ")
+    assert(coord(0) == "COORD" && coord(1).toDouble > 800000.0)
+    // without EPSG: raw lon/lat
+    val raw = Gssha.gageHeader(smallGrid, "t2m", "e1", 2, None)
+    assert(raw(3).split(" ")(1).toDouble == -83.5)
+  }
+
   test("nodata fill uses HMET registry sentinels (F5)") {
     val withNulls = smallGrid.copy(df = smallGrid.df.withColumn("t2m",
       when(col("x") === -83.5, lit(null).cast("double")).otherwise(col("t2m"))))
