@@ -277,6 +277,12 @@ object SparkEntry {
       TemporalResample.upsample(g, 1800, "nearest").df.orderBy("time", "y", "x")
     }),
 
+    "g19_upsample_cubic" -> ((s, _) => { // rows-only (no spline oracle)
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
+      TemporalResample.upsample(g, 1800, "cubic").df
+        .withColumn("t2m", round(col("t2m"), 6)).orderBy("time", "y", "x")
+    }),
+
     "g15_gage_render" -> ((s, _) => { // rows-only (float->string rendering)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
         BBox(-83.5, 41.25, -83.0, 41.5))

@@ -1,0 +1,123 @@
+package graft.functions
+
+/** Cubic spline interpolation with not-a-knot boundary conditions — the
+  * same boundary scipy's `interp1d(kind='cubic')` uses (the reference
+  * dispatches to it: core_functions.py:381-402), so a global cubic
+  * polynomial is reproduced exactly.
+  *
+  * Solves for knot second-derivatives M via a tridiagonal system with
+  * the two not-a-knot corner rows folded in by elimination — O(n) per
+  * series (Thomas algorithm), no allocation beyond the coefficient
+  * arrays.
+  */
+object Spline {
+
+  /** Evaluate the spline through (ts, ys) at query points qs (all arrays
+    * ascending in ts; qs within [ts.head, ts.last]). n>=4 uses
+    * not-a-knot cubic; n==3 quadratic through 3 points; n==2 linear;
+    * n==1 constant.
+    */
+  def cubic(ts: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
+    val n = ts.length
+    require(n >= 1 && ys.length == n)
+    if (n == 1) return qs.map(_ => ys(0))
+    if (n == 2) return qs.map { q =>
+      val w = (q - ts(0)) / (ts(1) - ts(0)); ys(0) + w * (ys(1) - ys(0))
+    }
+    if (n == 3) return quadratic3(ts, ys, qs)
+
+    val m = solveNotAKnot(ts, ys)
+    val out = new Array[Double](qs.length)
+    var qi = 0
+    while (qi < qs.length) {
+      val q = qs(qi)
+      val i = interval(ts, q)
+      val h = ts(i + 1) - ts(i)
+      val a = (ts(i + 1) - q) / h
+      val b = (q - ts(i)) / h
+      out(qi) = a * ys(i) + b * ys(i + 1) +
+        ((a * a * a - a) * m(i) + (b * b * b - b) * m(i + 1)) * h * h / 6.0
+      qi += 1
+    }
+    out
+  }
+
+  /** The unique parabola through three points (scipy n==3 cubic falls
+    * back similarly since not-a-knot needs 4 knots).
+    */
+  private def quadratic3(ts: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
+    val (t0, t1, t2) = (ts(0), ts(1), ts(2))
+    qs.map { q =>
+      ys(0) * (q - t1) * (q - t2) / ((t0 - t1) * (t0 - t2)) +
+      ys(1) * (q - t0) * (q - t2) / ((t1 - t0) * (t1 - t2)) +
+      ys(2) * (q - t0) * (q - t1) / ((t2 - t0) * (t2 - t1))
+    }
+  }
+
+  private def interval(ts: Array[Double], q: Double): Int = {
+    var lo = 0; var hi = ts.length - 2
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (ts(mid) <= q) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Second derivatives M_0..M_{n-1} for not-a-knot boundaries:
+    * continuity of the third derivative at t_1 and t_{n-2}.
+    */
+  private def solveNotAKnot(ts: Array[Double], ys: Array[Double]): Array[Double] = {
+    val n = ts.length
+    val h = Array.tabulate(n - 1)(i => ts(i + 1) - ts(i))
+    // interior equations i=1..n-2:
+    //   h(i-1) M(i-1) + 2(h(i-1)+h(i)) M(i) + h(i) M(i+1) = rhs(i)
+    val rhs = new Array[Double](n)
+    var i = 1
+    while (i < n - 1) {
+      rhs(i) = 6.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
+      i += 1
+    }
+    // not-a-knot rows:
+    //   row 0:    h(1) M0 - (h(0)+h(1)) M1 + h(0) M2 = 0
+    //   row n-1:  h(n-2) M(n-3) - (h(n-3)+h(n-2)) M(n-2) + h(n-3) M(n-1) = 0
+    // Fold row 0 into the i=1 equation to eliminate M2's corner term:
+    // express M0 from row 0: M0 = ((h0+h1) M1 - h0 M2) / h1
+    // substitute into i=1:  (2(h0+h1) + h0(h0+h1)/h1) M1 + (h1 - h0*h0/h1) M2 = rhs(1)
+    val a = new Array[Double](n) // sub-diagonal
+    val b = new Array[Double](n) // diagonal
+    val c = new Array[Double](n) // super-diagonal
+    i = 1
+    while (i < n - 1) {
+      a(i) = h(i - 1); b(i) = 2.0 * (h(i - 1) + h(i)); c(i) = h(i)
+      i += 1
+    }
+    // fold the first boundary into equation at i=1
+    b(1) += h(0) * (h(0) + h(1)) / h(1)
+    c(1) -= h(0) * h(0) / h(1)
+    a(1) = 0.0
+    // fold the last boundary into equation at i=n-2
+    val hm1 = h(n - 2); val hm2 = h(n - 3)
+    b(n - 2) += hm1 * (hm1 + hm2) / hm2
+    a(n - 2) -= hm1 * hm1 / hm2
+    c(n - 2) = 0.0
+    // Thomas solve over i=1..n-2
+    i = 2
+    while (i < n - 1) {
+      val w = a(i) / b(i - 1)
+      b(i) -= w * c(i - 1)
+      rhs(i) -= w * rhs(i - 1)
+      i += 1
+    }
+    val m = new Array[Double](n)
+    m(n - 2) = rhs(n - 2) / b(n - 2)
+    i = n - 3
+    while (i >= 1) {
+      m(i) = (rhs(i) - c(i) * m(i + 1)) / b(i)
+      i -= 1
+    }
+    // recover boundary second derivatives from the not-a-knot rows
+    m(0) = ((h(0) + h(1)) * m(1) - h(0) * m(2)) / h(1)
+    m(n - 1) = ((hm1 + hm2) * m(n - 2) - hm1 * m(n - 3)) / hm2
+    m
+  }
+}

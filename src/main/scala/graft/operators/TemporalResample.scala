@@ -146,14 +146,51 @@ object TemporalResample {
   }
 
   /** Full upsample pipeline: grid generation + fill.
-    * method in {ffill, bfill, linear, slinear, nearest, zero}.
+    * method in {ffill, bfill, linear, slinear, nearest, zero, cubic}.
     */
   def upsample(g: GridDataset, stepSeconds: Long, method: String): GridDataset = {
+    if (method == "cubic" || method == "quadratic")
+      return upsampleSpline(g, stepSeconds)
     val gg = g.copy(df = upsampleGrid(g, stepSeconds))
     method match {
       case "ffill" => ffill(gg)
       case "bfill" => bfill(gg)
       case m       => interpolate(gg, m)
     }
+  }
+
+  /** Cubic-spline upsample (W3 `cubic`; not-a-knot boundaries matching
+    * scipy interp1d). A spline needs the whole per-cell series, so this
+    * is the one genuinely per-partition-imperative operator: groupByKey
+    * on the cell, solve the tridiagonal system in-memory per cell
+    * (series length = time axis, bounded), evaluate at the target grid.
+    * Parallelism is across cells — the dimension that grows at 100 TB —
+    * and the shuffle carries each cell's series once.
+    */
+  def upsampleSpline(g: GridDataset, stepSeconds: Long): GridDataset = {
+    val vars = g.variables
+    require(vars.size == 1, s"spline upsample takes one variable, got $vars")
+    val v = vars.head
+    val spark = g.df.sparkSession
+    import spark.implicits._
+    val src = g.df.select(g.y.cast("double").as("y"), g.x.cast("double").as("x"),
+        g.time.cast("double").as("t"), col(v).cast("double").as("v"))
+      .as[(Double, Double, Double, Double)]
+    val stepD = stepSeconds.toDouble
+    val out = src.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Double, Double), it: Iterator[(Double, Double, Double, Double)]) =>
+        val (y, x) = key
+        val knots = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        val ts = knots.map(_._1); val ys = knots.map(_._2)
+        val lo = ts.head; val hi = ts.last
+        val nq = ((hi - lo) / stepD).toLong + 1
+        val qs = Array.tabulate(nq.toInt)(i => lo + i * stepD)
+        val res = graft.functions.Spline.cubic(ts, ys, qs)
+        qs.iterator.zip(res.iterator).map { case (q, r) => (q, y, x, r) }
+      }
+      .toDF("t", "y", "x", v)
+      .select(timestamp_seconds(col("t")).as(g.meta.timeDim),
+        col("y").as(g.meta.yDim), col("x").as(g.meta.xDim), col(v))
+    g.copy(df = out)
   }
 }
