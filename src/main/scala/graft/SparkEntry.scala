@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.BBox
 import graft.operators.{AsOfJoin, Crop, Gssha, PointExtract, SpatialResample, TemporalResample, VariableMerge}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{SyntheticGrid, Tables}
 import graft.streaming.EventStreams
 
@@ -439,6 +439,17 @@ object SparkEntry {
         .orderBy("vec_id_a", "vec_id_b")
     }),
 
+    "n16_knn_ivf" -> ((s, dir) => {
+      // full probe (nProbe = nLists) is exhaustive -> shares the
+      // brute-force oracle; partial probe is the approximate scale path
+      val emb = t(s, dir, "embeddings")
+      val idx = Ivf.build(emb, nLists = 8)
+      Ivf.search(idx, emb.filter(col("vec_id") < 5), 10, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "g18_resample_rms_udaf" -> ((s, _) => {
       // custom typed Aggregator through the resample hook (E1/A2)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
@@ -811,6 +822,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "n08_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n16_knn_ivf" -> // exhaustive probe == brute force, same oracle as n08
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 5),
         |scored AS (

@@ -100,6 +100,22 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF index: probing more lists converges to brute-force recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Ivf.build(emb, nLists = 8)
+    def recall(nProbe: Int): Double = {
+      val got = Ivf.search(idx, q, 5, nProbe).select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r2 = recall(2); val r8 = recall(8)
+    assert(r8 == 1.0, s"full probe must equal brute force, got $r8")
+    assert(r2 <= r8)
+  }
+
   test("multimodal plumbing: schema, deterministic stub, frame sampling") {
     val media = Multimodal.mediaFromDocuments(docs)
     val feats = Multimodal.extractFeatures(media)
