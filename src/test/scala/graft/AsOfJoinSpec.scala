@@ -6,6 +6,19 @@ import graft.operators.AsOfJoin
 
 class AsOfJoinSpec extends SparkSpec {
 
+  test("salted join returns exactly the rows of the plain join") {
+    import spark.implicits._
+    // skewed left: one hot key
+    val left = (1 to 500).map(i => (if (i % 5 == 0) "hot" else s"k$i", i))
+      .toDF("key", "lv")
+    val right = Seq(("hot", 1.0), ("k3", 2.0), ("k7", 3.0)).toDF("key", "rv")
+    val plain = left.join(right, "key")
+    val salted = graft.operators.SaltedJoin.inner(left, right, "key", buckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("key", "lv", "rv").except(plain.select("key", "lv", "rv")).count() == 0)
+    assert(plain.select("key", "lv", "rv").except(salted.select("key", "lv", "rv")).count() == 0)
+  }
+
   test("backward as-of join picks latest right <= left, ties inclusive") {
     import spark.implicits._
     val left = Seq((1L, "2020-01-01 10:00:00", 100L), (1L, "2020-01-01 12:00:00", 101L),
