@@ -171,6 +171,48 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q17_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q18_running_totals" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("run_total"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q19_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+             min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    "n17_embedding_norms" -> ((s, dir) => {
+      // array higher-order functions: aggregate over the vector column
+      val emb = t(s, dir, "embeddings")
+      val sq = aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      emb.select(col("label"), sqrt(sq).as("norm"), size(col("embedding")).cast("long").as("dim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("norm"), 6).as("avg_norm"),
+             max("dim").as("dim"))
+        .orderBy("label")
+    }),
+
     // ============ streaming-shaped windows (batch = same plan) ========
     "q11_events_tumbling" -> ((s, dir) => {
       EventStreams.tumblingCounts(t(s, dir, "events"), "1 hour")
@@ -533,6 +575,35 @@ object SparkEntry {
         | CAST(max(p_size) AS BIGINT) AS max_size,
         | round(median(p_retailprice), 4) AS med_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q17_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18_running_totals" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+        | lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        | lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS next_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "n17_embedding_norms" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))), 6) AS avg_norm,
+        | max(len(embedding)) AS dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "q11_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
