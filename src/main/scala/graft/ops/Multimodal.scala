@@ -59,6 +59,30 @@ object Multimodal {
       }
   }
 
+  /** Batched variant: decodes in fixed-size batches within each
+    * partition — the shape a vectorized decoder (Arrow batch / GPU
+    * inference) plugs into. Semantically identical to extractFeatures;
+    * the batch boundary is where a real implementation would hand a
+    * Seq[Array[Byte]] to native code in one call.
+    */
+  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "vectorized" call per batch (stub decodes elementwise)
+          batch.map { case (id, mt, payload) =>
+            val bytes = if (payload == null) Array.emptyByteArray else payload
+            val (checksum, w, h, feat) = decodeStub(bytes)
+            val frames = if (mt == "video") 1 + (bytes.length / 64) else 1
+            MediaFeatures(id, mt, bytes.length.toLong, checksum, w, h, frames, feat)
+          }
+        }
+      }
+  }
+
   /** Frame sampling plumbing for video-typed rows: emit one row per
     * sampled frame index (every `stride`-th of `n_frames`), payload
     * slicing stubbed as offset bookkeeping.

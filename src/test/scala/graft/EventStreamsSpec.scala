@@ -42,6 +42,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(s(1).getAs[Timestamp]("session_end").toString == "2024-01-01 01:30:00.0")
   }
 
+  test("file-source streaming: readStream over the events table matches batch") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("evstream").toString
+    val batch = Tables(spark, sf, "events").select("ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val agg = EventStreams.tumblingCounts(stream, "1 hour", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("filetumb")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT sum(n_events) FROM filetumb").collect()(0).getLong(0)
+      assert(streamed == batch.count())
+      val expect = EventStreams.tumblingCounts(batch, "1 hour").count()
+      assert(spark.sql("SELECT count(*) FROM filetumb").collect()(0).getLong(0) == expect)
+    } finally q.stop()
+  }
+
   test("streaming tumbling aggregation over MemoryStream emits on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -127,5 +127,9 @@ class OpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(feats, stride = 10)
     assert(frames.columns.contains("frame_idx"))
     assert(frames.filter(col("media_type") =!= "video").count() == 0)
+    // batched path is semantically identical to the per-row path
+    val batched = Multimodal.extractFeaturesBatched(media, batchSize = 2).collect()
+    assert(batched.sortBy(_.media_id).map(_.checksum).toSeq ==
+      rows.sortBy(_.media_id).map(_.checksum).toSeq)
   }
 }
