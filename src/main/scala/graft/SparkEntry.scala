@@ -171,6 +171,18 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q20_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      graft.operators.RangeJoin.within(purchases, clicks, "p_ts", "c_ts",
+          Seq("user_id"), maxGapSeconds = 600)
+        .select("user_id", "p_id", "c_id")
+        .orderBy("user_id", "p_id", "c_id")
+    }),
+
     "q17_distinct_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -575,6 +587,16 @@ object SparkEntry {
         | CAST(max(p_size) AS BIGINT) AS max_size,
         | round(median(p_retailprice), 4) AS med_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q20_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_id, c.c_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND abs(epoch(p.p_ts) - epoch(c.c_ts)) <= 600
+        |ORDER BY p.user_id, p.p_id, c.c_id""".stripMargin,
 
     "q17_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,

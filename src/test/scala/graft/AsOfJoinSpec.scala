@@ -19,6 +19,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plain.select("key", "lv", "rv").except(salted.select("key", "lv", "rv")).count() == 0)
   }
 
+  test("banded range join equals the naive inequality join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(100000).toDouble))
+      .toDF("p_id", "user_id", "p_t")
+      .withColumn("p_ts", col("p_t").cast("timestamp")).drop("p_t")
+    val right = (1 to 200).map(i => (i.toLong + 1000, (i % 5).toLong, rnd.nextInt(100000).toDouble))
+      .toDF("c_id", "user_id", "c_t")
+      .withColumn("c_ts", col("c_t").cast("timestamp")).drop("c_t")
+    val banded = graft.operators.RangeJoin.within(left, right, "p_ts", "c_ts",
+        Seq("user_id"), 500).select("p_id", "c_id")
+    val naive = left.join(right, Seq("user_id"))
+      .filter(abs(col("p_ts").cast("double") - col("c_ts").cast("double")) <= 500)
+      .select("p_id", "c_id")
+    assert(banded.count() == naive.count())
+    assert(banded.except(naive).count() == 0 && naive.except(banded).count() == 0)
+  }
+
   test("backward as-of join picks latest right <= left, ties inclusive") {
     import spark.implicits._
     val left = Seq((1L, "2020-01-01 10:00:00", 100L), (1L, "2020-01-01 12:00:00", 101L),
