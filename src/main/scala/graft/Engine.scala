@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{BBox, GridDataset}
+import graft.operators.{Crop, PointExtract, SpatialResample, TemporalResample}
+import graft.sources.SourceRegistry
+
+/** Fluent user API mirroring the reference's flagship call shape
+  * (SURVEY.md §3.1):
+  *
+  * {{{
+  * val table = Engine(spark)
+  *   .accessor("SyntheticEra5")
+  *   .dataset("synthetic-era5-single-levels")
+  *   .variables("t2m")
+  *   .bbox(BBox(-83.5, 41.25, -79.0, 42.75))
+  *   .timeRange("2019-01-30 00:00:00", "2019-02-02 00:00:00")
+  *   .load()                                       // GridDataset
+  *   .pointsToTable(points, "t2m")                 // wide time-series
+  * }}}
+  *
+  * Everything is lazy until an action; the builder only accumulates the
+  * request, and `load()` resolves it through the accessor registry into
+  * a pruned scan.
+  */
+final case class Engine(spark: SparkSession,
+    accessorName: String = "SyntheticEra5",
+    datasetName: Option[String] = None,
+    vars: Seq[String] = Seq.empty,
+    aoi: Option[BBox] = None,
+    range: Option[(String, String)] = None) {
+
+  def accessor(name: String): Engine = copy(accessorName = name)
+  def dataset(name: String): Engine = copy(datasetName = Some(name))
+  def variables(vs: String*): Engine = copy(vars = vs)
+  def bbox(b: BBox): Engine = copy(aoi = Some(b))
+  def timeRange(start: String, end: String): Engine = copy(range = Some((start, end)))
+
+  def load(): RichGrid = {
+    val ds = datasetName.getOrElse(
+      throw new IllegalArgumentException("dataset(...) is required"))
+    RichGrid(SourceRegistry.get(accessorName)
+      .load(spark, ds, vars, aoi, range))
+  }
+}
+
+/** Operator sugar over GridDataset for the fluent path. */
+final case class RichGrid(g: GridDataset) {
+  def df: DataFrame = g.df
+  def selectVariables(vs: String*): RichGrid = RichGrid(g.selectVariables(vs))
+  def crop(b: BBox): RichGrid = RichGrid(Crop.bbox(g, b))
+  def cropTime(start: String, end: String): RichGrid = RichGrid(Crop.time(g, start, end))
+  def temporalResample(freq: String, method: String): RichGrid =
+    RichGrid(TemporalResample.downsample(g, freq, method))
+  def upsample(stepSeconds: Long, method: String): RichGrid =
+    RichGrid(TemporalResample.upsample(g, stepSeconds, method))
+  def spatialResample(fy: Double, fx: Double, method: String = "bilinear"): RichGrid =
+    RichGrid(method match {
+      case "nearest" => SpatialResample.nearest(g, fy, fx)
+      case "bilinear" => SpatialResample.bilinear(g, fy, fx)
+      case other => throw new IllegalArgumentException(
+        s"spatial resample method '$other' not supported (nearest|bilinear)")
+    })
+  def pointsToTable(points: Seq[(String, Double, Double)], variable: String): DataFrame =
+    PointExtract.pointsToTable(g, points, variable)
+}
