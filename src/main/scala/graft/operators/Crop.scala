@@ -65,6 +65,22 @@ object Crop {
     g.copy(df = df, meta = g.meta.copy(xAxis = xAxis2, yAxis = yAxis2))
   }
 
+  /** Bbox crop where the box is given in another CRS: convert the
+    * *bounds* to the grid's CRS first (corner transform, driver-side),
+    * then snap-crop (reference: shared_functions.py:160-198 converts
+    * via utility_functions.py:251-282 before slicing).
+    */
+  def bboxInCrs(g: GridDataset, b: BBox, bboxEpsg: Int): GridDataset = {
+    if (bboxEpsg == g.meta.epsg) bbox(g, b)
+    else {
+      val proj = graft.functions.Crs.forEpsg(bboxEpsg).getOrElse(
+        throw new IllegalArgumentException(s"unsupported bbox EPSG: $bboxEpsg"))
+      require(g.meta.epsg == 4326,
+        "bboxInCrs converts into a geographic (EPSG:4326) grid")
+      bbox(g, graft.functions.Crs.transformBBox(b, proj))
+    }
+  }
+
   /** Inclusive-both-ends time crop (P3). */
   def time(g: GridDataset, start: String, end: String): GridDataset =
     g.copy(df = g.df.filter(g.time.between(lit(start).cast("timestamp"),

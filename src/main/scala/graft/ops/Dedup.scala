@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions._
 
 /** Deduplication operators for LLM-training-data pipelines, over a
-  * `documents(doc_id, text, ...)` table. Designed for 100 TB inputs:
+  * `documents(doc_id, text, ...)` table. MinHash resemblance follows
+  * Broder (1997), "On the resemblance and containment of documents";
+  * SimHash follows Charikar (2002), "Similarity estimation techniques
+  * from rounding algorithms"; the banding analysis is the standard
+  * LSH construction (Mining of Massive Datasets ch. 3).
+  * Designed for 100 TB inputs:
   *
   *  - exact dedup is one hash-partitioned groupBy on the text (or its
   *    digest — grouping by a 128-bit digest keeps shuffle rows small

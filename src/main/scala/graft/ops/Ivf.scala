@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions._
 
 /** IVF (inverted-file) approximate nearest neighbour — the coarse-
-  * quantizer scale path alongside sign-LSH (Similarity.lshTopK).
+  * quantizer scale path alongside sign-LSH (Similarity.lshTopK), after
+  * Jegou et al. (2011), "Product quantization for nearest neighbor
+  * search" (the IVF stage, without the PQ residual codes).
   *
   * Index build: k-means over a sample of the corpus learns `nLists`
   * centroids; every corpus vector is assigned to its nearest centroid
@@ -27,9 +29,11 @@ object Ivf {
 
   /** Build the index: `assigned` = corpus + `list_id` column. */
   def build(corpus: DataFrame, embedCol: String = "embedding",
-            nLists: Int = 16, seed: Long = 42L): Index = {
+            nLists: Int = 16, seed: Long = 42L, maxIter: Int = 8): Index = {
     val withVec = corpus.withColumn("__vec", array_to_vector(col(embedCol)))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    // few iterations suffice: centroid quality only shifts the
+    // recall/probe tradeoff, never correctness (full probe is exhaustive)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__vec").setPredictionCol("list_id")
       .fit(withVec)
     val assigned = model.transform(withVec).drop("__vec")

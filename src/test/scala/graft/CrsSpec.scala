@@ -47,6 +47,21 @@ class CrsSpec extends SparkSpec {
     assert(math.abs(lon - -83.2) < 1e-7 && math.abs(lat - 41.6) < 1e-7)
   }
 
+  test("bbox in a foreign CRS converts bounds before the snap crop (P2+F3)") {
+    import graft.operators.Crop
+    import graft.model.BBox
+    val g = graft.sources.SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    // the same raw box expressed in Web Mercator meters
+    val (w, s) = Crs.WebMercator.forward(-82.9, 41.6)
+    val (e, n) = Crs.WebMercator.forward(-80.2, 42.4)
+    val viaMercator = Crop.bboxInCrs(g, BBox(w, s, e, n), 3857)
+    val direct = Crop.bbox(g, BBox(-82.9, 41.6, -80.2, 42.4))
+    assert(viaMercator.df.count() == direct.df.count())
+    assert(viaMercator.df.except(direct.df).count() == 0)
+    assertThrows[IllegalArgumentException](
+      Crop.bboxInCrs(g, BBox(0, 0, 1, 1), 99999))
+  }
+
   test("reproject: LAEA grid warps to a lat/lon grid (X2)") {
     import spark.implicits._
     // build a small projected grid around the Lake Erie area in GLanCE CRS
