@@ -46,6 +46,27 @@ object EventStreams {
               col("user_id"), col("n_events"), col("sum_value"))
   }
 
+  /** Stream-stream interval join: purchases matched to clicks of the
+    * same user at most `gap` before them. Both sides carry watermarks so
+    * state is bounded: Spark retains click state only within the join
+    * window (the unbounded-state trap of naive stream joins).
+    */
+  def clicksBeforePurchases(events: DataFrame, gap: String = "10 minutes",
+                            watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL $gap"))
+      .select("user_id", "p_id", "p_ts", "c_id", "c_ts")
+  }
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -83,6 +83,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks before purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val joined = EventStreams.clicksBeforePurchases(df, gap = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click"),
+        (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "purchase"), // joins 1
+        (3L, Timestamp.valueOf("2024-01-01 00:30:00"), 7L, "purchase"), // too late for 1
+        (4L, Timestamp.valueOf("2024-01-01 00:04:00"), 8L, "click"))    // other user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT p_id, c_id FROM ssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
