@@ -146,6 +146,19 @@ object Gssha {
       .orderBy(g.time)
   }
 
+  /** Write one GRASS ASCII file per timestep from a `grassAscii` result
+    * (reference: to_gssha.py:461-467 names files `YYYYMMDDHH_<name>.asc`;
+    * test_5_gssha.py:58-73 asserts one file per timestep).
+    */
+  def writeGrassFiles(rendered: DataFrame, dir: String): Seq[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    rendered.select(col("file_name"), col("content")).collect().map { r =>
+      val p = java.nio.file.Paths.get(dir, r.getString(0))
+      java.nio.file.Files.writeString(p, r.getString(1))
+      p.toString
+    }.toSeq
+  }
+
   /** Writer: collect (small, per-timestep) rendered payloads to files.
     * `hotStart` appends instead of overwriting (reference
     * to_gssha.py:28-31,91-96).

@@ -63,6 +63,16 @@ class GsshaSpec extends SparkSpec {
     assert(filled.df.filter(col("t2m") === 999.0).count() > 0)
   }
 
+  test("writeGrassFiles: one .asc file per timestep (test_5 parity)") {
+    val out = java.nio.file.Files.createTempDirectory("grass").toString
+    val rendered = Gssha.grassAscii(smallGrid, "t2m", Some("Dry Bulb Temperature"))
+    val files = Gssha.writeGrassFiles(rendered, out)
+    assert(files.length == 2)
+    assert(files.forall(_.endsWith(".asc")))
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(files.head))
+    assert(content.startsWith("north: "))
+  }
+
   test("writeLines hot_start appends instead of overwriting") {
     val rows = Gssha.gageRows(smallGrid, "t2m", "GAGES",
       Seq(("e1", "2019-01-30 00:00:00", "2019-01-30 01:00:00")))
