@@ -169,28 +169,35 @@ object TemporalResample {
     */
   def upsampleSpline(g: GridDataset, stepSeconds: Long): GridDataset = {
     val vars = g.variables
-    require(vars.size == 1, s"spline upsample takes one variable, got $vars")
-    val v = vars.head
+    require(vars.nonEmpty, "spline upsample needs at least one variable")
     val spark = g.df.sparkSession
     import spark.implicits._
     val src = g.df.select(g.y.cast("double").as("y"), g.x.cast("double").as("x"),
-        g.time.cast("double").as("t"), col(v).cast("double").as("v"))
-      .as[(Double, Double, Double, Double)]
+        g.time.cast("double").as("t"),
+        array(vars.map(v => col(v).cast("double")): _*).as("vs"))
+      .as[(Double, Double, Double, Seq[Double])]
     val stepD = stepSeconds.toDouble
+    val nVars = vars.size
     val out = src.groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Double, Double), it: Iterator[(Double, Double, Double, Double)]) =>
+      .flatMapGroups { (key: (Double, Double), it: Iterator[(Double, Double, Double, Seq[Double])]) =>
         val (y, x) = key
         val knots = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
-        val ts = knots.map(_._1); val ys = knots.map(_._2)
+        val ts = knots.map(_._1)
         val lo = ts.head; val hi = ts.last
         val nq = ((hi - lo) / stepD).toLong + 1
         val qs = Array.tabulate(nq.toInt)(i => lo + i * stepD)
-        val res = graft.functions.Spline.cubic(ts, ys, qs)
-        qs.iterator.zip(res.iterator).map { case (q, r) => (q, y, x, r) }
+        // one tridiagonal solve per variable over the shared time axis
+        val res = Array.tabulate(nVars) { vi =>
+          graft.functions.Spline.cubic(ts, knots.map(_._2(vi)), qs)
+        }
+        qs.indices.iterator.map { qi =>
+          (qs(qi), y, x, Seq.tabulate(nVars)(vi => res(vi)(qi)))
+        }
       }
-      .toDF("t", "y", "x", v)
-      .select(timestamp_seconds(col("t")).as(g.meta.timeDim),
-        col("y").as(g.meta.yDim), col("x").as(g.meta.xDim), col(v))
+      .toDF("t", "y", "x", "vs")
+      .select(Seq(timestamp_seconds(col("t")).as(g.meta.timeDim),
+        col("y").as(g.meta.yDim), col("x").as(g.meta.xDim)) ++
+        vars.zipWithIndex.map { case (v, i) => col("vs").getItem(i).as(v) }: _*)
     g.copy(df = out)
   }
 }

@@ -32,14 +32,17 @@ class SplineSpec extends SparkSpec {
   }
 
   test("distributed cubic upsample: row-count law and knot fidelity (W3)") {
-    val g = Crop.bbox(SyntheticGrid.grid(spark).selectVariables(Seq("t2m")),
+    val g = Crop.bbox(SyntheticGrid.grid(spark).selectVariables(Seq("t2m", "u100")),
       BBox(-83.5, 41.25, -83.25, 41.5))
     val up = TemporalResample.upsample(g, 1800, "cubic")
     assert(up.df.count() == 4L * 145) // 4 cells x ((73-1)*2+1) half-hours
-    // knot timestamps keep their original values
-    val joined = up.df.join(g.df.withColumnsRenamed(Map("t2m" -> "orig")),
+    assert(up.df.columns.toSeq == Seq("time", "y", "x", "t2m", "u100"))
+    // knot timestamps keep their original values, for every variable
+    val joined = up.df.join(g.df
+        .withColumnsRenamed(Map("t2m" -> "o1", "u100" -> "o2")),
       Seq("time", "y", "x"))
-    val mismatch = joined.filter(abs(col("t2m") - col("orig")) > 1e-9).count()
+    val mismatch = joined.filter(
+      abs(col("t2m") - col("o1")) > 1e-9 || abs(col("u100") - col("o2")) > 1e-9).count()
     assert(mismatch == 0)
   }
 }
