@@ -504,6 +504,11 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n18_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+
     "g18_resample_rms_udaf" -> ((s, _) => {
       // custom typed Aggregator through the resample hook (E1/A2)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
@@ -925,6 +930,15 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n18_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "n16_knn_ivf" -> // exhaustive probe == brute force, same oracle as n08
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
