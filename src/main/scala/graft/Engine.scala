@@ -59,8 +59,9 @@ final case class RichGrid(g: GridDataset) {
     RichGrid(method match {
       case "nearest" => SpatialResample.nearest(g, fy, fx)
       case "bilinear" => SpatialResample.bilinear(g, fy, fx)
+      case "cubic" => SpatialResample.cubic(g, fy, fx)
       case other => throw new IllegalArgumentException(
-        s"spatial resample method '$other' not supported (nearest|bilinear)")
+        s"spatial resample method '$other' not supported (nearest|bilinear|cubic)")
     })
   def pointsToTable(points: Seq[(String, Double, Double)], variable: String): DataFrame =
     PointExtract.pointsToTable(g, points, variable)

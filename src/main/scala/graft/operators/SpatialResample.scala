@@ -114,6 +114,52 @@ object SpatialResample {
     g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
   }
 
+  /** Keys cubic-convolution kernel, a = -0.5 (the rasterio/GDAL
+    * `cubic` resampling kernel; Keys 1981). Reproduces linear ramps
+    * exactly and weights always sum to 1 per axis.
+    */
+  private def keysKernel(d: org.apache.spark.sql.Column) = {
+    val ad = abs(d)
+    when(ad <= 1.0, (lit(1.5) * ad - lit(2.5)) * ad * ad + lit(1.0))
+      .when(ad < 2.0, ((lit(-0.5) * ad + lit(2.5)) * ad - lit(4.0)) * ad + lit(2.0))
+      .otherwise(lit(0.0))
+  }
+
+  /** Bicubic regrid: 4x4 tap window per target cell (16-corner explode,
+    * same join-aggregate shape as bilinear). Tap weights use the
+    * unclamped tap distance; tap indices clamp at edges (replicate),
+    * keeping the per-axis weight sum at 1 everywhere.
+    */
+  def cubic(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+    val (xa, ya) = axes(g)
+    val (m, xt, yt) = mapping(g.df.sparkSession, xa, ya, fx, fy)
+    val taps = for (ky <- -1 to 2; kx <- -1 to 2) yield (ky, kx)
+    val tapStructs = taps.map { case (ky, kx) =>
+      val jxTap = floor(col("gx")) + kx
+      val jyTap = floor(col("gy")) + ky
+      struct(
+        clampIdx(jyTap.cast("long"), ya.n).as("jy"),
+        clampIdx(jxTap.cast("long"), xa.n).as("jx"),
+        (keysKernel(col("gx") - jxTap) * keysKernel(col("gy") - jyTap)).as("w"))
+    }
+    val corners = m.select(col("x2"), col("y2"),
+        explode(array(tapStructs: _*)).as("c"))
+      .select(col("x2"), col("y2"), col("c.jy").as("jy"),
+        col("c.jx").as("jx"), col("c.w").as("w"))
+      .filter(col("w") =!= 0.0)
+      // clamped taps can coincide at edges: merge duplicate (cell, tap)
+      .groupBy("y2", "x2", "jy", "jx").agg(sum("w").as("w"))
+    val src = withIndexes(g, xa, ya)
+    val vars = g.variables
+    val aggs = vars.map(v => sum(col(v) * col("w")).as(v))
+    val out = src
+      .join(broadcast(corners), Seq("jy", "jx"))
+      .groupBy(col(g.meta.timeDim), col("y2"), col("x2"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnsRenamed(Map("y2" -> g.meta.yDim, "x2" -> g.meta.xDim))
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
   private def axes(g: GridDataset): (AxisSpec, AxisSpec) = (
     g.meta.xAxis.getOrElse(throw new IllegalArgumentException(
       "spatial resample needs xAxis metadata")),

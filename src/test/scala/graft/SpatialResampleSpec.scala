@@ -34,6 +34,20 @@ class SpatialResampleSpec extends SparkSpec {
     assert(n.df.select("t2m").distinct().except(src).count() == 0)
   }
 
+  test("cubic (Keys) regrid: constant stays constant, linear ramp exact in interior") {
+    val const = grid.copy(df = grid.df.withColumn("t2m", lit(5.0)))
+    val c = SpatialResample.cubic(const, 2.0, 2.0)
+    val mm = c.df.agg(min("t2m"), max("t2m")).collect()(0)
+    assert(math.abs(mm.getDouble(0) - 5.0) < 1e-9 && math.abs(mm.getDouble(1) - 5.0) < 1e-9)
+    assert(c.df.count() == 73L * 38 * 14)
+    val lin = grid.copy(df = grid.df.withColumn("t2m", col("x")))
+    val b = SpatialResample.cubic(lin, 1.0, 2.0)
+    val bad = b.df.filter(
+      col("x") > -83.0 && col("x") < -79.5 && // >= 2 cells from the edges
+      abs(col("t2m") - col("x")) > lit(1e-9)).count()
+    assert(bad == 0)
+  }
+
   test("bilinear interpolates linearly between cell centers") {
     // linear-in-x field: t2m = x  ->  any bilinear resample must reproduce x
     val lin = grid.copy(df = grid.df.withColumn("t2m", col("x")))
