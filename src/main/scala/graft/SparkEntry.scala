@@ -293,6 +293,12 @@ object SparkEntry {
       TemporalResample.upsample(g, 1800, "ffill").df.orderBy("time", "y", "x")
     }),
 
+    "g22_flagship_pipeline" -> ((s, _) => {
+      // the full reference-shaped pipeline as one oracled query:
+      // registry load -> bbox crop -> time crop -> snap-join -> pivot
+      entry(s)
+    }),
+
     "g09_spatial_nearest_x2" -> ((s, _) => {
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.nearest(g, fy = 2.0, fx = 2.0).df.orderBy("time", "y", "x")
@@ -693,6 +699,18 @@ object SparkEntry {
          |FROM grid GROUP BY time ORDER BY time""".stripMargin,
 
     "g05_points_table" -> {
+      val cols = snapped.map { case (id, sx, sy) =>
+        s" max(t2m) FILTER (WHERE x = $sx AND y = $sy) AS $id"
+      }.mkString(",\n")
+      s"""WITH $grid
+         |SELECT time,
+         |$cols
+         |FROM grid GROUP BY time ORDER BY time""".stripMargin
+    },
+
+    "g22_flagship_pipeline" -> {
+      // the flagship's AOI/time range cover the fixture exactly, so the
+      // pivot reduces to the g05 relation
       val cols = snapped.map { case (id, sx, sy) =>
         s" max(t2m) FILTER (WHERE x = $sx AND y = $sy) AS $id"
       }.mkString(",\n")
