@@ -134,15 +134,22 @@ object SpatialResample {
     val (xa, ya) = axes(g)
     val (m, xt, yt) = mapping(g.df.sparkSession, xa, ya, fx, fy)
     val taps = for (ky <- -1 to 2; kx <- -1 to 2) yield (ky, kx)
-    val tapStructs = taps.map { case (ky, kx) =>
-      val jxTap = floor(col("gx")) + kx
-      val jyTap = floor(col("gy")) + ky
-      struct(
-        clampIdx(jyTap.cast("long"), ya.n).as("jy"),
-        clampIdx(jxTap.cast("long"), xa.n).as("jx"),
-        (keysKernel(col("gx") - jxTap) * keysKernel(col("gy") - jyTap)).as("w"))
+    // evaluate the kernel once per axis offset (8 columns) instead of
+    // inlining the CASE tree into all 16 tap weights — keeps the
+    // generated code small enough for fast whole-stage compilation
+    val withK = (-1 to 2).foldLeft(
+      m.withColumn("fx", col("gx") - floor(col("gx")))
+       .withColumn("fy", col("gy") - floor(col("gy")))) { (d, k) =>
+      d.withColumn(s"wx_$k", keysKernel(col("fx") - k))
+       .withColumn(s"wy_$k", keysKernel(col("fy") - k))
     }
-    val corners = m.select(col("x2"), col("y2"),
+    val tapStructs = taps.map { case (ky, kx) =>
+      struct(
+        clampIdx((floor(col("gy")) + ky).cast("long"), ya.n).as("jy"),
+        clampIdx((floor(col("gx")) + kx).cast("long"), xa.n).as("jx"),
+        (col(s"wx_$kx") * col(s"wy_$ky")).as("w"))
+    }
+    val corners = withK.select(col("x2"), col("y2"),
         explode(array(tapStructs: _*)).as("c"))
       .select(col("x2"), col("y2"), col("c.jy").as("jy"),
         col("c.jx").as("jx"), col("c.w").as("w"))
