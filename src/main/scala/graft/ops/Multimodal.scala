@@ -83,6 +83,21 @@ object Multimodal {
       }
   }
 
+  /** Resize plumbing: given extracted features, compute target dims
+    * preserving aspect ratio against a max edge, and emit the row a real
+    * resampler would fill (payload transform stubbed — the geometry,
+    * schema and pass structure are the real part).
+    */
+  def resizePlan(features: Dataset[MediaFeatures], maxEdge: Int = 256): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxEdge.toDouble) / greatest(col("width"), col("height")))
+    features.toDF()
+      .filter(col("media_type") === "image")
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("width") * scale).cast("int").as("target_w"),
+        round(col("height") * scale).cast("int").as("target_h"))
+  }
+
   /** Frame sampling plumbing for video-typed rows: emit one row per
     * sampled frame index (every `stride`-th of `n_frames`), payload
     * slicing stubbed as offset bookkeeping.

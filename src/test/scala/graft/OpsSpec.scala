@@ -131,5 +131,13 @@ class OpsSpec extends SparkSpec {
     val batched = Multimodal.extractFeaturesBatched(media, batchSize = 2).collect()
     assert(batched.sortBy(_.media_id).map(_.checksum).toSeq ==
       rows.sortBy(_.media_id).map(_.checksum).toSeq)
+    // resize plan: aspect preserved, no upscaling, images only
+    val rp = Multimodal.resizePlan(feats, maxEdge = 64).collect()
+    assert(rp.nonEmpty)
+    rp.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (tw, th) = (r.getAs[Int]("target_w"), r.getAs[Int]("target_h"))
+      assert(math.max(tw, th) <= 65 && tw <= w && th <= h)
+    }
   }
 }
