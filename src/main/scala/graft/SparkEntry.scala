@@ -183,6 +183,27 @@ object SparkEntry {
         .orderBy("user_id", "p_id", "c_id")
     }),
 
+    "q21_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+             round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+             round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"),
+             round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("price_p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q22_grouping_sets" -> ((s, dir) => {
+      Seq("orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+              |       coalesce(o_orderstatus, 'ALL') AS status,
+              |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+              |                        (o_orderpriority, o_orderstatus), ())
+              |ORDER BY priority, status""".stripMargin)
+    }),
+
     "q17_distinct_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -615,6 +636,23 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         | AND abs(epoch(p.p_ts) - epoch(c.c_ts)) <= 600
         |ORDER BY p.user_id, p.p_id, c.c_id""".stripMargin,
+
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+        |                        (o_orderpriority, o_orderstatus), ())
+        |ORDER BY priority, status""".stripMargin,
 
     "q17_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
