@@ -538,6 +538,11 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n19_deterministic_sample" -> ((s, dir) => {
+      graft.ops.Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.3)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
     "n18_profile" -> ((s, dir) => {
       graft.ops.Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
@@ -1021,6 +1026,13 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n19_deterministic_sample" -> {
+      val thr = graft.ops.Sampling.hexThreshold(0.3)
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "n18_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for reproducible training-data pipelines.
+  *
+  * `df.sample()` depends on partition layout and seed plumbing, so two
+  * runs over differently-split inputs disagree. Hash-threshold sampling
+  * keys the decision on the DATA: a row is in the sample iff
+  * `md5(key) < threshold(fraction)`. The same rows are selected on any
+  * cluster, any partitioning, any engine that agrees on md5 — which is
+  * also what makes train/held-out splits stable across pipeline reruns
+  * at 100 TB (and lets a different engine reproduce the split exactly).
+  */
+object Sampling {
+
+  /** Lexicographic hex threshold covering `fraction` of the md5 space
+    * (first 8 nibbles).
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1)}%08x"
+  }
+
+  def hashFilter(key: Column, fraction: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(fraction))
+
+  /** Keep ~`fraction` of rows, decided by `keyCol` alone. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashFilter(col(keyCol), fraction))
+
+  /** Disjoint deterministic train/eval split: eval = the `evalFraction`
+    * tail of the hash space, train = the rest. A row's side never
+    * changes when the corpus grows.
+    */
+  def split(df: DataFrame, keyCol: String, evalFraction: Double): (DataFrame, DataFrame) = {
+    val inEval = !hashFilter(col(keyCol), 1.0 - evalFraction)
+    (df.filter(!inEval), df.filter(inEval))
+  }
+}

@@ -100,6 +100,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("deterministic sampling: stable membership, near-target rate, disjoint split") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val s1 = Sampling.deterministicSample(d, "doc_id", 0.3)
+    val s2 = Sampling.deterministicSample(d.repartition(7), "doc_id", 0.3)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
+    val rate = s1.count().toDouble / d.count()
+    assert(rate > 0.15 && rate < 0.45, s"rate $rate")
+    // growing the fraction only ADDS rows (nested samples)
+    val s5 = Sampling.deterministicSample(d, "doc_id", 0.5)
+    assert(s1.select("doc_id").except(s5.select("doc_id")).count() == 0)
+    val (train, eval) = Sampling.split(d, "doc_id", 0.1)
+    assert(train.count() + eval.count() == d.count())
+    assert(train.select("doc_id").intersect(eval.select("doc_id")).count() == 0)
+  }
+
   test("IVF index: probing more lists converges to brute-force recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)
