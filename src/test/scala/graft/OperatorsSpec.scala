@@ -22,6 +22,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ys.head == 41.5 && ys.last == 42.5)
   }
 
+  test("crop and snap fall back to distinct-axis lookups without axis metadata") {
+    val g = grid
+    val noMeta = g.copy(meta = g.meta.copy(xAxis = None, yAxis = None))
+    val b = BBox(-82.9, 41.6, -80.2, 42.4)
+    val viaScan = Crop.bbox(noMeta, b)
+    val viaAxis = Crop.bbox(g, b)
+    assert(viaScan.df.count() == viaAxis.df.count())
+    assert(viaScan.df.except(viaAxis.df).count() == 0)
+    val pts = Seq(("p0", -82.98, 41.63))
+    assert(PointExtract.snapPoints(noMeta, pts) == PointExtract.snapPoints(g, pts))
+  }
+
   test("time crop is inclusive on both ends: 73 hourly steps (P3)") {
     val c = Crop.time(grid, "2019-01-30 00:00:00", "2019-02-02 00:00:00")
     assert(c.df.select("time").distinct().count() == 73)
