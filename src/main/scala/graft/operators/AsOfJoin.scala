@@ -46,8 +46,11 @@ object AsOfJoin {
       .select((by ++ Seq(t, side)).map(col) ++
         leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(c => col(c).as(s"__p_$c")): _*)
+    // Payload columns appended as tiebreakers: multiple right rows at the
+    // same (key, ts) would otherwise attach a shuffle-order-dependent
+    // payload; with the tiebreak the max payload tuple wins, always.
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(t), col(side))
+      .orderBy(col(t) +: col(side) +: payload.map(c => col(s"__p_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = l.unionByName(r)
       .select(col("*") +: payload.map(c =>

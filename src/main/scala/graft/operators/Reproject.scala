@@ -68,12 +68,9 @@ object Reproject {
       xAxis = Some(lonAxis), yAxis = Some(latAxis)))
   }
 
-  private def withIndexes(g: GridDataset, xa: AxisSpec, ya: AxisSpec) = {
-    val d0 = if (g.df.columns.contains("jx")) g.df
-      else g.df.withColumn("jx",
-        floor((g.x - lit(xa.origin)) / lit(xa.step) + 0.5).cast("long"))
-    if (d0.columns.contains("jy")) d0
-    else d0.withColumn("jy",
-      floor((g.y - lit(ya.origin)) / lit(ya.step) + 0.5).cast("long"))
-  }
+  // Always recomputed from current axis metadata (see
+  // SpatialResample.withIndexes for why trusting existing jx/jy is wrong
+  // after a crop rebases the axis origin).
+  private def withIndexes(g: GridDataset, xa: AxisSpec, ya: AxisSpec) =
+    SpatialResample.withIndexes(g, xa, ya)
 }

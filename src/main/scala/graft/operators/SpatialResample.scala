@@ -173,15 +173,15 @@ object SpatialResample {
     g.meta.yAxis.getOrElse(throw new IllegalArgumentException(
       "spatial resample needs yAxis metadata")))
 
-  /** Ensure integer axis-index columns jy/jx exist (closed form from the
-    * uniform axis — constant-folded arithmetic, no extra scan).
+  /** Integer axis-index columns jy/jx, ALWAYS recomputed from the
+    * current axis metadata (closed form from the uniform axis —
+    * constant-folded arithmetic, no extra scan). Pre-existing jx/jy are
+    * dropped first: after Crop.bbox rebases the axis origin, indices a
+    * source (e.g. SyntheticGrid) attached against the global axis are
+    * stale, and trusting them shifts every joined value.
     */
-  private def withIndexes(g: GridDataset, xa: AxisSpec, ya: AxisSpec): DataFrame = {
-    val d0 = if (g.df.columns.contains("jx")) g.df
-      else g.df.withColumn("jx",
-        floor((g.x - lit(xa.origin)) / lit(xa.step) + 0.5).cast("long"))
-    if (d0.columns.contains("jy")) d0
-    else d0.withColumn("jy",
-      floor((g.y - lit(ya.origin)) / lit(ya.step) + 0.5).cast("long"))
-  }
+  private[operators] def withIndexes(g: GridDataset, xa: AxisSpec, ya: AxisSpec): DataFrame =
+    g.df.drop("jx", "jy")
+      .withColumn("jx", floor((g.x - lit(xa.origin)) / lit(xa.step) + 0.5).cast("long"))
+      .withColumn("jy", floor((g.y - lit(ya.origin)) / lit(ya.step) + 0.5).cast("long"))
 }

@@ -22,9 +22,9 @@ import org.apache.spark.sql.graft.GraftFunctions._
   *    (standard guardrail — such buckets are near-duplicates of
   *    boilerplate and would dominate the pair join), and exact Jaccard
   *    verification runs only on candidate pairs;
-  *  - SimHash dedup bands the 64-bit fingerprint into 4 x 16-bit chunks
-  *    (any chunk equality is a candidate at Hamming distance <= 3) and
-  *    verifies with `bit_count(xor)`.
+  *  - SimHash dedup bands the 64-bit fingerprint into `maxDistance + 1`
+  *    chunks (pigeonhole: any in-bound pair shares at least one chunk)
+  *    and verifies with `bit_count(xor)`.
   */
 object Dedup {
 
@@ -36,11 +36,18 @@ object Dedup {
            sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_copies") > 1)
 
-  /** Exact dedup: keep the lowest doc_id per distinct text. */
+  /** Exact dedup: keep the lowest doc_id per distinct text.
+    *
+    * Partitions and sorts by the 128-bit digest, not the raw text: the
+    * shuffle hash and the in-partition sort then touch a 32-byte key
+    * instead of the document body (md5 collisions would merge distinct
+    * texts, the standard accepted risk at 2^-64 scale).
+    */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+    docs.withColumn("__digest", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "__digest")
   }
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
@@ -100,14 +107,31 @@ object Dedup {
     docs.join(dups, Seq("doc_id"), "left_anti")
   }
 
-  /** SimHash near-duplicate pairs at Hamming distance <= maxDistance. */
+  /** SimHash near-duplicate pairs at Hamming distance <= maxDistance.
+    *
+    * Bands the 64-bit fingerprint into `maxDistance + 1` chunks: by
+    * pigeonhole, two fingerprints within the distance bound share at
+    * least one chunk unchanged, so banding is recall-lossless for the
+    * declared bound (the previous fixed 4x16 banding silently missed
+    * distance-4..6 pairs differing in all four bands). Wider bounds mean
+    * narrower bands and coarser buckets — the `maxBucket` guardrail is
+    * what keeps that sub-quadratic.
+    */
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64, "maxDistance must be in [0, 63]")
     val hashed = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
-    // 4 bands of 16 bits: d<=3 guarantees at least one identical band
-    val bandCols = (0 until 4).map(b =>
+    val nBands = maxDistance + 1
+    val base = 64 / nBands
+    val extra = 64 % nBands // first `extra` bands are one bit wider
+    val offsets = (0 until nBands).scanLeft(0)((off, b) =>
+      off + base + (if (b < extra) 1 else 0))
+    val bandCols = (0 until nBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key")))
+        shiftrightunsigned(col("sh"), offsets(b)).bitwiseAND(lit(mask)).as("key"))
+    }
     val banded = hashed
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.key").as("key"))

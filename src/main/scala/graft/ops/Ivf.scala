@@ -27,15 +27,30 @@ object Ivf {
 
   final case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Float])])
 
-  /** Build the index: `assigned` = corpus + `list_id` column. */
+  /** Build the index: `assigned` = corpus + `list_id` column.
+    *
+    * K-means is fit on a deterministic hash-sample capped at
+    * `trainRows` (centroid quality only shifts the recall/probe
+    * tradeoff, never correctness), so the multi-iteration clustering
+    * never rescans the full corpus — at 100 TB the fit touches a
+    * driver-sized sample and only the single assignment transform
+    * reads every vector. The row count comes from parquet footers,
+    * not a data scan.
+    */
   def build(corpus: DataFrame, embedCol: String = "embedding",
-            nLists: Int = 16, seed: Long = 42L, maxIter: Int = 8): Index = {
+            nLists: Int = 16, seed: Long = 42L, maxIter: Int = 8,
+            idCol: String = "vec_id", trainRows: Long = 100000L): Index = {
     val withVec = corpus.withColumn("__vec", array_to_vector(col(embedCol)))
+    val n = math.max(corpus.count(), 1L)
+    val fraction = math.min(1.0, trainRows.toDouble / n)
+    val train =
+      if (fraction >= 1.0) withVec
+      else withVec.filter(Sampling.hashFilter(col(idCol), fraction))
     // few iterations suffice: centroid quality only shifts the
     // recall/probe tradeoff, never correctness (full probe is exhaustive)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__vec").setPredictionCol("list_id")
-      .fit(withVec)
+      .fit(train)
     val assigned = model.transform(withVec).drop("__vec")
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))

@@ -24,7 +24,11 @@ object Sampling {
   }
 
   def hashFilter(key: Column, fraction: Double): Column =
-    substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(fraction))
+    // the threshold is capped at 'ffffffff', so a strict '<' would drop
+    // rows whose digest prefix is exactly 'ffffffff' even at fraction=1
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(fraction))
 
   /** Keep ~`fraction` of rows, decided by `keyCol` alone. */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =

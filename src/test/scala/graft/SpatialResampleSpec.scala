@@ -48,6 +48,23 @@ class SpatialResampleSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("crop-then-resample ignores stale global jx/jy carried by the source") {
+    // SyntheticGrid.grid keeps global jx/jy; Crop.bbox rebases the axis
+    // origin, so those indices are stale relative to the cropped axes.
+    // withIndexes must recompute, giving the same answer as a grid that
+    // never carried index columns.
+    import graft.model.BBox
+    val box = BBox(west = -82.5, east = -80.5, south = 41.75, north = 42.75)
+    val cropped = operators.Crop.bbox(SyntheticGrid.grid(spark), box)
+    val stale = cropped.copy(df = cropped.df.select("time", "y", "x", "jy", "jx", "t2m"))
+    val clean = cropped.copy(df = cropped.df.select("time", "y", "x", "t2m"))
+    val a = SpatialResample.nearest(stale, 2.0, 2.0).df.select("time", "y", "x", "t2m")
+    val b = SpatialResample.nearest(clean, 2.0, 2.0).df.select("time", "y", "x", "t2m")
+    assert(b.count() == 73L * 18 * 10)
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("bilinear interpolates linearly between cell centers") {
     // linear-in-x field: t2m = x  ->  any bilinear resample must reproduce x
     val lin = grid.copy(df = grid.df.withColumn("t2m", col("x")))
