@@ -371,6 +371,12 @@ object SparkEntry {
         .withColumn("t2m", round(col("t2m"), 6)).orderBy("time", "y", "x")
     }),
 
+    "g20_upsample_quadratic" -> ((s, _) => { // rows-only (no spline oracle)
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
+      TemporalResample.upsample(g, 1800, "quadratic").df
+        .withColumn("t2m", round(col("t2m"), 6)).orderBy("time", "y", "x")
+    }),
+
     "g15_gage_render" -> ((s, _) => { // rows-only (float->string rendering)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
         BBox(-83.5, 41.25, -83.0, 41.5))
@@ -520,9 +526,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    "n14_embedding_neardups" -> ((s, dir) => { // rows-only (LSH candidates)
+    "n14_embedding_neardups" -> ((s, dir) => {
+      // Oracled against exact all-pairs: the cosine verification step is
+      // exact, so the LSH result is always a subset of the true pair set;
+      // at the near-dup threshold the fixture's true set is provably tiny
+      // (max random-pair cosine ~0.51), and OpsSpec's planted-duplicate
+      // recall test covers the "does bucketing find anything" direction.
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.8,
           planes = 8, tables = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_id_a", "vec_id_b")
+    }),
+
+    "n20_embedding_allpairs" -> ((s, dir) => {
+      // exact O(n^2) baseline for n14 (cf. n08 for n09): broadcast
+      // self-join; at scale this runs on deterministic samples only
+      Similarity.allPairsExact(t(s, dir, "embeddings"), threshold = 0.4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_id_a", "vec_id_b")
     }),
@@ -1042,6 +1061,22 @@ object SparkEntry {
            | count(DISTINCT $c) AS n_distinct FROM documents""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "n14_embedding_neardups" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        | round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
+    "n20_embedding_allpairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        | round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
     "n16_knn_ivf" -> // exhaustive probe == brute force, same oracle as n08
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -42,6 +42,136 @@ object Spline {
     out
   }
 
+  /** True order-2 (quadratic) interpolating spline, matching scipy's
+    * `interp1d(kind='quadratic')` = `make_interp_spline(k=2)`: a degree-2
+    * B-spline with interior knots at the midpoints of the data sites
+    * (first and last midpoint omitted, the even-degree analog of
+    * not-a-knot), coefficients from the banded collocation solve
+    * B(t_i) c = y_i. O(n) per series like the cubic path.
+    */
+  def quadratic(ts: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
+    val n = ts.length
+    require(n >= 1 && ys.length == n)
+    if (n == 1) return qs.map(_ => ys(0))
+    if (n == 2) return qs.map { q =>
+      val w = (q - ts(0)) / (ts(1) - ts(0)); ys(0) + w * (ys(1) - ys(0))
+    }
+    val k = 2
+    // knots: [t0,t0,t0, mid_1..mid_{n-3}, t_{n-1},t_{n-1},t_{n-1}]
+    // (mid_i = (ts(i)+ts(i+1))/2; the first and last midpoints dropped)
+    val knots = new Array[Double](n + 3)
+    var i = 0
+    while (i < 3) { knots(i) = ts(0); knots(n + i) = ts(n - 1); i += 1 }
+    i = 1
+    while (i <= n - 3) { knots(i + 2) = 0.5 * (ts(i) + ts(i + 1)); i += 1 }
+    val c = collocate(knots, k, ts, ys)
+    val out = new Array[Double](qs.length)
+    var qi = 0
+    while (qi < qs.length) { out(qi) = deBoor(knots, c, k, qs(qi)); qi += 1 }
+    out
+  }
+
+  /** Index j with knots(j) <= q < knots(j+1), clamped to [k, m-1] where
+    * m = number of basis functions (q == last knot maps to the last span).
+    */
+  private def span(knots: Array[Double], k: Int, m: Int, q: Double): Int = {
+    var lo = k; var hi = m - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (knots(mid) <= q) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Nonzero basis values N_{j-k..j}(q) by the Cox–de Boor triangle. */
+  private def basis(knots: Array[Double], k: Int, j: Int, q: Double): Array[Double] = {
+    val out = new Array[Double](k + 1)
+    out(0) = 1.0
+    var d = 1
+    while (d <= k) {
+      var saved = 0.0
+      var r = 0
+      while (r < d) {
+        val den = knots(j + 1 + r) - knots(j - d + 1 + r)
+        val term = if (den == 0.0) 0.0 else out(r) / den
+        out(r) = saved + (knots(j + 1 + r) - q) * term
+        saved = (q - knots(j - d + 1 + r)) * term
+        r += 1
+      }
+      out(d) = saved
+      d += 1
+    }
+    out
+  }
+
+  /** Solve the collocation system (bandwidth k on each side) for the
+    * B-spline coefficients. Gaussian elimination without pivoting is
+    * stable here: collocation matrices at Schoenberg–Whitney-admissible
+    * sites are totally positive (de Boor & Pinkus 1977).
+    */
+  private def collocate(knots: Array[Double], k: Int,
+                        ts: Array[Double], ys: Array[Double]): Array[Double] = {
+    val n = ts.length
+    val w = 2 * k + 1
+    val band = Array.ofDim[Double](n, w) // band(i)(k + col - i)
+    val rhs = ys.clone()
+    var i = 0
+    while (i < n) {
+      val j = span(knots, k, n, ts(i))
+      val b = basis(knots, k, j, ts(i))
+      var r = 0
+      while (r <= k) {
+        val colIdx = j - k + r
+        val off = k + colIdx - i
+        require(off >= 0 && off < w, s"collocation bandwidth exceeded at row $i col $colIdx")
+        band(i)(off) = b(r)
+        r += 1
+      }
+      i += 1
+    }
+    // forward elimination (no pivoting), bandwidth k below the diagonal
+    i = 0
+    while (i < n - 1) {
+      val piv = band(i)(k)
+      require(math.abs(piv) > 1e-300, s"singular collocation matrix at row $i")
+      var r = i + 1
+      while (r <= math.min(i + k, n - 1)) {
+        val off = k + i - r
+        val f = band(r)(off) / piv
+        if (f != 0.0) {
+          var cc = i
+          while (cc <= math.min(i + k, n - 1)) {
+            band(r)(k + cc - r) -= f * band(i)(k + cc - i)
+            cc += 1
+          }
+          rhs(r) -= f * rhs(i)
+        }
+        r += 1
+      }
+      i += 1
+    }
+    val c = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = rhs(i)
+      var cc = i + 1
+      while (cc <= math.min(i + k, n - 1)) { s -= band(i)(k + cc - i) * c(cc); cc += 1 }
+      c(i) = s / band(i)(k)
+      i -= 1
+    }
+    c
+  }
+
+  /** Evaluate sum_i c_i B_i(q) via the nonzero basis at q's span. */
+  private def deBoor(knots: Array[Double], c: Array[Double], k: Int, q: Double): Double = {
+    val j = span(knots, k, c.length, q)
+    val b = basis(knots, k, j, q)
+    var s = 0.0
+    var r = 0
+    while (r <= k) { s += c(j - k + r) * b(r); r += 1 }
+    s
+  }
+
   /** The unique parabola through three points (scipy n==3 cubic falls
     * back similarly since not-a-knot needs 4 knots).
     */

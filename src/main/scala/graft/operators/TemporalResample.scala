@@ -150,7 +150,7 @@ object TemporalResample {
     */
   def upsample(g: GridDataset, stepSeconds: Long, method: String): GridDataset = {
     if (method == "cubic" || method == "quadratic")
-      return upsampleSpline(g, stepSeconds)
+      return upsampleSpline(g, stepSeconds, method)
     val gg = g.copy(df = upsampleGrid(g, stepSeconds))
     method match {
       case "ffill" => ffill(gg)
@@ -167,7 +167,13 @@ object TemporalResample {
     * Parallelism is across cells — the dimension that grows at 100 TB —
     * and the shuffle carries each cell's series once.
     */
-  def upsampleSpline(g: GridDataset, stepSeconds: Long): GridDataset = {
+  def upsampleSpline(g: GridDataset, stepSeconds: Long, method: String = "cubic"): GridDataset = {
+    val solve: (Array[Double], Array[Double], Array[Double]) => Array[Double] =
+      method match {
+        case "cubic"     => graft.functions.Spline.cubic
+        case "quadratic" => graft.functions.Spline.quadratic
+        case m           => throw new IllegalArgumentException(s"unknown spline method: $m")
+      }
     val vars = g.variables
     require(vars.nonEmpty, "spline upsample needs at least one variable")
     val spark = g.df.sparkSession
@@ -188,7 +194,7 @@ object TemporalResample {
         val qs = Array.tabulate(nq.toInt)(i => lo + i * stepD)
         // one tridiagonal solve per variable over the shared time axis
         val res = Array.tabulate(nVars) { vi =>
-          graft.functions.Spline.cubic(ts, knots.map(_._2(vi)), qs)
+          solve(ts, knots.map(_._2(vi)), qs)
         }
         qs.indices.iterator.map { qi =>
           (qs(qi), y, x, Seq.tabulate(nVars)(vi => res(vi)(qi)))

@@ -60,6 +60,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact all-pairs cosine similarity above `threshold` — the O(n²)
+    * exactness baseline that the LSH path ([[Dedup.embeddingNearDups]])
+    * approximates. Broadcast self-join: only valid for corpora (or
+    * deterministic samples of corpora) small enough to broadcast one
+    * side; at 100 TB use the sign-LSH path and reserve this for
+    * recall audits over samples.
+    */
+  def allPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val right = emb.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
+    emb.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
+      .join(broadcast(right), col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
     * buckets across `tables` tables, exact cosine re-rank.
     */

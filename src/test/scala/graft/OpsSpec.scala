@@ -100,6 +100,31 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("embedding near-dups: planted duplicates found, recall vs exact all-pairs") {
+    import spark.implicits._
+    // 40 random base vectors + a noisy copy of each (cos ~0.999): the
+    // planted pairs are the ONLY pairs above 0.95, and sign-LSH with
+    // 12 planes x 4 tables must recover nearly all of them (per-table
+    // miss ~1 - (1 - theta/pi)^12 with theta ~2.6 deg => recall >0.999)
+    val rnd = new scala.util.Random(7L)
+    val base = (0 until 40).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.flatMap { case (id, v) =>
+      val noisy = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((id, v), (id + 1000L, noisy))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.allPairsExact(emb, 0.95)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40, s"fixture should plant >=40 near-dup pairs, got ${exact.size}")
+    val lsh = Dedup.embeddingNearDups(emb, threshold = 0.95, planes = 12, tables = 4)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verification must forbid false positives")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
   test("deterministic sampling: stable membership, near-target rate, disjoint split") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val s1 = Sampling.deterministicSample(d, "doc_id", 0.3)
