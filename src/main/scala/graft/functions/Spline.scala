@@ -20,6 +20,7 @@ object Spline {
   def cubic(ts: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
     val n = ts.length
     require(n >= 1 && ys.length == n)
+    requireStrictlyIncreasing(ts)
     if (n == 1) return qs.map(_ => ys(0))
     if (n == 2) return qs.map { q =>
       val w = (q - ts(0)) / (ts(1) - ts(0)); ys(0) + w * (ys(1) - ys(0))
@@ -52,6 +53,7 @@ object Spline {
   def quadratic(ts: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
     val n = ts.length
     require(n >= 1 && ys.length == n)
+    requireStrictlyIncreasing(ts)
     if (n == 1) return qs.map(_ => ys(0))
     if (n == 2) return qs.map { q =>
       val w = (q - ts(0)) / (ts(1) - ts(0)); ys(0) + w * (ys(1) - ys(0))
@@ -69,6 +71,19 @@ object Spline {
     var qi = 0
     while (qi < qs.length) { out(qi) = deBoor(knots, c, k, qs(qi)); qi += 1 }
     out
+  }
+
+  /** Duplicate or out-of-order sites would silently divide by zero in
+    * the n==2 path and trip the banded solves with an unhelpful message;
+    * fail loudly and uniformly instead.
+    */
+  private def requireStrictlyIncreasing(ts: Array[Double]): Unit = {
+    var i = 1
+    while (i < ts.length) {
+      require(ts(i) > ts(i - 1),
+        s"spline sites must be strictly increasing; ts($i)=${ts(i)} <= ts(${i - 1})=${ts(i - 1)}")
+      i += 1
+    }
   }
 
   /** Index j with knots(j) <= q < knots(j+1), clamped to [k, m-1] where

@@ -159,10 +159,12 @@ object TemporalResample {
     }
   }
 
-  /** Cubic-spline upsample (W3 `cubic`; not-a-knot boundaries matching
+  /** Spline upsample (W3 `cubic` with not-a-knot boundaries, or
+    * `quadratic` as a degree-2 B-spline collocation — both matching
     * scipy interp1d). A spline needs the whole per-cell series, so this
     * is the one genuinely per-partition-imperative operator: groupByKey
-    * on the cell, solve the tridiagonal system in-memory per cell
+    * on the cell, run the banded solve (tridiagonal for cubic,
+    * pentadiagonal collocation for quadratic) in-memory per cell
     * (series length = time axis, bounded), evaluate at the target grid.
     * Parallelism is across cells — the dimension that grows at 100 TB —
     * and the shuffle carries each cell's series once.
@@ -192,7 +194,7 @@ object TemporalResample {
         val lo = ts.head; val hi = ts.last
         val nq = ((hi - lo) / stepD).toLong + 1
         val qs = Array.tabulate(nq.toInt)(i => lo + i * stepD)
-        // one tridiagonal solve per variable over the shared time axis
+        // one banded solve per variable over the shared time axis
         val res = Array.tabulate(nVars) { vi =>
           solve(ts, knots.map(_._2(vi)), qs)
         }

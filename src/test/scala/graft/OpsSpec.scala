@@ -125,6 +125,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("n14 oracle vacuity guard: fixtures have no true pairs at cosine >= 0.8") {
+    // n14's DuckDB oracle is exact only because the true pair set at the
+    // 0.8 threshold is EMPTY on the driver fixtures (LSH output ⊆ truth =
+    // {} forces set equality). If a fixture ever grows a pair in
+    // [0.8, ~0.99), the 8-plane/8-table LSH could miss it and the hash
+    // compare would fail despite correct behavior — this test makes that
+    // assumption fail loudly here instead, at both the spec fixture scale
+    // and the driver's sf0.01 oracle scale.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = Similarity.allPairsExact(emb, 0.8).count()
+        assert(n == 0, s"$dir has $n true pairs at 0.8 — switch n14 to rows-only")
+      }
+    }
+  }
+
   test("deterministic sampling: stable membership, near-target rate, disjoint split") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val s1 = Sampling.deterministicSample(d, "doc_id", 0.3)
