@@ -63,6 +63,23 @@ object SparkEntry {
   // target axes for the spatial-resample queries (shared with oracles)
   private val xt2 = SpatialResample.targetAxis(xa, 2.0)
   private val yt2 = SpatialResample.targetAxis(ya, 2.0)
+  // half-resolution target axes for the aggregating downsample kernels
+  private val xth = SpatialResample.targetAxis(xa, 0.5)
+  private val yth = SpatialResample.targetAxis(ya, 0.5)
+  // raster west/south edges (GDAL geometry) for the block-membership rule
+  private val blockWx = xa.origin - xa.step / 2.0
+  private val blockWy = ya.origin - ya.step / 2.0
+  // DuckDB parses long fractional literals as DECIMAL and keeps pure
+  // decimal/bigint arithmetic in DECIMAL — cast to DOUBLE so the oracle
+  // computes in IEEE754 exactly like Spark
+  private def D(v: Double): String = s"CAST($v AS DOUBLE)"
+  // oracle CTE: source rows labeled with their downsample target cell,
+  // mirroring SpatialResample.blockIdx expression-for-expression
+  private val blockCte: String =
+    s"""b AS (SELECT time, t2m,
+       |  (${D(yth.origin)} + least(greatest(CAST(floor((y - $blockWy) / ${D(yth.step)}) AS BIGINT), 0), ${yth.n - 1}) * ${D(yth.step)}) AS y2,
+       |  (${D(xth.origin)} + least(greatest(CAST(floor((x - $blockWx) / ${D(xth.step)}) AS BIGINT), 0), ${xth.n - 1}) * ${D(xth.step)}) AS x2
+       | FROM grid)""".stripMargin
   // timezone-subset bounds: wall-clock America/New_York -> UTC constants
   private val tzStart = java.time.LocalDateTime.parse("2019-01-30T07:00:00")
   private val tzEnd = java.time.LocalDateTime.parse("2019-01-31T04:00:00")
@@ -335,6 +352,46 @@ object SparkEntry {
     "g21_spatial_cubic_x2" -> ((s, _) => {
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.cubic(g, fy = 2.0, fx = 2.0).df
+        .withColumn("t2m", round(col("t2m"), 6))
+        .orderBy("time", "y", "x")
+    }),
+
+    "g23_spatial_agg_half" -> ((s, _) => {
+      // reduction half of the rasterio.Resampling family (X1):
+      // average/sum/min/max/rms block downsample; exact across engines
+      // (values are k/2^10, all reductions order-independent)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.blockAgg(g, fy = 0.5, fx = 0.5,
+          Seq("average", "sum", "min", "max", "rms"))
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "g24_spatial_quantiles_half" -> ((s, _) => {
+      // med/q1/q3 block downsample (exact linear-interp percentiles)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.blockAgg(g, fy = 0.5, fx = 0.5, Seq("med", "q1", "q3"))
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "g25_spatial_mode_half" -> ((s, _) => {
+      // mode block downsample over integer-binned values (ties broken by
+      // smallest value — deterministic, unlike GDAL's unspecified order)
+      val g0 = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      val g = g0.copy(df = g0.df.withColumn("t2m", floor(col("t2m"))))
+      SpatialResample.blockMode(g, fy = 0.5, fx = 0.5)
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "g26_spatial_gauss_half" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.blockGauss(g, fy = 0.5, fx = 0.5).df
+        .withColumn("t2m", round(col("t2m"), 6))
+        .orderBy("time", "y", "x")
+    }),
+
+    "g27_spatial_lanczos_x2" -> ((s, _) => {
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.lanczos(g, fy = 2.0, fx = 2.0).df
         .withColumn("t2m", round(col("t2m"), 6))
         .orderBy("time", "y", "x")
     }),
@@ -891,6 +948,89 @@ object SparkEntry {
          |  least(greatest(CAST(floor(gx) + kx AS BIGINT), 0), ${xa.n - 1}) AS jx,
          |  (${kern("gx - (floor(gx) + kx)")}) * (${kern("gy - (floor(gy) + ky)")}) AS w
          | FROM m, taps)
+         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w), 6) AS t2m
+         |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+
+    "g23_spatial_agg_half" ->
+      s"""WITH $grid,
+         |$blockCte
+         |SELECT time, y2 AS y, x2 AS x,
+         | avg(t2m) AS average_t2m, sum(t2m) AS sum_t2m,
+         | min(t2m) AS min_t2m, max(t2m) AS max_t2m,
+         | sqrt(avg(t2m * t2m)) AS rms_t2m
+         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g24_spatial_quantiles_half" ->
+      s"""WITH $grid,
+         |$blockCte
+         |SELECT time, y2 AS y, x2 AS x,
+         | quantile_cont(t2m, 0.5) AS med_t2m,
+         | quantile_cont(t2m, 0.25) AS q1_t2m,
+         | quantile_cont(t2m, 0.75) AS q3_t2m
+         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g25_spatial_mode_half" ->
+      s"""WITH $grid,
+         |b AS (SELECT time, CAST(floor(t2m) AS BIGINT) AS v,
+         |  least(greatest(CAST(floor((y - $blockWy) / ${D(yth.step)}) AS BIGINT), 0), ${yth.n - 1}) AS jy2,
+         |  least(greatest(CAST(floor((x - $blockWx) / ${D(xth.step)}) AS BIGINT), 0), ${xth.n - 1}) AS jx2
+         | FROM grid),
+         |c AS (SELECT time, jy2, jx2, v, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT time, jy2, jx2, v,
+         |  row_number() OVER (PARTITION BY time, jy2, jx2 ORDER BY cnt DESC, v) AS rk
+         | FROM c)
+         |SELECT time, (${D(yth.origin)} + jy2 * ${D(yth.step)}) AS y,
+         | (${D(xth.origin)} + jx2 * ${D(xth.step)}) AS x, v AS t2m
+         |FROM r WHERE rk = 1 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g26_spatial_gauss_half" ->
+      s"""WITH $grid,
+         |b AS (SELECT time, t2m, y, x,
+         |  least(greatest(CAST(floor((y - $blockWy) / ${D(yth.step)}) AS BIGINT), 0), ${yth.n - 1}) AS jy2,
+         |  least(greatest(CAST(floor((x - $blockWx) / ${D(xth.step)}) AS BIGINT), 0), ${xth.n - 1}) AS jx2
+         | FROM grid),
+         |w AS (SELECT time, jy2, jx2, t2m,
+         |  exp(-((x - (${D(xth.origin)} + jx2 * ${D(xth.step)})) / ${D(xa.step)}
+         |        * ((x - (${D(xth.origin)} + jx2 * ${D(xth.step)})) / ${D(xa.step)}) / 2.0
+         |      + (y - (${D(yth.origin)} + jy2 * ${D(yth.step)})) / ${D(ya.step)}
+         |        * ((y - (${D(yth.origin)} + jy2 * ${D(yth.step)})) / ${D(ya.step)}) / 2.0)) AS w
+         | FROM b)
+         |SELECT time, (${D(yth.origin)} + jy2 * ${D(yth.step)}) AS y,
+         | (${D(xth.origin)} + jx2 * ${D(xth.step)}) AS x,
+         | round(sum(t2m * w) / sum(w), 6) AS t2m
+         |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g27_spatial_lanczos_x2" -> {
+      val pi = math.Pi.toString
+      def kern(d: String): String =
+        s"""CASE WHEN abs($d) < 1e-12 THEN 1.0
+           | WHEN abs($d) < 3.0
+           | THEN 3.0 * sin($pi * ($d)) * sin($pi * ($d) / 3.0)
+           |      / ($pi * $pi * ($d) * ($d))
+           | ELSE 0.0 END""".stripMargin.replace("\n", " ")
+      val swx = (-2 to 3).map(k => s"(${kern(s"fx - ($k)")})").mkString(" + ")
+      val swy = (-2 to 3).map(k => s"(${kern(s"fy - ($k)")})").mkString(" + ")
+      s"""WITH $grid,
+         |tgt AS (SELECT id // ${xt2.n} AS jy2, id % ${xt2.n} AS jx2
+         |        FROM range(${xt2.n.toLong * yt2.n}) t(id)),
+         |m AS (SELECT (${yt2.origin} + jy2 * ${yt2.step}) AS y2,
+         |             (${xt2.origin} + jx2 * ${xt2.step}) AS x2,
+         |  (${xt2.origin} + jx2 * ${xt2.step} - ${xa.origin}) / ${xa.step} AS gx,
+         |  (${yt2.origin} + jy2 * ${yt2.step} - ${ya.origin}) / ${ya.step} AS gy
+         | FROM tgt),
+         |k AS (SELECT y2, x2, gx, gy, gx - floor(gx) AS fx, gy - floor(gy) AS fy,
+         |  ($swx) AS swx, ($swy) AS swy FROM m),
+         |taps AS (SELECT a.ky, b.kx
+         |         FROM (VALUES (-2),(-1),(0),(1),(2),(3)) a(ky),
+         |              (VALUES (-2),(-1),(0),(1),(2),(3)) b(kx)),
+         |corners AS (
+         | SELECT y2, x2,
+         |  least(greatest(CAST(floor(gy) + ky AS BIGINT), 0), ${ya.n - 1}) AS jy,
+         |  least(greatest(CAST(floor(gx) + kx AS BIGINT), 0), ${xa.n - 1}) AS jx,
+         |  (${kern("fx - (kx)")}) / swx * ((${kern("fy - (ky)")}) / swy) AS w
+         | FROM k, taps)
          |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w), 6) AS t2m
          |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin

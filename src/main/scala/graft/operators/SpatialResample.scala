@@ -167,6 +167,168 @@ object SpatialResample {
     g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
   }
 
+  /** Lanczos-3 kernel: sinc(d)*sinc(d/3) = 3*sin(pi*d)*sin(pi*d/3)/(pi*d)^2
+    * for |d| < 3 (rasterio/GDAL `lanczos`). Written exactly like this in
+    * the DuckDB oracle so both engines evaluate the same expression tree.
+    */
+  private def lanczosKernel(d: org.apache.spark.sql.Column) = {
+    val pi = lit(math.Pi)
+    when(abs(d) < 1e-12, lit(1.0))
+      .when(abs(d) < 3.0,
+        lit(3.0) * sin(pi * d) * sin(pi * d / 3.0) / (pi * pi * d * d))
+      .otherwise(lit(0.0))
+  }
+
+  /** Lanczos-3 regrid: 6x6 tap window per target cell, per-axis weight
+    * normalization (GDAL normalizes the accumulated kernel weight; for a
+    * separable kernel the 2D sum factors into the per-axis sums). Same
+    * join-aggregate shape as cubic: the tap mapping is metadata-sized and
+    * broadcast, the only shuffle is keyed by output cell.
+    */
+  def lanczos(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+    val (xa, ya) = axes(g)
+    val (m, xt, yt) = mapping(g.df.sparkSession, xa, ya, fx, fy)
+    val taps = for (ky <- -2 to 3; kx <- -2 to 3) yield (ky, kx)
+    val withK = (-2 to 3).foldLeft(
+      m.withColumn("fx", col("gx") - floor(col("gx")))
+       .withColumn("fy", col("gy") - floor(col("gy")))) { (d, k) =>
+      d.withColumn(s"wx_$k", lanczosKernel(col("fx") - k))
+       .withColumn(s"wy_$k", lanczosKernel(col("fy") - k))
+    }
+      .withColumn("swx", (-2 to 3).map(k => col(s"wx_$k")).reduce(_ + _))
+      .withColumn("swy", (-2 to 3).map(k => col(s"wy_$k")).reduce(_ + _))
+    val tapStructs = taps.map { case (ky, kx) =>
+      struct(
+        clampIdx((floor(col("gy")) + ky).cast("long"), ya.n).as("jy"),
+        clampIdx((floor(col("gx")) + kx).cast("long"), xa.n).as("jx"),
+        (col(s"wx_$kx") / col("swx") * (col(s"wy_$ky") / col("swy"))).as("w"))
+    }
+    val corners = withK.select(col("x2"), col("y2"),
+        explode(array(tapStructs: _*)).as("c"))
+      .select(col("x2"), col("y2"), col("c.jy").as("jy"),
+        col("c.jx").as("jx"), col("c.w").as("w"))
+      .filter(col("w") =!= 0.0)
+      // clamped taps can coincide at edges: merge duplicate (cell, tap)
+      .groupBy("y2", "x2", "jy", "jx").agg(sum("w").as("w"))
+    val src = withIndexes(g, xa, ya)
+    val vars = g.variables
+    val aggs = vars.map(v => sum(col(v) * col("w")).as(v))
+    val out = src
+      .join(broadcast(corners), Seq("jy", "jx"))
+      .groupBy(col(g.meta.timeDim), col("y2"), col("x2"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnsRenamed(Map("y2" -> g.meta.yDim, "x2" -> g.meta.xDim))
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
+  /** Map a coordinate column onto the downsample target-cell index:
+    * floor((coord - west_edge) / target_step), edge-clamped. The GDAL
+    * block membership rule — a source pixel belongs to the target pixel
+    * its center falls in.
+    */
+  private def blockIdx(coord: org.apache.spark.sql.Column, src: AxisSpec,
+                       tgt: AxisSpec) = {
+    val west = src.origin - src.step / 2.0
+    clampIdx(floor((coord - lit(west)) / lit(tgt.step)).cast("long"), tgt.n)
+  }
+
+  /** Aggregating downsample — the reduction half of the
+    * `rasterio.enums.Resampling` family (average, sum, min, max, rms,
+    * med, q1, q3; reference dispatch core_functions.py:292-299). Each
+    * target cell reduces the source cells whose centers fall inside it.
+    *
+    * No join: the target index is closed-form from the source coordinate,
+    * so the plan is one partial-aggregated shuffle keyed by output cell —
+    * the minimum possible data movement at 100 TB.
+    */
+  def blockAgg(g: GridDataset, fy: Double, fx: Double,
+               methods: Seq[String]): GridDataset = {
+    val (xa, ya) = axes(g)
+    val xt = targetAxis(xa, fx); val yt = targetAxis(ya, fy)
+    val vars = g.variables
+    def aggFor(m: String, v: String) = (m match {
+      case "average" => avg(col(v))
+      case "sum"     => sum(col(v))
+      case "min"     => min(col(v))
+      case "max"     => max(col(v))
+      // values are k/2^10 with k < 2^17: v*v and its sums stay exact in
+      // IEEE754, and sqrt is correctly rounded — exact across engines
+      case "rms"     => sqrt(avg(col(v) * col(v)))
+      case "med"     => expr(s"percentile($v, 0.5)")
+      case "q1"      => expr(s"percentile($v, 0.25)")
+      case "q3"      => expr(s"percentile($v, 0.75)")
+      case m         => throw new IllegalArgumentException(s"unknown block agg: $m")
+    }).as(s"${m}_$v")
+    val aggs = for (v <- vars; m <- methods) yield aggFor(m, v)
+    val out = g.df
+      .withColumn("jx2", blockIdx(g.x, xa, xt))
+      .withColumn("jy2", blockIdx(g.y, ya, yt))
+      .groupBy(col(g.meta.timeDim),
+        (lit(yt.origin) + col("jy2") * lit(yt.step)).as(g.meta.yDim),
+        (lit(xt.origin) + col("jx2") * lit(xt.step)).as(g.meta.xDim))
+      .agg(aggs.head, aggs.tail: _*)
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
+  /** Mode downsample (rasterio `mode`): most frequent value per target
+    * block, ties broken deterministically by the smallest value (GDAL
+    * leaves tie order unspecified; a documented total order makes the
+    * operator reproducible and oracle-able). Two shuffles, both keyed by
+    * output cell (+ value), both partial-aggregated.
+    */
+  def blockMode(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+    val (xa, ya) = axes(g)
+    val xt = targetAxis(xa, fx); val yt = targetAxis(ya, fy)
+    val vars = g.variables
+    require(vars.size == 1, "blockMode reduces one variable at a time")
+    val v = vars.head
+    val counted = g.df
+      .withColumn("jx2", blockIdx(g.x, xa, xt))
+      .withColumn("jy2", blockIdx(g.y, ya, yt))
+      .groupBy(col(g.meta.timeDim).as("t2"), col("jy2"), col("jx2"), col(v))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("t2", "jy2", "jx2")
+      .orderBy(col("cnt").desc, col(v).asc)
+    val out = counted
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("t2").as(g.meta.timeDim),
+        (lit(yt.origin) + col("jy2") * lit(yt.step)).as(g.meta.yDim),
+        (lit(xt.origin) + col("jx2") * lit(xt.step)).as(g.meta.xDim),
+        col(v))
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
+  /** Gaussian-weighted downsample (rasterio `gauss`): block membership as
+    * in blockAgg, weights exp(-(dx^2+dy^2)/(2*sigma^2)) by the distance
+    * (in source-pixel units) from the source center to the target center,
+    * normalized per target cell; sigma = ratio/2 per axis. Still joinless:
+    * weight is closed-form per source row, one shuffle keyed by output cell.
+    */
+  def blockGauss(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+    val (xa, ya) = axes(g)
+    val xt = targetAxis(xa, fx); val yt = targetAxis(ya, fy)
+    val vars = g.variables
+    val sx2 = { val s = (1.0 / fx) / 2.0; 2.0 * s * s }
+    val sy2 = { val s = (1.0 / fy) / 2.0; 2.0 * s * s }
+    val base = g.df
+      .withColumn("jx2", blockIdx(g.x, xa, xt))
+      .withColumn("jy2", blockIdx(g.y, ya, yt))
+      // distances in source-pixel units between source and target centers
+      .withColumn("dx", (g.x - (lit(xt.origin) + col("jx2") * lit(xt.step))) / lit(xa.step))
+      .withColumn("dy", (g.y - (lit(yt.origin) + col("jy2") * lit(yt.step))) / lit(ya.step))
+      .withColumn("w", exp(-(col("dx") * col("dx") / lit(sx2) +
+                             col("dy") * col("dy") / lit(sy2))))
+    val aggs = vars.map(v => (sum(col(v) * col("w")) / sum(col("w"))).as(v))
+    val out = base
+      .groupBy(col(g.meta.timeDim),
+        (lit(yt.origin) + col("jy2") * lit(yt.step)).as(g.meta.yDim),
+        (lit(xt.origin) + col("jx2") * lit(xt.step)).as(g.meta.xDim))
+      .agg(aggs.head, aggs.tail: _*)
+    g.copy(df = out, meta = g.meta.copy(xAxis = Some(xt), yAxis = Some(yt)))
+  }
+
   private def axes(g: GridDataset): (AxisSpec, AxisSpec) = (
     g.meta.xAxis.getOrElse(throw new IllegalArgumentException(
       "spatial resample needs xAxis metadata")),
