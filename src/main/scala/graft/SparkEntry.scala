@@ -434,7 +434,9 @@ object SparkEntry {
         .withColumn("t2m", round(col("t2m"), 6)).orderBy("time", "y", "x")
     }),
 
-    "g15_gage_render" -> ((s, _) => { // rows-only (float->string rendering)
+    "g15_gage_render" -> ((s, _) => {
+      // oracled: grid values are k/2^10 — exact binary doubles whose
+      // shortest decimal rendering agrees across engines
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
         BBox(-83.5, 41.25, -83.0, 41.5))
       Gssha.gageRows(g, "t2m", "GAGES",
@@ -442,9 +444,12 @@ object SparkEntry {
             ("e2", "2019-02-01 00:00:00", "2019-02-02 00:00:00")))
     }),
 
-    "g16_wes_render" -> ((s, _) => { // rows-only (float->string rendering)
+    "g16_wes_render" -> ((s, _) => {
+      // oracled: spatial means rendered after round(.., 6) so the string
+      // form is reproducible across engines
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
-      Gssha.wesRows(g, Map("t2m" -> "Dry Bulb Temperature", "u100" -> "Wind Speed"))
+      Gssha.wesRows(g, Map("t2m" -> "Dry Bulb Temperature", "u100" -> "Wind Speed"),
+        roundTo = Some(6))
     }),
 
     "g17_grass_render" -> ((s, _) => { // rows-only (float->string rendering)
@@ -1079,6 +1084,29 @@ object SparkEntry {
          |      WHEN epoch(time) - epoch(pt) <= epoch(nt) - epoch(time) THEN pv
          |      ELSE nv END AS t2m
          |FROM f ORDER BY time, y, x""".stripMargin,
+
+    "g15_gage_render" ->
+      s"""WITH $grid,
+         |src AS (SELECT time, y, x, t2m FROM grid
+         |        WHERE x BETWEEN -83.5 AND -83.0 AND y BETWEEN 41.25 AND 41.5),
+         |ev(event, st, en) AS (VALUES
+         |  ('e1', TIMESTAMP '2019-01-30 00:00:00', TIMESTAMP '2019-01-30 23:00:00'),
+         |  ('e2', TIMESTAMP '2019-02-01 00:00:00', TIMESTAMP '2019-02-02 00:00:00'))
+         |SELECT event, time,
+         | concat_ws(' ', 'GAGES', strftime(time, '%Y %m %d %H %M'),
+         |   string_agg(CAST(t2m AS VARCHAR), ' ' ORDER BY x, y)) AS line
+         |FROM src JOIN ev ON time BETWEEN st AND en
+         |GROUP BY event, time ORDER BY event, time""".stripMargin,
+
+    "g16_wes_render" ->
+      s"""WITH $grid
+         |SELECT time,
+         | concat_ws(' ', strftime(time, '%Y %m %d %H %M'),
+         |   '99.999', '999.0', '999.0',
+         |   CAST(round(avg(u100), 6) AS VARCHAR),
+         |   CAST(round(avg(t2m), 6) AS VARCHAR),
+         |   '999.99', '999.99') AS line
+         |FROM grid GROUP BY time ORDER BY time""".stripMargin,
 
     "g17_grass_render" ->
       s"""WITH $grid,

@@ -119,19 +119,25 @@ object Gssha {
   /** HMET WES rows (G-c): spatial aggregate per timestep (A3) for each
     * mapped HMET variable in wes_index order; unmapped HMET variables
     * emit their nodata sentinel (reference to_gssha.py:481-595).
-    * `how` in {mean, sum, max, min, std, median}.
+    * `how` in {mean, sum, max, min, std, median}. `roundTo` rounds the
+    * aggregate before rendering (the reference's pandas `to_string`
+    * applies its own display precision; a fixed rounding makes the
+    * rendered line reproducible across engines).
     */
   def wesRows(g: GridDataset, variableToHmet: Map[String, String],
-              how: String = "mean"): DataFrame = {
+              how: String = "mean", roundTo: Option[Int] = None): DataFrame = {
     val hmetToVar = variableToHmet.map(_.swap)
-    def aggOf(v: String): Column = how match {
-      case "mean"   => avg(col(v))
-      case "sum"    => sum(col(v))
-      case "max"    => max(col(v))
-      case "min"    => min(col(v))
-      case "std"    => stddev(col(v))
-      case "median" => median(col(v))
-      case other    => throw new IllegalArgumentException(s"unknown how: $other")
+    def aggOf(v: String): Column = {
+      val a = how match {
+        case "mean"   => avg(col(v))
+        case "sum"    => sum(col(v))
+        case "max"    => max(col(v))
+        case "min"    => min(col(v))
+        case "std"    => stddev(col(v))
+        case "median" => median(col(v))
+        case other    => throw new IllegalArgumentException(s"unknown how: $other")
+      }
+      roundTo.map(d => round(a, d)).getOrElse(a)
     }
     val cols = HmetVariables.sortBy(_.wesIndex).map { hv =>
       hmetToVar.get(hv.name) match {
