@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.BBox
-import graft.operators.{AsOfJoin, Crop, Gssha, PointExtract, SpatialResample, TemporalResample, VariableMerge}
+import graft.operators.{AsOfJoin, Crop, Gssha, PointExtract, SaltedJoin, SpatialResample, TemporalResample, VariableMerge}
 import graft.ops.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{SyntheticGrid, Tables}
 import graft.streaming.EventStreams
@@ -228,6 +228,24 @@ object SparkEntry {
              countDistinct(col("l_partkey")).as("n_part"),
              count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    "q23_salted_skew_join" -> ((s, dir) => {
+      // pathological planted skew: ~30% of orders collapse onto one hot
+      // customer key, then a salted join spreads that key over 8 buckets.
+      // The salt only redistributes rows across tasks — the join RESULT
+      // is the plain inner join, so a plain-join oracle hash-checks it.
+      val hot = t(s, dir, "orders")
+        .withColumn("k", when(col("o_custkey") % 10 < 3, lit(1L))
+          .otherwise(col("o_custkey")))
+        .select("k", "o_totalprice")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey"))
+      SaltedJoin.inner(hot, dim, "k", buckets = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+             round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_nationkey")
     }),
 
     "q18_running_totals" -> ((s, dir) => {
@@ -478,7 +496,10 @@ object SparkEntry {
       // with fresh aliases), while SQL-path resolution plans it cleanly
       Seq("orders", "customer", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-      s.sql("""SELECT coalesce(r_name, 'ALL') AS r_name,
+      // broadcast the dimension side explicitly so the rollup star join
+      // keeps q03's broadcast-hash plan (no stats on temp views)
+      s.sql("""SELECT /*+ BROADCAST(customer, nation, region) */
+              |       coalesce(r_name, 'ALL') AS r_name,
               |       coalesce(n_name, 'ALL') AS n_name,
               |       round(sum(o_totalprice), 2) AS revenue,
               |       count(*) AS n_orders
@@ -744,6 +765,13 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q23_salted_skew_join" ->
+      """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM (SELECT CASE WHEN o_custkey % 10 < 3 THEN 1 ELSE o_custkey END AS k,
+        |             o_totalprice FROM orders) o
+        |JOIN (SELECT c_custkey AS k, c_nationkey FROM customer) c USING (k)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q18_running_totals" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
