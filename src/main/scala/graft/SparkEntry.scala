@@ -640,6 +640,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n21_knn_ivfpq" -> ((s, dir) => {
+      // IVF-PQ with full probing and a rerank window comfortably larger
+      // than k: the exact re-rank then reproduces brute-force top-k
+      // (OpsSpec guards that containment on the fixture), so the query
+      // shares the n08 oracle
+      val emb = t(s, dir, "embeddings")
+      val idx = Ivf.build(emb, nLists = 8)
+      val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
+      Ivf.searchPq(pq, emb, emb.filter(col("vec_id") < 5), 10,
+          nProbe = 8, rerank = 150)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n19_deterministic_sample" -> ((s, dir) => {
       graft.ops.Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.3)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
@@ -1273,6 +1288,18 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
+    "n21_knn_ivfpq" -> // full probe + wide rerank == brute force (see query)
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "n16_knn_ivf" -> // exhaustive probe == brute force, same oracle as n08
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

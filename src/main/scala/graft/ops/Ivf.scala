@@ -58,6 +58,204 @@ object Ivf {
     Index(assigned, cents)
   }
 
+  /** IVF-PQ index (Jegou et al. 2011 §IV): on top of the coarse lists,
+    * each vector's residual (vector − list centroid) is product-quantized
+    * into `m` sub-codes from per-subspace codebooks. The encoded relation
+    * stores only (vec_id, list_id, codes, approx norm) — at 100 TB the
+    * candidate scan reads m bytes per vector instead of the full float
+    * array; exact re-ranking touches real embeddings only for the
+    * `rerank` best candidates per query.
+    */
+  final case class PqIndex(encoded: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      codebooks: Array[Array[Array[Float]]]) // [subspace][code][dsub]
+
+  /** Driver-side Lloyd k-means for the tiny per-subspace codebooks
+    * (k*dsub floats each; the training set is a deterministic sample
+    * that fits on the driver, same policy as `build`'s capped fit).
+    * Deterministic: seeded distinct-point init, fixed iteration count,
+    * empty clusters reseeded round-robin from the data.
+    */
+  private[graft] def lloyd(data: Array[Array[Float]], k: Int, iters: Int,
+                         seed: Long): Array[Array[Float]] = {
+    require(data.nonEmpty)
+    val d = data.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(data.indices.toVector).take(k)
+    val centers = Array.tabulate(math.min(k, data.length))(i => data(init(i)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length, d)(0.0)
+      val counts = new Array[Long](centers.length)
+      data.foreach { v =>
+        val c = nearestCenter(v, centers)
+        counts(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) == 0L) centers(c) = data(rnd.nextInt(data.length)).clone()
+        else {
+          var j = 0
+          while (j < d) { centers(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def nearestCenter(v: Array[Float], centers: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var dist = 0.0; var j = 0
+      val ctr = centers(c)
+      while (j < v.length) { val t = v(j) - ctr(j); dist += t * t; j += 1 }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train codebooks on a deterministic sample of residuals and encode
+    * the whole corpus in one pass (codebooks broadcast; per-partition
+    * argmin per subspace — the one imperative hot loop, like a native
+    * quantizer kernel would be).
+    */
+  def buildPq(index: Index, m: Int = 8, codebookSize: Int = 16,
+              seed: Long = 42L, trainRows: Long = 4096L,
+              idCol: String = "vec_id", embedCol: String = "embedding"): PqIndex = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val centDf = index.centroids.toSeq.toDF("list_id", "centroid")
+    val residuals = index.assigned
+      .join(broadcast(centDf), Seq("list_id"))
+      .select(col(idCol), col("list_id"),
+        zip_with(col(embedCol), col("centroid"), (a, b) => a - b).as("residual"))
+    val n = math.max(index.assigned.count(), 1L)
+    val fraction = math.min(1.0, trainRows.toDouble / n)
+    val trainDf =
+      if (fraction >= 1.0) residuals
+      else residuals.filter(Sampling.hashFilter(col(idCol), fraction))
+    // sorted so the collected training order (and thus the seeded k-means
+    // trajectory) is independent of partitioning
+    val train = trainDf.orderBy(idCol).select("residual").as[Array[Float]].collect()
+    require(train.nonEmpty, "PQ training sample is empty")
+    val dim = train.head.length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { mi =>
+      val sub = train.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
+      lloyd(sub, codebookSize, iters = 10, seed = seed + mi)
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcCents = spark.sparkContext.broadcast(index.centroids.toMap)
+    val encoded = residuals.as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        val bk = bcBooks.value; val cents = bcCents.value
+        it.map { case (id, list, res) =>
+          val codes = new Array[Int](bk.length)
+          var mi = 0
+          while (mi < bk.length) {
+            val sub = java.util.Arrays.copyOfRange(res, mi * dsub, (mi + 1) * dsub)
+            codes(mi) = nearestCenter(sub, bk(mi))
+            mi += 1
+          }
+          // norm of the reconstruction centroid + concat(codebook picks)
+          val ctr = cents(list)
+          var norm = 0.0
+          var j = 0
+          while (j < ctr.length) {
+            val vhat = ctr(j) + bk(j / dsub)(codes(j / dsub))(j % dsub)
+            norm += vhat * vhat
+            j += 1
+          }
+          (id, list, codes, math.sqrt(norm))
+        }
+      }
+      .toDF(idCol, "list_id", "codes", "vnorm")
+    PqIndex(encoded, index.centroids, books)
+  }
+
+  /** IVF-PQ search: probe `nProbe` lists, score candidates from their
+    * m-byte codes via per-query ADC lookup tables (built once per query
+    * per partition), keep the `rerank` best, then re-rank those exactly
+    * against the real embeddings. With full probing and `rerank` large
+    * enough to contain the true top-k, the result equals brute force.
+    */
+  def searchPq(pq: PqIndex, corpus: DataFrame, queries: DataFrame, k: Int,
+               nProbe: Int = 4, rerank: Int = 100): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = pq.centroids.toSeq.toDF("list_id", "centroid")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine_similarity(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("list_id"))))
+      .filter(col("c_rank") <= nProbe)
+      .select("query_id", "q_emb", "list_id")
+    val bcBooks = spark.sparkContext.broadcast(pq.codebooks)
+    val bcCents = spark.sparkContext.broadcast(pq.centroids.toMap)
+    val cands = pq.encoded.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("list_id"),
+        col("codes"), col("vnorm"))
+      .as[(Long, Array[Float], Long, Int, Array[Int], Double)]
+      .mapPartitions { it =>
+        val bk = bcBooks.value; val cents = bcCents.value
+        val m = bk.length
+        // per-partition ADC cache: query -> (qnorm, ip tables, centroid ips)
+        val tables = scala.collection.mutable.Map.empty[Long, (Double, Array[Array[Double]])]
+        val centIp = scala.collection.mutable.Map.empty[(Long, Int), Double]
+        it.map { case (qid, qe, vid, list, codes, vnorm) =>
+          val dsub = qe.length / m
+          val (qnorm, tab) = tables.getOrElseUpdate(qid, {
+            var nq = 0.0; var j = 0
+            while (j < qe.length) { nq += qe(j).toDouble * qe(j); j += 1 }
+            val t = Array.tabulate(m) { mi =>
+              bk(mi).map { code =>
+                var s = 0.0; var jj = 0
+                while (jj < dsub) { s += qe(mi * dsub + jj).toDouble * code(jj); jj += 1 }
+                s
+              }
+            }
+            (math.sqrt(nq), t)
+          })
+          val cIp = centIp.getOrElseUpdate((qid, list), {
+            val ctr = cents(list)
+            var s = 0.0; var j = 0
+            while (j < ctr.length) { s += qe(j).toDouble * ctr(j); j += 1 }
+            s
+          })
+          var ip = cIp
+          var mi = 0
+          while (mi < m) { ip += tab(mi)(codes(mi)); mi += 1 }
+          (qid, vid, ip / (qnorm * vnorm))
+        }
+      }
+      .toDF("query_id", "vec_id", "approx_cos")
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val shortlist = cands
+      .withColumn("a_rank", row_number().over(wApprox))
+      .filter(col("a_rank") <= rerank)
+      .select("query_id", "vec_id")
+    // exact re-rank: fetch real embeddings for the shortlist only
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val qe = q.withColumnRenamed("q_emb", "q_embedding")
+    val exact = shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), col("q_embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Top-k by cosine among the `nProbe` nearest lists per query. */
   def search(index: Index, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession

@@ -125,6 +125,53 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("driver-side lloyd k-means separates well-separated clusters") {
+    val rnd = new scala.util.Random(3L)
+    // two tight blobs around (0,0..) and (10,10..)
+    val data = Array.tabulate(200) { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      Array.fill(4)(base + 0.1f * rnd.nextGaussian().toFloat)
+    }
+    val centers = Ivf.lloyd(data, k = 2, iters = 10, seed = 1L)
+    val means = centers.map(_.sum / 4)
+    assert(means.exists(m => math.abs(m) < 1.0) && means.exists(m => math.abs(m - 10.0) < 1.0))
+  }
+
+  test("IVF-PQ: full probe + wide rerank reproduces brute-force top-k (n21 oracle guard)") {
+    // guards n21's shared brute-force oracle at both the spec fixture
+    // scale and the driver's sf0.01 oracle scale: the true top-10 must
+    // sit inside the PQ shortlist so exact re-ranking recovers it
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") < 5)
+        val idx = Ivf.build(emb, nLists = 8)
+        val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
+        val got = Ivf.searchPq(pq, emb, q, 10, nProbe = 8, rerank = 150)
+          .select("query_id", "vec_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val want = Similarity.bruteForceTopK(emb, q, 10)
+          .select("query_id", "vec_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == want, s"$dir: PQ full-probe top-k diverged from brute force")
+      }
+    }
+  }
+
+  test("IVF-PQ: tight budget (partial probe, short rerank) keeps useful recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val idx = Ivf.build(emb, nLists = 8)
+    val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
+    val got = Ivf.searchPq(pq, emb, q, 5, nProbe = 4, rerank = 20)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.bruteForceTopK(emb, q, 5).select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (want intersect got).size.toDouble / want.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("n14 oracle vacuity guard: fixtures have no true pairs at cosine >= 0.8") {
     // n14's DuckDB oracle is exact only because the true pair set at the
     // 0.8 threshold is EMPTY on the driver fixtures (LSH output ⊆ truth =
