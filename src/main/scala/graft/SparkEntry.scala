@@ -230,6 +230,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q24_interval_join_sql" -> ((s, dir) => {
+      // key-less proximity join through the SQL surface: the
+      // BandedIntervalJoinRule rewrite (SparkSessionExtensions) turns
+      // the abs-band nested loop into a binned hash equi-join
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""WITH p AS (SELECT event_id AS p_id, ts AS p_ts FROM events
+              |           WHERE event_type = 'purchase'),
+              |c AS (SELECT event_id AS c_id, ts AS c_ts FROM events
+              |      WHERE event_type = 'click')
+              |SELECT p_id, c_id FROM p JOIN c
+              |ON abs(CAST(p_ts AS DOUBLE) - CAST(c_ts AS DOUBLE)) <= 5.0
+              |ORDER BY p_id, c_id""".stripMargin)
+    }),
+
     "q23_salted_skew_join" -> ((s, dir) => {
       // pathological planted skew: ~30% of orders collapse onto one hot
       // customer key, then a salted join spreads that key over 8 buckets.
@@ -470,7 +485,7 @@ object SparkEntry {
         roundTo = Some(6))
     }),
 
-    "g17_grass_render" -> ((s, _) => { // rows-only (float->string rendering)
+    "g17_grass_render" -> ((s, _) => {
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
         BBox(-83.5, 41.25, -83.0, 41.5))
       Gssha.grassAscii(g, "t2m", Some("Dry Bulb Temperature")).drop("content")
@@ -780,6 +795,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_interval_join_sql" ->
+      """WITH p AS (SELECT event_id AS p_id, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p_id, c_id FROM p JOIN c
+        |ON abs(epoch(p_ts) - epoch(c_ts)) <= 5.0
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "q23_salted_skew_join" ->
       """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS revenue

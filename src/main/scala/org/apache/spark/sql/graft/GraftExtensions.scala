@@ -15,11 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => BandedIntervalJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -49,11 +51,16 @@ object GraftExtensions {
       if (args.length > 3) longArg(args(3), "seed") else 42L))
   )
 
-  /** Register the functions on an already-built session. */
+  /** Register the functions and the banded-interval-join rewrite on an
+    * already-built session (idempotent).
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(BandedIntervalJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandedIntervalJoinRule
   }
 }

@@ -24,6 +24,30 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(r.getInt(3) == 4)
   }
 
+  test("banded-interval rule: nested loop becomes equi-join, same result") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val a = Seq((1L, 0.0), (2L, 10.0), (3L, 25.0), (4L, 99.5)).toDF("a_id", "a_t")
+    val b = Seq((10L, 4.0), (20L, 10.0), (30L, 20.0), (40L, 89.5)).toDF("b_id", "b_t")
+    a.createOrReplaceTempView("band_a"); b.createOrReplaceTempView("band_b")
+    val q = spark.sql(
+      "SELECT a_id, b_id FROM band_a JOIN band_b ON abs(a_t - b_t) <= 10.0")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"rule did not fire:\n$plan")
+    // expected pairs by hand; |0-10|, |10-20| and |99.5-89.5| sit exactly
+    // at the gap and are kept (inclusive band)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (2L, 30L),
+      (3L, 30L), (4L, 40L)))
+    // a join that already has an equi key is left alone (band stays residual)
+    val keyed = spark.sql(
+      """SELECT a_id, b_id FROM band_a JOIN band_b
+        |ON a_id * 10 = b_id AND abs(a_t - b_t) <= 10.0""".stripMargin)
+    assert(keyed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(!keyed.queryExecution.optimizedPlan.toString.contains("__graft_lbin"))
+  }
+
   test("spark.sql.extensions plugin path registers functions at build time") {
     val s2 = SparkSession.builder()
       .master("local[1]")
