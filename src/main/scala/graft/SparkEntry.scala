@@ -60,6 +60,14 @@ object SparkEntry {
   private val upBox = BBox(-83.5, 41.25, -83.25, 41.5)
 
   private val grid = SyntheticGrid.sqlCte // WITH-clause body for oracles
+  // deterministic CMR granule-entry fixtures (reference response shapes:
+  // nasa_from_LPDAAC.py:322-342 — 'boxes' as "S W N E", or a polygon
+  // ring of "lat lon lat lon ..." to reduce); shared with the oracle
+  private val cmrEntries = Seq(
+    """{"producer_granule_id":"G01","boxes":["41.0 -84.0 43.0 -79.0"],"time_start":"2019-01-30T00:00:00.000Z","time_end":"2019-01-31T00:00:00.000Z"}""",
+    """{"producer_granule_id":"G02","polygons":[["41.5 -83.0 42.5 -80.0 41.75 -81.25 42.25 -82.5"]],"time_start":"2019-02-01T06:30:00.000Z","time_end":"2019-02-02T00:00:00.000Z"}""",
+    """{"producer_granule_id":"G03","boxes":["40.25 -85.5 44.0 -78.25"],"time_start":"2019-03-01T12:00:00.000Z","time_end":"2019-03-02T12:00:00.000Z"}""",
+    """{"producer_granule_id":"G04","polygons":[["39.875 -80.125 41.0 -79.0"]],"time_start":"2019-04-01T00:00:00.000Z","time_end":"2019-04-01T23:59:59.000Z"}""")
   // target axes for the spatial-resample queries (shared with oracles)
   private val xt2 = SpatialResample.targetAxis(xa, 2.0)
   private val yt2 = SpatialResample.targetAxis(ya, 2.0)
@@ -490,6 +498,13 @@ object SparkEntry {
         BBox(-83.5, 41.25, -83.0, 41.5))
       Gssha.grassAscii(g, "t2m", Some("Dry Bulb Temperature")).drop("content")
         .withColumn("len", length(col("file_name")))
+    }),
+
+    "g28_cmr_granule_bbox" -> ((s, _) => {
+      // S3 catalog-search parsing as a distributed projection
+      import s.implicits._
+      graft.sources.Cmr.granuleBBoxes(cmrEntries.toDF("entry"), "entry")
+        .orderBy("granule_id")
     }),
 
     // ============== more relational: subquery / rollup / as-of =========
@@ -1181,6 +1196,34 @@ object SparkEntry {
          |SELECT time, strftime(time, '%Y%m%d%H') || '_Temp.asc' AS file_name,
          | CAST(length(strftime(time, '%Y%m%d%H') || '_Temp.asc') AS INTEGER) AS len
          |FROM f ORDER BY time""".stripMargin,
+
+    "g28_cmr_granule_bbox" -> {
+      val values = cmrEntries.map(e => s"('$e')").mkString(",\n  ")
+      def ringNums = "list_transform(string_split(ring, ' '), x -> CAST(x AS DOUBLE))"
+      s"""WITH e(entry) AS (VALUES
+         |  $values),
+         |g AS (SELECT
+         |  json_extract_string(entry, '$$.producer_granule_id') AS granule_id,
+         |  json_extract_string(entry, '$$.boxes[0]') AS box,
+         |  json_extract_string(entry, '$$.polygons[0][0]') AS ring,
+         |  json_extract_string(entry, '$$.time_start') AS ts0,
+         |  json_extract_string(entry, '$$.time_end') AS ts1
+         | FROM e),
+         |b AS (SELECT granule_id, ts0, ts1,
+         |  CASE WHEN box IS NOT NULL
+         |   THEN list_transform(string_split(box, ' '), x -> CAST(x AS DOUBLE))
+         |   ELSE [list_min(list_filter($ringNums, (x, i) -> i % 2 = 1)),
+         |         list_min(list_filter($ringNums, (x, i) -> i % 2 = 0)),
+         |         list_max(list_filter($ringNums, (x, i) -> i % 2 = 1)),
+         |         list_max(list_filter($ringNums, (x, i) -> i % 2 = 0))]
+         |  END AS bbox
+         | FROM g)
+         |SELECT granule_id, bbox[2] AS west, bbox[1] AS south,
+         | bbox[4] AS east, bbox[3] AS north,
+         | strptime(ts0, '%Y-%m-%dT%H:%M:%S.%fZ') AS start_date,
+         | strptime(ts1, '%Y-%m-%dT%H:%M:%S.%fZ') AS end_date
+         |FROM b ORDER BY granule_id""".stripMargin
+    },
 
     "q14_above_avg_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

@@ -24,6 +24,24 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(r.getInt(3) == 4)
   }
 
+  test("CMR granule parsing: boxes and polygon rings reduce to the reference bbox (S3)") {
+    import spark.implicits._
+    // reference semantics (nasa_from_LPDAAC.py:322-342): boxes are
+    // "S W N E"; polygon rings alternate "lat lon lat lon ..."
+    val entries = Seq(
+      """{"producer_granule_id":"A","boxes":["10.0 -20.0 30.0 -5.0"],"time_start":"2020-01-01T00:00:00.000Z","time_end":"2020-01-02T00:00:00.000Z"}""",
+      """{"producer_granule_id":"B","polygons":[["1.0 7.0 3.0 5.0 2.0 9.0"]],"time_start":"2020-06-01T00:00:00.000Z","time_end":"2020-06-02T00:00:00.000Z"}"""
+    ).toDF("entry")
+    val r = graft.sources.Cmr.granuleBBoxes(entries, "entry")
+      .orderBy("granule_id").collect()
+    assert(r(0).getDouble(1) == -20.0 && r(0).getDouble(2) == 10.0 &&
+           r(0).getDouble(3) == -5.0 && r(0).getDouble(4) == 30.0)
+    // lats {1,3,2}, lons {7,5,9} -> west=5, south=1, east=9, north=3
+    assert(r(1).getDouble(1) == 5.0 && r(1).getDouble(2) == 1.0 &&
+           r(1).getDouble(3) == 9.0 && r(1).getDouble(4) == 3.0)
+    assert(r(0).getTimestamp(5).toString.startsWith("2020-01-01"))
+  }
+
   test("banded-interval rule: nested loop becomes equi-join, same result") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
