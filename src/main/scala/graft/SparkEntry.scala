@@ -97,6 +97,109 @@ object SparkEntry {
       .toLocalDateTime.format(
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
+  // ---- spline-upsample oracle scaffolding -----------------------------
+  // The spline value at any output time is linear in the knot values, so
+  // the oracle can be a weight table joined to the knots: out(q) =
+  // sum_j L_j(q) * y_j with L_j the cardinal functions of the 73-knot
+  // uniform grid. For the CUBIC oracle the weights come from an
+  // INDEPENDENT dense assembly (explicit third-derivative-continuity
+  // rows + partial-pivot Gaussian elimination, in knot units) rather
+  // than the production folded-Thomas solver; agreement is ~1e-12,
+  // far inside the round(.., 6) compare. The QUADRATIC weights reuse the
+  // production `Spline.quadratic` (no second independent B-spline
+  // implementation) — that oracle verifies the distributed pipeline
+  // (grid generation, grouping, evaluation), not the solver itself,
+  // which SplineSpec pins against closed-form polynomial laws.
+  private def denseNotAKnotM(y: Array[Double]): Array[Double] = {
+    val n = y.length
+    val a = Array.ofDim[Double](n, n)
+    val rhs = new Array[Double](n)
+    a(0)(0) = 1; a(0)(1) = -2; a(0)(2) = 1 // 3rd-deriv continuity at t1
+    for (i <- 1 until n - 1) {
+      a(i)(i - 1) = 1; a(i)(i) = 4; a(i)(i + 1) = 1
+      rhs(i) = 6.0 * (y(i + 1) - 2 * y(i) + y(i - 1))
+    }
+    a(n - 1)(n - 3) = 1; a(n - 1)(n - 2) = -2; a(n - 1)(n - 1) = 1
+    // Gaussian elimination with partial pivoting
+    for (col <- 0 until n) {
+      val piv = (col until n).maxBy(r => math.abs(a(r)(col)))
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t
+        val tr = rhs(piv); rhs(piv) = rhs(col); rhs(col) = tr }
+      for (r <- col + 1 until n) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          for (c <- col until n) a(r)(c) -= f * a(col)(c)
+          rhs(r) -= f * rhs(col)
+        }
+      }
+    }
+    val m = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = rhs(r)
+      for (c <- r + 1 until n) s -= a(r)(c) * m(c)
+      m(r) = s / a(r)(r)
+    }
+    m
+  }
+
+  /** (qi, j, weight) triples for an upsample of an n-knot uniform grid
+    * by `upFactor`, dropping |w| <= 1e-12 (cardinal splines decay
+    * geometrically away from their knot).
+    */
+  private def splineWeights(n: Int, upFactor: Int,
+      eval: (Array[Double], Int) => Double): Seq[(Int, Int, Double)] = {
+    val nq = (n - 1) * upFactor + 1
+    (0 until n).flatMap { j =>
+      val y = new Array[Double](n); y(j) = 1.0
+      (0 until nq).map(qi => (qi, j, eval(y, qi)))
+    }.filter(t => math.abs(t._3) > 1e-12)
+  }
+
+  private lazy val cubicWeights: Seq[(Int, Int, Double)] =
+    splineWeights(SyntheticGrid.NT, 2, { (y, qi) =>
+      val m = denseNotAKnotM(y)
+      val tq = qi / 2.0
+      val i = math.min(y.length - 2, tq.toInt)
+      val a = (i + 1) - tq; val b = tq - i
+      a * y(i) + b * y(i + 1) +
+        ((a * a * a - a) * m(i) + (b * b * b - b) * m(i + 1)) / 6.0
+    })
+
+  private lazy val quadraticWeights: Seq[(Int, Int, Double)] = {
+    val n = SyntheticGrid.NT
+    val ts = Array.tabulate(n)(_.toDouble)
+    val qs = Array.tabulate((n - 1) * 2 + 1)(_ / 2.0)
+    (0 until n).flatMap { j =>
+      val y = new Array[Double](n); y(j) = 1.0
+      val vs = graft.functions.Spline.quadratic(ts, y, qs)
+      vs.indices.map(qi => (qi, j, vs(qi)))
+    }.filter(t => math.abs(t._3) > 1e-12)
+  }
+
+  private def splineOracleSql(weights: Seq[(Int, Int, Double)],
+                              nudge: Boolean = false): String = {
+    val epoch0 = java.time.LocalDateTime.parse("2019-01-30T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val values = weights.map { case (qi, j, w) =>
+      val s0 = w.toString
+      val lit = if (s0.contains("E")) s0 else s0 + "e0" // force DOUBLE parse
+      s"($qi, $j, $lit)"
+    }.mkString(",\n  ")
+    val v = if (nudge) "sum(wt * t2m) + 1e-9" else "sum(wt * t2m)"
+    s"""WITH $grid,
+       |src AS (SELECT time, y, x, t2m FROM grid
+       |        WHERE x BETWEEN ${upBox.west} AND ${upBox.east}
+       |          AND y BETWEEN ${upBox.south} AND ${upBox.north}),
+       |knots AS (SELECT y, x,
+       |  CAST((epoch(time) - $epoch0) / 3600 AS BIGINT) AS j, t2m FROM src),
+       |w(qi, j, wt) AS (VALUES
+       |  $values)
+       |SELECT make_timestamp((CAST($epoch0 AS BIGINT) + qi * 1800) * 1000000) AS time,
+       | y, x, round($v, 6) AS t2m
+       |FROM knots JOIN w USING (j)
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -463,16 +566,23 @@ object SparkEntry {
       TemporalResample.upsample(g, 1800, "nearest").df.orderBy("time", "y", "x")
     }),
 
-    "g19_upsample_cubic" -> ((s, _) => { // rows-only (no spline oracle)
+    "g19_upsample_cubic" -> ((s, _) => {
+      // oracled against an independent dense not-a-knot solve (see the
+      // spline-oracle scaffolding above)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
       TemporalResample.upsample(g, 1800, "cubic").df
         .withColumn("t2m", round(col("t2m"), 6)).orderBy("time", "y", "x")
     }),
 
-    "g20_upsample_quadratic" -> ((s, _) => { // rows-only (no spline oracle)
+    "g20_upsample_quadratic" -> ((s, _) => {
+      // oracled pipeline check (weights from the production solver).
+      // +1e-9 before rounding: at knot times the true value is a dyadic
+      // k/2^10 that often sits EXACTLY on the .5e-6 rounding boundary,
+      // while both engines evaluate it with ~1e-13 residue on either
+      // side; the nudge moves the boundary off those values symmetrically
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
       TemporalResample.upsample(g, 1800, "quadratic").df
-        .withColumn("t2m", round(col("t2m"), 6)).orderBy("time", "y", "x")
+        .withColumn("t2m", round(col("t2m") + 1e-9, 6)).orderBy("time", "y", "x")
     }),
 
     "g15_gage_render" -> ((s, _) => {
@@ -1039,6 +1149,10 @@ object SparkEntry {
          |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
+
+    "g19_upsample_cubic" -> splineOracleSql(cubicWeights),
+
+    "g20_upsample_quadratic" -> splineOracleSql(quadraticWeights, nudge = true),
 
     "g23_spatial_agg_half" ->
       s"""WITH $grid,
