@@ -780,6 +780,15 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n22_contamination" -> ((s, dir) => {
+      // decontamination pass: word-5-gram overlap of each training doc
+      // against a deterministically hash-sampled eval set
+      val docs = t(s, dir, "documents")
+      val evalSet = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.1)
+      val train = docs.filter(!graft.ops.Sampling.hashFilter(col("doc_id"), 0.1))
+      TextAnalysis.ngramContamination(train, evalSet, 5).orderBy("doc_id")
+    }),
+
     "n21_knn_ivfpq" -> ((s, dir) => {
       // IVF-PQ with full probing and a rerank window comfortably larger
       // than k: the exact re-rank then reproduces brute-force top-k
@@ -1437,6 +1446,22 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n22_contamination" -> {
+      val thr = graft.ops.Sampling.hexThreshold(0.1)
+      val grams = """list_distinct(list_transform(
+        | generate_series(1, len(ws) - 4),
+        | i -> array_to_string(ws[i:i+4], ' ')))""".stripMargin.replace("\n", "")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tg AS (SELECT doc_id, unnest($grams) AS gram FROM w
+         |       WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')),
+         |eg AS (SELECT DISTINCT unnest($grams) AS gram FROM w
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')
+         |SELECT tg.doc_id, count(*) AS n_grams, count(eg.gram) AS n_shared,
+         | CAST(count(eg.gram) AS DOUBLE) / count(*) AS contamination
+         |FROM tg LEFT JOIN eg ON tg.gram = eg.gram
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin
+    },
 
     "n19_deterministic_sample" -> {
       val thr = graft.ops.Sampling.hexThreshold(0.3)

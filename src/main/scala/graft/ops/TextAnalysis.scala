@@ -82,4 +82,35 @@ object TextAnalysis {
       md5(norm).as("md5_fingerprint"),
       rolling_hash64(norm).as("rolling_fingerprint"))
   }
+
+  /** Train/eval n-gram contamination check — the decontamination pass of
+    * a training-data pipeline (flag training documents that share long
+    * word n-grams with a benchmark/eval set; Brown et al. 2020 App. C).
+    *
+    * Per train doc: distinct word n-grams, how many occur anywhere in
+    * the eval set, and the contaminated fraction. The eval gram relation
+    * is gram-distinct and joined once on the gram string — corpus-linear
+    * (train text streams through once; eval is benchmark-sized and
+    * typically broadcastable), never a doc x doc comparison. Documents
+    * shorter than n words have no grams and drop out.
+    */
+  def ngramContamination(train: DataFrame, eval: DataFrame,
+                         n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val words = split(col("text"), " ")
+      val g = when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+        .otherwise(array())
+      df.select(col("doc_id"), explode(g).as("gram")).distinct()
+    }
+    val evalGrams = grams(eval).select("gram").distinct()
+      .withColumn("__hit", lit(1))
+    grams(train)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
 }

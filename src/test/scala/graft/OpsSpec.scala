@@ -125,6 +125,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("n-gram contamination flags planted benchmark overlap, ignores clean docs") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "the capital of france is paris obviously")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we know the capital of france is paris and more"), // contains a shared 5-gram
+      (2L, "completely unrelated words about query engines and shuffles"),
+      (3L, "tiny doc")                                          // < 5 words: no grams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramContamination(train, evalSet, 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._2 >= 1, "planted overlap must be flagged")
+    assert(r(2L)._2 == 0)
+    assert(!r.contains(3L), "sub-n docs have no grams and drop out")
+    // gram counts: n words -> n - 4 distinct grams (10 -> 6, 8 -> 4)
+    assert(r(1L)._1 == 6 && r(2L)._1 == 4)
+    // the two planted shared grams: "the capital of france is",
+    // "capital of france is paris"
+    assert(r(1L)._2 == 2)
+  }
+
   test("driver-side lloyd k-means separates well-separated clusters") {
     val rnd = new scala.util.Random(3L)
     // two tight blobs around (0,0..) and (10,10..)
