@@ -500,6 +500,18 @@ object SparkEntry {
         .orderBy("time", "y", "x")
     }),
 
+    "g29_spatial_cubicspline_x2" -> ((s, _) => {
+      // GDAL cubic_spline: B3 smoothing kernel, completes the
+      // rasterio.Resampling family
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      // +1e-9 before rounding: B3 weights are k/6 rationals, so aligned
+      // cells can land exactly on the .5e-6 rounding boundary with
+      // engine-order ulp residue on either side (cf. g20)
+      SpatialResample.cubicSpline(g, fy = 2.0, fx = 2.0).df
+        .withColumn("t2m", round(col("t2m") + 1e-9, 6))
+        .orderBy("time", "y", "x")
+    }),
+
     "g23_spatial_agg_half" -> ((s, _) => {
       // reduction half of the rasterio.Resampling family (X1):
       // average/sum/min/max/rms block downsample; exact across engines
@@ -1162,6 +1174,34 @@ object SparkEntry {
     "g19_upsample_cubic" -> splineOracleSql(cubicWeights),
 
     "g20_upsample_quadratic" -> splineOracleSql(quadraticWeights, nudge = true),
+
+    "g29_spatial_cubicspline_x2" -> {
+      def kern(d: String): String =
+        s"""CASE WHEN abs($d) <= 1.0
+           | THEN (4.0 - 6.0 * abs($d) * abs($d) + 3.0 * abs($d) * abs($d) * abs($d)) / 6.0
+           | WHEN abs($d) < 2.0
+           | THEN (2.0 - abs($d)) * (2.0 - abs($d)) * (2.0 - abs($d)) / 6.0
+           | ELSE 0.0 END""".stripMargin.replace("\n", " ")
+      s"""WITH $grid,
+         |tgt AS (SELECT id // ${xt2.n} AS jy2, id % ${xt2.n} AS jx2
+         |        FROM range(${xt2.n.toLong * yt2.n}) t(id)),
+         |m AS (SELECT (${yt2.origin} + jy2 * ${yt2.step}) AS y2,
+         |             (${xt2.origin} + jx2 * ${xt2.step}) AS x2,
+         |  (${xt2.origin} + jx2 * ${xt2.step} - ${xa.origin}) / ${xa.step} AS gx,
+         |  (${yt2.origin} + jy2 * ${yt2.step} - ${ya.origin}) / ${ya.step} AS gy
+         | FROM tgt),
+         |taps AS (SELECT a.ky, b.kx
+         |         FROM (VALUES (-1),(0),(1),(2)) a(ky), (VALUES (-1),(0),(1),(2)) b(kx)),
+         |corners AS (
+         | SELECT y2, x2,
+         |  least(greatest(CAST(floor(gy) + ky AS BIGINT), 0), ${ya.n - 1}) AS jy,
+         |  least(greatest(CAST(floor(gx) + kx AS BIGINT), 0), ${xa.n - 1}) AS jx,
+         |  (${kern("gx - (floor(gx) + kx)")}) * (${kern("gy - (floor(gy) + ky)")}) AS w
+         | FROM m, taps)
+         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w) + 1e-9, 6) AS t2m
+         |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
 
     "g23_spatial_agg_half" ->
       s"""WITH $grid,

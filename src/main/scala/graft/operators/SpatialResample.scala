@@ -125,12 +125,34 @@ object SpatialResample {
       .otherwise(lit(0.0))
   }
 
+  /** Cubic B-spline kernel B3 (rasterio/GDAL `cubic_spline`): the
+    * smoothing (non-interpolating) 4-tap companion of Keys cubic, a
+    * partition of unity so per-axis weights sum to 1 without
+    * normalization.
+    */
+  private def bsplineKernel(d: org.apache.spark.sql.Column) = {
+    val ad = abs(d)
+    when(ad <= 1.0,
+        (lit(4.0) - lit(6.0) * ad * ad + lit(3.0) * ad * ad * ad) / 6.0)
+      .when(ad < 2.0,
+        (lit(2.0) - ad) * (lit(2.0) - ad) * (lit(2.0) - ad) / 6.0)
+      .otherwise(lit(0.0))
+  }
+
   /** Bicubic regrid: 4x4 tap window per target cell (16-corner explode,
     * same join-aggregate shape as bilinear). Tap weights use the
     * unclamped tap distance; tap indices clamp at edges (replicate),
     * keeping the per-axis weight sum at 1 everywhere.
     */
-  def cubic(g: GridDataset, fy: Double, fx: Double): GridDataset = {
+  def cubic(g: GridDataset, fy: Double, fx: Double): GridDataset =
+    tap4Regrid(g, fy, fx, keysKernel)
+
+  /** GDAL `cubic_spline` regrid: the same 4x4 tap plan with B3 weights. */
+  def cubicSpline(g: GridDataset, fy: Double, fx: Double): GridDataset =
+    tap4Regrid(g, fy, fx, bsplineKernel)
+
+  private def tap4Regrid(g: GridDataset, fy: Double, fx: Double,
+      kernel: org.apache.spark.sql.Column => org.apache.spark.sql.Column): GridDataset = {
     val (xa, ya) = axes(g)
     val (m, xt, yt) = mapping(g.df.sparkSession, xa, ya, fx, fy)
     val taps = for (ky <- -1 to 2; kx <- -1 to 2) yield (ky, kx)
@@ -140,8 +162,8 @@ object SpatialResample {
     val withK = (-1 to 2).foldLeft(
       m.withColumn("fx", col("gx") - floor(col("gx")))
        .withColumn("fy", col("gy") - floor(col("gy")))) { (d, k) =>
-      d.withColumn(s"wx_$k", keysKernel(col("fx") - k))
-       .withColumn(s"wy_$k", keysKernel(col("fy") - k))
+      d.withColumn(s"wx_$k", kernel(col("fx") - k))
+       .withColumn(s"wy_$k", kernel(col("fy") - k))
     }
     val tapStructs = taps.map { case (ky, kx) =>
       struct(

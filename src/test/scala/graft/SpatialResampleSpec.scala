@@ -65,6 +65,21 @@ class SpatialResampleSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("cubic_spline (B3) regrid: partition of unity preserves constants; smooths") {
+    val const = grid.copy(df = grid.df.withColumn("t2m", lit(2.25)))
+    val c = SpatialResample.cubicSpline(const, 2.0, 2.0)
+    val mm = c.df.agg(min("t2m"), max("t2m")).collect()(0)
+    assert(math.abs(mm.getDouble(0) - 2.25) < 1e-9 && math.abs(mm.getDouble(1) - 2.25) < 1e-9)
+    assert(c.df.count() == 73L * 38 * 14)
+    // B3 weights are nonnegative -> output bounded by the source range
+    // (unlike Keys cubic, which can overshoot)
+    val src = grid.df.agg(min("t2m"), max("t2m")).collect()(0)
+    val out = SpatialResample.cubicSpline(grid, 2.0, 2.0).df
+      .agg(min("t2m"), max("t2m")).collect()(0)
+    assert(out.getDouble(0) >= src.getDouble(0) - 1e-9)
+    assert(out.getDouble(1) <= src.getDouble(1) + 1e-9)
+  }
+
   test("lanczos regrid: constant stays constant (normalized weights), shape law") {
     val const = grid.copy(df = grid.df.withColumn("t2m", lit(5.0)))
     val l = SpatialResample.lanczos(const, 2.0, 2.0)
