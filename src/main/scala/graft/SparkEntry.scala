@@ -810,7 +810,7 @@ object SparkEntry {
       val idx = Ivf.build(emb, nLists = 8)
       val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
       Ivf.searchPq(pq, emb, emb.filter(col("vec_id") < 5), 10,
-          nProbe = 8, rerank = 150)
+          nProbe = 8, rerank = Ivf.rerankFor(emb.count()))
         .select(col("query_id"), col("vec_id"),
           round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")

@@ -180,6 +180,14 @@ object Ivf {
     PqIndex(encoded, index.centroids, books)
   }
 
+  /** Rerank window for an exhaustive-intent search over an n-vector
+    * corpus: PQ recall at a FIXED shortlist degrades as the corpus
+    * grows (quantization noise stays constant while the candidate
+    * density under it rises), so the window scales with n. Shared by
+    * n21 and its OpsSpec containment guard.
+    */
+  def rerankFor(n: Long): Int = math.max(150L, n / 10).toInt
+
   /** IVF-PQ search: probe `nProbe` lists, score candidates from their
     * m-byte codes via per-query ADC lookup tables (built once per query
     * per partition), keep the `rerank` best, then re-rank those exactly

@@ -161,13 +161,14 @@ class OpsSpec extends SparkSpec {
     // guards n21's shared brute-force oracle at both the spec fixture
     // scale and the driver's sf0.01 oracle scale: the true top-10 must
     // sit inside the PQ shortlist so exact re-ranking recovers it
-    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val q = emb.filter(col("vec_id") < 5)
         val idx = Ivf.build(emb, nLists = 8)
         val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
-        val got = Ivf.searchPq(pq, emb, q, 10, nProbe = 8, rerank = 150)
+        val got = Ivf.searchPq(pq, emb, q, 10, nProbe = 8,
+            rerank = Ivf.rerankFor(emb.count()))
           .select("query_id", "vec_id", "rank")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         val want = Similarity.bruteForceTopK(emb, q, 10)
