@@ -190,8 +190,11 @@ object SpatialResample {
   }
 
   /** Lanczos-3 kernel: sinc(d)*sinc(d/3) = 3*sin(pi*d)*sin(pi*d/3)/(pi*d)^2
-    * for |d| < 3 (rasterio/GDAL `lanczos`). Written exactly like this in
-    * the DuckDB oracle so both engines evaluate the same expression tree.
+    * for |d| < 3 (rasterio/GDAL `lanczos`; the reference's test loops
+    * over every `rasterio.enums.Resampling` method —
+    * testing/test_3_era5_manipulations.py:83-99, dispatch
+    * core_functions.py:292-299). Written exactly like this in the
+    * DuckDB oracle so both engines evaluate the same expression tree.
     */
   private def lanczosKernel(d: org.apache.spark.sql.Column) = {
     val pi = lit(math.Pi)

@@ -16,6 +16,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Streaming exact dedup — the unbounded-source variant of
+    * `graft.ops.Dedup.exactDedup`: drop events whose fingerprint
+    * (md5 of the payload columns) was already seen within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` bounds the dedup state by
+    * event time, which is what makes exact dedup feasible on an
+    * unbounded 100 TB stream — state holds one fingerprint per distinct
+    * payload per horizon, not per all time. Batch input degrades to a
+    * plain dropDuplicates on the same key.
+    */
+  def streamingDedup(events: DataFrame, payloadCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame = {
+    val keyed = events.withColumn("__fp",
+      md5(concat_ws("", payloadCols.map(col): _*)))
+    if (events.isStreaming)
+      keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("__fp")
+        .drop("__fp")
+    else keyed.dropDuplicates("__fp").drop("__fp")
+  }
+
   /** Tumbling event-time window aggregate with late-data watermark. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame = {

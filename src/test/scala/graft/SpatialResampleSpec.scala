@@ -143,6 +143,13 @@ class SpatialResampleSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("block downsample is partition-invariant (same result after repartition)") {
+    val a = SpatialResample.blockAgg(grid, 0.5, 0.5, Seq("average", "med")).df
+    val shuffled = grid.copy(df = grid.df.repartition(13))
+    val b = SpatialResample.blockAgg(shuffled, 0.5, 0.5, Seq("average", "med")).df
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("bilinear interpolates linearly between cell centers") {
     // linear-in-x field: t2m = x  ->  any bilinear resample must reproduce x
     val lin = grid.copy(df = grid.df.withColumn("t2m", col("x")))
