@@ -714,7 +714,9 @@ object SparkEntry {
         .select("doc_id", "md5_fingerprint").orderBy("doc_id")
     }),
 
-    "n07_fingerprints_rolling" -> ((s, dir) => { // rows-only (native expr)
+    "n07_fingerprints_rolling" -> ((s, dir) => {
+      // the native rolling_hash64 expression, oracled: DuckDB replays
+      // h = (h*131 + char) mod (2^61 - 1) via list_reduce in HUGEINT
       TextAnalysis.fingerprints(t(s, dir, "documents"))
         .select("doc_id", "rolling_fingerprint").orderBy("doc_id")
     }),
@@ -1473,6 +1475,22 @@ object SparkEntry {
     "n06_fingerprints" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "n07_fingerprints_rolling" ->
+      // chars via unicode() codepoints == Java UTF-16 units for the
+      // BMP text the fixtures carry; empty strings filtered (their
+      // hash is the 0 seed on both sides)
+      """SELECT doc_id,
+        | CAST(list_reduce(
+        |   list_prepend(CAST(0 AS HUGEINT),
+        |     list_transform(
+        |       list_filter(string_split_regex(
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |         ch -> ch <> ''),
+        |       ch -> CAST(unicode(ch) AS HUGEINT))),
+        |   (acc, c) -> (acc * 131 + c) % 2305843009213693951) AS BIGINT)
+        |   AS rolling_fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "n08_knn_bruteforce" ->

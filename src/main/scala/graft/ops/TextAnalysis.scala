@@ -96,13 +96,16 @@ object TextAnalysis {
     */
   def ngramContamination(train: DataFrame, eval: DataFrame,
                          n: Int = 5): DataFrame = {
+    // per-doc gram dedup happens INSIDE the row (array_distinct before
+    // the explode) — a document is one row, so no corpus-wide distinct
+    // shuffle is ever needed on the train side
     def grams(df: DataFrame): DataFrame = {
       val words = split(col("text"), " ")
       val g = when(size(words) >= n,
-          transform(sequence(lit(0), size(words) - n),
-            i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+          array_distinct(transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ", slice(words, i + 1, lit(n))))))
         .otherwise(array())
-      df.select(col("doc_id"), explode(g).as("gram")).distinct()
+      df.select(col("doc_id"), explode(g).as("gram"))
     }
     val evalGrams = grams(eval).select("gram").distinct()
       .withColumn("__hit", lit(1))
