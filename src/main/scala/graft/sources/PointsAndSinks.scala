@@ -33,8 +33,10 @@ object PointSource {
 }
 
 /** Suffix-dispatched table sink (SURVEY.md §2.1 S7; reference:
-  * utility_functions.py:477-522). XLSX is an intentional deviation:
-  * there is no Spark xlsx writer, callers get CSV with a clear error.
+  * utility_functions.py:477-522). XLSX goes through a minimal built-in
+  * OOXML writer (`Xlsx`) — these per-variable tables are small
+  * (timesteps × points, reference writes them driver-side via pandas
+  * too), so a driver-side collect matches the reference's cost shape.
   */
 object TableSink {
   def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit = {
@@ -44,9 +46,73 @@ object TableSink {
     else if (lower.endsWith(".csv"))
       df.write.mode(mode).option("header", "true").csv(path)
     else if (lower.endsWith(".json")) df.write.mode(mode).json(path)
-    else if (lower.endsWith(".xlsx"))
-      throw new IllegalArgumentException(
-        "xlsx is not supported by Spark writers; use .csv (documented deviation)")
+    else if (lower.endsWith(".xlsx")) Xlsx.write(df, path, overwrite)
     else throw new IllegalArgumentException(s"unrecognized table suffix: $path")
+  }
+}
+
+/** Dependency-free minimal XLSX writer: an .xlsx file is a ZIP of five
+  * small XML parts; `java.util.zip` + inline strings (no sharedStrings
+  * table) produce a spec-valid single-sheet workbook. Numeric columns
+  * become number cells, everything else inline-string cells.
+  */
+object Xlsx {
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def colRef(i: Int): String = { // 0 -> A, 25 -> Z, 26 -> AA
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (!overwrite && java.nio.file.Files.exists(p))
+      throw new IllegalArgumentException(s"$path exists and overwrite=false")
+    val schema = df.schema
+    val numeric = schema.fields.map(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    val rows = df.collect() // small per-variable tables; reference also materializes
+    val sheet = new StringBuilder
+    sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sheet.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    def cell(ref: String, v: Any, num: Boolean): String =
+      if (v == null) ""
+      else if (num) s"""<c r="$ref"><v>$v</v></c>"""
+      else s"""<c r="$ref" t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
+    sheet.append("<row r=\"1\">")
+    schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+      sheet.append(cell(s"${colRef(i)}1", f, num = false))
+    }
+    sheet.append("</row>")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      sheet.append(s"""<row r="${ri + 2}">""")
+      schema.indices.foreach { ci =>
+        sheet.append(cell(s"${colRef(ci)}${ri + 2}", r.get(ci), numeric(ci)))
+      }
+      sheet.append("</row>")
+    }
+    sheet.append("</sheetData></worksheet>")
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""",
+      "_rels/.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
+      "xl/workbook.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/worksheets/sheet1.xml" -> sheet.toString)
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    try parts.foreach { case (name, content) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.closeEntry()
+    } finally out.close()
   }
 }

@@ -108,16 +108,39 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(p2.head._1 == "gageA")
   }
 
-  test("table sink dispatches by suffix; xlsx is a documented deviation") {
+  test("table sink dispatches by suffix; xlsx writes a valid OOXML workbook") {
     import spark.implicits._
-    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val df = Seq((1, "a"), (2, "b & <c>")).toDF("id", "s")
     val dir = Files.createTempDirectory("sink")
     TableSink.write(df, s"$dir/out.parquet")
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
     TableSink.write(df, s"$dir/out.csv")
     assert(spark.read.option("header", "true").csv(s"$dir/out.csv").count() == 2)
-    assertThrows[IllegalArgumentException](TableSink.write(df, s"$dir/out.xlsx"))
     assertThrows[IllegalArgumentException](TableSink.write(df, s"$dir/out.bin"))
+
+    TableSink.write(df, s"$dir/out.xlsx")
+    // reopen the package: required parts present, sheet XML parses, and
+    // header + cells round-trip (numbers as <v>, strings inline escaped)
+    val zf = new java.util.zip.ZipFile(s"$dir/out.xlsx")
+    try {
+      val names = {
+        import scala.jdk.CollectionConverters._
+        zf.entries().asScala.map(_.getName).toSet
+      }
+      assert(Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml").subsetOf(names))
+      val sheet = new String(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(sheet.getBytes("UTF-8")))
+      val rows = doc.getElementsByTagName("row")
+      assert(rows.getLength == 3) // header + 2 data rows
+      assert(sheet.contains("<c r=\"A2\"><v>1</v></c>"))
+      assert(sheet.contains("b &amp; &lt;c&gt;"))
+      assert(sheet.contains("<t>id</t>") && sheet.contains("<t>s</t>"))
+    } finally zf.close()
   }
 
   test("datetime input-union parsing incl. int-year validation (P7/F1)") {
