@@ -374,6 +374,20 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    "q25_window_ntile" -> ((s, dir) => {
+      // the remaining ranking-window family: ntile / percent_rank /
+      // cume_dist (rank ratios are exact rationals; round for parity)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     "q18_running_totals" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
@@ -970,6 +984,17 @@ object SparkEntry {
         | lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate, o_orderkey) AS next_order
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q25_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, quartile, pr, cd FROM (
+        | SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        | FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q19_json_extract" ->
       """SELECT event_type, count(*) AS n,
