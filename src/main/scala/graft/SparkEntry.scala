@@ -630,10 +630,11 @@ object SparkEntry {
     }),
 
     "g17_grass_render" -> ((s, _) => {
+      // full-content oracle: header + per-row value rendering are exact
+      // strings (grid values are binary-exact doubles)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
         BBox(-83.5, 41.25, -83.0, 41.5))
-      Gssha.grassAscii(g, "t2m", Some("Dry Bulb Temperature")).drop("content")
-        .withColumn("len", length(col("file_name")))
+      Gssha.grassAscii(g, "t2m", Some("Dry Bulb Temperature"))
     }),
 
     "g28_cmr_granule_bbox" -> ((s, _) => {
@@ -1380,12 +1381,21 @@ object SparkEntry {
          |   '999.99', '999.99') AS line
          |FROM grid GROUP BY time ORDER BY time""".stripMargin,
 
-    "g17_grass_render" ->
+    "g17_grass_render" -> {
+      // header lines mirror Gssha.grassAscii on the cropped axes
+      // (x: -83.5..-83.0 step 0.25 -> 3 cols; y: 41.25..41.5 -> 2 rows)
+      val hdr = Seq("north: 41.5", "south: 41.25", "east: -83.0",
+          "west: -83.5", "rows: 2", "cols: 3")
+        .map(l => s"'$l'").mkString(" || chr(10) || ") + " || chr(10)"
       s"""WITH $grid,
-         |f AS (SELECT DISTINCT time FROM grid)
+         |src AS (SELECT time, y, x, t2m FROM grid
+         |        WHERE x BETWEEN -83.5 AND -83.0 AND y BETWEEN 41.25 AND 41.5),
+         |r AS (SELECT time, y, string_agg(CAST(t2m AS VARCHAR), ' ' ORDER BY x) AS rowstr
+         |      FROM src GROUP BY time, y)
          |SELECT time, strftime(time, '%Y%m%d%H') || '_Temp.asc' AS file_name,
-         | CAST(length(strftime(time, '%Y%m%d%H') || '_Temp.asc') AS INTEGER) AS len
-         |FROM f ORDER BY time""".stripMargin,
+         | $hdr || string_agg(rowstr, chr(10) ORDER BY y DESC) AS content
+         |FROM r GROUP BY time ORDER BY time""".stripMargin
+    },
 
     "g28_cmr_granule_bbox" -> {
       val values = cmrEntries.map(e => s"('$e')").mkString(",\n  ")
