@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.BBox
-import graft.operators.{AsOfJoin, Crop, Gssha, PointExtract, SaltedJoin, SpatialResample, TemporalResample, VariableMerge}
+import graft.operators.{AsOfJoin, Crop, Gssha, PointExtract, Reproject, SaltedJoin, SpatialResample, TemporalResample, VariableMerge}
 import graft.ops.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{SyntheticGrid, Tables}
 import graft.streaming.EventStreams
@@ -77,6 +77,16 @@ object SparkEntry {
   // raster west/south edges (GDAL geometry) for the block-membership rule
   private val blockWx = xa.origin - xa.step / 2.0
   private val blockWy = ya.origin - ya.step / 2.0
+  // projected (GLanCE LAEA) twin of the synthetic axes for the reproject
+  // query: exact power-of-two meters so index recomputation is exact
+  private val glXa = graft.model.AxisSpec(1310720.0, 32768.0, SyntheticGrid.NX)
+  private val glYa = graft.model.AxisSpec(-1048576.0, 32768.0, SyntheticGrid.NY)
+  // force-DOUBLE literal (DuckDB parses long fractional literals as
+  // DECIMAL; exponent notation always parses as DOUBLE)
+  private def dlit(v: Double): String = {
+    val s0 = v.toString
+    if (s0.contains("E")) s0 else s0 + "e0"
+  }
   // DuckDB parses long fractional literals as DECIMAL and keeps pure
   // decimal/bigint arithmetic in DECIMAL — cast to DOUBLE so the oracle
   // computes in IEEE754 exactly like Spark
@@ -181,9 +191,7 @@ object SparkEntry {
     val epoch0 = java.time.LocalDateTime.parse("2019-01-30T00:00:00")
       .toEpochSecond(java.time.ZoneOffset.UTC)
     val values = weights.map { case (qi, j, w) =>
-      val s0 = w.toString
-      val lit = if (s0.contains("E")) s0 else s0 + "e0" // force DOUBLE parse
-      s"($qi, $j, $lit)"
+      s"($qi, $j, ${dlit(w)})"
     }.mkString(",\n  ")
     val v = if (nudge) "sum(wt * t2m) + 1e-9" else "sum(wt * t2m)"
     s"""WITH $grid,
@@ -635,6 +643,20 @@ object SparkEntry {
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")),
         BBox(-83.5, 41.25, -83.0, 41.5))
       Gssha.grassAscii(g, "t2m", Some("Dry Bulb Temperature"))
+    }),
+
+    "g30_reproject_wgs84" -> ((s, _) => {
+      // X2: the synthetic grid re-labeled onto a GLanCE LAEA meter grid,
+      // warped to lat/lon; the trig runs driver-side on the
+      // metadata-sized mapping, which the oracle shares
+      val base = SyntheticGrid.df(s).select(col("time"),
+        (lit(glYa.origin) + col("jy") * lit(glYa.step)).as("y"),
+        (lit(glXa.origin) + col("jx") * lit(glXa.step)).as("x"),
+        col("t2m"))
+      val g = graft.model.GridDataset(base, SyntheticGrid.meta.copy(
+        epsg = 0, xAxis = Some(glXa), yAxis = Some(glYa)))
+      Reproject.toWgs84(g, graft.functions.Crs.GlanceNA).df
+        .orderBy("time", "lat", "lon")
     }),
 
     "g28_cmr_granule_bbox" -> ((s, _) => {
@@ -1395,6 +1417,23 @@ object SparkEntry {
          |SELECT time, strftime(time, '%Y%m%d%H') || '_Temp.asc' AS file_name,
          | $hdr || string_agg(rowstr, chr(10) ORDER BY y DESC) AS content
          |FROM r GROUP BY time ORDER BY time""".stripMargin
+    },
+
+    "g30_reproject_wgs84" -> {
+      // pipeline-check oracle: the same metadata-sized mapping the
+      // operator broadcasts, as a VALUES table (CrsSpec pins the
+      // projection math itself against golden round-trips)
+      val (mapping, _, _) = graft.operators.Reproject.wgs84Mapping(
+        glXa, glYa, graft.functions.Crs.GlanceNA)
+      val values = mapping.map { case (lon, lat, jy, jx) =>
+        s"(${dlit(lon)}, ${dlit(lat)}, $jy, $jx)"
+      }.mkString(",\n  ")
+      s"""WITH $grid,
+         |m(lon, lat, jy, jx) AS (VALUES
+         |  $values)
+         |SELECT g.time, m.lat, m.lon, g.t2m
+         |FROM grid g JOIN m ON g.jy = m.jy AND g.jx = m.jx
+         |ORDER BY 1, 2, 3""".stripMargin
     },
 
     "g28_cmr_granule_bbox" -> {

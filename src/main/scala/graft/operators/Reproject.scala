@@ -24,15 +24,16 @@ object Reproject {
     * @param nLon target longitude cells (default: keep source width)
     * @param nLat target latitude cells (default: keep source height)
     */
-  def toWgs84(g: GridDataset, proj: Crs.Projection,
-              nLon: Int = 0, nLat: Int = 0): GridDataset = {
-    val xa = g.meta.xAxis.getOrElse(
-      throw new IllegalArgumentException("reproject needs xAxis metadata"))
-    val ya = g.meta.yAxis.getOrElse(
-      throw new IllegalArgumentException("reproject needs yAxis metadata"))
+  /** Driver-side warp mapping: target (lon, lat) -> nearest source
+    * (jy, jx), plus the target axes. Public so the correctness oracle
+    * can be built from the same metadata-sized table the operator
+    * broadcasts.
+    */
+  def wgs84Mapping(xa: AxisSpec, ya: AxisSpec, proj: Crs.Projection,
+                   nLon: Int = 0, nLat: Int = 0):
+      (Seq[(Double, Double, Long, Long)], AxisSpec, AxisSpec) = {
     val nx2 = if (nLon > 0) nLon else xa.n
     val ny2 = if (nLat > 0) nLat else ya.n
-
     // geographic extent of the projected grid = corner transform
     val corners = for (x <- Seq(xa.origin - xa.step / 2, xa.last + xa.step / 2);
                        y <- Seq(ya.origin - ya.step / 2, ya.last + ya.step / 2))
@@ -41,8 +42,6 @@ object Reproject {
     val (latMin, latMax) = (corners.map(_._2).min, corners.map(_._2).max)
     val lonAxis = AxisSpec(lonMin + (lonMax - lonMin) / nx2 / 2, (lonMax - lonMin) / nx2, nx2)
     val latAxis = AxisSpec(latMin + (latMax - latMin) / ny2 / 2, (latMax - latMin) / ny2, ny2)
-
-    // driver-side mapping: target (lon, lat) -> nearest source (jy, jx)
     val mapping = for {
       jy2 <- 0 until ny2; jx2 <- 0 until nx2
       lon = lonAxis.valueAt(jx2); lat = latAxis.valueAt(jy2)
@@ -52,6 +51,16 @@ object Reproject {
       if px >= xa.origin - xa.step / 2 && px <= xa.last + xa.step / 2 &&
          py >= ya.origin - ya.step / 2 && py <= ya.last + ya.step / 2
     } yield (lon, lat, jy.toLong, jx.toLong)
+    (mapping, lonAxis, latAxis)
+  }
+
+  def toWgs84(g: GridDataset, proj: Crs.Projection,
+              nLon: Int = 0, nLat: Int = 0): GridDataset = {
+    val xa = g.meta.xAxis.getOrElse(
+      throw new IllegalArgumentException("reproject needs xAxis metadata"))
+    val ya = g.meta.yAxis.getOrElse(
+      throw new IllegalArgumentException("reproject needs yAxis metadata"))
+    val (mapping, lonAxis, latAxis) = wgs84Mapping(xa, ya, proj, nLon, nLat)
 
     val spark = g.df.sparkSession
     import spark.implicits._
