@@ -89,12 +89,22 @@ object Crop {
   /** Timezone-aware subset (P4): interpret `start`/`end` as wall-clock in
     * `localZone`, convert to the dataset's zone (default UTC when the
     * metadata lacks one — reference warns and assumes UTC), then time-crop.
+    * Either bound may be absent — the reference's
+    * `subset_time_by_timezone` takes optional start/end and slices
+    * open-ended (core_functions.py:205-255; test_3 golden: end-only
+    * 2019-02-01T10:00 US/Eastern keeps 64 of the 73 hourly steps).
     */
-  def timeByZone(g: GridDataset, start: LocalDateTime, end: LocalDateTime,
-                 localZone: String): GridDataset = {
+  def timeByZone(g: GridDataset, start: Option[LocalDateTime],
+                 end: Option[LocalDateTime], localZone: String): GridDataset = {
     val dsZone = ZoneId.of(Option(g.meta.timeZone).filter(_.nonEmpty).getOrElse("UTC"))
     def conv(t: LocalDateTime): Timestamp =
       Timestamp.valueOf(t.atZone(ZoneId.of(localZone)).withZoneSameInstant(dsZone).toLocalDateTime)
-    g.copy(df = g.df.filter(g.time.between(lit(conv(start)), lit(conv(end)))))
+    val conds = start.map(t => g.time >= lit(conv(t))).toSeq ++
+      end.map(t => g.time <= lit(conv(t)))
+    conds.reduceOption(_ && _).map(c => g.copy(df = g.df.filter(c))).getOrElse(g)
   }
+
+  def timeByZone(g: GridDataset, start: LocalDateTime, end: LocalDateTime,
+                 localZone: String): GridDataset =
+    timeByZone(g, Some(start), Some(end), localZone)
 }

@@ -53,6 +53,22 @@ class OperatorsSpec extends SparkSpec {
     assert(times.toSeq == Seq("2019-01-30 12:00:00.0", "2019-01-30 13:00:00.0", "2019-01-30 14:00:00.0"))
   }
 
+  test("open-ended timezone subset matches the reference golden (64 steps)") {
+    import java.time.LocalDateTime
+    // reference test_3_era5_manipulations.py:60-71: end-only subset at
+    // 2019-02-01T10:00 US/Eastern keeps 64 steps, last = 15:00 UTC
+    val c = Crop.timeByZone(grid, None,
+      Some(LocalDateTime.parse("2019-02-01T10:00:00")), "US/Eastern")
+    val times = c.df.select("time").distinct()
+    assert(times.count() == 64)
+    val last = times.orderBy(col("time").desc).limit(1)
+      .collect()(0).getTimestamp(0).toString
+    assert(last == "2019-02-01 15:00:00.0")
+    // no bounds at all -> identity
+    assert(Crop.timeByZone(grid, None, None, "US/Eastern").df.count() ==
+      grid.df.count())
+  }
+
   test("upsample row-count law: hourly -> minutely is 4321 steps (A1)") {
     val one = grid.copy(df = grid.df.filter(col("x") === -83.5 && col("y") === 41.25))
     val up = TemporalResample.upsample(one, 60, "linear")
