@@ -55,13 +55,26 @@ final case class RichGrid(g: GridDataset) {
     RichGrid(TemporalResample.downsample(g, freq, method))
   def upsample(stepSeconds: Long, method: String): RichGrid =
     RichGrid(TemporalResample.upsample(g, stepSeconds, method))
+  /** Every `rasterio.enums.Resampling` method, dispatched by its
+    * rasterio name (reference: core_functions.py:292-299). Aggregating
+    * kernels keep the original variable column names.
+    */
   def spatialResample(fy: Double, fx: Double, method: String = "bilinear"): RichGrid =
     RichGrid(method match {
-      case "nearest" => SpatialResample.nearest(g, fy, fx)
-      case "bilinear" => SpatialResample.bilinear(g, fy, fx)
-      case "cubic" => SpatialResample.cubic(g, fy, fx)
+      case "nearest"      => SpatialResample.nearest(g, fy, fx)
+      case "bilinear"     => SpatialResample.bilinear(g, fy, fx)
+      case "cubic"        => SpatialResample.cubic(g, fy, fx)
+      case "cubic_spline" => SpatialResample.cubicSpline(g, fy, fx)
+      case "lanczos"      => SpatialResample.lanczos(g, fy, fx)
+      case "gauss"        => SpatialResample.blockGauss(g, fy, fx)
+      case "mode"         => SpatialResample.blockMode(g, fy, fx)
+      case m @ ("average" | "sum" | "min" | "max" | "rms" | "med" | "q1" | "q3") =>
+        val out = SpatialResample.blockAgg(g, fy, fx, Seq(m))
+        out.copy(df = g.variables.foldLeft(out.df) { (d, v) =>
+          d.withColumnRenamed(s"${m}_$v", v)
+        })
       case other => throw new IllegalArgumentException(
-        s"spatial resample method '$other' not supported (nearest|bilinear|cubic)")
+        s"spatial resample method '$other' is not a rasterio.Resampling name")
     })
   def pointsToTable(points: Seq[(String, Double, Double)], variable: String): DataFrame =
     PointExtract.pointsToTable(g, points, variable)

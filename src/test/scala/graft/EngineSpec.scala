@@ -32,4 +32,23 @@ class EngineSpec extends SparkSpec {
       .select("x").distinct().count() == 38)
     assertThrows[IllegalArgumentException](Engine(spark).load())
   }
+
+  test("spatialResample dispatches every rasterio.Resampling name") {
+    def base = Engine(spark).dataset("synthetic-era5-single-levels")
+      .variables("t2m").load()
+    val up = Seq("nearest", "bilinear", "cubic", "cubic_spline", "lanczos")
+    for (m <- up) {
+      val out = base.spatialResample(2.0, 2.0, m)
+      assert(out.df.columns.contains("t2m"), m)
+      assert(out.df.count() == 73L * 38 * 14, m)
+    }
+    val down = Seq("average", "sum", "min", "max", "rms", "med", "q1", "q3",
+      "mode", "gauss")
+    for (m <- down) {
+      val out = base.spatialResample(0.5, 0.5, m)
+      assert(out.df.columns.contains("t2m"), m)
+      assert(out.df.count() == 73L * 9 * 3, m)
+    }
+    assertThrows[IllegalArgumentException](base.spatialResample(2.0, 2.0, "q2"))
+  }
 }
