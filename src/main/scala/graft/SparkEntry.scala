@@ -87,6 +87,29 @@ object SparkEntry {
     val s0 = v.toString
     if (s0.contains("E")) s0 else s0 + "e0"
   }
+  // FNV-1a-64 over a string's UTF-16 units (two byte steps per char),
+  // replayed by DuckDB in HUGEINT mod 2^64 — shared by the native-
+  // expression oracles (n11/n15)
+  private def fnvSql(arg: String): String =
+    (s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+     s"list_transform(list_filter(string_split_regex($arg, ''), ch -> ch <> ''), " +
+     s"ch -> CAST(unicode(ch) AS HUGEINT))), " +
+     s"(acc, c) -> (xor((xor(acc, c % 256) * 1099511628211) % 18446744073709551616, " +
+     s"(c // 256) % 256) * 1099511628211) % 18446744073709551616)")
+  // whitespace-token simhash (per-bit majority votes over token FNVs)
+  // as a CTE producing (doc_id, sh BIGINT)
+  private def simhashCte: String =
+    s"""shs AS (SELECT doc_id,
+       |  CAST(CASE WHEN shu >= CAST(1 AS HUGEINT) << 63
+       |            THEN shu - (CAST(1 AS HUGEINT) << 64) ELSE shu END AS BIGINT) AS sh
+       | FROM (SELECT doc_id,
+       |   list_sum(list_transform(generate_series(0, 63), b ->
+       |     CASE WHEN 2 * len(list_filter(hl, h -> (h >> b) % 2 = 1)) > len(hl)
+       |          THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS shu
+       |  FROM (SELECT doc_id,
+       |    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+       |      tok -> ${fnvSql("tok")}) AS hl
+       |   FROM documents)))""".stripMargin
   // DuckDB parses long fractional literals as DECIMAL and keeps pure
   // decimal/bigint arithmetic in DECIMAL — cast to DOUBLE so the oracle
   // computes in IEEE754 exactly like Spark
@@ -781,7 +804,10 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
-    "n11_simhash_neardups" -> ((s, dir) => { // rows-only (native expr)
+    "n11_simhash_neardups" -> ((s, dir) => {
+      // oracled: pigeonhole banding (maxDistance+1 bands) guarantees
+      // full recall at hamming <= 6, so the output IS the exact pair
+      // set — DuckDB self-joins replayed simhashes
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDistance = 6)
         .orderBy("doc_id_a", "doc_id_b")
     }),
@@ -793,10 +819,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    "n13_media_features" -> ((s, dir) => { // rows-only (stubbed decode)
+    "n13_media_features" -> ((s, dir) => {
+      // oracled: the deterministic stub decode (FNV-1a over payload
+      // bytes) is replayed by DuckDB in HUGEINT; ints cast to long for
+      // BIGINT parity
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
-        .select("media_id", "media_type", "byte_len", "width", "height", "n_frames")
+        .select(col("media_id"), col("media_type"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
         .orderBy("media_id")
     }),
 
@@ -872,12 +904,14 @@ object SparkEntry {
         .df.orderBy("time", "y", "x")
     }),
 
-    "n15_sql_surface" -> ((s, dir) => { // rows-only (native exprs via SQL)
+    "n15_sql_surface" -> ((s, dir) => {
+      // native expressions through the SQL surface, fully oracled:
+      // DuckDB replays FNV-1a/simhash votes/rolling hash in HUGEINT
       org.apache.spark.sql.graft.GraftExtensions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql("""SELECT doc_id, simhash64(text) AS sh,
               |       rolling_hash64(text) AS rh,
-              |       size(shingle_set(text, 5)) AS n_shingles
+              |       CAST(size(shingle_set(text, 5)) AS BIGINT) AS n_shingles
               |FROM documents ORDER BY doc_id""".stripMargin)
     })
   )
@@ -1595,6 +1629,34 @@ object SparkEntry {
          |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin
     },
 
+    "n15_sql_surface" -> {
+      // FNV-1a-64 over UTF-16 units (two byte steps per char) replayed
+      // in HUGEINT mod 2^64; simhash = per-bit majority votes over
+      // whitespace-token hashes; shingle count = distinct FNV of char
+      // 5-grams; rolling hash as in n07 but over the raw text
+      s"""WITH hs AS (SELECT doc_id, text,
+         |  list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+         |    tok -> ${fnvSql("tok")}) AS hl
+         | FROM documents),
+         |v AS (SELECT doc_id,
+         |  list_sum(list_transform(generate_series(0, 63), b ->
+         |    CASE WHEN 2 * len(list_filter(hl, h -> (h >> b) % 2 = 1)) > len(hl)
+         |         THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)) AS shu,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+         |      ch -> CAST(unicode(ch) AS HUGEINT))),
+         |    (acc, c) -> (acc * 131 + c) % 2305843009213693951) AS BIGINT) AS rh,
+         |  len(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(text) - 4, 1)),
+         |    j -> ${fnvSql("substr(text, j, 5)")}))) AS ns
+         | FROM hs)
+         |SELECT doc_id,
+         | CAST(CASE WHEN shu >= CAST(1 AS HUGEINT) << 63
+         |           THEN shu - (CAST(1 AS HUGEINT) << 64) ELSE shu END AS BIGINT) AS sh,
+         | rh, ns AS n_shingles
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
+
     "n19_deterministic_sample" -> {
       val thr = graft.ops.Sampling.hexThreshold(0.3)
       s"""SELECT doc_id, lang, n_chars FROM documents
@@ -1657,11 +1719,37 @@ object SparkEntry {
          | sqrt(avg(t2m * t2m)) AS t2m
          |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    "n11_simhash_neardups" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         | CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM shs a, shs b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
     "n12_media_schema" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(strlen(text) AS BIGINT) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "n13_media_features" ->
+      // the stub decode's FNV-1a over UTF-8 payload bytes (ASCII fixture:
+      // codepoint == byte), dims = 16 + (h >> {0,10}) % 1024
+      """WITH h AS (SELECT doc_id, text,
+        |  list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
+        |      ch -> CAST(unicode(ch) AS HUGEINT))),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS hu
+        | FROM documents)
+        |SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(strlen(text) AS BIGINT) AS byte_len,
+        | CAST(16 + hu % 1024 AS BIGINT) AS width,
+        | CAST(16 + (hu >> 10) % 1024 AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) // 64 ELSE 1 END AS BIGINT) AS n_frames
+        |FROM h ORDER BY media_id""".stripMargin
   )
 }
