@@ -797,7 +797,11 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    "n10_minhash_neardups" -> ((s, dir) => { // rows-only (LSH candidates)
+    "n10_minhash_neardups" -> ((s, dir) => {
+      // oracled: the whole LSH choreography is deterministic — DuckDB
+      // replays minhash signatures (FNV shingles, splitmix perms,
+      // fmix64), the banded candidate join, and the exact-Jaccard
+      // verification
       Dedup.minhashNearDups(t(s, dir, "documents"), k = 5, numHashes = 64,
           bands = 16, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -1718,6 +1722,55 @@ object SparkEntry {
          |SELECT date_trunc('day', time) AS time, y, x,
          | sqrt(avg(t2m * t2m)) AS t2m
          |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "n10_minhash_neardups" -> {
+      def u(l: Long): java.math.BigInteger =
+        if (l >= 0) java.math.BigInteger.valueOf(l)
+        else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
+      val permList = (0 until 64).map(i =>
+        s"CAST('${u(graft.functions.Hashing.splitmix64(42L + i))}' AS HUGEINT)")
+        .mkString(", ")
+      val M = "18446744073709551616"
+      // full 64x64-bit multiply overflows INT128, so (x * C) mod 2^64 is
+      // computed from 32-bit halves: xLo*C + ((xHi*CLo mod 2^32) << 32)
+      def mulC(x: String, c: String, cLo: String): String =
+        s"(($x % 4294967296) * $c % $M + (($x >> 32) * $cLo % 4294967296) * 4294967296) % $M"
+      val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
+      val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
+      // murmur fmix64 with let-bindings via single-element list_transform
+      def fmix(x: String): String =
+        s"list_transform([$x], a -> " +
+        s"list_transform([${mulC("xor(a, a >> 33)", c1, c1lo)}], bb -> " +
+        s"list_transform([${mulC("xor(bb, bb >> 33)", c2, c2lo)}], cc -> xor(cc, cc >> 33))[1])[1])[1]"
+      // signature element: min over shingles of SIGNED fmix64(h ^ perm)
+      val signedMin =
+        s"list_min(list_transform(hs, h -> " +
+        s"list_transform([${fmix("xor(h, P)")}], f -> " +
+        s"CAST(CASE WHEN f >= CAST(1 AS HUGEINT) << 63 " +
+        s"THEN f - (CAST(1 AS HUGEINT) << 64) ELSE f END AS BIGINT))[1]))"
+      s"""WITH base AS (SELECT doc_id, text,
+         |  list_transform(generate_series(1, greatest(len(text) - 4, 1)),
+         |    j -> ${fnvSql("substr(text, j, 5)")}) AS hs
+         | FROM documents),
+         |sigs AS (SELECT doc_id,
+         |  list_transform([$permList], P -> $signedMin) AS sig,
+         |  list_distinct(hs) AS shset
+         | FROM base),
+         |bands AS (SELECT doc_id, b, sig[b * 4 + 1 : b * 4 + 4] AS key, shset
+         |          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |v AS (SELECT doc_id_a, doc_id_b,
+         |  len(list_intersect(sa.shset, sb.shset)) AS inter,
+         |  len(sa.shset) AS la, len(sb.shset) AS lb
+         | FROM cand JOIN sigs sa ON sa.doc_id = doc_id_a
+         |           JOIN sigs sb ON sb.doc_id = doc_id_b)
+         |SELECT doc_id_a, doc_id_b,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
 
     "n11_simhash_neardups" ->
       s"""WITH $simhashCte

@@ -59,9 +59,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     val sigs = docs.select(col("doc_id"), minhash_signature(col("text"), k, numHashes, seed).as("sig"))
-    // band key: (band index, hash of the signature slice)
+    // band key: (band index, the signature slice itself) — slice
+    // equality is the exact collision condition, so no hash-bucket
+    // false positives, and the banding is replayable by the oracle
     val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), hash(lit(b), slice(col("sig"), b * r + 1, r)).as("bucket")))
+      struct(lit(b).as("band"), slice(col("sig"), b * r + 1, r).as("bucket")))
     val banded = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
