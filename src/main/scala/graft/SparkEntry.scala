@@ -789,7 +789,10 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    "n09_knn_lsh" -> ((s, dir) => { // rows-only (approximate by design)
+    "n09_knn_lsh" -> ((s, dir) => {
+      // oracled: the sign-LSH buckets are deterministic (splitmix-derived
+      // hyperplanes, sequential double dot), so DuckDB replays bucketing,
+      // the candidate join, and the exact-cosine re-rank
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .select(col("query_id"), col("vec_id"),
@@ -1722,6 +1725,42 @@ object SparkEntry {
          |SELECT date_trunc('day', time) AS time, y, x,
          | sqrt(avg(t2m * t2m)) AS t2m
          |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "n09_knn_lsh" -> {
+      // hyperplane components exactly as Similarity.planeComponent:
+      // splitmix64 -> [-1, 1) double -> FLOAT, emitted as the widened
+      // double so DuckDB's literal equals Spark's float bit-for-bit
+      def comp(t: Int, p: Int, d: Int): Double = {
+        val h = graft.functions.Hashing.splitmix64(
+          t.toLong * 1000003L + p.toLong * 8191L + d)
+        (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
+      }
+      val (planes, tables, dim) = (10, 6, 64)
+      val hpRows = (for (t <- 0 until tables; p <- 0 until planes) yield {
+        val vec = (0 until dim).map(d => dlit(comp(t, p, d))).mkString(", ")
+        s"($t, $p, [$vec])"
+      }).mkString(",\n  ")
+      // sequential left-fold dot product, matching the kernel's loop
+      val dot = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> emb[i] * v[i]), (acc, x) -> acc + x)"
+      s"""WITH hp(t, p, v) AS (VALUES
+         |  $hpRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bk AS (SELECT vec_id, t,
+         |  CAST(sum(CASE WHEN $dot >= 0.0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+         | FROM e, hp GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         | FROM (SELECT * FROM bk WHERE vec_id < 5) q
+         | JOIN bk c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT cand.query_id, cand.vec_id,
+         |  list_cosine_similarity(ce.emb, qe.emb) AS cos_raw,
+         |  row_number() OVER (PARTITION BY cand.query_id
+         |    ORDER BY list_cosine_similarity(ce.emb, qe.emb) DESC, cand.vec_id) AS rnk
+         | FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+         |           JOIN e qe ON qe.vec_id = cand.query_id)
+         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
 
     "n10_minhash_neardups" -> {
       def u(l: Long): java.math.BigInteger =
