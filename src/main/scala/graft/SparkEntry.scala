@@ -94,8 +94,8 @@ object SparkEntry {
     (s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
      s"list_transform(list_filter(string_split_regex($arg, ''), ch -> ch <> ''), " +
      s"ch -> CAST(unicode(ch) AS HUGEINT))), " +
-     s"(acc, c) -> (xor((xor(acc, c % 256) * 1099511628211) % 18446744073709551616, " +
-     s"(c // 256) % 256) * 1099511628211) % 18446744073709551616)")
+     s"(acc, c) -> (xor((xor(acc, c & 255) * 1099511628211) & 18446744073709551615, " +
+     s"(c >> 8) & 255) * 1099511628211) & 18446744073709551615)")
   // whitespace-token simhash (per-bit majority votes over token FNVs)
   // as a CTE producing (doc_id, sh BIGINT)
   private def simhashCte: String =
@@ -1766,45 +1766,51 @@ object SparkEntry {
       def u(l: Long): java.math.BigInteger =
         if (l >= 0) java.math.BigInteger.valueOf(l)
         else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
-      val permList = (0 until 64).map(i =>
-        s"CAST('${u(graft.functions.Hashing.splitmix64(42L + i))}' AS HUGEINT)")
-        .mkString(", ")
-      val M = "18446744073709551616"
+      val permRows = (0 until 64).map(i =>
+        s"($i, CAST('${u(graft.functions.Hashing.splitmix64(42L + i))}' AS HUGEINT))")
+        .mkString(",\n  ")
+      val M = "18446744073709551615" // 2^64 - 1 (mask)
       // full 64x64-bit multiply overflows INT128, so (x * C) mod 2^64 is
       // computed from 32-bit halves: xLo*C + ((xHi*CLo mod 2^32) << 32)
       def mulC(x: String, c: String, cLo: String): String =
-        s"(($x % 4294967296) * $c % $M + (($x >> 32) * $cLo % 4294967296) * 4294967296) % $M"
+        s"((($x & 4294967295) * $c & $M) + ((($x >> 32) * $cLo & 4294967295) << 32)) & $M"
       val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
       val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
-      // murmur fmix64 with let-bindings via single-element list_transform
-      def fmix(x: String): String =
-        s"list_transform([$x], a -> " +
-        s"list_transform([${mulC("xor(a, a >> 33)", c1, c1lo)}], bb -> " +
-        s"list_transform([${mulC("xor(bb, bb >> 33)", c2, c2lo)}], cc -> xor(cc, cc >> 33))[1])[1])[1]"
-      // signature element: min over shingles of SIGNED fmix64(h ^ perm)
-      val signedMin =
-        s"list_min(list_transform(hs, h -> " +
-        s"list_transform([${fmix("xor(h, P)")}], f -> " +
-        s"CAST(CASE WHEN f >= CAST(1 AS HUGEINT) << 63 " +
-        s"THEN f - (CAST(1 AS HUGEINT) << 64) ELSE f END AS BIGINT))[1]))"
+      // fmix64 unrolled over a columnar (shingle x perm) relation - a
+      // vectorized pipeline instead of per-element lambdas, so the
+      // replay stays fast at larger fixtures
       s"""WITH base AS (SELECT doc_id, text,
-         |  list_transform(generate_series(1, greatest(len(text) - 4, 1)),
-         |    j -> ${fnvSql("substr(text, j, 5)")}) AS hs
+         |  list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)),
+         |    j -> ${fnvSql("substr(text, j, 5)")})) AS hs
          | FROM documents),
-         |sigs AS (SELECT doc_id,
-         |  list_transform([$permList], P -> $signedMin) AS sig,
-         |  list_distinct(hs) AS shset
-         | FROM base),
-         |bands AS (SELECT doc_id, b, sig[b * 4 + 1 : b * 4 + 4] AS key, shset
+         |perms(p, pv) AS (VALUES
+         |  $permRows),
+         |sh AS (SELECT doc_id, unnest(hs) AS h FROM base),
+         |uh AS (SELECT DISTINCT h FROM sh),
+         |m1 AS (SELECT h, p, xor(x, x >> 33) AS v1
+         |       FROM (SELECT h, p, xor(h, pv) AS x FROM uh, perms)),
+         |m2 AS (SELECT h, p, xor(v2, v2 >> 33) AS v3
+         |       FROM (SELECT h, p, ${mulC("v1", c1, c1lo)} AS v2 FROM m1)),
+         |fx AS (SELECT h, p,
+         |  CAST(CASE WHEN f >= CAST(1 AS HUGEINT) << 63
+         |       THEN f - (CAST(1 AS HUGEINT) << 63) - (CAST(1 AS HUGEINT) << 63)
+         |       ELSE f END AS BIGINT) AS f
+         | FROM (SELECT h, p, xor(v4, v4 >> 33) AS f
+         |       FROM (SELECT h, p, ${mulC("v3", c2, c2lo)} AS v4 FROM m2))),
+         |sigel AS (SELECT doc_id, p, min(f) AS mel
+         |          FROM sh JOIN fx USING (h) GROUP BY doc_id, p),
+         |sigs AS (SELECT doc_id, list(mel ORDER BY p) AS sig
+         |         FROM sigel GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b, sig[b * 4 + 1 : b * 4 + 4] AS key
          |          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          |         FROM bands a JOIN bands b
          |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
          |v AS (SELECT doc_id_a, doc_id_b,
-         |  len(list_intersect(sa.shset, sb.shset)) AS inter,
-         |  len(sa.shset) AS la, len(sb.shset) AS lb
-         | FROM cand JOIN sigs sa ON sa.doc_id = doc_id_a
-         |           JOIN sigs sb ON sb.doc_id = doc_id_b)
+         |  len(list_intersect(sa.hs, sb.hs)) AS inter,
+         |  len(sa.hs) AS la, len(sb.hs) AS lb
+         | FROM cand JOIN base sa ON sa.doc_id = doc_id_a
+         |           JOIN base sb ON sb.doc_id = doc_id_b)
          |SELECT doc_id_a, doc_id_b,
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
          |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
