@@ -794,7 +794,7 @@ object SparkEntry {
       // hyperplanes, sequential double dot), so DuckDB replays bucketing,
       // the candidate join, and the exact-cosine re-rank
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64)
         .select(col("query_id"), col("vec_id"),
           round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
@@ -840,13 +840,23 @@ object SparkEntry {
     }),
 
     "n14_embedding_neardups" -> ((s, dir) => {
-      // Oracled against exact all-pairs: the cosine verification step is
-      // exact, so the LSH result is always a subset of the true pair set;
-      // at the near-dup threshold the fixture's true set is provably tiny
-      // (max random-pair cosine ~0.51), and OpsSpec's planted-duplicate
-      // recall test covers the "does bucketing find anything" direction.
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.8,
-          planes = 8, tables = 8)
+      // Oracled against exact all-pairs on a NON-vacuous result: the
+      // fixture alone has no pairs at cosine >= 0.8 (max organic pair
+      // ~0.51 — OpsSpec guards that assumption), so the query unions in
+      // deterministically perturbed copies of vec_id < 3, scaled by
+      // 1 + 1e-6*(vec_id+1) and recast to float. Positive scaling
+      // preserves every hyperplane sign bit-for-bit, so each planted
+      // pair collides in ALL LSH tables — recall is 1 by construction
+      // and the exact all-pairs oracle is a true set equality on a
+      // non-empty pair set (cos ~1 for the three planted pairs).
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * (lit(1.0) + lit(1e-6) * (col("vec_id") + 1))).cast("float"))
+            .as("embedding"))
+      Dedup.embeddingNearDups(base.unionAll(planted), threshold = 0.8,
+          planes = 8, tables = 8, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_id_a", "vec_id_b")
     }),
@@ -863,7 +873,9 @@ object SparkEntry {
       // full probe (nProbe = nLists) is exhaustive -> shares the
       // brute-force oracle; partial probe is the approximate scale path
       val emb = t(s, dir, "embeddings")
-      val idx = Ivf.build(emb, nLists = 8)
+      // one count over the bare scan (parquet-footer job), threaded into
+      // the build instead of a second action inside it
+      val idx = Ivf.build(emb, nLists = 8, nRows = emb.count())
       Ivf.search(idx, emb.filter(col("vec_id") < 5), 10, nProbe = 8)
         .select(col("query_id"), col("vec_id"),
           round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
@@ -885,10 +897,14 @@ object SparkEntry {
       // (OpsSpec guards that containment on the fixture), so the query
       // shares the n08 oracle
       val emb = t(s, dir, "embeddings")
-      val idx = Ivf.build(emb, nLists = 8)
-      val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
+      // ONE corpus count (parquet-footer job on the bare scan) threaded
+      // through coarse build, PQ build, and the rerank-window sizing —
+      // previously three separate actions over the corpus
+      val n = emb.count()
+      val idx = Ivf.build(emb, nLists = 8, nRows = n)
+      val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = n)
       Ivf.searchPq(pq, emb, emb.filter(col("vec_id") < 5), 10,
-          nProbe = 8, rerank = Ivf.rerankFor(emb.count()))
+          nProbe = 8, rerank = Ivf.rerankFor(n))
         .select(col("query_id"), col("vec_id"),
           round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
@@ -1681,7 +1697,18 @@ object SparkEntry {
     },
 
     "n14_embedding_neardups" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      // replays the planted perturbation (float mult in double, recast
+      // to FLOAT — IEEE-identical to Spark's transform+cast), then the
+      // exact all-pairs truth over fixture + planted rows
+      """WITH planted AS (
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(x * (1e0 + 1e-6 * (vec_id + 1)) AS FLOAT)) AS embedding
+        | FROM embeddings WHERE vec_id < 3),
+        |allv AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL SELECT vec_id, embedding FROM planted),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM allv)
         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
         | round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

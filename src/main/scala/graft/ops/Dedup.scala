@@ -160,21 +160,40 @@ object Dedup {
   /** Embedding near-duplicate pairs: cosine >= threshold. Candidates via
     * sign-LSH buckets (hyperplane simhash over the embedding) to stay
     * sub-quadratic; exact cosine verification on candidates.
+    *
+    * Same execution shape as [[minhashNearDups]]: buckets collect ids
+    * ONLY (the shuffle and agg buffers never carry embeddings — a
+    * skewed bucket holds longs, not maxBucket x dim floats), the
+    * candidate pair set is `distinct()`-ed across tables BEFORE any
+    * scoring (a pair colliding in several tables is scored once, not
+    * once per table), and embeddings are semi-joined back for a single
+    * exact-cosine verification pass over the (small) candidate set.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
                         planes: Int = 12, tables: Int = 4,
-                        maxBucket: Int = 2000): DataFrame = {
-    val withBuckets = Similarity.withSignBuckets(emb, "embedding", planes, tables)
+                        maxBucket: Int = 2000, dim: Int = -1): DataFrame = {
+    val withBuckets = Similarity.withSignBuckets(emb, "embedding", planes, tables, dim)
     val buckets = withBuckets.groupBy(col("table"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("items"))
-      .filter(size(col("items")).between(2, maxBucket))
-    buckets
-      .select(explode(col("items")).as("ia"), col("items"))
-      .select(col("ia"), explode(col("items")).as("ib"))
-      .filter(col("ia.vec_id") < col("ib.vec_id"))
-      .select(col("ia.vec_id").as("vec_id_a"), col("ib.vec_id").as("vec_id_b"),
-        cosine_similarity(col("ia.embedding"), col("ib.embedding")).as("cos"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // persisted for the same reason as the minhash pair set: referenced
+    // by both candidate-id branches and the verification join, and tiny
+    // relative to the corpus
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col("a").as("vec_id"))
+      .union(pairs.select(col("b").as("vec_id"))).distinct()
+    val e = emb.join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
+      .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
+      .select(col("a").as("vec_id_a"), col("b").as("vec_id_b"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -34,14 +34,20 @@ object Ivf {
     * tradeoff, never correctness), so the multi-iteration clustering
     * never rescans the full corpus — at 100 TB the fit touches a
     * driver-sized sample and only the single assignment transform
-    * reads every vector. The row count comes from parquet footers,
-    * not a data scan.
+    * reads every vector.
+    *
+    * Pass `nRows` when the corpus row count is already known (or cheap
+    * to know once — a bare parquet scan counts from footers): the
+    * default -1 triggers one `count()` action here, and a caller that
+    * also builds PQ codes and sizes a rerank window would otherwise pay
+    * that action three times over the same corpus.
     */
   def build(corpus: DataFrame, embedCol: String = "embedding",
             nLists: Int = 16, seed: Long = 42L, maxIter: Int = 8,
-            idCol: String = "vec_id", trainRows: Long = 100000L): Index = {
+            idCol: String = "vec_id", trainRows: Long = 100000L,
+            nRows: Long = -1L): Index = {
     val withVec = corpus.withColumn("__vec", array_to_vector(col(embedCol)))
-    val n = math.max(corpus.count(), 1L)
+    val n = math.max(if (nRows >= 0L) nRows else corpus.count(), 1L)
     val fraction = math.min(1.0, trainRows.toDouble / n)
     val train =
       if (fraction >= 1.0) withVec
@@ -127,7 +133,8 @@ object Ivf {
     */
   def buildPq(index: Index, m: Int = 8, codebookSize: Int = 16,
               seed: Long = 42L, trainRows: Long = 4096L,
-              idCol: String = "vec_id", embedCol: String = "embedding"): PqIndex = {
+              idCol: String = "vec_id", embedCol: String = "embedding",
+              nRows: Long = -1L): PqIndex = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val centDf = index.centroids.toSeq.toDF("list_id", "centroid")
@@ -135,7 +142,9 @@ object Ivf {
       .join(broadcast(centDf), Seq("list_id"))
       .select(col(idCol), col("list_id"),
         zip_with(col(embedCol), col("centroid"), (a, b) => a - b).as("residual"))
-    val n = math.max(index.assigned.count(), 1L)
+    // counting `index.assigned` would re-run the k-means transform over
+    // the corpus — prefer the threaded count
+    val n = math.max(if (nRows >= 0L) nRows else index.assigned.count(), 1L)
     val fraction = math.min(1.0, trainRows.toDouble / n)
     val trainDf =
       if (fraction >= 1.0) residuals

@@ -33,12 +33,17 @@ object Similarity {
 
   /** Adds (table, bucket) rows per input row: bucket = sign bits of the
     * embedding against `planes` hyperplanes, one row per hash table.
+    *
+    * `dim` is the embedding dimensionality; pass it explicitly (callers
+    * know their embedding width) — the default -1 falls back to probing
+    * the first row, which costs a driver-side Spark job per call.
     */
-  def withSignBuckets(emb: DataFrame, embedCol: String, planes: Int, tables: Int): DataFrame = {
-    val dim = emb.select(size(col(embedCol))).head().getInt(0)
+  def withSignBuckets(emb: DataFrame, embedCol: String, planes: Int, tables: Int,
+                      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else emb.select(size(col(embedCol))).head().getInt(0)
     def bucketFor(t: Int): Column = {
       val bits: Seq[Column] = (0 until planes).map { p =>
-        val hp = array((0 until dim).map(d => lit(planeComponent(t, p, d))): _*)
+        val hp = array((0 until d).map(i => lit(planeComponent(t, p, i))): _*)
         when(dot_product(col(embedCol), hp) >= 0.0, lit(1L << p)).otherwise(lit(0L))
       }
       bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
@@ -67,7 +72,16 @@ object Similarity {
     * side; at 100 TB use the sign-LSH path and reserve this for
     * recall audits over samples.
     */
-  def allPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
+  def allPairsExact(emb: DataFrame, threshold: Double,
+                    maxRows: Long = 200000L): DataFrame = {
+    // guardrail: this is O(n^2) by declaration — refuse to run over an
+    // input too large to be an audit sample, so the exactness baseline
+    // can never silently become a production path on a full corpus
+    val n = emb.count()
+    require(n <= maxRows,
+      s"allPairsExact is an O(n^2) audit baseline: got $n rows (cap $maxRows). " +
+      "Deterministically sample the corpus first (Sampling.deterministicSample) " +
+      "or use the sign-LSH path (Dedup.embeddingNearDups).")
     val right = emb.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b"))
     emb.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a"))
       .join(broadcast(right), col("vec_id_a") < col("vec_id_b"))
@@ -80,10 +94,14 @@ object Similarity {
     * buckets across `tables` tables, exact cosine re-rank.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 10, tables: Int = 6): DataFrame = {
-    val cb = withSignBuckets(corpus, "embedding", planes, tables)
+              planes: Int = 10, tables: Int = 6, dim: Int = -1): DataFrame = {
+    // resolve the dim once for both bucketing passes (one probe job at
+    // most, zero when the caller passes it)
+    val d = if (dim > 0) dim
+            else corpus.select(size(col("embedding"))).head().getInt(0)
+    val cb = withSignBuckets(corpus, "embedding", planes, tables, d)
       .select(col("table"), col("bucket"), col("vec_id"), col("embedding"))
-    val qb = withSignBuckets(queries, "embedding", planes, tables)
+    val qb = withSignBuckets(queries, "embedding", planes, tables, d)
       .select(col("table"), col("bucket"),
         col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cands = cb.join(broadcast(qb), Seq("table", "bucket"))

@@ -165,10 +165,11 @@ class OpsSpec extends SparkSpec {
       if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val q = emb.filter(col("vec_id") < 5)
-        val idx = Ivf.build(emb, nLists = 8)
-        val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32)
+        val n = emb.count()
+        val idx = Ivf.build(emb, nLists = 8, nRows = n)
+        val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = n)
         val got = Ivf.searchPq(pq, emb, q, 10, nProbe = 8,
-            rerank = Ivf.rerankFor(emb.count()))
+            rerank = Ivf.rerankFor(n))
           .select("query_id", "vec_id", "rank")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         val want = Similarity.bruteForceTopK(emb, q, 10)
@@ -193,19 +194,35 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
-  test("n14 oracle vacuity guard: fixtures have no true pairs at cosine >= 0.8") {
-    // n14's DuckDB oracle is exact only because the true pair set at the
-    // 0.8 threshold is EMPTY on the driver fixtures (LSH output ⊆ truth =
-    // {} forces set equality). If a fixture ever grows a pair in
-    // [0.8, ~0.99), the 8-plane/8-table LSH could miss it and the hash
-    // compare would fail despite correct behavior — this test makes that
-    // assumption fail loudly here instead, at both the spec fixture scale
-    // and the driver's sf0.01 oracle scale.
+  test("n14 fixture assumption: no organic pairs at 0.8; planted pairs all found") {
+    // n14's oracle is exact all-pairs over fixture + planted rows. Two
+    // assumptions make the hash compare safe: (1) the fixture alone has
+    // no pair at cosine >= 0.8 (an organic pair in [0.8, ~0.99) could be
+    // missed by the 8-plane/8-table LSH); (2) the planted scaled copies
+    // collide in every table (positive scaling preserves hyperplane
+    // signs), so LSH recall on the planted set is exactly 1. Checked at
+    // both the spec fixture scale and the driver's sf0.01 oracle scale.
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
-        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        val n = Similarity.allPairsExact(emb, 0.8).count()
-        assert(n == 0, s"$dir has $n true pairs at 0.8 — switch n14 to rows-only")
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val organic = Similarity.allPairsExact(base, 0.8).count()
+        assert(organic == 0, s"$dir has $organic organic pairs at 0.8 — " +
+          "the n14 LSH/oracle equality is no longer guaranteed")
+        // replicate the n14 planted construction and require exactly the
+        // three (orig, copy) pairs back, each at cos ~1
+        val planted = base.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => (x * (lit(1.0) + lit(1e-6) * (col("vec_id") + 1))).cast("float"))
+              .as("embedding"))
+        val got = Dedup.embeddingNearDups(base.unionAll(planted), threshold = 0.8,
+            planes = 8, tables = 8, dim = 64)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val pairs = got.map(t => (t._1, t._2)).toSet
+        assert(pairs == Set((0L, 1000000L), (1L, 1000001L), (2L, 1000002L)),
+          s"$dir planted pairs mismatch: ${pairs.toSeq.sorted}")
+        assert(got.forall(_._3 > 0.999), "planted copies should be near-identical")
       }
     }
   }
