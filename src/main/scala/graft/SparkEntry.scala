@@ -820,17 +820,22 @@ object SparkEntry {
     }),
 
     "n12_media_schema" -> ((s, dir) => {
-      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      // real-bytes fixture: image rows carry genuine PNG/GIF/BMP headers
+      // (byte_len = header + text, replayed arithmetically by the oracle)
+      val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("media_type"), col("byte_len"))
         .orderBy("media_id")
     }),
 
     "n13_media_features" -> ((s, dir) => {
-      // oracled: the deterministic stub decode (FNV-1a over payload
-      // bytes) is replayed by DuckDB in HUGEINT; ints cast to long for
-      // BIGINT parity
-      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      // oracled two ways: image rows' width/height come from the REAL
+      // PNG/GIF/BMP header parse (the fixture encodes dims derived from
+      // doc_id, so DuckDB recomputes them arithmetically — any parse bug
+      // breaks the hash); audio/video rows keep the deterministic stub
+      // decode, replayed by DuckDB as FNV-1a in HUGEINT. Ints cast to
+      // long for BIGINT parity.
+      val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("media_type"), col("byte_len"),
           col("width").cast("long").as("width"),
@@ -1853,15 +1858,22 @@ object SparkEntry {
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "n12_media_schema" ->
+      // header lengths: PNG sig+IHDR 33, GIF header+LSD 13, BMP
+      // file header + BITMAPINFOHEADER 54 (ASCII fixture: strlen = bytes)
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        | CAST(strlen(text) AS BIGINT) AS byte_len
+        | CAST(strlen(text) + CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+        |  ELSE 0 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "n13_media_features" ->
-      // the stub decode's FNV-1a over UTF-8 payload bytes (ASCII fixture:
-      // codepoint == byte), dims = 16 + (h >> {0,10}) % 1024
+      // image rows (doc_id % 3 = 0): dims as ENCODED IN THE REAL HEADER
+      // by the fixture (w = 16 + id % 1000, h = 16 + (id/7) % 1000) and
+      // parsed back by headerDims — recomputed here arithmetically;
+      // audio/video rows: the stub decode's FNV-1a over UTF-8 payload
+      // bytes (ASCII fixture: codepoint == byte), dims = 16 + (h >> {0,10}) % 1024
       """WITH h AS (SELECT doc_id, text,
         |  list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
         |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
@@ -1871,9 +1883,13 @@ object SparkEntry {
         |SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        | CAST(strlen(text) AS BIGINT) AS byte_len,
-        | CAST(16 + hu % 1024 AS BIGINT) AS width,
-        | CAST(16 + (hu >> 10) % 1024 AS BIGINT) AS height,
+        | CAST(strlen(text) + CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+        |  ELSE 0 END AS BIGINT) AS byte_len,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 1000
+        |      ELSE 16 + hu % 1024 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 7) % 1000
+        |      ELSE 16 + (hu >> 10) % 1024 END AS BIGINT) AS height,
         | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) // 64 ELSE 1 END AS BIGINT) AS n_frames
         |FROM h ORDER BY media_id""".stripMargin
   )

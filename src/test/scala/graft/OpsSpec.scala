@@ -282,4 +282,44 @@ class OpsSpec extends SparkSpec {
       assert(math.max(tw, th) <= 65 && tw <= w && th <= h)
     }
   }
+
+  test("image header decode: PNG/GIF/BMP round-trip, garbage falls back") {
+    // build header -> parse back must recover the encoded dims exactly,
+    // including multi-byte values that exercise endianness on each path
+    for ((w, h) <- Seq((16, 16), (640, 480), (1015, 158), (70000, 3))) {
+      if (w <= 65535) // GIF dims are u16
+        assert(Multimodal.headerDims(Multimodal.gifHeader(w, h)) == Some((w, h)), s"gif $w x $h")
+      assert(Multimodal.headerDims(Multimodal.pngHeader(w, h)) == Some((w, h)), s"png $w x $h")
+      assert(Multimodal.headerDims(Multimodal.bmpHeader(w, h)) == Some((w, h)), s"bmp $w x $h")
+    }
+    // trailing payload after the header must not disturb the parse
+    val withTail = Multimodal.pngHeader(33, 44) ++ "trailing text".getBytes("UTF-8")
+    assert(Multimodal.headerDims(withTail) == Some((33, 44)))
+    // top-down BMP stores negative height; dimension is the magnitude
+    val bmpNeg = Multimodal.bmpHeader(12, -34)
+    assert(Multimodal.headerDims(bmpNeg) == Some((12, 34)))
+    // non-image payloads: None -> decode falls back to the FNV stub
+    assert(Multimodal.headerDims("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.headerDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.headerDims("GIF8".getBytes("UTF-8")).isEmpty) // truncated magic
+  }
+
+  test("mediaWithHeaders fixture: parsed dims match the encoded formula") {
+    val media = Multimodal.mediaWithHeaders(docs)
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    // doc_ids 1..6 -> images are 3 (GIF: 3/3 % 3 == 1) and 6 (BMP: 6/3 % 3 == 2)
+    for (id <- Seq(3L, 6L)) {
+      val f = feats(id)
+      assert(f.media_type == "image")
+      assert(f.width == 16 + (id % 1000).toInt, s"id $id width")
+      assert(f.height == 16 + ((id / 7) % 1000).toInt, s"id $id height")
+    }
+    // non-image rows keep the stub dims derived from the text payload
+    val audio = feats(1L)
+    val (_, sw, sh, _) = Multimodal.decodeStub(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    assert(audio.media_type == "audio" && audio.width == sw && audio.height == sh)
+    // image byte_len = header + text bytes (id 3 text is 44 chars, GIF 13)
+    assert(feats(3L).byte_len == 44L + 13L)
+  }
 }
