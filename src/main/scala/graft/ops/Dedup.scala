@@ -196,4 +196,15 @@ object Dedup {
         cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Embedding near-dup dedup: drop every vector that near-duplicates a
+    * lower vec_id — the embedding-column mirror of [[minhashDedup]].
+    */
+  def embeddingDedup(emb: DataFrame, threshold: Double = 0.95,
+                     planes: Int = 12, tables: Int = 4,
+                     maxBucket: Int = 2000, dim: Int = -1): DataFrame = {
+    val dups = embeddingNearDups(emb, threshold, planes, tables, maxBucket, dim)
+      .select(col("vec_id_b").as("vec_id")).distinct()
+    emb.join(dups, Seq("vec_id"), "left_anti")
+  }
 }

@@ -83,6 +83,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data behind the watermark is dropped (the watermark binds)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = EventStreams.tumblingCounts(df, "1 hour", watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("latewm")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:25:00"), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0: append emits nothing yet
+      assert(spark.sql("SELECT count(*) FROM latewm").collect()(0).getLong(0) == 0L)
+      // 02:10 advances the watermark to 01:40, past hour 0's end
+      mem.addData((Timestamp.valueOf("2024-01-01 02:10:00"), 3L, "view", 1.0))
+      q.processAllAvailable()
+      // a straggler 1 hour behind the watermark: the hour-0 window is
+      // closed, so this event must be DROPPED — not aggregated, not
+      // re-emitted as a second hour-0 row
+      mem.addData((Timestamp.valueOf("2024-01-01 00:40:00"), 4L, "click", 100.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 05:00:00"), 5L, "view", 1.0))
+      q.processAllAvailable()
+      val hour0 = spark.sql(
+        "SELECT * FROM latewm WHERE window_start = timestamp'2024-01-01 00:00:00'").collect()
+      assert(hour0.length == 1, s"hour-0 window must emit exactly once, got ${hour0.length}")
+      assert(hour0(0).getAs[Long]("n_events") == 2L &&
+        hour0(0).getAs[Double]("sum_value") == 3.0,
+        "late event leaked into the finalized window")
+      assert(spark.sql("SELECT count(*) FROM latewm WHERE sum_value >= 100").collect()(0)
+        .getLong(0) == 0L, "the dropped event must not surface in any window")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate payloads within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

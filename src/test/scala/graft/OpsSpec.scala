@@ -123,6 +123,12 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "exact verification must forbid false positives")
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall too low")
+    // the dedup wrapper drops exactly the higher id of every found pair
+    val kept = Dedup.embeddingDedup(emb, threshold = 0.95, planes = 12, tables = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 40L).forall(kept.contains), "originals must survive dedup")
+    assert(lsh.forall { case (_, b) => !kept.contains(b) },
+      "every detected duplicate (higher id) must be dropped")
   }
 
   test("n-gram contamination flags planted benchmark overlap, ignores clean docs") {
