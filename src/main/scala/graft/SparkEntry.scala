@@ -30,6 +30,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Embeddings fixture + deterministically planted near-duplicates
+    * (shared by n14/n23): copies of vec_id < 3 scaled by
+    * 1 + 1e-6*(vec_id+1), recast to float, re-idd at +1000000. Positive
+    * scaling preserves every sign-LSH hyperplane bit, so the planted
+    * pairs are recalled with probability 1 and the exact all-pairs
+    * oracle is a true set equality on a non-empty result. SQL twin:
+    * [[plantedEmbCte]].
+    */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+    base.unionAll(base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * (lit(1.0) + lit(1e-6) * (col("vec_id") + 1))).cast("float"))
+          .as("embedding")))
+  }
+
+  // DuckDB twin of plantedEmbeddings: float mult in double then recast
+  // to FLOAT is IEEE-identical to Spark's transform+cast
+  private val plantedEmbCte: String =
+    """planted AS (
+      | SELECT vec_id + 1000000 AS vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(x * (1e0 + 1e-6 * (vec_id + 1)) AS FLOAT)) AS embedding
+      | FROM embeddings WHERE vec_id < 3),
+      |allv AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | UNION ALL SELECT vec_id, embedding FROM planted),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM allv)""".stripMargin
+
   /** Flagship: the reference's signature pipeline (SURVEY.md §3.1+§3.2)
     * — load a grid dataset via the accessor registry, crop to AOI and
     * time range, extract a points-to-wide time-series table. 73 rows.
@@ -847,23 +877,49 @@ object SparkEntry {
     "n14_embedding_neardups" -> ((s, dir) => {
       // Oracled against exact all-pairs on a NON-vacuous result: the
       // fixture alone has no pairs at cosine >= 0.8 (max organic pair
-      // ~0.51 — OpsSpec guards that assumption), so the query unions in
-      // deterministically perturbed copies of vec_id < 3, scaled by
-      // 1 + 1e-6*(vec_id+1) and recast to float. Positive scaling
-      // preserves every hyperplane sign bit-for-bit, so each planted
-      // pair collides in ALL LSH tables — recall is 1 by construction
-      // and the exact all-pairs oracle is a true set equality on a
-      // non-empty pair set (cos ~1 for the three planted pairs).
-      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val planted = base.filter(col("vec_id") < 3)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            x => (x * (lit(1.0) + lit(1e-6) * (col("vec_id") + 1))).cast("float"))
-            .as("embedding"))
-      Dedup.embeddingNearDups(base.unionAll(planted), threshold = 0.8,
+      // ~0.51 — OpsSpec guards that assumption), so the query runs over
+      // plantedEmbeddings, whose scaled copies are recalled with
+      // probability 1 (sign-invariance) — the oracle is a true set
+      // equality on a non-empty pair set (cos ~1, three pairs).
+      Dedup.embeddingNearDups(plantedEmbeddings(s, dir), threshold = 0.8,
           planes = 8, tables = 8, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_id_a", "vec_id_b")
+    }),
+
+    "n23_embedding_dedup" -> ((s, dir) => {
+      // the dedup wrapper over the same planted construction: keeps
+      // every vector that does not near-duplicate a lower vec_id —
+      // oracled as an anti-join against the exact duplicate set
+      Dedup.embeddingDedup(plantedEmbeddings(s, dir), threshold = 0.8,
+          planes = 8, tables = 8, dim = 64)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
+    "n24_media_resize" -> ((s, dir) => {
+      // resize geometry over REAL header dims: scale = min(1, 256/edge),
+      // aspect preserved — pure arithmetic the oracle replays from the
+      // dims the fixture encoded into each PNG/GIF/BMP header
+      val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
+      Multimodal.resizePlan(Multimodal.extractFeatures(media), maxEdge = 256)
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("target_w").cast("long").as("target_w"),
+          col("target_h").cast("long").as("target_h"))
+        .orderBy("media_id")
+    }),
+
+    "n25_media_frames" -> ((s, dir) => {
+      // frame sampling: every 10th frame index of each video row
+      // (n_frames = 1 + byte_len/64 from the stub decode)
+      val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
+      Multimodal.sampleFrames(Multimodal.extractFeatures(media), stride = 10)
+        .select(col("media_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx")
     }),
 
     "n20_embedding_allpairs" -> ((s, dir) => {
@@ -1702,23 +1758,43 @@ object SparkEntry {
     },
 
     "n14_embedding_neardups" ->
-      // replays the planted perturbation (float mult in double, recast
-      // to FLOAT — IEEE-identical to Spark's transform+cast), then the
+      // replays the planted perturbation (plantedEmbCte), then the
       // exact all-pairs truth over fixture + planted rows
-      """WITH planted AS (
-        | SELECT vec_id + 1000000 AS vec_id,
-        |  list_transform(embedding,
-        |    x -> CAST(x * (1e0 + 1e-6 * (vec_id + 1)) AS FLOAT)) AS embedding
-        | FROM embeddings WHERE vec_id < 3),
-        |allv AS (
-        | SELECT vec_id, embedding FROM embeddings
-        | UNION ALL SELECT vec_id, embedding FROM planted),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM allv)
-        |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-        | round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
-        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+      s"""WITH $plantedEmbCte
+         |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         | round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
+    "n23_embedding_dedup" ->
+      s"""WITH $plantedEmbCte,
+         |dups AS (SELECT DISTINCT b.vec_id
+         | FROM e a JOIN e b ON a.vec_id < b.vec_id
+         | WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8)
+         |SELECT vec_id FROM allv
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+         |ORDER BY vec_id""".stripMargin,
+
+    "n24_media_resize" ->
+      // real header dims (w = 16 + id % 1000, h = 16 + (id/7) % 1000)
+      // through the resize formula, mirroring resizePlan's expression
+      // order exactly: round(dim * least(1, 256/greatest(w, h)))
+      """WITH img AS (SELECT doc_id AS media_id,
+        |  16 + doc_id % 1000 AS w, 16 + (doc_id // 7) % 1000 AS h
+        | FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(round(w * least(1e0, 256e0 / greatest(w, h))) AS BIGINT) AS target_w,
+        | CAST(round(h * least(1e0, 256e0 / greatest(w, h))) AS BIGINT) AS target_h
+        |FROM img ORDER BY media_id""".stripMargin,
+
+    "n25_media_frames" ->
+      """WITH vid AS (SELECT doc_id AS media_id,
+        |  1 + strlen(text) // 64 AS n_frames
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        | CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+        |FROM vid ORDER BY media_id, frame_idx""".stripMargin,
 
     "n20_embedding_allpairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
