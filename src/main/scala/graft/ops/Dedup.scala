@@ -86,7 +86,12 @@ object Dedup {
     // exact verification on candidate pairs only — shingle sets are
     // computed just for docs that appear in a candidate pair (semi-join
     // prune), not the whole corpus: at 100 TB the candidate set is
-    // orders of magnitude smaller than the input
+    // orders of magnitude smaller than the input. NOT persisted despite
+    // being referenced per pair side: caching here measurably regressed
+    // (3x at sf0.1 — the cached shingle arrays lose the codegen'd
+    // fused scan and their pre-materialization stats degrade the join
+    // plan), while the duplicated subtree is a cheap semi-join whose
+    // two runs share the corpus scan's page cache.
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
     val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
@@ -185,10 +190,13 @@ object Dedup {
       .filter(col("a") < col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate-sized and joined on both pair sides: persisted so the
+    // corpus fetch-back scan runs once, not once per side
     val candIds = pairs.select(col("a").as("vec_id"))
       .union(pairs.select(col("b").as("vec_id"))).distinct()
     val e = emb.join(candIds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
       .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
