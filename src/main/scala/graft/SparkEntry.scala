@@ -550,6 +550,21 @@ object SparkEntry {
       TemporalResample.upsample(g, 1800, "ffill").df.orderBy("time", "y", "x")
     }),
 
+    "g31_upsample_bfill" -> ((s, _) => {
+      // W2 bfill, previously spec-only: the backward mirror of g08
+      val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
+      TemporalResample.upsample(g, 1800, "bfill").df.orderBy("time", "y", "x")
+    }),
+
+    "g32_concat_time" -> ((s, _) => {
+      // U1 time-concat, previously spec-only: split the grid into two
+      // disjoint time chunks and reassemble — must equal the source
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
+      val first = Crop.time(g, "2019-01-30 00:00:00", "2019-01-31 23:00:00")
+      val second = Crop.time(g, "2019-02-01 00:00:00", "2019-02-02 00:00:00")
+      VariableMerge.concatTime(Seq(first, second)).df.orderBy("time", "y", "x")
+    }),
+
     "g22_flagship_pipeline" -> ((s, _) => {
       // the full reference-shaped pipeline as one oracled query:
       // registry load -> bbox crop -> time crop -> snap-join -> pivot
@@ -1272,6 +1287,29 @@ object SparkEntry {
          | last_value(t2m IGNORE NULLS) OVER (PARTITION BY y, x ORDER BY time
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2m
          |FROM g ORDER BY time, y, x""".stripMargin,
+
+    "g31_upsample_bfill" ->
+      s"""WITH $grid,
+         |src AS (SELECT time, y, x, t2m FROM grid
+         |        WHERE x BETWEEN ${upBox.west} AND ${upBox.east}
+         |          AND y BETWEEN ${upBox.south} AND ${upBox.north}),
+         |times AS (SELECT generate_series AS time FROM generate_series(
+         |  TIMESTAMP '2019-01-30 00:00:00', TIMESTAMP '2019-02-02 00:00:00', INTERVAL 30 MINUTE)),
+         |cells AS (SELECT DISTINCT y, x FROM src),
+         |g AS (SELECT t.time, c.y, c.x, s.t2m
+         |      FROM times t CROSS JOIN cells c
+         |      LEFT JOIN src s ON s.time = t.time AND s.y = c.y AND s.x = c.x)
+         |SELECT time, y, x,
+         | first_value(t2m IGNORE NULLS) OVER (PARTITION BY y, x ORDER BY time
+         |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t2m
+         |FROM g ORDER BY time, y, x""".stripMargin,
+
+    "g32_concat_time" ->
+      s"""WITH $grid
+         |SELECT time, y, x, t2m, u100 FROM grid
+         |WHERE time <= TIMESTAMP '2019-01-31 23:00:00'
+         |   OR time >= TIMESTAMP '2019-02-01 00:00:00'
+         |ORDER BY time, y, x""".stripMargin,
 
     "g09_spatial_nearest_x2" ->
       s"""WITH $grid,
