@@ -915,8 +915,12 @@ object SparkEntry {
     "n24_media_resize" -> ((s, dir) => {
       // resize geometry over REAL header dims: scale = min(1, 256/edge),
       // aspect preserved — pure arithmetic the oracle replays from the
-      // dims the fixture encoded into each PNG/GIF/BMP header
+      // dims the fixture encoded into each PNG/GIF/BMP header. The
+      // media_type filter runs BEFORE the decode: the typed
+      // mapPartitions boundary blocks predicate pushdown, so at 100 TB
+      // an after-the-fact filter would decode the whole corpus
       val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
+        .filter(col("media_type") === "image")
       Multimodal.resizePlan(Multimodal.extractFeatures(media), maxEdge = 256)
         .select(col("media_id"),
           col("width").cast("long").as("width"),
@@ -928,8 +932,10 @@ object SparkEntry {
 
     "n25_media_frames" -> ((s, dir) => {
       // frame sampling: every 10th frame index of each video row
-      // (n_frames = 1 + byte_len/64 from the stub decode)
+      // (n_frames = 1 + byte_len/64 from the stub decode); video filter
+      // pushed ahead of the decode boundary, as in n24
       val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
+        .filter(col("media_type") === "video")
       Multimodal.sampleFrames(Multimodal.extractFeatures(media), stride = 10)
         .select(col("media_id"),
           col("n_frames").cast("long").as("n_frames"),
