@@ -70,4 +70,23 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(s - total) < 1e-6, s"freq=$freq")
     }
   }
+
+  test("image header law: build->parse round-trips for all dims; tails never disturb") {
+    import graft.ops.Multimodal
+    val dims = Gen.choose(1, 1 << 20) // PNG/BMP take the full i32-positive range
+    val gifDims = Gen.choose(1, 65535)
+    val tail = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    assert(passes(Prop.forAll(dims, dims, tail) { (w, h, t) =>
+      Multimodal.headerDims(Multimodal.pngHeader(w, h) ++ t) == Some((w, h)) &&
+      Multimodal.headerDims(Multimodal.bmpHeader(w, h) ++ t) == Some((w, h))
+    }))
+    assert(passes(Prop.forAll(gifDims, gifDims, tail) { (w, h, t) =>
+      Multimodal.headerDims(Multimodal.gifHeader(w, h) ++ t) == Some((w, h))
+    }))
+    // a payload that is not one of the three formats never parses: any
+    // prefix shorter than the shortest magic, or a corrupted magic byte
+    assert(passes(Prop.forAll(dims, dims, Gen.choose(0, 9)) { (w, h, cut) =>
+      Multimodal.headerDims(Multimodal.pngHeader(w, h).take(cut)).isEmpty
+    }))
+  }
 }
