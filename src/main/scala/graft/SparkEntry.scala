@@ -964,6 +964,26 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n26_pii_redaction" -> ((s, dir) => {
+      // PII scrubbing, non-vacuous by planted construction (the fixture
+      // text is clean word soup): every 5th doc gets a deterministic
+      // email/IP/id/phone suffix both engines synthesize identically,
+      // then redaction replaces each with its typed placeholder and the
+      // per-category counts are hash-compared
+      val docs = t(s, dir, "documents")
+      val salted = docs.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 id 123-45-6789 tel 555-867-5309")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(salted)
+        .select(col("doc_id"), col("text_redacted"),
+          col("n_emails"), col("n_ips"), col("n_ids"), col("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     "n22_contamination" -> ((s, dir) => {
       // decontamination pass: word-5-gram overlap of each training doc
       // against a deterministically hash-sampled eval set
@@ -1976,6 +1996,30 @@ object SparkEntry {
          |FROM shs a, shs b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n26_pii_redaction" -> {
+      // same regexes as TextAnalysis (RE2-compatible by construction);
+      // DuckDB needs the 'g' flag for replace-all parity with Spark
+      val (em, ip, id, ph) = (TextAnalysis.emailPat, TextAnalysis.ipPat,
+        TextAnalysis.idPat, TextAnalysis.phonePat)
+      s"""WITH salted AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.7 id 123-45-6789 tel 555-867-5309'
+         |  ELSE text END AS text
+         | FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$em', '<EMAIL>', 'g'),
+         |   '$ip', '<IP>', 'g'),
+         |   '$id', '<ID>', 'g'),
+         |   '$ph', '<PHONE>', 'g') AS text_redacted,
+         | CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(text, '$id')) AS BIGINT) AS n_ids,
+         | CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones
+         |FROM salted ORDER BY doc_id""".stripMargin
+    },
 
     "n12_media_schema" ->
       // header lengths: PNG sig+IHDR 33, GIF header+LSD 13, BMP

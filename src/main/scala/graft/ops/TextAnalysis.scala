@@ -116,4 +116,37 @@ object TextAnalysis {
       .withColumn("contamination",
         col("n_shared").cast("double") / col("n_grams"))
   }
+
+  // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
+  // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
+  private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipPat    = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val idPat    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private[graft] val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII redaction — the scrubbing pass of a training-data pipeline:
+    * emails, IPv4 addresses, SSN-style ids, and NANP-style phone numbers
+    * replaced by typed placeholders, with per-category counts (taken on
+    * the original text) for audit/filtering. Pure column expressions,
+    * one scan; replacement chains in a fixed order (email, ip, id,
+    * phone) so the id/phone patterns — which share the digit-dash shape
+    * — can never double-fire on the same span.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+    docs
+      .withColumn("n_emails", n(emailPat))
+      .withColumn("n_ips", n(ipPat))
+      .withColumn("n_ids", n(idPat))
+      .withColumn("n_phones", n(phonePat))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, emailPat, "<EMAIL>"),
+              ipPat, "<IP>"),
+            idPat, "<ID>"),
+          phonePat, "<PHONE>"))
+  }
 }

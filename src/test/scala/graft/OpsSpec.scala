@@ -131,6 +131,27 @@ class OpsSpec extends SparkSpec {
       "every detected duplicate (higher id) must be dropped")
   }
 
+  test("PII redaction replaces emails/IPs/ids/phones and counts per category") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 192.168.1.250 thanks"),
+      (2L, "ssn 123-45-6789 and phone 555.867.5309 twice: 555-867-5309"),
+      (3L, "clean text with a version number 1.2 and year 2024"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("text_redacted") == "reach me at <EMAIL> or <IP> thanks")
+    assert(r(1L).getAs[Long]("n_emails") == 1L && r(1L).getAs[Long]("n_ips") == 1L)
+    assert(r(2L).getAs[String]("text_redacted") == "ssn <ID> and phone <PHONE> twice: <PHONE>")
+    assert(r(2L).getAs[Long]("n_ids") == 1L && r(2L).getAs[Long]("n_phones") == 2L)
+    // version numbers / years / empty text never fire
+    assert(r(3L).getAs[String]("text_redacted") == r(3L).getAs[String]("text"))
+    assert(Seq(3L, 4L).forall { i =>
+      Seq("n_emails", "n_ips", "n_ids", "n_phones").forall(c => r(i).getAs[Long](c) == 0L)
+    })
+  }
+
   test("n-gram contamination flags planted benchmark overlap, ignores clean docs") {
     import spark.implicits._
     val evalSet = Seq((100L, "the capital of france is paris obviously")).toDF("doc_id", "text")
