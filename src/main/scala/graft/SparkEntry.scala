@@ -964,6 +964,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n27_repetition" -> ((s, dir) => {
+      // word-repetition quality signals, computed inside the row
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+        .withColumn("repetition_ratio", round(col("repetition_ratio"), 6))
+        .orderBy("doc_id")
+    }),
+
     "n26_pii_redaction" -> ((s, dir) => {
       // PII scrubbing, non-vacuous by planted construction (the fixture
       // text is clean word soup): every 5th doc gets a deterministic
@@ -1996,6 +2003,16 @@ object SparkEntry {
          |FROM shs a, shs b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n27_repetition" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        | CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(ws) END AS BIGINT) AS n_words,
+        | CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(ws)) END AS BIGINT) AS n_distinct_words,
+        | round(CASE WHEN len(trim(text)) = 0 THEN 0e0
+        |      ELSE 1e0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6) AS repetition_ratio
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "n26_pii_redaction" -> {
       // same regexes as TextAnalysis (RE2-compatible by construction);

@@ -117,6 +117,25 @@ object TextAnalysis {
         col("n_shared").cast("double") / col("n_grams"))
   }
 
+  /** Word-repetition quality signals (the MassiveText/Gopher repetition
+    * filters' base statistics — Rae et al. 2021, table A1): total and
+    * distinct word counts and the repeated fraction 1 - distinct/total.
+    * Computed entirely inside the row (array expressions) — one scan,
+    * no shuffle, codegen'd.
+    */
+  def repetitionFeatures(docs: DataFrame): DataFrame = {
+    val blank = length(trim(col("text"))) === 0
+    val words = split(col("text"), " ")
+    val total = when(blank, lit(0)).otherwise(size(words))
+    val dist = when(blank, lit(0)).otherwise(size(array_distinct(words)))
+    docs.select(col("doc_id"),
+      total.cast("long").as("n_words"),
+      dist.cast("long").as("n_distinct_words"),
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
+        .as("repetition_ratio"))
+  }
+
   // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
   // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

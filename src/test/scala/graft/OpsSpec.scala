@@ -131,6 +131,15 @@ class OpsSpec extends SparkSpec {
       "every detected duplicate (higher id) must be dropped")
   }
 
+  test("repetition features: duplicate words raise the ratio; blanks are zero") {
+    val r = TextAnalysis.repetitionFeatures(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    // doc 1: 9 words, "the" twice -> 8 distinct
+    assert(r(1L) == (9L, 8L, 1.0 - 8.0 / 9.0))
+    assert(r(6L) == (0L, 0L, 0.0)) // empty text
+    assert(r(5L)._3 == 0.0)        // all-distinct doc
+  }
+
   test("PII redaction replaces emails/IPs/ids/phones and counts per category") {
     import spark.implicits._
     val d = Seq(
