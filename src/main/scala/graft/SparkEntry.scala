@@ -964,6 +964,24 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n28_dup_clusters" -> ((s, dir) => {
+      // connected components over the simhash near-dup graph: every doc
+      // in a pair labeled with the min doc_id of its component via
+      // distributed label propagation; DuckDB replays it as a RECURSIVE
+      // CTE transitive closure over the same replayed simhash edges
+      val pairs = Dedup.simhashNearDups(t(s, dir, "documents"), maxDistance = 6)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    }),
+
+    "n29_stratified_sample" -> ((s, dir) => {
+      // domain-balancing: keep 50% of en, 20% of de, 10% of the rest,
+      // decided per-row by the same engine-independent hash rule the
+      // oracle replays
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
     "n27_repetition" -> ((s, dir) => {
       // word-repetition quality signals, computed inside the row
       TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
@@ -2003,6 +2021,32 @@ object SparkEntry {
          |FROM shs a, shs b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n28_dup_clusters" ->
+      // transitive closure over the replayed simhash edge set: reach
+      // accumulates every (node, reachable node) path pair; the cluster
+      // id is the min over node itself and everything reachable
+      s"""WITH RECURSIVE $simhashCte,
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM shs a, shs b
+         |      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6),
+         |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "n29_stratified_sample" -> {
+      val (tEn, tDe, tDef) = (graft.ops.Sampling.hexThreshold(0.5),
+        graft.ops.Sampling.hexThreshold(0.2), graft.ops.Sampling.hexThreshold(0.1))
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE CASE
+         |  WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$tEn'
+         |  WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$tDe'
+         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$tDef' END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "n27_repetition" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)

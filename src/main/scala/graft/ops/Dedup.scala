@@ -205,6 +205,54 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair graph, labeling every member with the minimum id reachable —
+    * the canonical representative a clustering dedup keeps (pairwise
+    * drop-the-higher-id under-merges transitive chains; components are
+    * the standard fix). Distributed min-label propagation: every
+    * iteration pushes labels across edges with one shuffle, so total
+    * cost is O(diameter) shuffles over the PAIR graph (candidate-sized,
+    * not corpus-sized — near-dup components are shallow in practice).
+    * Cf. the MapReduce connected-components family (Kiveris et al.
+    * 2014, "Connected components in MapReduce and beyond").
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "doc_id_a",
+                  idB: String = "doc_id_b", maxIter: Int = 50): DataFrame = {
+    // localCheckpoint (eager) after every step: truncates the logical
+    // plan so iteration N does not carry N levels of join lineage (a
+    // growing plan OOMs the driver long before the data would), and
+    // makes each join read a materialized relation instead of
+    // re-deriving same-lineage branches
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    // min-label propagation only ever lowers labels, so the label sum
+    // strictly decreases until the fixpoint — a cheap convergence test
+    // with no self-join of consecutive iterations
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val incoming = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("lu")).as("cand"))
+      labels = labels.join(incoming, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup dedup: drop every vector that near-duplicates a
     * lower vec_id — the embedding-column mirror of [[minhashDedup]].
     */

@@ -42,4 +42,24 @@ object Sampling {
     val inEval = !hashFilter(col(keyCol), 1.0 - evalFraction)
     (df.filter(!inEval), df.filter(inEval))
   }
+
+  /** Per-stratum deterministic sampling — the domain-balancing pass of a
+    * training mix (keep 50% of one source, 10% of another): each row is
+    * kept iff its key hash falls under its stratum's fraction, so
+    * membership stays engine- and partitioning-independent exactly like
+    * [[deterministicSample]]. Strata not listed get `defaultFraction`.
+    * One scan, no shuffle — the stratum dispatch is a CASE chain.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    // sorted so the CASE chain (and thus the plan) is deterministic
+    // regardless of Map iteration order; strata are mutually exclusive
+    val cond = fractions.toSeq.sortBy(_._1)
+      .foldLeft(hashFilter(col(keyCol), defaultFraction)) {
+        case (acc, (stratum, f)) =>
+          when(col(stratumCol) === stratum, hashFilter(col(keyCol), f)).otherwise(acc)
+      }
+    df.filter(cond)
+  }
 }

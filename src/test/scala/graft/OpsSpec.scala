@@ -131,6 +131,38 @@ class OpsSpec extends SparkSpec {
       "every detected duplicate (higher id) must be dropped")
   }
 
+  test("dup clusters: transitive chains collapse to the min id per component") {
+    import spark.implicits._
+    // two components: a chain 1-2-3 (no direct 1-3 pair) and a pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain exercises multi-iteration propagation (diameter 5)
+    val chain = (0 until 5).map(i => (i.toLong, i + 1L)).toDF("doc_id_a", "doc_id_b")
+    val c = Dedup.dupClusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 5L).forall(c(_) == 0L))
+  }
+
+  test("stratified sampling: per-stratum rates, subset of full sample, stable") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val frac = Map("en" -> 0.5, "de" -> 0.2)
+    val s1 = Sampling.stratifiedSample(d, "doc_id", "lang", frac, defaultFraction = 0.1)
+    val s2 = Sampling.stratifiedSample(d.repartition(7), "doc_id", "lang", frac, 0.1)
+    // partition-layout invariance
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // every stratum's kept set is exactly the plain sample at its rate
+    // restricted to the stratum (the same hash rule decides both)
+    for ((lang, f) <- frac + ("fr" -> 0.1)) {
+      val inStrat = s1.filter(col("lang") === lang)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val plain = Sampling.deterministicSample(d.filter(col("lang") === lang), "doc_id", f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(inStrat == plain, s"stratum $lang")
+    }
+  }
+
   test("repetition features: duplicate words raise the ratio; blanks are zero") {
     val r = TextAnalysis.repetitionFeatures(docs).collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
