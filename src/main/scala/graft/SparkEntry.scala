@@ -964,6 +964,14 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n30_top_word_share" -> ((s, dir) => {
+      // the shuffle-shaped repetition signal (explode + two partial
+      // aggs), vs n27's in-row shape
+      TextAnalysis.topWordShare(t(s, dir, "documents"))
+        .withColumn("top_word_share", round(col("top_word_share"), 6))
+        .orderBy("doc_id")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -2021,6 +2029,13 @@ object SparkEntry {
          |FROM shs a, shs b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n30_top_word_share" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(max(n) AS BIGINT) AS top_n,
+        | round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_word_share
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "n28_dup_clusters" ->
       // transitive closure over the replayed simhash edge set: reach

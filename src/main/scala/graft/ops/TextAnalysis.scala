@@ -136,6 +136,24 @@ object TextAnalysis {
         .as("repetition_ratio"))
   }
 
+  /** Top-word share: the fraction of word occurrences taken by the most
+    * frequent word of each document (the Gopher "most common word"
+    * repetition filter). Unlike [[repetitionFeatures]] this one is the
+    * explode + partial-agg shape: word counts shuffle keyed by
+    * (doc_id, word) with map-side combine, so a single pathological
+    * document never exceeds one task's reducer and the operator scales
+    * with the corpus, not the longest document. Documents with no words
+    * drop out (no gram basis to grade).
+    */
+  def topWordShare(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"), max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_words"), col("top_n"),
+        (col("top_n").cast("double") / col("n_words")).as("top_word_share"))
+
   // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
   // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

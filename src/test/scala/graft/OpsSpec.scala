@@ -172,6 +172,14 @@ class OpsSpec extends SparkSpec {
     assert(r(5L)._3 == 0.0)        // all-distinct doc
   }
 
+  test("top-word share: most frequent word's fraction; empty docs drop out") {
+    val r = TextAnalysis.topWordShare(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == (9L, 2L, 2.0 / 9.0)) // "the" twice of 9 words
+    assert(!r.contains(6L))              // empty text has no words
+    assert(r(5L)._2 == 1L)               // all-distinct doc
+  }
+
   test("PII redaction replaces emails/IPs/ids/phones and counts per category") {
     import spark.implicits._
     val d = Seq(
