@@ -140,6 +140,70 @@ object SparkEntry {
        |    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
        |      tok -> ${fnvSql("tok")}) AS hl
        |   FROM documents)))""".stripMargin
+  // Full MinHash-LSH choreography replay, parameterized over shingle
+  // width / signature length / banding / Jaccard threshold so one
+  // generator serves every minhash-family query (n10 and the n-gram-
+  // Jaccard wrapper n31). Signatures are FNV shingles xor splitmix64
+  // permutation seeds pushed through fmix64 in HUGEINT mod-2^64
+  // arithmetic; the banded candidate join and exact-Jaccard
+  // verification mirror Dedup.minhashNearDups step for step.
+  private def minhashOracleSql(k: Int, numHashes: Int, bands: Int,
+                               threshold: Double, seed: Long = 42L): String = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    def u(l: Long): java.math.BigInteger =
+      if (l >= 0) java.math.BigInteger.valueOf(l)
+      else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
+    val permRows = (0 until numHashes).map(i =>
+      s"($i, CAST('${u(graft.functions.Hashing.splitmix64(seed + i))}' AS HUGEINT))")
+      .mkString(",\n  ")
+    val M = "18446744073709551615" // 2^64 - 1 (mask)
+    // full 64x64-bit multiply overflows INT128, so (x * C) mod 2^64 is
+    // computed from 32-bit halves: xLo*C + ((xHi*CLo mod 2^32) << 32)
+    def mulC(x: String, c: String, cLo: String): String =
+      s"((($x & 4294967295) * $c & $M) + ((($x >> 32) * $cLo & 4294967295) << 32)) & $M"
+    val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
+    val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
+    // fmix64 unrolled over a columnar (shingle x perm) relation - a
+    // vectorized pipeline instead of per-element lambdas, so the
+    // replay stays fast at larger fixtures
+    s"""WITH base AS (SELECT doc_id, text,
+       |  list_distinct(list_transform(generate_series(1, greatest(len(text) - ${k - 1}, 1)),
+       |    j -> ${fnvSql(s"substr(text, j, $k)")})) AS hs
+       | FROM documents),
+       |perms(p, pv) AS (VALUES
+       |  $permRows),
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM base),
+       |uh AS (SELECT DISTINCT h FROM sh),
+       |m1 AS (SELECT h, p, xor(x, x >> 33) AS v1
+       |       FROM (SELECT h, p, xor(h, pv) AS x FROM uh, perms)),
+       |m2 AS (SELECT h, p, xor(v2, v2 >> 33) AS v3
+       |       FROM (SELECT h, p, ${mulC("v1", c1, c1lo)} AS v2 FROM m1)),
+       |fx AS (SELECT h, p,
+       |  CAST(CASE WHEN f >= CAST(1 AS HUGEINT) << 63
+       |       THEN f - (CAST(1 AS HUGEINT) << 63) - (CAST(1 AS HUGEINT) << 63)
+       |       ELSE f END AS BIGINT) AS f
+       | FROM (SELECT h, p, xor(v4, v4 >> 33) AS f
+       |       FROM (SELECT h, p, ${mulC("v3", c2, c2lo)} AS v4 FROM m2))),
+       |sigel AS (SELECT doc_id, p, min(f) AS mel
+       |          FROM sh JOIN fx USING (h) GROUP BY doc_id, p),
+       |sigs AS (SELECT doc_id, list(mel ORDER BY p) AS sig
+       |         FROM sigel GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, sig[b * $r + 1 : b * $r + $r] AS key
+       |          FROM sigs, (SELECT unnest(generate_series(0, ${bands - 1})) AS b) t),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |v AS (SELECT doc_id_a, doc_id_b,
+       |  len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |  len(sa.hs) AS la, len(sb.hs) AS lb
+       | FROM cand JOIN base sa ON sa.doc_id = doc_id_a
+       |           JOIN base sb ON sb.doc_id = doc_id_b)
+       |SELECT doc_id_a, doc_id_b,
+       | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+       |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= ${dlit(threshold)}
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+  }
   // DuckDB parses long fractional literals as DECIMAL and keeps pure
   // decimal/bigint arithmetic in DECIMAL — cast to DOUBLE so the oracle
   // computes in IEEE754 exactly like Spark
@@ -970,6 +1034,16 @@ object SparkEntry {
       TextAnalysis.topWordShare(t(s, dir, "documents"))
         .withColumn("top_word_share", round(col("top_word_share"), 6))
         .orderBy("doc_id")
+    }),
+
+    "n31_ngram_jaccard" -> ((s, dir) => {
+      // character-3-gram Jaccard near-dup — the minhash choreography at
+      // n-gram granularity (k=3, 32 narrow bands for high recall at the
+      // 0.5 threshold); the oracle replays it via the same generator as
+      // n10 with the n-gram parameters
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_id_a", "doc_id_b")
     }),
 
     "n28_dup_clusters" -> ((s, dir) => {
@@ -1967,60 +2041,11 @@ object SparkEntry {
          |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     },
 
-    "n10_minhash_neardups" -> {
-      def u(l: Long): java.math.BigInteger =
-        if (l >= 0) java.math.BigInteger.valueOf(l)
-        else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
-      val permRows = (0 until 64).map(i =>
-        s"($i, CAST('${u(graft.functions.Hashing.splitmix64(42L + i))}' AS HUGEINT))")
-        .mkString(",\n  ")
-      val M = "18446744073709551615" // 2^64 - 1 (mask)
-      // full 64x64-bit multiply overflows INT128, so (x * C) mod 2^64 is
-      // computed from 32-bit halves: xLo*C + ((xHi*CLo mod 2^32) << 32)
-      def mulC(x: String, c: String, cLo: String): String =
-        s"((($x & 4294967295) * $c & $M) + ((($x >> 32) * $cLo & 4294967295) << 32)) & $M"
-      val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
-      val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
-      // fmix64 unrolled over a columnar (shingle x perm) relation - a
-      // vectorized pipeline instead of per-element lambdas, so the
-      // replay stays fast at larger fixtures
-      s"""WITH base AS (SELECT doc_id, text,
-         |  list_distinct(list_transform(generate_series(1, greatest(len(text) - 4, 1)),
-         |    j -> ${fnvSql("substr(text, j, 5)")})) AS hs
-         | FROM documents),
-         |perms(p, pv) AS (VALUES
-         |  $permRows),
-         |sh AS (SELECT doc_id, unnest(hs) AS h FROM base),
-         |uh AS (SELECT DISTINCT h FROM sh),
-         |m1 AS (SELECT h, p, xor(x, x >> 33) AS v1
-         |       FROM (SELECT h, p, xor(h, pv) AS x FROM uh, perms)),
-         |m2 AS (SELECT h, p, xor(v2, v2 >> 33) AS v3
-         |       FROM (SELECT h, p, ${mulC("v1", c1, c1lo)} AS v2 FROM m1)),
-         |fx AS (SELECT h, p,
-         |  CAST(CASE WHEN f >= CAST(1 AS HUGEINT) << 63
-         |       THEN f - (CAST(1 AS HUGEINT) << 63) - (CAST(1 AS HUGEINT) << 63)
-         |       ELSE f END AS BIGINT) AS f
-         | FROM (SELECT h, p, xor(v4, v4 >> 33) AS f
-         |       FROM (SELECT h, p, ${mulC("v3", c2, c2lo)} AS v4 FROM m2))),
-         |sigel AS (SELECT doc_id, p, min(f) AS mel
-         |          FROM sh JOIN fx USING (h) GROUP BY doc_id, p),
-         |sigs AS (SELECT doc_id, list(mel ORDER BY p) AS sig
-         |         FROM sigel GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b, sig[b * 4 + 1 : b * 4 + 4] AS key
-         |          FROM sigs, (SELECT unnest(generate_series(0, 15)) AS b) t),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |         FROM bands a JOIN bands b
-         |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         |v AS (SELECT doc_id_a, doc_id_b,
-         |  len(list_intersect(sa.hs, sb.hs)) AS inter,
-         |  len(sa.hs) AS la, len(sb.hs) AS lb
-         | FROM cand JOIN base sa ON sa.doc_id = doc_id_a
-         |           JOIN base sb ON sb.doc_id = doc_id_b)
-         |SELECT doc_id_a, doc_id_b,
-         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
-         |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
-         |ORDER BY doc_id_a, doc_id_b""".stripMargin
-    },
+    "n10_minhash_neardups" -> minhashOracleSql(k = 5, numHashes = 64,
+      bands = 16, threshold = 0.5),
+
+    "n31_ngram_jaccard" -> minhashOracleSql(k = 3, numHashes = 64,
+      bands = 32, threshold = 0.5),
 
     "n11_simhash_neardups" ->
       s"""WITH $simhashCte

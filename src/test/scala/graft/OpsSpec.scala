@@ -39,6 +39,17 @@ class OpsSpec extends SparkSpec {
     assert(!deduped.select("doc_id").collect().map(_.getLong(0)).contains(2L))
   }
 
+  test("ngram jaccard finds character-level near-dups at k=3") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3-gram granularity: the jumps/jumped edit keeps char-trigram
+    // overlap high, the unrelated doc 5 stays below threshold
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)))
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L))
+    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j12 == 1.0)
+  }
+
   test("simhash: identical texts at distance 0, unrelated texts far") {
     val pairs = Dedup.simhashNearDups(docs, maxDistance = 3).collect()
     val d12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
