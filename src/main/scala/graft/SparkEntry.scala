@@ -148,9 +148,25 @@ object SparkEntry {
   // arithmetic; the banded candidate join and exact-Jaccard
   // verification mirror Dedup.minhashNearDups step for step.
   private def minhashOracleSql(k: Int, numHashes: Int, bands: Int,
-                               threshold: Double, seed: Long = 42L): String = {
+                               threshold: Double, seed: Long = 42L,
+                               wordGrams: Boolean = false): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
+    // shingle hash list per doc: character k-shingles, or word n-grams
+    // rebuilt as the exact joined-with-space strings the kernel hashes
+    val baseCte =
+      if (wordGrams)
+        s"""base AS (SELECT doc_id,
+           |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - ${k - 1}, 1)),
+           |    j -> ${fnvSql(s"array_to_string(ws[j:j+${k - 1}], ' ')")})) AS hs
+           | FROM (SELECT doc_id,
+           |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+           |  FROM documents))""".stripMargin
+      else
+        s"""base AS (SELECT doc_id,
+           |  list_distinct(list_transform(generate_series(1, greatest(len(text) - ${k - 1}, 1)),
+           |    j -> ${fnvSql(s"substr(text, j, $k)")})) AS hs
+           | FROM documents)""".stripMargin
     def u(l: Long): java.math.BigInteger =
       if (l >= 0) java.math.BigInteger.valueOf(l)
       else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
@@ -167,10 +183,7 @@ object SparkEntry {
     // fmix64 unrolled over a columnar (shingle x perm) relation - a
     // vectorized pipeline instead of per-element lambdas, so the
     // replay stays fast at larger fixtures
-    s"""WITH base AS (SELECT doc_id, text,
-       |  list_distinct(list_transform(generate_series(1, greatest(len(text) - ${k - 1}, 1)),
-       |    j -> ${fnvSql(s"substr(text, j, $k)")})) AS hs
-       | FROM documents),
+    s"""WITH $baseCte,
        |perms(p, pv) AS (VALUES
        |  $permRows),
        |sh AS (SELECT doc_id, unnest(hs) AS h FROM base),
@@ -1037,11 +1050,12 @@ object SparkEntry {
     }),
 
     "n31_ngram_jaccard" -> ((s, dir) => {
-      // character-3-gram Jaccard near-dup — the minhash choreography at
-      // n-gram granularity (k=3, 32 narrow bands for high recall at the
-      // 0.5 threshold); the oracle replays it via the same generator as
-      // n10 with the n-gram parameters
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), k = 3, threshold = 0.5)
+      // word-trigram Jaccard near-dup — the minhash choreography at
+      // word-gram granularity (32 narrow bands: near-total recall at
+      // the 0.5 threshold, affordable because word grams are
+      // discriminative between unrelated docs); the oracle replays it
+      // via the same generator as n10 in word-gram mode
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_id_a", "doc_id_b")
     }),
@@ -2045,7 +2059,7 @@ object SparkEntry {
       bands = 16, threshold = 0.5),
 
     "n31_ngram_jaccard" -> minhashOracleSql(k = 3, numHashes = 64,
-      bands = 32, threshold = 0.5),
+      bands = 32, threshold = 0.5, wordGrams = true),
 
     "n11_simhash_neardups" ->
       s"""WITH $simhashCte

@@ -52,13 +52,27 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     * Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard >= threshold.
+    *
+    * `wordGrams = false` shingles characters (k-char shingles);
+    * `wordGrams = true` shingles word n-grams (k = n words). Word grams
+    * are the LLM-corpus near-dedup shape: character shingles of natural-
+    * language text share a large baseline Jaccard between UNRELATED
+    * documents (the trigram space is tiny), which makes narrow LSH bands
+    * go quadratic — word n-grams are discriminative, so the candidate
+    * set stays near-duplicate-sized at any corpus scale.
     */
   def minhashNearDups(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
                       bands: Int = 16, threshold: Double = 0.8,
-                      maxBucket: Int = 1000, seed: Long = 42L): DataFrame = {
+                      maxBucket: Int = 1000, seed: Long = 42L,
+                      wordGrams: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val sigs = docs.select(col("doc_id"), minhash_signature(col("text"), k, numHashes, seed).as("sig"))
+    def sigOf(c: org.apache.spark.sql.Column) =
+      if (wordGrams) minhash_words(c, k, numHashes, seed)
+      else minhash_signature(c, k, numHashes, seed)
+    def shOf(c: org.apache.spark.sql.Column) =
+      if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
+    val sigs = docs.select(col("doc_id"), sigOf(col("text")).as("sig"))
     // band key: (band index, the signature slice itself) — slice
     // equality is the exact collision condition, so no hash-bucket
     // false positives, and the banding is replayable by the oracle
@@ -95,7 +109,7 @@ object Dedup {
     val candIds = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
     val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingle_set(col("text"), k).as("sh"))
+      .select(col("doc_id"), shOf(col("text")).as("sh"))
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
@@ -155,12 +169,17 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
-  /** N-gram Jaccard similarity for ALL pairs above a threshold within
-    * LSH candidates — convenience wrapper combining minhash candidates
-    * with exact verification (already exact in minhashNearDups).
+  /** Word n-gram Jaccard near-dup pairs: minhash-LSH candidates over
+    * word n-grams with exact n-gram-Jaccard verification. 32 two-row
+    * bands give near-total recall at the 0.5 threshold (1-(1-s²)³² ≈
+    * 0.9998 at s = 0.5) — affordable ONLY because word grams are
+    * discriminative: unrelated documents share ≈ no word trigrams, so
+    * permissive banding still yields a near-duplicate-sized candidate
+    * set (character grams here would send every pair to verification).
     */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame =
-    minhashNearDups(docs, k = k, numHashes = 64, bands = 32, threshold = threshold)
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashNearDups(docs, k = n, numHashes = 64, bands = 32,
+      threshold = threshold, wordGrams = true)
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Candidates via
     * sign-LSH buckets (hyperplane simhash over the embedding) to stay

@@ -145,6 +145,76 @@ object SimilarityKernels {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Whitespace tokens of `s` (Character.isWhitespace boundaries —
+    * the same split simhash uses, validated against the oracle's
+    * `\s+` replay). Shared by the word-gram kernels.
+    */
+  private def splitWords(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = -1; var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) { out += s.substring(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) out += s.substring(start)
+    out.toArray
+  }
+
+  /** Word n-gram j = words[j .. j+n-1] joined with a single space —
+    * hashed as that STRING so the oracle can rebuild the exact gram
+    * text with array_to_string. Fewer than n words collapse to one
+    * gram of all words (empty text -> the empty-string gram).
+    */
+  private def gramHash(words: Array[String], j: Int, n: Int): Long = {
+    val end = math.min(words.length, j + n)
+    val sb = new java.lang.StringBuilder()
+    var i = j
+    while (i < end) { if (i > j) sb.append(' '); sb.append(words(i)); i += 1 }
+    Hashing.fnv1a64(sb)
+  }
+
+  /** MinHash signature over word n-grams — the word-granularity twin of
+    * [[minhash]], the shape LLM-corpus near-dedup uses (word shingles
+    * are discriminative between unrelated documents where character
+    * shingles are not, so LSH candidates stay near-duplicate-sized).
+    */
+  def minhashWords(text: UTF8String, n: Int, numHashes: Int, seed: Long): ArrayData = {
+    val words = splitWords(text.toString)
+    val nGrams = math.max(1, words.length - n + 1)
+    val p = perms(seed, numHashes)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < nGrams) {
+      val h = gramHash(words, j, n)
+      var i = 0
+      while (i < numHashes) {
+        val v = Hashing.fmix64(h ^ p(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Word n-gram set (distinct, sorted hashes) — exact-Jaccard
+    * verification primitive at word granularity.
+    */
+  def wordShingleSet(text: UTF8String, n: Int): ArrayData = {
+    val words = splitWords(text.toString)
+    val nGrams = math.max(1, words.length - n + 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nGrams) { set.add(gramHash(words, j, n)); j += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -226,6 +296,32 @@ case class ShingleSet(child: Expression, k: Int) extends UnaryExpression with Ex
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class MinHashWordSignature(child: Expression, n: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_words"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.minhashWords(t.asInstanceOf[UTF8String], n, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.minhashWords($t, $n, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class WordShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_set"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.wordShingleSet(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.wordShingleSet($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
@@ -239,4 +335,9 @@ object GraftFunctions {
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
   def shingle_set(text: Column, k: Int = 5): Column = column(ShingleSet(expression(text), k))
+  def minhash_words(text: Column, n: Int = 3, numHashes: Int = 64,
+                    seed: Long = 42L): Column =
+    column(MinHashWordSignature(expression(text), n, numHashes, seed))
+  def word_shingle_set(text: Column, n: Int = 3): Column =
+    column(WordShingleSet(expression(text), n))
 }

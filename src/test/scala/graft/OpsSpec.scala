@@ -39,15 +39,20 @@ class OpsSpec extends SparkSpec {
     assert(!deduped.select("doc_id").collect().map(_.getLong(0)).contains(2L))
   }
 
-  test("ngram jaccard finds character-level near-dups at k=3") {
-    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).collect()
-    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 3-gram granularity: the jumps/jumped edit keeps char-trigram
-    // overlap high, the unrelated doc 5 stays below threshold
-    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)))
-    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L))
-    val j12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
-    assert(j12 == 1.0)
+  test("word-trigram jaccard finds near-dups, threshold binds exactly") {
+    // docs 1 vs 3 differ in one word of nine: 4 of 10 distinct word
+    // trigrams shared -> jaccard exactly 0.4, so the pair appears at
+    // threshold 0.35 and is cut at 0.5; unrelated doc 5 never pairs
+    val lo = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.35).collect()
+    val loKeys = lo.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loKeys.contains((1L, 2L)) && loKeys.contains((1L, 3L)))
+    assert(!loKeys.exists(p => p._1 == 5L || p._2 == 5L))
+    val j13 = lo.find(r => r.getLong(0) == 1L && r.getLong(1) == 3L).get.getDouble(2)
+    assert(math.abs(j13 - 0.4) < 1e-12)
+    val hi = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5).collect()
+    val hiKeys = hi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hiKeys.contains((1L, 2L)) && !hiKeys.contains((1L, 3L)))
+    assert(hi.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2) == 1.0)
   }
 
   test("simhash: identical texts at distance 0, unrelated texts far") {
