@@ -27,4 +27,31 @@ class HashingSpec extends SparkSpec {
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
+
+  test("property: word-gram kernels equal a naive reimplementation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.SimilarityKernels
+    import org.scalacheck.Gen
+    val wordGen = Gen.oneOf("fox", "dog", "the", "a", "jumps", "Über", "ноль")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val prop = forAll(Gen.listOf(wordGen), sepGen, Gen.choose(1, 4)) { (ws, sep, n) =>
+      val text = ws.mkString(sep)
+      // naive: n-word windows joined with ONE space; < n words -> one
+      // gram of everything (empty text -> the empty gram)
+      val grams =
+        if (ws.length <= n) Seq(ws.mkString(" "))
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      val gramHashes = grams.map(g => Hashing.fnv1a64(g))
+      val expectSet = gramHashes.distinct.sorted
+      val gotSet = SimilarityKernels
+        .wordShingleSet(UTF8String.fromString(text), n).toLongArray.toSeq
+      val perms = SimilarityKernels.perms(7L, 8)
+      val expectSig = Array.tabulate(8)(i =>
+        gramHashes.map(h => Hashing.fmix64(h ^ perms(i))).min)
+      val gotSig = SimilarityKernels
+        .minhashWords(UTF8String.fromString(text), n, 8, 7L).toLongArray
+      gotSet == expectSet && gotSig.sameElements(expectSig)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
 }
