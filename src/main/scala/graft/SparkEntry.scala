@@ -1157,7 +1157,8 @@ object SparkEntry {
       t(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql("""SELECT doc_id, simhash64(text) AS sh,
               |       rolling_hash64(text) AS rh,
-              |       CAST(size(shingle_set(text, 5)) AS BIGINT) AS n_shingles
+              |       CAST(size(shingle_set(text, 5)) AS BIGINT) AS n_shingles,
+              |       CAST(size(word_shingle_set(text, 3)) AS BIGINT) AS n_word_grams
               |FROM documents ORDER BY doc_id""".stripMargin)
     })
   )
@@ -1917,12 +1918,15 @@ object SparkEntry {
          |    (acc, c) -> (acc * 131 + c) % 2305843009213693951) AS BIGINT) AS rh,
          |  len(list_distinct(list_transform(
          |    generate_series(1, greatest(len(text) - 4, 1)),
-         |    j -> ${fnvSql("substr(text, j, 5)")}))) AS ns
+         |    j -> ${fnvSql("substr(text, j, 5)")}))) AS ns,
+         |  len(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) - 2, 1)),
+         |    j -> ${fnvSql("array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[j:j+2], ' ')")}))) AS nw
          | FROM hs)
          |SELECT doc_id,
          | CAST(CASE WHEN shu >= CAST(1 AS HUGEINT) << 63
          |           THEN shu - (CAST(1 AS HUGEINT) << 64) ELSE shu END AS BIGINT) AS sh,
-         | rh, ns AS n_shingles
+         | rh, ns AS n_shingles, nw AS n_word_grams
          |FROM v ORDER BY doc_id""".stripMargin
     },
 

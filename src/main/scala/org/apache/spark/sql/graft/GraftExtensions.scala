@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 /** SQL surface for the graft native expressions: makes
   * `cosine_similarity`, `dot_product`, `minhash_signature`, `simhash64`,
-  * `rolling_hash64`, `shingle_set` callable from `spark.sql(...)`.
+  * `rolling_hash64`, `shingle_set`, `word_shingle_set`, `minhash_words`
+  * callable from `spark.sql(...)`.
   *
   * Two registration paths:
   *  - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
@@ -47,6 +48,12 @@ object GraftExtensions {
       ShingleSet(args(0), if (args.length > 1) intArg(args(1), "k") else 5)),
     "minhash_signature" -> (args => MinHashSignature(args(0),
       if (args.length > 1) intArg(args(1), "k") else 5,
+      if (args.length > 2) intArg(args(2), "numHashes") else 64,
+      if (args.length > 3) longArg(args(3), "seed") else 42L)),
+    "word_shingle_set" -> (args =>
+      WordShingleSet(args(0), if (args.length > 1) intArg(args(1), "n") else 3)),
+    "minhash_words" -> (args => MinHashWordSignature(args(0),
+      if (args.length > 1) intArg(args(1), "n") else 3,
       if (args.length > 2) intArg(args(2), "numHashes") else 64,
       if (args.length > 3) longArg(args(3), "seed") else 42L))
   )

@@ -17,11 +17,15 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
         |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
         |       simhash64('hello world') AS sh,
         |       simhash64('hello world') = simhash64('hello world') AS stable,
-        |       size(shingle_set('abcdef', 3)) AS n
+        |       size(shingle_set('abcdef', 3)) AS n,
+        |       size(word_shingle_set('a b c d', 3)) AS nw,
+        |       size(minhash_words('a b c d', 3, 16)) AS sig_len
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getBoolean(2))
     assert(r.getInt(3) == 4)
+    assert(r.getInt(4) == 2) // "a b c", "b c d"
+    assert(r.getInt(5) == 16)
   }
 
   test("CMR granule parsing: boxes and polygon rings reduce to the reference bbox (S3)") {
