@@ -642,6 +642,17 @@ object SparkEntry {
       VariableMerge.concatTime(Seq(first, second)).df.orderBy("time", "y", "x")
     }),
 
+    "g33_zorder_key" -> ((s, _) => {
+      // the storage-layout clustering key Zorder.writeZordered sorts
+      // by: Morton bit-interleave of the cell indices, as a codegen
+      // expression — oracled by a plain bit-arithmetic replay
+      SyntheticGrid.df(s)
+        .select(col("time"), col("y"), col("x"),
+          org.apache.spark.sql.graft.GraftFunctions
+            .interleave_bits(col("jy"), col("jx")).as("zkey"))
+        .orderBy("time", "y", "x")
+    }),
+
     "g22_flagship_pipeline" -> ((s, _) => {
       // the full reference-shaped pipeline as one oracled query:
       // registry load -> bbox crop -> time crop -> snap-join -> pivot
@@ -1458,6 +1469,14 @@ object SparkEntry {
          |WHERE time <= TIMESTAMP '2019-01-31 23:00:00'
          |   OR time >= TIMESTAMP '2019-02-01 00:00:00'
          |ORDER BY time, y, x""".stripMargin,
+
+    "g33_zorder_key" ->
+      s"""WITH $grid
+         |SELECT time, y, x,
+         | CAST(list_sum(list_transform(generate_series(0, 15), b ->
+         |   (((jx >> b) & 1) << (2 * b)) + (((jy >> b) & 1) << (2 * b + 1))))
+         |  AS BIGINT) AS zkey
+         |FROM grid ORDER BY time, y, x""".stripMargin,
 
     "g09_spatial_nearest_x2" ->
       s"""WITH $grid,

@@ -55,7 +55,8 @@ object GraftExtensions {
     "minhash_words" -> (args => MinHashWordSignature(args(0),
       if (args.length > 1) intArg(args(1), "n") else 3,
       if (args.length > 2) intArg(args(2), "numHashes") else 64,
-      if (args.length > 3) longArg(args(3), "seed") else 42L))
+      if (args.length > 3) longArg(args(3), "seed") else 42L)),
+    "interleave_bits" -> (args => InterleaveBits(args(0), args(1)))
   )
 
   /** Register the functions and the banded-interval-join rewrite on an

@@ -340,4 +340,6 @@ object GraftFunctions {
     column(MinHashWordSignature(expression(text), n, numHashes, seed))
   def word_shingle_set(text: Column, n: Int = 3): Column =
     column(WordShingleSet(expression(text), n))
+  def interleave_bits(y: Column, x: Column): Column =
+    column(InterleaveBits(expression(y), expression(x)))
 }
