@@ -237,17 +237,25 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "doc_id_a",
                   idB: String = "doc_id_b", maxIter: Int = 50): DataFrame = {
-    // localCheckpoint (eager) after every step: truncates the logical
-    // plan so iteration N does not carry N levels of join lineage (a
-    // growing plan OOMs the driver long before the data would), and
-    // makes each join read a materialized relation instead of
-    // re-deriving same-lineage branches
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+    // Eager checkpoint after every step: truncates the logical plan so
+    // iteration N does not carry N levels of join lineage (a growing
+    // plan OOMs the driver long before the data would), and makes each
+    // join read a materialized relation instead of re-deriving
+    // same-lineage branches. Checkpoint flavor is a reliability choice:
+    // localCheckpoint stores blocks on executors AND cuts lineage, so
+    // on a real cluster one lost executor kills the whole iteration —
+    // use the reliable (HDFS/object-store) checkpoint whenever the
+    // session has a checkpoint dir configured, and fall back to
+    // localCheckpoint only without one (single-JVM local runs).
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val edges = ckpt(pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")))
     // min-label propagation only ever lowers labels, so the label sum
     // strictly decreases until the fixpoint — a cheap convergence test
     // with no self-join of consecutive iterations
@@ -260,10 +268,9 @@ object Dedup {
       val incoming = edges
         .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
         .groupBy(col("v").as("id")).agg(min(col("lu")).as("cand"))
-      labels = labels.join(incoming, Seq("id"), "left")
+      labels = ckpt(labels.join(incoming, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label")))
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s

@@ -158,6 +158,35 @@ class OpsSpec extends SparkSpec {
     val chain = (0 until 5).map(i => (i.toLong, i + 1L)).toDF("doc_id_a", "doc_id_b")
     val c = Dedup.dupClusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 5L).forall(c(_) == 0L))
+    // reliable-checkpoint path (the cluster-reliability flavor): same
+    // fixpoint when a checkpoint dir is configured
+    val ckptDir = java.nio.file.Files.createTempDirectory("dupc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val r = Dedup.dupClusters(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == got)
+  }
+
+  test("profile: exact counts hand-checked, HLL path within sketch error") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "a"))
+      .toDF("id", "s")
+    val exact = Profile.profile(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(exact("id") == (4L, 0L, 4L))
+    assert(exact("s") == (4L, 1L, 2L)) // one null; distinct ignores it
+    // the 100 TB flavor: fixed-size HLL sketches instead of a
+    // distinct-value shuffle — within the default rsd (5%), and exact
+    // in practice at these cardinalities
+    val approx = Profile.profile(d, exact = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("id") - 4L) <= 1)
+    assert(math.abs(approx("s") - 2L) <= 1)
+    // larger cardinality: relative error bound holds on real data
+    val docs01 = spark.read.parquet(s"$sf/documents.parquet")
+    val ex = Profile.profile(docs01, Seq("doc_id")).collect()(0).getLong(3)
+    val ap = Profile.profile(docs01, Seq("doc_id"), exact = false).collect()(0).getLong(3)
+    assert(math.abs(ap - ex).toDouble / ex <= 0.1, s"HLL err: exact $ex approx $ap")
   }
 
   test("stratified sampling: per-stratum rates, subset of full sample, stable") {
