@@ -47,6 +47,25 @@ object SparkEntry {
           .as("embedding")))
   }
 
+  /** documents ∪ exact copies of the three lowest-id docs (ids offset
+    * by 1,000,000, text unchanged): the fixture alone has no duplicate
+    * texts, so without planting the exact-dedup oracle is an identity
+    * map and the dup-groups oracle is the empty set — the same vacuity
+    * the round-4 verdict flagged for n14. SQL twin: [[plantedDocsCte]].
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    base.unionAll(base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private val plantedDocsCte: String =
+    """pd AS (
+      | SELECT doc_id, text, n_chars FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text, n_chars
+      | FROM documents WHERE doc_id < 3)""".stripMargin
+
   // DuckDB twin of plantedEmbeddings: float mult in double then recast
   // to FLOAT is IEEE-identical to Spark's transform+cast
   private val plantedEmbCte: String =
@@ -869,12 +888,17 @@ object SparkEntry {
 
     // ================= LLM-pipeline north-star ops ====================
     "n01_exact_dedup" -> ((s, dir) => {
-      Dedup.exactDedup(t(s, dir, "documents"))
+      // non-vacuous: runs over plantedDocs (exact copies of the three
+      // lowest ids), so the dedup must actually DROP the copies — the
+      // fixture alone has no duplicate texts and the op would be an
+      // identity map
+      Dedup.exactDedup(plantedDocs(s, dir))
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
     "n02_dup_groups" -> ((s, dir) => {
-      Dedup.exactGroups(t(s, dir, "documents"))
+      // non-vacuous for the same reason: three 2-copy groups
+      Dedup.exactGroups(plantedDocs(s, dir))
         .select("digest", "keep_id", "n_copies").orderBy("digest")
     }),
 
@@ -1812,13 +1836,15 @@ object SparkEntry {
         |ORDER BY p.event_id""".stripMargin,
 
     "n01_exact_dedup" ->
-      """SELECT doc_id, n_chars FROM documents
-        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $plantedDocsCte
+         |SELECT doc_id, n_chars FROM pd
+         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "n02_dup_groups" ->
-      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
+      s"""WITH $plantedDocsCte
+         |SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM pd GROUP BY text HAVING count(*) > 1 ORDER BY digest""".stripMargin,
 
     "n03_token_counts" ->
       """SELECT doc_id,
