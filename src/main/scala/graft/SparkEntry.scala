@@ -415,7 +415,11 @@ object SparkEntry {
     }),
 
     "q06_nations_no_suppliers" -> ((s, dir) => {
+      // non-vacuous: every fixture nation has suppliers, so a planted
+      // nationkey with none must be the EXCEPT's one surviving row — a
+      // broken set-difference returning the empty set can't pass
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .unionAll(s.range(1).select(lit(9999).as("nationkey")))
       val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
       c.except(sup).orderBy("nationkey")
     }),
@@ -429,7 +433,11 @@ object SparkEntry {
     }),
 
     "q08_customers_no_orders" -> ((s, dir) => {
-      t(s, dir, "customer")
+      // non-vacuous: every fixture customer has orders, so the planted
+      // orderless customer must be the anti-join's one surviving row
+      t(s, dir, "customer").select("c_custkey", "c_name")
+        .unionAll(s.range(1).select(lit(9999999L).as("c_custkey"),
+          lit("planted-no-orders").as("c_name")))
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -1235,7 +1243,9 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q06_nations_no_suppliers" ->
-      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |            UNION SELECT CAST(9999 AS INTEGER) AS nationkey)
+        |SELECT nationkey FROM cn
         |EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
 
@@ -1245,7 +1255,9 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q08_customers_no_orders" ->
-      """SELECT c_custkey, c_name FROM customer
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |           UNION ALL SELECT CAST(9999999 AS BIGINT), 'planted-no-orders')
+        |SELECT c_custkey, c_name FROM c
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
