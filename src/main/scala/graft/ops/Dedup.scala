@@ -122,8 +122,10 @@ object Dedup {
 
   /** MinHash-LSH dedup: drop every doc that near-duplicates a lower id. */
   def minhashDedup(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
-                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val dups = minhashNearDups(docs, k, numHashes, bands, threshold)
+                   bands: Int = 16, threshold: Double = 0.8,
+                   wordGrams: Boolean = false): DataFrame = {
+    val dups = minhashNearDups(docs, k, numHashes, bands, threshold,
+        wordGrams = wordGrams)
       .select(col("doc_id_b").as("doc_id")).distinct()
     docs.join(dups, Seq("doc_id"), "left_anti")
   }
