@@ -1128,6 +1128,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n32_word_freq_score" -> ((s, dir) => {
+      // train->score unigram pass: global word counts joined back to
+      // grade each doc by mean corpus frequency; all-integer aggregates
+      TextAnalysis.corpusFrequencyScore(t(s, dir, "documents"))
+        .withColumn("mean_word_freq", round(col("mean_word_freq"), 6))
+        .orderBy("doc_id")
+    }),
+
+    "n33_tfidf_terms" -> ((s, dir) => {
+      // top-3 TF-IDF terms per doc (linear idf keeps scores exact
+      // integer ratios -> cross-engine total order)
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .withColumn("tf_idf", round(col("tf_idf"), 6))
+        .orderBy("doc_id", "rk")
+    }),
+
+    "n34_dup_spans" -> ((s, dir) => {
+      // exact-substring dedup audit: word-8-gram spans occurring in >1
+      // doc; non-vacuous on the raw fixture (1000+ naturally shared
+      // 8-grams at both verify SFs)
+      TextAnalysis.duplicatedSpans(t(s, dir, "documents"), n = 8)
+        .withColumn("dup_share", round(col("dup_share"), 6))
+        .orderBy("doc_id")
+    }),
+
+    "n35_source_cap" -> ((s, dir) => {
+      // per-domain cap: at most 10 docs per source, survivor set decided
+      // by the data (md5 order), so both engines keep identical rows
+      graft.ops.Sampling.capPerGroup(t(s, dir, "documents"),
+          "source", "doc_id", maxPerGroup = 10)
+        .select("doc_id", "source", "sample_rank").orderBy("doc_id")
+    }),
+
     "n26_pii_redaction" -> ((s, dir) => {
       // PII scrubbing, non-vacuous by planted construction (the fixture
       // text is clean word soup): every 5th doc gets a deterministic
@@ -2136,6 +2169,50 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(max(n) AS BIGINT) AS top_n,
         | round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_word_share
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n32_word_freq_score" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |v AS (SELECT word, count(*) AS word_freq FROM w2 GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(word_freq) AS BIGINT) AS freq_sum,
+        | round(CAST(sum(word_freq) AS DOUBLE) / count(*), 6) AS mean_word_freq
+        |FROM w2 JOIN v USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n33_tfidf_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |        CAST(tf.tf * nd.n_docs AS DOUBLE) / dfreq.df AS tf_idf,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY CAST(tf.tf * nd.n_docs AS DOUBLE) / dfreq.df DESC,
+        |                   dfreq.df ASC, tf.term ASC) AS rk
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | round(tf_idf, 6) AS tf_idf, CAST(rk AS BIGINT) AS rk
+        |FROM s WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "n34_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS g
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)),
+        |pg AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, cnt, count(*) OVER (PARTITION BY g) AS nd FROM pg)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_positions,
+        | round(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt), 6) AS dup_share
+        |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n35_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rk
+        | FROM documents)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+        |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "n28_dup_clusters" ->
       // transitive closure over the replayed simhash edge set: reach

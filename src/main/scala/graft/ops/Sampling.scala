@@ -43,6 +43,29 @@ object Sampling {
     (df.filter(!inEval), df.filter(inEval))
   }
 
+  /** Deterministic per-group cap — the "at most N documents per domain"
+    * pass of a web-scale training mix (bound any one domain's
+    * contribution without touching small domains). Which rows survive
+    * is decided by the DATA (md5 of the key, with the key itself as the
+    * total tie-break), so the kept set is identical on any cluster,
+    * partitioning, or engine — the same reproducibility contract as
+    * [[deterministicSample]].
+    *
+    * Scale shape: the `row_number <= max` filter sits directly on the
+    * window, which Spark's WindowGroupLimit optimization turns into
+    * per-map-task partial top-k before the shuffle — a giant domain
+    * never forces a full sort of its rows, and the shuffle carries at
+    * most `maxPerGroup` rows per group per map task.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(substring(md5(col(keyCol).cast("string")), 1, 16), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= maxPerGroup)
+  }
+
   /** Per-stratum deterministic sampling — the domain-balancing pass of a
     * training mix (keep 50% of one source, 10% of another): each row is
     * kept iff its key hash falls under its stratum's fraction, so

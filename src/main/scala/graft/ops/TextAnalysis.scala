@@ -154,6 +154,95 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("top_n"),
         (col("top_n").cast("double") / col("n_words")).as("top_word_share"))
 
+  /** Corpus-frequency scoring — the train->score shape of a statistical
+    * quality filter (a unigram LM's count pass): aggregate global word
+    * frequencies over the corpus, join them back, and grade each
+    * document by the mean corpus frequency of its words (high = built
+    * from common words, low = rare/noisy vocabulary). The vocabulary
+    * relation is orders of magnitude smaller than the corpus (heavy-hit
+    * words dominate), so the score join is broadcast-able at any corpus
+    * size where the vocabulary fits an executor; AQE picks the
+    * broadcast when the stats allow. All aggregates are exact integer
+    * sums — reproducible on any partitioning (and by the oracle).
+    * Documents with no words drop out (no vocabulary basis to grade).
+    */
+  def corpusFrequencyScore(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("word_freq"))
+    words.join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("word_freq")).as("freq_sum"))
+      .select(col("doc_id"), col("n_words"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_words")).as("mean_word_freq"))
+  }
+
+  /** TF-IDF top-`k` terms per document — the keyword-extraction pass.
+    * Two exact aggregations (term frequency per doc, document frequency
+    * per term) and a top-k window; the document count is a 1-row
+    * broadcast (no driver-side action). IDF is the linear `N / df`
+    * form, which keeps every score an exact integer ratio: the ranking
+    * (and the oracle's hash compare) never hinges on a transcendental
+    * whose last ulp differs between engines. Ties rank by rarer term
+    * first (df asc), then term text, so row_number is total.
+    * The `rank <= k` filter sits directly on the row_number, which
+    * Spark's WindowGroupLimit rewrites into per-map-task partial top-k
+    * — no full sort of any document's term list at scale.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val score = (col("tf") * col("n_docs")).cast("double") / col("df")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tf_idf"), col("rk"))
+  }
+
+  /** Duplicated-span detection — the exact-substring layer of training
+    * -data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, how many of its word
+    * `n`-gram positions are spans that also occur in ANOTHER document.
+    * Downstream can drop or clip those spans; here we emit the per-doc
+    * audit counts.
+    *
+    * Shape: one scan -> positional grams hashed to a 128-bit digest (the
+    * shuffle carries 32-byte keys, not 50+-char text spans — same
+    * principle as the md5-keyed exact dedup) -> per-(doc, gram) counts
+    * -> a window keyed by gram marks spans seen in more than one doc ->
+    * per-doc rollup. No self-join and nothing quadratic: cost is linear
+    * in total corpus words, keyed by gram digest exactly like the LSH
+    * banding shuffles. Documents shorter than `n` words have no spans
+    * and drop out.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val gramArr = when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => md5(concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array())
+    docs.select(col("doc_id"), explode(gramArr).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup_positions"))
+      .withColumn("dup_share",
+        col("n_dup_positions").cast("double") / col("n_grams"))
+  }
+
   // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
   // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -443,4 +443,55 @@ class OpsSpec extends SparkSpec {
     // image byte_len = header + text bytes (id 3 text is 44 chars, GIF 13)
     assert(feats(3L).byte_len == 44L + 13L)
   }
+
+  test("corpusFrequencyScore: mean corpus frequency, integer-exact") {
+    val scores = TextAnalysis.corpusFrequencyScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // corpus word freqs across docs 1-5: the=6, quick/brown/fox/over/lazy/dog=3,
+    // jumps=2, jumped=1, all doc-4/5 words=1. Doc 1 word multiset sums to 32/9.
+    assert(scores(1L).getLong(1) == 9L && scores(1L).getLong(2) == 32L)
+    assert(scores(2L).getLong(2) == 32L) // exact dup scores identically
+    assert(scores(4L).getDouble(3) == 1.0) // all-unique vocabulary
+    assert(scores(5L).getDouble(3) == 1.0)
+    assert(!scores.contains(6L)) // blank doc has no words to grade
+  }
+
+  test("tfidfTopTerms: linear-idf ranking with deterministic tie-break") {
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 3).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[String]("term")).toSeq }
+    // doc 1 (n_docs=5): the tf=2 df=3 -> 3.33; jumps df=2 -> 2.5; the
+    // 5/3 tie group resolves alphabetically -> brown
+    assert(top(1L) == Seq("the", "jumps", "brown"))
+    // doc 5: all tf=1 df=1 -> score 5.0 ties, alphabetical
+    assert(top(5L) == Seq("about", "completely", "content"))
+    assert(!top.contains(6L))
+  }
+
+  test("duplicatedSpans: 8-gram spans shared across docs are flagged") {
+    val spans = TextAnalysis.duplicatedSpans(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // docs 1/2 are exact copies: both 8-gram positions duplicated
+    assert(spans(1L).getLong(1) == 2L && spans(1L).getLong(2) == 2L
+      && spans(1L).getDouble(3) == 1.0)
+    assert(spans(2L).getLong(2) == 2L)
+    // doc 3 differs in word 5, which sits inside both of its 8-grams
+    assert(spans(3L).getLong(2) == 0L && spans(3L).getDouble(3) == 0.0)
+    // docs 5 (6 words) and 6 (blank) have no 8-gram basis
+    assert(!spans.contains(5L) && !spans.contains(6L))
+  }
+
+  test("capPerGroup: deterministic, partition-invariant, WindowGroupLimit plan") {
+    val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 3)
+    val kept = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.length == 4) // 3 of 5 'en', the 1 'de' untouched
+    assert(kept.contains(4L))
+    // survivor set is decided by the data: identical on any partitioning
+    val kept7 = Sampling.capPerGroup(docs.repartition(7), "lang", "doc_id", 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept7 == kept)
+    // the rank filter must reach the window operator as a group limit
+    // (per-map-task partial top-k -- the 100 TB shape)
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
