@@ -1128,6 +1128,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n36_curation_pipeline" -> ((s, dir) => {
+      // end-to-end curation: language gate -> token-count gate ->
+      // repetition gate -> exact dedup -> audit columns. Non-vacuous
+      // dedup by construction: copies of the three lowest surviving ids
+      // are planted AFTER the filters, so the dedup window must remove
+      // exactly those three at every SF
+      val docs = t(s, dir, "documents")
+      val kept = docs
+        .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("repetition_ratio", TextAnalysis.repetitionRatio(col("text")))
+        .filter(col("lang_guess") === "en" && col("n_tokens") >= 20
+          && col("repetition_ratio") <= 0.4)
+      val planted = kept.orderBy("doc_id").limit(3)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.exactDedup(kept.unionAll(planted))
+        .select(col("doc_id"), col("lang_guess"), col("n_tokens"),
+          round(col("repetition_ratio"), 6).as("repetition_ratio"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "n32_word_freq_score" -> ((s, dir) => {
       // train->score unigram pass: global word counts joined back to
       // grade each doc by mean corpus frequency; all-integer aggregates
@@ -2169,6 +2190,44 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(max(n) AS BIGINT) AS top_n,
         | round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_word_share
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n36_curation_pipeline" -> {
+      val hits = Map(
+        "de" -> "(?i)\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b",
+        "en" -> "(?i)\\b(the|and|of|to|in|is|that|with|for|it)\\b",
+        "es" -> "(?i)\\b(el|la|los|y|es|en|que|por|una|con)\\b",
+        "fr" -> "(?i)\\b(le|la|les|et|est|dans|pour|que|une|des)\\b")
+      s"""WITH h AS (
+         | SELECT doc_id, text, n_chars,
+         |  len(regexp_extract_all(text, '${hits("de")}')) AS h_de,
+         |  len(regexp_extract_all(text, '${hits("en")}')) AS h_en,
+         |  len(regexp_extract_all(text, '${hits("es")}')) AS h_es,
+         |  len(regexp_extract_all(text, '${hits("fr")}')) AS h_fr,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |  CASE WHEN len(trim(text)) = 0 THEN 0e0
+         |       ELSE 1e0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |            / len(string_split(text, ' ')) END AS rep
+         | FROM documents),
+         |k AS (SELECT doc_id, text, n_chars, n_tokens, rep,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_guess
+         | FROM h),
+         |f AS (SELECT * FROM k
+         |      WHERE lang_guess = 'en' AND n_tokens >= 20 AND rep <= 0.4),
+         |pl AS (SELECT doc_id + 1000000 AS doc_id, text, n_chars, n_tokens, rep, lang_guess
+         |       FROM f ORDER BY doc_id LIMIT 3),
+         |a AS (SELECT doc_id, text, n_chars, n_tokens, rep, lang_guess FROM f
+         |      UNION ALL
+         |      SELECT doc_id, text, n_chars, n_tokens, rep, lang_guess FROM pl)
+         |SELECT doc_id, lang_guess, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | round(rep, 6) AS repetition_ratio, n_chars
+         |FROM a
+         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "n32_word_freq_score" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -136,6 +136,16 @@ object TextAnalysis {
         .as("repetition_ratio"))
   }
 
+  /** Column form of the repetition ratio (1 - distinct/total words),
+    * for composing into filter pipelines; blank text is 0.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val words = split(text, " ")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(words)).cast("double") / size(words).cast("double"))
+  }
+
   /** Top-word share: the fraction of word occurrences taken by the most
     * frequent word of each document (the Gopher "most common word"
     * repetition filter). Unlike [[repetitionFeatures]] this one is the

@@ -481,6 +481,18 @@ class OpsSpec extends SparkSpec {
     assert(!spans.contains(5L) && !spans.contains(6L))
   }
 
+  test("n36 curation pipeline: planted post-filter copies are deduped away") {
+    val out = SparkEntry.queries("n36_curation_pipeline")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // every planted id (>= 1000000) duplicates a surviving original, so
+    // the dedup window must have removed all of them
+    assert(!out.exists(_.getLong(0) >= 1000000L))
+    // and the filters are non-vacuous: gates kept a strict subset
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.length < total)
+  }
+
   test("capPerGroup: deterministic, partition-invariant, WindowGroupLimit plan") {
     val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 3)
     val kept = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
