@@ -1128,6 +1128,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n37_crossmodal_pairs" -> ((s, dir) => {
+      // cross-modal dedup audit: textual near-dup pairs (word-trigram
+      // minhash LSH) scored by the cosine of the paired docs'
+      // embeddings (vec_id aligns with doc_id in the fixture). The
+      // pair set is LSH-sized (tiny vs the corpus), so both embedding
+      // fetch-backs are broadcast-able semi-joins at any corpus scale —
+      // the embeddings never shuffle by pair
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5)
+      val emb = t(s, dir, "embeddings")
+      pairs
+        .join(emb.select(col("vec_id").as("doc_id_a"), col("embedding").as("emb_a")), Seq("doc_id_a"))
+        .join(emb.select(col("vec_id").as("doc_id_b"), col("embedding").as("emb_b")), Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(org.apache.spark.sql.graft.GraftFunctions
+            .cosine_similarity(col("emb_a"), col("emb_b")), 6).as("cos"))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
     "n36_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: language gate -> token-count gate ->
       // repetition gate -> exact dedup -> audit columns. Non-vacuous
@@ -2190,6 +2209,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(max(n) AS BIGINT) AS top_n,
         | round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_word_share
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n37_crossmodal_pairs" ->
+      s"""SELECT p.doc_id_a, p.doc_id_b, p.jaccard,
+         | round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |   CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+         |FROM (${minhashOracleSql(k = 3, numHashes = 64, bands = 32,
+                  threshold = 0.5, wordGrams = true)}) p
+         |JOIN embeddings ea ON ea.vec_id = p.doc_id_a
+         |JOIN embeddings eb ON eb.vec_id = p.doc_id_b
+         |ORDER BY p.doc_id_a, p.doc_id_b""".stripMargin,
 
     "n36_curation_pipeline" -> {
       val hits = Map(

@@ -62,6 +62,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: stateless text gates match the batch pipeline") {
+    // the curation gates (langId / tokenCount / repetitionRatio) are
+    // pure column expressions, so the SAME code runs on a stream with
+    // no modification — this is the streaming-ingest shape of the text
+    // curation pass (filter at ingest, dedup downstream)
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val src = Files.createTempDirectory("docstream").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch.write.mode("overwrite").parquet(src)
+    def gates(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("repetition_ratio", TextAnalysis.repetitionRatio(col("text")))
+      .filter(col("lang_guess") === "en" && col("n_tokens") >= 20
+        && col("repetition_ratio") <= 0.4)
+      .select("doc_id")
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = gates(stream).writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM curation")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batched = gates(batch).collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed == batched && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming tumbling aggregation over MemoryStream emits on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
