@@ -89,4 +89,74 @@ class PropertySpec extends SparkSpec {
       Multimodal.headerDims(Multimodal.pngHeader(w, h).take(cut)).isEmpty
     }))
   }
+
+  private def randomDocs(n: Int, vocab: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val words = Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(vocab)}")
+      (i.toLong, words.mkString(" "), "en", s"src${i % 3}", words.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("corpus-frequency conservation law: sum of freq_sum = sum of freq^2 over vocab") {
+    // each occurrence of word w contributes freq(w) to its doc's
+    // freq_sum, so the corpus-wide total is sum_w freq(w)^2
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val d = randomDocs(40, 12, seed)
+      val scored = graft.ops.TextAnalysis.corpusFrequencyScore(d)
+      val total = scored.agg(sum("freq_sum")).collect()(0).getLong(0)
+      val freqSq = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").count()
+        .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+      assert(total == freqSq, s"seed=$seed")
+    }
+  }
+
+  test("tfidf top-k law: <= k rows per doc, ranks dense from 1, scores non-increasing") {
+    val d = randomDocs(30, 15, 7L)
+    val rows = graft.ops.TextAnalysis.tfidfTopTerms(d, k = 3).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.length <= 3 && byRank.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to byRank.length).toSeq, s"doc $id ranks")
+      val scores = byRank.map(_.getAs[Double]("tf_idf")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $id monotone")
+    }
+  }
+
+  test("duplicated-spans saturation law: doubling the corpus makes every span duplicated") {
+    val d = randomDocs(25, 10, 11L)
+    val doubled = d.unionAll(d.withColumn("doc_id", col("doc_id") + 1000L))
+    val spans = graft.ops.TextAnalysis.duplicatedSpans(doubled, n = 4).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getDouble(3) == 1.0,
+        s"doc ${r.getLong(0)} not saturated")
+    }
+  }
+
+  test("capPerGroup law: at most N per group, kept set is the md5-min prefix, partition-invariant") {
+    val d = randomDocs(60, 8, 13L)
+    for (cap <- Seq(1, 5, 50)) {
+      val kept = graft.ops.Sampling.capPerGroup(d, "source", "doc_id", cap)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val byGroup = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      byGroup.values.foreach(ids => assert(ids.size <= cap))
+      // survivors are exactly the cap-smallest ids by (md5 prefix, id)
+      val all = d.select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      all.groupBy(_._1).foreach { case (src, rows) =>
+        val expect = rows.map(_._2).sortBy(id =>
+          (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(16), id))
+          .take(cap).toSet
+        assert(byGroup.getOrElse(src, Set.empty) == expect, s"group $src cap $cap")
+      }
+      val keptRepart = graft.ops.Sampling.capPerGroup(d.repartition(5), "source", "doc_id", cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptRepart == kept.map(_._2).toSet)
+    }
+  }
 }
