@@ -553,6 +553,30 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    "q26_bucketed_join" -> ((s, dir) => {
+      // bucketed-layout co-located join: both fact tables written
+      // bucketed by the join key into the same bucket count, then the
+      // join AND the same-key aggregation plan with zero Exchange
+      // (BucketingSpec asserts the plan; this query oracles the values
+      // against the plain parquet join)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "graft_orders_bucketed", s"$tmp/orders", "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "graft_lineitem_bucketed", s"$tmp/lineitem", "l_orderkey", 8)
+      s.table("graft_orders_bucketed").hint("merge")
+        .join(s.table("graft_lineitem_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(max("o_totalprice"), 2).as("o_total"))
+        .orderBy("o_orderkey")
+    }),
+
     "q18_running_totals" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
@@ -1193,6 +1217,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n38_chunk_dedup" -> ((s, dir) => {
+      // exact-substring dedup with removal: disjoint 16-word chunks,
+      // first corpus occurrence survives, documents reassembled;
+      // non-vacuous on the raw fixture (chunks repeat across docs at
+      // every verify SF)
+      TextAnalysis.chunkDedup(t(s, dir, "documents"), chunkWords = 16)
+        .orderBy("doc_id")
+    }),
+
     "n35_source_cap" -> ((s, dir) => {
       // per-domain cap: at most 10 docs per source, survivor set decided
       // by the data (md5 order), so both engines keep identical rows
@@ -1419,6 +1452,16 @@ object SparkEntry {
         |   ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE o_orderkey % 100 = 0
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q26_bucketed_join" ->
+      // the layout changes the PLAN, never the answer: the oracle is
+      // the plain join over the raw parquet
+      """SELECT o_orderkey, count(*) AS n_lines,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(max(o_totalprice), 2) AS o_total
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q19_json_extract" ->
       """SELECT event_type, count(*) AS n,
@@ -2293,6 +2336,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_positions,
         | round(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt), 6) AS dup_share
         |FROM nd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n38_chunk_dedup" ->
+      // the first-occurrence rule is a total order ((doc_id, chunk_idx)
+      // is unique), so both engines keep the identical survivor set;
+      // DuckDB list slices are 1-based inclusive = Spark slice(start, len)
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c0 AS (SELECT doc_id, ws, CAST(ceil(len(ws)/16.0) AS BIGINT) AS n_chunks FROM w),
+        |c AS (SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS chunk_idx, ws FROM c0),
+        |ch AS (SELECT doc_id, n_chunks, chunk_idx,
+        |       array_to_string(ws[(chunk_idx*16+1):(chunk_idx*16+16)], ' ') AS chunk FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+        |SELECT doc_id, any_value(n_chunks) AS n_chunks,
+        | count(*) AS kept_chunks,
+        | string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_deduped
+        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "n35_source_cap" ->
       """WITH r AS (SELECT doc_id, source,

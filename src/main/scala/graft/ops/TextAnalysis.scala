@@ -265,6 +265,49 @@ object TextAnalysis {
         col("n_dup_positions").cast("double") / col("n_grams"))
   }
 
+  /** Exact-substring dedup with REMOVAL — the acting counterpart of
+    * [[duplicatedSpans]]'s audit (Lee et al. 2022 §3 remove-and-rejoin,
+    * simplified to disjoint `chunkWords`-word chunks so removal is
+    * well-defined without overlapping-span arbitration): every chunk
+    * that already occurred earlier in the corpus (first occurrence =
+    * smallest (doc_id, chunk_idx)) is dropped, and each document's
+    * surviving chunks are re-joined in order.
+    *
+    * Shape: one scan -> posexplode of the disjoint chunks -> ONE
+    * shuffle keyed by md5(chunk) where a row_number window picks the
+    * first occurrence -> one shuffle back to doc_id for reassembly.
+    * The winner rule is a total order ((doc_id, chunk_idx) is unique),
+    * so the survivor set is engine-independent. The window partition
+    * key is the 16-byte digest, but unlike the audit the chunk TEXT
+    * must ride the shuffle — it is the payload being reassembled, so
+    * that movement is the output itself, not overhead. A hot chunk
+    * (corpus boilerplate) concentrates its occurrences on one
+    * partition; the window computes only row_number, so the partition
+    * streams (no buffering beyond the sort run) — skew costs sort
+    * spill, not memory. Documents whose every chunk is a repeat
+    * disappear from the output (their deduped text is empty).
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("long")
+    val chunks = docs.select(col("doc_id"), nChunks.as("n_chunks"),
+      posexplode(transform(sequence(lit(0), (nChunks - 1).cast("int")),
+        i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+    val firstWins = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(first(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("kept_chunks"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+            s => s("chunk")), " ").as("text_deduped"))
+  }
+
   // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
   // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -2,50 +2,53 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketing co-locates join keys at write time so repeated joins on the
-  * bucket key need no exchange — the lake-layout lever for the hot join
-  * paths at 100 TB (SURVEY.md §4). Uses its own session because
-  * bucketed tables need a warehouse-backed catalog.
+import graft.sources.Bucketing
+
+/** The point of the bucketed layout is the PLAN: a fact-fact equi-join
+  * on the bucket key must run with no Exchange anywhere — the shuffle
+  * was paid once at write time. q26 oracles the values; this spec
+  * pins the plan shape that makes the layout worth it at 100 TB.
   */
-class BucketingSpec extends AnyFunSuite {
+class BucketingSpec extends SparkSpec {
 
-  test("join of two tables bucketed on the key plans without a shuffle") {
-    val wh = Files.createTempDirectory("warehouse").toString
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("bucketing")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val sf = "/root/testdata/sf0.001"
-      spark.read.parquet(s"$sf/orders.parquet")
-        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("orders_b")
-      spark.read.parquet(s"$sf/lineitem.parquet")
-        .withColumnRenamed("l_orderkey", "o_orderkey")
-        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("lineitem_b")
+  test("bucketed fact-fact join and same-key agg plan with zero Exchange") {
+    val tmp = Files.createTempDirectory("graft-bucketing-spec").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(orders, "spec_orders_b", s"$tmp/o", "o_orderkey", 4)
+    Bucketing.writeBucketed(lineitem, "spec_lineitem_b", s"$tmp/l", "l_orderkey", 4)
 
-      val joined = spark.table("orders_b")
-        .join(spark.table("lineitem_b"), "o_orderkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"),
-        s"bucketed join must not shuffle; plan:\n${plan.take(2000)}")
-      // and it is still correct
-      val expect = spark.read.parquet(s"$sf/orders.parquet")
-        .join(spark.read.parquet(s"$sf/lineitem.parquet"),
-          col("o_orderkey") === col("l_orderkey")).count()
-      assert(joined.count() == expect)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS orders_b")
-      spark.sql("DROP TABLE IF EXISTS lineitem_b")
-    }
+    // hint("merge"): at spec scale Spark would broadcast the tiny side
+    // (a BroadcastExchange); force the sort-merge path — the one a
+    // fact-fact join takes at real scale — which bucketing makes
+    // exchange-free end to end
+    val joined = spark.table("spec_orders_b").hint("merge")
+      .join(spark.table("spec_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join+agg must be exchange-free, got:\n$plan")
+
+    // one file per bucket (the repartition-by-bucket-key contract):
+    // multi-file buckets would force a defensive sort under the join
+    val files = new java.io.File(s"$tmp/o").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 4, s"expected 1 file per bucket (4), got $files")
+
+    // the layout never changes the answer
+    val direct = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+    assert(joined.orderBy("o_orderkey").collect().toSeq ==
+           direct.orderBy("o_orderkey").collect().toSeq)
+
+    spark.sql("DROP TABLE IF EXISTS spec_orders_b")
+    spark.sql("DROP TABLE IF EXISTS spec_lineitem_b")
   }
 }

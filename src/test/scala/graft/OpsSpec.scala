@@ -481,6 +481,31 @@ class OpsSpec extends SparkSpec {
     assert(!spans.contains(5L) && !spans.contains(6L))
   }
 
+  test("chunkDedup: repeated chunks removed, first occurrence kept, text reassembled") {
+    // chunkWords=4: doc 1 = chunks ["the quick brown fox","jumps over the lazy","dog"];
+    // doc 2 (exact copy) loses all three; doc 3 differs in chunk 2 only
+    val out = TextAnalysis.chunkDedup(docs, chunkWords = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L && out(1L).getLong(2) == 3L &&
+      out(1L).getString(3) == "the quick brown fox jumps over the lazy dog")
+    assert(!out.contains(2L), "exact copy must vanish entirely")
+    assert(out(3L).getLong(2) == 1L &&
+      out(3L).getString(3) == "jumped over the lazy")
+    // unique docs survive whole; the in-order reassembly is exact
+    assert(out(5L).getString(3) == "completely different content about spark engines")
+    // blank text: one empty chunk, survives as the first "" occurrence
+    assert(out(6L).getString(3) == "")
+    // removal is idempotent: a second pass keeps everything
+    import spark.implicits._
+    val again = TextAnalysis.chunkDedup(
+      out.values.toSeq.sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getString(3), "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      chunkWords = 4).collect()
+    assert(again.length == out.size)
+    assert(again.map(r => r.getLong(1) == r.getLong(2)).forall(identity))
+  }
+
   test("n36 curation pipeline: planted post-filter copies are deduped away") {
     val out = SparkEntry.queries("n36_curation_pipeline")(spark, "/root/testdata/sf0.001")
       .collect()
