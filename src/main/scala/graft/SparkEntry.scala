@@ -159,6 +159,16 @@ object SparkEntry {
        |    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
        |      tok -> ${fnvSql("tok")}) AS hl
        |   FROM documents)))""".stripMargin
+  // murmur3 fmix64 in HUGEINT mod 2^64, shared by the minhash and HLL
+  // oracles. A full 64x64-bit multiply overflows INT128, so
+  // (x * C) mod 2^64 is computed from 32-bit halves:
+  // xLo*C + ((xHi*CLo mod 2^32) << 32)
+  private val M64 = "18446744073709551615" // 2^64 - 1 (mask)
+  private def mulC(x: String, c: String, cLo: String): String =
+    s"((($x & 4294967295) * $c & $M64) + ((($x >> 32) * $cLo & 4294967295) << 32)) & $M64"
+  private val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
+  private val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
+
   // Full MinHash-LSH choreography replay, parameterized over shingle
   // width / signature length / banding / Jaccard threshold so one
   // generator serves every minhash-family query (n10 and the n-gram-
@@ -192,13 +202,6 @@ object SparkEntry {
     val permRows = (0 until numHashes).map(i =>
       s"($i, CAST('${u(graft.functions.Hashing.splitmix64(seed + i))}' AS HUGEINT))")
       .mkString(",\n  ")
-    val M = "18446744073709551615" // 2^64 - 1 (mask)
-    // full 64x64-bit multiply overflows INT128, so (x * C) mod 2^64 is
-    // computed from 32-bit halves: xLo*C + ((xHi*CLo mod 2^32) << 32)
-    def mulC(x: String, c: String, cLo: String): String =
-      s"((($x & 4294967295) * $c & $M) + ((($x >> 32) * $cLo & 4294967295) << 32)) & $M"
-    val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
-    val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
     // fmix64 unrolled over a columnar (shingle x perm) relation - a
     // vectorized pipeline instead of per-element lambdas, so the
     // replay stays fast at larger fixtures
@@ -1224,6 +1227,16 @@ object SparkEntry {
       // every verify SF)
       TextAnalysis.chunkDedup(t(s, dir, "documents"), chunkWords = 16)
         .orderBy("doc_id")
+    }),
+
+    "n39_hll_distinct" -> ((s, dir) => {
+      // deterministic HyperLogLog distinct sketch over four columns in
+      // one scan, exact distinct joined alongside as the audit; the
+      // oracle replays the full sketch (FNV hash -> register/rank ->
+      // exact integer register sum -> alpha/linear-counting estimate)
+      graft.ops.Sketch.hllDistinct(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "text"), p = 8)
+        .orderBy("col_name")
     }),
 
     "n35_source_cap" -> ((s, dir) => {
@@ -2351,6 +2364,44 @@ object SparkEntry {
         | count(*) AS kept_chunks,
         | string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_deduped
         |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n39_hll_distinct" ->
+      // full HLL replay: same FNV fold (HUGEINT), same integer
+      // register/rank arithmetic, same single-expression float steps
+      // (rank via trailing zeros = bit_count((w & -w) - 1) + 1 — pure
+      // integer, unlike a float log2; register sum exact via
+      // 2^(57-mj) summed in HUGEINT). p=8: m=256, maxRank=57.
+      s"""WITH vals AS (
+         |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+         |  UNION ALL SELECT 'lang', lang FROM documents
+         |  UNION ALL SELECT 'source', source FROM documents
+         |  UNION ALL SELECT 'text', text FROM documents),
+         |h0 AS (SELECT col_name, ${fnvSql("v")} AS x FROM vals),
+         |f1 AS (SELECT col_name, xor(x, x >> 33) AS v1 FROM h0),
+         |f2 AS (SELECT col_name, xor(v2, v2 >> 33) AS v3
+         |       FROM (SELECT col_name, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+         |h AS (SELECT col_name, xor(v4, v4 >> 33) AS wu
+         |      FROM (SELECT col_name, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
+         |rk AS (SELECT col_name, CAST(wu % 256 AS BIGINT) AS reg,
+         |  CASE WHEN (wu >> 8) = 0 THEN 57
+         |       ELSE bit_count(CAST(((wu >> 8) & (-(wu >> 8))) - 1 AS BIGINT)) + 1 END AS rank
+         | FROM h),
+         |regs AS (SELECT col_name, reg, max(rank) AS mj FROM rk GROUP BY 1, 2),
+         |agg AS (SELECT col_name, count(*) AS nonzero,
+         |  sum(CAST(power(2.0, 57 - mj) AS HUGEINT)) AS s FROM regs GROUP BY 1),
+         |est AS (SELECT col_name, nonzero, 256 - nonzero AS empty,
+         |  s + CAST(256 - nonzero AS HUGEINT) * CAST(144115188075855872 AS HUGEINT) AS bigN
+         | FROM agg),
+         |fin AS (SELECT col_name, nonzero, empty,
+         |  (0.7213/(1.0 + 1.079/256.0)) * (256.0 * 256.0) * 144115188075855872.0
+         |    / CAST(bigN AS DOUBLE) AS e_raw
+         | FROM est),
+         |ex AS (SELECT col_name, count(DISTINCT v) AS exact_distinct FROM vals GROUP BY 1)
+         |SELECT f.col_name, ex.exact_distinct,
+         |  round(CASE WHEN f.e_raw <= 640.0 AND f.empty > 0
+         |    THEN 256.0 * ln(256.0 / CAST(f.empty AS DOUBLE)) ELSE f.e_raw END, 2) AS hll_estimate,
+         |  CAST(f.nonzero AS BIGINT) AS registers_used
+         |FROM fin f JOIN ex USING (col_name) ORDER BY col_name""".stripMargin,
 
     "n35_source_cap" ->
       """WITH r AS (SELECT doc_id, source,

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graft.GraftFunctions._
+
+/** Sketch-based approximate aggregation — the profiling pass you run
+  * before committing to an exact plan at 100 TB (how many distinct
+  * URLs / users / documents, within a few percent, in one scan).
+  *
+  * Unlike `approx_count_distinct` (whose HLL++ register layout is
+  * engine-private and therefore unverifiable cross-engine), this HLL
+  * is built from deterministic, engine-neutral pieces so a SQL oracle
+  * replays the WHOLE sketch bit for bit: FNV-1a-64 + fmix64 value hash
+  * (the same folds the minhash/simhash oracles already replay in
+  * HUGEINT), register = low `p` hash bits, rank = trailing-zero count
+  * of the remaining bits + 1. Trailing zeros instead of the paper's leading
+  * zeros — the same geometric distribution over an ideal hash, but
+  * computable in pure integer arithmetic both engines share:
+  * `bit_count((w & -w) - 1) + 1` (no float log2 whose rounding could
+  * disagree). The register sum is likewise kept exact: each register
+  * contributes the INTEGER 2^(maxRank - M_j), summed as decimal —
+  * order-independent, so the estimate is identical under any
+  * partitioning. The only float ops are one final division, the
+  * alpha_m formula, and ln() on the linear-counting branch — each a
+  * single IEEE expression written identically in the oracle.
+  *
+  * Estimator: Flajolet/Fusy/Gandouet/Meunier 2007 (alpha_m bias
+  * correction + linear counting below 2.5m).
+  *
+  * Shape at scale: one scan for all sketched columns (explode to
+  * (column, value) pairs), a map-side-combinable max per register
+  * (shuffle carries at most `columns * 2^p * partitions` rows), and a
+  * `columns`-row final agg. The exact distinct count is joined
+  * alongside for the audit; at 100 TB you drop that branch and keep
+  * the sketch.
+  */
+object Sketch {
+
+  def hllDistinct(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    // one fused literal per constant: the oracle writes the SAME
+    // formula, and IEEE evaluation order makes the doubles identical
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val pow2MaxRank = math.pow(2.0, maxRank) // power of two: exact
+    val rawNumer = alpha * (m.toDouble * m.toDouble) * pow2MaxRank
+
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+
+    val ranked = pairs
+      .withColumn("w", fnv_mix64(col("v")))
+      .withColumn("reg", col("w").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("rest", shiftrightunsigned(col("w"), p))
+      .withColumn("rank",
+        when(col("rest") === 0, lit(maxRank))
+          .otherwise(bit_count(col("rest").bitwiseAND(lit(0L) - col("rest")) - 1) + 1))
+
+    val regs = ranked.groupBy("col_name", "reg").agg(max("rank").as("mj"))
+
+    // exact integer register sum: 2^(maxRank - mj) <= 2^(maxRank-1) is a
+    // power of two (exact in double), cast to decimal before the sum
+    val agg = regs.groupBy("col_name").agg(
+      count(lit(1)).as("nonzero"),
+      sum(pow(lit(2.0), lit(maxRank) - col("mj")).cast("decimal(20,0)")).as("s"))
+
+    val est = agg
+      .withColumn("empty", lit(m.toLong) - col("nonzero"))
+      // N = 2^maxRank * Z where Z = sum 2^-Mj over ALL m registers
+      .withColumn("bigN", col("s") +
+        col("empty").cast("decimal(20,0)") * lit(pow2MaxRank).cast("decimal(20,0)"))
+      .withColumn("e_raw", lit(rawNumer) / col("bigN").cast("double"))
+      .withColumn("hll_estimate", round(
+        when(col("e_raw") <= lit(2.5 * m) && col("empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("empty").cast("double")))
+          .otherwise(col("e_raw")), 2))
+
+    val exact = pairs.groupBy("col_name")
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+
+    est.join(exact, "col_name")
+      .select(col("col_name"), col("exact_distinct"),
+        col("hll_estimate"), col("nonzero").as("registers_used"))
+  }
+}

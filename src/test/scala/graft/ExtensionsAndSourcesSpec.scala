@@ -19,13 +19,15 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
         |       simhash64('hello world') = simhash64('hello world') AS stable,
         |       size(shingle_set('abcdef', 3)) AS n,
         |       size(word_shingle_set('a b c d', 3)) AS nw,
-        |       size(minhash_words('a b c d', 3, 16)) AS sig_len
+        |       size(minhash_words('a b c d', 3, 16)) AS sig_len,
+        |       fnv64('abc') AS f
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getBoolean(2))
     assert(r.getInt(3) == 4)
     assert(r.getInt(4) == 2) // "a b c", "b c d"
     assert(r.getInt(5) == 16)
+    assert(r.getLong(6) == graft.functions.Hashing.fnv1a64("abc"))
   }
 
   test("CMR granule parsing: boxes and polygon rings reduce to the reference bbox (S3)") {

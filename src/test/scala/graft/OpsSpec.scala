@@ -506,6 +506,25 @@ class OpsSpec extends SparkSpec {
     assert(again.map(r => r.getLong(1) == r.getLong(2)).forall(identity))
   }
 
+  test("hllDistinct: error bound across cardinalities, partition-invariant") {
+    import spark.implicits._
+    // sigma at p=8 is 1.04/sqrt(256) = 6.5%; 20% is ~3 sigma. FNV is
+    // fixed, so these are deterministic fixtures, not flaky draws.
+    for (n <- Seq(100, 1000, 20000)) {
+      val df = (1 to n).map(i => s"value_$i").toDF("v")
+      val r = Sketch.hllDistinct(df, Seq("v"), p = 8).collect()(0)
+      assert(r.getLong(1) == n.toLong)
+      val est = r.getDouble(2)
+      assert(math.abs(est - n) / n < 0.20, s"n=$n est=$est")
+    }
+    // the register sum is exact integer arithmetic, so the estimate is
+    // bit-identical under any partitioning
+    val df = (1 to 5000).map(i => s"value_$i").toDF("v")
+    val a = Sketch.hllDistinct(df.repartition(1), Seq("v"), p = 8).collect()(0)
+    val b = Sketch.hllDistinct(df.repartition(13), Seq("v"), p = 8).collect()(0)
+    assert(a == b)
+  }
+
   test("n36 curation pipeline: planted post-filter copies are deduped away") {
     val out = SparkEntry.queries("n36_curation_pipeline")(spark, "/root/testdata/sf0.001")
       .collect()
