@@ -580,6 +580,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q27_partition_pruning" -> ((s, dir) => {
+      // hive-partitioned layout, the third storage lever next to
+      // bucketing (q26, shuffle elimination) and Z-order (g33, file
+      // pruning): a predicate on the partition column never reads the
+      // other partitions' files at all — PartitionedLayoutSpec asserts
+      // every scanned file sits under lang=en/
+      val tmp = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     "q18_running_totals" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
@@ -1475,6 +1491,12 @@ object SparkEntry {
         | round(max(o_totalprice), 2) AS o_total
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q27_partition_pruning" ->
+      // the layout changes which FILES are read, never the answer
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q19_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -87,6 +87,17 @@ object EventStreams {
       .select("user_id", "p_id", "p_ts", "c_id", "c_ts")
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * bounded dimension. No watermark and no state — Spark re-plans the
+    * static side per micro-batch, and a small dim broadcasts, so each
+    * batch pays a map-side hash probe, never a stateful shuffle. This
+    * is the standard shape for attaching reference data (user tier,
+    * geo, catalog row) to a 100 TB event firehose; the same call works
+    * on batch input with the identical plan.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

@@ -51,4 +51,21 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS spec_orders_b")
     spark.sql("DROP TABLE IF EXISTS spec_lineitem_b")
   }
+
+  test("hive-partitioned layout: partition-column predicate prunes at the file level") {
+    val tmp = Files.createTempDirectory("graft-partition-spec").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("lang") === "en")
+    // the predicate must land in PartitionFilters (pruned before any
+    // file is opened), not as a post-scan Filter over all partitions
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[(.*?)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("= en"), s"predicate not in PartitionFilters:\n$scan")
+    // answer parity with the unpartitioned read
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() == direct && direct > 0)
+  }
 }

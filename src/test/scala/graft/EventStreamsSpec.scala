@@ -114,6 +114,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a broadcast dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:06:00"), 2L, "view", 2.0),
+        (Timestamp.valueOf("2024-01-01 00:07:00"), 9L, "view", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enriched ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // inner join: the dim-less user drops; tiers attach per batch
+      assert(rows.toSeq == Seq((1L, "gold"), (2L, "basic")))
+      // batch input produces the same enrichment through the same call
+      val batch = EventStreams.enrich(
+        Seq((Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 1.0))
+          .toDF("ts", "user_id", "event_type", "value"), dim, "user_id")
+      assert(batch.select("tier").collect().map(_.getString(0)).toSeq == Seq("gold"))
+    } finally q.stop()
+  }
+
   test("late data behind the watermark is dropped (the watermark binds)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
