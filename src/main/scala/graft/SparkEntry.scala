@@ -159,6 +159,11 @@ object SparkEntry {
        |    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
        |      tok -> ${fnvSql("tok")}) AS hl
        |   FROM documents)))""".stripMargin
+  // unsigned rendering of a signed long for HUGEINT literals
+  private def uns(l: Long): java.math.BigInteger =
+    if (l >= 0) java.math.BigInteger.valueOf(l)
+    else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
+
   // murmur3 fmix64 in HUGEINT mod 2^64, shared by the minhash and HLL
   // oracles. A full 64x64-bit multiply overflows INT128, so
   // (x * C) mod 2^64 is computed from 32-bit halves:
@@ -1253,6 +1258,16 @@ object SparkEntry {
       graft.ops.Sketch.hllDistinct(t(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "text"), p = 8)
         .orderBy("col_name")
+    }),
+
+    "n40_cms_counts" -> ((s, dir) => {
+      // count-min term-frequency sketch, probed at the top-10 exact
+      // terms (the heavy hitters CMS exists for); exact counts joined
+      // alongside as the audit — fully integer, so the oracle replay
+      // is float-free
+      graft.ops.Sketch.cmsWordCounts(t(s, dir, "documents"),
+          depth = 4, width = 1024, topK = 10)
+        .orderBy("word")
     }),
 
     "n35_source_cap" -> ((s, dir) => {
@@ -2424,6 +2439,32 @@ object SparkEntry {
          |    THEN 256.0 * ln(256.0 / CAST(f.empty AS DOUBLE)) ELSE f.e_raw END, 2) AS hll_estimate,
          |  CAST(f.nonzero AS BIGINT) AS registers_used
          |FROM fin f JOIN ex USING (col_name) ORDER BY col_name""".stripMargin,
+
+    "n40_cms_counts" -> {
+      // CMS replay: per-word exact counts, then the same integer hash
+      // pipeline (fnv xor splitmix row seed -> fmix64 -> low 10 bits),
+      // counter sums per (row, cell), min over rows at the probes
+      val permRows = (0 until 4).map(i =>
+        s"($i, CAST('${uns(graft.functions.Hashing.splitmix64(42L + i))}' AS HUGEINT))")
+        .mkString(", ")
+      s"""WITH words AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |counts AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+         |rows_(i, pv) AS (VALUES $permRows),
+         |h0 AS (SELECT word, cnt, i, xor(${fnvSql("word")}, pv) AS x FROM counts, rows_),
+         |f1 AS (SELECT word, cnt, i, xor(x, x >> 33) AS v1 FROM h0),
+         |f2 AS (SELECT word, cnt, i, xor(v2, v2 >> 33) AS v3
+         |       FROM (SELECT word, cnt, i, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+         |wh AS (SELECT word, cnt, i, CAST(xor(v4, v4 >> 33) % 1024 AS BIGINT) AS cell
+         |       FROM (SELECT word, cnt, i, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
+         |cms AS (SELECT i, cell, sum(cnt) AS c FROM wh GROUP BY 1, 2),
+         |probes AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 10)
+         |SELECT p.word AS word, p.cnt AS exact_count,
+         |  CAST(min(cm.c) AS BIGINT) AS cms_estimate
+         |FROM probes p JOIN wh w ON w.word = p.word
+         |JOIN cms cm ON cm.i = w.i AND cm.cell = w.cell
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
 
     "n35_source_cap" ->
       """WITH r AS (SELECT doc_id, source,

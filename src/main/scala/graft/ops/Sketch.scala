@@ -87,4 +87,49 @@ object Sketch {
       .select(col("col_name"), col("exact_distinct"),
         col("hll_estimate"), col("nonzero").as("registers_used"))
   }
+
+  /** Count-min sketch over the corpus word frequencies (Cormode &
+    * Muthukrishnan 2005) — bounded-memory term-frequency estimation:
+    * `depth × width` counters answer "how often does this term occur"
+    * with one-sided error (estimate >= truth, overshoot < corpus/width
+    * w.h.p.), regardless of vocabulary size. Fully integer end to end
+    * — value hash fnv64 xor'd with a splitmix64 row seed through
+    * fmix64, cell = low bits, counters are exact sums, the estimate is
+    * a min — so the oracle replay has no float step at all.
+    *
+    * Shape at scale: exact per-word counts first (one combinable
+    * shuffle — the same relation any frequency pass needs), then the
+    * sketch build is a `depth × width`-bounded second agg, and probes
+    * are a broadcast-sized join against it. The probe set here (top-K
+    * exact terms, count-desc/word-asc — deterministic) exercises the
+    * worst case for CMS: heavy hitters collide with everything.
+    *
+    * Returns (word, exact_count, cms_estimate): the exact column is
+    * the audit; `cms_estimate >= exact_count` always (spec-asserted).
+    */
+  def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+                    topK: Int = 10, seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val cellCols = (0 until depth).map { i =>
+      val perm = graft.functions.Hashing.splitmix64(seed + i)
+      struct(lit(i).as("row_id"),
+        fmix64(fnv64(col("word")).bitwiseXOR(lit(perm)))
+          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+    }
+    val cells = counts.select(col("word"), col("cnt"),
+        explode(array(cellCols: _*)).as("rc"))
+      .select(col("word"), col("cnt"),
+        col("rc.row_id").as("row_id"), col("rc.cell").as("cell"))
+    val cms = cells.groupBy("row_id", "cell").agg(sum("cnt").as("c"))
+    val probes = counts.orderBy(col("cnt").desc, col("word")).limit(topK)
+      .select(col("word"), col("cnt").as("exact_count"))
+    probes.join(cells.drop("cnt"), "word")
+      .join(cms, Seq("row_id", "cell"))
+      .groupBy("word", "exact_count")
+      .agg(min("c").as("cms_estimate"))
+  }
 }

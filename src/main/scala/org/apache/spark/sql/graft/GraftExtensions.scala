@@ -46,6 +46,7 @@ object GraftExtensions {
     "rolling_hash64" -> (args => RollingHash64(args(0))),
     "fnv64" -> (args => Fnv64(args(0))),
     "fnv_mix64" -> (args => FnvMix64(args(0))),
+    "fmix64" -> (args => Fmix64(args(0))),
     "shingle_set" -> (args =>
       ShingleSet(args(0), if (args.length > 1) intArg(args(1), "k") else 5)),
     "minhash_signature" -> (args => MinHashSignature(args(0),

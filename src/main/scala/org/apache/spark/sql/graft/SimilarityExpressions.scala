@@ -122,6 +122,12 @@ object SimilarityKernels {
     */
   def fnvMix64(text: UTF8String): Long = Hashing.fmix64(Hashing.fnv1a64(text.toString))
 
+  /** Plain murmur3 fmix64 over an already-hashed long — for combining
+    * a value hash with per-row seeds (count-min sketch rows) while
+    * keeping the combined hash avalanched.
+    */
+  def mix64(v: Long): Long = Hashing.fmix64(v)
+
   /** Polynomial rolling hash (Rabin-Karp style) of the text, mod 2^61-1 —
     * the document-fingerprint primitive.
     */
@@ -324,6 +330,18 @@ case class FnvMix64(child: Expression) extends UnaryExpression with ExpectsInput
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class Fmix64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fmix64"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.mix64(t.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.mix64($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ShingleSet(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -376,6 +394,7 @@ object GraftFunctions {
   def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
   def fnv64(text: Column): Column = column(Fnv64(expression(text)))
   def fnv_mix64(text: Column): Column = column(FnvMix64(expression(text)))
+  def fmix64(v: Column): Column = column(Fmix64(expression(v)))
   def shingle_set(text: Column, k: Int = 5): Column = column(ShingleSet(expression(text), k))
   def minhash_words(text: Column, n: Int = 3, numHashes: Int = 64,
                     seed: Long = 42L): Column =

@@ -525,6 +525,19 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cmsWordCounts: one-sided error, exact when width dwarfs the vocabulary") {
+    val r = Sketch.cmsWordCounts(docs, depth = 4, width = 1024, topK = 5).collect()
+    assert(r.nonEmpty)
+    // CMS can only overcount (hash collisions add, never subtract)
+    assert(r.forall(x => x.getLong(2) >= x.getLong(1)),
+      r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).mkString(", "))
+    // the fixture vocabulary (~40 words) in 4x4096 counters: a probe
+    // would need a collision in ALL four rows to overshoot
+    val wide = Sketch.cmsWordCounts(docs, depth = 4, width = 4096, topK = 5).collect()
+    assert(wide.forall(x => x.getLong(2) == x.getLong(1)),
+      wide.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).mkString(", "))
+  }
+
   test("n36 curation pipeline: planted post-filter copies are deduped away") {
     val out = SparkEntry.queries("n36_curation_pipeline")(spark, "/root/testdata/sf0.001")
       .collect()
