@@ -1270,6 +1270,28 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "n41_inverted_index" -> ((s, dir) => {
+      // inverted index over the df band [2, 50]: hapax terms carry no
+      // retrieval signal, terms above the band are the stopword class
+      // whose postings the two-pass build never materializes; postings
+      // rendered to a comma string for the hash compare (the operator
+      // itself returns the array)
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), minDf = 2, maxDf = 50)
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+        .orderBy("term")
+    }),
+
+    "n42_seq_packing" -> ((s, dir) => {
+      // concatenate-and-chop sequence packing: 8 shards, 256-token
+      // sequences; every column is exact integer arithmetic on the
+      // data, so the packing replays identically in the oracle
+      graft.ops.Sampling.packSequences(t(s, dir, "documents"),
+          budget = 256L, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     "n35_source_cap" -> ((s, dir) => {
       // per-domain cap: at most 10 docs per source, survivor set decided
       // by the data (md5 order), so both engines keep identical rows
@@ -2465,6 +2487,35 @@ object SparkEntry {
          |JOIN cms cm ON cm.i = w.i AND cm.cell = w.cell
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "n41_inverted_index" ->
+      // per-doc-distinct terms, df band decided before any postings
+      // collection — identical two-pass semantics to the Scala build
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS term
+        | FROM documents),
+        |b AS (SELECT term, count(*) AS df FROM t GROUP BY term
+        |      HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT t.term, b.df,
+        |  array_to_string(list_sort(list(t.doc_id)), ',') AS postings
+        |FROM t JOIN b ON t.term = b.term
+        |GROUP BY t.term, b.df ORDER BY t.term""".stripMargin,
+
+    "n42_seq_packing" ->
+      // same chop arithmetic: shard = doc_id % 8, running token sum per
+      // shard ordered by doc_id, integral division for sequence indices
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        | FROM documents),
+        |s AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_tok
+        | FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, shard, n_tokens,
+        |  end_tok - n_tokens AS start_tok,
+        |  (end_tok - n_tokens) // 256 AS seq_first,
+        |  (end_tok - 1) // 256 AS seq_last
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "n35_source_cap" ->
       """WITH r AS (SELECT doc_id, source,

@@ -66,6 +66,41 @@ object Sampling {
       .filter(col("sample_rank") <= maxPerGroup)
   }
 
+  /** Deterministic sequence packing — the concatenate-and-chop batching
+    * pass of LLM pretraining: within each shard, documents are
+    * (logically) concatenated in doc_id order and the token stream is
+    * chopped into fixed `budget`-token training sequences. Emits, per
+    * non-empty document, its shard, token count, starting offset in the
+    * shard's concatenated stream, and the first/last sequence index it
+    * lands in (a document straddling a boundary is split across
+    * consecutive sequences — standard chop semantics, no padding waste).
+    *
+    * Scale shape: ONE window per shard (a running token sum ordered by
+    * doc_id). Sharding is the point — it bounds every window partition
+    * to corpus/`shards`, so no global total order is ever needed, and
+    * `shards` scales with the cluster while determinism is untouched:
+    * shard assignment (`doc_id % shards`), order (doc_id), and the
+    * running sum are all exact integer arithmetic on the DATA, so the
+    * same packing comes out on any partitioning, cluster, or engine —
+    * the property that makes a training run resumable and auditable.
+    * Sequence indices use integral division (never a double), so a
+    * shard's multi-trillion-token stream cannot hit float rounding.
+    */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_tok div $budget"))
+      .withColumn("seq_last", expr(s"(end_tok - 1) div $budget"))
+      .select("doc_id", "shard", "n_tokens", "start_tok", "seq_first", "seq_last")
+  }
+
   /** Per-stratum deterministic sampling — the domain-balancing pass of a
     * training mix (keep 50% of one source, 10% of another): each row is
     * kept iff its key hash falls under its stratum's fraction, so

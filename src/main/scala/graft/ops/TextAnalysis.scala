@@ -308,6 +308,38 @@ object TextAnalysis {
             s => s("chunk")), " ").as("text_deduped"))
   }
 
+  /** Inverted index — term -> (document frequency, sorted postings
+    * list) for every term in the df band `[minDf, maxDf]`. The retrieval
+    * backbone of corpus search/decontamination tooling, and the classic
+    * shuffle-keyed-by-term build.
+    *
+    * Two passes, on purpose: pass 1 is a counting aggregate (partial
+    * map-side combine, shuffle rows are (term, count)) that decides the
+    * df band; pass 2 collects postings ONLY for surviving terms. The
+    * band matters at scale: without `maxDf`, a stopword's postings list
+    * holds one entry per document in the corpus — a single aggregation
+    * buffer of ~10^9 ids at 100 TB (the collect_list mirror of the LSH
+    * bucket cap, and why the cap must be decided BEFORE any collection
+    * happens). The band join is vocabulary-sized — broadcastable at any
+    * corpus size — so pass 2's shuffle carries only banded (term,
+    * doc_id) rows — no hard broadcast hint, so AQE picks broadcast when
+    * the band fits and degrades to a shuffle join when a pathological
+    * band would OOM an executor. Terms are per-doc distinct (postings,
+    * not positions).
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2,
+                    maxDf: Long = 10000): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    val terms = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+    val banded = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    terms.join(banded, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
   // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
   // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

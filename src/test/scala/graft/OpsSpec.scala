@@ -550,6 +550,49 @@ class OpsSpec extends SparkSpec {
     assert(out.length < total)
   }
 
+  test("invertedIndex: df band binds, postings sorted, per-doc distinct") {
+    val idx = TextAnalysis.invertedIndex(docs, minDf = 2, maxDf = 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // "the" appears in docs 1,2,3 (twice each — postings stay distinct)
+    assert(idx("the").getLong(1) == 3L)
+    assert(idx("the").getSeq[Long](2) == Seq(1L, 2L, 3L))
+    // hapax terms (df=1) are below the band; nothing exceeds df=4
+    assert(!idx.contains("completely") && !idx.contains("springt"))
+    assert(idx.values.forall(r => r.getLong(1) >= 2L && r.getLong(1) <= 4L))
+    // df counts documents, and equals the postings length
+    assert(idx.values.forall(r => r.getLong(1) == r.getSeq[Long](2).length.toLong))
+    // maxDf=2 drops "the"/"over"/"lazy"... (df=3) — the stopword class
+    val tight = TextAnalysis.invertedIndex(docs, minDf = 2, maxDf = 2).collect()
+      .map(_.getString(0)).toSet
+    assert(!tight.contains("the") && tight.contains("jumps")) // jumps: docs 1,2
+  }
+
+  test("packSequences: chop arithmetic exact, empty docs drop, partition-invariant") {
+    import spark.implicits._
+    // one shard so the stream is fully determined: token counts 9,9,9,8,6
+    val packed = Sampling.packSequences(docs, budget = 10L, shards = 1)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // doc 6 blank
+    val byId = packed.map(r => r.getLong(0) -> r).toMap
+    // doc 1: [0,9) -> seq 0 only; doc 2: [9,18) straddles seqs 0 and 1
+    assert(byId(1L).getLong(3) == 0L && byId(1L).getLong(4) == 0L && byId(1L).getLong(5) == 0L)
+    assert(byId(2L).getLong(3) == 9L && byId(2L).getLong(4) == 0L && byId(2L).getLong(5) == 1L)
+    // offsets tile the stream with no gaps: each start = previous end
+    val tiled = packed.sliding(2).forall(w =>
+      w(1).getLong(3) == w(0).getLong(3) + w(0).getLong(2))
+    assert(tiled)
+    // exact integer arithmetic on the data: identical on any partitioning
+    val a = Sampling.packSequences(docs, 10L, 4).orderBy("doc_id").collect().toSeq
+    val b = Sampling.packSequences(docs.repartition(7), 10L, 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // a doc longer than the budget spans multiple sequences
+    val long = Seq((0L, Seq.fill(25)("w").mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lr = Sampling.packSequences(long, 10L, 1).collect()(0)
+    assert(lr.getLong(4) == 0L && lr.getLong(5) == 2L)
+  }
+
   test("capPerGroup: deterministic, partition-invariant, WindowGroupLimit plan") {
     val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 3)
     val kept = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
