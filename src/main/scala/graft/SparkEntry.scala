@@ -1270,6 +1270,17 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "n43_hist_quantiles" -> ((s, dir) => {
+      // histogram quantile sketch over the per-doc token counts, exact
+      // quantiles joined alongside as the audit; all-integer binning,
+      // so the brackets replay exactly in the oracle
+      graft.ops.Sketch.histQuantiles(
+          t(s, dir, "documents")
+            .select(TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "n_tokens", qs = Seq(0.25, 0.5, 0.75, 0.99), bins = 64)
+        .orderBy("q")
+    }),
+
     "n41_inverted_index" -> ((s, dir) => {
       // inverted index over the df band [2, 50]: hapax terms carry no
       // retrieval signal, terms above the band are the stopword class
@@ -2487,6 +2498,30 @@ object SparkEntry {
          |JOIN cms cm ON cm.i = w.i AND cm.cell = w.cell
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "n43_hist_quantiles" ->
+      // same integer binning: width = ceil(range/64) via div, bin = div,
+      // cumulative integer counts; the one float step (ceil(q*n)) is a
+      // single IEEE expression both engines evaluate identically
+      """WITH vals AS (SELECT CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |  FROM documents),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM vals),
+        |h AS (SELECT (v - lo) // ((hi - lo + 64) // 64) AS bin, count(*) AS cnt
+        |      FROM vals, b GROUP BY 1),
+        |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+        |p AS (SELECT q, lo, hi, n, (hi - lo + 64) // 64 AS w,
+        |        greatest(CAST(ceil(q * n) AS BIGINT), 1) AS r
+        |      FROM b, (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.99e0]) AS q)),
+        |e AS (SELECT p.q, p.n, p.r, any_value(p.lo) AS lo, any_value(p.hi) AS hi,
+        |        any_value(p.w) AS w, min(c.bin) AS bin
+        |      FROM p JOIN c ON c.cum >= p.r GROUP BY 1, 2, 3),
+        |vc AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS vcum FROM vals GROUP BY v),
+        |x AS (SELECT p.q, p.r, min(vc.v) AS exact_value
+        |      FROM p JOIN vc ON vc.vcum >= p.r GROUP BY 1, 2)
+        |SELECT e.q, e.n, e.r, e.lo + e.bin * e.w AS est_lo,
+        |  least(e.hi, e.lo + (e.bin + 1) * e.w - 1) AS est_hi, x.exact_value
+        |FROM e JOIN x ON e.q = x.q AND e.r = x.r ORDER BY e.q""".stripMargin,
 
     "n41_inverted_index" ->
       // per-doc-distinct terms, df band decided before any postings

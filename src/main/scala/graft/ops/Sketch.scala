@@ -88,6 +88,69 @@ object Sketch {
         col("hll_estimate"), col("nonzero").as("registers_used"))
   }
 
+  /** Histogram quantile sketch over an integral column — the third leg
+    * of the profiling trio (HLL: how many distinct; CMS: how often;
+    * this: how distributed). Exact quantiles need a total sort of the
+    * corpus; the histogram answers "the q-quantile lies in
+    * [est_lo, est_hi]" from ONE combinable aggregation whose output is
+    * at most `bins` rows, with bracket width (range/bins) — the
+    * decision-grade answer for partition sizing or filter thresholds at
+    * 100 TB.
+    *
+    * Every step is integer arithmetic on the data (ceil-divided bin
+    * width, `div` bin assignment, integer cumulative counts), so the
+    * sketch is identical on any partitioning and fully oracle-replayable.
+    * The only float op is the target rank `ceil(q*n)`, a single IEEE
+    * expression written identically in the oracle.
+    *
+    * Shape at scale: one min/max/count pass (combinable, 1 row,
+    * broadcast back), one bin-count pass (combinable, <= bins rows out),
+    * then everything downstream — the cumulative window, the
+    * probe-vs-cum range join — runs on metadata-sized relations (bins x
+    * quantiles), where the unpartitioned window and the nested-loop
+    * join are free by construction. The exact-quantile audit branch
+    * aggregates per distinct VALUE (cardinality-sized — fine for token
+    * counts, the profiling target; drop it at scale exactly like n39's
+    * exact-distinct and n40's exact-count branches).
+    */
+  def histQuantiles(df: DataFrame, valueCol: String,
+                    qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99),
+                    bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, "need at least two bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = vals.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n"))
+    // integer ceil division: width >= 1 even when all values coincide
+    val widthExpr = s"(hi - lo + $bins) div $bins"
+    val hist = vals.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(v - lo) div ($widthExpr)"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+    val probes = bounds
+      .select(col("lo"), col("hi"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("r", greatest(ceil(col("q") * col("n")), lit(1L)))
+    // smallest bin whose cumulative count reaches the target rank; the
+    // theta join is (quantiles x bins) — metadata-sized by construction
+    val est = probes.join(cum, col("cum") >= col("r"))
+      .groupBy("q", "lo", "hi", "n", "r").agg(min("bin").as("bin"))
+      .withColumn("est_lo", col("lo") + col("bin") * expr(widthExpr))
+      .withColumn("est_hi",
+        least(col("hi"), col("lo") + (col("bin") + 1) * expr(widthExpr) - 1))
+    // exact audit: smallest value whose cumulative count reaches r
+    val vcum = vals.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("vcum", sum("c").over(Window.orderBy("v")))
+    val exact = probes.select("q", "r").join(vcum, col("vcum") >= col("r"))
+      .groupBy("q", "r").agg(min("v").as("exact_value"))
+    est.join(exact, Seq("q", "r"))
+      .select(col("q"), col("n"), col("r"), col("est_lo"), col("est_hi"),
+        col("exact_value"))
+  }
+
   /** Count-min sketch over the corpus word frequencies (Cormode &
     * Muthukrishnan 2005) — bounded-memory term-frequency estimation:
     * `depth × width` counters answer "how often does this term occur"

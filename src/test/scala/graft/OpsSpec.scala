@@ -538,6 +538,32 @@ class OpsSpec extends SparkSpec {
       wide.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).mkString(", "))
   }
 
+  test("histQuantiles: brackets contain the exact value, collapse at fine bins, partition-invariant") {
+    import spark.implicits._
+    // deterministic non-uniform spread over [0, 997)
+    val df = (1 to 1000).map(i => (i.toLong * i) % 997).toDF("x")
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val r = Sketch.histQuantiles(df, "x", qs, bins = 16).orderBy("q").collect()
+    assert(r.length == 4)
+    // the bracket always contains the exact quantile, and is one bin wide
+    r.foreach { row =>
+      val (lo, hi, ex) = (row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(ex >= lo && ex <= hi, s"q=${row.getDouble(0)}: $ex not in [$lo, $hi]")
+      assert(hi - lo < (996 + 16) / 16, "bracket wider than one bin")
+    }
+    // bins exceeding the value range: width 1, bracket == exact value
+    val fine = Sketch.histQuantiles(df, "x", Seq(0.5), bins = 2048).collect()(0)
+    assert(fine.getLong(3) == fine.getLong(5) && fine.getLong(4) == fine.getLong(5))
+    // integer arithmetic on the data: identical under any partitioning
+    val a = Sketch.histQuantiles(df.repartition(1), "x", qs, 16).orderBy("q").collect().toSeq
+    val b = Sketch.histQuantiles(df.repartition(13), "x", qs, 16).orderBy("q").collect().toSeq
+    assert(a == b)
+    // degenerate corpus (all values equal): one bin, exact bracket
+    val const = Seq.fill(50)(7L).toDF("x")
+    val c = Sketch.histQuantiles(const, "x", Seq(0.5), bins = 8).collect()(0)
+    assert(c.getLong(3) == 7L && c.getLong(4) == 7L && c.getLong(5) == 7L)
+  }
+
   test("n36 curation pipeline: planted post-filter copies are deduped away") {
     val out = SparkEntry.queries("n36_curation_pipeline")(spark, "/root/testdata/sf0.001")
       .collect()
