@@ -1270,6 +1270,32 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "n45_int8_quantize" -> ((s, dir) => {
+      // int8 scalar quantization + quantized-vs-exact cosine audit
+      // against query vector 0: the codes replay bit-for-bit (explicit
+      // floor(x/scale + 0.5) rounding), the quantized cosine is pure
+      // integer dot products (scales cancel), and the exact cosine
+      // reuses the proven list_cosine_similarity replay
+      Similarity.quantizedCosineAudit(t(s, dir, "embeddings"), queryId = 0L)
+        .orderBy("vec_id")
+    }),
+
+    "n44_text_clean" -> ((s, dir) => {
+      // text cleanup, non-vacuous by planted construction (the fixture
+      // is clean ASCII): every 4th doc gets a leading tab, a double
+      // space, a decomposed accent (e + U+0301, which NFC must compose
+      // to é) and a C0 control char — both engines synthesize the same
+      // dirt and must emit the same cleaned text
+      val docs = t(s, dir, "documents")
+      val salted = docs.withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\t "), col("text"), lit("  nfce\u0301\u0001x")))
+          .otherwise(col("text")))
+      TextAnalysis.cleanText(salted)
+        .select(col("doc_id"), col("text_clean"), col("was_dirty"))
+        .orderBy("doc_id")
+    }),
+
     "n43_hist_quantiles" -> ((s, dir) => {
       // histogram quantile sketch over the per-doc token counts, exact
       // quantiles joined alongside as the audit; all-integer binning,
@@ -2498,6 +2524,47 @@ object SparkEntry {
          |JOIN cms cm ON cm.i = w.i AND cm.cell = w.cell
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "n45_int8_quantize" ->
+      // same quantizer: scale column first, then floor(x/scale + 0.5)
+      // verbatim; integer dots are exact in any engine, and the two
+      // sqrt/divide steps are single IEEE expressions
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id, v,
+        |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |       END AS codes FROM s),
+        |q AS (SELECT codes AS q_codes, v AS q_v FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |    (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
+        |     sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE))) AS qcos,
+        |  list_cosine_similarity(c.v, q.q_v) AS exact_cos,
+        |  abs(CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |    (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
+        |     sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE)))
+        |    - list_cosine_similarity(c.v, q.q_v)) AS abs_err
+        |FROM c, q WHERE c.vec_id <> 0 ORDER BY c.vec_id""".stripMargin,
+
+    "n44_text_clean" ->
+      // utf8proc's nfc_normalize and java.text.Normalizer implement the
+      // same Unicode NFC algorithm; strip/collapse/trim replay as RE2
+      // regexes (the \x0B/\x0C chars whose \s membership differs
+      // between Java and RE2 are stripped BEFORE the collapse, so the
+      // engines never disagree)
+      """WITH salted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN chr(9) || ' ' || text || '  nfce' || chr(769) || chr(1) || 'x'
+        |    ELSE text END AS text FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS text_clean
+        | FROM salted)
+        |SELECT doc_id, text_clean,
+        |  CASE WHEN text_clean <> text THEN 1 ELSE 0 END::BIGINT AS was_dirty
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "n43_hist_quantiles" ->
       // same integer binning: width = ceil(range/64) via div, bin = div,

@@ -90,6 +90,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage
+    * path for a 100 TB embedding lake: symmetric per-vector codes
+    * `round(v * 127 / max|v|)` shrink float32 vectors 4x (and the scan
+    * with them), while COSINE between dequantized vectors equals cosine
+    * between the integer code vectors (the per-vector scales cancel),
+    * so quantized scoring is integer dot products plus one sqrt —
+    * engine-exact, no float accumulation order to disagree on.
+    * Rounding is explicit floor(x + 0.5) (round-half-up), because
+    * "round" half-tie behavior differs between engines and the codes
+    * must replay bit-for-bit. Zero vectors get all-zero codes and
+    * scale 0. One scan, pure column expressions.
+    *
+    * Codes are emitted as `array<int>` for relational transparency (and
+    * the oracle); a production sink would pack them into a 1-byte-per-
+    * dim binary column at write time — the values are identical.
+    */
+  def scalarQuantize(emb: DataFrame): DataFrame =
+    // scale materializes as its own column first, so (a) array_max runs
+    // once per row, not once per element, and (b) code = floor(x/scale
+    // + 0.5) is ONE float formula the oracle replays verbatim (x/scale
+    // and x*127/maxAbs are different doubles)
+    emb.withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("codes",
+        when(col("scale") === lit(0.0),
+          transform(col("embedding"), _ => lit(0)))
+        .otherwise(transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("int"))))
+
+  /** Quantized cosine scoring of the corpus against one query vector,
+    * with the exact cosine joined alongside as the audit: integer code
+    * dot products (order-independent, exact) over [[scalarQuantize]]
+    * output — the compute half of the int8 storage path. Returns
+    * (vec_id, qcos, exact_cos, abs_err).
+    */
+  def quantizedCosineAudit(emb: DataFrame, queryId: Long): DataFrame = {
+    val sq = scalarQuantize(emb)
+    val q = sq.filter(col("vec_id") === queryId)
+      .select(col("codes").as("q_codes"), col("embedding").as("q_emb"))
+    def idot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    sq.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (idot(col("codes"), col("q_codes")).cast("double") /
+          (sqrt(idot(col("codes"), col("codes")).cast("double")) *
+           sqrt(idot(col("q_codes"), col("q_codes")).cast("double")))).as("qcos"),
+        cosine_similarity(col("embedding"), col("q_emb")).as("exact_cos"))
+      .withColumn("abs_err", abs(col("qcos") - col("exact_cos")))
+  }
+
   /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
     * buckets across `tables` tables, exact cosine re-rank.
     */

@@ -308,6 +308,27 @@ object TextAnalysis {
             s => s("chunk")), " ").as("text_deduped"))
   }
 
+  /** Text cleanup — the pass that runs BEFORE any hash-keyed operator
+    * (exact dedup, fingerprints, minhash, the inverted index): NFC
+    * Unicode normalization (e + U+0301 and é must collide), control-
+    * character strip (C0/C1 minus the whitespace ones), whitespace-run
+    * collapse, and trim. Without it, two byte-level spellings of the
+    * same document sail through every digest-keyed dedup in the
+    * pipeline. Pure column expressions over one scan — the NFC step is
+    * a codegen Catalyst expression ([[NfcNormalize]]) with an
+    * isNormalized fast path, since Spark ships no Unicode normalizer.
+    * `was_dirty` (did cleanup change anything) comes along for audit
+    * and filtering.
+    */
+  def cleanText(docs: DataFrame): DataFrame = {
+    val stripped = regexp_replace(nfc_normalize(col("text")),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    docs.withColumn("text_clean", collapsed)
+      .withColumn("was_dirty",
+        (col("text_clean") =!= col("text")).cast("long"))
+  }
+
   /** Inverted index — term -> (document frequency, sorted postings
     * list) for every term in the df band `[minDf, maxDf]`. The retrieval
     * backbone of corpus search/decontamination tooling, and the classic

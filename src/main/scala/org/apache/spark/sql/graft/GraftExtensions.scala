@@ -59,7 +59,8 @@ object GraftExtensions {
       if (args.length > 1) intArg(args(1), "n") else 3,
       if (args.length > 2) intArg(args(2), "numHashes") else 64,
       if (args.length > 3) longArg(args(3), "seed") else 42L)),
-    "interleave_bits" -> (args => InterleaveBits(args(0), args(1)))
+    "interleave_bits" -> (args => InterleaveBits(args(0), args(1))),
+    "nfc_normalize" -> (args => NfcNormalize(args(0)))
   )
 
   /** Register the functions and the banded-interval-join rewrite on an

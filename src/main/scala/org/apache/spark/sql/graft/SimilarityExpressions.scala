@@ -403,4 +403,6 @@ object GraftFunctions {
     column(WordShingleSet(expression(text), n))
   def interleave_bits(y: Column, x: Column): Column =
     column(InterleaveBits(expression(y), expression(x)))
+  def nfc_normalize(text: Column): Column =
+    column(NfcNormalize(expression(text)))
 }

@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-cleanup kernels. Spark ships no Unicode-normalization function,
+  * but corpus cleanup needs one: visually identical strings with
+  * different codepoint sequences (e + U+0301 vs é) defeat exact dedup,
+  * fingerprinting, and every hash-keyed operator upstream of them —
+  * normalization must happen BEFORE any hashing pass or two spellings
+  * of the same document never collide. NFC (canonical composition) is
+  * the standard choice; both the JDK (`java.text.Normalizer`) and the
+  * oracle's utf8proc (`nfc_normalize`) implement the same Unicode
+  * algorithm, so the expression is exactly cross-engine replayable.
+  */
+object TextKernels {
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: corpus text is overwhelmingly already NFC (all of
+    // ASCII is); isNormalized allocates nothing on that path
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.nfc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.TextKernels.nfc($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -538,6 +538,61 @@ class OpsSpec extends SparkSpec {
       wide.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).mkString(", "))
   }
 
+  test("scalarQuantize: codes bounded, reconstruction within half a step, audit accurate") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sq = Similarity.scalarQuantize(emb)
+      .select(col("vec_id"), col("embedding"), col("codes"), col("scale"))
+      .collect()
+    sq.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val codes = r.getSeq[Int](2)
+      val scale = r.getDouble(3)
+      assert(codes.length == v.length)
+      assert(codes.forall(c => c >= -127 && c <= 127), "codes must fit int8")
+      // dequantization error is at most half a quantization step per dim
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12)
+      }
+    }
+    // quantized cosine tracks exact cosine at dim 64 / 8-bit codes
+    val audit = Similarity.quantizedCosineAudit(emb, 0L).collect()
+    assert(audit.nonEmpty)
+    val maxErr = audit.map(_.getDouble(3)).max
+    assert(maxErr < 0.02, s"int8 cosine error too large: $maxErr")
+  }
+
+  test("cleanText: NFC composition, control strip, whitespace collapse, idempotence") {
+    import spark.implicits._
+    // built via escapes so the source stays unambiguous: decomposed =
+    // "cafe" + COMBINING ACUTE (5 chars); composed = "caf" + U+00E9 (4)
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    assert(decomposed != composed && decomposed.length == 5 && composed.length == 4)
+    val dirty = Seq(
+      (1L, decomposed + "\u0001 au lait", "en", "web", 0L),
+      (2L, "\t hello \n\n world  ", "en", "web", 0L),
+      (3L, "already clean", "en", "web", 0L),
+      (4L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.cleanText(dirty).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(5) == composed + " au lait" && out(1L).getLong(6) == 1L)
+    assert(out(2L).getString(5) == "hello world" && out(2L).getLong(6) == 1L)
+    assert(out(3L).getString(5) == "already clean" && out(3L).getLong(6) == 0L)
+    assert(out(4L).getString(5) == "" && out(4L).getLong(6) == 0L)
+    // idempotence: cleaning cleaned text changes nothing
+    val once = TextAnalysis.cleanText(dirty)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    assert(TextAnalysis.cleanText(once).collect().forall(_.getLong(3) == 0L),
+      "second pass must be a no-op")
+    // the SQL surface exposes the same kernel
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') = 'caf\u00e9'").collect()(0)
+    assert(viaSql.getBoolean(0))
+  }
+
   test("histQuantiles: brackets contain the exact value, collapse at fine bins, partition-invariant") {
     import spark.implicits._
     // deterministic non-uniform spread over [0, 997)
