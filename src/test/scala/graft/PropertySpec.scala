@@ -137,6 +137,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequence-packing tiling law: every shard tiles gaplessly for any (budget, shards)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (budget <- Seq(1L, 7L, 256L); shards <- Seq(1, 3, 8)) {
+      val rows = graft.ops.Sampling.packSequences(docs, budget, shards)
+        .orderBy("shard", "doc_id").collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+        // each shard's stream starts at 0 and every start is the
+        // previous document's end — no gaps, no overlaps
+        assert(rs.head.getLong(3) == 0L, s"shard $shard starts past 0")
+        rs.sliding(2).foreach { w =>
+          if (w.length == 2)
+            assert(w(1).getLong(3) == w(0).getLong(3) + w(0).getLong(2),
+              s"gap in shard $shard at doc ${w(1).getLong(0)}")
+        }
+        // chop indices are pure integer functions of (start, tokens)
+        rs.foreach { r =>
+          val (tok, start) = (r.getLong(2), r.getLong(3))
+          assert(r.getLong(4) == start / budget &&
+            r.getLong(5) == (start + tok - 1) / budget)
+        }
+      }
+    }
+  }
+
+  test("inverted-index conservation law: unbanded df sums to all distinct (term, doc) pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = graft.ops.TextAnalysis
+      .invertedIndex(docs, minDf = 1, maxDf = Long.MaxValue).collect()
+    val totalPairs = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(length(col("t")) > 0).count()
+    assert(idx.map(_.getLong(1)).sum == totalPairs,
+      "df over the full band must count every (term, doc) pair exactly once")
+    idx.foreach { r =>
+      val p = r.getSeq[Long](2)
+      assert(p.length.toLong == r.getLong(1), s"df != postings for ${r.getString(0)}")
+      assert(p == p.sorted && p.distinct == p, "postings must be sorted and distinct")
+    }
+  }
+
   test("capPerGroup law: at most N per group, kept set is the md5-min prefix, partition-invariant") {
     val d = randomDocs(60, 8, 13L)
     for (cap <- Seq(1, 5, 50)) {
