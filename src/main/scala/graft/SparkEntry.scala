@@ -1270,6 +1270,18 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "n46_knn_int8" -> ((s, dir) => {
+      // int8 search path: integer-dot shortlist (4x over-retrieval)
+      // over the quantized codes, exact float re-rank of the shortlist
+      // only — same shortlist-then-rerank shape as the IVF-PQ query
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 3),
+          k = 5, shortlist = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n45_int8_quantize" -> ((s, dir) => {
       // int8 scalar quantization + quantized-vs-exact cosine audit
       // against query vector 0: the codes replay bit-for-bit (explicit
@@ -2524,6 +2536,34 @@ object SparkEntry {
          |JOIN cms cm ON cm.i = w.i AND cm.cell = w.cell
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "n46_knn_int8" ->
+      // full replay: n45's quantizer CTEs, integer-dot shortlist ranked
+      // (qcos DESC, vec_id), exact-cosine re-rank of the top k*4
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id, v,
+        |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |       END AS codes FROM s),
+        |q AS (SELECT vec_id AS query_id, codes AS q_codes, v AS q_v FROM c
+        |      WHERE vec_id < 3),
+        |sc AS (SELECT q.query_id, c.vec_id, c.v, q.q_v,
+        |        CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |          (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
+        |           sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE))) AS qcos
+        |       FROM c, q WHERE c.vec_id <> q.query_id),
+        |sl AS (SELECT query_id, vec_id, v, q_v,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY qcos DESC, vec_id) AS qrank FROM sc),
+        |rr AS (SELECT query_id, vec_id,
+        |        list_cosine_similarity(v, q_v) AS cos_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY list_cosine_similarity(v, q_v) DESC, vec_id) AS rnk
+        |       FROM sl WHERE qrank <= 20)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "n45_int8_quantize" ->
       // same quantizer: scale column first, then floor(x/scale + 0.5)

@@ -140,6 +140,51 @@ object Similarity {
       .withColumn("abs_err", abs(col("qcos") - col("exact_cos")))
   }
 
+  /** Quantized top-k — the search half of the int8 storage path
+    * ([[scalarQuantize]]): shortlist `k * shortlist` candidates per
+    * query by integer-code cosine (one pass over the 4x-smaller codes
+    * relation; scales cancel, so no dequantization), then exact float
+    * re-rank of the shortlist only. The same shortlist-then-rerank
+    * shape as IVF-PQ's ADC search, without the codebook.
+    *
+    * Scale shape: the shortlist window ranks (query_id, vec_id, qcos)
+    * rows only — embeddings do NOT ride that shuffle, and the
+    * rank-filter sits directly on row_number so WindowGroupLimit
+    * prunes per map task. Float embeddings are joined back for the
+    * shortlist alone (broadcast — it is queries x k x shortlist rows
+    * by construction), so the full-precision column is read exactly
+    * once and never shuffled.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    shortlist: Int = 4): DataFrame = {
+    require(k >= 1 && shortlist >= 1)
+    def idot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    val sq = scalarQuantize(corpus).select(col("vec_id"), col("codes"))
+    val qsq = scalarQuantize(queries)
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
+    val qcos = idot(col("codes"), col("q_codes")).cast("double") /
+      (sqrt(idot(col("codes"), col("codes")).cast("double")) *
+       sqrt(idot(col("q_codes"), col("q_codes")).cast("double")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val short = sq.join(broadcast(qsq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), qcos.as("qcos"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * shortlist)
+      .select("query_id", "vec_id")
+    val qEmb = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
     * buckets across `tables` tables, exact cosine re-rank.
     */

@@ -562,6 +562,29 @@ class OpsSpec extends SparkSpec {
     assert(maxErr < 0.02, s"int8 cosine error too large: $maxErr")
   }
 
+  test("quantizedTopK: full shortlist == brute force, 4x shortlist high recall, group-limit plan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a shortlist spanning the corpus makes the re-rank exhaustive, so
+    // the result must equal brute force exactly (full-probe law, the
+    // same oracle-equivalence shape as the IVF/IVF-PQ specs)
+    val full = Similarity.quantizedTopK(emb, q, 5, shortlist = 1000000)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "exhaustive shortlist must reproduce brute force")
+    // 4x over-retrieval at int8 / dim 64: near-total recall
+    val tight = Similarity.quantizedTopK(emb, q, 5, shortlist = 4)
+    val tightSet = tight.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect tightSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // the shortlist rank-filter must reach the window as a group limit
+    assert(tight.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("cleanText: NFC composition, control strip, whitespace collapse, idempotence") {
     import spark.implicits._
     // built via escapes so the source stays unambiguous: decomposed =
