@@ -158,18 +158,24 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     shortlist: Int = 4): DataFrame = {
     require(k >= 1 && shortlist >= 1)
-    def idot(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
-    val sq = scalarQuantize(corpus).select(col("vec_id"), col("codes"))
-    val qsq = scalarQuantize(queries)
-      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
-    val qcos = idot(col("codes"), col("q_codes")).cast("double") /
-      (sqrt(idot(col("codes"), col("codes")).cast("double")) *
-       sqrt(idot(col("q_codes"), col("q_codes")).cast("double")))
+    // int8 codes are exact in float (|c| <= 127) and every partial sum
+    // of the cosine kernel stays an exact integer (dot and norms are
+    // <= 64 * 127^2 ~ 1e6, far below 2^53 double / 2^24 float), so the
+    // codegen cosine kernel over float-cast codes produces the SAME
+    // doubles as explicit integer dots — but per pair it is one fused
+    // whole-stage-codegen kernel call instead of three interpreted
+    // higher-order-function folds, and the norms are folded into the
+    // kernel rather than recomputed per pair. The cast materializes
+    // once per row, not per pair.
+    val sq = scalarQuantize(corpus).select(col("vec_id"),
+      transform(col("codes"), _.cast("float")).as("codes_f"))
+    val qsq = scalarQuantize(queries).select(col("vec_id").as("query_id"),
+      transform(col("codes"), _.cast("float")).as("q_codes_f"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("vec_id"))
     val short = sq.join(broadcast(qsq), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), qcos.as("qcos"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("codes_f"), col("q_codes_f")).as("qcos"))
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= k * shortlist)
       .select("query_id", "vec_id")
