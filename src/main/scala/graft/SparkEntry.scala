@@ -174,6 +174,42 @@ object SparkEntry {
   private val (c1, c1lo) = ("18397679294719823053", "3981806797") // 0xff51afd7ed558ccd
   private val (c2, c2lo) = ("14181476777654086739", "444984403")  // 0xc4ceb9fe1a85ec53
 
+  // Full HLL replay (p=8: m=256, maxRank=57), parameterized over the
+  // (col_name, v) vals CTE so one generator serves the whole-column
+  // sketch (n39) and the group-wise variant (n47). Pipeline: FNV fold
+  // in HUGEINT -> fmix64 via 32-bit-half multiplies -> register/rank
+  // in pure integer arithmetic -> exact 2^(57-mj) register sum ->
+  // alpha_m estimate with the linear-counting branch.
+  private def hllReplaySql(valsCte: String): String =
+    s"""WITH vals AS (
+       |$valsCte),
+       |h0 AS (SELECT col_name, ${fnvSql("v")} AS x FROM vals),
+       |f1 AS (SELECT col_name, xor(x, x >> 33) AS v1 FROM h0),
+       |f2 AS (SELECT col_name, xor(v2, v2 >> 33) AS v3
+       |       FROM (SELECT col_name, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+       |h AS (SELECT col_name, xor(v4, v4 >> 33) AS wu
+       |      FROM (SELECT col_name, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
+       |rk AS (SELECT col_name, CAST(wu % 256 AS BIGINT) AS reg,
+       |  CASE WHEN (wu >> 8) = 0 THEN 57
+       |       ELSE bit_count(CAST(((wu >> 8) & (-(wu >> 8))) - 1 AS BIGINT)) + 1 END AS rank
+       | FROM h),
+       |regs AS (SELECT col_name, reg, max(rank) AS mj FROM rk GROUP BY 1, 2),
+       |agg AS (SELECT col_name, count(*) AS nonzero,
+       |  sum(CAST(power(2.0, 57 - mj) AS HUGEINT)) AS s FROM regs GROUP BY 1),
+       |est AS (SELECT col_name, nonzero, 256 - nonzero AS empty,
+       |  s + CAST(256 - nonzero AS HUGEINT) * CAST(144115188075855872 AS HUGEINT) AS bigN
+       | FROM agg),
+       |fin AS (SELECT col_name, nonzero, empty,
+       |  (0.7213/(1.0 + 1.079/256.0)) * (256.0 * 256.0) * 144115188075855872.0
+       |    / CAST(bigN AS DOUBLE) AS e_raw
+       | FROM est),
+       |ex AS (SELECT col_name, count(DISTINCT v) AS exact_distinct FROM vals GROUP BY 1)
+       |SELECT f.col_name, ex.exact_distinct,
+       |  round(CASE WHEN f.e_raw <= 640.0 AND f.empty > 0
+       |    THEN 256.0 * ln(256.0 / CAST(f.empty AS DOUBLE)) ELSE f.e_raw END, 2) AS hll_estimate,
+       |  CAST(f.nonzero AS BIGINT) AS registers_used
+       |FROM fin f JOIN ex USING (col_name) ORDER BY col_name""".stripMargin
+
   // Full MinHash-LSH choreography replay, parameterized over shingle
   // width / signature length / banding / Jaccard threshold so one
   // generator serves every minhash-family query (n10 and the n-gram-
@@ -1258,6 +1294,16 @@ object SparkEntry {
       graft.ops.Sketch.hllDistinct(t(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "text"), p = 8)
         .orderBy("col_name")
+    }),
+
+    "n47_hll_by_source" -> ((s, dir) => {
+      // group-wise HLL: distinct vocabulary per source in one scan,
+      // register shuffle bounded by sources x 256 regardless of corpus
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      graft.ops.Sketch.hllDistinctByGroup(words, "source", "word", p = 8)
+        .orderBy("source")
     }),
 
     "n40_cms_counts" -> ((s, dir) => {
@@ -2479,37 +2525,21 @@ object SparkEntry {
       // (rank via trailing zeros = bit_count((w & -w) - 1) + 1 — pure
       // integer, unlike a float log2; register sum exact via
       // 2^(57-mj) summed in HUGEINT). p=8: m=256, maxRank=57.
-      s"""WITH vals AS (
-         |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
-         |  UNION ALL SELECT 'lang', lang FROM documents
-         |  UNION ALL SELECT 'source', source FROM documents
-         |  UNION ALL SELECT 'text', text FROM documents),
-         |h0 AS (SELECT col_name, ${fnvSql("v")} AS x FROM vals),
-         |f1 AS (SELECT col_name, xor(x, x >> 33) AS v1 FROM h0),
-         |f2 AS (SELECT col_name, xor(v2, v2 >> 33) AS v3
-         |       FROM (SELECT col_name, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
-         |h AS (SELECT col_name, xor(v4, v4 >> 33) AS wu
-         |      FROM (SELECT col_name, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
-         |rk AS (SELECT col_name, CAST(wu % 256 AS BIGINT) AS reg,
-         |  CASE WHEN (wu >> 8) = 0 THEN 57
-         |       ELSE bit_count(CAST(((wu >> 8) & (-(wu >> 8))) - 1 AS BIGINT)) + 1 END AS rank
-         | FROM h),
-         |regs AS (SELECT col_name, reg, max(rank) AS mj FROM rk GROUP BY 1, 2),
-         |agg AS (SELECT col_name, count(*) AS nonzero,
-         |  sum(CAST(power(2.0, 57 - mj) AS HUGEINT)) AS s FROM regs GROUP BY 1),
-         |est AS (SELECT col_name, nonzero, 256 - nonzero AS empty,
-         |  s + CAST(256 - nonzero AS HUGEINT) * CAST(144115188075855872 AS HUGEINT) AS bigN
-         | FROM agg),
-         |fin AS (SELECT col_name, nonzero, empty,
-         |  (0.7213/(1.0 + 1.079/256.0)) * (256.0 * 256.0) * 144115188075855872.0
-         |    / CAST(bigN AS DOUBLE) AS e_raw
-         | FROM est),
-         |ex AS (SELECT col_name, count(DISTINCT v) AS exact_distinct FROM vals GROUP BY 1)
-         |SELECT f.col_name, ex.exact_distinct,
-         |  round(CASE WHEN f.e_raw <= 640.0 AND f.empty > 0
-         |    THEN 256.0 * ln(256.0 / CAST(f.empty AS DOUBLE)) ELSE f.e_raw END, 2) AS hll_estimate,
-         |  CAST(f.nonzero AS BIGINT) AS registers_used
-         |FROM fin f JOIN ex USING (col_name) ORDER BY col_name""".stripMargin,
+      hllReplaySql(
+        """  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+          |  UNION ALL SELECT 'lang', lang FROM documents
+          |  UNION ALL SELECT 'source', source FROM documents
+          |  UNION ALL SELECT 'text', text FROM documents""".stripMargin),
+
+    "n47_hll_by_source" ->
+      // the same replay pipeline keyed by the data's own source column:
+      // distinct vocabulary per source
+      s"""SELECT col_name AS source, exact_distinct, hll_estimate, registers_used
+         |FROM (${hllReplaySql(
+               """  SELECT source AS col_name,
+                 |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS v
+                 |  FROM documents""".stripMargin)})
+         |ORDER BY source""".stripMargin,
 
     "n40_cms_counts" -> {
       // CMS replay: per-word exact counts, then the same integer hash

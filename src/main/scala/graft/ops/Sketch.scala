@@ -39,6 +39,28 @@ import org.apache.spark.sql.graft.GraftFunctions._
 object Sketch {
 
   def hllDistinct(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
+      .filter(col("v").isNotNull)
+    hllOverPairs(pairs, p)
+  }
+
+  /** Group-wise HLL: distinct `valueCol` per `groupCol` in one scan —
+    * the per-group twin of [[hllDistinct]] (e.g. distinct vocabulary
+    * per source). Same register pipeline keyed by the group instead of
+    * the column name; identical scale shape (the register shuffle is
+    * `groups * 2^p`-bounded regardless of corpus size).
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         p: Int = 8): DataFrame =
+    hllOverPairs(
+      df.select(col(groupCol).cast("string").as("col_name"),
+          col(valueCol).cast("string").as("v"))
+        .filter(col("v").isNotNull),
+      p).withColumnRenamed("col_name", groupCol)
+
+  private def hllOverPairs(pairs: DataFrame, p: Int): DataFrame = {
     require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
     val m = 1 << p
     val maxRank = 64 - p + 1
@@ -47,11 +69,6 @@ object Sketch {
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
     val pow2MaxRank = math.pow(2.0, maxRank) // power of two: exact
     val rawNumer = alpha * (m.toDouble * m.toDouble) * pow2MaxRank
-
-    val pairs = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("cv"))
-      .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
-      .filter(col("v").isNotNull)
 
     val ranked = pairs
       .withColumn("w", fnv_mix64(col("v")))

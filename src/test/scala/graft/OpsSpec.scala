@@ -525,6 +525,29 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hllDistinctByGroup: per-group estimates track exact, partition-invariant") {
+    import spark.implicits._
+    // 3 groups with distinct cardinalities 200 / 1000 / 5000
+    val rows = Seq(("a", 200), ("b", 1000), ("c", 5000)).flatMap { case (g, n) =>
+      (1 to n).map(i => (g, s"${g}_value_$i"))
+    }
+    val df = rows.toDF("grp", "v")
+    val est = Sketch.hllDistinctByGroup(df, "grp", "v", p = 8).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(est.keySet == Set("a", "b", "c"))
+    Seq(("a", 200L), ("b", 1000L), ("c", 5000L)).foreach { case (g, n) =>
+      assert(est(g).getLong(1) == n)
+      val e = est(g).getDouble(2)
+      assert(math.abs(e - n) / n < 0.20, s"group $g: est $e vs $n")
+    }
+    // exact integer register sums: identical under any partitioning
+    val a = Sketch.hllDistinctByGroup(df.repartition(1), "grp", "v", 8)
+      .orderBy("grp").collect().toSeq
+    val b = Sketch.hllDistinctByGroup(df.repartition(13), "grp", "v", 8)
+      .orderBy("grp").collect().toSeq
+    assert(a == b)
+  }
+
   test("cmsWordCounts: one-sided error, exact when width dwarfs the vocabulary") {
     val r = Sketch.cmsWordCounts(docs, depth = 4, width = 1024, topK = 5).collect()
     assert(r.nonEmpty)
