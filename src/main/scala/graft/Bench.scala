@@ -30,13 +30,29 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Each query runs twice and the MIN is recorded: on a shared box
+    // run-to-run spread is ±30-40% (PLANS.md's bracketing runs), which
+    // polluted two rounds of adjudication with false regressions. The
+    // min of two runs is a far better estimator of plan cost than a
+    // single sample, and both runs do full work (noop sink, no result
+    // caching between runs — only OS page cache, which a warm cluster
+    // has too).
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators that persist() intermediates register them in the
+      // CacheManager keyed by canonicalized plan — run 2 of the same
+      // query would silently reuse run 1's cache and underreport; it
+      // also stops cached relations accumulating across the sweep
+      spark.catalog.clearCache()
+      dt
+    }
+    val results = selected.map { case (name, fn) =>
+      name -> math.min(once(name, fn), once(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

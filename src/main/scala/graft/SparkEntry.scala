@@ -1335,6 +1335,9 @@ object SparkEntry {
       // integer dot products (scales cancel), and the exact cosine
       // reuses the proven list_cosine_similarity replay
       Similarity.quantizedCosineAudit(t(s, dir, "embeddings"), queryId = 0L)
+        .select(col("vec_id"), round(col("qcos"), 6).as("qcos"),
+          round(col("exact_cos"), 6).as("exact_cos"),
+          round(col("abs_err"), 6).as("abs_err"))
         .orderBy("vec_id")
     }),
 
@@ -1626,7 +1629,7 @@ object SparkEntry {
 
     "q27_partition_pruning" ->
       // the layout changes which FILES are read, never the answer
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1806,7 +1809,7 @@ object SparkEntry {
          |  least(greatest(CAST(floor((${xt2.origin} + jx2 * ${xt2.step} - ${xa.origin}) / ${xa.step} + 0.5) AS BIGINT), 0), ${xa.n - 1}) AS jx,
          |  least(greatest(CAST(floor((${yt2.origin} + jy2 * ${yt2.step} - ${ya.origin}) / ${ya.step} + 0.5) AS BIGINT), 0), ${ya.n - 1}) AS jy
          | FROM tgt)
-         |SELECT g.time, m.y2 AS y, m.x2 AS x, g.t2m
+         |SELECT g.time, CAST(m.y2 AS DOUBLE) AS y, CAST(m.x2 AS DOUBLE) AS x, g.t2m
          |FROM grid g JOIN m ON g.jy = m.jy AND g.jx = m.jx
          |ORDER BY time, y, x""".stripMargin,
 
@@ -1831,7 +1834,7 @@ object SparkEntry {
          | UNION ALL SELECT y2, x2, jy0, jx1, (1.0 - wy1) * wx1 FROM mb
          | UNION ALL SELECT y2, x2, jy1, jx0, wy1 * (1.0 - wx1) FROM mb
          | UNION ALL SELECT y2, x2, jy1, jx1, wy1 * wx1 FROM mb)
-         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w), 6) AS t2m
+         |SELECT g.time, CAST(c.y2 AS DOUBLE) AS y, CAST(c.x2 AS DOUBLE) AS x, round(sum(g.t2m * c.w), 6) AS t2m
          |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
@@ -1858,7 +1861,7 @@ object SparkEntry {
          |  least(greatest(CAST(floor(gx) + kx AS BIGINT), 0), ${xa.n - 1}) AS jx,
          |  (${kern("gx - (floor(gx) + kx)")}) * (${kern("gy - (floor(gy) + ky)")}) AS w
          | FROM m, taps)
-         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w), 6) AS t2m
+         |SELECT g.time, CAST(c.y2 AS DOUBLE) AS y, CAST(c.x2 AS DOUBLE) AS x, round(sum(g.t2m * c.w), 6) AS t2m
          |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
@@ -1890,7 +1893,7 @@ object SparkEntry {
          |  least(greatest(CAST(floor(gx) + kx AS BIGINT), 0), ${xa.n - 1}) AS jx,
          |  (${kern("gx - (floor(gx) + kx)")}) * (${kern("gy - (floor(gy) + ky)")}) AS w
          | FROM m, taps)
-         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w) + 1e-9, 6) AS t2m
+         |SELECT g.time, CAST(c.y2 AS DOUBLE) AS y, CAST(c.x2 AS DOUBLE) AS x, round(sum(g.t2m * c.w) + 1e-9, 6) AS t2m
          |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
@@ -1973,7 +1976,7 @@ object SparkEntry {
          |  least(greatest(CAST(floor(gx) + kx AS BIGINT), 0), ${xa.n - 1}) AS jx,
          |  (${kern("fx - (kx)")}) / swx * ((${kern("fy - (ky)")}) / swy) AS w
          | FROM k, taps)
-         |SELECT g.time, c.y2 AS y, c.x2 AS x, round(sum(g.t2m * c.w), 6) AS t2m
+         |SELECT g.time, CAST(c.y2 AS DOUBLE) AS y, CAST(c.x2 AS DOUBLE) AS x, round(sum(g.t2m * c.w), 6) AS t2m
          |FROM grid g JOIN corners c ON g.jy = c.jy AND g.jx = c.jx
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
@@ -2580,9 +2583,12 @@ object SparkEntry {
         |q AS (SELECT vec_id AS query_id, codes AS q_codes, v AS q_v FROM c
         |      WHERE vec_id < 3),
         |sc AS (SELECT q.query_id, c.vec_id, c.v, q.q_v,
-        |        CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |        CASE WHEN list_dot_product(c.codes, c.codes) = 0
+        |               OR list_dot_product(q.q_codes, q.q_codes) = 0 THEN 0.0
+        |        ELSE CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
         |          (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
-        |           sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE))) AS qcos
+        |           sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE)))
+        |        END AS qcos
         |       FROM c, q WHERE c.vec_id <> q.query_id),
         |sl AS (SELECT query_id, vec_id, v, q_v,
         |        row_number() OVER (PARTITION BY query_id
@@ -2608,14 +2614,14 @@ object SparkEntry {
         |       END AS codes FROM s),
         |q AS (SELECT codes AS q_codes, v AS q_v FROM c WHERE vec_id = 0)
         |SELECT c.vec_id,
-        |  CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |  round(CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
         |    (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
-        |     sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE))) AS qcos,
-        |  list_cosine_similarity(c.v, q.q_v) AS exact_cos,
-        |  abs(CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |     sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE))), 6) AS qcos,
+        |  round(list_cosine_similarity(c.v, q.q_v), 6) AS exact_cos,
+        |  round(abs(CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
         |    (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
         |     sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE)))
-        |    - list_cosine_similarity(c.v, q.q_v)) AS abs_err
+        |    - list_cosine_similarity(c.v, q.q_v)), 6) AS abs_err
         |FROM c, q WHERE c.vec_id <> 0 ORDER BY c.vec_id""".stripMargin,
 
     "n44_text_clean" ->
@@ -2684,9 +2690,9 @@ object SparkEntry {
         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_tok
         | FROM d WHERE n_tokens > 0)
         |SELECT doc_id, shard, n_tokens,
-        |  end_tok - n_tokens AS start_tok,
-        |  (end_tok - n_tokens) // 256 AS seq_first,
-        |  (end_tok - 1) // 256 AS seq_last
+        |  CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+        |  CAST((end_tok - n_tokens) // 256 AS BIGINT) AS seq_first,
+        |  CAST((end_tok - 1) // 256 AS BIGINT) AS seq_last
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "n35_source_cap" ->

@@ -124,6 +124,12 @@ object Similarity {
     * dot products (order-independent, exact) over [[scalarQuantize]]
     * output — the compute half of the int8 storage path. Returns
     * (vec_id, qcos, exact_cos, abs_err).
+    *
+    * Zero-norm vectors: the explicit division here yields NaN for an
+    * all-zero vector where the codegen cosine kernel returns 0.0 —
+    * callers replaying this in another engine must either guard the
+    * division (CASE WHEN either norm = 0 THEN 0.0) or guarantee a
+    * zero-free corpus, as [[quantizedTopK]]'s n46 oracle now does.
     */
   def quantizedCosineAudit(emb: DataFrame, queryId: Long): DataFrame = {
     val sq = scalarQuantize(emb)

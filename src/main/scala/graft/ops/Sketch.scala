@@ -190,10 +190,15 @@ object Sketch {
   def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                     topK: Int = 10, seed: Long = 42L): DataFrame = {
     require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")
+    // persisted: this vocabulary-sized relation feeds BOTH the sketch
+    // build and the probe top-k — without it the corpus-wide word-count
+    // shuffle (the only corpus-sized work here) runs twice. Vocabulary
+    // is sublinear in corpus size, so MEMORY_AND_DISK is safe at scale.
     val counts = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cellCols = (0 until depth).map { i =>
       val perm = graft.functions.Hashing.splitmix64(seed + i)
       struct(lit(i).as("row_id"),

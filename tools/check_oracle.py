@@ -30,7 +30,20 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(sqls.items()):
         try:
-            oracle = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            # The driver's hash serializes HUGEINT/DECIMAL differently from
+            # Spark's BIGINT/DOUBLE even when pandas values compare equal
+            # (the r5 n42/q27 failure class) — flag them before fetchdf()
+            # erases the type.
+            wide = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                    if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+            if wide:
+                print(f"FAIL {name}: oracle emits non-BIGINT integer/decimal "
+                      f"types (driver hash will mismatch): {wide} — "
+                      f"CAST(... AS BIGINT/DOUBLE) in the oracle SQL")
+                n_fail += 1
+                continue
+            oracle = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
             n_fail += 1
