@@ -1078,12 +1078,12 @@ object SparkEntry {
     }),
 
     "n13_media_features" -> ((s, dir) => {
-      // oracled two ways: image rows' width/height come from the REAL
-      // PNG/GIF/BMP header parse (the fixture encodes dims derived from
-      // doc_id, so DuckDB recomputes them arithmetically — any parse bug
-      // breaks the hash); audio/video rows keep the deterministic stub
-      // decode, replayed by DuckDB as FNV-1a in HUGEINT. Ints cast to
-      // long for BIGINT parity.
+      // every emitted value comes from a REAL header parse: image
+      // width/height from PNG/GIF/BMP, video n_frames from the MP4
+      // stsz sample_count, audio/video dims pinned to 0 by the parser
+      // (no pixel dims in WAV/mvhd). The fixture encodes each field
+      // from doc_id, so DuckDB recomputes them arithmetically — any
+      // parse bug breaks the hash. Ints cast to long for BIGINT parity.
       val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("media_type"), col("byte_len"),
@@ -1135,9 +1135,10 @@ object SparkEntry {
     }),
 
     "n25_media_frames" -> ((s, dir) => {
-      // frame sampling: every 10th frame index of each video row
-      // (n_frames = 1 + byte_len/64 from the stub decode); video filter
-      // pushed ahead of the decode boundary, as in n24
+      // frame sampling: every 10th frame index of each video row;
+      // n_frames is the REAL stsz sample_count parsed from the MP4
+      // prefix the fixture wrote; video filter pushed ahead of the
+      // decode boundary, as in n24
       val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
         .filter(col("media_type") === "video")
       Multimodal.sampleFrames(Multimodal.extractFeatures(media), stride = 10)
@@ -1145,6 +1146,21 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"),
           col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "n48_media_av_meta" -> ((s, dir) => {
+      // audio/video container metadata parsed from REAL headers: WAV
+      // fmt-chunk sample rate + data-chunk duration, MP4 mvhd duration
+      // + stsz frame count — the type filter again runs before the
+      // decode boundary so images never reach the parser
+      val media = Multimodal.mediaWithHeaders(t(s, dir, "documents"))
+        .filter(col("media_type") =!= "image")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("media_type"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("media_id")
     }),
 
     "n20_embedding_allpairs" -> ((s, dir) => {
@@ -2321,12 +2337,28 @@ object SparkEntry {
         |FROM img ORDER BY media_id""".stripMargin,
 
     "n25_media_frames" ->
+      // n_frames = the REAL stsz sample_count the fixture wrote
       """WITH vid AS (SELECT doc_id AS media_id,
-        |  1 + strlen(text) // 64 AS n_frames
+        |  1 + doc_id % 300 AS n_frames
         | FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
         | CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
         |FROM vid ORDER BY media_id, frame_idx""".stripMargin,
+
+    "n48_media_av_meta" ->
+      // audio: sample_rate/duration from the WAV fmt+data chunks
+      // (duration_ms = dataLen * 1000 // byteRate, byteRate = sr * ch * 2);
+      // video: duration from mvhd (timescale 1000 -> ms identity);
+      // every field replayed from the fixture's doc_id formulas
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000
+        |      ELSE 0 END AS BIGINT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN
+        |    strlen(text) * 1000 // ((8000 + (doc_id % 8) * 1000) * (1 + (doc_id // 3) % 2) * 2)
+        |  ELSE (1 + doc_id % 60) * 1000 END AS BIGINT) AS duration_ms,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 300 ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 <> 0 ORDER BY media_id""".stripMargin,
 
     "n20_embedding_allpairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
@@ -2765,38 +2797,31 @@ object SparkEntry {
 
     "n12_media_schema" ->
       // header lengths: PNG sig+IHDR 33, GIF header+LSD 13, BMP
-      // file header + BITMAPINFOHEADER 54 (ASCII fixture: strlen = bytes)
+      // file header + BITMAPINFOHEADER 54, WAV RIFF+fmt+data 44, MP4
+      // ftyp+moov+mdat prefix 192 (ASCII fixture: strlen = bytes)
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(strlen(text) + CASE WHEN doc_id % 3 = 0 THEN
         |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
-        |  ELSE 0 END AS BIGINT) AS byte_len
+        |  WHEN doc_id % 3 = 1 THEN 44 ELSE 192 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "n13_media_features" ->
-      // image rows (doc_id % 3 = 0): dims as ENCODED IN THE REAL HEADER
-      // by the fixture (w = 16 + id % 1000, h = 16 + (id/7) % 1000) and
-      // parsed back by headerDims — recomputed here arithmetically;
-      // audio/video rows: the stub decode's FNV-1a over UTF-8 payload
-      // bytes (ASCII fixture: codepoint == byte), dims = 16 + (h >> {0,10}) % 1024
-      """WITH h AS (SELECT doc_id, text,
-        |  list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT),
-        |    list_transform(list_filter(string_split_regex(text, ''), ch -> ch <> ''),
-        |      ch -> CAST(unicode(ch) AS HUGEINT))),
-        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS hu
-        | FROM documents)
-        |SELECT doc_id AS media_id,
+      // every value is a REAL header field recomputed arithmetically
+      // from the formulas the fixture encoded: image dims w = 16 +
+      // id % 1000, h = 16 + (id/7) % 1000 parsed back by headerDims;
+      // audio/video dims 0 (no pixel dims in WAV/mvhd); video n_frames
+      // = the stsz sample_count 1 + id % 300 parsed back by mp4Meta
+      """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(strlen(text) + CASE WHEN doc_id % 3 = 0 THEN
         |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
-        |  ELSE 0 END AS BIGINT) AS byte_len,
-        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 1000
-        |      ELSE 16 + hu % 1024 END AS BIGINT) AS width,
-        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 7) % 1000
-        |      ELSE 16 + (hu >> 10) % 1024 END AS BIGINT) AS height,
-        | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) // 64 ELSE 1 END AS BIGINT) AS n_frames
-        |FROM h ORDER BY media_id""".stripMargin
+        |  WHEN doc_id % 3 = 1 THEN 44 ELSE 192 END AS BIGINT) AS byte_len,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 1000 ELSE 0 END AS BIGINT) AS width,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 7) % 1000 ELSE 0 END AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 300 ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

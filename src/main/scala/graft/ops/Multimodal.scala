@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition in batches.
   *
   * The Spark-side machinery (schema, partitioning, batch iteration,
-  * output shape) is real and tested. Image DIMENSIONS are decoded for
-  * real from PNG/GIF/BMP headers ([[headerDims]] — plain header fields,
-  * dependency-free JVM parsing); payloads in other formats, and the
-  * audio/video branches plus pixel-level feature extraction, fall back
-  * to a deterministic STUB ([[decodeStub]]) because no full codec
-  * library ships in this environment — swap the stub for a real decoder
-  * (e.g. javacv / TwelveMonkeys) without touching the plumbing.
+  * output shape) is real and tested. Container METADATA is decoded for
+  * real, dependency-free: image dimensions from PNG/GIF/BMP headers
+  * ([[headerDims]]), audio sample rate / channels / duration from WAV
+  * RIFF chunks ([[wavMeta]]), video duration and frame count from MP4
+  * mvhd + stsz boxes ([[mp4Meta]]). Only pixel/sample-level work
+  * (feature vectors, checksums standing in for embeddings) uses a
+  * deterministic STUB ([[decodeStub]]) because no codec library ships
+  * in this environment — swap the stub for a real decoder (e.g.
+  * javacv / TwelveMonkeys) without touching the plumbing.
   */
 object Multimodal {
 
@@ -24,10 +26,15 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true),
     StructField("meta_source", StringType, nullable = true)))
 
-  /** Feature row produced by the (stubbed) decoder. */
+  /** Feature row produced by the decoder. `width`/`height` are real for
+    * PNG/GIF/BMP images (0 for parsed audio/video, stub values
+    * otherwise); `sample_rate`/`duration_ms` are real for parsed WAV
+    * audio, `duration_ms`/`n_frames` real for parsed MP4 video.
+    */
   final case class MediaFeatures(media_id: Long, media_type: String,
       byte_len: Long, checksum: Long, width: Int, height: Int,
-      n_frames: Int, feature: Array[Float])
+      n_frames: Int, sample_rate: Int, duration_ms: Long,
+      feature: Array[Float])
 
   /** Deterministic fake decode: a real decoder would parse the payload
     * header; the stub derives "dimensions" and a feature vector from a
@@ -74,16 +81,104 @@ object Multimodal {
     else None
   }
 
-  /** Decode dispatch: image-typed rows get real header dims when the
-    * payload is PNG/GIF/BMP (other image formats, and all audio/video,
-    * keep the stub's synthetic dims); the checksum and feature vector
-    * always come from the full-payload stub pass.
+  /** Real WAV metadata: RIFF/WAVE chunk walk reading the `fmt ` chunk
+    * (PCM sample rate / channels / bits per sample, little-endian —
+    * RIFF spec: each chunk is fourcc + u32 size, bodies 2-byte padded)
+    * and the `data` chunk's declared byte length. None unless the RIFF
+    * signature and both chunks are present.
     */
-  private def decode(mediaType: String, bytes: Array[Byte]): (Long, Int, Int, Array[Float]) = {
+  def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)) & 0xffffffffL
+    def cc(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 44 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataLen: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val size = le32(i + 4)
+      cc(i) match {
+        case "fmt " if i + 8 + 16 <= p.length =>
+          fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
+        case "data" => dataLen = Some(size)
+        case _ => ()
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+    }
+    for ((sr, ch, bits) <- fmt; dl <- dataLen) yield (sr, ch, bits, dl)
+  }
+
+  /** Real MP4 metadata: ISO BMFF box walk (u32 BE size + fourcc,
+    * containers recursed) reading `mvhd` (movie timescale + duration,
+    * v0 u32 / v1 u64 fields) and the track's `stsz` sample count — the
+    * container field that IS the frame count. None unless both are
+    * found. ISO/IEC 14496-12 s8.2.2 (mvhd), s8.7.3 (stsz).
+    */
+  def mp4Meta(p: Array[Byte]): Option[(Int, Long, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def cc(i: Int): String = new String(p, i, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var mvhd: Option[(Int, Long)] = None
+    var frames: Option[Int] = None
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end && (mvhd.isEmpty || frames.isEmpty)) {
+        val size = be32(i)
+        if (size < 8 || i + size > end) return // tolerant: stop at junk
+        cc(i + 4) match {
+          case "mvhd" if i + 32 <= end =>
+            val v = u8(i + 8)
+            mvhd =
+              if (v == 0) Some((be32(i + 20).toInt, be32(i + 24)))
+              else if (v == 1 && i + 44 <= end) Some((be32(i + 28).toInt, be64(i + 32)))
+              else mvhd
+          case "stsz" if i + 20 <= end =>
+            frames = Some(be32(i + 16).toInt)
+          case t if containers(t) => walk(i + 8, i + size.toInt)
+          case _ => ()
+        }
+        i += size.toInt
+      }
+    }
+    if (p.length >= 8) walk(0, p.length)
+    for ((ts, dur) <- mvhd; f <- frames)
+      yield (ts, dur, f)
+  }
+
+  /** Decode dispatch: image-typed rows get real header dims when the
+    * payload is PNG/GIF/BMP; audio rows get real sample rate + duration
+    * when the payload is WAV (dims 0 — meaningless for audio); video
+    * rows get real frame count + duration when the payload is MP4
+    * (dims 0 — no tkhd in the minimal walk). Unparsed payloads keep the
+    * stub's synthetic values. The checksum and feature vector always
+    * come from the full-payload stub pass.
+    * Returns (checksum, w, h, nFrames, sampleRate, durationMs, feature).
+    */
+  private def decode(mediaType: String, bytes: Array[Byte]): (Long, Int, Int, Int, Int, Long, Array[Float]) = {
     val (checksum, sw, sh, feat) = decodeStub(bytes)
-    val (w, h) =
-      if (mediaType == "image") headerDims(bytes).getOrElse((sw, sh)) else (sw, sh)
-    (checksum, w, h, feat)
+    mediaType match {
+      case "image" =>
+        val (w, h) = headerDims(bytes).getOrElse((sw, sh))
+        (checksum, w, h, 1, 0, 0L, feat)
+      case "audio" => wavMeta(bytes) match {
+        case Some((sr, ch, bits, dataLen)) =>
+          val byteRate = sr.toLong * ch * (bits / 8)
+          val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
+          (checksum, 0, 0, 1, sr, durMs, feat)
+        case None => (checksum, sw, sh, 1, 0, 0L, feat)
+      }
+      case "video" => mp4Meta(bytes) match {
+        case Some((ts, dur, nFrames)) =>
+          val durMs = if (ts > 0) dur * 1000L / ts else 0L
+          (checksum, 0, 0, nFrames, 0, durMs, feat)
+        case None =>
+          (checksum, sw, sh, 1 + bytes.length / 64, 0, 0L, feat)
+      }
+      case _ => (checksum, sw, sh, 1, 0, 0L, feat)
+    }
   }
 
   /** Distributed feature extraction: one pass, per-partition batches,
@@ -97,9 +192,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, mt, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          val (checksum, w, h, feat) = decode(mt, bytes)
-          val frames = if (mt == "video") 1 + (bytes.length / 64) else 1
-          MediaFeatures(id, mt, bytes.length.toLong, checksum, w, h, frames, feat)
+          val (checksum, w, h, frames, sr, durMs, feat) = decode(mt, bytes)
+          MediaFeatures(id, mt, bytes.length.toLong, checksum, w, h, frames, sr, durMs, feat)
         }
       }
   }
@@ -120,9 +214,8 @@ object Multimodal {
           // one "vectorized" call per batch (decode runs elementwise)
           batch.map { case (id, mt, payload) =>
             val bytes = if (payload == null) Array.emptyByteArray else payload
-            val (checksum, w, h, feat) = decode(mt, bytes)
-            val frames = if (mt == "video") 1 + (bytes.length / 64) else 1
-            MediaFeatures(id, mt, bytes.length.toLong, checksum, w, h, frames, feat)
+            val (checksum, w, h, frames, sr, durMs, feat) = decode(mt, bytes)
+            MediaFeatures(id, mt, bytes.length.toLong, checksum, w, h, frames, sr, durMs, feat)
           }
         }
       }
@@ -207,13 +300,73 @@ object Multimodal {
     bb.array()
   }
 
+  /** Canonical 44-byte PCM WAV header (RIFF + fmt + data chunk header);
+    * the caller appends `dataLen` bytes of sample data.
+    */
+  private[graft] def wavHeader(sampleRate: Int, channels: Int, bits: Int,
+      dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * (bits / 8)) // byte rate
+    bb.putShort((channels * (bits / 8)).toShort)  // block align
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Minimal ISO BMFF prefix: ftyp(16) + moov(168: mvhd 108 + trak 52
+    * with the stbl/stsz chain) + the mdat box header (8) — 192 bytes;
+    * the caller appends `dataLen` bytes of mdat payload. All fields the
+    * [[mp4Meta]] walk reads (mvhd v0 timescale/duration, stsz
+    * sample_count) are set for real.
+    */
+  private[graft] def mp4Header(timescale: Int, durationTs: Long,
+      nFrames: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(192) // big-endian by default
+    bb.put(Array[Byte](0, 0, 0, 16)).put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(168).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)                 // version 0 + flags
+    bb.putInt(0).putInt(0)       // creation, modification
+    bb.putInt(timescale).putInt(durationTs.toInt)
+    bb.putInt(0x00010000)        // rate 1.0
+    bb.putShort(0x0100.toShort)  // volume 1.0
+    bb.position(bb.position() + 10) // reserved
+    bb.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    bb.position(bb.position() + 24) // pre_defined
+    bb.putInt(2)                 // next_track_ID
+    bb.putInt(52).put("trak".getBytes("US-ASCII"))
+    bb.putInt(44).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(36).put("minf".getBytes("US-ASCII"))
+    bb.putInt(28).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(20).put("stsz".getBytes("US-ASCII"))
+    bb.putInt(0)                 // version + flags
+    bb.putInt(0)                 // sample_size 0 = per-sample table
+    bb.putInt(nFrames)           // sample_count == frame count
+    bb.putInt(8 + dataLen).put("mdat".getBytes("US-ASCII"))
+    bb.array()
+  }
+
   /** Fixture with REAL image bytes: image-typed rows (doc_id % 3 == 0)
     * carry a genuine PNG/GIF/BMP header — format rotating by
     * (doc_id / 3) % 3, PNG with a correct IHDR CRC — whose encoded
     * dimensions are w = 16 + doc_id % 1000, h = 16 + (doc_id / 7) % 1000,
-    * followed by the UTF-8 text. Audio/video rows keep the bare text
-    * payload. Exercises [[headerDims]] end-to-end with dimensions an
-    * oracle can recompute arithmetically from doc_id.
+    * followed by the UTF-8 text. Audio rows carry a real 44-byte WAV
+    * header (sample_rate = 8000 + (doc_id % 8) * 1000, channels =
+    * 1 + (doc_id / 3) % 2, 16-bit, data = the UTF-8 text). Video rows
+    * carry a real 192-byte MP4 prefix (timescale 1000, duration =
+    * (1 + doc_id % 60) * 1000, stsz sample_count = 1 + doc_id % 300,
+    * mdat = the text). Exercises [[headerDims]]/[[wavMeta]]/[[mp4Meta]]
+    * end-to-end with every field an oracle can recompute arithmetically
+    * from doc_id.
     */
   def mediaWithHeaders(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -223,8 +376,8 @@ object Multimodal {
       .map { case (id, text, src) =>
         val textBytes = text.getBytes("UTF-8")
         val mt = id % 3 match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-        val payload =
-          if (mt == "image") {
+        val payload = mt match {
+          case "image" =>
             val w = 16 + (id % 1000).toInt
             val h = 16 + ((id / 7) % 1000).toInt
             val header = (id / 3) % 3 match {
@@ -233,7 +386,13 @@ object Multimodal {
               case _ => bmpHeader(w, h)
             }
             header ++ textBytes
-          } else textBytes
+          case "audio" =>
+            wavHeader(8000 + (id % 8).toInt * 1000, 1 + ((id / 3) % 2).toInt,
+              16, textBytes.length) ++ textBytes
+          case _ =>
+            mp4Header(1000, (1 + id % 60) * 1000, 1 + (id % 300).toInt,
+              textBytes.length) ++ textBytes
+        }
         (id, mt, payload, src)
       }
       .toDF("media_id", "media_type", "payload", "meta_source")

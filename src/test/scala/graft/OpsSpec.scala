@@ -435,13 +435,42 @@ class OpsSpec extends SparkSpec {
       assert(f.width == 16 + (id % 1000).toInt, s"id $id width")
       assert(f.height == 16 + ((id / 7) % 1000).toInt, s"id $id height")
     }
-    // non-image rows keep the stub dims derived from the text payload
+    // audio rows carry a real WAV header: sample rate / duration parsed
+    // back must match the fixture formulas (id 1: 9000 Hz mono 16-bit,
+    // 43 text bytes -> 43*1000/18000 ms), dims pinned to 0
     val audio = feats(1L)
-    val (_, sw, sh, _) = Multimodal.decodeStub(
-      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
-    assert(audio.media_type == "audio" && audio.width == sw && audio.height == sh)
+    assert(audio.media_type == "audio" && audio.width == 0 && audio.height == 0)
+    assert(audio.sample_rate == 8000 + (1 % 8) * 1000)
+    val textLen1 = "the quick brown fox jumps over the lazy dog".length
+    assert(audio.duration_ms == textLen1 * 1000L / (9000L * 1 * 2))
+    assert(audio.byte_len == textLen1 + 44L)
+    // video rows carry a real MP4 prefix: mvhd duration + stsz count
+    val video = feats(2L)
+    assert(video.media_type == "video" && video.n_frames == 1 + (2 % 300))
+    assert(video.duration_ms == (1 + 2 % 60) * 1000L)
     // image byte_len = header + text bytes (id 3 text is 44 chars, GIF 13)
     assert(feats(3L).byte_len == 44L + 13L)
+  }
+
+  test("WAV/MP4 header decode: round-trip, truncation falls back") {
+    // builder -> parser must recover every encoded field exactly
+    for ((sr, ch, bits, dl) <- Seq((8000, 1, 16, 100), (44100, 2, 16, 123457),
+        (96000, 2, 24, 7), (22050, 1, 8, 0))) {
+      val p = Multimodal.wavHeader(sr, ch, bits, dl) ++ new Array[Byte](math.min(dl, 64))
+      assert(Multimodal.wavMeta(p) == Some((sr, ch, bits, dl.toLong)), s"wav $sr/$ch/$bits/$dl")
+    }
+    for ((ts, dur, nf) <- Seq((1000, 1000L, 1), (600, 123456L, 299), (90000, 0L, 1000000))) {
+      val p = Multimodal.mp4Header(ts, dur, nf, 10) ++ "0123456789".getBytes("US-ASCII")
+      assert(Multimodal.mp4Meta(p) == Some((ts, dur, nf)), s"mp4 $ts/$dur/$nf")
+    }
+    // trailing payload and absent headers must not confuse either walk
+    assert(Multimodal.wavMeta("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.wavMeta("plain text, not a wav".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.mp4Meta("plain text, not an mp4".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.mp4Meta(Array.emptyByteArray).isEmpty)
+    // a wav payload handed to the mp4 walk (and vice versa) is None
+    assert(Multimodal.mp4Meta(Multimodal.wavHeader(8000, 1, 16, 4)).isEmpty)
+    assert(Multimodal.wavMeta(Multimodal.mp4Header(1000, 5000L, 50, 0)).isEmpty)
   }
 
   test("corpusFrequencyScore: mean corpus frequency, integer-exact") {
