@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
 import org.apache.spark.sql.graft.GraftFunctions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -23,34 +22,24 @@ import org.apache.spark.sql.graft.GraftFunctions._
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim) — derived from splitmix64, uniform in [-1, 1).
-    */
-  private def planeComponent(table: Int, plane: Int, dim: Int): Float = {
-    val h = Hashing.splitmix64(table.toLong * 1000003L + plane.toLong * 8191L + dim)
-    (h.toDouble / Long.MaxValue.toDouble).toFloat
-  }
-
   /** Adds (table, bucket) rows per input row: bucket = sign bits of the
     * embedding against `planes` hyperplanes, one row per hash table.
     *
-    * `dim` is the embedding dimensionality; pass it explicitly (callers
-    * know their embedding width) — the default -1 falls back to probing
-    * the first row, which costs a driver-side Spark job per call.
+    * Bucketing runs in one codegen expression ([[SignBuckets]]) that
+    * derives each hyperplane component on the fly from splitmix64
+    * (cached per executor), so the plan carries only (planes, tables) —
+    * independent of embedding dimensionality. The former construction
+    * inlined planes x tables x dim float literals into the plan, which
+    * at a production 768-dim / 12-plane / 8-table shape would push ~74k
+    * literals through codegen.
+    *
+    * `dim` is retained for API stability but unused: the kernel reads
+    * the dimensionality from each row, so no probe job ever runs.
     */
   def withSignBuckets(emb: DataFrame, embedCol: String, planes: Int, tables: Int,
-                      dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim else emb.select(size(col(embedCol))).head().getInt(0)
-    def bucketFor(t: Int): Column = {
-      val bits: Seq[Column] = (0 until planes).map { p =>
-        val hp = array((0 until d).map(i => lit(planeComponent(t, p, i))): _*)
-        when(dot_product(col(embedCol), hp) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    }
+                      dim: Int = -1): DataFrame =
     emb.select((emb.columns.map(col) :+
-      posexplode(array((0 until tables).map(bucketFor): _*)).as(Seq("table", "bucket"))): _*)
-  }
+      posexplode(sign_buckets(col(embedCol), planes, tables)).as(Seq("table", "bucket"))): _*)
 
   /** Exact brute-force top-k by cosine. `queries` must be small enough
     * to broadcast (driver enforces nothing; Spark's AQE would demote if
@@ -202,13 +191,9 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 10, tables: Int = 6, dim: Int = -1): DataFrame = {
-    // resolve the dim once for both bucketing passes (one probe job at
-    // most, zero when the caller passes it)
-    val d = if (dim > 0) dim
-            else corpus.select(size(col("embedding"))).head().getInt(0)
-    val cb = withSignBuckets(corpus, "embedding", planes, tables, d)
+    val cb = withSignBuckets(corpus, "embedding", planes, tables)
       .select(col("table"), col("bucket"), col("vec_id"), col("embedding"))
-    val qb = withSignBuckets(queries, "embedding", planes, tables, d)
+    val qb = withSignBuckets(queries, "embedding", planes, tables)
       .select(col("table"), col("bucket"),
         col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cands = cb.join(broadcast(qb), Seq("table", "bucket"))

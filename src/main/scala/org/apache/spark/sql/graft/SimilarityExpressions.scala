@@ -76,6 +76,59 @@ object SimilarityKernels {
     new GenericArrayData(sig)
   }
 
+  /** Per-(planes, tables, dim) hyperplane component cache: one flat
+    * float array of tables x planes x dim entries, derived from
+    * splitmix64 exactly as the former literal-array construction
+    * (seed = table * 1000003 + plane * 8191 + i, widened to [-1, 1)
+    * and truncated to float), so the n09/n14 oracles replay unchanged.
+    * Materialized once per executor instead of once per plan: the plan
+    * carries only (planes, tables), so plan size is independent of the
+    * embedding dimensionality (a production 768-dim / 12-plane / 8-table
+    * shape would otherwise inline ~74k literals into codegen).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]()
+  def hyperplanes(planes: Int, tables: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((planes, tables, dim), { key =>
+      val (p, t, d) = key
+      val arr = new Array[Float](t * p * d)
+      var j = 0
+      while (j < arr.length) {
+        val table = j / (p * d); val plane = (j / d) % p; val i = j % d
+        val h = Hashing.splitmix64(table.toLong * 1000003L + plane.toLong * 8191L + i)
+        arr(j) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+        j += 1
+      }
+      arr
+    })
+
+  /** Sign-LSH buckets of a float vector: element t is the `planes`-bit
+    * bucket of hash table t, bit p = [dot(vec, hyperplane(t, p)) >= 0].
+    * The dot accumulates left-to-right in double over float components —
+    * the same order the former per-plane `dot_product` literals used
+    * (and the order the DuckDB oracle replays as a sequential
+    * list_reduce fold), so results are bit-identical.
+    */
+  def signBuckets(emb: ArrayData, nPlanes: Int, nTables: Int): ArrayData = {
+    val d = emb.numElements()
+    val comp = hyperplanes(nPlanes, nTables, d)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L; var p = 0
+      while (p < nPlanes) {
+        val base = (t * nPlanes + p) * d
+        var dot = 0.0; var i = 0
+        while (i < d) { dot += emb.getFloat(i).toDouble * comp(base + i).toDouble; i += 1 }
+        if (dot >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token votes
     * +1/-1 per bit of its hash; the sign of each bit-sum is the output
     * bit. Empty text -> 0L.
@@ -269,6 +322,19 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class SignBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.signBuckets(t.asInstanceOf[ArrayData], planes, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.signBuckets($t, $planes, $tables)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSignature(child: Expression, k: Int, numHashes: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -387,6 +453,8 @@ object GraftFunctions {
     column(CosineSimilarity(expression(a), expression(b)))
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def sign_buckets(emb: Column, planes: Int, tables: Int): Column =
+    column(SignBuckets(expression(emb), planes, tables))
   def minhash_signature(text: Column, k: Int = 5, numHashes: Int = 64,
                         seed: Long = 42L): Column =
     column(MinHashSignature(expression(text), k, numHashes, seed))

@@ -116,6 +116,40 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("sign_buckets: matches the splitmix64 reference, plan is dim-independent") {
+    import spark.implicits._
+    // reference: the exact construction the codegen kernel must equal —
+    // component = splitmix64(t*1000003 + p*8191 + i) / Long.Max as
+    // float, dot accumulated left-to-right in double
+    def ref(v: Array[Float], planes: Int, tables: Int): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until planes).foldLeft(0L) { (acc, p) =>
+          var dot = 0.0
+          for (i <- v.indices) {
+            val h = graft.functions.Hashing.splitmix64(t.toLong * 1000003L + p.toLong * 8191L + i)
+            dot += v(i).toDouble * (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
+          }
+          if (dot >= 0.0) acc | (1L << p) else acc
+        }
+      }
+    val rnd = new scala.util.Random(11L)
+    val vecs = Seq.tabulate(5)(i => i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val out = Similarity.withSignBuckets(vecs.toDF("vec_id", "embedding"), "embedding",
+        planes = 10, tables = 6)
+      .select("vec_id", "table", "bucket").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+    for ((id, v) <- vecs)
+      assert(out(id) == ref(v, 10, 6), s"vec $id buckets diverge from reference")
+    // plan-size independence: a 512-dim input must not inline literal
+    // hyperplane arrays (the former construction carried planes x
+    // tables x dim float literals — megabytes of plan at this shape)
+    val wide = Seq((1L, Array.fill(512)(0.5f))).toDF("vec_id", "embedding")
+    val plan = Similarity.withSignBuckets(wide, "embedding", planes = 12, tables = 8)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("sign_buckets"))
+    assert(plan.length < 4000, s"plan unexpectedly large (${plan.length} chars)")
+  }
+
   test("embedding near-dups: planted duplicates found, recall vs exact all-pairs") {
     import spark.implicits._
     // 40 random base vectors + a noisy copy of each (cos ~0.999): the
