@@ -1148,6 +1148,25 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n49_incremental_dedup" -> ((s, dir) => {
+      // a new crawl slice deduped against the published corpus without
+      // rescanning it: existing = even doc_ids, incoming = odd doc_ids
+      // plus planted copies (three existing texts re-id'd, which the
+      // cross-corpus anti-join must drop, and one within-slice copy of
+      // doc 1, which the slice-local dedup must drop) — non-vacuous in
+      // the n01 planting style: a bug either leaks a planted row in or
+      // drops an original out
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") % 2 === 0)
+      val incoming = base.filter(col("doc_id") % 2 === 1)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 2000001L))
+        .unionAll(base.filter(col("doc_id") === 1L)
+          .withColumn("doc_id", lit(2000007L)))
+      Dedup.incrementalDedup(existing, incoming)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     "n48_media_av_meta" -> ((s, dir) => {
       // audio/video container metadata parsed from REAL headers: WAV
       // fmt-chunk sample rate + data-chunk duration, MP4 mvhd duration
@@ -2344,6 +2363,23 @@ object SparkEntry {
         |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
         | CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
         |FROM vid ORDER BY media_id, frame_idx""".stripMargin,
+
+    "n49_incremental_dedup" ->
+      // same text-equality replay as n01 (md5 collision risk accepted)
+      """WITH existing AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |incoming AS (
+        | SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL SELECT doc_id + 2000001, text, n_chars
+        |   FROM documents WHERE doc_id IN (0, 2, 4)
+        | UNION ALL SELECT 2000007, text, n_chars
+        |   FROM documents WHERE doc_id = 1),
+        |deduped AS (
+        | SELECT doc_id, text, n_chars FROM incoming
+        | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT doc_id, n_chars FROM deduped
+        |WHERE text NOT IN (SELECT text FROM existing)
+        |ORDER BY doc_id""".stripMargin,
 
     "n48_media_av_meta" ->
       // audio: sample_rate/duration from the WAV fmt+data chunks

