@@ -1167,6 +1167,33 @@ object SparkEntry {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    "n50_line_dedup" -> ((s, dir) => {
+      // C4-style boilerplate line removal over a planted multi-line
+      // fixture (corpus texts are single-line): every doc gets a shared
+      // header (removed: 100% of docs), a GROUP5 line shared by 5 docs
+      // (removed: == minDocs), a GROUP4 line shared by 4 docs (kept:
+      // below threshold — exercises the boundary exactly), and an
+      // even/odd footer (removed: half the corpus each)
+      val ld = t(s, dir, "documents").select(col("doc_id"), concat_ws("\n",
+        lit("SHARED BOILERPLATE HEADER"), col("text"),
+        concat(lit("GROUP4 "), expr("CAST(doc_id DIV 4 AS STRING)")),
+        concat(lit("GROUP5 "), expr("CAST(doc_id DIV 5 AS STRING)")),
+        when(col("doc_id") % 2 === 0, lit("EVEN FOOTER"))
+          .otherwise(lit("ODD FOOTER"))).as("text"))
+      TextAnalysis.lineDedup(ld, minDocs = 5)
+        .select(col("doc_id"), col("n_lines_kept"),
+          length(col("text_clean")).cast("long").as("n_chars_clean"),
+          md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "n51_bigram_nll" -> ((s, dir) => {
+      // corpus-statistics quality score; ln replay + position-ordered
+      // fold are the established cross-engine conventions (cf. n03)
+      TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     "n48_media_av_meta" -> ((s, dir) => {
       // audio/video container metadata parsed from REAL headers: WAV
       // fmt-chunk sample rate + data-chunk duration, MP4 mvhd duration
@@ -2380,6 +2407,49 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM deduped
         |WHERE text NOT IN (SELECT text FROM existing)
         |ORDER BY doc_id""".stripMargin,
+
+    "n50_line_dedup" ->
+      // string-equality replay of the hash-keyed frequent-line set
+      // (fnv64 collision risk accepted, as n01's md5); 1-based list
+      // positions vs Spark's 0-based posexplode don't matter — only
+      // the ordering they induce does
+      """WITH ld AS (SELECT doc_id,
+        |  'SHARED BOILERPLATE HEADER' || chr(10) || text || chr(10) ||
+        |  'GROUP4 ' || CAST(doc_id // 4 AS VARCHAR) || chr(10) ||
+        |  'GROUP5 ' || CAST(doc_id // 5 AS VARCHAR) || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'EVEN FOOTER' ELSE 'ODD FOOTER' END AS text
+        | FROM documents),
+        |lns AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
+        |  string_split(text, chr(10)) AS ls
+        | FROM ld),
+        |lines AS (SELECT doc_id, line_idx, ls[line_idx] AS line FROM lns),
+        |freq AS (SELECT line FROM (
+        |  SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line)
+        | WHERE n_docs >= 5),
+        |kept AS (SELECT doc_id, line_idx, line FROM lines
+        | WHERE line NOT IN (SELECT line FROM freq))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        | CAST(strlen(string_agg(line, chr(10) ORDER BY line_idx)) AS BIGINT) AS n_chars_clean,
+        | md5(string_agg(line, chr(10) ORDER BY line_idx)) AS text_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "n51_bigram_nll" ->
+      // ln() of integer counts replays exactly (single IEEE op); the
+      // per-doc sum folds in position order on both engines
+      """WITH g AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, strlen(text) - 1)) AS pos
+        | FROM documents WHERE strlen(text) >= 2),
+        |g2 AS (SELECT doc_id, pos, substr(text, pos, 2) AS bigram FROM g),
+        |counts AS (SELECT bigram, count(*) AS cnt FROM g2 GROUP BY bigram),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(ln(cnt) ORDER BY pos)), (acc, x) -> acc + x) AS sum_ln
+        | FROM g2 JOIN counts USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
+        |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
 
     "n48_media_av_meta" ->
       // audio: sample_rate/duration from the WAV fmt+data chunks

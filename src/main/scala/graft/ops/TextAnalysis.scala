@@ -308,6 +308,81 @@ object TextAnalysis {
             s => s("chunk")), " ").as("text_deduped"))
   }
 
+  /** Line-level dedup (the C4 / CCNet boilerplate pass): remove every
+    * line that occurs in at least `minDocs` DISTINCT documents —
+    * headers, footers, navigation, cookie banners — and reassemble each
+    * document's surviving lines in order. Line-granular, cross-document:
+    * the complement of [[chunkDedup]] (which is span-granular,
+    * first-occurrence-wins).
+    *
+    * 100 TB shape: two corpus-line-sized passes. The counting pass
+    * shuffles (line_hash, doc_id) longs — never line text — with
+    * map-side partial aggregation; its output above `minDocs` is the
+    * boilerplate set, which is tiny by nature (each member prints in
+    * >= minDocs documents) and joins back as a hash-set lookup (AQE
+    * broadcasts it; no hint — the relation is runtime-sized). The
+    * reassembly pass shuffles surviving line text once, keyed by
+    * doc_id — that movement is the output itself. Documents whose
+    * every line is boilerplate disappear (empty after cleanup), as in
+    * [[chunkDedup]]. 64-bit line hashing accepts the standard 2^-64
+    * collision risk (cf. exactDedup's md5).
+    */
+  def lineDedup(docs: DataFrame, minDocs: Long = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{count_distinct => countDistinctCol}
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+    val frequent = lines
+      .groupBy(fnv64(col("line")).as("line_hash"))
+      .agg(countDistinctCol(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line_hash")
+    lines.join(frequent, fnv64(col("line")) === col("line_hash"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s("line")), "\n").as("text_clean"))
+  }
+
+  /** Char-bigram cross-entropy — the dependency-free stand-in for the
+    * KenLM perplexity quality filter (CCNet trains a 5-gram LM; the
+    * statistical shape — score each document by how surprising its
+    * character sequence is under corpus statistics — is identical at
+    * bigram order). avg_nll = ln(total_bigrams) - mean(ln cnt(bigram)):
+    * low = conventional text, high = rare character sequences (mojibake,
+    * binary spill, wrong-language fragments). Documents shorter than
+    * two chars have no bigrams and drop out.
+    *
+    * 100 TB shape: the count pass explodes corpus bigrams but
+    * aggregates onto a character-vocabulary-squared key space (map-side
+    * combine collapses each partition to that size before the
+    * shuffle); the per-document pass joins that small relation back
+    * (AQE broadcast) and folds ln(cnt) in POSITION ORDER — float
+    * addition is order-sensitive, and the sequential fold is the
+    * repo's established cross-engine convention. Per-document state is
+    * one document's bigram list — by definition memory-sized.
+    */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as(Seq("pos", "bigram")))
+    val counts = grams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    grams.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("cnt")))),
+            s => log(s("cnt"))),
+          lit(0.0), (acc, x) => acc + x).as("sum_ln"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(log(col("total")) - col("sum_ln") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
   /** Text cleanup — the pass that runs BEFORE any hash-keyed operator
     * (exact dedup, fingerprints, minhash, the inverted index): NFC
     * Unicode normalization (e + U+0301 and é must collide), control-

@@ -60,6 +60,48 @@ class OpsSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("line dedup removes cross-document boilerplate, keeps rare lines in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "HEADER\nunique one\nrare\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\nunique three\nrare\nFOOTER"),
+      (4L, "HEADER\nFOOTER")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // HEADER/FOOTER occur in 4 and 4 docs -> removed; "rare" in 2 -> kept
+    assert(out(1L) == (2L, "unique one\nrare"))
+    assert(out(2L) == (1L, "unique two"))
+    assert(out(3L) == (2L, "unique three\nrare"))
+    // a doc that is pure boilerplate disappears (as chunkDedup)
+    assert(!out.contains(4L))
+    // line ORDER within a doc is preserved, not sorted lexically
+    val ordered = TextAnalysis.lineDedup(
+      Seq((9L, "zz\naa\nzz2")).toDF("doc_id", "text"), minDocs = 5).collect()
+    assert(ordered.head.getString(2) == "zz\naa\nzz2")
+  }
+
+  test("bigram cross-entropy ranks rare character sequences as surprising") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaaaaaaaa"),  // the most conventional text in this corpus
+      (2L, "aaaaaaaaaa"),
+      (3L, "aaaaaaaaaa"),
+      (4L, "qxzvqxzvqx"),  // rare bigrams -> high surprise
+      (5L, "a")            // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(5L))
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) > out(1L), s"rare text must score higher: ${out(4L)} vs ${out(1L)}")
+    // n_bigrams = length - 1
+    val n = TextAnalysis.bigramCrossEntropy(d).filter(col("doc_id") === 1L)
+      .select("n_bigrams").head().getLong(0)
+    assert(n == 9L)
+  }
+
   test("minhash LSH finds near-duplicates and verifies exact jaccard") {
     val pairs = Dedup.minhashNearDups(docs, k = 5, numHashes = 64, bands = 32,
       threshold = 0.5).collect()
