@@ -2436,17 +2436,25 @@ object SparkEntry {
 
     "n51_bigram_nll" ->
       // ln() of integer counts replays exactly (single IEEE op); the
-      // per-doc sum folds in position order on both engines
+      // per-doc sum folds occ * ln(cnt) in bigram-code order on both
+      // engines; the code replays char_bigrams' (c1 << 16) | c2
+      // packing via unicode() (UTF-16 unit == codepoint for this BMP/
+      // ASCII fixture)
       """WITH g AS (SELECT doc_id, text,
         |  unnest(generate_series(1, strlen(text) - 1)) AS pos
         | FROM documents WHERE strlen(text) >= 2),
-        |g2 AS (SELECT doc_id, pos, substr(text, pos, 2) AS bigram FROM g),
-        |counts AS (SELECT bigram, count(*) AS cnt FROM g2 GROUP BY bigram),
+        |g2 AS (SELECT doc_id,
+        |  unicode(substr(text, pos, 1)) * 65536 + unicode(substr(text, pos + 1, 1)) AS bigram
+        | FROM g),
+        |dg AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS occ
+        |       FROM g2 GROUP BY doc_id, bigram),
+        |counts AS (SELECT bigram, CAST(sum(occ) AS BIGINT) AS cnt
+        |           FROM dg GROUP BY bigram),
         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
-        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(ln(cnt) ORDER BY pos)), (acc, x) -> acc + x) AS sum_ln
-        | FROM g2 JOIN counts USING (bigram) GROUP BY doc_id)
+        |    list(occ * ln(cnt) ORDER BY bigram)), (acc, x) -> acc + x) AS sum_ln
+        | FROM dg JOIN counts USING (bigram) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,
         | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,

@@ -353,30 +353,34 @@ object TextAnalysis {
     * binary spill, wrong-language fragments). Documents shorter than
     * two chars have no bigrams and drop out.
     *
-    * 100 TB shape: the count pass explodes corpus bigrams but
-    * aggregates onto a character-vocabulary-squared key space (map-side
-    * combine collapses each partition to that size before the
-    * shuffle); the per-document pass joins that small relation back
-    * (AQE broadcast) and folds ln(cnt) in POSITION ORDER — float
-    * addition is order-sensitive, and the sequential fold is the
-    * repo's established cross-engine convention. Per-document state is
-    * one document's bigram list — by definition memory-sized.
+    * 100 TB shape: everything after the bigram explode is
+    * (doc, distinct-bigram)-sized. The first aggregation collapses to
+    * per-document bigram multiplicities (map-side combine within each
+    * document's partition run), the corpus counts reduce THAT relation
+    * onto a character-vocabulary-squared key space, and the scoring
+    * join brings the small counts relation back (AQE broadcast). The
+    * per-document fold runs over occ * ln(cnt) terms in BIGRAM-SORTED
+    * order — float addition is order-sensitive, so the fold order is
+    * pinned identically on both engines (the repo's sequential-fold
+    * convention); grouping equal terms first is what keeps the folded
+    * list distinct-bigram-sized instead of document-sized. Bigrams are
+    * integer codes from the one-pass [[CharBigrams]] codegen expression
+    * (per-position substring over UTF8String is O(position) each —
+    * quadratic per document) and shuffle as longs, not strings.
     */
   def bigramCrossEntropy(docs: DataFrame): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= 2)
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as(Seq("pos", "bigram")))
-    val counts = grams.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), explode(char_bigrams(col("text"))).as("bigram"))
+    val docGrams = grams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
+    val counts = docGrams.groupBy("bigram").agg(sum(col("occ")).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    grams.join(counts, Seq("bigram"))
+    docGrams.join(counts, Seq("bigram"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(sum(col("occ")).as("n_bigrams"),
         aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("cnt")))),
-            s => log(s("cnt"))),
+          transform(array_sort(collect_list(struct(col("bigram"), col("occ"), col("cnt")))),
+            s => s("occ") * log(s("cnt"))),
           lit(0.0), (acc, x) => acc + x).as("sum_ln"))
       .crossJoin(total)
       .select(col("doc_id"), col("n_bigrams"),

@@ -473,4 +473,6 @@ object GraftFunctions {
     column(InterleaveBits(expression(y), expression(x)))
   def nfc_normalize(text: Column): Column =
     column(NfcNormalize(expression(text)))
+  def char_bigrams(text: Column): Column =
+    column(CharBigrams(expression(text)))
 }

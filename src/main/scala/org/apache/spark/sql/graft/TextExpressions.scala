@@ -16,6 +16,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * algorithm, so the expression is exactly cross-engine replayable.
   */
 object TextKernels {
+  /** Character-bigram codes of `text` in one pass: element i packs the
+    * UTF-16 units at i and i+1 as (c1 << 16) | c2. One O(n) scan —
+    * per-position `substring(text, i, 2)` over a UTF8String costs O(i)
+    * each (byte offsets must be rescanned), turning the bigram explode
+    * quadratic per document. Codes equal the oracle's
+    * `unicode(c1) * 65536 + unicode(c2)` for BMP text (UTF-16 unit ==
+    * codepoint there; the corpus fixture is ASCII).
+    */
+  def charBigrams(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = math.max(0, s.length - 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = (s.charAt(i).toLong << 16) | s.charAt(i + 1).toLong; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def nfc(text: UTF8String): UTF8String = {
     val s = text.toString
     // fast path: corpus text is overwhelmingly already NFC (all of
@@ -24,6 +41,19 @@ object TextKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
+}
+
+case class CharBigrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_bigrams"
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.charBigrams(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.TextKernels.charBigrams($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class NfcNormalize(child: Expression)
