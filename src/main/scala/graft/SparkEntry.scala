@@ -1194,6 +1194,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n52_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the planted construction (cf. n14): the scaled
+      // copies are cosine-identical to their originals, so they land in
+      // the same cluster (assignment is cosine-argmax) and are the only
+      // pairs above 0.8 — non-vacuous, and cross-cluster blindness is
+      // exactly the semantics being tested
+      Dedup.semanticDedup(plantedEmbeddings(s, dir), k = 8, threshold = 0.8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("cluster", "vec_id_a", "vec_id_b")
+    }),
+
     "n48_media_av_meta" -> ((s, dir) => {
       // audio/video container metadata parsed from REAL headers: WAV
       // fmt-chunk sample rate + data-chunk duration, MP4 mvhd duration
@@ -2458,6 +2469,26 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+
+    "n52_semantic_dedup" ->
+      // argmax assignment replayed as row_number over (cos DESC, cid),
+      // the size cap and pair join replayed literally
+      s"""WITH $plantedEmbCte,
+        |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC, c.cid) AS rn
+        |  FROM e, c) t WHERE rn = 1),
+        |sized AS (SELECT cluster FROM asg GROUP BY cluster
+        |          HAVING count(*) BETWEEN 2 AND 2000),
+        |p AS (SELECT a.cluster, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |       list_cosine_similarity(ea.emb, eb.emb) AS cos
+        |      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |      JOIN sized s ON s.cluster = a.cluster
+        |      JOIN e ea ON ea.vec_id = a.vec_id
+        |      JOIN e eb ON eb.vec_id = b.vec_id)
+        |SELECT cluster, vec_id_a, vec_id_b, round(cos, 6) AS cos
+        |FROM p WHERE cos >= 0.8 ORDER BY cluster, vec_id_a, vec_id_b""".stripMargin,
 
     "n48_media_av_meta" ->
       // audio: sample_rate/duration from the WAV fmt+data chunks

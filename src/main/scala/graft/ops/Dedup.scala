@@ -253,6 +253,71 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * partition the embedding space into k clusters, then find
+    * near-duplicate pairs (cosine >= threshold) WITHIN clusters only —
+    * the clustering bounds the quadratic pair search to cluster-sized
+    * neighborhoods, which is the whole trick: k scales with the corpus
+    * so clusters stay bounded, and cross-cluster pairs are by
+    * construction not near-duplicates.
+    *
+    * `centroids` defaults to the embeddings of the k lowest vec_ids —
+    * deterministic and oracle-replayable; production plugs in
+    * Ivf.trainCentroids (k-means) without changing anything downstream,
+    * since assignment is argmax cosine either way (ties break to the
+    * lowest centroid id).
+    *
+    * Execution is the [[embeddingNearDups]] choreography keyed by
+    * cluster instead of LSH bucket: assignment broadcasts k centroid
+    * rows (one corpus scan, no shuffle); clusters collect ids ONLY,
+    * capped at `maxCluster` BEFORE collection feeds the pair explode
+    * (an over-dense cluster means k is too small — the cap is the
+    * guardrail, same as LSH maxBucket); embeddings are semi-joined
+    * back for a single exact-cosine pass over the candidate pairs.
+    * Returns (cluster, vec_id_a, vec_id_b, cos) with a < b.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 8, threshold: Double = 0.95,
+                    maxCluster: Int = 2000,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+        emb.filter(col("vec_id") < k))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // assignment: broadcast nested-loop against the k centroid rows (k
+    // is small by contract — it's a centroid set), then argmax via a
+    // partial-aggregated max over (cos, -cid) structs: each source
+    // row's k expansions are partition-local, so the map-side combine
+    // collapses them back to one row per vector BEFORE the shuffle —
+    // the exchange moves n (vec_id, struct) rows, never n x k, and no
+    // window sort runs. Ties break to the lowest centroid id.
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(cosine_similarity(col("embedding"), col("cemb")).as("c"),
+          (-col("cid")).as("nc")).as("__s"))
+      .groupBy("vec_id")
+      .agg(max(col("__s")).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"))
+    val clusters = assigned.groupBy(col("cluster"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxCluster))
+    val pairs = clusters
+      .select(col("cluster"), explode(col("ids")).as("a"), col("ids"))
+      .select(col("cluster"), col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = pairs.select(col("a").as("vec_id"))
+      .union(pairs.select(col("b").as("vec_id"))).distinct()
+    val e = emb.join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs
+      .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
+      .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
+      .select(col("cluster"), col("a").as("vec_id_a"), col("b").as("vec_id_b"),
+        cosine_similarity(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair graph, labeling every member with the minimum id reachable —
     * the canonical representative a clustering dedup keeps (pairwise

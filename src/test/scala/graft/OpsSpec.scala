@@ -191,6 +191,36 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("semantic dedup finds within-cluster near-dups, never cross-cluster pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    // 30 base vectors + a noisy copy of each (cos ~0.999): same planted
+    // construction as the LSH test, but recall here must be EXACT — a
+    // copy is cosine-identical to its original up to rounding, so both
+    // always share an argmax-cosine cluster; no probabilistic miss
+    val base = (0 until 30).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.flatMap { case (id, v) =>
+      Seq((id, v), (id + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.allPairsExact(emb, 0.95)
+      .select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDedup(emb, k = 4, threshold = 0.95)
+    val semPairs = sem.select("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semPairs.subsetOf(exact), "exact verification forbids false positives")
+    assert(exact.filter(p => p._2 == p._1 + 1000L).subsetOf(semPairs),
+      "planted copies share their original's cluster and must all be found")
+    // every reported pair is within one cluster by construction
+    val byCluster = sem.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(byCluster.nonEmpty)
+    // the maxCluster guardrail drops over-dense clusters instead of
+    // letting the pair explode go quadratic
+    val capped = Dedup.semanticDedup(emb, k = 4, threshold = 0.95, maxCluster = 5)
+    assert(capped.count() <= sem.count())
+  }
+
   test("sign_buckets: matches the splitmix64 reference, plan is dim-independent") {
     import spark.implicits._
     // reference: the exact construction the codegen kernel must equal —
