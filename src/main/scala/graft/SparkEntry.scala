@@ -1194,6 +1194,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n53_rag_chunks" -> ((s, dir) => {
+      // window 16 / stride 12 (overlap 4) so fixture docs (~50 words)
+      // tile into several chunks, exercising the final-short-window
+      // and the single-chunk-short-doc paths
+      TextAnalysis.slidingChunks(t(s, dir, "documents"),
+          windowWords = 16, strideWords = 12)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"), col("n_words"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "n52_semantic_dedup" -> ((s, dir) => {
       // SemDeDup over the planted construction (cf. n14): the scaled
       // copies are cosine-identical to their originals, so they land in
@@ -2469,6 +2480,22 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+
+    "n53_rag_chunks" ->
+      // integer tiling arithmetic; DuckDB list slice [a:b] is 1-based
+      // inclusive == Spark slice(start, length)
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |nc AS (SELECT doc_id, w,
+        |  1 + greatest(0, (len(w) - 16 + 12 - 1) // 12) AS n FROM ws),
+        |ch AS (SELECT doc_id, w,
+        |  unnest(generate_series(0, n - 1)) AS chunk_idx FROM nc),
+        |cc AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(w[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' ') AS chunk
+        | FROM ch)
+        |SELECT doc_id, chunk_idx, chunk,
+        | CAST(CASE WHEN chunk = '' THEN 0
+        |      ELSE len(string_split(chunk, ' ')) END AS BIGINT) AS n_words
+        |FROM cc ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "n52_semantic_dedup" ->
       // argmax assignment replayed as row_number over (cos DESC, cid),

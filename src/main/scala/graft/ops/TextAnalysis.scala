@@ -373,7 +373,11 @@ object TextAnalysis {
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), explode(char_bigrams(col("text"))).as("bigram"))
     val docGrams = grams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
+    // persisted: char-vocab²-sized and referenced by both the scoring
+    // join and the total — unpersisted, Spark rebuilds the whole
+    // corpus-sized docGrams chain once per reference (3x in the plan)
     val counts = docGrams.groupBy("bigram").agg(sum(col("occ")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("total"))
     docGrams.join(counts, Seq("bigram"))
       .groupBy("doc_id")
@@ -385,6 +389,37 @@ object TextAnalysis {
       .crossJoin(total)
       .select(col("doc_id"), col("n_bigrams"),
         round(log(col("total")) - col("sum_ln") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
+  /** Overlapping sliding-window chunks — the preprocessing shape every
+    * embedding/RAG pipeline runs before vectorizing long documents:
+    * word windows of `windowWords` advancing by `strideWords`
+    * (overlap = window - stride), chunk i = words[i*stride, i*stride +
+    * window). Every word is covered; the final window may be short; a
+    * document shorter than one window is one chunk. All-integer chunk
+    * arithmetic (`1 + ceil((n - window) / stride)` via integer
+    * division), so the tiling replays exactly.
+    *
+    * One scan, no shuffle: pure per-row explode — the chunk relation
+    * inherits the corpus partitioning, ready for the embedding stage
+    * (or [[graft.ops.Sampling.packSequences]]) downstream.
+    */
+  def slidingChunks(docs: DataFrame, windowWords: Int = 64,
+                    strideWords: Int = 48): DataFrame = {
+    require(windowWords >= strideWords && strideWords > 0,
+      "need 0 < stride <= window (gaps would drop words)")
+    val words = split(col("text"), " ")
+    val nChunks = lit(1) + greatest(lit(0L),
+      ((size(words) - windowWords + strideWords - 1) / strideWords).cast("long"))
+    docs.select(col("doc_id"), words.as("__w"), nChunks.as("__nc"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(__nc - 1 as int)), " +
+          s"i -> array_join(slice(__w, i * $strideWords + 1, $windowWords), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_words",
+        when(col("chunk") === "", 0L)
+          .otherwise(size(split(col("chunk"), " ")).cast("long")))
   }
 
   /** Text cleanup — the pass that runs BEFORE any hash-keyed operator

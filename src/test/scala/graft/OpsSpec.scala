@@ -82,6 +82,34 @@ class OpsSpec extends SparkSpec {
     assert(ordered.head.getString(2) == "zz\naa\nzz2")
   }
 
+  test("sliding chunks tile every word with the declared overlap") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, ten), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(d, windowWords = 4, strideWords = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 10 words, window 4, stride 3 -> chunks at 0,3,6 cover every word
+    // (no start-at-9 chunk: ceil((10-4)/3) = 2 extra windows suffice)
+    assert(doc1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // a doc one word past the last full window gets a short final chunk
+    val eleven = (1 to 11).map(i => s"w$i").mkString(" ")
+    val tail = TextAnalysis.slidingChunks(
+        Seq((9L, eleven)).toDF("doc_id", "text"), windowWords = 4, strideWords = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(tail.last._2 == "w10 w11")
+    // overlap law: consecutive chunks share window - stride words
+    assert(doc1(0)._3.split(" ").last == doc1(1)._3.split(" ").head)
+    // short doc -> one chunk; empty doc -> one empty chunk, zero words
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0L)))
+    // coverage law: concatenating stride-prefixes reconstructs the doc
+    val rebuilt = doc1.init.map(_._3.split(" ").take(3)).flatten ++ doc1.last._3.split(" ")
+    assert(rebuilt.toSeq == (1 to 10).map(i => s"w$i"))
+  }
+
   test("bigram cross-entropy ranks rare character sequences as surprising") {
     import spark.implicits._
     val d = Seq(
