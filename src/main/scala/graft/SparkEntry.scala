@@ -1194,6 +1194,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n54_semantic_contamination" -> ((s, dir) => {
+      // the planted scaled copies play the eval set: their originals
+      // are the only corpus vectors at cosine >= 0.8 (organic max
+      // ~0.51), so the scan must flag exactly those three — the
+      // embedding-space twin of n22's n-gram check
+      val pe = plantedEmbeddings(s, dir)
+      Similarity.semanticContamination(
+          corpus = pe.filter(col("vec_id") < 1000000L),
+          eval = pe.filter(col("vec_id") >= 1000000L), threshold = 0.8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("eval_id", "vec_id")
+    }),
+
+    "n55_vocab_coverage" -> ((s, dir) => {
+      // ks sized to the fixture's 31-word vocabulary (5/10/20); the
+      // 20-row curve still exercises rank ties and the cumulative sum
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), ks = Seq(5, 10, 20))
+        .orderBy("vocab_k")
+    }),
+
     "n53_rag_chunks" -> ((s, dir) => {
       // window 16 / stride 12 (overlap 4) so fixture docs (~50 words)
       // tile into several chunks, exercising the final-short-window
@@ -2480,6 +2500,31 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+
+    "n54_semantic_contamination" ->
+      s"""WITH $plantedEmbCte,
+        |ev AS (SELECT vec_id AS eval_id, emb AS eemb FROM e WHERE vec_id >= 1000000),
+        |co AS (SELECT vec_id, emb FROM e WHERE vec_id < 1000000)
+        |SELECT eval_id, vec_id,
+        | round(list_cosine_similarity(emb, eemb), 6) AS cos
+        |FROM co, ev WHERE list_cosine_similarity(emb, eemb) >= 0.8
+        |ORDER BY eval_id, vec_id""".stripMargin,
+
+    "n55_vocab_coverage" ->
+      // rank ties break (cnt DESC, word); cum is a window sum ->
+      // HUGEINT, compared through BIGINT per convention
+      """WITH wc AS (SELECT w AS word, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM wc),
+        |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM wc),
+        |ks(vocab_k) AS (VALUES (5), (10), (20))
+        |SELECT CAST(vocab_k AS BIGINT) AS vocab_k,
+        | CAST(max(cum) AS BIGINT) AS covered_tokens, total_tokens
+        |FROM ks JOIN rk ON rk.rnk <= ks.vocab_k CROSS JOIN tot
+        |GROUP BY vocab_k, total_tokens ORDER BY vocab_k""".stripMargin,
 
     "n53_rag_chunks" ->
       // integer tiling arithmetic; DuckDB list slice [a:b] is 1-based

@@ -79,6 +79,26 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Semantic (embedding-level) train/eval contamination: every corpus
+    * vector whose cosine to ANY eval vector reaches `threshold` — the
+    * embedding-space twin of the n-gram decontamination check
+    * ([[TextAnalysis.ngramContamination]]), which paraphrased or
+    * reformatted benchmark leakage slips past. Eval sets are
+    * benchmark-sized, so they broadcast and the corpus is scanned once
+    * with zero shuffle — the right plan at any corpus scale. (An eval
+    * set too large to broadcast is a near-dup problem, not a
+    * contamination scan: use [[Dedup.embeddingNearDups]] on the union.)
+    * Returns (eval_id, vec_id, cos).
+    */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+                            threshold: Double): DataFrame = {
+    val q = eval.select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    corpus.join(broadcast(q))
+      .select(col("eval_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), col("eval_emb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Int8 scalar quantization of the embedding column — the storage
     * path for a 100 TB embedding lake: symmetric per-vector codes
     * `round(v * 127 / max|v|)` shrink float32 vectors 4x (and the scan

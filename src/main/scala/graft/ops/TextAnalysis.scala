@@ -391,6 +391,45 @@ object TextAnalysis {
         round(log(col("total")) - col("sum_ln") / col("n_bigrams"), 6).as("avg_nll"))
   }
 
+  /** Vocabulary coverage curve: for each k in `ks`, how many corpus
+    * token occurrences the k most frequent words cover — the
+    * measurement behind tokenizer vocabulary sizing (what does a 32k
+    * vocab actually buy on this corpus?). All integers: (vocab_k,
+    * covered_tokens, total_tokens).
+    *
+    * 100 TB shape: the word count is the standard one-shuffle pass;
+    * the top-max(ks) selection is `orderBy(...).limit(...)` — Spark
+    * plans TakeOrderedAndProject, a distributed per-partition top-k
+    * merged on the driver, NOT a global sort — and the only
+    * unpartitioned window (the cumulative sum) runs on that max(ks)-
+    * bounded relation, never on the vocabulary. Ties rank
+    * deterministically by (count desc, word).
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(_ > 0))
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts.orderBy(col("cnt").desc, col("word")).limit(ks.max)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+      .withColumn("covered_tokens", sum(col("cnt")).over(w))
+    // a k beyond the vocabulary reports the full-vocabulary coverage
+    val kDf = ranked.sparkSession.createDataFrame(
+      ks.map(k => Tuple1(k.toLong))).toDF("vocab_k")
+    kDf.join(ranked,
+        col("rnk") <= col("vocab_k"))
+      .groupBy("vocab_k")
+      .agg(max(col("covered_tokens")).as("covered_tokens"))
+      .crossJoin(total)
+  }
+
   /** Overlapping sliding-window chunks — the preprocessing shape every
     * embedding/RAG pipeline runs before vectorizing long documents:
     * word windows of `windowWords` advancing by `strideWords`

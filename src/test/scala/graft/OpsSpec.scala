@@ -82,6 +82,35 @@ class OpsSpec extends SparkSpec {
     assert(ordered.head.getString(2) == "zz\naa\nzz2")
   }
 
+  test("semantic contamination flags corpus vectors near eval vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    val corpus = (0 until 20).map(i => i.toLong -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    // eval set: noisy copies of corpus vectors 3 and 7 + one unrelated
+    val eval = Seq(
+      100L -> corpus(3)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat),
+      101L -> corpus(7)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat),
+      102L -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val hits = Similarity.semanticContamination(
+        corpus.toDF("vec_id", "embedding"), eval.toDF("vec_id", "embedding"),
+        threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 3L), (101L, 7L)))
+  }
+
+  test("vocabulary coverage curve is monotone and exact on a known corpus") {
+    import spark.implicits._
+    // word counts: a=4, b=3, c=2, d=1 (10 tokens)
+    val d = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d, ks = Seq(1, 2, 3, 9))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (4L, 10L))
+    assert(out(2L) == (7L, 10L))
+    assert(out(3L) == (9L, 10L))
+    // k beyond the vocabulary reports full coverage
+    assert(out(9L) == (10L, 10L))
+  }
+
   test("sliding chunks tile every word with the declared overlap") {
     import spark.implicits._
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
