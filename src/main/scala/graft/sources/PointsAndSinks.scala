@@ -43,6 +43,7 @@ object TableSink {
     val mode = if (overwrite) "overwrite" else "error"
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) df.write.mode(mode).parquet(path)
+    else if (lower.endsWith(".orc")) df.write.mode(mode).orc(path)
     else if (lower.endsWith(".csv"))
       df.write.mode(mode).option("header", "true").csv(path)
     else if (lower.endsWith(".json")) df.write.mode(mode).json(path)

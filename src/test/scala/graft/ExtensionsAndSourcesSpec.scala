@@ -122,6 +122,9 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
     TableSink.write(df, s"$dir/out.csv")
     assert(spark.read.option("header", "true").csv(s"$dir/out.csv").count() == 2)
+    TableSink.write(df, s"$dir/out.orc")
+    assert(spark.read.orc(s"$dir/out.orc").orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b & <c>"))
     assertThrows[IllegalArgumentException](TableSink.write(df, s"$dir/out.bin"))
 
     TableSink.write(df, s"$dir/out.xlsx")
