@@ -1194,6 +1194,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n56_mixture_sample" -> ((s, dir) => {
+      // rebalance to a skewed 5-source target over the uniform fixture:
+      // rates land at 1.0 / 0.75 / 0.5 / 0.125 / 0.125 and the other
+      // 15 sources drop — non-vacuous in every direction (rows dropped
+      // per source, whole sources dropped, one source kept whole)
+      graft.ops.Sampling.mixtureSample(t(s, dir, "documents"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+              "src3" -> 0.05, "src4" -> 0.05))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     "n54_semantic_contamination" -> ((s, dir) => {
       // the planted scaled copies play the eval set: their originals
       // are the only corpus vectors at cosine >= 0.8 (organic max
@@ -2500,6 +2511,25 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
         |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+
+    "n56_mixture_sample" ->
+      // rate arithmetic written in the same op order as the Spark
+      // column expressions (share * tstar / n; n / share) so the
+      // doubles match bit-for-bit; floor, not round (half-tie rule)
+      """WITH sh(source, share) AS (VALUES
+        |  ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.05 AS DOUBLE)),
+        |  ('src4', CAST(0.05 AS DOUBLE))),
+        |cn AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |       FROM documents GROUP BY source),
+        |j AS (SELECT s.source, s.share, c.n FROM sh s JOIN cn c USING (source)),
+        |t AS (SELECT min(n / share) AS tstar FROM j),
+        |r AS (SELECT source, share * tstar / n AS rate FROM j CROSS JOIN t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |  < printf('%08x', CAST(least(floor(rate * 4294967296.0), 4294967295.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
 
     "n54_semantic_contamination" ->
       s"""WITH $plantedEmbCte,

@@ -66,6 +66,52 @@ object Sampling {
       .filter(col("sample_rank") <= maxPerGroup)
   }
 
+  /** Deterministic mixture sampling — rebalance a multi-source corpus
+    * to TARGET source shares (the DoReMi / Pile-style data-mixing
+    * pass) by downsampling each source with [[hashFilter]] semantics.
+    * Sources absent from `targetShares` are dropped. Rates solve the
+    * water-fill exactly: output size T* = min over sources of
+    * n_s / share_s (the largest total for which every source can
+    * supply its share without upsampling), rate_s = share_s * T* / n_s
+    * — at least one source keeps rate 1.0 and every other source is
+    * thinned to land the mixture ON the target, in expectation over
+    * the hash space.
+    *
+    * The keep decision is keyed on the DATA (md5 of `keyCol`), so the
+    * kept set is engine- and partitioning-independent like
+    * [[deterministicSample]] — but the rate is computed at RUNTIME
+    * from the source counts, so the hex threshold is built as a column
+    * (format_string) rather than a driver literal, and the floor is
+    * explicit (round()'s half-tie rule differs between engines).
+    *
+    * Scale shape: one count agg (sources-sized), the tiny rate
+    * relation broadcast back, one corpus scan. No shuffle of the
+    * corpus itself.
+    */
+  def mixtureSample(docs: DataFrame, targetShares: Map[String, Double],
+                    groupCol: String = "source",
+                    keyCol: String = "doc_id"): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targetShares.values.sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = targetShares.toSeq.toDF(groupCol, "__share")
+    val cn = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val j = sh.join(cn, groupCol)
+    val t = j.agg(min(col("__n") / col("__share")).as("__tstar"))
+    val r = j.crossJoin(t)
+      .select(col(groupCol),
+        (col("__share") * col("__tstar") / col("__n")).as("__rate"))
+    docs.join(broadcast(r), Seq(groupCol))
+      .filter(col("__rate") >= 1.0 ||
+        substring(md5(col(keyCol).cast("string")), 1, 8) <
+          format_string("%08x",
+            least(floor(col("__rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
+      .drop("__rate")
+  }
+
   /** Deterministic sequence packing — the concatenate-and-chop batching
     * pass of LLM pretraining: within each shard, documents are
     * (logically) concatenated in doc_id order and the token stream is

@@ -82,6 +82,35 @@ class OpsSpec extends SparkSpec {
     assert(ordered.head.getString(2) == "zz\naa\nzz2")
   }
 
+  test("mixture sampling hits target shares without upsampling") {
+    import spark.implicits._
+    // 3 sources: a=100, b=50, c=50 docs; target 50/25/25 -> the binding
+    // source keeps rate 1 ... all rates 1 (mixture already on target);
+    // skewing to 25/50/25 forces a to thin to 1/4 of its docs
+    val d = (0 until 200).map { i =>
+      val src = if (i < 100) "a" else if (i < 150) "b" else "c"
+      (i.toLong, src)
+    }.toDF("doc_id", "source")
+    val onTarget = Sampling.mixtureSample(d,
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(onTarget.count() == 200, "already-on-target mixture keeps everything")
+    val skewed = Sampling.mixtureSample(d,
+      Map("a" -> 0.25, "b" -> 0.5, "c" -> 0.25))
+    val bySrc = skewed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T* = min(100/.25, 50/.5, 50/.25) = 100: b keeps all 50 (rate 1),
+    // a thins at rate .25 (expectation 25), c at rate .5 (expectation 25)
+    assert(bySrc("b") == 50L)
+    assert(bySrc("a") > 10L && bySrc("a") < 40L, s"a kept ${bySrc("a")}")
+    assert(bySrc("c") > 10L && bySrc("c") < 40L, s"c kept ${bySrc("c")}")
+    // determinism + subset-of-input; dropped source vanishes entirely
+    val again = Sampling.mixtureSample(d, Map("a" -> 0.25, "b" -> 0.5, "c" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == skewed.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val dropped = Sampling.mixtureSample(d, Map("a" -> 0.6, "b" -> 0.4))
+    assert(dropped.filter(col("source") === "c").count() == 0)
+  }
+
   test("semantic contamination flags corpus vectors near eval vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(17L)
