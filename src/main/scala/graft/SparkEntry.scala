@@ -91,6 +91,31 @@ object SparkEntry {
     PointExtract.pointsToTable(g, points, "t2m")
   }
 
+  /** DuckDB replay of [[graft.ops.TextAnalysis.bigramCrossEntropy]] —
+    * one definition shared by the n51 oracle and every oracle that
+    * composes the score (n57), so the replays can never drift.
+    * Emits (doc_id, n_bigrams, avg_nll), no ORDER BY.
+    */
+  private val bigramNllSql: String =
+    """WITH g AS (SELECT doc_id, text,
+      |  unnest(generate_series(1, strlen(text) - 1)) AS pos
+      | FROM documents WHERE strlen(text) >= 2),
+      |g2 AS (SELECT doc_id,
+      |  unicode(substr(text, pos, 1)) * 65536 + unicode(substr(text, pos + 1, 1)) AS bigram
+      | FROM g),
+      |dg AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS occ
+      |       FROM g2 GROUP BY doc_id, bigram),
+      |counts AS (SELECT bigram, CAST(sum(occ) AS BIGINT) AS cnt
+      |           FROM dg GROUP BY bigram),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+      |perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(occ * ln(cnt) ORDER BY bigram)), (acc, x) -> acc + x) AS sum_ln
+      | FROM dg JOIN counts USING (bigram) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
+      |FROM perdoc, tot""".stripMargin
+
   // ---- constants shared by Spark queries and oracle SQL ---------------
   private val xa = SyntheticGrid.meta.xAxis.get
   private val ya = SyntheticGrid.meta.yAxis.get
@@ -1191,6 +1216,20 @@ object SparkEntry {
       // corpus-statistics quality score; ln replay + position-ordered
       // fold are the established cross-engine conventions (cf. n03)
       TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
+    "n57_nll_gate" -> ((s, dir) => {
+      // the composed quality gate a curation pipeline actually runs:
+      // score every doc by corpus surprise (n51), then drop the worst
+      // decile. The threshold is the exact 90th percentile (q21's
+      // percentile <-> quantile_cont replay convention) over the
+      // already-rounded scores
+      val scored = TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"))
+      val thr = scored.agg(percentile(col("avg_nll"), lit(0.9)).as("__thr"))
+      scored.crossJoin(thr)
+        .filter(col("avg_nll") <= col("__thr"))
+        .select("doc_id", "avg_nll")
         .orderBy("doc_id")
     }),
 
@@ -2492,25 +2531,14 @@ object SparkEntry {
       // per-doc sum folds occ * ln(cnt) in bigram-code order on both
       // engines; the code replays char_bigrams' (c1 << 16) | c2
       // packing via unicode() (UTF-16 unit == codepoint for this BMP/
-      // ASCII fixture)
-      """WITH g AS (SELECT doc_id, text,
-        |  unnest(generate_series(1, strlen(text) - 1)) AS pos
-        | FROM documents WHERE strlen(text) >= 2),
-        |g2 AS (SELECT doc_id,
-        |  unicode(substr(text, pos, 1)) * 65536 + unicode(substr(text, pos + 1, 1)) AS bigram
-        | FROM g),
-        |dg AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS occ
-        |       FROM g2 GROUP BY doc_id, bigram),
-        |counts AS (SELECT bigram, CAST(sum(occ) AS BIGINT) AS cnt
-        |           FROM dg GROUP BY bigram),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
-        |perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list(occ * ln(cnt) ORDER BY bigram)), (acc, x) -> acc + x) AS sum_ln
-        | FROM dg JOIN counts USING (bigram) GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams,
-        | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
-        |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
+      // ASCII fixture). Shared with n57 via bigramNllSql.
+      s"$bigramNllSql ORDER BY doc_id",
+
+    "n57_nll_gate" ->
+      s"""WITH scores AS ($bigramNllSql)
+        |SELECT doc_id, avg_nll FROM scores
+        |CROSS JOIN (SELECT quantile_cont(avg_nll, 0.9) AS thr FROM scores)
+        |WHERE avg_nll <= thr ORDER BY doc_id""".stripMargin,
 
     "n56_mixture_sample" ->
       // rate arithmetic written in the same op order as the Spark

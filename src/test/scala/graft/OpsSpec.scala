@@ -140,6 +140,20 @@ class OpsSpec extends SparkSpec {
     assert(out(9L) == (10L, 10L))
   }
 
+  test("nll quality gate drops the high-surprise tail, keeps the rest") {
+    import spark.implicits._
+    val d = (Seq.tabulate(9)(i => (i.toLong, "normal text " * 3)) :+
+      (99L, "qxzv" * 10)).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramCrossEntropy(d)
+    val thr = scored.agg(percentile(col("avg_nll"), lit(0.9)).as("t"))
+    val kept = scored.crossJoin(thr).filter(col("avg_nll") <= col("t"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the one rare-bigram doc scores above the 90th percentile of this
+    // corpus and must be the drop; every normal doc survives
+    assert(!kept.contains(99L))
+    assert((0L until 9L).forall(kept.contains))
+  }
+
   test("sliding chunks tile every word with the declared overlap") {
     import spark.implicits._
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
