@@ -178,6 +178,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sliding-chunk tiling law: stride-prefixes + final chunk reconstruct every doc") {
+    val winStride = for {
+      w <- Gen.choose(2, 12); s <- Gen.choose(1, w)
+    } yield (w, s)
+    val d = randomDocs(25, 10, 29L)
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(passes(Prop.forAll(winStride) { case (w, s) =>
+      val chunks = graft.ops.TextAnalysis.slidingChunks(d, w, s)
+        .select("doc_id", "chunk_idx", "chunk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      texts.forall { case (id, text) =>
+        val words = text.split(" ", -1).toSeq
+        val cs = chunks(id)
+        val rebuilt = cs.init.flatMap(_.split(" ", -1).take(s)) ++ cs.last.split(" ", -1)
+        // chunk-count formula and exact reconstruction
+        cs.length == 1 + math.max(0, (words.length - w + s - 1) / s) &&
+          rebuilt == words
+      }
+    }))
+  }
+
+  test("mixture-sample law: binding source kept whole, kept sets nest as shares shift") {
+    val d = randomDocs(90, 6, 31L) // sources src0/src1/src2, 30 docs each
+    val base = graft.ops.Sampling.mixtureSample(d,
+      Map("src0" -> 1.0 / 3, "src1" -> 1.0 / 3, "src2" -> 1.0 / 3))
+    assert(base.count() == 90, "uniform target over uniform corpus keeps everything")
+    // any target keeps at least one source whole and never upsamples
+    for (sh <- Seq(Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+                   Map("src0" -> 0.1, "src1" -> 0.1, "src2" -> 0.8))) {
+      val kept = graft.ops.Sampling.mixtureSample(d, sh)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(kept.values.forall(_ <= 30L))
+      assert(kept.values.exists(_ == 30L), s"no binding source in $kept")
+    }
+  }
+
   test("capPerGroup law: at most N per group, kept set is the md5-min prefix, partition-invariant") {
     val d = randomDocs(60, 8, 13L)
     for (cap <- Seq(1, 5, 50)) {
