@@ -1225,7 +1225,11 @@ object SparkEntry {
       // decile. The threshold is the exact 90th percentile (q21's
       // percentile <-> quantile_cont replay convention) over the
       // already-rounded scores
+      // persisted: the scores relation feeds both the threshold agg and
+      // the gate scan — (doc_id, 2 numbers) rows, ~3 orders smaller
+      // than the text it was derived from, the standard two-pass shape
       val scored = TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = scored.agg(percentile(col("avg_nll"), lit(0.9)).as("__thr"))
       scored.crossJoin(thr)
         .filter(col("avg_nll") <= col("__thr"))
