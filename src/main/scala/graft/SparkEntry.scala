@@ -2556,7 +2556,8 @@ object SparkEntry {
         |       FROM documents GROUP BY source),
         |j AS (SELECT s.source, s.share, c.n FROM sh s JOIN cn c USING (source)),
         |t AS (SELECT min(n / share) AS tstar FROM j),
-        |r AS (SELECT source, share * tstar / n AS rate FROM j CROSS JOIN t)
+        |r AS (SELECT source, CASE WHEN n / share = tstar THEN 1.0
+        |        ELSE share * tstar / n END AS rate FROM j CROSS JOIN t)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN r USING (source)
         |WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

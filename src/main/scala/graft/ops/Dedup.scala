@@ -53,10 +53,16 @@ object Dedup {
   /** Incremental exact dedup: admit only the incoming slice's documents
     * whose text is new — deduped within the slice (lowest doc_id wins,
     * as [[exactDedup]]) and then anti-joined against the existing
-    * corpus's digests. The law (spec-asserted): the result equals batch
-    * [[exactDedup]] over existing-then-incoming, restricted to incoming
-    * rows — i.e. re-deduping the whole corpus per crawl slice is never
-    * needed.
+    * corpus's digests. The law (spec-asserted): when every existing
+    * doc_id precedes every incoming doc_id — the invariant a
+    * crawl-slice pipeline maintains by construction, since ids are
+    * assigned in ingest order — the result equals batch [[exactDedup]]
+    * over existing-then-incoming, restricted to incoming rows, i.e.
+    * re-deduping the whole corpus per crawl slice is never needed.
+    * With interleaved id spaces the semantics are still the useful
+    * ones (the existing corpus is immutable; an incoming duplicate of
+    * an existing doc is dropped regardless of which id is lower), but
+    * they differ from batch dedup's global lowest-id-wins.
     *
     * 100 TB shape: the existing corpus enters ONLY as its digest
     * relation — in a production lake that relation is written once at
@@ -297,9 +303,20 @@ object Dedup {
       .groupBy("vec_id")
       .agg(max(col("__s")).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cluster"))
-    val clusters = assigned.groupBy(col("cluster"))
+    // cap BEFORE collection (the n41 counting-pass pattern): a filter
+    // on size(ids) after collect_list would still build the giant
+    // array for an over-dense cluster — count first, semi-join, and
+    // only then collect, so no aggregation buffer ever exceeds
+    // maxCluster ids. `assigned` feeds both passes; persist it so the
+    // broadcast-assign scan runs once.
+    val assignedP = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepClusters = assignedP.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxCluster))
+      .select(col("cluster"))
+    val clusters = assignedP.join(keepClusters, Seq("cluster"), "left_semi")
+      .groupBy(col("cluster"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxCluster))
     val pairs = clusters
       .select(col("cluster"), explode(col("ids")).as("a"), col("ids"))
       .select(col("cluster"), col("a"), explode(col("ids")).as("b"))

@@ -104,7 +104,12 @@ object Multimodal {
         case "data" => dataLen = Some(size)
         case _ => ()
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+      // chunks are 2-byte aligned; advance in Long — a hostile u32 size
+      // (e.g. 0xFFFFFFF8) truncated to Int would advance by 0 (spin) or
+      // negative (index crash). adv >= 8 always, and a size pointing
+      // past the payload means no further chunk header exists.
+      val adv = 8L + size + (size & 1L)
+      if (i + adv > p.length) i = p.length else i += adv.toInt
     }
     for ((sr, ch, bits) <- fmt; dl <- dataLen) yield (sr, ch, bits, dl)
   }

@@ -91,6 +91,29 @@ object Sampling {
   def mixtureSample(docs: DataFrame, targetShares: Map[String, Double],
                     groupCol: String = "source",
                     keyCol: String = "doc_id"): DataFrame = {
+    val r = mixtureRates(docs, targetShares, groupCol)
+    docs.join(broadcast(r), Seq(groupCol))
+      .filter(col("__rate") >= 1.0 ||
+        substring(md5(col(keyCol).cast("string")), 1, 8) <
+          format_string("%08x",
+            least(floor(col("__rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
+      .drop("__rate")
+  }
+
+  /** The water-fill rate relation behind [[mixtureSample]]:
+    * (groupCol, __rate) with rate_s = share_s * T* / n_s and
+    * T* = min n_s / share_s. Exposed so a pipeline can inspect (or
+    * log) the solved rates before committing to a sampling pass.
+    *
+    * Binding-source clamp: share * (n/share) / n lands a hair below
+    * 1.0 in doubles (e.g. share=0.1, n=3 -> 0.9999999999999999), which
+    * would silently thin the source meant to be kept whole (its docs
+    * with md5 prefix "ffffffff" — real drops at 10^10-row scale).
+    * min() returns one of its inputs bit-for-bit, so `n/share ===
+    * tstar` is EXACT equality for the argmin source — no tolerance.
+    */
+  def mixtureRates(docs: DataFrame, targetShares: Map[String, Double],
+                   groupCol: String = "source"): DataFrame = {
     require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
       "target shares must be positive")
     require(math.abs(targetShares.values.sum - 1.0) < 1e-9,
@@ -101,15 +124,10 @@ object Sampling {
     val cn = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val j = sh.join(cn, groupCol)
     val t = j.agg(min(col("__n") / col("__share")).as("__tstar"))
-    val r = j.crossJoin(t)
+    j.crossJoin(t)
       .select(col(groupCol),
-        (col("__share") * col("__tstar") / col("__n")).as("__rate"))
-    docs.join(broadcast(r), Seq(groupCol))
-      .filter(col("__rate") >= 1.0 ||
-        substring(md5(col(keyCol).cast("string")), 1, 8) <
-          format_string("%08x",
-            least(floor(col("__rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
-      .drop("__rate")
+        when(col("__n") / col("__share") === col("__tstar"), lit(1.0))
+          .otherwise(col("__share") * col("__tstar") / col("__n")).as("__rate"))
   }
 
   /** Deterministic sequence packing — the concatenate-and-chop batching

@@ -35,11 +35,18 @@ object Similarity {
     *
     * `dim` is retained for API stability but unused: the kernel reads
     * the dimensionality from each row, so no probe job ever runs.
+    *
+    * Rows with a null embedding are excluded (explicitly, not as a
+    * side effect of posexplode over a null array): a null vector has
+    * no direction, so it cannot be a near-duplicate candidate —
+    * bucketing all nulls together would only manufacture an all-pairs
+    * hot bucket of unscorable rows.
     */
   def withSignBuckets(emb: DataFrame, embedCol: String, planes: Int, tables: Int,
                       dim: Int = -1): DataFrame =
-    emb.select((emb.columns.map(col) :+
-      posexplode(sign_buckets(col(embedCol), planes, tables)).as(Seq("table", "bucket"))): _*)
+    emb.where(col(embedCol).isNotNull)
+      .select((emb.columns.map(col) :+
+        posexplode(sign_buckets(col(embedCol), planes, tables)).as(Seq("table", "bucket"))): _*)
 
   /** Exact brute-force top-k by cosine. `queries` must be small enough
     * to broadcast (driver enforces nothing; Spark's AQE would demote if

@@ -109,6 +109,16 @@ class OpsSpec extends SparkSpec {
     assert(again == skewed.select("doc_id").collect().map(_.getLong(0)).toSet)
     val dropped = Sampling.mixtureSample(d, Map("a" -> 0.6, "b" -> 0.4))
     assert(dropped.filter(col("source") === "c").count() == 0)
+    // binding-source clamp: share=0.1 over n=3 makes share*(n/share)/n
+    // come out 0.9999999999999999 in raw doubles — the rate relation
+    // must report EXACTLY 1.0 for the binding source or its docs with
+    // md5 prefix "ffffffff" silently drop at scale
+    val tiny = ((0 until 3).map(i => (i.toLong, "a")) ++
+      (0 until 997).map(i => (100L + i, "b"))).toDF("doc_id", "source")
+    val rates = Sampling.mixtureRates(tiny, Map("a" -> 0.1, "b" -> 0.9))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("a") == 1.0, s"binding rate must be exactly 1.0, got ${rates("a")}")
+    assert(rates("b") < 1.0)
   }
 
   test("semantic contamination flags corpus vectors near eval vectors") {
@@ -710,6 +720,17 @@ class OpsSpec extends SparkSpec {
     // a wav payload handed to the mp4 walk (and vice versa) is None
     assert(Multimodal.mp4Meta(Multimodal.wavHeader(8000, 1, 16, 4)).isEmpty)
     assert(Multimodal.wavMeta(Multimodal.mp4Header(1000, 5000L, 50, 0)).isEmpty)
+    // hostile chunk sizes must terminate, not spin or crash: a u32
+    // size of 0xFFFFFFF8 truncated to Int is -8 (zero advance), and
+    // 0x80000000 would drive the cursor negative
+    for (hostile <- Seq(0xfffffff8L, 0xfffffff7L, 0x80000000L, 0x7fffffffL)) {
+      val junk = new Array[Byte](48)
+      "RIFF".getBytes("US-ASCII").copyToArray(junk, 0)
+      "WAVE".getBytes("US-ASCII").copyToArray(junk, 8)
+      "JUNK".getBytes("US-ASCII").copyToArray(junk, 12)
+      for (b <- 0 until 4) junk(16 + b) = ((hostile >> (8 * b)) & 0xff).toByte
+      assert(Multimodal.wavMeta(junk).isEmpty, f"hostile wav size 0x$hostile%x")
+    }
   }
 
   test("corpusFrequencyScore: mean corpus frequency, integer-exact") {
