@@ -1354,6 +1354,32 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
+    "n59_budget_select" -> ((s, dir) => {
+      // "take the best 15k tokens": greedy prefix by (alpha_ratio DESC,
+      // doc_id), exact semantics via the histogram-threshold
+      // decomposition — no corpus-wide window runs. alpha_ratio is one
+      // per-row division, so ordering is bit-exact cross-engine.
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        greatest(length(col("text")).cast("long"), lit(1L))
+      graft.ops.Sampling.budgetSelect(t(s, dir, "documents"), 15000L,
+          alpha, TextAnalysis.tokenCount(col("text")))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "n58_dedup_keep_best" -> ((s, dir) => {
+      // cluster-aware dedup keeping the BEST member of each simhash
+      // near-dup component — here the longest (whitespace token count,
+      // integer, so the argmax replays exactly); ties break to the
+      // lowest doc_id, unclustered docs pass through untouched
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(Dedup.simhashNearDups(docs, maxDistance = 6))
+      Dedup.dedupKeepBest(docs, clusters, TextAnalysis.tokenCount(col("text")))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "n29_stratified_sample" -> ((s, dir) => {
       // domain-balancing: keep 50% of en, 20% of de, 10% of the rest,
       // decided per-row by the same engine-independent hash rule the
@@ -3029,6 +3055,50 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
          |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "n59_budget_select" ->
+      // the oracle replays the PURE greedy definition (global ordered
+      // cumsum); the engine's histogram-threshold decomposition must
+      // land on the identical prefix. cum is a HUGEINT window sum but
+      // only feeds the WHERE compare — output columns stay BIGINT
+      """WITH f AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tk,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |    / greatest(length(text), 1) AS s
+        | FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |  sum(tk) OVER (ORDER BY s DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM f)
+        |SELECT doc_id, CAST(tk AS BIGINT) AS n_tokens
+        |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "n58_dedup_keep_best" ->
+      // n28's recursive-CTE components + n03's token-count replay; the
+      // per-cluster winner is row_number over (tokens DESC, doc_id) —
+      // an all-integer argmax, so selection is engine-exact
+      s"""WITH RECURSIVE $simhashCte,
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM shs a, shs b
+         |      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6),
+         |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM reach GROUP BY u),
+         |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+         |        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tk
+         |       FROM documents),
+         |w AS (SELECT cl.doc_id,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |                           ORDER BY tk.tk DESC, cl.doc_id) AS rn
+         |      FROM cl JOIN tk USING (doc_id))
+         |SELECT d.doc_id, d.source, CAST(tk.tk AS BIGINT) AS n_tokens
+         |FROM documents d JOIN tk USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)
+         |   OR d.doc_id IN (SELECT doc_id FROM w WHERE rn = 1)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "n29_stratified_sample" -> {
       val (tEn, tDe, tDef) = (graft.ops.Sampling.hexThreshold(0.5),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -388,6 +388,36 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster-aware dedup that keeps the BEST-scored member of every
+    * duplicate cluster (ties break to the lowest id) and every
+    * unclustered document — the production dedup policy: min-id-wins
+    * (exactDedup/minhashDedup) discards arbitrarily, while a pipeline
+    * wants to keep the longest / highest-quality copy of each
+    * near-duplicate group (cf. RefinedWeb/CCNet representative
+    * selection). `score` is any numeric Column over `docs`' columns —
+    * token count, quality score, an NLL gate — evaluated only for
+    * cluster members.
+    *
+    * 100 TB shape: `clusters` is candidate-sized (it comes from
+    * [[dupClusters]] over the near-dup pair graph), so every shuffle
+    * here is candidate-sized except the ids-only anti-join that keeps
+    * the unclustered mass — and that anti-join is exactly the shape
+    * Spark's runtime bloom-filter injection prunes. The per-cluster
+    * argmax is the same max-over-(score, -id)-structs partial agg as
+    * [[semanticDedup]]'s assignment: map-side combine collapses each
+    * cluster before the exchange, and no window sort runs.
+    */
+  def dedupKeepBest(docs: DataFrame, clusters: DataFrame, score: Column,
+                    idCol: String = "doc_id"): DataFrame = {
+    val winners = docs.join(clusters, Seq(idCol))
+      .select(col("cluster_id"),
+        struct(score.as("s"), (-col(idCol)).as("nd")).as("__s"))
+      .groupBy(col("cluster_id")).agg(max(col("__s")).as("m"))
+      .select((-col("m.nd")).as(idCol))
+    docs.join(clusters.select(idCol), Seq(idCol), "left_anti")
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
   }
 
   /** Embedding near-dup dedup: drop every vector that near-duplicates a

@@ -165,6 +165,65 @@ object Sampling {
       .select("doc_id", "shard", "n_tokens", "start_tok", "seq_first", "seq_last")
   }
 
+  /** Token-budget corpus selection: order documents by (`score` DESC,
+    * id ASC) and keep the maximal prefix whose cumulative `tokens` sum
+    * stays within `budget` — "take the best B tokens", the final
+    * selection pass of a curated pretraining mix. EXACT greedy-prefix
+    * semantics (spec-asserted against the global-window reference), but
+    * computed WITHOUT a global sort or unpartitioned corpus window:
+    *
+    * 1. one scan projects (id, score, tokens) and bins the score into
+    *    `bins` integer buckets (score must lie in [0,1] — the
+    *    quality-score convention);
+    * 2. a combinable per-bin token-sum agg (bins-sized output) is
+    *    collected — metadata-sized by construction, the cap IS `bins`;
+    * 3. the driver walks bins best-first to find the boundary bin b*:
+    *    bins above b* are kept whole via an ids-only semi-join, bins
+    *    below are dropped, and only b*'s docs run the ordered
+    *    cumulative-sum window — the n55 pattern: the one unpartitioned
+    *    window runs on the boundary-bin relation, not the corpus. The
+    *    boundary bin's share shrinks as `bins` grows (with a discrete
+    *    score, set `bins` to the score's granularity — the window then
+    *    runs over one score class).
+    *
+    * Exactness of the decomposition: bin index is monotone in score, so
+    * the global (score DESC, id) order visits bins descending; the
+    * prefix's crossing doc lies in b*, cumulative sums are monotone
+    * (tokens >= 0), and within b* the window replays the same order —
+    * so keep-iff-cumsum<=remaining reproduces the global prefix
+    * exactly.
+    */
+  def budgetSelect(docs: DataFrame, budget: Long, score: Column, tokens: Column,
+                   bins: Int = 1024, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0L, "budget must be non-negative")
+    require(bins >= 1 && bins <= 65536, "bins must be in [1, 65536]")
+    val proj = docs.select(col(idCol), score.cast("double").as("__s"),
+        tokens.cast("long").as("__tk"))
+      .withColumn("__bin",
+        least(greatest(floor(col("__s") * bins).cast("int"), lit(0)), lit(bins - 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = proj.groupBy(col("__bin")).agg(sum(col("__tk")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    var bStar = Int.MinValue
+    var before = 0L
+    for ((b, t) <- totals.toSeq.sortBy(-_._1) if bStar == Int.MinValue) {
+      if (cum + t > budget) { bStar = b; before = cum } else cum += t
+    }
+    if (bStar == Int.MinValue) docs // the whole corpus fits the budget
+    else {
+      val w = Window.orderBy(col("__s").desc, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val keepIds = proj.filter(col("__bin") > bStar).select(col(idCol))
+        .unionByName(proj.filter(col("__bin") === bStar)
+          .withColumn("__cum", sum(col("__tk")).over(w))
+          .filter(col("__cum") <= budget - before)
+          .select(col(idCol)))
+      docs.join(keepIds, Seq(idCol), "left_semi")
+    }
+  }
+
   /** Per-stratum deterministic sampling — the domain-balancing pass of a
     * training mix (keep 50% of one source, 10% of another): each row is
     * kept iff its key hash falls under its stratum's fraction, so

@@ -27,6 +27,22 @@ class OpsSpec extends SparkSpec {
       && groups(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("dedupKeepBest keeps the top-scored member per cluster, ties to lowest id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two"), (2L, "one two three four"), (3L, "one"),  // cluster 1
+      (4L, "standalone document"),                               // unclustered
+      (5L, "a b c"), (6L, "x y z")                               // cluster 5: tie on 3 tokens
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.dedupKeepBest(d, clusters, TextAnalysis.tokenCount(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // cluster 1 -> doc 2 (4 tokens); cluster 5 -> doc 5 (tie, lowest id);
+    // doc 4 passes through unclustered
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
+
   test("incremental dedup equals batch dedup restricted to the slice") {
     import spark.implicits._
     // existing corpus (already deduped, ids below the slice), incoming
@@ -119,6 +135,26 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rates("a") == 1.0, s"binding rate must be exactly 1.0, got ${rates("a")}")
     assert(rates("b") < 1.0)
+  }
+
+  test("budgetSelect equals the global greedy prefix for any budget and bin count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // coarse scores (dup-heavy -> tie-breaks exercised), varied tokens
+    val d = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(100) / 100.0, 1L + rnd.nextInt(50)) }
+      .toDF("doc_id", "s", "tk")
+    val w = Window.orderBy(col("s").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def reference(budget: Long): Set[Long] =
+      d.withColumn("cum", sum(col("tk")).over(w)).filter(col("cum") <= budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (budget <- Seq(0L, 17L, 500L, 3000L, 1000000L); bins <- Seq(1, 64)) {
+      val got = Sampling.budgetSelect(d, budget, col("s"), col("tk"), bins)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == reference(budget), s"budget=$budget bins=$bins")
+    }
   }
 
   test("semantic contamination flags corpus vectors near eval vectors") {
