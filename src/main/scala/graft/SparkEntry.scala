@@ -1354,6 +1354,16 @@ object SparkEntry {
       Dedup.dupClusters(pairs).orderBy("doc_id")
     }),
 
+    "n60_temperature_sample" -> ((s, dir) => {
+      // alpha=0.5 temperature flattening over the SKEWED lang
+      // distribution (en dominates): closed-form water-fill rate
+      // sqrt(n_min/n_s) — no cross-source sum, so the rate replays
+      // bit-for-bit; the smallest lang is kept whole
+      graft.ops.Sampling.temperatureSample(t(s, dir, "documents"), 0.5,
+          groupCol = "lang")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     "n59_budget_select" -> ((s, dir) => {
       // "take the best 15k tokens": greedy prefix by (alpha_ratio DESC,
       // doc_id), exact semantics via the histogram-threshold
@@ -3055,6 +3065,21 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
          |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "n60_temperature_sample" ->
+      // rate = sqrt(nmin/n): one exact integer->double division and a
+      // correctly-rounded sqrt — the softmax denominator cancels in
+      // the water-fill, so no fold-order-dependent sum exists to break
+      // the replay; threshold arithmetic identical to n56's
+      """WITH cn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM cn),
+        |r AS (SELECT lang, sqrt(CAST(nmin AS DOUBLE) / n) AS rate
+        |      FROM cn CROSS JOIN m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |  < printf('%08x', CAST(least(floor(rate * 4294967296.0), 4294967295.0) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
 
     "n59_budget_select" ->
       // the oracle replays the PURE greedy definition (global ordered

@@ -165,6 +165,47 @@ object Sampling {
       .select("doc_id", "shard", "n_tokens", "start_tok", "seq_first", "seq_last")
   }
 
+  /** Temperature-scaled mixture sampling (the Pile / multilingual-LM
+    * "alpha sampling" pass): flatten NATURAL source shares toward
+    * uniform with exponent `alpha` (share'_s proportional to n_s^alpha,
+    * alpha in (0,1]; alpha=1 keeps natural shares, alpha->0 approaches
+    * uniform), then downsample to land that mixture exactly via the
+    * [[mixtureSample]] water-fill.
+    *
+    * The closed form is the whole trick: in the water-fill the softmax
+    * denominator CANCELS — rate_s = (n_min / n_s)^(1-alpha) — so no
+    * cross-source sum is ever computed. That is what keeps the rates
+    * engine-exact: a sum of doubles is fold-order-dependent (the one
+    * thing the oracle convention bans), while n_min/n_s is one integer
+    * division and alpha=0.5 evaluates it through sqrt, which IEEE 754
+    * rounds correctly in every engine. (pow(x, e) for general alpha
+    * carries a 1-ulp allowance — fine for production, noted for
+    * replay.) The binding source (smallest n_s) keeps rate exactly 1.
+    *
+    * Scale shape identical to [[mixtureSample]]: one sources-sized
+    * count agg, the tiny rate relation broadcast back, one corpus scan,
+    * membership keyed on md5 of the data.
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double,
+                        groupCol: String = "source",
+                        keyCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val cn = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nMin = cn.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val rate =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, 1.0 - alpha)
+    val r = cn.crossJoin(nMin).select(col(groupCol), rate.as("__rate"))
+    docs.join(broadcast(r), Seq(groupCol))
+      .filter(col("__rate") >= 1.0 ||
+        substring(md5(col(keyCol).cast("string")), 1, 8) <
+          format_string("%08x",
+            least(floor(col("__rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
+      .drop("__rate")
+  }
+
   /** Token-budget corpus selection: order documents by (`score` DESC,
     * id ASC) and keep the maximal prefix whose cumulative `tokens` sum
     * stays within `budget` — "take the best B tokens", the final

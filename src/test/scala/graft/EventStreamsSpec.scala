@@ -93,6 +93,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: slice anti-joins the static corpus digests") {
+    // the streaming shape of Dedup.incrementalDedup: the published
+    // corpus enters only as its static digest relation (stream-static
+    // left_anti join — the bloom-prunable shape), and within-slice
+    // dups fall to the stateful dropDuplicates. Parity with the batch
+    // op holds because the slice has no within-slice duplicates, so
+    // arrival order vs doc_id order cannot diverge.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(100).collect()
+    import spark.implicits._
+    val existing = all.take(60).map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text")
+    // incoming: 40 fresh docs + 10 re-crawls of existing texts under new ids
+    val incoming = (all.drop(60).map(r => (r.getLong(0), r.getString(1))) ++
+      all.take(10).map(r => (10000L + r.getLong(0), r.getString(1)))).toSeq
+      .toDF("doc_id", "text")
+    val src = Files.createTempDirectory("slicestream").toString
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+    val digests = existing.select(md5(col("text")).as("__digest"))
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .withColumn("__digest", md5(col("text")))
+      .dropDuplicates("__digest")
+      .join(digests, Seq("__digest"), "left_anti")
+      .select("doc_id")
+    val q = stream.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM incdedup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val batched = Dedup.incrementalDedup(existing, incoming)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(streamed == batched && streamed.nonEmpty)
+      // the re-crawled copies were all dropped
+      assert(!streamed.exists(_ >= 10000L))
+    } finally q.stop()
+  }
+
   test("streaming tumbling aggregation over MemoryStream emits on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -137,6 +137,28 @@ class OpsSpec extends SparkSpec {
     assert(rates("b") < 1.0)
   }
 
+  test("temperatureSample flattens a skewed mixture, keeps the smallest source whole") {
+    import spark.implicits._
+    // skew 400/100/25: alpha=0.5 rates are sqrt(25/400)=0.25,
+    // sqrt(25/100)=0.5, 1.0 — expectations 100/50/25 (uniform-ward)
+    val d = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (1000L + i, "mid")) ++
+      (0 until 25).map(i => (2000L + i, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(d, 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 25L, "binding (smallest) source kept whole")
+    assert(bySrc("big") > 60L && bySrc("big") < 140L, s"big kept ${bySrc("big")}")
+    assert(bySrc("mid") > 25L && bySrc("mid") < 75L, s"mid kept ${bySrc("mid")}")
+    // alpha=1 keeps natural shares: identity
+    assert(Sampling.temperatureSample(d, 1.0).count() == 525L)
+    // deterministic: same rows on re-run
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(d, 0.5).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("budgetSelect equals the global greedy prefix for any budget and bin count") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
