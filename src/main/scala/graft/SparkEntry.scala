@@ -483,6 +483,20 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    "q28_set_ops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT surface: big-spender customers with open
+      // orders and no finalized ones. Spark compiles both to
+      // distinct + semi/anti joins — partial-agg'd, ids-only shuffles
+      val o = t(s, dir, "orders")
+      o.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .except(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
     "q06_nations_no_suppliers" -> ((s, dir) => {
       // non-vacuous: every fixture nation has suppliers, so a planted
       // nationkey with none must be the EXCEPT's one surviving row — a
@@ -1562,6 +1576,18 @@ object SparkEntry {
         .orderBy("q")
     }),
 
+    "n61_hist_quantiles_by_lang" -> ((s, dir) => {
+      // per-language token-count quantile brackets + exact audit: the
+      // group-wise profiling shape of n43; every window partitioned by
+      // lang with bins- or cardinality-bounded partitions
+      graft.ops.Sketch.histQuantilesByGroup(
+          t(s, dir, "documents")
+            .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "lang", "n_tokens", qs = Seq(0.25, 0.5, 0.75, 0.99), bins = 64)
+        .withColumnRenamed("g", "lang")
+        .orderBy("lang", "q")
+    }),
+
     "n41_inverted_index" -> ((s, dir) => {
       // inverted index over the df band [2, 50]: hapax terms carry no
       // retrieval signal, terms above the band are the stopword class
@@ -1705,6 +1731,17 @@ object SparkEntry {
     "q05_top10_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q28_set_ops" ->
+      // parenthesized so the (A INTERSECT B) EXCEPT C association is
+      // explicit and matches Spark's left-to-right chaining
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
 
     "q06_nations_no_suppliers" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
@@ -2989,6 +3026,32 @@ object SparkEntry {
         |SELECT doc_id, text_clean,
         |  CASE WHEN text_clean <> text THEN 1 ELSE 0 END::BIGINT AS was_dirty
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "n61_hist_quantiles_by_lang" ->
+      // n43's replay with every stage grouped by lang; same integer
+      // binning, same single-IEEE-expression rank step
+      """WITH vals AS (SELECT lang AS g, CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |  FROM documents),
+        |b AS (SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n
+        |      FROM vals GROUP BY g),
+        |h AS (SELECT vals.g, (v - lo) // ((hi - lo + 64) // 64) AS bin, count(*) AS cnt
+        |      FROM vals JOIN b ON vals.g = b.g GROUP BY 1, 2),
+        |c AS (SELECT g, bin, sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM h),
+        |p AS (SELECT b.g, q, lo, hi, n, (hi - lo + 64) // 64 AS w,
+        |        greatest(CAST(ceil(q * n) AS BIGINT), 1) AS r
+        |      FROM b, (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.99e0]) AS q)),
+        |e AS (SELECT p.g, p.q, p.n, p.r, any_value(p.lo) AS lo,
+        |        any_value(p.hi) AS hi, any_value(p.w) AS w, min(c.bin) AS bin
+        |      FROM p JOIN c ON c.g = p.g AND c.cum >= p.r GROUP BY 1, 2, 3, 4),
+        |vc AS (SELECT g, v, sum(count(*)) OVER (PARTITION BY g ORDER BY v) AS vcum
+        |       FROM vals GROUP BY g, v),
+        |x AS (SELECT p.g, p.q, p.r, min(vc.v) AS exact_value
+        |      FROM p JOIN vc ON vc.g = p.g AND vc.vcum >= p.r GROUP BY 1, 2, 3)
+        |SELECT e.g AS lang, e.q, e.n, e.r, e.lo + e.bin * e.w AS est_lo,
+        |  least(e.hi, e.lo + (e.bin + 1) * e.w - 1) AS est_hi, x.exact_value
+        |FROM e JOIN x ON e.g = x.g AND e.q = x.q AND e.r = x.r
+        |ORDER BY lang, e.q""".stripMargin,
 
     "n43_hist_quantiles" ->
       // same integer binning: width = ceil(range/64) via div, bin = div,

@@ -74,14 +74,42 @@ object Dedup {
     * bloom-filter injection (proved in RuntimeFilterSpec) can prune the
     * digest scan down to partitions the slice actually touches.
     */
-  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame =
+    incrementalDedupByDigests(
+      existing.select(md5(col("text")).as("__digest")), incoming)
+
+  /** [[incrementalDedup]] against a PRE-COMPUTED digest relation
+    * (column `__digest`) — the shape a production lake actually runs:
+    * the corpus text is never rescanned, only the digest-only relation
+    * published at corpus-build time (see [[writeCorpusSnapshot]]).
+    */
+  def incrementalDedupByDigests(digests: DataFrame, incoming: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
     incoming.withColumn("__digest", md5(col("text")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .join(existing.select(md5(col("text")).as("__digest")), Seq("__digest"), "left_anti")
+      .join(digests.select("__digest"), Seq("__digest"), "left_anti")
       .drop("__digest")
   }
+
+  /** Publishes a corpus snapshot: the documents as parquet under
+    * `path/docs` AND the distinct text-digest relation under
+    * `path/digests` — the ~3-orders-of-magnitude-smaller relation that
+    * every future crawl slice anti-joins ([[incrementalDedupByDigests]])
+    * instead of rescanning the corpus text. Digests are written
+    * hash-distributed; at 100 TB the digest write is the cheap tail of
+    * the corpus write it rides along with.
+    */
+  def writeCorpusSnapshot(docs: DataFrame, path: String): Unit = {
+    docs.write.mode("overwrite").parquet(s"$path/docs")
+    docs.select(md5(col("text")).as("__digest")).distinct()
+      .write.mode("overwrite").parquet(s"$path/digests")
+  }
+
+  /** Reads back a [[writeCorpusSnapshot]] pair: (docs, digests). */
+  def readCorpusSnapshot(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/docs"), spark.read.parquet(s"$path/digests"))
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     * Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard >= threshold.

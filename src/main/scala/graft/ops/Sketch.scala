@@ -168,6 +168,55 @@ object Sketch {
         col("exact_value"))
   }
 
+  /** Group-wise [[histQuantiles]] — per-source/per-language value
+    * quantiles in one pass, the profiling shape a mixture report needs
+    * ("doc-length p50/p99 per domain"). Same integer binning and
+    * bracket semantics per group; every window here is PARTITIONED by
+    * the group and its partitions are bounded by `bins` (histogram cum)
+    * or the group's value cardinality (the exact-audit branch, which —
+    * exactly as in [[histQuantiles]] — is droppable at scale: the
+    * brackets alone are the sketch). The bounds relation is
+    * groups-sized and broadcast; the theta join stays
+    * groups × quantiles × bins — metadata-sized.
+    */
+  def histQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                           qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.99),
+                           bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, "need at least two bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val vals = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = vals.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n"))
+    val widthExpr = s"(hi - lo + $bins) div $bins"
+    val hist = vals.join(broadcast(bounds), Seq("g"))
+      .withColumn("bin", expr(s"(v - lo) div ($widthExpr)"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("g").orderBy("bin")))
+      .withColumnsRenamed(Map("g" -> "cg"))
+    val probes = bounds
+      .select(col("g"), col("lo"), col("hi"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("r", greatest(ceil(col("q") * col("n")), lit(1L)))
+    val est = probes.join(cum, col("cg") === col("g") && col("cum") >= col("r"))
+      .groupBy("g", "q", "lo", "hi", "n", "r").agg(min("bin").as("bin"))
+      .withColumn("est_lo", col("lo") + col("bin") * expr(widthExpr))
+      .withColumn("est_hi",
+        least(col("hi"), col("lo") + (col("bin") + 1) * expr(widthExpr) - 1))
+    val vcum = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .withColumn("vcum", sum("c").over(Window.partitionBy("g").orderBy("v")))
+      .withColumnsRenamed(Map("g" -> "vg"))
+    val exact = probes.select(col("g"), col("q"), col("r"))
+      .join(vcum, col("vg") === col("g") && col("vcum") >= col("r"))
+      .groupBy("g", "q", "r").agg(min("v").as("exact_value"))
+    est.join(exact, Seq("g", "q", "r"))
+      .select(col("g"), col("q"), col("n"), col("r"), col("est_lo"),
+        col("est_hi"), col("exact_value"))
+  }
+
   /** Count-min sketch over the corpus word frequencies (Cormode &
     * Muthukrishnan 2005) — bounded-memory term-frequency estimation:
     * `depth × width` counters answer "how often does this term occur"

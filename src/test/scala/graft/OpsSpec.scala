@@ -43,6 +43,24 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
 
+  test("corpus snapshot round-trips and feeds incremental dedup without text rescan") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snapshot").toString
+    val existing = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "beta"), (11L, "delta"), (12L, "delta")).toDF("doc_id", "text")
+    Dedup.writeCorpusSnapshot(existing, dir)
+    val (docsBack, digests) = Dedup.readCorpusSnapshot(spark, dir)
+    assert(docsBack.count() == 3 && digests.count() == 3)
+    val viaSnapshot = Dedup.incrementalDedupByDigests(digests, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBatch = Dedup.incrementalDedup(existing, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cross-corpus dup (beta) dropped, within-slice dup keeps the
+    // lowest id — identical through the stored digest relation
+    assert(viaSnapshot == viaBatch && viaSnapshot == Set(11L))
+  }
+
   test("incremental dedup equals batch dedup restricted to the slice") {
     import spark.implicits._
     // existing corpus (already deduped, ids below the slice), incoming
@@ -176,6 +194,25 @@ class OpsSpec extends SparkSpec {
       val got = Sampling.budgetSelect(d, budget, col("s"), col("tk"), bins)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(got == reference(budget), s"budget=$budget bins=$bins")
+    }
+  }
+
+  test("histQuantilesByGroup equals histQuantiles run per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = (0 until 400).map { i =>
+      (Seq("a", "b", "c")(i % 3), rnd.nextInt(500).toLong)
+    }.toDF("g", "v")
+    val grouped = Sketch.histQuantilesByGroup(d, "g", "v", bins = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    for (g <- Seq("a", "b", "c")) {
+      val single = Sketch.histQuantiles(d.filter(col("g") === g).select("v"), "v",
+          bins = 16)
+        .collect().map(r => (g, r.getDouble(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(single.nonEmpty)
+      single.foreach { case (k, v) => assert(grouped(k) == v, s"mismatch at $k") }
     }
   }
 

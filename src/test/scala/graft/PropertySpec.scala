@@ -217,6 +217,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("temperature-sample law: kept sets nest in alpha, smallest source always whole") {
+    import spark.implicits._
+    val d = ((0 until 200).map(i => (i.toLong, "big")) ++
+      (0 until 50).map(i => (1000L + i, "mid")) ++
+      (0 until 10).map(i => (2000L + i, "small"))).toDF("doc_id", "source")
+    // rate_s = (n_min/n_s)^(1-alpha) rises with alpha and the
+    // md5-threshold keep rule is monotone in the rate, so the kept set
+    // can only GROW as alpha rises toward the identity at alpha=1
+    val kept = Seq(0.25, 0.5, 0.75, 1.0).map { a =>
+      graft.ops.Sampling.temperatureSample(d, a)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    kept.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)) }
+    assert(kept.last.size == 260, "alpha=1 is the identity")
+    kept.foreach(s => assert((2000L until 2010L).forall(s.contains),
+      "binding source kept whole at every alpha"))
+  }
+
   test("capPerGroup law: at most N per group, kept set is the md5-min prefix, partition-invariant") {
     val d = randomDocs(60, 8, 13L)
     for (cap <- Seq(1, 5, 50)) {
