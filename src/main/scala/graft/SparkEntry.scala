@@ -3235,13 +3235,15 @@ object SparkEntry {
 
     "n12_media_schema" ->
       // header lengths: PNG sig+IHDR 33, GIF header+LSD 13, BMP
-      // file header + BITMAPINFOHEADER 54, WAV RIFF+fmt+data 44, MP4
-      // ftyp+moov+mdat prefix 192 (ASCII fixture: strlen = bytes)
+      // file header + BITMAPINFOHEADER 54, JPEG SOI+SOF0 21, WebP
+      // RIFF+VP8L 25, WAV RIFF+fmt+data 44, MP4 ftyp+moov+mdat prefix
+      // 192 (ASCII fixture: strlen = bytes)
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(strlen(text) + CASE WHEN doc_id % 3 = 0 THEN
-        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+        |    CASE (doc_id // 3) % 5 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+        |         WHEN 3 THEN 21 ELSE 25 END
         |  WHEN doc_id % 3 = 1 THEN 44 ELSE 192 END AS BIGINT) AS byte_len
         |FROM documents ORDER BY media_id""".stripMargin,
 
@@ -3255,7 +3257,8 @@ object SparkEntry {
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
         | CAST(strlen(text) + CASE WHEN doc_id % 3 = 0 THEN
-        |    CASE (doc_id // 3) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+        |    CASE (doc_id // 3) % 5 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 54
+        |         WHEN 3 THEN 21 ELSE 25 END
         |  WHEN doc_id % 3 = 1 THEN 44 ELSE 192 END AS BIGINT) AS byte_len,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 1000 ELSE 0 END AS BIGINT) AS width,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 7) % 1000 ELSE 0 END AS BIGINT) AS height,

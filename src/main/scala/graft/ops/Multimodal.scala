@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery (schema, partitioning, batch iteration,
   * output shape) is real and tested. Container METADATA is decoded for
-  * real, dependency-free: image dimensions from PNG/GIF/BMP headers
+  * real, dependency-free: image dimensions from PNG/GIF/BMP/JPEG/WebP headers
   * ([[headerDims]]), audio sample rate / channels / duration from WAV
   * RIFF chunks ([[wavMeta]]), video duration and frame count from MP4
   * mvhd + stsz boxes ([[mp4Meta]]). Only pixel/sample-level work
@@ -27,7 +27,7 @@ object Multimodal {
     StructField("meta_source", StringType, nullable = true)))
 
   /** Feature row produced by the decoder. `width`/`height` are real for
-    * PNG/GIF/BMP images (0 for parsed audio/video, stub values
+    * PNG/GIF/BMP/JPEG/WebP images (0 for parsed audio/video, stub values
     * otherwise); `sample_rate`/`duration_ms` are real for parsed WAV
     * audio, `duration_ms`/`n_frames` real for parsed MP4 video.
     */
@@ -51,7 +51,7 @@ object Multimodal {
     (h, w, ht, feat)
   }
 
-  /** Real image-header decode: width/height for the three formats whose
+  /** Real image-header decode: width/height for the five formats whose
     * dimensions are plain header fields, parsed dependency-free.
     *
     *  - PNG: 8-byte signature, then the IHDR chunk — big-endian u32
@@ -60,12 +60,20 @@ object Multimodal {
     *    little-endian u16 width/height at bytes 6/8 (GIF89a spec s18);
     *  - BMP: "BM" file header, then BITMAPINFOHEADER — little-endian
     *    i32 width/height at bytes 18/22 (height may be negative for
-    *    top-down row order; the dimension is its magnitude).
+    *    top-down row order; the dimension is its magnitude);
+    *  - JPEG: SOI, then a marker walk to the first SOF frame header —
+    *    big-endian u16 height/width at segment bytes 3/5 (ITU T.81
+    *    B.2.2; markers without a length field are skipped, the walk
+    *    stops at SOS/EOI since dims always precede scan data);
+    *  - WebP (VP8L lossless): RIFF/WEBP container, "VP8L" chunk,
+    *    0x2f signature, then 14-bit width-1 / height-1 packed
+    *    little-endian (WebP lossless bitstream spec s3).
     *
     * None for anything else — callers fall back to the stub.
     */
   def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -78,7 +86,32 @@ object Multimodal {
       Some((le16(6), le16(8)))
     else if (p.length >= 26 && u8(0) == 'B' && u8(1) == 'M')
       Some((le32(18), math.abs(le32(22))))
-    else None
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG marker walk: find the first SOF (C0-CF minus C4/C8/CC)
+      var i = 2
+      while (i + 4 <= p.length) {
+        if (u8(i) != 0xff) return None // desynchronized stream
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          return if (i + 9 <= p.length) Some((be16(i + 7), be16(i + 5))) else None
+        } else if (m == 0xda || m == 0xd9) {
+          return None // scan data / end: no frame header seen
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i += 2 // standalone markers carry no length field
+        } else {
+          val len = if (i + 4 <= p.length) be16(i + 2) else return None
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    } else if (p.length >= 25 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P' &&
+        u8(12) == 'V' && u8(13) == 'P' && u8(14) == '8' && u8(15) == 'L' &&
+        u8(20) == 0x2f) {
+      val bits = le32(21)
+      Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+    } else None
   }
 
   /** Real WAV metadata: RIFF/WAVE chunk walk reading the `fmt ` chunk
@@ -154,7 +187,7 @@ object Multimodal {
   }
 
   /** Decode dispatch: image-typed rows get real header dims when the
-    * payload is PNG/GIF/BMP; audio rows get real sample rate + duration
+    * payload is PNG/GIF/BMP/JPEG/WebP; audio rows get real sample rate + duration
     * when the payload is WAV (dims 0 — meaningless for audio); video
     * rows get real frame count + duration when the payload is MP4
     * (dims 0 — no tkhd in the minimal walk). Unparsed payloads keep the
@@ -305,6 +338,40 @@ object Multimodal {
     bb.array()
   }
 
+  /** SOI + baseline SOF0 frame header (8-bit, 3 components, 4:4:4).
+    * 21 bytes; dims are u16 (ITU T.81 caps JPEG at 65535).
+    */
+  private[graft] def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    require(w <= 65535 && h <= 65535, "JPEG dims are u16")
+    val bb = java.nio.ByteBuffer.allocate(21) // big-endian by default
+    bb.putShort(0xffd8.toShort) // SOI
+    bb.putShort(0xffc0.toShort) // SOF0
+    bb.putShort(17)             // segment length: 8 + 3 components x 3
+    bb.put(8.toByte)            // sample precision
+    bb.putShort((h & 0xffff).toShort).putShort((w & 0xffff).toShort)
+    bb.put(3.toByte)            // component count
+    for (c <- 1 to 3) // id, 1x1 sampling, quant table (0 luma / 1 chroma)
+      bb.put(c.toByte).put(0x11.toByte).put((if (c == 1) 0 else 1).toByte)
+    bb.array()
+  }
+
+  /** RIFF/WEBP container with a VP8L (lossless) chunk: 0x2f signature
+    * then 14-bit width-1 / height-1 packed little-endian. 25 bytes;
+    * dims cap at 16384 (the 14-bit field).
+    */
+  private[graft] def webpHeader(w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, "VP8L dims are 14-bit")
+    val bb = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(17) // "WEBP" + chunk hdr + 5 payload
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8L".getBytes("US-ASCII")).putInt(5)
+    bb.put(0x2f.toByte)
+    val bits = ((w - 1).toLong & 0x3fff) | (((h - 1).toLong & 0x3fff) << 14)
+    bb.put((bits & 0xff).toByte).put(((bits >> 8) & 0xff).toByte)
+      .put(((bits >> 16) & 0xff).toByte).put(((bits >> 24) & 0xff).toByte)
+    bb.array()
+  }
+
   /** Canonical 44-byte PCM WAV header (RIFF + fmt + data chunk header);
     * the caller appends `dataLen` bytes of sample data.
     */
@@ -361,8 +428,8 @@ object Multimodal {
   }
 
   /** Fixture with REAL image bytes: image-typed rows (doc_id % 3 == 0)
-    * carry a genuine PNG/GIF/BMP header — format rotating by
-    * (doc_id / 3) % 3, PNG with a correct IHDR CRC — whose encoded
+    * carry a genuine PNG/GIF/BMP/JPEG/WebP header — format rotating by
+    * (doc_id / 3) % 5, PNG with a correct IHDR CRC — whose encoded
     * dimensions are w = 16 + doc_id % 1000, h = 16 + (doc_id / 7) % 1000,
     * followed by the UTF-8 text. Audio rows carry a real 44-byte WAV
     * header (sample_rate = 8000 + (doc_id % 8) * 1000, channels =
@@ -385,10 +452,12 @@ object Multimodal {
           case "image" =>
             val w = 16 + (id % 1000).toInt
             val h = 16 + ((id / 7) % 1000).toInt
-            val header = (id / 3) % 3 match {
+            val header = (id / 3) % 5 match {
               case 0 => pngHeader(w, h)
               case 1 => gifHeader(w, h)
-              case _ => bmpHeader(w, h)
+              case 2 => bmpHeader(w, h)
+              case 3 => jpegHeader(w, h)
+              case _ => webpHeader(w, h)
             }
             header ++ textBytes
           case "audio" =>

@@ -748,15 +748,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("image header decode: PNG/GIF/BMP round-trip, garbage falls back") {
+  test("image header decode: PNG/GIF/BMP/JPEG/WebP round-trip, garbage falls back") {
     // build header -> parse back must recover the encoded dims exactly,
     // including multi-byte values that exercise endianness on each path
     for ((w, h) <- Seq((16, 16), (640, 480), (1015, 158), (70000, 3))) {
-      if (w <= 65535) // GIF dims are u16
+      if (w <= 65535) { // GIF/JPEG dims are u16
         assert(Multimodal.headerDims(Multimodal.gifHeader(w, h)) == Some((w, h)), s"gif $w x $h")
+        assert(Multimodal.headerDims(Multimodal.jpegHeader(w, h)) == Some((w, h)), s"jpeg $w x $h")
+      }
+      if (w <= 16384 && h <= 16384) // VP8L dims are 14-bit
+        assert(Multimodal.headerDims(Multimodal.webpHeader(w, h)) == Some((w, h)), s"webp $w x $h")
       assert(Multimodal.headerDims(Multimodal.pngHeader(w, h)) == Some((w, h)), s"png $w x $h")
       assert(Multimodal.headerDims(Multimodal.bmpHeader(w, h)) == Some((w, h)), s"bmp $w x $h")
     }
+    // a JPEG whose SOF sits behind APP0/COM segments still parses (the
+    // marker walk skips length-carrying segments), and one with scan
+    // data before any SOF falls back
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++ new Array[Byte](14)
+    val com = Array(0xff, 0xfe, 0x00, 0x05).map(_.toByte) ++ "abc".getBytes("US-ASCII")
+    val jpegBody = Multimodal.jpegHeader(321, 123)
+    val shifted = jpegBody.take(2) ++ app0 ++ com ++ jpegBody.drop(2)
+    assert(Multimodal.headerDims(shifted) == Some((321, 123)))
+    val sosFirst = jpegBody.take(2) ++ Array(0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(Multimodal.headerDims(sosFirst).isEmpty)
     // trailing payload after the header must not disturb the parse
     val withTail = Multimodal.pngHeader(33, 44) ++ "trailing text".getBytes("UTF-8")
     assert(Multimodal.headerDims(withTail) == Some((33, 44)))
@@ -772,7 +786,7 @@ class OpsSpec extends SparkSpec {
   test("mediaWithHeaders fixture: parsed dims match the encoded formula") {
     val media = Multimodal.mediaWithHeaders(docs)
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
-    // doc_ids 1..6 -> images are 3 (GIF: 3/3 % 3 == 1) and 6 (BMP: 6/3 % 3 == 2)
+    // doc_ids 1..6 -> images are 3 (GIF: 3/3 % 5 == 1) and 6 (BMP: 6/3 % 5 == 2)
     for (id <- Seq(3L, 6L)) {
       val f = feats(id)
       assert(f.media_type == "image")
@@ -794,6 +808,18 @@ class OpsSpec extends SparkSpec {
     assert(video.duration_ms == (1 + 2 % 60) * 1000L)
     // image byte_len = header + text bytes (id 3 text is 44 chars, GIF 13)
     assert(feats(3L).byte_len == 44L + 13L)
+    // ids 9 and 12 rotate to the JPEG (21-byte) and WebP (25-byte)
+    // headers; parsed dims must still match the id formulas
+    import spark.implicits._
+    val extra = Multimodal.mediaWithHeaders(Seq(
+        (9L, "nine nine", "en", "web", 9L),
+        (12L, "twelve twelve", "en", "web", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val efeats = Multimodal.extractFeatures(extra).collect().map(f => f.media_id -> f).toMap
+    assert(efeats(9L).width == 25 && efeats(9L).height == 17)
+    assert(efeats(9L).byte_len == "nine nine".length + 21L)
+    assert(efeats(12L).width == 28 && efeats(12L).height == 17)
+    assert(efeats(12L).byte_len == "twelve twelve".length + 25L)
   }
 
   test("WAV/MP4 header decode: round-trip, truncation falls back") {
