@@ -1391,6 +1391,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n62_quality_classifier" -> ((s, dir) => {
+      // fastText-shaped hashed classifier inference: one scan, zero
+      // shuffle; raw integer score exact, mean one division
+      TextAnalysis.hashedClassifierScore(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
     "n58_dedup_keep_best" -> ((s, dir) => {
       // cluster-aware dedup keeping the BEST member of each simhash
       // near-dup component — here the longest (whitespace token count,
@@ -3160,6 +3166,31 @@ object SparkEntry {
         | FROM f)
         |SELECT doc_id, CAST(tk AS BIGINT) AS n_tokens
         |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "n62_quality_classifier" ->
+      // per-distinct-word fmix64(fnv64) through the shared HUGEINT
+      // chain, low 10 bits centered (1024 is a power of two, so the
+      // unsigned modulus equals Spark's signed pmod), occurrence sum
+      // re-joined per doc; integer raw exact, LEFT JOIN keeps
+      // empty-text docs at 0
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT word FROM w),
+         |h0 AS (SELECT word, ${fnvSql("word")} AS x FROM dw),
+         |f1 AS (SELECT word, xor(x, x >> 33) AS v1 FROM h0),
+         |f2 AS (SELECT word, xor(v2, v2 >> 33) AS v3
+         |       FROM (SELECT word, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+         |wt AS (SELECT word, CAST(xor(v4, v4 >> 33) % 1024 AS BIGINT) - 512 AS wgt
+         |       FROM (SELECT word, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
+         |agg AS (SELECT w.doc_id, count(*) AS n_words, sum(wt.wgt) AS raw
+         |        FROM w JOIN wt USING (word) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(a.raw, 0) AS BIGINT) AS raw_score,
+         |  round(CAST(coalesce(a.raw, 0) AS DOUBLE)
+         |    / greatest(coalesce(a.n_words, 0), 1), 6) AS score
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "n58_dedup_keep_best" ->
       // n28's recursive-CTE components + n03's token-count replay; the

@@ -72,6 +72,33 @@ object TextAnalysis {
          (col("stopword_ratio") >= 0.01).cast("double")) / 4.0)
   }
 
+  /** Hashed linear-classifier scoring — the INFERENCE shape of the
+    * fastText-style quality classifiers LLM pipelines run over every
+    * document (Joulin et al. 2017, "Bag of tricks for efficient text
+    * classification"; the CCNet / RefinedWeb quality gate): each word
+    * hashes into a fixed-width weight table (1024 buckets — a power of
+    * two, so the signed pmod and the oracle's unsigned HUGEINT modulus
+    * agree exactly) and the document score is the mean bucket weight.
+    *
+    * Weights here are derived from the bucket hash itself (fmix64 low
+    * bits, centered) — a deterministic, oracle-replayable stand-in for
+    * trained weights; production swaps in a learned float array as a
+    * broadcast lookup without changing the plan, which is the point:
+    * hashing + transform + in-row aggregate is ONE scan with ZERO
+    * shuffle, codegen end to end. The integer raw score is exact (and
+    * order-independent — integer addition commutes), the mean is one
+    * division.
+    */
+  def hashedClassifierScore(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= lit(""))
+    val weights = transform(words, w => pmod(fnv_mix64(w), lit(1024L)) - lit(512L))
+    docs.select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(weights, lit(0L), (acc, x) => acc + x).as("raw_score"))
+      .withColumn("score",
+        round(col("raw_score").cast("double") / greatest(col("n_words"), lit(1L)), 6))
+  }
+
   /** Document fingerprints: md5 (cross-engine verifiable) + the rolling
     * polynomial hash (native expression), both over whitespace-normalized
     * lowercase text.

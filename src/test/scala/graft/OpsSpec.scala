@@ -197,6 +197,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hashedClassifierScore matches driver-side hash arithmetic, empty text scores 0") {
+    val out = TextAnalysis.hashedClassifierScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def weight(w: String): Long = {
+      val h = graft.functions.Hashing.fmix64(graft.functions.Hashing.fnv1a64(w))
+      java.lang.Math.floorMod(h, 1024L) - 512L
+    }
+    val words1 = "the quick brown fox jumps over the lazy dog".split(" ")
+    assert(out(1L).getAs[Long]("n_words") == 9L)
+    assert(out(1L).getAs[Long]("raw_score") == words1.map(weight).sum)
+    // identical texts score identically; the near-dup differs
+    assert(out(2L).getAs[Long]("raw_score") == out(1L).getAs[Long]("raw_score"))
+    assert(out(3L).getAs[Long]("raw_score") != out(1L).getAs[Long]("raw_score"))
+    // empty text: 0 words, raw 0, mean guarded to 0.0
+    assert(out(6L).getAs[Long]("n_words") == 0L)
+    assert(out(6L).getAs[Long]("raw_score") == 0L)
+    assert(out(6L).getAs[Double]("score") == 0.0)
+  }
+
   test("histQuantilesByGroup equals histQuantiles run per group") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
