@@ -1391,6 +1391,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n63_bpe_pairs" -> ((s, dir) => {
+      // first BPE merge iteration: adjacent char-pair counts weighted
+      // by word frequency, top-10 merge candidates — all-integer
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), k = 10)
+        .orderBy(col("pair_count").desc, col("pair"))
+    }),
+
     "n62_quality_classifier" -> ((s, dir) => {
       // fastText-shaped hashed classifier inference: one scan, zero
       // shuffle; raw integer score exact, mean one division
@@ -3166,6 +3173,22 @@ object SparkEntry {
         | FROM f)
         |SELECT doc_id, CAST(tk AS BIGINT) AS n_tokens
         |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "n63_bpe_pairs" ->
+      // unicode() replay of the char_bigrams packing ((left<<16)|right,
+      // ASCII fixture: codepoint == UTF-16 unit); integer tie-break
+      // (count DESC, pair) makes the top-10 engine-exact
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS wcount FROM w GROUP BY word),
+        |p AS (SELECT unnest(list_transform(generate_series(1, strlen(word) - 1),
+        |        i -> unicode(substr(word, i, 1)) * 65536 + unicode(substr(word, i + 1, 1)))) AS pair,
+        |        wcount
+        |      FROM wc WHERE strlen(word) >= 2),
+        |pc AS (SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count FROM p GROUP BY pair)
+        |SELECT CAST(pair AS BIGINT) AS pair, CAST(pair // 65536 AS BIGINT) AS left_code,
+        |  CAST(pair % 65536 AS BIGINT) AS right_code, pair_count
+        |FROM pc ORDER BY pair_count DESC, pair LIMIT 10""".stripMargin,
 
     "n62_quality_classifier" ->
       // per-distinct-word fmix64(fnv64) through the shared HUGEINT

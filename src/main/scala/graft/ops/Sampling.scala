@@ -252,7 +252,7 @@ object Sampling {
     for ((b, t) <- totals.toSeq.sortBy(-_._1) if bStar == Int.MinValue) {
       if (cum + t > budget) { bStar = b; before = cum } else cum += t
     }
-    if (bStar == Int.MinValue) docs // the whole corpus fits the budget
+    if (bStar == Int.MinValue) { proj.unpersist(); docs } // whole corpus fits
     else {
       val w = Window.orderBy(col("__s").desc, col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

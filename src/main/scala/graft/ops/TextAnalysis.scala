@@ -99,6 +99,36 @@ object TextAnalysis {
         round(col("raw_score").cast("double") / greatest(col("n_words"), lit(1L)), 6))
   }
 
+  /** BPE pair-merge counting — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count adjacent symbol
+    * pairs weighted by word frequency and surface the top merge
+    * candidates. This is the FIRST merge iteration over character
+    * symbols, exposed as the distributed primitive; full training
+    * re-segments and repeats with the chosen merge applied (a
+    * driver-side loop over this pass, exactly like dupClusters
+    * iterates its shuffle step).
+    *
+    * Scale shape: one corpus scan into a vocabulary-sized word-count
+    * agg (the ONLY data-sized shuffle — pair extraction then runs over
+    * DISTINCT words, so a word occurring a billion times is segmented
+    * once), a pair agg bounded by alphabet², and top-k through
+    * orderBy+limit (TakeOrderedAndProject — per-partition top-k merged
+    * on the driver, no global sort materialized). Pairs ride the
+    * [[org.apache.spark.sql.graft.GraftFunctions.char_bigrams]] codegen
+    * kernel as `(left << 16) | right` integer codes.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 10): DataFrame = {
+    val wc = docs
+      .select(explode(filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+    wc.select(explode(char_bigrams(col("word"))).as("pair"), col("wcount"))
+      .groupBy("pair").agg(sum(col("wcount")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+      .select(col("pair"), shiftright(col("pair"), 16).as("left_code"),
+        col("pair").bitwiseAND(65535).as("right_code"), col("pair_count"))
+  }
+
   /** Document fingerprints: md5 (cross-engine verifiable) + the rolling
     * polynomial hash (native expression), both over whitespace-normalized
     * lowercase text.

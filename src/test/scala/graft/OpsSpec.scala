@@ -197,6 +197,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpePairCounts weights pairs by word frequency with exact integer counts") {
+    import spark.implicits._
+    val d = Seq((1L, "aaab aaab aaab"), (2L, "ab cd"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpePairCounts(d, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    val byPair = rows.toMap
+    assert(byPair(('a'.toLong, 'a'.toLong)) == 6L) // two 'aa' per word x 3 occurrences
+    assert(byPair(('a'.toLong, 'b'.toLong)) == 4L) // 'ab' in aaab x3 + standalone "ab"
+    assert(byPair(('c'.toLong, 'd'.toLong)) == 1L)
+    // the top merge candidate is the 'aa' pair
+    assert(rows.maxBy(_._2)._1 == ('a'.toLong, 'a'.toLong))
+  }
+
   test("hashedClassifierScore matches driver-side hash arithmetic, empty text scores 0") {
     val out = TextAnalysis.hashedClassifierScore(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
