@@ -102,7 +102,12 @@ object Dedup {
     */
   def writeCorpusSnapshot(docs: DataFrame, path: String): Unit = {
     docs.write.mode("overwrite").parquet(s"$path/docs")
-    docs.select(md5(col("text")).as("__digest")).distinct()
+    // digests derive from the files just written, NOT from `docs`: the
+    // upstream lineage (cleaning, dedup, joins) executes exactly once,
+    // and the digest pass is a column-pruned re-read of the snapshot —
+    // the cheap tail the docstring promises
+    docs.sparkSession.read.parquet(s"$path/docs")
+      .select(md5(col("text")).as("__digest")).distinct()
       .write.mode("overwrite").parquet(s"$path/digests")
   }
 

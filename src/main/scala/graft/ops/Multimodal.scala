@@ -89,19 +89,23 @@ object Multimodal {
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG marker walk: find the first SOF (C0-CF minus C4/C8/CC)
       var i = 2
-      while (i + 4 <= p.length) {
+      while (i + 1 < p.length) {
         if (u8(i) != 0xff) return None // desynchronized stream
-        val m = u8(i + 1)
+        var j = i + 1
+        while (j < p.length && u8(j) == 0xff) j += 1 // fill bytes (T.81 B.1.1.2)
+        if (j >= p.length) return None
+        val m = u8(j)
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-          return if (i + 9 <= p.length) Some((be16(i + 7), be16(i + 5))) else None
-        } else if (m == 0xda || m == 0xd9) {
-          return None // scan data / end: no frame header seen
+          return if (j + 8 <= p.length) Some((be16(j + 6), be16(j + 4))) else None
+        } else if (m == 0xda || m == 0xd9 || m == 0x00) {
+          return None // scan data / end / stuffed byte: no frame header
         } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
-          i += 2 // standalone markers carry no length field
+          i = j + 1 // standalone markers carry no length field
         } else {
-          val len = if (i + 4 <= p.length) be16(i + 2) else return None
+          if (j + 3 > p.length) return None
+          val len = be16(j + 1)
           if (len < 2) return None
-          i += 2 + len
+          i = j + 1 + len
         }
       }
       None

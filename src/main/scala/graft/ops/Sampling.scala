@@ -90,15 +90,24 @@ object Sampling {
     */
   def mixtureSample(docs: DataFrame, targetShares: Map[String, Double],
                     groupCol: String = "source",
-                    keyCol: String = "doc_id"): DataFrame = {
-    val r = mixtureRates(docs, targetShares, groupCol)
-    docs.join(broadcast(r), Seq(groupCol))
+                    keyCol: String = "doc_id"): DataFrame =
+    rateFilter(docs, mixtureRates(docs, targetShares, groupCol), groupCol, keyCol)
+
+  /** Shared per-source keep rule: broadcast the tiny `(groupCol,
+    * __rate)` relation and keep a row iff its md5 prefix falls under
+    * the rate's hex threshold. One definition on purpose — the
+    * rate>=1.0 short-circuit, the explicit floor (round()'s half-tie
+    * rule differs between engines), and the 4294967295 cap are the
+    * subtle cross-engine parts every rate-based sampler must share.
+    */
+  private def rateFilter(docs: DataFrame, rates: DataFrame,
+                         groupCol: String, keyCol: String): DataFrame =
+    docs.join(broadcast(rates), Seq(groupCol))
       .filter(col("__rate") >= 1.0 ||
         substring(md5(col(keyCol).cast("string")), 1, 8) <
           format_string("%08x",
             least(floor(col("__rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
       .drop("__rate")
-  }
 
   /** The water-fill rate relation behind [[mixtureSample]]:
     * (groupCol, __rate) with rate_s = share_s * T* / n_s and
@@ -198,12 +207,7 @@ object Sampling {
       else if (alpha == 0.5) sqrt(ratio)
       else pow(ratio, 1.0 - alpha)
     val r = cn.crossJoin(nMin).select(col(groupCol), rate.as("__rate"))
-    docs.join(broadcast(r), Seq(groupCol))
-      .filter(col("__rate") >= 1.0 ||
-        substring(md5(col(keyCol).cast("string")), 1, 8) <
-          format_string("%08x",
-            least(floor(col("__rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
-      .drop("__rate")
+    rateFilter(docs, r, groupCol, keyCol)
   }
 
   /** Token-budget corpus selection: order documents by (`score` DESC,
@@ -239,6 +243,10 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0L, "budget must be non-negative")
     require(bins >= 1 && bins <= 65536, "bins must be in [1, 65536]")
+    // persisted: (id, 2 numbers, bin) — text-free, ~3 orders smaller
+    // than the corpus it came from (the n57 slim-projection convention)
+    // — feeding the counting pass and both selection branches, so the
+    // score expressions (regex-heavy for quality scores) evaluate once
     val proj = docs.select(col(idCol), score.cast("double").as("__s"),
         tokens.cast("long").as("__tk"))
       .withColumn("__bin",

@@ -803,6 +803,10 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.headerDims(shifted) == Some((321, 123)))
     val sosFirst = jpegBody.take(2) ++ Array(0xff, 0xda, 0x00, 0x02).map(_.toByte)
     assert(Multimodal.headerDims(sosFirst).isEmpty)
+    // a legal fill byte (extra 0xFF) before a marker must not desync
+    // the walk (ITU T.81 B.1.1.2)
+    val filled = jpegBody.take(2) ++ Array(0xff.toByte) ++ jpegBody.drop(2)
+    assert(Multimodal.headerDims(filled) == Some((321, 123)))
     // trailing payload after the header must not disturb the parse
     val withTail = Multimodal.pngHeader(33, 44) ++ "trailing text".getBytes("UTF-8")
     assert(Multimodal.headerDims(withTail) == Some((33, 44)))
