@@ -235,6 +235,33 @@ class PropertySpec extends SparkSpec {
       "binding source kept whole at every alpha"))
   }
 
+  test("bpe pair-count conservation: sum of pair counts = sum of (len-1) x word count") {
+    val d = randomDocs(80, 12, 23L)
+    // every word of length L contributes exactly L-1 adjacent pairs per
+    // occurrence, so total pair mass is conserved — catches both a
+    // dropped-word bug and a distinct-vs-occurrence weighting bug
+    val pairs = graft.ops.TextAnalysis.bpePairCounts(d, k = 1000000).collect()
+    val pairMass = pairs.map(_.getLong(3)).sum
+    val expected = d.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.col("w") =!= "")
+      .collect().map(r => math.max(0, r.getString(0).length - 1).toLong).sum
+    assert(pairMass == expected, s"$pairMass != $expected")
+  }
+
+  test("hashed classifier law: word order never changes the score") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "same words different order")).toDF("doc_id", "text")
+    val b = Seq((1L, "delta gamma beta alpha"), (2L, "order different words same")).toDF("doc_id", "text")
+    val sa = graft.ops.TextAnalysis.hashedClassifierScore(a).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sb = graft.ops.TextAnalysis.hashedClassifierScore(b).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // integer addition commutes, so a bag-of-words score is exactly
+    // permutation-invariant — no float fold-order caveat needed
+    assert(sa == sb)
+  }
+
   test("capPerGroup law: at most N per group, kept set is the md5-min prefix, partition-invariant") {
     val d = randomDocs(60, 8, 13L)
     for (cap <- Seq(1, 5, 50)) {
