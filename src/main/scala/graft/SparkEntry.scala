@@ -483,6 +483,21 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
+    "q29_range_frame" -> ((s, dir) => {
+      // RANGE (value-based) window frame: per customer, the trailing
+      // 7-day order count — the frame is keyed on integer epoch days,
+      // so peer handling and the count replay exactly
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .withColumn("d", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+        .rangeBetween(-6, 0)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_last7"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q28_set_ops" -> ((s, dir) => {
       // INTERSECT / EXCEPT surface: big-spender customers with open
       // orders and no finalized ones. Spark compiles both to
@@ -1744,6 +1759,15 @@ object SparkEntry {
     "q05_top10_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q29_range_frame" ->
+      // integer epoch-day RANGE frame; count is BIGINT on both sides
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last7
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q28_set_ops" ->
       // parenthesized so the (A INTERSECT B) EXCEPT C association is
