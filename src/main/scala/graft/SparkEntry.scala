@@ -1202,6 +1202,20 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n64_slice_diff" -> ((s, dir) => {
+      // crawl-yield report over n49's exact fixture: per source, how
+      // much of the slice is new vs cross-corpus vs within-slice dup —
+      // all-integer counts that partition the slice exactly
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") % 2 === 0)
+      val incoming = base.filter(col("doc_id") % 2 === 1)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 2000001L))
+        .unionAll(base.filter(col("doc_id") === 1L)
+          .withColumn("doc_id", lit(2000007L)))
+      Dedup.sliceDiffReport(existing, incoming).orderBy("source")
+    }),
+
     "n49_incremental_dedup" -> ((s, dir) => {
       // a new crawl slice deduped against the published corpus without
       // rescanning it: existing = even doc_ids, incoming = odd doc_ids
@@ -2596,6 +2610,29 @@ object SparkEntry {
         |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
         | CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
         |FROM vid ORDER BY media_id, frame_idx""".stripMargin,
+
+    "n64_slice_diff" ->
+      // n49's fixture; md5-keyed first-of-digest window + corpus
+      // membership, partitioned counts — all BIGINT
+      """WITH existing AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |incoming AS (
+        | SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL SELECT doc_id + 2000001, text, source
+        |   FROM documents WHERE doc_id IN (0, 2, 4)
+        | UNION ALL SELECT 2000007, text, source
+        |   FROM documents WHERE doc_id = 1),
+        |m AS (SELECT source, doc_id, md5(text) AS dg,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM incoming),
+        |ed AS (SELECT DISTINCT md5(text) AS dg FROM existing),
+        |j AS (SELECT m.source, m.rn, ed.dg IS NOT NULL AS inc
+        |      FROM m LEFT JOIN ed ON m.dg = ed.dg)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_incoming,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dup,
+        |  CAST(sum(CASE WHEN rn = 1 AND inc THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup,
+        |  CAST(sum(CASE WHEN rn = 1 AND NOT inc THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "n49_incremental_dedup" ->
       // same text-equality replay as n01 (md5 collision risk accepted)

@@ -92,6 +92,36 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Per-source diff report for a crawl slice against the published
+    * corpus — the observability side of [[incrementalDedup]]: how many
+    * incoming docs are new, how many duplicate the existing corpus,
+    * and how many duplicate each other within the slice. A pipeline
+    * runs this alongside the dedup itself to monitor crawl yield
+    * ("what did this slice actually add?").
+    *
+    * Counts partition the slice exactly: n_incoming = n_within_dup +
+    * n_cross_dup + n_new, and n_new per source equals the
+    * [[incrementalDedup]] survivor count (both spec-asserted). Scale
+    * shape: one slice-sized digest window, one join against the
+    * digest-only corpus relation (the bloom-prunable shape), one
+    * sources-sized agg — the corpus text is never scanned.
+    */
+  def sliceDiffReport(existing: DataFrame, incoming: DataFrame,
+                      groupCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+    val marked = incoming.withColumn("__digest", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .join(existing.select(md5(col("text")).as("__digest")).distinct()
+        .withColumn("__in_corpus", lit(true)), Seq("__digest"), "left")
+    marked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_within_dup"),
+        sum(when(col("__rn") === 1 && col("__in_corpus").isNotNull, 1L)
+          .otherwise(0L)).as("n_cross_dup"),
+        sum(when(col("__rn") === 1 && col("__in_corpus").isNull, 1L)
+          .otherwise(0L)).as("n_new"))
+  }
+
   /** Publishes a corpus snapshot: the documents as parquet under
     * `path/docs` AND the distinct text-digest relation under
     * `path/digests` — the ~3-orders-of-magnitude-smaller relation that

@@ -61,6 +61,28 @@ class OpsSpec extends SparkSpec {
     assert(viaSnapshot == viaBatch && viaSnapshot == Set(11L))
   }
 
+  test("sliceDiffReport counts partition the slice; n_new matches incremental dedup") {
+    import spark.implicits._
+    val existing = Seq((2L, "alpha", "a"), (4L, "beta", "b")).toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (11L, "alpha", "a"),     // cross-corpus dup
+      (13L, "fresh one", "a"),
+      (15L, "fresh two", "b"),
+      (17L, "fresh two", "b"), // within-slice dup of 15
+      (19L, "beta", "b")       // cross-corpus dup
+    ).toDF("doc_id", "text", "source")
+    val rep = Dedup.sliceDiffReport(existing, incoming).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep("a") == ((2L, 0L, 1L, 1L)))
+    assert(rep("b") == ((3L, 1L, 1L, 1L)))
+    rep.values.foreach { case (inc, wd, cd, nw) => assert(inc == wd + cd + nw) }
+    val survivors = Dedup.incrementalDedup(existing, incoming)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.map { case (s, t) => s -> t._4 } == survivors)
+  }
+
   test("incremental dedup equals batch dedup restricted to the slice") {
     import spark.implicits._
     // existing corpus (already deduped, ids below the slice), incoming
