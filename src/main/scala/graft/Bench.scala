@@ -22,14 +22,11 @@ object Bench {
     // vectorized-reader classes are loaded before the first timed query
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid);
-    // unset = the driver's full sweep
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+    // SPARK_GRAFT_ONLY restricts the run (the EnvFilter contract
+    // shared with Verify; unknown names fail fast); unset = the
+    // driver's full sweep
+    EnvFilter.validate(SparkEntry.queries.keySet)
+    val selected = SparkEntry.queries.filter { case (n, _) => EnvFilter.selected(n) }
     // Each query runs twice and the MIN is recorded: on a shared box
     // run-to-run spread is ±30-40% (PLANS.md's bracketing runs), which
     // polluted two rounds of adjudication with false regressions. The

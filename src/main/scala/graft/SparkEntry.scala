@@ -2623,7 +2623,8 @@ object SparkEntry {
         | UNION ALL SELECT 2000007, text, source
         |   FROM documents WHERE doc_id = 1),
         |m AS (SELECT source, doc_id, md5(text) AS dg,
-        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |        row_number() OVER (PARTITION BY md5(text)
+        |                           ORDER BY doc_id, source) AS rn
         |      FROM incoming),
         |ed AS (SELECT DISTINCT md5(text) AS dg FROM existing),
         |j AS (SELECT m.source, m.rn, ed.dg IS NOT NULL AS inc

@@ -15,13 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q01,n58 restricts the dump (and the oracle_sql
-    // manifest below, so check_oracle.py compares only what ran) —
-    // local-iteration filter, same contract as Bench's. Driver runs
-    // leave it unset and always cover every query.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def selected(name: String): Boolean = only.forall(_.contains(name))
+    // SPARK_GRAFT_ONLY=q28_set_ops,n64_slice_diff restricts the dump
+    // (and the oracle_sql manifest below, so check_oracle.py compares
+    // only what ran) — the EnvFilter local-iteration contract shared
+    // with Bench; unknown names fail fast instead of producing a
+    // vacuously green gate. Driver runs leave it unset.
+    EnvFilter.validate(SparkEntry.queries.keySet)
+    def selected(name: String): Boolean = EnvFilter.selected(name)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -46,6 +46,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // subset marker: tells check_oracle.py to skip rows-only accounting
+    // (stale dirs from a previous full run would otherwise be
+    // miscounted as rows-only coverage); deleted on full runs
+    val marker = Paths.get(s"$outDir/subset.txt")
+    if (EnvFilter.only.isDefined)
+      Files.writeString(marker, EnvFilter.only.get.toSeq.sorted.mkString("\n"))
+    else Files.deleteIfExists(marker)
     spark.stop()
   }
 }

@@ -101,17 +101,30 @@ object Dedup {
     *
     * Counts partition the slice exactly: n_incoming = n_within_dup +
     * n_cross_dup + n_new, and n_new per source equals the
-    * [[incrementalDedup]] survivor count (both spec-asserted). Scale
-    * shape: one slice-sized digest window, one join against the
-    * digest-only corpus relation (the bloom-prunable shape), one
-    * sources-sized agg — the corpus text is never scanned.
+    * [[incrementalDedup]] survivor count (both spec-asserted). This
+    * overload hashes `existing` itself; the production shape is
+    * [[sliceDiffReportByDigests]] with the published digest relation,
+    * where the corpus text is never scanned.
     */
   def sliceDiffReport(existing: DataFrame, incoming: DataFrame,
-                      groupCol: String = "source"): DataFrame = {
-    val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+                      groupCol: String = "source"): DataFrame =
+    sliceDiffReportByDigests(
+      existing.select(md5(col("text")).as("__digest")), incoming, groupCol)
+
+  /** [[sliceDiffReport]] against a PRE-COMPUTED digest relation
+    * (column `__digest`, e.g. from [[readCorpusSnapshot]]). Scale
+    * shape: one slice-sized digest window, one join against the
+    * digest-only corpus relation (the bloom-prunable shape), one
+    * sources-sized agg. The first-of-digest window breaks ties on
+    * (doc_id, groupCol) so the report is deterministic even if two
+    * crawlers assign the same id to the same text.
+    */
+  def sliceDiffReportByDigests(digests: DataFrame, incoming: DataFrame,
+                               groupCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"), col(groupCol))
     val marked = incoming.withColumn("__digest", md5(col("text")))
       .withColumn("__rn", row_number().over(w))
-      .join(existing.select(md5(col("text")).as("__digest")).distinct()
+      .join(digests.select("__digest").distinct()
         .withColumn("__in_corpus", lit(true)), Seq("__digest"), "left")
     marked.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_incoming"),

@@ -81,6 +81,27 @@ class OpsSpec extends SparkSpec {
       .groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep.map { case (s, t) => s -> t._4 } == survivors)
+    // the production path through the published digest relation is
+    // the same report — the corpus text never enters
+    val viaDigests = Dedup.sliceDiffReportByDigests(
+        existing.select(md5(col("text")).as("__digest")), incoming).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(viaDigests == rep)
+  }
+
+  test("RANGE window frame counts value-based trailing peers exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one customer ordering on days 0, 3, 6, 7, 7, 20: the 7-day RANGE
+    // frame is value-keyed (not row-keyed), so both day-7 peers see
+    // each other and day 20 sees only itself
+    val d = Seq((1L, 0), (2L, 3), (3L, 6), (4L, 7), (5L, 7), (6L, 20))
+      .toDF("k", "d").withColumn("c", lit(1L))
+    val w = Window.partitionBy("c").orderBy(col("d")).rangeBetween(-6, 0)
+    val got = d.withColumn("n", count(lit(1)).over(w))
+      .select("k", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 1L))
   }
 
   test("incremental dedup equals batch dedup restricted to the slice") {

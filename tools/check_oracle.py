@@ -99,6 +99,10 @@ def main(sf_dir, out_dir):
 
 def _rows_only(out_dir, sqls):
     import os
+    # a subset run (SPARK_GRAFT_ONLY) writes subset.txt: stale result
+    # dirs from a previous full run must not be counted as coverage
+    if os.path.exists(os.path.join(out_dir, "subset.txt")):
+        return 0
     qs = [d for d in os.listdir(out_dir)
           if os.path.isdir(os.path.join(out_dir, d))]
     return len([q for q in qs if q not in sqls])
