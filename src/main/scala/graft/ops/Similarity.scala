@@ -45,7 +45,7 @@ object Similarity {
   def withSignBuckets(emb: DataFrame, embedCol: String, planes: Int, tables: Int,
                       dim: Int = -1): DataFrame =
     emb.where(col(embedCol).isNotNull)
-      .select((emb.columns.map(col) :+
+      .select((emb.columns.toIndexedSeq.map(col) :+
         posexplode(sign_buckets(col(embedCol), planes, tables)).as(Seq("table", "bucket"))): _*)
 
   /** Exact brute-force top-k by cosine. `queries` must be small enough
