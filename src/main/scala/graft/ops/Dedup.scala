@@ -353,10 +353,15 @@ object Dedup {
     * Execution is the [[embeddingNearDups]] choreography keyed by
     * cluster instead of LSH bucket: assignment broadcasts k centroid
     * rows (one corpus scan, no shuffle); clusters collect ids ONLY,
-    * capped at `maxCluster` BEFORE collection feeds the pair explode
-    * (an over-dense cluster means k is too small — the cap is the
-    * guardrail, same as LSH maxBucket); embeddings are semi-joined
-    * back for a single exact-cosine pass over the candidate pairs.
+    * and a cluster larger than `maxCluster` is DROPPED ENTIRELY in a
+    * counting pass BEFORE any collection happens — its pairs are not
+    * reported (an over-dense cluster means k is too small; the drop is
+    * the guardrail, exactly LSH maxBucket's semantics, so dense
+    * regions lose recall rather than blowing an aggregation buffer);
+    * embeddings are semi-joined back for a single exact-cosine pass
+    * over the candidate pairs. Persisted intermediates stay in the
+    * session CacheManager until the caller unpersists/clearCache()s
+    * (Bench clears between runs).
     * Returns (cluster, vec_id_a, vec_id_b, cos) with a < b.
     */
   def semanticDedup(emb: DataFrame, k: Int = 8, threshold: Double = 0.95,

@@ -153,21 +153,30 @@ object Multimodal {
 
   /** Real MP4 metadata: ISO BMFF box walk (u32 BE size + fourcc,
     * containers recursed) reading `mvhd` (movie timescale + duration,
-    * v0 u32 / v1 u64 fields) and the track's `stsz` sample count — the
-    * container field that IS the frame count. None unless both are
-    * found. ISO/IEC 14496-12 s8.2.2 (mvhd), s8.7.3 (stsz).
+    * v0 u32 / v1 u64 fields) and a track's `stsz` sample count — the
+    * container field that IS the frame count. In a multi-track file the
+    * frame count comes from the first trak whose `hdlr` handler is
+    * `vide` (the video track), so an audio trak listed first cannot
+    * misreport its sample count as frames; a file with no `vide` hdlr
+    * anywhere (minimal single-track prefixes like [[mp4Header]]'s) falls
+    * back to the first trak carrying an stsz. None unless mvhd and a
+    * frame count are both found. ISO/IEC 14496-12 s8.2.2 (mvhd),
+    * s8.4.3 (hdlr), s8.7.3 (stsz).
     */
   def mp4Meta(p: Array[Byte]): Option[(Int, Long, Int)] = {
     def u8(i: Int): Int = p(i) & 0xff
     def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
     def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def cc(i: Int): String = new String(p, i, 4, "US-ASCII")
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    val containers = Set("moov", "mdia", "minf", "stbl")
     var mvhd: Option[(Int, Long)] = None
-    var frames: Option[Int] = None
-    def walk(start: Int, end: Int): Unit = {
+    // traks in file order: (hdlr handler fourcc if present, stsz count)
+    val traks = scala.collection.mutable.ArrayBuffer.empty[(Option[String], Option[Int])]
+    var curHandler: Option[String] = None
+    var curStsz: Option[Int] = None
+    def walk(start: Int, end: Int, inTrak: Boolean): Unit = {
       var i = start
-      while (i + 8 <= end && (mvhd.isEmpty || frames.isEmpty)) {
+      while (i + 8 <= end) {
         val size = be32(i)
         if (size < 8 || i + size > end) return // tolerant: stop at junk
         cc(i + 4) match {
@@ -177,15 +186,23 @@ object Multimodal {
               if (v == 0) Some((be32(i + 20).toInt, be32(i + 24)))
               else if (v == 1 && i + 44 <= end) Some((be32(i + 28).toInt, be64(i + 32)))
               else mvhd
-          case "stsz" if i + 20 <= end =>
-            frames = Some(be32(i + 16).toInt)
-          case t if containers(t) => walk(i + 8, i + size.toInt)
+          case "hdlr" if inTrak && i + 20 <= end =>
+            if (curHandler.isEmpty) curHandler = Some(cc(i + 16))
+          case "stsz" if inTrak && i + 20 <= end =>
+            if (curStsz.isEmpty) curStsz = Some(be32(i + 16).toInt)
+          case "trak" =>
+            curHandler = None; curStsz = None
+            walk(i + 8, i + size.toInt, inTrak = true)
+            traks += ((curHandler, curStsz))
+          case t if containers(t) => walk(i + 8, i + size.toInt, inTrak)
           case _ => ()
         }
         i += size.toInt
       }
     }
-    if (p.length >= 8) walk(0, p.length)
+    if (p.length >= 8) walk(0, p.length, inTrak = false)
+    val frames = traks.collectFirst { case (Some("vide"), Some(n)) => n }
+      .orElse(traks.collectFirst { case (_, Some(n)) => n })
     for ((ts, dur) <- mvhd; f <- frames)
       yield (ts, dur, f)
   }

@@ -131,7 +131,22 @@ object Sampling {
     import spark.implicits._
     val sh = targetShares.toSeq.toDF(groupCol, "__share")
     val cn = docs.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // persisted: the inner join is targetShares.size-bounded BY
+    // CONSTRUCTION (sh side), and it feeds three consumers (the
+    // missing-source check, tstar, and the rate projection) — without
+    // the persist the corpus-sized count agg would run three times.
+    // Caller-owned cache lifecycle: the entry stays in the session's
+    // CacheManager until unpersist/clearCache (Bench clears between
+    // runs; long-lived sessions should do the same after materializing).
     val j = sh.join(cn, groupCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fail fast on a target source with zero corpus rows: the inner
+    // join would silently drop it from the water-fill min, so the
+    // realized mixture would no longer match targetShares (which were
+    // required to sum to 1) — inconsistent with the requires above.
+    val found = j.select(col(groupCol)).collect().map(_.getString(0)).toSet
+    require(found.size == targetShares.size,
+      s"target sources absent from corpus: ${(targetShares.keySet -- found).toSeq.sorted.mkString(", ")}")
     val t = j.agg(min(col("__n") / col("__share")).as("__tstar"))
     j.crossJoin(t)
       .select(col(groupCol),
@@ -234,9 +249,12 @@ object Sampling {
     * Exactness of the decomposition: bin index is monotone in score, so
     * the global (score DESC, id) order visits bins descending; the
     * prefix's crossing doc lies in b*, cumulative sums are monotone
-    * (tokens >= 0), and within b* the window replays the same order —
-    * so keep-iff-cumsum<=remaining reproduces the global prefix
-    * exactly.
+    * (tokens >= 0 — ENFORCED: a negative token count raises at scan
+    * time rather than silently breaking the equivalence), and within
+    * b* the window replays the same order — so
+    * keep-iff-cumsum<=remaining reproduces the global prefix exactly.
+    * The persisted projection stays in the session CacheManager —
+    * caller-owned lifecycle (Bench clearCache()s between runs).
     */
   def budgetSelect(docs: DataFrame, budget: Long, score: Column, tokens: Column,
                    bins: Int = 1024, idCol: String = "doc_id"): DataFrame = {
@@ -246,9 +264,16 @@ object Sampling {
     // persisted: (id, 2 numbers, bin) — text-free, ~3 orders smaller
     // than the corpus it came from (the n57 slim-projection convention)
     // — feeding the counting pass and both selection branches, so the
-    // score expressions (regex-heavy for quality scores) evaluate once
+    // score expressions (regex-heavy for quality scores) evaluate once.
+    // tokens >= 0 is the precondition the histogram-threshold
+    // decomposition's exactness proof rests on (monotone cumsums), so
+    // a negative count raises at scan time instead of silently
+    // returning a wrong selection.
+    val tk = tokens.cast("long")
     val proj = docs.select(col(idCol), score.cast("double").as("__s"),
-        tokens.cast("long").as("__tk"))
+        when(tk >= 0L, tk).otherwise(raise_error(concat(
+          lit("budgetSelect: negative token count at "), col(idCol).cast("string")))
+          .cast("long")).as("__tk"))
       .withColumn("__bin",
         least(greatest(floor(col("__s") * bins).cast("int"), lit(0)), lit(bins - 1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

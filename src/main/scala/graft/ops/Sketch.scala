@@ -235,6 +235,9 @@ object Sketch {
     *
     * Returns (word, exact_count, cms_estimate): the exact column is
     * the audit; `cms_estimate >= exact_count` always (spec-asserted).
+    * The persisted vocabulary relation stays in the session
+    * CacheManager — caller-owned lifecycle (Bench clearCache()s
+    * between runs).
     */
   def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                     topK: Int = 10, seed: Long = 42L): DataFrame = {

@@ -424,6 +424,10 @@ object TextAnalysis {
     * integer codes from the one-pass [[CharBigrams]] codegen expression
     * (per-position substring over UTF8String is O(position) each —
     * quadratic per document) and shuffle as longs, not strings.
+    * Persisted intermediates stay registered in the session
+    * CacheManager — caller-owned lifecycle (Bench clearCache()s
+    * between runs; long-lived sessions should do the same after
+    * materializing downstream results).
     */
   def bigramCrossEntropy(docs: DataFrame): DataFrame = {
     val grams = docs

@@ -931,6 +931,25 @@ class OpsSpec extends SparkSpec {
       for (b <- 0 until 4) junk(16 + b) = ((hostile >> (8 * b)) & 0xff).toByte
       assert(Multimodal.wavMeta(junk).isEmpty, f"hostile wav size 0x$hostile%x")
     }
+    // multi-track file: the audio trak comes FIRST (hdlr 'soun', stsz
+    // = its sample count), so frame count must come from the 'vide'
+    // trak's stsz, not first-stsz-wins; with no vide trak anywhere the
+    // walk falls back to the first stsz
+    def b4(n: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(n).array()
+    def mbox(t: String, payload: Array[Byte]): Array[Byte] =
+      b4(8 + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    def hdlrBox(h: String): Array[Byte] =
+      mbox("hdlr", b4(0) ++ b4(0) ++ h.getBytes("US-ASCII") ++ b4(0))
+    def stszBox(n: Int): Array[Byte] = mbox("stsz", b4(0) ++ b4(0) ++ b4(n))
+    def trakBox(h: String, n: Int): Array[Byte] =
+      mbox("trak", mbox("mdia", hdlrBox(h) ++ mbox("minf", mbox("stbl", stszBox(n)))))
+    val mvhdBox = mbox("mvhd", b4(0) ++ b4(0) ++ b4(0) ++ b4(700) ++ b4(5000) ++ b4(0))
+    val twoTrack = mbox("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      mbox("moov", mvhdBox ++ trakBox("soun", 111) ++ trakBox("vide", 42))
+    assert(Multimodal.mp4Meta(twoTrack) == Some((700, 5000L, 42)))
+    val audioOnly = mbox("moov", mvhdBox ++ trakBox("soun", 111))
+    assert(Multimodal.mp4Meta(audioOnly) == Some((700, 5000L, 111)))
   }
 
   test("corpusFrequencyScore: mean corpus frequency, integer-exact") {
