@@ -512,6 +512,41 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    "q30_sessionization" -> ((s, dir) => {
+      // batch sessionization at the standard 30-minute gap — see
+      // EventStreams.batchSessions for the bounded-window shape
+      EventStreams.batchSessions(t(s, dir, "events"), gapUs = 1800000000L)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    "q31_pivot" -> ((s, dir) => {
+      // PIVOT surface with an explicit value list (no extra distinct
+      // pass to discover columns — the list is the contract, which is
+      // also what keeps the plan static at 100 TB); count cells,
+      // null-for-absent coalesced to 0 to match SQL FILTER semantics
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("st_f"),
+          coalesce(col("O"), lit(0L)).as("st_o"),
+          coalesce(col("P"), lit(0L)).as("st_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q32_unpivot" -> ((s, dir) => {
+      // UNPIVOT (stack) surface: wide measure columns to long
+      // (metric, value) rows — a generator, zero shuffle; values are
+      // copied bits, so doubles survive the hash compare untouched
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .selectExpr("l_orderkey",
+          "CAST(l_linenumber AS BIGINT) AS lineno",
+          "stack(2, 'price', l_extendedprice, 'qty', l_quantity) AS (metric, value)")
+        .orderBy("l_orderkey", "lineno", "metric")
+    }),
+
     "q06_nations_no_suppliers" -> ((s, dir) => {
       // non-vacuous: every fixture nation has suppliers, so a planted
       // nationkey with none must be the EXCEPT's one surviving row — a
@@ -1713,6 +1748,28 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "n66_shuffle_order" -> ((s, dir) => {
+      // deterministic training-order shuffle: hash order key + shard +
+      // within-shard position, no global sort anywhere; 8 shards so
+      // the per-shard permutation is non-trivially interleaved at sf
+      graft.ops.Sampling.shuffleOrder(t(s, dir, "documents"), shards = 8)
+        .orderBy("shard", "pos")
+    }),
+
+    "n67_split_leakage" -> ((s, dir) => {
+      // train/valid/test assignment + duplicate-leakage audit over the
+      // planted exact copies (the fixture alone has no duplicate
+      // texts — the audit would be vacuous); count algebra only, no
+      // pair rows. The planted copies land: one train<->valid crossing,
+      // two train-train pairs — a broken cross-split join or a broken
+      // same-split n*(n-1)/2 each change the result
+      val d = plantedDocs(s, dir)
+      graft.ops.Sampling.splitLeakage(d,
+          graft.ops.Sampling.hashSplit(col("doc_id"),
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+        .orderBy("split_a", "split_b")
+    }),
+
     "n18_profile" -> ((s, dir) => {
       graft.ops.Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
@@ -1793,6 +1850,43 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q30_sessionization" ->
+      // identical gap-flag + running-sum choreography in integer
+      // micros; the window sum is HUGEINT in DuckDB -> BIGINT cast
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN coalesce(us - lag(us) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id),
+        |      9223372036854775807) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        | FROM e),
+        |g AS (SELECT user_id, us,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        | FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS dur_us
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "q31_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q32_unpivot" ->
+      // manual UNION ALL unpivot: values are copied bits, no arithmetic
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+        |  'price' AS metric, l_extendedprice AS value
+        |FROM lineitem WHERE l_quantity >= 49
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'qty', l_quantity
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, lineno, metric""".stripMargin,
 
     "q06_nations_no_suppliers" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer
@@ -2560,6 +2654,43 @@ object SparkEntry {
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "n66_shuffle_order" ->
+      // fnv64 -> fmix64 through the shared HUGEINT chain, masked to 62
+      // bits (signed/unsigned order agreement), shard = low 3 bits
+      // (power-of-two modulus), position = within-shard row_number
+      s"""WITH h0 AS (SELECT doc_id,
+         |    ${fnvSql("CAST(doc_id AS VARCHAR)")} AS x FROM documents),
+         |f1 AS (SELECT doc_id, xor(x, x >> 33) AS v1 FROM h0),
+         |f2 AS (SELECT doc_id, xor(v2, v2 >> 33) AS v3
+         |       FROM (SELECT doc_id, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+         |hk AS (SELECT doc_id,
+         |    CAST(xor(v4, v4 >> 33) & 4611686018427387903 AS BIGINT) AS hkey
+         |  FROM (SELECT doc_id, ${mulC("v3", c2, c2lo)} AS v4 FROM f2))
+         |SELECT doc_id, hkey % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hkey % 8
+         |    ORDER BY hkey, doc_id) AS BIGINT) AS pos
+         |FROM hk ORDER BY shard, pos""".stripMargin,
+
+    "n67_split_leakage" -> {
+      val t1 = graft.ops.Sampling.hexThreshold(0.8)
+      val t2 = graft.ops.Sampling.hexThreshold(0.9)
+      s"""WITH $plantedDocsCte,
+         |sp AS (SELECT doc_id, md5(text) AS dg,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t1' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t2' THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM pd),
+         |c AS (SELECT dg, split, count(*) AS n FROM sp GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.split AS split_a, b.split AS split_b, a.n * b.n AS pairs
+         |  FROM c a JOIN c b ON a.dg = b.dg AND a.split < b.split
+         |  UNION ALL
+         |  SELECT split, split, (n * (n - 1)) // 2 FROM c)
+         |SELECT split_a, split_b, CAST(sum(pairs) AS BIGINT) AS n_leaked_pairs
+         |FROM pairs GROUP BY 1, 2 HAVING sum(pairs) > 0
+         |ORDER BY split_a, split_b""".stripMargin
     },
 
     "n18_profile" -> {

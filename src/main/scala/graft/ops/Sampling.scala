@@ -317,4 +317,86 @@ object Sampling {
       }
     df.filter(cond)
   }
+
+  /** Deterministic "global shuffle" — the training-order permutation an
+    * LLM data loader needs, with NO global sort anywhere: the order key
+    * is `fmix64(fnv64(id))` masked to the low 62 bits (both engines
+    * then order the same non-negative values — the signed-vs-HUGEINT
+    * ordering trap), the shard is the key's low log2(`shards`) bits
+    * (power-of-two modulus, the engine-agreement rule), and the
+    * position is a row_number INSIDE the shard. (shard, pos) IS the
+    * training order — a loader walks shards round-robin or
+    * concatenated — so every window partition is corpus/`shards`-sized
+    * and `shards` scales with the cluster. The permutation is a
+    * function of the DATA (the id), not of partitioning or a seed
+    * plumbing detail: any rerun, any cluster, any engine deals the
+    * same order — what makes a training run resumable mid-epoch.
+    */
+  def shuffleOrder(docs: DataFrame, shards: Int = 64,
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftFunctions.fnv_mix64
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      "shards must be a power of 2 (unsigned/signed modulus agreement)")
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col(idCol))
+    docs.select(col(idCol),
+        fnv_mix64(col(idCol).cast("string"))
+          .bitwiseAND(lit(0x3fffffffffffffffL)).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Deterministic train/valid/test assignment: cumulative md5-prefix
+    * thresholds over the id ([[hexThreshold]]), so the split is a pure
+    * function of the DATA — stable across reruns, repartitioning, and
+    * engines, and any row's split can be recomputed in O(1) without
+    * the assignment table. `splits` are (label, fraction) in cascade
+    * order; fractions must sum to 1 and the last bucket is the
+    * else-branch (no threshold at 1.0, so the 'ffffffff' cap cannot
+    * drop rows). One CASE chain, zero shuffle.
+    */
+  def hashSplit(idCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val hx = substring(md5(idCol.cast("string")), 1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), els) =>
+        when(hx < lit(hexThreshold(c)), lit(name)).otherwise(els)
+    }
+  }
+
+  /** Split-leakage audit — counts duplicate-text pairs that land inside
+    * and ACROSS train/valid/test splits (a test-set document whose
+    * exact copy sits in train is memorized evaluation), without ever
+    * materializing a pair row: per-(digest, split) counts first (one
+    * corpus-sized shuffle, ids never collected), then pure count
+    * algebra on the digest-sized relation — n*(n-1)/2 pairs within a
+    * split, n_a*n_b across two. The self-join is digest-keyed over at
+    * most |splits| rows per digest, so a duplicate-heavy corpus (the
+    * case that matters) cannot blow up the way a pair-materializing
+    * design would — the same counts-not-pairs move as [[Sketch]]'s
+    * audits. Returns (split_a, split_b, n_leaked_pairs) with
+    * split_a <= split_b, zero-pair combinations omitted.
+    */
+  def splitLeakage(docs: DataFrame, split: Column,
+                   textCol: String = "text"): DataFrame = {
+    val c = docs.select(md5(col(textCol)).as("dg"), split.as("split"))
+      .groupBy("dg", "split").agg(count(lit(1)).as("n"))
+    val a = c.select(col("dg"), col("split").as("split_a"), col("n").as("na"))
+    val b = c.select(col("dg"), col("split").as("split_b"), col("n").as("nb"))
+    val cross = a.join(b, Seq("dg"))
+      .filter(col("split_a") < col("split_b"))
+      .select(col("split_a"), col("split_b"),
+        (col("na") * col("nb")).as("pairs"))
+    val same = c.select(col("split").as("split_a"), col("split").as("split_b"),
+      expr("(n * (n - 1)) div 2").as("pairs"))
+    cross.unionAll(same)
+      .groupBy("split_a", "split_b")
+      .agg(sum(col("pairs")).as("n_leaked_pairs"))
+      .filter(col("n_leaked_pairs") > 0)
+  }
 }

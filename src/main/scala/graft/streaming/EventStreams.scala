@@ -107,6 +107,31 @@ object EventStreams {
     * engine's arbitrary-state extension point (emits a session when the
     * user is idle past `gapMs`, using event-time timeouts).
     */
+  /** Batch sessionization — the bounded-input twin of [[sessionize]]:
+    * a user's event stream breaks into sessions at gaps strictly longer
+    * than `gapUs` micros. Two per-user windows (lag flags the break,
+    * a running sum numbers the session) + one grouped agg; every window
+    * partition is ONE user's events, so the shape is bounded by the
+    * busiest user, never the corpus, and all arithmetic is integer
+    * micros — the session assignment replays exactly on any engine.
+    * Returns (user_id, session_idx, n_events, start_us, end_us, dur_us).
+    */
+  def batchSessions(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev.withColumn("new_s",
+        when(coalesce(col("us") - lag(col("us"), 1).over(w),
+          lit(Long.MaxValue)) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

@@ -26,6 +26,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(win.agg(sum("n_events")).collect()(0).getLong(0) == 2 * ev.count())
   }
 
+  test("batchSessions: strict-gap boundary, numbering, and micros arithmetic") {
+    import spark.implicits._
+    // user 1: events at 0s, 1800s (gap EXACTLY the 30-min threshold —
+    // strictly-greater means same session), 3601s (1801s gap -> new
+    // session); user 2: one event. event_id breaks the us tie-order.
+    val ev = Seq(
+      (10L, 1L, 0L), (11L, 1L, 1800L), (12L, 1L, 3601L), (20L, 2L, 7L)
+    ).toDF("event_id", "user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = EventStreams.batchSessions(ev, gapUs = 1800000000L)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 0L, 1800000000L, 1800000000L),
+      (1L, 2L, 1L, 3601000000L, 3601000000L, 0L),
+      (2L, 1L, 1L, 7000000L, 7000000L, 0L)))
+  }
+
   test("session windows close after the gap (batch session_window)") {
     import spark.implicits._
     val ev = Seq(

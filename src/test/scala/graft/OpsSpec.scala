@@ -104,6 +104,79 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 6L -> 1L))
   }
 
+  test("shuffleOrder: data-keyed permutation, dense per-shard positions, layout-invariant") {
+    import spark.implicits._
+    val ids = (0L until 100L).toDF("doc_id")
+    val out = Sampling.shuffleOrder(ids, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a permutation: every id exactly once
+    assert(out.length == 100 && out.map(_._1).toSet == (0L until 100L).toSet)
+    // positions are dense 1..n inside every shard
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $sh")
+    }
+    // the deal actually mixes: at least one shard's id-by-position
+    // sequence is not ascending (a broken hash would degrade to
+    // insertion order)
+    assert(out.groupBy(_._2).values.exists { rows =>
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      byPos != byPos.sorted
+    })
+    // layout-invariance: the same permutation comes off a repartitioned
+    // input — the order is a function of the data, not the partitioning
+    val again = Sampling.shuffleOrder(ids.repartition(13), shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+    // non-power-of-two shards would break the unsigned-modulus
+    // agreement contract and must be rejected
+    intercept[IllegalArgumentException](Sampling.shuffleOrder(ids, shards = 3))
+  }
+
+  test("hashSplit covers all labels at plausible rates; splitLeakage equals brute force") {
+    import spark.implicits._
+    val split = Sampling.hashSplit(col("doc_id"),
+      Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25))
+    // rates over 1000 ids: binomial(1000, 0.5) is within [400, 600]
+    // except with probability < 1e-9
+    val counts = (0L until 1000L).toDF("doc_id").select(split.as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > 400L && counts("train") < 600L)
+    // leakage algebra vs brute-force pair enumeration on a dup-heavy
+    // corpus: texts with multiplicities 3, 2, 1
+    val d = Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val assigned = d.select(col("doc_id"), col("text"), split.as("sp")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val brute = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (i <- 0L to 5L; j <- (i + 1) to 5L if assigned(i)._1 == assigned(j)._1) {
+      val (x, y) = (assigned(i)._2, assigned(j)._2)
+      val key = if (x <= y) (x, y) else (y, x)
+      brute(key) = brute.getOrElse(key, 0L) + 1L
+    }
+    val got = Sampling.splitLeakage(d, split).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == brute.toMap)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(col("doc_id"), Seq("a" -> 0.5, "b" -> 0.1)))
+  }
+
+  test("pivot cells equal filtered counts; stack copies value bits") {
+    import spark.implicits._
+    val df = Seq(("p1", "F"), ("p1", "F"), ("p1", "O"), ("p2", "P"))
+      .toDF("prio", "st")
+    val piv = df.groupBy("prio").pivot("st", Seq("F", "O", "P")).agg(count(lit(1)))
+      .select(col("prio"), coalesce(col("F"), lit(0L)).as("f"),
+        coalesce(col("O"), lit(0L)).as("o"), coalesce(col("P"), lit(0L)).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(piv == Map("p1" -> ((2L, 1L, 0L)), "p2" -> ((0L, 0L, 1L))))
+    val un = Seq((1L, 2.5, 3.5)).toDF("k", "a", "b")
+      .selectExpr("k", "stack(2, 'a', a, 'b', b) AS (metric, value)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(un == Set((1L, "a", 2.5), (1L, "b", 3.5)))
+  }
+
   test("incremental dedup equals batch dedup restricted to the slice") {
     import spark.implicits._
     // existing corpus (already deduped, ids below the slice), incoming
