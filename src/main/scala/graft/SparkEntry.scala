@@ -1748,6 +1748,25 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
 
+    "n65_bm25_search" -> ((s, dir) => {
+      // BM25 top-10 retrieval for four fixed queries (one matches no
+      // corpus term and must vanish from the result — both engines
+      // drop it in the postings probe, not via special-casing)
+      import s.implicits._
+      val qs = Seq((1L, "spark join"), (2L, "window agg row"),
+        (3L, "stream batch data"), (4L, "quantum")).toDF("query_id", "qtext")
+      TextAnalysis.bm25Search(t(s, dir, "documents"), qs, k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    "n68_dsir_weights" -> ((s, dir) => {
+      // importance-resampling weights toward the English slice; the
+      // weight separates target-looking from non-target documents and
+      // every arithmetic step replays (integer counts, pinned ln fold)
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
     "n66_shuffle_order" -> ((s, dir) => {
       // deterministic training-order shuffle: hash order key + shard +
       // within-shard position, no global sort anywhere; 8 shards so
@@ -2655,6 +2674,75 @@ object SparkEntry {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'
          |ORDER BY doc_id""".stripMargin
     },
+
+    "n65_bm25_search" -> {
+      // constants rendered from the SAME Scala doubles the query
+      // multiplies by (dlit round-trips exactly); expression trees
+      // parenthesized identically to the Column tree in bm25Search
+      val k1 = dlit(1.2); val bb = dlit(0.75)
+      val k1p1 = dlit(1.2 + 1.0); val oneMinusB = dlit(1.0 - 0.75)
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  (CAST(1 AS BIGINT), 'spark join'),
+         |  (CAST(2 AS BIGINT), 'window agg row'),
+         |  (CAST(3 AS BIGINT), 'stream batch data'),
+         |  (CAST(4 AS BIGINT), 'quantum')),
+         |tok AS (SELECT doc_id,
+         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tok GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (SELECT DISTINCT query_id, term FROM (
+         |  SELECT query_id,
+         |    unnest(list_filter(string_split(qtext, ' '), w -> w <> '')) AS term
+         |  FROM q)),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT qt.query_id, tf.doc_id, qt.term,
+         |    ln((CAST(nd AS DOUBLE) - df + 0.5e0) / (df + 0.5e0) + 1e0) *
+         |    ((tf * $k1p1) / (tf + $k1 * ($oneMinusB + $bb * (dl / avgdl)))) AS s
+         |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+         |    JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |pd AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(s ORDER BY term)), (acc, x) -> acc + x) AS score
+         |  FROM sc GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |  n_terms, round(score, 6) AS score
+         |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "n68_dsir_weights" ->
+      // n51's bigram-code machinery: one-pass target+raw counts, ln of
+      // integer counts, bigram-ordered fold; the smoothing constant
+      // factors out as n_bigrams * (ln(tot_t+V) - ln(tot_r+V))
+      """WITH g AS (SELECT doc_id, text, lang,
+        |  unnest(generate_series(1, strlen(text) - 1)) AS pos
+        | FROM documents WHERE strlen(text) >= 2),
+        |g2 AS (SELECT doc_id, lang,
+        |  unicode(substr(text, pos, 1)) * 65536 + unicode(substr(text, pos + 1, 1)) AS bigram
+        | FROM g),
+        |dg AS (SELECT doc_id, lang, bigram, CAST(count(*) AS BIGINT) AS occ
+        |       FROM g2 GROUP BY 1, 2, 3),
+        |counts AS (SELECT bigram, CAST(sum(occ) AS BIGINT) AS cnt_r,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN occ ELSE 0 END) AS BIGINT) AS cnt_t
+        |  FROM dg GROUP BY bigram),
+        |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+        |    CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM counts),
+        |perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(occ * (ln(cnt_t + 1) - ln(cnt_r + 1)) ORDER BY bigram)),
+        |      (acc, x) -> acc + x) AS sum_ratio
+        |  FROM dg JOIN counts USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(sum_ratio - n_bigrams * (ln(tot_t + vocab) - ln(tot_r + vocab)), 6)
+        |    AS log_weight
+        |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
 
     "n66_shuffle_order" ->
       // fnv64 -> fmix64 through the shared HUGEINT chain, masked to 62

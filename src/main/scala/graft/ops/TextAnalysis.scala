@@ -575,6 +575,131 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
   }
 
+  /** BM25 ranked retrieval (Okapi BM25, Robertson et al.) — the search
+    * side of [[invertedIndex]]: score candidate documents for each
+    * query and return the top `k` by
+    * `idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` summed over the
+    * query's distinct terms, idf = ln((N-df+0.5)/(df+0.5) + 1).
+    *
+    * 100 TB shape: the distinct query-term set is tiny and broadcast,
+    * so the postings pass scans the corpus ONCE with the term filter
+    * pushed to the scan (a left-semi broadcast join on the exploded
+    * tokens) — tf, df, and every later relation are candidate-sized
+    * (docs containing a query term), never corpus-sized. Document
+    * length and the corpus constants (N, avgdl) come from one
+    * separate full-token agg — the stats a production index keeps as
+    * metadata. The per-query ranking is a row_number filter that plans
+    * WindowGroupLimit (per-partition top-k before the exchange), and
+    * there is no global sort anywhere.
+    *
+    * Cross-engine exactness: tf/df/dl/N are integers; avgdl is ONE
+    * division; the score is a fixed per-row expression tree (ln of an
+    * integer-derived ratio replays — the n51 convention), and the
+    * per-document sum folds term scores in TERM ORDER on both engines,
+    * so ranking ties cannot diverge. `queries` is (query_id, qtext).
+    */
+  def bm25Search(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    // full-corpus length stats (the metadata pass): dl per doc, then
+    // N and avgdl (one exact division) in a single row
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+      .select(col("nd"),
+        (col("sumdl").cast("double") / col("nd")).as("avgdl"))
+    // postings probe: distinct query terms broadcast against the token
+    // stream BEFORE any aggregation, so tf/df are candidate-sized
+    val qt = queries.select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val qterms = qt.select("term").distinct()
+    val tf = tok.join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // constants folded ONCE in Scala and reused verbatim by the oracle
+    // generator, so both engines multiply by bit-identical doubles
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val scored = qt.join(tf, Seq("term"))
+      .join(dfRel, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (log((col("nd").cast("double") - col("df") + lit(0.5)) /
+             (col("df") + lit(0.5)) + lit(1.0)) *
+         ((col("tf") * lit(k1p1)) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) +
+            lit(b) * (col("dl") / col("avgdl")))))).as("s"))
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("s")))),
+            x => x("s")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("n_terms"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document
+    * by how much likelier its feature profile is under a TARGET
+    * distribution than under the raw corpus —
+    * `log w(x) = Σ_f occ_f(x) * (ln p_t(f) - ln p_r(f))` with add-one
+    * smoothing, features being char-bigram codes ([[CharBigrams]], the
+    * dependency-free stand-in for DSIR's hashed word n-grams — same
+    * statistical shape). High weight = looks like the target; sampling
+    * proportional to w is importance resampling toward it.
+    *
+    * 100 TB shape: ONE corpus scan feeds a (doc, bigram) multiplicity
+    * agg; target and raw counts collapse out of the SAME relation in
+    * one char-vocab²-bounded shuffle (a `sum(when(target))` beside the
+    * plain sum — no second pass over the target slice); the smoothing
+    * totals are one metadata row. The scoring join brings the bounded
+    * counts relation back (AQE broadcast) and the per-document fold
+    * runs in BIGRAM-CODE order — the n51 sequential-fold convention —
+    * so ln-term addition order is pinned on both engines. All counts
+    * are integers; ln of integer-derived values replays; the constant
+    * smoothing term factors out of the fold as n_bigrams * const.
+    * Persisted counts stay in the session CacheManager — caller-owned
+    * lifecycle (Bench clearCache()s between runs).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val grams = docs.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), isTarget.as("__t"),
+        explode(char_bigrams(col("text"))).as("bigram"))
+    val dg = grams.groupBy("doc_id", "__t", "bigram")
+      .agg(count(lit(1)).as("occ"))
+    val counts = dg.groupBy("bigram").agg(
+        sum(col("occ")).as("cnt_r"),
+        sum(when(col("__t"), col("occ")).otherwise(0L)).as("cnt_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("cnt_r")).as("tot_r"),
+      sum(col("cnt_t")).as("tot_t"), count(lit(1)).as("vocab"))
+    dg.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(
+              struct(col("bigram"), col("occ"), col("cnt_t"), col("cnt_r")))),
+            x => x("occ") * (log(x("cnt_t") + lit(1L)) - log(x("cnt_r") + lit(1L)))),
+          lit(0.0), (acc, x) => acc + x).as("sum_ratio"))
+      .crossJoin(totals)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_ratio") - col("n_bigrams") *
+          (log(col("tot_t") + col("vocab")) - log(col("tot_r") + col("vocab"))),
+          6).as("log_weight"))
+  }
+
   // PII patterns — RE2-compatible (no lookaround/backrefs) so the exact
   // same regexes run in Spark (Java regex) and the DuckDB oracle (RE2)
   private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -162,6 +162,67 @@ class OpsSpec extends SparkSpec {
       Sampling.hashSplit(col("doc_id"), Seq("a" -> 0.5, "b" -> 0.1)))
   }
 
+  test("bm25Search: formula replay, tf/idf ordering, top-k plan") {
+    import spark.implicits._
+    // corpus engineered so the interesting comparisons are forced:
+    // docs 1/2 share length; 1 has the query term twice (higher tf
+    // wins); 'rare' appears in one doc, 'common' in three (idf orders
+    // them); doc 4 is longer, so its tf=1 scores under doc 2's tf=1
+    val corpus = Seq(
+      (1L, "rare rare pad1 pad2"),
+      (2L, "rare padA padB padC"),
+      (3L, "common x1 x2 x3"),
+      (4L, "common y1 y2 y3 y4 y5 y6 y7"),
+      (5L, "common z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare"), (2L, "common"), (3L, "rare common"), (4L, "absent"))
+      .toDF("query_id", "qtext")
+    val res = TextAnalysis.bm25Search(corpus, qs, k = 2)
+    assert(res.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // query 1: doc 1 (tf=2) above doc 2 (tf=1), k=2 caps the list
+    assert(rows((1L, 1L))._1 == 1L && rows((1L, 2L))._1 == 2L)
+    // query 4 matches nothing and is absent entirely
+    assert(!rows.keySet.exists { case (q, _) => q == 4L })
+    // driver-side replay of the exact formula for (query 1, doc 1):
+    // N=5, avgdl=24/5, df(rare)=2, tf=2, dl=4
+    val n = 5.0; val avgdl = 24.0 / 5
+    val idf = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val s11 = idf * ((2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (4 / avgdl))))
+    assert(rows((1L, 1L))._3 == math.rint(s11 * 1e6) / 1e6 ||
+      math.abs(rows((1L, 1L))._3 - s11) < 1e-6)
+    // rarer term outscores the common one at equal tf and dl: query 3
+    // ranks doc 1 (rare, tf=2) first, and among tf=1 docs the shorter
+    // ones win — doc 4 (dl=8) is NOT in query 2's top-2
+    assert(rows((3L, 1L))._1 == 1L)
+    assert(!rows.contains((2L, 4L)) || rows((2L, 4L))._1 > 2L)
+    // n_terms counts matched distinct terms
+    assert(rows((3L, 1L))._2 == 1L) // doc 1 has only 'rare'
+  }
+
+  test("dsirWeights: content-determined weight, target separation, exact replay") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "ab", true), (2L, "cd", false), (3L, "ab", false)
+    ).toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.dsirWeights(d, col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // counts: 'ab' cnt_r=2 cnt_t=1; 'cd' cnt_r=1 cnt_t=0;
+    // tot_r=3 tot_t=1 vocab=2
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val const = math.log(1.0 + 2) - math.log(3.0 + 2)
+    val w1 = r6((math.log(2.0) - math.log(3.0)) - 1 * const)
+    val w2 = r6((math.log(1.0) - math.log(2.0)) - 1 * const)
+    assert(got(1L) == ((1L, w1)) && got(2L) == ((1L, w2)))
+    // the weight is a function of CONTENT only — doc 3 (same text as
+    // doc 1, not in the target) gets the identical weight
+    assert(got(3L) == got(1L))
+    // target-looking content weighs more than non-target content
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("pivot cells equal filtered counts; stack copies value bits") {
     import spark.implicits._
     val df = Seq(("p1", "F"), ("p1", "F"), ("p1", "O"), ("p2", "P"))
