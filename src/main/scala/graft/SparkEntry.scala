@@ -116,6 +116,42 @@ object SparkEntry {
       | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
       |FROM perdoc, tot""".stripMargin
 
+  /** BM25 oracle CTE chain ending in `pd(query_id, doc_id, n_terms,
+    * score)` — shared by n65 (direct search) and n69 (hybrid fusion).
+    * Constants are rendered from the SAME Scala doubles bm25Search
+    * multiplies by (dlit round-trips exactly) and every expression
+    * tree is parenthesized identically to the Column tree.
+    */
+  private def bm25Ctes(valuesSql: String): String = {
+    val k1 = dlit(1.2); val bb = dlit(0.75)
+    val k1p1 = dlit(1.2 + 1.0); val oneMinusB = dlit(1.0 - 0.75)
+    s"""q(query_id, qtext) AS (VALUES
+       |  $valuesSql),
+       |tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |       FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |  SELECT query_id,
+       |    unnest(list_filter(string_split(qtext, ' '), w -> w <> '')) AS term
+       |  FROM q)),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT qt.query_id, tf.doc_id, qt.term,
+       |    ln((CAST(nd AS DOUBLE) - df + 0.5e0) / (df + 0.5e0) + 1e0) *
+       |    ((tf * $k1p1) / (tf + $k1 * ($oneMinusB + $bb * (dl / avgdl)))) AS s
+       |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+       |    JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       |pd AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(s ORDER BY term)), (acc, x) -> acc + x) AS score
+       |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
+  }
+
   // ---- constants shared by Spark queries and oracle SQL ---------------
   private val xa = SyntheticGrid.meta.xAxis.get
   private val ya = SyntheticGrid.meta.yAxis.get
@@ -533,6 +569,21 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).as("st_o"),
           coalesce(col("P"), lit(0L)).as("st_p"))
         .orderBy("o_orderpriority")
+    }),
+
+    "q33_cube" -> ((s, dir) => {
+      // CUBE surface — the third grouping operator beside rollup (q15)
+      // and grouping sets (q22). Quantities are integral doubles in
+      // the fixture; summed as longs so the 2^d grouping combinations
+      // stay partition-invariant (count is exact anyway)
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
     }),
 
     "q32_unpivot" -> ((s, dir) => {
@@ -1759,6 +1810,27 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n69_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-20 and exact-cosine top-20 fused by
+      // reciprocal-rank fusion. The fixture aligns vec_id with doc_id,
+      // so query i = (text query i, embedding of vector i); both
+      // retrievers' candidate lists are metadata-sized before fusion
+      import s.implicits._
+      val qs = Seq((1L, "spark join"), (2L, "window agg row"))
+        .toDF("query_id", "qtext")
+      val text = TextAnalysis.bm25Search(t(s, dir, "documents"), qs, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L)), 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(text, vec, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk"),
+          col("rank_a").as("rank_text"), col("rank_b").as("rank_vec"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n68_dsir_weights" -> ((s, dir) => {
       // importance-resampling weights toward the English slice; the
       // weight separates target-looking from non-target documents and
@@ -2675,46 +2747,55 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "n65_bm25_search" -> {
-      // constants rendered from the SAME Scala doubles the query
-      // multiplies by (dlit round-trips exactly); expression trees
-      // parenthesized identically to the Column tree in bm25Search
-      val k1 = dlit(1.2); val bb = dlit(0.75)
-      val k1p1 = dlit(1.2 + 1.0); val oneMinusB = dlit(1.0 - 0.75)
-      s"""WITH q(query_id, qtext) AS (VALUES
-         |  (CAST(1 AS BIGINT), 'spark join'),
-         |  (CAST(2 AS BIGINT), 'window agg row'),
-         |  (CAST(3 AS BIGINT), 'stream batch data'),
-         |  (CAST(4 AS BIGINT), 'quantum')),
-         |tok AS (SELECT doc_id,
-         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
-         |  FROM documents),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-         |       FROM tok GROUP BY doc_id),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |qt AS (SELECT DISTINCT query_id, term FROM (
-         |  SELECT query_id,
-         |    unnest(list_filter(string_split(qtext, ' '), w -> w <> '')) AS term
-         |  FROM q)),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
-         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT qt.query_id, tf.doc_id, qt.term,
-         |    ln((CAST(nd AS DOUBLE) - df + 0.5e0) / (df + 0.5e0) + 1e0) *
-         |    ((tf * $k1p1) / (tf + $k1 * ($oneMinusB + $bb * (dl / avgdl)))) AS s
-         |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
-         |    JOIN dl ON tf.doc_id = dl.doc_id, stats),
-         |pd AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list(s ORDER BY term)), (acc, x) -> acc + x) AS score
-         |  FROM sc GROUP BY query_id, doc_id)
+    "n65_bm25_search" ->
+      s"""WITH ${bm25Ctes(
+           """(CAST(1 AS BIGINT), 'spark join'),
+             |  (CAST(2 AS BIGINT), 'window agg row'),
+             |  (CAST(3 AS BIGINT), 'stream batch data'),
+             |  (CAST(4 AS BIGINT), 'quantum')""".stripMargin)}
          |SELECT query_id, doc_id,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
          |  n_terms, round(score, 6) AS score
-         |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    },
+         |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "q33_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "n69_hybrid_rrf" ->
+      // BM25 CTEs (shared generator, k=20 cut) + the n08 cosine-rank
+      // replay + RRF: one division per present rank, fixed two-term
+      // sum order, USING-join coalesced keys
+      s"""WITH ${bm25Ctes(
+           """(CAST(1 AS BIGINT), 'spark join'),
+             |  (CAST(2 AS BIGINT), 'window agg row')""".stripMargin)},
+         |ttop AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rt
+         |  FROM pd QUALIFY rt <= 20),
+         |vq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+         |       FROM embeddings WHERE vec_id IN (1, 2)),
+         |vs AS (SELECT q.query_id, e.vec_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC,
+         |        e.vec_id) AS BIGINT) AS rv
+         |  FROM embeddings e, vq q WHERE e.vec_id <> q.query_id),
+         |vtop AS (SELECT query_id, doc_id, rv FROM vs WHERE rv <= 20),
+         |f AS (SELECT query_id, doc_id,
+         |    coalesce(1e0 / (60 + rt), 0e0) + coalesce(1e0 / (60 + rv), 0e0) AS rrf,
+         |    CAST(coalesce(rt, 0) AS BIGINT) AS rank_text,
+         |    CAST(coalesce(rv, 0) AS BIGINT) AS rank_vec
+         |  FROM ttop FULL OUTER JOIN vtop USING (query_id, doc_id))
+         |SELECT query_id, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+         |  rank_text, rank_vec, round(rrf, 6) AS rrf
+         |FROM f QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "n68_dsir_weights" ->
       // n51's bigram-code machinery: one-pass target+raw counts, ln of

@@ -61,6 +61,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * merge a lexical (BM25) and a vector (ANN) ranking into one hybrid
+    * result: `rrf = Σ_systems 1/(rrfK + rank)`, documents missing from
+    * a system contribute 0. Inputs are two (query_id, doc_id, rank)
+    * relations (rank = long, 1-based).
+    *
+    * 100 TB shape: both inputs are already top-k lists — queries × k
+    * rows, metadata-sized — so the full-outer merge and the re-ranking
+    * window are bounded by 2k rows per query regardless of corpus
+    * size; the heavy lifting stayed in the upstream retrievers. Fusion
+    * arithmetic replays exactly: ranks are integers, each term is ONE
+    * double division, and the two-term sum has a fixed order — no
+    * rounding convention needed before the final display rounding.
+    * Rank ties across systems (1/(K+r) equal for equal r) break to the
+    * lowest doc_id, deterministically.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10,
+              rrfK: Long = 60L): DataFrame = {
+    require(k >= 1 && rrfK >= 1L)
+    val an = a.select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank_a"))
+    val bn = b.select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank_b"))
+    val fused = an.join(bn, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0))).as("rrf"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact all-pairs cosine similarity above `threshold` — the O(n²)
     * exactness baseline that the LSH path ([[Dedup.embeddingNearDups]])
     * approximates. Broadcast self-join: only valid for corpora (or

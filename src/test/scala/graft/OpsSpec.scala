@@ -223,6 +223,43 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("rrfFuse: both-systems doc outranks one-system docs, exact arithmetic, k cap") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 1 in BOTH systems; doc 11 text-only rank
+    // 2; doc 12 vector-only rank 2; doc 13 text-only rank 3
+    val text = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(text, vec, k = 3).collect()
+      .map(r => r.getLong(5) -> ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc 10: 1/61 + 1/61; docs 11 and 12: 1/62 each — the tie breaks
+    // to the lower doc_id; doc 13 (1/63) is cut by k=3
+    assert(got(1L)._1 == 10L && got(1L)._2 == 1.0 / 61 + 1.0 / 61)
+    assert(got(2L)._1 == 11L && got(2L)._2 == 1.0 / 62)
+    assert(got(3L)._1 == 12L && got(3L)._2 == 1.0 / 62)
+    assert(got.size == 3)
+    // absent-system ranks surface as 0 (doc 11 has no vector rank)
+    assert(got(2L)._3 == 2L && got(2L)._4 == 0L)
+  }
+
+  test("cube emits all four grouping combinations consistently") {
+    import spark.implicits._
+    val df = Seq(("A", "x", 1L), ("A", "y", 2L), ("B", "x", 4L))
+      .toDF("g1", "g2", "v")
+    val got = df.cube("g1", "g2").agg(sum("v").as("s"))
+      .select(coalesce(col("g1"), lit("ALL")).as("g1"),
+        coalesce(col("g2"), lit("ALL")).as("g2"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("ALL", "ALL")) == 7L)                       // grand total
+    assert(got(("A", "ALL")) == 3L && got(("B", "ALL")) == 4L)
+    assert(got(("ALL", "x")) == 5L && got(("ALL", "y")) == 2L)
+    assert(got(("A", "x")) == 1L && got(("A", "y")) == 2L && got(("B", "x")) == 4L)
+    // 3 detail + 2 g1-totals + 2 g2-totals + 1 grand total
+    assert(got.size == 8)
+  }
+
   test("pivot cells equal filtered counts; stack copies value bits") {
     import spark.implicits._
     val df = Seq(("p1", "F"), ("p1", "F"), ("p1", "O"), ("p2", "P"))
