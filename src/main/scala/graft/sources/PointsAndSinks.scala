@@ -52,6 +52,46 @@ object TableSink {
   }
 }
 
+/** JSONL document ingest — the format web-scale text corpora actually
+  * arrive in (one JSON object per line, frequently with malformed
+  * lines from truncated uploads or encoding damage). Reads with an
+  * explicit schema — NO schema inference pass, which at 100 TB is a
+  * full extra scan — in PERMISSIVE mode, so a corrupt line becomes a
+  * row with nulls and its raw text captured in the corrupt-record
+  * column instead of killing the job. Ingest is splittable (JSONL is
+  * line-delimited, so executors read byte ranges independently) and
+  * the audit is a plain count, not a driver-side scan.
+  */
+object JsonlDocs {
+
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  /** Read a JSONL corpus: (docs with a null `_corrupt_record`,
+    * corrupt-line count). Rows that parse but miss fields keep nulls —
+    * schema drift is visible, not fatal.
+    */
+  def read(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // corrupt-record column demands caching the parsed rows
+    val corrupt = raw.filter(col("_corrupt_record").isNotNull).count()
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"), corrupt)
+  }
+
+  /** Write a DataFrame as JSONL (Spark's json sink IS line-delimited). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
+
 /** Dependency-free minimal XLSX writer: an .xlsx file is a ZIP of five
   * small XML parts; `java.util.zip` + inline strings (no sharedStrings
   * table) produce a spec-valid single-sheet workbook. Numeric columns

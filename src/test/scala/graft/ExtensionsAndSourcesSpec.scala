@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TimeParse, Udafs}
-import graft.sources.{PointSource, SourceRegistry, TableSink}
+import graft.sources.{JsonlDocs, PointSource, SourceRegistry, TableSink}
 
 class ExtensionsAndSourcesSpec extends SparkSpec {
 
@@ -112,6 +112,30 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     val p2 = PointSource.collectPoints(
       PointSource.fromCsv(spark, f2.toString, idCol = Some("site")))
     assert(p2.head._1 == "gageA")
+  }
+
+  test("JSONL ingest: explicit schema, corrupt-line audit, drift visibility, round-trip") {
+    val dir = Files.createTempDirectory("jsonl")
+    val f = dir.resolve("docs.jsonl")
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "beta", "lang": "de", "source": "web"}
+        |{"doc_id": 3, "text": "gamma"
+        |not json at all
+        |{"doc_id": 4, "lang": "fr", "source": "web"}
+        |""".stripMargin)
+    val (docs, corrupt) = JsonlDocs.read(spark, f.toString)
+    // 2 truncated/garbage lines audited, 3 parsed rows survive
+    assert(corrupt == 2L)
+    val byId = docs.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(1L, 2L, 4L))
+    assert(byId(1L).getString(1) == "alpha")
+    // schema drift: row 4 has no text — null, visible, not fatal
+    assert(byId(4L).isNullAt(1) && byId(4L).getString(2) == "fr")
+    // round-trip: write the survivors, read them back identically
+    JsonlDocs.write(docs, s"$dir/out")
+    val (back, c2) = JsonlDocs.read(spark, s"$dir/out")
+    assert(c2 == 0L && back.count() == 3L)
   }
 
   test("table sink dispatches by suffix; xlsx writes a valid OOXML workbook") {
