@@ -129,6 +129,71 @@ object TextAnalysis {
         col("pair").bitwiseAND(65535).as("right_code"), col("pair_count"))
   }
 
+  /** Full BPE tokenizer training — the driver loop over the
+    * distributed pair-count primitive ([[bpePairCounts]] is its first
+    * iteration over char pairs): repeat numMerges times { count
+    * adjacent symbol pairs weighted by word frequency; adopt the most
+    * frequent pair as a merge; re-segment }. Ties break
+    * (count desc, left, right) so training is deterministic.
+    *
+    * Scale shape (the dupClusters iteration pattern): the ONLY
+    * corpus-sized shuffle is the word-count agg, once — every
+    * iteration then works on the VOCABULARY-sized (word, wcount, syms)
+    * relation; the per-iteration "collect" is the argmax pair (ONE
+    * row — cap-before-collect trivially); and each re-segmentation is
+    * eagerly checkpointed so iteration N carries one materialized
+    * relation, not N layers of fold lineage (reliable checkpoint when
+    * the session has a checkpoint dir, localCheckpoint fallback —
+    * same policy as dupClusters). Merging applies greedily
+    * left-to-right inside an `aggregate` fold over the symbol array —
+    * per-row, no shuffle.
+    *
+    * Returns (merge list (left, right, count) in adoption order, final
+    * (word, wcount, syms) segmentation). The caller owns the returned
+    * DataFrame's checkpoint/cache lifecycle.
+    */
+  def bpeTrain(docs: DataFrame,
+               numMerges: Int): (Seq[(String, String, Long)], DataFrame) = {
+    require(numMerges >= 1 && numMerges <= 65536)
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    def applyMerge(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+    var cur = ckpt(docs
+      .select(explode(filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .withColumn("syms",
+        filter(split(col("word"), ""), s => s =!= lit(""))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      val top = cur
+        .select(explode(when(size(col("syms")) >= 2,
+            transform(sequence(lit(0), size(col("syms")) - 2),
+              i => struct(element_at(col("syms"), i + 1).as("l"),
+                element_at(col("syms"), i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"),
+          col("wcount"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wcount")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, c))
+        cur = ckpt(cur.withColumn("syms", applyMerge(col("syms"), l, r)))
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
   /** Document fingerprints: md5 (cross-engine verifiable) + the rolling
     * polynomial hash (native expression), both over whitespace-normalized
     * lowercase text.

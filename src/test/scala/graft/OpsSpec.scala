@@ -223,6 +223,25 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("bpeTrain: hand-traced merges, greedy left-to-right re-segmentation, exhaustion") {
+    import spark.implicits._
+    // corpus: 'ab' x3 + 'abc' x1. pair counts: (a,b)=4, (b,c)=1 ->
+    // merge 1 = (a,b,4); then 'ab'=[ab], 'abc'=[ab,c] -> merge 2 =
+    // (ab,c,1); afterwards no pairs remain anywhere
+    val d = Seq("ab ab ab abc").toDF("text")
+    val (merges, seg) = TextAnalysis.bpeTrain(d, numMerges = 5)
+    assert(merges == Seq(("a", "b", 4L), ("ab", "c", 1L)))
+    val bySeg = seg.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(bySeg == Map("ab" -> List("ab"), "abc" -> List("abc")))
+    // greedy non-overlap: merging (a,a) over 'aaa' gives [aa, a], so
+    // the next merge is (aa, a) — the canonical BPE trace
+    val d2 = Seq("aaa aaa").toDF("text")
+    val (m2, seg2) = TextAnalysis.bpeTrain(d2, numMerges = 2)
+    assert(m2 == Seq(("a", "a", 4L), ("aa", "a", 2L)))
+    assert(seg2.collect().map(_.getSeq[String](2).toList).toSeq == Seq(List("aaa")))
+  }
+
   test("rrfFuse: both-systems doc outranks one-system docs, exact arithmetic, k cap") {
     import spark.implicits._
     // query 1: doc 10 is rank 1 in BOTH systems; doc 11 text-only rank
