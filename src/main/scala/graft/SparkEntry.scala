@@ -1810,6 +1810,21 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n70_feature_scaling" -> ((s, dir) => {
+      // per-group z-score + min-max normalization with integer-exact
+      // moments (closed-form variance from long sums — partition-
+      // invariant, so the group stats replay bit-for-bit)
+      graft.ops.Profile.scaleFeatures(t(s, dir, "lineitem"),
+          "l_quantity", "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
+          col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+          round(col("z"), 6).as("z"), round(col("mm"), 6).as("mm"))
+        // (orderkey, lineno) is NOT unique in the fixture; the sort
+        // covers every determining column so row order is total (rows
+        // tied on all keys are identical in all emitted columns)
+        .orderBy("l_orderkey", "lineno", "l_returnflag", "qty")
+    }),
+
     "n69_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 top-20 and exact-cosine top-20 fused by
       // reciprocal-rank fusion. The fixture aligns vec_id with doc_id,
@@ -2766,6 +2781,25 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "n70_feature_scaling" ->
+      // moments in HUGEINT == Spark's longs (all fit 63 bits); mean,
+      // z, mm written in the same expression-tree order as
+      // scaleFeatures; degenerate groups -> NULL on both engines
+      """WITH v AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+        |    l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |st AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qty) AS BIGINT) AS s, CAST(sum(qty * qty) AS BIGINT) AS sq,
+        |    min(qty) AS mn, max(qty) AS mx
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT l_orderkey, lineno, l_returnflag, qty,
+        |  round(CASE WHEN n * sq - s * s > 0 THEN
+        |    (CAST(qty AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+        |    sqrt(CAST(n * sq - s * s AS DOUBLE) / (n * n)) END, 6) AS z,
+        |  round(CASE WHEN mx > mn THEN
+        |    CAST(qty - mn AS DOUBLE) / (mx - mn) END, 6) AS mm
+        |FROM v JOIN st USING (l_returnflag)
+        |ORDER BY l_orderkey, lineno, l_returnflag, qty""".stripMargin,
 
     "n69_hybrid_rrf" ->
       // BM25 CTEs (shared generator, k=20 cut) + the n08 cosine-rank

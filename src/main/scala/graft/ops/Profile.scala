@@ -33,4 +33,42 @@ object Profile {
       .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
       .orderBy("column")
   }
+
+  /** Per-group feature scaling — the normalization pass before numeric
+    * features feed a model: z-score and min-max, with the moments
+    * accumulated as INTEGERS (the value is long-cast first), so the
+    * group statistics are partition-invariant and replay exactly —
+    * variance comes from the closed form (n*Σx² - (Σx)²) / n², never
+    * from a streaming float accumulation whose fold order differs per
+    * partitioning. One grouped agg (groups-sized) joined back in one
+    * pass (AQE broadcasts it); z and mm are then per-row expressions:
+    * one subtraction, one division, one sqrt — the engine-exact chain.
+    * Degenerate groups (zero variance / zero range) yield null rather
+    * than a division artifact. Long overflow bound: n * Σx² must fit
+    * 63 bits — at |x| ≤ 2^15 that is ~2^33 rows per group; larger
+    * magnitudes should be pre-scaled (this is a feature-scaling pass,
+    * not a ledger).
+    */
+  def scaleFeatures(df: DataFrame, valueCol: String,
+                    groupCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val stats = df.select(col(groupCol), v.as("__v"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__sq"),
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val varNum = (col("__n") * col("__sq") - col("__s") * col("__s"))
+    df.join(stats, Seq(groupCol))
+      .withColumn("__mean", col("__s").cast("double") / col("__n"))
+      .withColumn("z",
+        when(varNum > 0L,
+          (v.cast("double") - col("__mean")) /
+            sqrt(varNum.cast("double") / (col("__n") * col("__n"))))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("mm",
+        when(col("__mx") > col("__mn"),
+          (v - col("__mn")).cast("double") / (col("__mx") - col("__mn")))
+          .otherwise(lit(null).cast("double")))
+      .drop("__n", "__s", "__sq", "__mn", "__mx", "__mean")
+  }
 }

@@ -223,6 +223,28 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("scaleFeatures: closed-form moments, degenerate-group nulls, partition invariance") {
+    import spark.implicits._
+    val d = Seq(("A", 1L, 1), ("A", 3L, 2), ("B", 5L, 3), ("B", 5L, 4))
+      .toDF("g", "v", "id")
+    // group A: mean 2, var (2*10-16)/4 = 1 -> z = ±1, mm = 0/1;
+    // group B: zero variance and zero range -> both null
+    val got = Profile.scaleFeatures(d, "v", "g").collect()
+      .map(r => r.getAs[Int]("id") ->
+        ((Option(r.getAs[java.lang.Double]("z")), Option(r.getAs[java.lang.Double]("mm")))))
+      .toMap
+    assert(got(1) == ((Some(-1.0), Some(0.0))))
+    assert(got(2) == ((Some(1.0), Some(1.0))))
+    assert(got(3) == ((None, None)) && got(4) == ((None, None)))
+    // moments are integer closed forms — a different partitioning
+    // produces bit-identical results
+    val again = Profile.scaleFeatures(d.repartition(7), "v", "g").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[java.lang.Double]("z"), r.getAs[java.lang.Double]("mm"))).toSet
+    val first = Profile.scaleFeatures(d, "v", "g").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[java.lang.Double]("z"), r.getAs[java.lang.Double]("mm"))).toSet
+    assert(again == first)
+  }
+
   test("bpeTrain: hand-traced merges, greedy left-to-right re-segmentation, exhaustion") {
     import spark.implicits._
     // corpus: 'ab' x3 + 'abc' x1. pair counts: (a,b)=4, (b,c)=1 ->
