@@ -571,6 +571,22 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q34_scalar_subquery" -> ((s, dir) => {
+      // correlated scalar subquery surface: each order's price as a
+      // share of its customer's biggest order. Catalyst de-correlates
+      // to an aggregate + equi-join (no per-row re-execution — the
+      // rewrite is what makes the surface usable at scale); max()
+      // returns an input bit-for-bit, so the share division replays
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_custkey,
+              |  round(o_totalprice / (SELECT max(o2.o_totalprice)
+              |                        FROM orders o2
+              |                        WHERE o2.o_custkey = o.o_custkey), 6)
+              |    AS price_share
+              |FROM orders o
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q33_cube" -> ((s, dir) => {
       // CUBE surface — the third grouping operator beside rollup (q15)
       // and grouping sets (q22). Quantities are integral doubles in
@@ -2773,6 +2789,15 @@ object SparkEntry {
          |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
          |  n_terms, round(score, 6) AS score
          |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "q34_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice / (SELECT max(o2.o_totalprice)
+        |                        FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey), 6)
+        |    AS price_share
+        |FROM orders o
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q33_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

@@ -178,7 +178,11 @@ class OpsSpec extends SparkSpec {
     val qs = Seq((1L, "rare"), (2L, "common"), (3L, "rare common"), (4L, "absent"))
       .toDF("query_id", "qtext")
     val res = TextAnalysis.bm25Search(corpus, qs, k = 2)
-    assert(res.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    // the postings probe is a broadcast left-semi on the query terms —
+    // the term filter must run BEFORE any corpus aggregation
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
     val rows = res.collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3), r.getDouble(4))))
       .toMap

@@ -284,4 +284,38 @@ class PropertySpec extends SparkSpec {
       assert(keptRepart == kept.map(_._2).toSet)
     }
   }
+
+  test("rrf symmetry law: fuse(a,b) == fuse(b,a) with system columns swapped") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 13L, 3L), (2L, 20L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 1L), (1L, 12L, 2L), (2L, 21L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    def key(df: org.apache.spark.sql.DataFrame, swap: Boolean) = df.collect()
+      .map { r =>
+        val (ra, rb) = (r.getLong(3), r.getLong(4))
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(5),
+          if (swap) (rb, ra) else (ra, rb))
+      }.toSet
+    assert(key(graft.ops.Similarity.rrfFuse(a, b, 5), swap = false) ==
+      key(graft.ops.Similarity.rrfFuse(b, a, 5), swap = true))
+  }
+
+  test("shuffleOrder shards=1 law: positions are the global hash-order permutation") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val one = graft.ops.Sampling.shuffleOrder(ids, shards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.map(_._2).toSet == Set(0L))            // single shard
+    assert(one.map(_._3).sorted.toSeq == (1L to 64L)) // dense global positions
+    // sharding only partitions that same hash order: within any shard
+    // of an 8-way deal, relative order of ids matches the 1-shard deal
+    val pos1 = one.map(t => t._1 -> t._3).toMap
+    graft.ops.Sampling.shuffleOrder(ids, shards = 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).values.foreach { rows =>
+        val byPos = rows.sortBy(_._2).map(_._3)
+        assert(byPos.map(pos1).sorted.toSeq == byPos.map(pos1).toSeq)
+      }
+  }
 }
