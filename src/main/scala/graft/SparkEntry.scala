@@ -1826,6 +1826,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n71_data_card" -> ((s, dir) => {
+      // release datasheet over the planted corpus (the dup section is
+      // non-vacuous only with the planted copies: 6 duplicate docs)
+      graft.ops.Profile.dataCard(plantedDocs(s, dir))
+        .orderBy("section", "key")
+    }),
+
     "n70_feature_scaling" -> ((s, dir) => {
       // per-group z-score + min-max normalization with integer-exact
       // moments (closed-form variance from long sums — partition-
@@ -2806,6 +2813,33 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "n71_data_card" ->
+      // section-wise UNION ALL over one slim projection; token counts
+      // via the n03 CASE, dup mass over md5 digests, median via the
+      // q21 quantile_cont replay; every value exact in DOUBLE
+      """WITH pd AS (
+        | SELECT doc_id, text, lang FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000 AS doc_id, text, lang
+        | FROM documents WHERE doc_id < 3),
+        |b AS (SELECT doc_id, lang, md5(text) AS dg,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tk
+        | FROM pd)
+        |SELECT * FROM (
+        | SELECT 'corpus' AS section, 'n_docs' AS key,
+        |   CAST(count(*) AS DOUBLE) AS value FROM b
+        | UNION ALL
+        | SELECT 'corpus', 'n_tokens', CAST(sum(tk) AS DOUBLE) FROM b
+        | UNION ALL
+        | SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM b GROUP BY lang
+        | UNION ALL
+        | SELECT 'dup', 'n_dup_docs', CAST(coalesce(sum(n), 0) AS DOUBLE)
+        | FROM (SELECT count(*) AS n FROM b GROUP BY dg HAVING count(*) > 1)
+        | UNION ALL
+        | SELECT 'quality', 'p50_tokens', round(quantile_cont(tk, 0.5), 6) FROM b)
+        |ORDER BY section, key""".stripMargin,
 
     "n70_feature_scaling" ->
       // moments in HUGEINT == Spark's longs (all fit 63 bits); mean,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operator: per-column quality stats for pipeline
@@ -32,6 +32,42 @@ object Profile {
     wide.select(explode(array(entries: _*)).as("p"))
       .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
       .orderBy("column")
+  }
+
+  /** Corpus data card — the one-call observability summary a dataset
+    * release ships with (Gebru et al., "Datasheets for Datasets"):
+    * corpus counts, language mix, exact-duplicate mass, and token-length
+    * quantiles as one tall (section, key, value) relation.
+    *
+    * 100 TB shape: the input projects once to a slim text-free relation
+    * (id, lang, digest, token count) that is persisted and fanned into
+    * four section aggregates — each a combinable one-shuffle agg
+    * (corpus totals, lang-sized group counts, digest-sized dup groups,
+    * a quantile over the token-count column). No section rescans the
+    * text. All values land in DOUBLE (counts are < 2^53 — exact);
+    * persisted projection follows the caller-owned cache lifecycle.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val slim = docs.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("dg"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sec(section: String, key: String, value: Column): DataFrame => DataFrame =
+      df => df.select(lit(section).as("section"), lit(key).as("key"), value.as("value"))
+    val nDocs = sec("corpus", "n_docs", col("v"))(
+      slim.agg(count(lit(1)).cast("double").as("v")))
+    val nTokens = sec("corpus", "n_tokens", col("v"))(
+      slim.agg(sum(col("tk")).cast("double").as("v")))
+    val langs = slim.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("lang").as("section"), col("lang").as("key"), col("value"))
+    val dupMass = sec("dup", "n_dup_docs", col("v"))(
+      slim.groupBy(col("dg")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).cast("double").as("v")))
+    val p50 = sec("quality", "p50_tokens", round(col("v"), 6))(
+      slim.agg(percentile(col("tk"), lit(0.5)).as("v")))
+    nDocs.unionAll(nTokens).unionAll(langs).unionAll(dupMass).unionAll(p50)
   }
 
   /** Per-group feature scaling — the normalization pass before numeric

@@ -227,6 +227,21 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("dataCard: every section hand-checked on the known corpus") {
+    val card = Profile.dataCard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(card(("corpus", "n_docs")) == 6.0)
+    // token counts: 9+9+9+9+6+0
+    assert(card(("corpus", "n_tokens")) == 42.0)
+    assert(card(("lang", "en")) == 5.0 && card(("lang", "de")) == 1.0)
+    // docs 1 and 2 are exact copies -> 2 docs sit in dup groups
+    assert(card(("dup", "n_dup_docs")) == 2.0)
+    // median of [0, 6, 9, 9, 9, 9]
+    assert(card(("quality", "p50_tokens")) == 9.0)
+    // 2 corpus + 2 lang + 1 dup + 1 quality
+    assert(card.size == 6)
+  }
+
   test("scaleFeatures: closed-form moments, degenerate-group nulls, partition invariance") {
     import spark.implicits._
     val d = Seq(("A", 1L, 1), ("A", 3L, 2), ("B", 5L, 3), ("B", 5L, 4))
