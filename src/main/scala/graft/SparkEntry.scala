@@ -1490,6 +1490,17 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n72_jaccard_prefix_join" -> ((s, dir) => {
+      // EXACT set-similarity join (AllPairs/PPJoin prefix filter) —
+      // recall 1.0 by the prefix theorem, so the oracle is the NAIVE
+      // all-shared-gram-pairs join: any pair the pruning lost would
+      // fail the gate. Compare with n31, the minhash approximation of
+      // the same word-trigram Jaccard relation
+      Dedup.jaccardPrefixJoin(t(s, dir, "documents"), n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -3260,6 +3271,28 @@ object SparkEntry {
 
     "n31_ngram_jaccard" -> minhashOracleSql(k = 3, numHashes = 64,
       bands = 32, threshold = 0.5, wordGrams = true),
+
+    // naive all-shared-gram-pairs Jaccard — deliberately WITHOUT the
+    // prefix filter, so a green row proves the Spark-side pruning is
+    // lossless (recall 1.0), not just replayed
+    "n72_jaccard_prefix_join" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+         |    j -> ${fnvSql("array_to_string(ws[j:j+2], ' ')")})) AS hs
+         | FROM (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |  FROM documents)),
+         |g AS (SELECT doc_id, len(hs) AS sz, hs FROM base),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |v AS (SELECT da AS doc_id_a, db AS doc_id_b,
+         |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la, gb.sz AS lb
+         | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)
+         |SELECT doc_id_a, doc_id_b,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "n11_simhash_neardups" ->
       s"""WITH $simhashCte

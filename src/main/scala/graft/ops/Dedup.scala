@@ -511,4 +511,70 @@ object Dedup {
       .select(col("vec_id_b").as("vec_id")).distinct()
     emb.join(dups, Seq("vec_id"), "left_anti")
   }
+
+  /** EXACT set-similarity self-join with prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant 2007 "Scaling up
+    * all pairs similarity search"; Xiao et al. 2008 PPJoin). Returns
+    * every pair (doc_id_a < doc_id_b) whose word n-gram sets have
+    * Jaccard >= threshold, with the exact similarity. Unlike
+    * [[minhashNearDups]] there is no signature approximation: recall
+    * is 1.0 by construction, because the prefix filter only prunes
+    * pairs that provably cannot reach the threshold — if
+    * J(A,B) >= t then under ANY total order on grams the first
+    * |A| - ceil(t*|A|) + 1 grams of A and the first
+    * |B| - ceil(t*|B|) + 1 of B share an element (otherwise the
+    * intersection is at most min(|A|,|B|) - prefixLen < t*|union|).
+    *
+    * 100 TB shape: the gram-frequency pass and the per-doc prefix
+    * window shuffle 8-byte gram hashes, never text. Grams are ordered
+    * rarest-first by global document frequency, the order that makes
+    * prefixes maximally selective: a high-df boilerplate gram enters a
+    * doc's prefix only when the doc has almost no rarer grams, so the
+    * candidate join on prefix grams stays near-duplicate-sized where a
+    * join on ALL shared grams would go quadratic on stopword grams.
+    * The per-doc prefix window partitions by doc_id (partition-local
+    * sort, no global window). Both threshold guards run in scaled-LONG
+    * arithmetic — floor(t * 2^20) conservatively rounded so float
+    * rounding can widen but never narrow the candidate set — and the
+    * one floating-point comparison is the final exact-Jaccard verify,
+    * computed identically by the DuckDB oracle.
+    */
+  def jaccardPrefixJoin(docs: DataFrame, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val tScaled = math.floor(threshold * (1L << 20)).toLong // <= t * 2^20
+    val grams = docs.select(col("doc_id"),
+        word_shingle_set(col("text"), n).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+    val ex = grams.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix length: sz - ceil(t*sz) + 1, with ceil(t*sz) replaced by
+    // its conservative lower bound ceil(tScaled*sz / 2^20) — never
+    // shorter than the true prefix, so completeness holds. shiftright
+    // is LONG division by 2^20 (Spark's `/` on longs returns double)
+    val ceilT = shiftright(col("sz") * tScaled + ((1L << 20) - 1), 20)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceilT + 1)
+      .select(col("doc_id"), col("sz"), col("h"))
+    // candidate pairs share a prefix gram; the size filter is the exact
+    // integer form of min(la,lb) >= t*max(la,lb) (implied by J >= t)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * (1L << 20) >=
+            greatest(col("a.sz"), col("b.sz")) * tScaled)
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val ga = grams.select(col("doc_id").as("doc_id_a"), col("hs").as("hsa"),
+      col("sz").as("la"))
+    val gb = grams.select(col("doc_id").as("doc_id_b"), col("hs").as("hsb"),
+      col("sz").as("lb"))
+    cand.join(ga, Seq("doc_id_a")).join(gb, Seq("doc_id_b"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+  }
 }

@@ -641,6 +641,31 @@ class OpsSpec extends SparkSpec {
     assert(hi.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2) == 1.0)
   }
 
+  test("jaccardPrefixJoin: exact, complete vs naive all-pairs, threshold binds") {
+    // completeness law: prefix filtering must lose nothing vs the naive
+    // quadratic all-pairs join at every threshold tried
+    def naive(t: Double): Set[(Long, Long, Double)] = {
+      val sets = docs.select(col("doc_id"), word_shingle_set(col("text"), 3).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= t
+      } yield (a, b, j)).toSet
+    }
+    for (t <- Seq(0.35, 0.5, 0.9)) {
+      val got = Dedup.jaccardPrefixJoin(docs, n = 3, threshold = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == naive(t), s"threshold $t: $got vs ${naive(t)}")
+    }
+    // 1 vs 3: one word of nine differs -> jaccard exactly 0.4
+    val lo = Dedup.jaccardPrefixJoin(docs, n = 3, threshold = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(lo((1L, 3L)) - 0.4) < 1e-12)
+    assert(lo((1L, 2L)) == 1.0)
+  }
+
   test("simhash: identical texts at distance 0, unrelated texts far") {
     val pairs = Dedup.simhashNearDups(docs, maxDistance = 3).collect()
     val d12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
