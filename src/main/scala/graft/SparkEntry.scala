@@ -1501,6 +1501,15 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n73_fuzzy_title_pairs" -> ((s, dir) => {
+      // symmetric-deletion fuzzy title dedup (recall 1.0 at dist<=1 by
+      // the SymSpell pigeonhole); oracle is the naive all-pairs
+      // levenshtein join, so the gate proves the neighborhood index
+      // loses nothing
+      Dedup.fuzzyTitlePairs(t(s, dir, "documents"), keyLen = 32)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -3271,6 +3280,16 @@ object SparkEntry {
 
     "n31_ngram_jaccard" -> minhashOracleSql(k = 3, numHashes = 64,
       bands = 32, threshold = 0.5, wordGrams = true),
+
+    // naive all-pairs levenshtein — deliberately WITHOUT the deletion-
+    // neighborhood index, so a green row proves the index is lossless
+    "n73_fuzzy_title_pairs" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 32) AS key FROM documents)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        | CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 1
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     // naive all-shared-gram-pairs Jaccard — deliberately WITHOUT the
     // prefix filter, so a green row proves the Spark-side pruning is

@@ -512,6 +512,54 @@ object Dedup {
     emb.join(dups, Seq("vec_id"), "left_anti")
   }
 
+  /** Fuzzy title dedup: every pair of documents whose first `keyLen`
+    * characters are within Levenshtein distance 1 — the
+    * entity-resolution shape (title/near-title dedup) via symmetric
+    * deletion indexing (SymSpell / FastSS, Bocek et al. 2007).
+    * Returns (doc_id_a < doc_id_b, dist) with dist in {0, 1}.
+    *
+    * Candidates come from joining DELETION NEIGHBORHOODS — each key
+    * emits itself plus every single-character deletion. Completeness
+    * is the symmetric-delete pigeonhole: lev(A,B) = 0 shares A itself;
+    * a substitution at i makes del_i(A) = del_i(B); an insertion
+    * making B one longer means deleting the inserted char from B
+    * yields A, which A also emits. So recall is 1.0 — unlike ad-hoc
+    * blocking (same length bucket, same prefix) no true pair can
+    * straddle a block boundary, and the exact `levenshtein` verify
+    * removes hash-collision false positives.
+    *
+    * 100 TB shape: the neighborhood join ships (keyLen + 1) 8-byte FNV
+    * hashes per document, never the text; the quadratic work is
+    * per-bucket over documents sharing a neighborhood key, which IS
+    * the near-duplicate relation being extracted. Verification joins
+    * the candidate-pair ids back to the keys — candidate-sized, like
+    * [[minhashNearDups]]'s exact-Jaccard pass.
+    */
+  def fuzzyTitlePairs(docs: DataFrame, keyLen: Int = 32): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      substring(col("text"), 1, keyLen).as("key"))
+    // sequence(1, greatest(len, 1)): guard the empty key — Spark's
+    // sequence(1, 0) counts DOWN; deleting position 1 of "" is "" and
+    // array_distinct folds it into the identity neighbor
+    val dels = transform(sequence(lit(1), greatest(length(col("key")), lit(1))),
+      i => concat(col("key").substr(lit(1), i - 1),
+        col("key").substr(i + 1, lit(keyLen))))
+    val nbh = keyed
+      .select(col("doc_id"),
+        explode(array_distinct(concat(array(col("key")), dels))).as("nbr"))
+      .select(col("doc_id"), fnv64(col("nbr")).as("nh"))
+    val cand = nbh.as("a").join(nbh.as("b"),
+        col("a.nh") === col("b.nh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val ka = keyed.select(col("doc_id").as("doc_id_a"), col("key").as("ka"))
+    val kb = keyed.select(col("doc_id").as("doc_id_b"), col("key").as("kb"))
+    cand.join(ka, Seq("doc_id_a")).join(kb, Seq("doc_id_b"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("doc_id_a"), col("doc_id_b"), col("dist"))
+  }
+
   /** EXACT set-similarity self-join with prefix filtering — the
     * AllPairs/PPJoin family (Bayardo, Ma & Srikant 2007 "Scaling up
     * all pairs similarity search"; Xiao et al. 2008 PPJoin). Returns

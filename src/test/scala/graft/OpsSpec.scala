@@ -666,6 +666,39 @@ class OpsSpec extends SparkSpec {
     assert(lo((1L, 2L)) == 1.0)
   }
 
+  test("fuzzyTitlePairs: complete at dist<=1 (sub/ins/del), dist-2 excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),    // dist 0
+      (3L, "alpha beta gamba"),    // one substitution
+      (4L, "alpha beta gamm"),     // one deletion
+      (5L, "alpha beta gammax"),   // one insertion
+      (6L, "alpha XXta gamba"),    // dist 2 from 1, dist 2 from 3
+      (7L, "")                     // empty key pairs with nothing here
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyTitlePairs(d, keyLen = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive reference over all pairs
+    val keys = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val want = (for {
+      a <- keys.keys; b <- keys.keys if a < b
+      dist = lev(keys(a), keys(b)) if dist <= 1
+    } yield (a, b) -> dist.toLong).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got((1L, 2L)) == 0L && got((1L, 3L)) == 1L &&
+      got((1L, 4L)) == 1L && got((1L, 5L)) == 1L)
+    assert(!got.contains((1L, 6L)) && !got.keys.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
   test("simhash: identical texts at distance 0, unrelated texts far") {
     val pairs = Dedup.simhashNearDups(docs, maxDistance = 3).collect()
     val d12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
