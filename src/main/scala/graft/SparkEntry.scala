@@ -1318,6 +1318,23 @@ object SparkEntry {
       Dedup.sliceDiffReport(existing, incoming).orderBy("source")
     }),
 
+    "n74_bloom_dedup" -> ((s, dir) => {
+      // the bloom-prefiltered shape of n49's incremental dedup, same
+      // fixture — the result-equality law (bloom == plain anti-join)
+      // is what the shared oracle proves; only might-contain rows
+      // reach the shuffle join
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") % 2 === 0)
+      val incoming = base.filter(col("doc_id") % 2 === 1)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 2000001L))
+        .unionAll(base.filter(col("doc_id") === 1L)
+          .withColumn("doc_id", lit(2000007L)))
+      Dedup.incrementalDedupBloom(
+          existing.select(md5(col("text")).as("__digest")), incoming)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     "n49_incremental_dedup" -> ((s, dir) => {
       // a new crawl slice deduped against the published corpus without
       // rescanning it: existing = even doc_ids, incoming = odd doc_ids
@@ -3047,6 +3064,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn = 1 AND inc THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_dup,
         |  CAST(sum(CASE WHEN rn = 1 AND NOT inc THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // the bloom path must produce EXACTLY the plain anti-join's rows
+    // (no false negatives + exact recheck), so n49's oracle serves
+    // verbatim
+    "n74_bloom_dedup" ->
+      """WITH existing AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |incoming AS (
+        | SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL SELECT doc_id + 2000001, text, n_chars
+        |   FROM documents WHERE doc_id IN (0, 2, 4)
+        | UNION ALL SELECT 2000007, text, n_chars
+        |   FROM documents WHERE doc_id = 1),
+        |deduped AS (
+        | SELECT doc_id, text, n_chars FROM incoming
+        | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT doc_id, n_chars FROM deduped
+        |WHERE text NOT IN (SELECT text FROM existing)
+        |ORDER BY doc_id""".stripMargin,
 
     "n49_incremental_dedup" ->
       // same text-equality replay as n01 (md5 collision risk accepted)

@@ -92,6 +92,50 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** [[incrementalDedupByDigests]] with an explicit Bloom prefilter —
+    * the shape that wins when the incoming slice is LARGE and mostly
+    * new (the steady-state crawl): a bloom sketch of the published
+    * digest relation is built once (one aggregate, broadcast as a
+    * scalar), and every slice row it rejects is admitted WITHOUT
+    * entering the anti-join, so the join shuffles only rows that
+    * might duplicate the corpus (true dups + the fpp sliver) instead
+    * of the whole slice. Bloom filters have no false negatives, and
+    * the exact anti-join re-checks every might-contain row, so the
+    * result EQUALS [[incrementalDedupByDigests]] row-for-row (the
+    * spec-asserted law; the oracle gate re-proves it at sf0.01).
+    *
+    * Spark's runtime filter injection does this same rewrite
+    * implicitly when statistics justify it (RuntimeFilterSpec); this
+    * operator makes the plan explicit and deterministic — at 100 TB
+    * you don't want the slice-vs-corpus shuffle decision to hinge on
+    * stats freshness. `numBits` defaults to 8 bits/item ≈ 2% fpp.
+    */
+  def incrementalDedupBloom(digests: DataFrame, incoming: DataFrame,
+                            estimatedItems: Long = 1L << 20,
+                            numBits: Long = 1L << 23): DataFrame = {
+    val bloomRow = digests
+      .agg(bloom_filter_agg(xxhash64(col("__digest")), estimatedItems, numBits)
+        .as("bf"))
+      .head()
+    val sliceDeduped = {
+      val w = Window.partitionBy(col("__digest")).orderBy(col("doc_id"))
+      incoming.withColumn("__digest", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    // an empty digest relation yields a NULL sketch: nothing to probe,
+    // every slice-deduped row is new
+    if (bloomRow.isNullAt(0)) return sliceDeduped.drop("__digest")
+    val probed = sliceDeduped.withColumn("__maybe",
+      might_contain(lit(bloomRow.getAs[Array[Byte]](0)),
+        xxhash64(col("__digest"))))
+    val definitelyNew = probed.filter(!col("__maybe")).drop("__maybe", "__digest")
+    val rechecked = probed.filter(col("__maybe")).drop("__maybe")
+      .join(digests.select("__digest"), Seq("__digest"), "left_anti")
+      .drop("__digest")
+    definitelyNew.unionByName(rechecked)
+  }
+
   /** Per-source diff report for a crawl slice against the published
     * corpus — the observability side of [[incrementalDedup]]: how many
     * incoming docs are new, how many duplicate the existing corpus,

@@ -475,4 +475,20 @@ object GraftFunctions {
     column(NfcNormalize(expression(text)))
   def char_bigrams(text: Column): Column =
     column(CharBigrams(expression(text)))
+  /** Spark's own bloom-filter aggregate (the expression behind runtime
+    * filter injection), exposed as a column: builds a broadcastable
+    * binary sketch over an xxhash64-hashed LONG column.
+    */
+  def bloom_filter_agg(hashed: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(hashed),
+      org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)
+    ).toAggregateExpression())
+  /** Membership probe against a [[bloom_filter_agg]] sketch (codegen;
+    * no false negatives).
+    */
+  def might_contain(bloom: Column, hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(hashed)))
 }

@@ -666,6 +666,28 @@ class OpsSpec extends SparkSpec {
     assert(lo((1L, 2L)) == 1.0)
   }
 
+  test("incrementalDedupBloom equals the plain anti-join (law), empty corpus ok") {
+    import spark.implicits._
+    val existing = Seq((10L, "alpha"), (12L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "alpha"),   // dup of corpus -> dropped
+      (102L, "gamma"),   // new
+      (103L, "gamma"),   // within-slice dup -> dropped
+      (104L, "delta")    // new
+    ).toDF("doc_id", "text")
+    val digests = existing.select(md5(col("text")).as("__digest"))
+    val bloom = Dedup.incrementalDedupBloom(digests, incoming)
+      .collect().map(_.getLong(0)).sorted
+    val plain = Dedup.incrementalDedupByDigests(digests, incoming)
+      .collect().map(_.getLong(0)).sorted
+    assert(bloom.toSeq == plain.toSeq && bloom.toSeq == Seq(102L, 104L))
+    // empty published corpus: null sketch branch admits the whole
+    // slice-deduped set
+    val none = Dedup.incrementalDedupBloom(digests.limit(0), incoming)
+      .collect().map(_.getLong(0)).sorted
+    assert(none.toSeq == Seq(101L, 102L, 104L))
+  }
+
   test("fuzzyTitlePairs: complete at dist<=1 (sub/ins/del), dist-2 excluded") {
     import spark.implicits._
     val d = Seq(
