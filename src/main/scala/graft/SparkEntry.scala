@@ -587,6 +587,38 @@ object SparkEntry {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    "q35_exists_surface" -> ((s, dir) => {
+      // correlated EXISTS / NOT EXISTS surface: customers with an open
+      // order and no finalized urgent one. Catalyst de-correlates both
+      // to left-semi / left-anti hash joins on o_custkey — ids-only
+      // shuffles, no per-row subquery execution; the anti side is the
+      // bloom-prunable shape (RuntimeFilterSpec)
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_orderstatus = 'O')
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderstatus = 'F'
+              |                    AND o.o_orderpriority = '1-URGENT')
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q36_posexplode" -> ((s, dir) => {
+      // LATERAL VIEW posexplode surface — the long-format unnest every
+      // array column (embeddings, token lists) flows through. Generate
+      // exec, no shuffle; pos cast to long for cross-engine schema
+      // agreement
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""SELECT vec_id, CAST(pos AS BIGINT) AS pos, val
+              |FROM embeddings
+              |LATERAL VIEW posexplode(embedding) t AS pos, val
+              |WHERE vec_id < 50
+              |ORDER BY vec_id, pos""".stripMargin)
+    }),
+
     "q33_cube" -> ((s, dir) => {
       // CUBE surface — the third grouping operator beside rollup (q15)
       // and grouping sets (q22). Quantities are integral doubles in
@@ -2833,6 +2865,26 @@ object SparkEntry {
          |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
          |  n_terms, round(score, 6) AS score
          |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "q35_exists_surface" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB zips parallel select-list unnests, giving (index, element)
+    // pairs — the ordinality twin of Spark's posexplode
+    "q36_posexplode" ->
+      """SELECT vec_id,
+        |  unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q34_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey,
