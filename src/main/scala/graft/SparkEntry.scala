@@ -1559,6 +1559,21 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n75_script_mix" -> ((s, dir) => {
+      // Unicode script detection under language-ID: the ASCII corpus
+      // plus planted Cyrillic / Han / mixed / digit-only docs, so every
+      // CASE branch of the dominant-script rule is value-bearing
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "привет мир это тестовый документ", "ru", "planted", 32L),
+        (9000002L, "这是一个测试文档你好世界", "zh", "planted", 12L),
+        (9000003L, "hello мир 世界 123", "xx", "planted", 16L),
+        (9000004L, "12345 67890", "xx", "planted", 11L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.scriptMix(t(s, dir, "documents").unionByName(planted))
+        .orderBy("doc_id")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -3368,6 +3383,27 @@ object SparkEntry {
 
     "n31_ngram_jaccard" -> minhashOracleSql(k = 3, numHashes = 64,
       bands = 32, threshold = 0.5, wordGrams = true),
+
+    // RE2 script classes (\p{Latin}) mirror Java's \p{IsLatin}
+    "n75_script_mix" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9000001, 'привет мир это тестовый документ'),
+        |  (9000002, '这是一个测试文档你好世界'),
+        |  (9000003, 'hello мир 世界 123'),
+        |  (9000004, '12345 67890')) v(doc_id, text)),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\p{Latin}')) AS n_latin,
+        |  len(regexp_extract_all(text, '\p{Cyrillic}')) AS n_cyrillic,
+        |  len(regexp_extract_all(text, '\p{Han}')) AS n_han,
+        |  len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        | FROM d)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_digit,
+        | CASE WHEN n_latin + n_cyrillic + n_han = 0 THEN 'none'
+        |      WHEN n_latin >= n_cyrillic AND n_latin >= n_han THEN 'latin'
+        |      WHEN n_cyrillic >= n_han THEN 'cyrillic'
+        |      ELSE 'han' END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // naive all-pairs levenshtein — deliberately WITHOUT the deletion-
     // neighborhood index, so a green row proves the index is lossless

@@ -780,6 +780,30 @@ object TextAnalysis {
     * phone) so the id/phone patterns — which share the digit-dash shape
     * — can never double-fire on the same span.
     */
+  /** Unicode script mix: per-document counts of Latin / Cyrillic / Han
+    * letters plus digits, and the dominant script — the
+    * script-detection layer under any language-ID gate (a corpus
+    * labeled `en` with a Cyrillic-dominant body is mislabeled or
+    * mojibake; CJK text defeats whitespace tokenization, so routing
+    * by script comes before every token-based op). One codegen'd
+    * regex-count pass per class, no shuffle; the dominant-script CASE
+    * breaks ties latin > cyrillic > han > none, spec-pinned.
+    */
+  def scriptMix(docs: DataFrame): DataFrame = {
+    def n(p: String) = size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+        n("""\p{IsLatin}""").as("n_latin"),
+        n("""\p{IsCyrillic}""").as("n_cyrillic"),
+        n("""\p{IsHan}""").as("n_han"),
+        n("[0-9]").as("n_digit"))
+      .withColumn("main_script",
+        when(col("n_latin") + col("n_cyrillic") + col("n_han") === 0, "none")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_han"), "latin")
+          .when(col("n_cyrillic") >= col("n_han"), "cyrillic")
+          .otherwise("han"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

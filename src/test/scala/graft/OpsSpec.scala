@@ -666,6 +666,27 @@ class OpsSpec extends SparkSpec {
     assert(lo((1L, 2L)) == 1.0)
   }
 
+  test("scriptMix counts scripts and breaks dominance ties as pinned") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world"),       // latin only
+      (2L, "привет мир"),        // cyrillic only
+      (3L, "你好"),               // han only
+      (4L, "ab пр"),             // tie latin==cyrillic -> latin
+      (5L, "пр 你好"),            // tie? cyr=2 han=2 -> cyrillic
+      (6L, "123 456"),           // digits only -> none
+      (7L, "")                   // empty -> none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) == ((10L, 0L, 0L, 0L, "latin")))
+    assert(out(2L) == ((0L, 9L, 0L, 0L, "cyrillic")))
+    assert(out(3L) == ((0L, 0L, 2L, 0L, "han")))
+    assert(out(4L)._5 == "latin" && out(5L)._5 == "cyrillic")
+    assert(out(6L) == ((0L, 0L, 0L, 6L, "none")) && out(7L)._5 == "none")
+  }
+
   test("incrementalDedupBloom equals the plain anti-join (law), empty corpus ok") {
     import spark.implicits._
     val existing = Seq((10L, "alpha"), (12L, "beta")).toDF("doc_id", "text")
