@@ -81,15 +81,30 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as raw INT64 nanos and floor-divide to micros in
-    * integer space (a double intermediate would lose precision above
-    * 2^53 ns). DuckDB truncates ns->us the same way, so oracles agree.
+  /** `events.ts` normalized to session-zoned TIMESTAMP whatever the
+    * fixture's physical layout: TIMESTAMP(NANOS) (early driver
+    * generations — Spark's reader rejects it, so read raw INT64 nanos
+    * and floor-divide to micros in integer space; a double intermediate
+    * would lose precision above 2^53 ns), TIMESTAMP(MICROS) without
+    * isAdjustedToUTC (current generation — Spark infers TIMESTAMP_NTZ;
+    * the repo convention of UTC sessions makes the NTZ→TZ cast the
+    * identity on wall-clock values, matching DuckDB's naive read), or
+    * an already-zoned TIMESTAMP. DuckDB sees the same wall-clock
+    * values in every case, so oracles agree.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts physical type: $other")
+    }
   }
 }
