@@ -462,6 +462,41 @@ object SparkEntry {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Unrolled-CTE DuckDB replay of [[graft.ops.TextAnalysis
+    * .textRankKeywords]]: same co-occurrence edges, same 1e-12
+    * fixed-point damped update per iteration — integer `//` matches
+    * Spark's `div` on the all-positive ranks, and integer sums are
+    * order-independent, so the replay is bit-exact.
+    */
+  private def textRankOracleSql(iters: Int, topK: Int): String = {
+    val S = 1000000000000L
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT ed.dst AS word,
+         |  CAST(sum((r${k - 1}.rank * ed.wt) // ed.wdeg) AS BIGINT) AS csum
+         | FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.word GROUP BY 1),
+         |r$k AS (SELECT word,
+         |  ((15 * $S) // 100) // n + (85 * csum) // 100 AS rank
+         | FROM c$k CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+       |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+       |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |      WHERE ws[i] <> ws[i+1]),
+       |und AS (SELECT a AS src, b AS dst FROM p
+       |        UNION ALL SELECT b, a FROM p),
+       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt
+       |      FROM und GROUP BY 1, 2),
+       |deg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, e.wt, deg.wdeg FROM e JOIN deg USING (src)),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS word, $S // n AS rank FROM deg CROSS JOIN nn),
+       |$steps
+       |SELECT word, CAST(rank AS BIGINT) AS rank,
+       | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
+       |FROM r$iters ORDER BY rank DESC, word LIMIT $topK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -1572,6 +1607,41 @@ object SparkEntry {
       ).toDF("doc_id", "text", "lang", "source", "n_chars")
       TextAnalysis.scriptMix(t(s, dir, "documents").unionByName(planted))
         .orderBy("doc_id")
+    }),
+
+    "n76_textrank_keywords" -> ((s, dir) => {
+      // TextRank keyword ranking: 3 damped power-iteration rounds over
+      // the word co-occurrence graph in 1e-12 fixed point — integer
+      // sums are partition-order-independent, so DuckDB replays the
+      // iterations bit-exactly with unrolled CTEs
+      TextAnalysis.textRankKeywords(t(s, dir, "documents"),
+        iters = 3, topK = 20).orderBy("rk")
+    }),
+
+    "n77_corpus_merge" -> ((s, dir) => {
+      // MERGE-semantics version bump: base = corpus minus the %5 ids,
+      // changeset = the %3 ids (odd → delete, even → upsert with
+      // revised text/n_chars). Every MERGE path is value-bearing:
+      // updates (%3 even in base), inserts (%15 even, absent from
+      // base), deletes of present ids, and no-op deletes of absent ids
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val changes = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 1, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          concat(col("text"), lit(" [v2]")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + 5L).as("n_chars"))
+      Dedup.applyChangeset(base, changes).orderBy("doc_id")
+    }),
+
+    "n78_pmi_collocations" -> ((s, dir) => {
+      // top-20 adjacent-bigram collocations by integer-scaled PMI:
+      // the log is monotone so the all-long ratio ranking replays
+      // exactly where a float PMI would be ULP-hostage
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"),
+        minCount = 5, topK = 20).orderBy("rk")
     }),
 
     "n28_dup_clusters" -> ((s, dir) => {
@@ -3404,6 +3474,42 @@ object SparkEntry {
         |      WHEN n_cyrillic >= n_han THEN 'cyrillic'
         |      ELSE 'han' END AS main_script
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "n76_textrank_keywords" -> textRankOracleSql(iters = 3, topK = 20),
+
+    "n78_pmi_collocations" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
+        |        WHERE w <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+        |wl AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT ws[i] AS a, ws[i+1] AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM wl, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |       WHERE len(ws) >= 2 GROUP BY 1, 2 HAVING count(*) >= 5),
+        |s AS (SELECT bi.a, bi.b, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |        ((bi.c_ab * 1000000000) // ua.c) * n_tok // ub.c AS pmi_scaled
+        |      FROM bi JOIN uni ua ON bi.a = ua.w
+        |           JOIN uni ub ON bi.b = ub.w CROSS JOIN tot)
+        |SELECT a, b, c_ab, c_a, c_b, CAST(pmi_scaled AS BIGINT) AS pmi_scaled,
+        | CAST(row_number() OVER (ORDER BY pmi_scaled DESC, a, b) AS BIGINT) AS rk
+        |FROM s ORDER BY pmi_scaled DESC, a, b LIMIT 20""".stripMargin,
+
+    "n77_corpus_merge" ->
+      """WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |ch AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 2 = 1 THEN 'delete' ELSE 'upsert' END AS op,
+        |        text || ' [v2]' AS text, lang, source,
+        |        n_chars + 5 AS n_chars
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |surv AS (SELECT b.* FROM base b
+        |         WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = b.doc_id)),
+        |ups AS (SELECT doc_id, text, lang, source, n_chars
+        |        FROM ch WHERE op <> 'delete')
+        |SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM surv
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) FROM ups
+        |ORDER BY doc_id""".stripMargin,
 
     // naive all-pairs levenshtein — deliberately WITHOUT the deletion-
     // neighborhood index, so a green row proves the index is lossless

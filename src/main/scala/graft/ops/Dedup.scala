@@ -179,6 +179,43 @@ object Dedup {
           .otherwise(0L)).as("n_new"))
   }
 
+  /** MERGE-semantics changeset apply — the corpus-versioning write
+    * path of a snapshot-maintained lake (Delta/Iceberg `MERGE INTO`,
+    * re-expressed as the equivalent join choreography): `changes`
+    * carries an `opCol` ('delete' removes the id from the base; any
+    * other op upserts the payload — replace if present, insert if
+    * absent; deleting an absent id is a no-op). Returns the next
+    * corpus version.
+    *
+    * Fail-fast preconditions (repo convention): changeset ids must be
+    * unique — MERGE against a duplicated source id is ambiguous (the
+    * lakehouse engines raise there too; the check is one agg over the
+    * slice-sized changeset) — and the changeset payload columns must
+    * equal the base schema.
+    *
+    * 100 TB shape: one ids-only left_anti join keeps base survivors —
+    * the bloom-prunable shape (RuntimeFilterSpec), and a changeset
+    * orders of magnitude smaller than the corpus broadcasts under AQE
+    * — then a union appends the upsert payloads. The corpus is never
+    * shuffled, windowed, or aggregated.
+    */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+                     idCol: String = "doc_id",
+                     opCol: String = "op"): DataFrame = {
+    val payload = changes.columns.filterNot(_ == opCol)
+    require(payload.toSet == base.columns.toSet,
+      s"changeset payload (${payload.sorted.mkString(", ")}) must match " +
+        s"base schema (${base.columns.sorted.mkString(", ")})")
+    val dup = changes.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    require(dup.isEmpty,
+      s"changeset has duplicated $idCol values — MERGE semantics are ambiguous")
+    val survivors = base.join(changes.select(col(idCol)), Seq(idCol), "left_anti")
+    val upserts = changes.filter(col(opCol) =!= "delete")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    survivors.unionByName(upserts)
+  }
+
   /** Publishes a corpus snapshot: the documents as parquet under
     * `path/docs` AND the distinct text-digest relation under
     * `path/digests` — the ~3-orders-of-magnitude-smaller relation that

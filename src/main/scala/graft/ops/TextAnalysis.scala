@@ -804,6 +804,127 @@ object TextAnalysis {
           .otherwise("han"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text"): score corpus vocabulary by damped
+    * PageRank over the word co-occurrence graph — nodes are words,
+    * edges connect adjacent words (undirected, self-loops dropped),
+    * edge weight is the corpus co-occurrence count. The classic
+    * unsupervised keyword ranking of a data-curation stack, and the
+    * repo's canonical iterative graph-power-method shape (n28's label
+    * propagation is the other one).
+    *
+    * ALL rank arithmetic is integer fixed-point (ranks in units of
+    * 1e-12, damping 85/100, truncating division at every step): sums
+    * of longs are order-independent where float PageRank would be
+    * partition-order-dependent, so the oracle replays the iterations
+    * bit-exactly with unrolled CTEs. With d=0.85 scaled by 1e12,
+    * `rank * weight` stays under 2^63 for per-pair counts up to ~9e6;
+    * at corpus scales beyond that, lower the fixed-point scale (or
+    * log-damp weights) before widening — documented, not enforced.
+    *
+    * 100 TB shape: the corpus-sized work is ONE adjacent-pair
+    * explode + groupBy count (the n63 BPE-pair shape); everything
+    * after runs on the vocabulary-sized edge relation, persisted once
+    * and reused by all `iters` join-agg rounds (each round is one
+    * vocab-bounded shuffle — O(iters) shuffles total, never
+    * corpus-sized). Every node of the undirected graph has in-degree
+    * >= 1, so the per-round inner join is total. The final top-k uses
+    * orderBy+limit (TakeOrderedAndProject, a distributed partial
+    * top-k) with the row_number window running on the k-bounded
+    * relation only — the n55 pattern.
+    */
+  def textRankKeywords(docs: DataFrame, iters: Int = 3,
+                       topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1 && iters <= 8,
+      "iters outside [1,8]: deeper power iterations need checkpointing " +
+        "(see Dedup.dupClusters) before the lineage is safe")
+    require(topK > 0, "topK must be positive")
+    val SCALE = 1000000000000L // ranks in units of 1e-12; sums to ~SCALE
+    val ws = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val dirPairs = ws
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = dirPairs.unionAll(dirPairs.select(col("b").as("a"), col("a").as("b")))
+    val edges = und.groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(count(lit(1)).as("wt"))
+    val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
+    // persisted: vocab-sized by construction, consumed by every
+    // iteration. Caller-owned cache lifecycle (repo convention).
+    val ed = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.select(col("src").as("word")).crossJoin(n)
+      .select(col("word"), expr(s"$SCALE div n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("word"))
+        .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("csum"))
+      ranks = contrib.crossJoin(n)
+        .select(col("dst").as("word"),
+          (expr(s"(15 * $SCALE div 100) div n") +
+            expr("(85 * csum) div 100")).as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("word")).limit(topK)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990, "Word association
+    * norms, mutual information, and lexicography"): rank adjacent
+    * word bigrams by pointwise mutual information — the classic
+    * phrase-detection pass (Mikolov et al. 2013 build word2vec
+    * phrases the same way). PMI = log(c_ab * N / (c_a * c_b)); log is
+    * monotone, so ranking needs only the ratio — computed here as the
+    * integer-scaled `((c_ab * 1e9) div c_a) * N div c_b` (truncating
+    * division, all longs): deterministic and cross-engine exact where
+    * a float ratio or log would be ULP-hostage. `minCount` keeps the
+    * low-count pairs PMI notoriously over-ranks out of the result.
+    * Quantization note: at token counts beyond ~9e9 the 1e9 scale
+    * overflows 64-bit — lower the scale (the ranking granularity)
+    * before widening; documented, not enforced.
+    *
+    * 100 TB shape: two corpus scans (unigram count, adjacent-pair
+    * count — the n63 BPE-pair shape), both map-side-combinable into
+    * vocab-bounded relations; the unigram joins run on the
+    * minCount-filtered bigram relation (AQE broadcasts the smaller
+    * side), and the final top-k is orderBy+limit —
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && topK > 0)
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_tok"))
+    val bi = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi.join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(total)
+      .withColumn("pmi_scaled",
+        expr("((c_ab * 1000000000) div c_a) * n_tok div c_b"))
+      .orderBy(col("pmi_scaled").desc, col("a"), col("b")).limit(topK)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("pmi_scaled").desc, col("a"), col("b")))
+        .cast("long"))
+      .select("a", "b", "c_ab", "c_a", "c_b", "pmi_scaled", "rk")
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

@@ -1573,4 +1573,76 @@ class OpsSpec extends SparkSpec {
     // (per-map-task partial top-k -- the 100 TB shape)
     assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  test("textRankKeywords: one fixed-point iteration matches hand arithmetic") {
+    import spark.implicits._
+    // graph: a-b weight 3 (two adjacencies in doc 1 + one reversed),
+    // b-c weight 1; wdeg a=3, b=4, c=1; n=3; r0 = 1e12 div 3 each
+    val d = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.textRankKeywords(d, iters = 1, topK = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // base = (15e12 div 100) div 3 = 50000000000; contribs truncate:
+    // a: 85*((1e12div3*3)div4)div100        = 212499999999
+    // b: 85*((1e12div3*3)div3 + 1e12div3)div100 = 566666666666
+    // c: 85*((1e12div3*1)div4)div100        = 70833333333
+    assert(r.toSeq == Seq(
+      ("b", 616666666666L, 1L),
+      ("a", 262499999999L, 2L),
+      ("c", 120833333333L, 3L)))
+    // partition-invariance: integer sums are order-independent
+    val r7 = TextAnalysis.textRankKeywords(d.repartition(7), iters = 1, topK = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r7.toSeq == r.toSeq)
+  }
+
+  test("applyChangeset: upsert replaces, insert appends, delete drops, absent delete no-ops") {
+    import spark.implicits._
+    val base = Seq((1L, "one", "en", "web", 3L), (2L, "two", "en", "web", 3L),
+      (3L, "three", "en", "web", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val changes = Seq(
+      (2L, "upsert", "two v2", "en", "web", 6L),   // update in place
+      (4L, "upsert", "four", "en", "web", 4L),     // insert new id
+      (3L, "delete", "", "en", "web", 0L),         // delete present id
+      (9L, "delete", "", "en", "web", 0L)          // delete absent id: no-op
+    ).toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val out = Dedup.applyChangeset(base, changes)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "one"), (2L, "two v2"), (4L, "four")))
+    // ambiguous changeset (duplicated id) must fail fast
+    val dup = Seq((2L, "upsert", "x", "en", "web", 1L),
+      (2L, "delete", "", "en", "web", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    intercept[IllegalArgumentException] {
+      Dedup.applyChangeset(base, dup)
+    }
+    // payload schema must match the base
+    intercept[IllegalArgumentException] {
+      Dedup.applyChangeset(base, changes.drop("n_chars"))
+    }
+  }
+
+  test("pmiCollocations: integer-scaled ranking matches hand arithmetic") {
+    import spark.implicits._
+    // unigrams: new 3, york 3, times 1, city 1 -> N = 8
+    // bigrams: (new,york) 3, (york,new) 1, (york,times) 1, (york,city) 1
+    val d = Seq((1L, "new york new york times"), (2L, "new york city"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.pmiCollocations(d, minCount = 2, topK = 10).collect()
+    assert(top.length == 1)
+    val r = top(0)
+    // ((3 * 1e9) div 3) * 8 div 3 = 2666666666
+    assert((r.getAs[String]("a"), r.getAs[String]("b"),
+      r.getAs[Long]("c_ab"), r.getAs[Long]("pmi_scaled")) ==
+      ("new", "york", 3L, 2666666666L))
+    // minCount=1: ties on 2666666664 break lexicographically
+    val all = TextAnalysis.pmiCollocations(d, minCount = 1, topK = 10)
+      .collect().map(x => (x.getAs[String]("a"), x.getAs[String]("b"),
+        x.getAs[Long]("pmi_scaled")))
+    assert(all.toSeq == Seq(
+      ("new", "york", 2666666666L),
+      ("york", "city", 2666666664L),
+      ("york", "times", 2666666664L),
+      ("york", "new", 888888888L)))
+  }
 }
