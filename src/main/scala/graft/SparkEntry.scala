@@ -271,6 +271,71 @@ object SparkEntry {
        |  CAST(f.nonzero AS BIGINT) AS registers_used
        |FROM fin f JOIN ex USING (col_name) ORDER BY col_name""".stripMargin
 
+  /** Register-level HLL set-algebra replay for [[graft.ops.Sketch
+    * .hllOverlapByGroup]]: the n39/n47 register pipeline, then
+    * per-source and pairwise-union-max estimates through the identical
+    * alpha/linear-counting formula, inclusion-exclusion on the rounded
+    * estimates, and the exact-common audit join. p=8 (m=256,
+    * maxRank=57) like the other HLL oracles.
+    */
+  private def hllOverlapOracleSql: String =
+    s"""WITH vals AS (
+       |  SELECT source AS col_name,
+       |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS v
+       |  FROM documents),
+       |h0 AS (SELECT col_name, v, ${fnvSql("v")} AS x FROM vals),
+       |f1 AS (SELECT col_name, v, xor(x, x >> 33) AS v1 FROM h0),
+       |f2 AS (SELECT col_name, v, xor(v2, v2 >> 33) AS v3
+       |       FROM (SELECT col_name, v, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+       |h AS (SELECT col_name, xor(v4, v4 >> 33) AS wu
+       |      FROM (SELECT col_name, v, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
+       |rk AS (SELECT col_name, CAST(wu % 256 AS BIGINT) AS reg,
+       |  CASE WHEN (wu >> 8) = 0 THEN 57
+       |       ELSE bit_count(CAST(((wu >> 8) & (-(wu >> 8))) - 1 AS BIGINT)) + 1 END AS rank
+       | FROM h),
+       |regs AS (SELECT col_name, reg, max(rank) AS mj FROM rk GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT col_name FROM regs),
+       |gp AS (SELECT a.col_name AS ga, b.col_name AS gb
+       |       FROM srcs a JOIN srcs b ON a.col_name < b.col_name),
+       |ur AS (SELECT gp.ga, gp.gb, r.reg, max(r.mj) AS mj
+       |       FROM gp JOIN regs r ON r.col_name = gp.ga OR r.col_name = gp.gb
+       |       GROUP BY 1, 2, 3),
+       |agg1 AS (SELECT col_name, count(*) AS nonzero,
+       |  sum(CAST(power(2.0, 57 - mj) AS HUGEINT)) AS s FROM regs GROUP BY 1),
+       |est1 AS (SELECT col_name, nonzero, 256 - nonzero AS empty,
+       |  s + CAST(256 - nonzero AS HUGEINT) * CAST(144115188075855872 AS HUGEINT) AS bigN
+       | FROM agg1),
+       |fin1 AS (SELECT col_name,
+       |  round(CASE WHEN e_raw <= 640.0 AND empty > 0
+       |    THEN 256.0 * ln(256.0 / CAST(empty AS DOUBLE)) ELSE e_raw END, 2) AS est
+       | FROM (SELECT col_name, empty,
+       |   (0.7213/(1.0 + 1.079/256.0)) * (256.0 * 256.0) * 144115188075855872.0
+       |     / CAST(bigN AS DOUBLE) AS e_raw FROM est1)),
+       |agg2 AS (SELECT ga, gb, count(*) AS nonzero,
+       |  sum(CAST(power(2.0, 57 - mj) AS HUGEINT)) AS s FROM ur GROUP BY 1, 2),
+       |est2 AS (SELECT ga, gb, nonzero, 256 - nonzero AS empty,
+       |  s + CAST(256 - nonzero AS HUGEINT) * CAST(144115188075855872 AS HUGEINT) AS bigN
+       | FROM agg2),
+       |fin2 AS (SELECT ga, gb,
+       |  round(CASE WHEN e_raw <= 640.0 AND empty > 0
+       |    THEN 256.0 * ln(256.0 / CAST(empty AS DOUBLE)) ELSE e_raw END, 2) AS est_union
+       | FROM (SELECT ga, gb, empty,
+       |   (0.7213/(1.0 + 1.079/256.0)) * (256.0 * 256.0) * 144115188075855872.0
+       |     / CAST(bigN AS DOUBLE) AS e_raw FROM est2)),
+       |dv AS (SELECT DISTINCT col_name, v FROM vals),
+       |exc AS (SELECT gp.ga, gp.gb, count(*) AS exact_common
+       |        FROM gp JOIN dv a2 ON a2.col_name = gp.ga
+       |             JOIN dv b2 ON b2.col_name = gp.gb AND b2.v = a2.v
+       |        GROUP BY 1, 2)
+       |SELECT fin2.ga AS source_a, fin2.gb AS source_b,
+       | CAST(coalesce(exc.exact_common, 0) AS BIGINT) AS exact_common,
+       | fa.est AS est_a, fb.est AS est_b, fin2.est_union,
+       | round(greatest(fa.est + fb.est - fin2.est_union, 0.0), 2) AS est_common
+       |FROM fin2 JOIN fin1 fa ON fa.col_name = fin2.ga
+       |     JOIN fin1 fb ON fb.col_name = fin2.gb
+       |     LEFT JOIN exc ON exc.ga = fin2.ga AND exc.gb = fin2.gb
+       |ORDER BY source_a, source_b""".stripMargin
+
   // Full MinHash-LSH choreography replay, parameterized over shingle
   // width / signature length / banding / Jaccard threshold so one
   // generator serves every minhash-family query (n10 and the n-gram-
@@ -1642,6 +1707,19 @@ object SparkEntry {
       // exactly where a float PMI would be ULP-hostage
       TextAnalysis.pmiCollocations(t(s, dir, "documents"),
         minCount = 5, topK = 20).orderBy("rk")
+    }),
+
+    "n79_hll_overlap" -> ((s, dir) => {
+      // pairwise shared-vocabulary estimate between sources: union
+      // registers are the elementwise max (mergeability — THE property
+      // that lets HLL replace exact distinct at 100 TB), intersection
+      // by inclusion-exclusion; the exact common count rides along as
+      // the droppable audit branch
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      graft.ops.Sketch.hllOverlapByGroup(words, "source", "word", p = 8)
+        .orderBy("source_a", "source_b")
     }),
 
     "n28_dup_clusters" -> ((s, dir) => {
@@ -3476,6 +3554,8 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "n76_textrank_keywords" -> textRankOracleSql(iters = 3, topK = 20),
+
+    "n79_hll_overlap" -> hllOverlapOracleSql,
 
     "n78_pmi_collocations" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -60,8 +60,31 @@ object Sketch {
         .filter(col("v").isNotNull),
       p).withColumnRenamed("col_name", groupCol)
 
-  private def hllOverPairs(pairs: DataFrame, p: Int): DataFrame = {
-    require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
+  /** (col_name, reg, mj) max-rank registers for a (col_name, v) pair
+    * relation — the combinable heart of the HLL pipeline, shared by the
+    * per-key estimates and the register-level set algebra (union = the
+    * elementwise max this relation already carries).
+    */
+  private def hllRegisters(pairs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    pairs
+      .withColumn("w", fnv_mix64(col("v")))
+      .withColumn("reg", col("w").bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("rest", shiftrightunsigned(col("w"), p))
+      .withColumn("rank",
+        when(col("rest") === 0, lit(maxRank))
+          .otherwise(bit_count(col("rest").bitwiseAND(lit(0L) - col("rest")) - 1) + 1))
+      .groupBy("col_name", "reg").agg(max("rank").as("mj"))
+  }
+
+  /** Estimate from a register relation, keyed by `keys`: the standard
+    * alpha_m bias correction with linear counting below 2.5m. Every
+    * float step is a single fused expression the oracle writes
+    * identically (the register sum itself is exact decimal).
+    */
+  private def hllEstimateFromRegs(regs: DataFrame, keys: Seq[String],
+                                  p: Int): DataFrame = {
     val m = 1 << p
     val maxRank = 64 - p + 1
     // one fused literal per constant: the oracle writes the SAME
@@ -69,24 +92,11 @@ object Sketch {
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
     val pow2MaxRank = math.pow(2.0, maxRank) // power of two: exact
     val rawNumer = alpha * (m.toDouble * m.toDouble) * pow2MaxRank
-
-    val ranked = pairs
-      .withColumn("w", fnv_mix64(col("v")))
-      .withColumn("reg", col("w").bitwiseAND(lit((m - 1).toLong)))
-      .withColumn("rest", shiftrightunsigned(col("w"), p))
-      .withColumn("rank",
-        when(col("rest") === 0, lit(maxRank))
-          .otherwise(bit_count(col("rest").bitwiseAND(lit(0L) - col("rest")) - 1) + 1))
-
-    val regs = ranked.groupBy("col_name", "reg").agg(max("rank").as("mj"))
-
     // exact integer register sum: 2^(maxRank - mj) <= 2^(maxRank-1) is a
     // power of two (exact in double), cast to decimal before the sum
-    val agg = regs.groupBy("col_name").agg(
-      count(lit(1)).as("nonzero"),
-      sum(pow(lit(2.0), lit(maxRank) - col("mj")).cast("decimal(20,0)")).as("s"))
-
-    val est = agg
+    regs.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("nonzero"),
+        sum(pow(lit(2.0), lit(maxRank) - col("mj")).cast("decimal(20,0)")).as("s"))
       .withColumn("empty", lit(m.toLong) - col("nonzero"))
       // N = 2^maxRank * Z where Z = sum 2^-Mj over ALL m registers
       .withColumn("bigN", col("s") +
@@ -96,13 +106,72 @@ object Sketch {
         when(col("e_raw") <= lit(2.5 * m) && col("empty") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("empty").cast("double")))
           .otherwise(col("e_raw")), 2))
+  }
 
+  private def hllOverPairs(pairs: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
+    val regs = hllRegisters(pairs, p)
+    val est = hllEstimateFromRegs(regs, Seq("col_name"), p)
     val exact = pairs.groupBy("col_name")
       .agg(count_distinct(col("v")).as("exact_distinct"))
-
     est.join(exact, "col_name")
       .select(col("col_name"), col("exact_distinct"),
         col("hll_estimate"), col("nonzero").as("registers_used"))
+  }
+
+  /** Pairwise HLL set algebra between groups — how much vocabulary do
+    * two crawl sources share, without ever joining the corpora: union
+    * registers are the elementwise max of the per-group registers
+    * (HLL's defining property: mergeable with no error growth), and
+    * the intersection is inclusion-exclusion
+    * `est(A) + est(B) - est(A∪B)` (Flajolet et al. 2007; the standard
+    * estimator, noisier than either input — ±clamped at 0 for the
+    * audit-friendly output). The exact intersection rides alongside
+    * as the droppable audit branch, exactly like n39's exact-distinct.
+    *
+    * Shape at scale: the corpus contributes ONE register-building scan
+    * (`groups * 2^p`-bounded shuffle); everything pairwise — the
+    * union-max, the estimates, inclusion-exclusion — runs on the
+    * register relation (groups² * 2^p rows at worst), never on data.
+    * The exact-audit branch is the only corpus-sized join; drop it at
+    * 100 TB.
+    */
+  def hllOverlapByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
+    val pairs = df.select(col(groupCol).cast("string").as("col_name"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val regs = hllRegisters(pairs, p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val single = hllEstimateFromRegs(regs, Seq("col_name"), p)
+      .select(col("col_name"), col("hll_estimate"))
+    val groups = regs.select("col_name").distinct()
+    val gpairs = groups.as("a").join(groups.as("b"),
+        col("a.col_name") < col("b.col_name"))
+      .select(col("a.col_name").as("ga"), col("b.col_name").as("gb"))
+    val unionRegs = gpairs.join(regs,
+        col("col_name") === col("ga") || col("col_name") === col("gb"))
+      .groupBy("ga", "gb", "reg").agg(max("mj").as("mj"))
+      .withColumn("col_name", concat(col("ga"), lit("|"), col("gb")))
+    val unionEst = hllEstimateFromRegs(unionRegs, Seq("ga", "gb"), p)
+      .select(col("ga"), col("gb"), col("hll_estimate").as("est_union"))
+    val exact = pairs.distinct()
+    val exactCommon = gpairs
+      .join(exact.select(col("col_name").as("ga"), col("v")), Seq("ga"))
+      .join(exact.select(col("col_name").as("gb"), col("v")), Seq("gb", "v"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("exact_common"))
+    unionEst
+      .join(single.select(col("col_name").as("ga"),
+        col("hll_estimate").as("est_a")), Seq("ga"))
+      .join(single.select(col("col_name").as("gb"),
+        col("hll_estimate").as("est_b")), Seq("gb"))
+      .join(exactCommon, Seq("ga", "gb"), "left")
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 2).as("est_common"))
   }
 
   /** Histogram quantile sketch over an integral column — the third leg

@@ -1388,6 +1388,40 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hllOverlapByGroup: inclusion-exclusion tracks the planted overlap") {
+    import spark.implicits._
+    // a: 1..2000, b: 1001..3000 (overlap 1000), c: disjoint 5001..5500
+    val rows = (1 to 2000).map(i => ("a", s"v$i")) ++
+      (1001 to 3000).map(i => ("b", s"v$i")) ++
+      (5001 to 5500).map(i => ("c", s"v$i"))
+    val df = rows.toDF("grp", "v")
+    val out = Sketch.hllOverlapByGroup(df, "grp", "v", p = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("exact_common") == 1000L)
+    // inclusion-exclusion is noisier than either input: allow 30% of
+    // the TRUE union as the band (standard for p=8 intersections)
+    assert(math.abs(ab.getAs[Double]("est_common") - 1000.0) < 0.3 * 3000.0)
+    // disjoint pairs: exact 0, estimate near 0 relative to the union
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Long]("exact_common") == 0L)
+    assert(ac.getAs[Double]("est_common") < 0.3 * 2500.0)
+    // union-max registers dominate each side elementwise, so the union
+    // estimate is at least each side's (NOT subadditive though — the
+    // linear-counting/raw switchover breaks est_u <= est_a + est_b)
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("est_union") >=
+        math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")) - 1e-9)
+    }
+    // partition-invariant (integer registers)
+    val p1 = Sketch.hllOverlapByGroup(df.repartition(1), "grp", "v", 8)
+      .orderBy("source_a", "source_b").collect().toSeq
+    val p13 = Sketch.hllOverlapByGroup(df.repartition(13), "grp", "v", 8)
+      .orderBy("source_a", "source_b").collect().toSeq
+    assert(p1 == p13)
+  }
+
   test("cmsWordCounts: one-sided error, exact when width dwarfs the vocabulary") {
     val r = Sketch.cmsWordCounts(docs, depth = 4, width = 1024, topK = 5).collect()
     assert(r.nonEmpty)
