@@ -719,6 +719,38 @@ object SparkEntry {
               |ORDER BY vec_id, pos""".stripMargin)
     }),
 
+    "q37_lateral_join" -> ((s, dir) => {
+      // correlated LATERAL subquery surface (SQL:99 lateral derived
+      // table): per-customer order stats computed in a correlated
+      // aggregate subquery in FROM. Catalyst decorrelates to one
+      // hash-agg over orders + one equi-join on o_custkey — ids-only
+      // shuffle, no per-row subquery execution (the q34 rewrite, but
+      // through the multi-column LATERAL surface)
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name, o.n_orders, o.max_price
+              |FROM customer c,
+              |LATERAL (SELECT count(*) AS n_orders,
+              |                max(o_totalprice) AS max_price
+              |         FROM orders WHERE o_custkey = c_custkey) o
+              |WHERE o.n_orders >= 5
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q38_filter_clause" -> ((s, dir) => {
+      // aggregate FILTER clause surface (SQL:2003): conditional
+      // aggregation without self-joins or CASE pyramids — one scan,
+      // one hash-agg, every FILTER a codegen predicate on the
+      // aggregate's input
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT source,
+              | count(*) AS n_docs,
+              | count(*) FILTER (WHERE lang = 'en') AS n_en,
+              | sum(n_chars) FILTER (WHERE lang = 'en') AS chars_en,
+              | count(*) FILTER (WHERE n_chars >= 500) AS n_long
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     "q33_cube" -> ((s, dir) => {
       // CUBE surface — the third grouping operator beside rollup (q15)
       // and grouping sets (q22). Quantities are integral doubles in
@@ -3048,6 +3080,23 @@ object SparkEntry {
         |  unnest(embedding) AS val
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY vec_id, pos""".stripMargin,
+
+    "q37_lateral_join" ->
+      """SELECT c_custkey, c_name, o.n_orders, o.max_price
+        |FROM customer c,
+        |LATERAL (SELECT count(*) AS n_orders,
+        |                max(o_totalprice) AS max_price
+        |         FROM orders WHERE o_custkey = c_custkey) o
+        |WHERE o.n_orders >= 5
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q38_filter_clause" ->
+      """SELECT source,
+        | count(*) AS n_docs,
+        | count(*) FILTER (WHERE lang = 'en') AS n_en,
+        | CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS BIGINT) AS chars_en,
+        | count(*) FILTER (WHERE n_chars >= 500) AS n_long
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q34_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey,
