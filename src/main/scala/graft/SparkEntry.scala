@@ -1754,6 +1754,20 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    "n80_char_entropy" -> ((s, dir) => {
+      // per-doc character entropy (compression-ratio quality proxy):
+      // zero-shuffle run-length fold over each row's sorted chars; a
+      // planted degenerate doc ("aaaa...", entropy 0) and a planted
+      // near-uniform doc make both filter tails value-bearing
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "a" * 64, "en", "planted", 64L),
+        (9000002L, ('a' to 'z').mkString * 2, "en", "planted", 52L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.charEntropy(t(s, dir, "documents").unionByName(planted))
+        .orderBy("doc_id")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -3605,6 +3619,28 @@ object SparkEntry {
     "n76_textrank_keywords" -> textRankOracleSql(iters = 3, topK = 20),
 
     "n79_hll_overlap" -> hllOverlapOracleSql,
+
+    "n80_char_entropy" ->
+      // the n51 float convention: ln(count) is one IEEE op, the fold
+      // adds run*ln(run) in ascending char order on both engines
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9000001, repeat('a', 64)),
+        |  (9000002, repeat('abcdefghijklmnopqrstuvwxyz', 2))) v(doc_id, text)),
+        |g AS (SELECT doc_id, substr(text, pos, 1) AS ch
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, strlen(text))) AS pos
+        |            FROM d WHERE strlen(text) >= 1)),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+        |  CAST(count(*) AS BIGINT) AS distinct_chars,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(c * ln(c) ORDER BY ch)), (acc, x) -> acc + x) AS sum_ln
+        | FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_chars_counted, distinct_chars,
+        | round(ln(n_chars_counted) - sum_ln / n_chars_counted, 6) AS entropy_nats
+        |FROM pd ORDER BY doc_id""".stripMargin,
 
     "n78_pmi_collocations" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -925,6 +925,47 @@ object TextAnalysis {
       .select("a", "b", "c_ab", "c_a", "c_b", "pmi_scaled", "rk")
   }
 
+  /** Per-document character entropy — the compression-ratio proxy in
+    * the Gopher/C4 quality-filter family: H = ln(n) - (Σ cᵢ·ln cᵢ)/n
+    * nats over the doc's character distribution. Near-zero entropy
+    * flags degenerate repetition ("aaaa…"), near-ln(alphabet) flags
+    * random noise; both tails get filtered before pretraining.
+    *
+    * 100 TB shape: ZERO shuffle — the character histogram never
+    * materializes. Each row folds its own sorted character array with
+    * a run-length (prev, run, acc) state, closing each run as
+    * `run·ln(run)` in ascending character order; the oracle replays
+    * the identical addition sequence by folding per-char counts
+    * ORDER BY ch. ln() of an integer is a single IEEE op and the
+    * fold order is pinned on both sides, so the doubles match
+    * bit-for-bit (the n51 convention, minus n51's corpus-stats
+    * shuffle). BMP/ASCII caveat as n51: Spark splits UTF-16 units.
+    * Empty texts drop (entropy of nothing is undefined).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = array_sort(filter(split(col("text"), ""), c => c =!= lit("")))
+    val closeRun = (s: Column) =>
+      when(s("run") > 0L, s("run") * log(s("run"))).otherwise(lit(0.0))
+    val folded = aggregate(
+      chars,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+      (s, c) => struct(
+        c.as("prev"),
+        when(c === s("prev"), s("run") + 1L).otherwise(lit(1L)).as("run"),
+        when(c === s("prev"), s("acc"))
+          .otherwise(s("acc") + closeRun(s)).as("acc")),
+      s => s("acc") + closeRun(s))
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        size(chars).cast("long").as("n_chars_counted"),
+        size(array_distinct(chars)).cast("long").as("distinct_chars"),
+        folded.as("__sum_ln"))
+      .withColumn("entropy_nats",
+        round(log(col("n_chars_counted")) -
+          col("__sum_ln") / col("n_chars_counted"), 6))
+      .drop("__sum_ln")
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

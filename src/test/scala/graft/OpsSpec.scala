@@ -1656,6 +1656,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: closed forms, empty drop, zero-shuffle plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaa"),        // one run: entropy 0
+      (2L, "abab"),        // two chars, equal counts: ln 2
+      (3L, "abcdefghij"),  // uniform 10-char alphabet: ln 10
+      (4L, "")             // empty: dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d)
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_chars_counted"), r.getAs[Long]("distinct_chars"),
+        r.getAs[Double]("entropy_nats"))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L) == ((4L, 1L, 0.0)))
+    assert(m(2L)._3 == math.rint(math.log(2.0) * 1e6) / 1e6 ||
+      math.abs(m(2L)._3 - math.log(2.0)) < 1e-6)
+    assert(math.abs(m(3L)._3 - math.log(10.0)) < 1e-6)
+    // the histogram never materializes: per-row fold, no shuffle
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("pmiCollocations: integer-scaled ranking matches hand arithmetic") {
     import spark.implicits._
     // unigrams: new 3, york 3, times 1, city 1 -> N = 8
