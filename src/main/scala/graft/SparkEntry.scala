@@ -751,6 +751,38 @@ object SparkEntry {
               |FROM documents GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    "q39_ignore_nulls" -> ((s, dir) => {
+      // IGNORE NULLS window surface: forward-fill the last non-click
+      // value per user (the event-stream twin of g08's grid ffill).
+      // Values are bit-copied, never computed, so doubles hash-match;
+      // (ts, event_id) is a unique total order per partition
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""SELECT event_id, user_id, ts,
+              | last_value(CASE WHEN event_type <> 'click' THEN value END)
+              |   IGNORE NULLS OVER (PARTITION BY user_id
+              |     ORDER BY ts, event_id
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |   AS last_nonclick_value
+              |FROM events
+              |ORDER BY user_id, ts, event_id""".stripMargin)
+    }),
+
+    "q40_rank_stats" -> ((s, dir) => {
+      // percent_rank / cume_dist surface — the remaining ranking
+      // family members beside row_number/rank (q04), ntile (q25);
+      // each is one division on integer rank/count inputs, identical
+      // cross-engine. Partitioned by priority: a surface demo (the
+      // scale path partitions by a high-cardinality key)
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_orderpriority,
+              | round(percent_rank() OVER (PARTITION BY o_orderpriority
+              |   ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+              | round(cume_dist() OVER (PARTITION BY o_orderpriority
+              |   ORDER BY o_totalprice, o_orderkey), 6) AS cd
+              |FROM orders
+              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)
+    }),
+
     "q33_cube" -> ((s, dir) => {
       // CUBE surface — the third grouping operator beside rollup (q15)
       // and grouping sets (q22). Quantities are integral doubles in
@@ -3094,6 +3126,27 @@ object SparkEntry {
         |  unnest(embedding) AS val
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY vec_id, pos""".stripMargin,
+
+    "q39_ignore_nulls" ->
+      // DuckDB places IGNORE NULLS inside the call parens; Spark after
+      // them — same SQL:2011 semantics either way
+      """SELECT event_id, user_id, ts,
+        | last_value(CASE WHEN event_type <> 'click' THEN value END
+        |   IGNORE NULLS) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS last_nonclick_value
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q40_rank_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        | round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q37_lateral_join" ->
       """SELECT c_custkey, c_name, o.n_orders, o.max_price
