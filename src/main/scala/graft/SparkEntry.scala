@@ -336,6 +336,44 @@ object SparkEntry {
        |     LEFT JOIN exc ON exc.ga = fin2.ga AND exc.gb = fin2.gb
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Two-phase BPE replay for n81: `numMerges` unrolled training steps
+    * (pair-count argmax with the (cnt DESC, l, r) tie-break, then the
+    * greedy leftmost non-overlapping re-segmentation as a list_reduce
+    * whose accumulator and element are both VARCHAR[] — DuckDB's
+    * binary reduce seeds from the first element, hence the
+    * list_transform to singleton lists), then the encode join + per-doc
+    * count agg. Mirrors TextAnalysis.bpeTrain/bpeEncode step for step.
+    */
+  private def bpeEncodeOracleSql(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { k =>
+      s"""p$k AS (SELECT syms[i] AS l, syms[i+1] AS r,
+         |  CAST(sum(wcount) AS BIGINT) AS cnt
+         | FROM s${k - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         | WHERE len(syms) >= 2 GROUP BY 1, 2),
+         |m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$k AS (SELECT word, wcount,
+         |  list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |    CASE WHEN len(acc) > 0 AND acc[-1] = m$k.l AND x[1] = m$k.r
+         |         THEN list_concat(acc[1:len(acc)-1], [m$k.l || m$k.r])
+         |         ELSE list_concat(acc, x) END) AS syms
+         | FROM s${k - 1} CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+       | FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+       |       FROM documents) GROUP BY word),
+       |s0 AS (SELECT word, wcount,
+       |  list_filter(string_split(word, ''), s -> s <> '') AS syms FROM wc),
+       |$steps,
+       |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_toks FROM s$numMerges),
+       |dw AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+       | FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       | CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // Full MinHash-LSH choreography replay, parameterized over shingle
   // width / signature length / banding / Jaccard threshold so one
   // generator serves every minhash-family query (n10 and the n-gram-
@@ -1797,6 +1835,18 @@ object SparkEntry {
         (9000002L, ('a' to 'z').mkString * 2, "en", "planted", 52L)
       ).toDF("doc_id", "text", "lang", "source", "n_chars")
       TextAnalysis.charEntropy(t(s, dir, "documents").unionByName(planted))
+        .orderBy("doc_id")
+    }),
+
+    "n81_bpe_encode" -> ((s, dir) => {
+      // train-then-apply: 4 BPE merges trained on the corpus (n63's
+      // primitive iterated), then the tokenizer-apply pass — per-doc
+      // exact token counts under the learned merges. The oracle
+      // replays BOTH phases: 4 unrolled argmax+re-segment steps, then
+      // the same greedy fold at encode time
+      val docs = t(s, dir, "documents")
+      val (merges, _) = TextAnalysis.bpeTrain(docs, numMerges = 4)
+      TextAnalysis.bpeEncode(docs, merges.map(m => (m._1, m._2)))
         .orderBy("doc_id")
     }),
 
@@ -3672,6 +3722,8 @@ object SparkEntry {
     "n76_textrank_keywords" -> textRankOracleSql(iters = 3, topK = 20),
 
     "n79_hll_overlap" -> hllOverlapOracleSql,
+
+    "n81_bpe_encode" -> bpeEncodeOracleSql(numMerges = 4),
 
     "n80_char_entropy" ->
       // the n51 float convention: ln(count) is one IEEE op, the fold

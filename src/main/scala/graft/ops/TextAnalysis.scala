@@ -129,6 +129,44 @@ object TextAnalysis {
         col("pair").bitwiseAND(65535).as("right_code"), col("pair_count"))
   }
 
+  /** One greedy left-to-right BPE merge pass over a symbol array:
+    * adjacent (l, r) becomes l+r, non-overlapping, leftmost-first —
+    * an `aggregate` fold, per-row, no shuffle. Shared by training
+    * (re-segmentation) and [[bpeEncode]] (tokenizer apply).
+    */
+  private def applyBpeMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply a trained BPE merge list — the tokenizer-APPLY pass every
+    * pretraining pipeline runs over the full corpus after training on
+    * a sample: per document, the exact token count under the merges
+    * (and the word count). Handles OOV words naturally: unseen words
+    * just fold the merge list over their characters like any other.
+    *
+    * 100 TB shape: the merge folds run once per DISTINCT word (the
+    * vocabulary-sized relation), never per occurrence — the corpus
+    * only streams through the word explode and the final count agg,
+    * and the (word, n_toks) map joins back AQE-broadcast. The fold
+    * chain nests `merges.length` aggregate HOFs; keep apply lists
+    * modest (production tokenizers precompute the vocab table — that
+    * path is [[bpeTrain]]'s returned segmentation joined directly).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
+    var syms: Column = filter(split(col("word"), ""), s => s =!= lit(""))
+    merges.foreach { case (l, r) => syms = applyBpeMerge(syms, l, r) }
+    val enc = words.select("word").distinct()
+      .withColumn("n_toks", size(syms).cast("long"))
+    words.join(enc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+  }
+
   /** Full BPE tokenizer training — the driver loop over the
     * distributed pair-count primitive ([[bpePairCounts]] is its first
     * iteration over char pairs): repeat numMerges times { count
@@ -159,12 +197,6 @@ object TextAnalysis {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    def applyMerge(syms: Column, l: String, r: String): Column =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) => when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
     var cur = ckpt(docs
       .select(explode(filter(split(col("text"), " "), w => w =!= lit(""))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
@@ -188,7 +220,7 @@ object TextAnalysis {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((l, r, c))
-        cur = ckpt(cur.withColumn("syms", applyMerge(col("syms"), l, r)))
+        cur = ckpt(cur.withColumn("syms", applyBpeMerge(col("syms"), l, r)))
       }
     }
     (merges.toSeq, cur)

@@ -1656,6 +1656,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode: apply == training segmentation, OOV folds the same merges") {
+    import spark.implicits._
+    val d = Seq((1L, "low lower low"), (2L, "newest low")).toDF("doc_id", "text")
+    val (merges, vocab) = TextAnalysis.bpeTrain(d, numMerges = 3)
+    val enc = TextAnalysis.bpeEncode(d, merges.map(m => (m._1, m._2)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens")))
+    // law: applying the merge list to the training corpus reproduces
+    // the training segmentation's token counts exactly
+    val segTokens = vocab.select(col("word"), size(col("syms")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Seq(
+      (1L, 3L, segTokens("low") * 2 + segTokens("lower")),
+      (2L, 2L, segTokens("newest") + segTokens("low")))
+    assert(enc.toSeq == expected)
+    // OOV: an unseen word folds the same merges over its chars —
+    // "lowest" shares the learned "lo"/"low" prefix merges
+    val oov = TextAnalysis.bpeEncode(
+      Seq((9L, "zzz")).toDF("doc_id", "text"), merges.map(m => (m._1, m._2)))
+      .collect()(0)
+    assert(oov.getAs[Long]("n_words") == 1L)
+    assert(oov.getAs[Long]("n_tokens") == 3L) // no merge matches: char tokens
+  }
+
   test("charEntropy: closed forms, empty drop, zero-shuffle plan") {
     import spark.implicits._
     val d = Seq(
