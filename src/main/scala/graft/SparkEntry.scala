@@ -1850,6 +1850,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n82_embedding_diversity" -> ((s, dir) => {
+      // avg pairwise cosine per label WITHOUT a pair relation: the
+      // ||sum||^2 identity over unit-sphere int8 codes — all-long
+      // sums, two pinned float steps
+      graft.ops.Similarity.embeddingDiversity(
+        t(s, dir, "embeddings"), groupCol = "label").orderBy("label")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -3724,6 +3732,37 @@ object SparkEntry {
     "n79_hll_overlap" -> hllOverlapOracleSql,
 
     "n81_bpe_encode" -> bpeEncodeOracleSql(numMerges = 4),
+
+    "n82_embedding_diversity" ->
+      // norm fold and final division pinned to the Spark expression
+      // order; everything between is exact LONG arithmetic
+      """WITH nrm AS (SELECT label, embedding,
+        |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        |    (a, x) -> a + x)) AS nq
+        | FROM embeddings),
+        |codes AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CASE WHEN nq = 0.0 THEN list_transform(embedding, v -> 0)
+        |       ELSE list_transform(embedding,
+        |         v -> CAST(floor(CAST(v AS DOUBLE) / nq * 127.0 + 0.5) AS INTEGER))
+        |  END AS codes
+        | FROM nrm),
+        |sd AS (SELECT label, codes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(codes, c -> CAST(c AS BIGINT) * CAST(c AS BIGINT))),
+        |    (a, x) -> a + x) AS self_dot
+        | FROM codes),
+        |pos AS (SELECT label, i, CAST(codes[i] AS BIGINT) AS c
+        |        FROM sd, unnest(generate_series(1, len(codes))) AS t(i)),
+        |ds AS (SELECT label, i, CAST(sum(c) AS BIGINT) AS s FROM pos GROUP BY 1, 2),
+        |s2 AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS s2 FROM ds GROUP BY 1),
+        |b AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(self_dot) AS BIGINT) AS sum_self FROM sd GROUP BY 1)
+        |SELECT b.label, b.n, b.sum_self, s2.s2,
+        | round((CAST(s2.s2 - b.sum_self AS DOUBLE) /
+        |   CAST(b.n * (b.n - 1) AS DOUBLE)) / 16129.0, 6) AS avg_pair_cos
+        |FROM b JOIN s2 USING (label)
+        |WHERE b.n >= 2 ORDER BY label""".stripMargin,
 
     "n80_char_entropy" ->
       // the n51 float convention: ln(count) is one IEEE op, the fold

@@ -265,4 +265,51 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Intra-group embedding diversity — the curation signal behind
+    * diversity-aware data selection (how semantically concentrated is
+    * each source/cluster?): the average pairwise cosine of a group,
+    * WITHOUT materializing a single pair. The identity
+    * `Σᵢⱼ<xᵢ,xⱼ> = ‖Σxᵢ‖²` turns the quadratic pair sum into two
+    * integer aggregates over unit-sphere int8 codes (normalize, then
+    * quantize at 127 steps): `avg_pair = (‖S‖² − Σ‖xᵢ‖²) / (n(n−1))`,
+    * reported in cosine units via /127². All sums are LONG — exact
+    * and partition-order-independent — so the oracle replays them;
+    * the two float steps (the norm fold and the final division) are
+    * pinned-order expressions. Zero vectors quantize to zero codes
+    * and groups below 2 rows drop (no pairs to average).
+    *
+    * 100 TB shape: ONE corpus scan → per-(group, dim) integer sums
+    * (`groups × dim`-bounded shuffle, map-side combinable) + a
+    * per-group count/self-dot agg. No pair relation, no window, no
+    * cross join — the quadratic object never exists. Overflow bound:
+    * (127·n)² < 2^63 → n ≤ ~7e8 rows per group; shard larger groups
+    * (documented, the n70 convention).
+    */
+  def embeddingDiversity(emb: DataFrame, groupCol: String = "label"): DataFrame = {
+    val x = col("embedding")
+    val norm = sqrt(aggregate(x, lit(0.0),
+      (a, v) => a + v.cast("double") * v.cast("double")))
+    val codes = when(norm === lit(0.0), transform(x, _ => lit(0)))
+      .otherwise(transform(x,
+        v => floor(v.cast("double") / norm * lit(127.0) + lit(0.5)).cast("int")))
+    val selfDot = aggregate(
+      zip_with(col("codes"), col("codes"), (a, b) => (a * b).cast("long")),
+      lit(0L), (a, v) => a + v)
+    val coded = emb.select(col(groupCol).cast("long").as(groupCol),
+        codes.as("codes"))
+      .withColumn("self_dot", selfDot)
+    val dimSums = coded
+      .select(col(groupCol), posexplode(col("codes")).as(Seq("pos", "c")))
+      .groupBy(groupCol, "pos").agg(sum(col("c").cast("long")).as("s"))
+      .groupBy(groupCol).agg(sum(col("s") * col("s")).as("s2"))
+    coded.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("self_dot")).as("sum_self"))
+      .join(dimSums, groupCol :: Nil)
+      .filter(col("n") >= 2)
+      .select(col(groupCol), col("n"), col("sum_self"), col("s2"),
+        round(((col("s2") - col("sum_self")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) / lit(16129.0), 6)
+          .as("avg_pair_cos"))
+  }
 }

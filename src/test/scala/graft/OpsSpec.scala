@@ -1656,6 +1656,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDiversity: ||sum||^2 identity == brute-force pair enumeration") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // group 0: two identical + one orthogonal
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(3.0f, 4.0f, 0.0f), 1),   // group 1: parallel (cos 1 after norm)
+      (5L, Array(6.0f, 8.0f, 0.0f), 1),
+      (6L, Array(1.0f, 1.0f, 1.0f), 2)    // group 2: singleton -> drops
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDiversity(rows, "label").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L)) // singleton group dropped
+    // group 1: identical unit vectors -> quantized cosine exactly 1
+    // (codes are equal, so S2 - sum_self == 2 * self_dot == n(n-1) * 127^2
+    // only if |code|^2 == 16129; (76,102) gives 76^2+102^2 = 16180)
+    val g1 = out(1L)
+    assert(math.abs(g1.getAs[Double]("avg_pair_cos") - 16180.0 / 16129.0) < 5.1e-7)
+    // group 0: brute-force over quantized codes: pairs (1,2)=127^2,
+    // (1,3)=0, (2,3)=0 -> avg = 2*127^2 / 6
+    val g0 = out(0L)
+    assert(math.abs(g0.getAs[Double]("avg_pair_cos") - 1.0 / 3.0) < 5.1e-7)
+    assert(g0.getAs[Long]("n") == 3L)
+    // partition invariance: all-long sums
+    val a = Similarity.embeddingDiversity(rows.repartition(7), "label")
+      .orderBy("label").collect().toSeq
+    val b = Similarity.embeddingDiversity(rows.repartition(1), "label")
+      .orderBy("label").collect().toSeq
+    assert(a == b)
+  }
+
   test("bpeEncode: apply == training segmentation, OOV folds the same merges") {
     import spark.implicits._
     val d = Seq((1L, "low lower low"), (2L, "newest low")).toDF("doc_id", "text")
