@@ -1858,6 +1858,20 @@ object SparkEntry {
         t(s, dir, "embeddings"), groupCol = "label").orderBy("label")
     }),
 
+    "n83_random_projection" -> ((s, dir) => {
+      // Johnson–Lindenstrauss projection 64 -> 8 dims through the
+      // codegen random_project expression: hyperplanes derive on the
+      // fly from splitmix64 (the sign_buckets machinery), so the plan
+      // carries only k — never k×dim literals
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(org.apache.spark.sql.graft.GraftFunctions
+            .random_project(col("embedding"), 8)).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("val"), 6).as("val"))
+        .orderBy("vec_id", "pos")
+    }),
+
     "n28_dup_clusters" -> ((s, dir) => {
       // connected components over the simhash near-dup graph: every doc
       // in a pair labeled with the min doc_id of its component via
@@ -3732,6 +3746,29 @@ object SparkEntry {
     "n79_hll_overlap" -> hllOverlapOracleSql,
 
     "n81_bpe_encode" -> bpeEncodeOracleSql(numMerges = 4),
+
+    "n83_random_projection" -> {
+      // table-0 hyperplane components exactly as SimilarityKernels
+      // .hyperplanes: splitmix64 -> [-1,1) double -> FLOAT, widened
+      // back to double literals; sequential left-fold dot like the
+      // kernel's loop
+      def comp(p: Int, d: Int): Double = {
+        val h = graft.functions.Hashing.splitmix64(p.toLong * 8191L + d)
+        (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
+      }
+      val (k, dim) = (8, 64)
+      val hpRows = (0 until k).map { p =>
+        val vec = (0 until dim).map(d => dlit(comp(p, d))).mkString(", ")
+        s"($p, [$vec])"
+      }.mkString(",\n  ")
+      val dot = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> emb[i] * v[i]), (acc, x) -> acc + x)"
+      s"""WITH hp(p, v) AS (VALUES
+         |  $hpRows),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |SELECT vec_id, CAST(p AS BIGINT) AS pos, round($dot, 6) AS val
+         |FROM e, hp ORDER BY vec_id, pos""".stripMargin
+    },
 
     "n82_embedding_diversity" ->
       // norm fold and final division pinned to the Spark expression

@@ -129,6 +129,31 @@ object SimilarityKernels {
     new GenericArrayData(out)
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions: dot
+    * the float vector against the k table-0 splitmix64-derived
+    * hyperplanes ([[hyperplanes]] — the same derivation sign-LSH
+    * buckets with, so the plan carries only `k`, never k×dim
+    * literals). Left-to-right double accumulation like [[signBuckets]],
+    * so the oracle's sequential list_reduce fold is bit-identical.
+    * Unscaled (the 1/√k JL factor is a constant — cosines and
+    * relative distances are preserved without it; callers comparing
+    * to the original scale multiply themselves).
+    */
+  def randomProject(emb: ArrayData, k: Int): ArrayData = {
+    val d = emb.numElements()
+    val comp = hyperplanes(k, 1, d)
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      val base = p * d
+      var dot = 0.0; var i = 0
+      while (i < d) { dot += emb.getFloat(i).toDouble * comp(base + i).toDouble; i += 1 }
+      out(p) = dot
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over whitespace-separated tokens: each token votes
     * +1/-1 per bit of its hash; the sign of each bit-sum is the output
     * bit. Empty text -> 0L.
@@ -335,6 +360,19 @@ case class SignBuckets(child: Expression, planes: Int, tables: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class RandomProject(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_project"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.randomProject(t.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.randomProject($t, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class MinHashSignature(child: Expression, k: Int, numHashes: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -455,6 +493,8 @@ object GraftFunctions {
     column(DotProduct(expression(a), expression(b)))
   def sign_buckets(emb: Column, planes: Int, tables: Int): Column =
     column(SignBuckets(expression(emb), planes, tables))
+  def random_project(emb: Column, k: Int): Column =
+    column(RandomProject(expression(emb), k))
   def minhash_signature(text: Column, k: Int = 5, numHashes: Int = 64,
                         seed: Long = 42L): Column =
     column(MinHashSignature(expression(text), k, numHashes, seed))

@@ -1656,6 +1656,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("randomProject: basis vectors read off hyperplane components, scaling exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.random_project
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val d = Seq((1L, e0), (2L, e0.map(_ * 2.0f))).toDF("vec_id", "embedding")
+    val rows = d.select(col("vec_id"),
+        random_project(col("embedding"), 8).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // proj(e_0)[p] is exactly hyperplane component (p, 0): the
+    // splitmix64 -> [-1,1) -> float -> double chain
+    (0 until 8).foreach { p =>
+      val expected = (graft.functions.Hashing.splitmix64(p.toLong * 8191L).toDouble /
+        Long.MaxValue.toDouble).toFloat.toDouble
+      assert(rows(1L)(p) == expected, s"plane $p")
+    }
+    // power-of-two scaling commutes with IEEE rounding: proj(2x) == 2*proj(x)
+    assert(rows(2L) == rows(1L).map(_ * 2.0))
+  }
+
   test("embeddingDiversity: ||sum||^2 identity == brute-force pair enumeration") {
     import spark.implicits._
     val rows = Seq(
