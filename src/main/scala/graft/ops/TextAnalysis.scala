@@ -887,11 +887,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("wt"))
     val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
     // persisted: vocab-sized by construction, consumed by every
-    // iteration. Caller-owned cache lifecycle (repo convention).
+    // iteration — AND the sole ancestor of the node list and node
+    // count below, so the corpus-sized explode+agg pipeline runs once
+    // into the cache and never again (plan-audited: without this, each
+    // iteration's crossJoin(n) re-derived the corpus pipeline).
+    // Caller-owned cache lifecycle (repo convention).
     val ed = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.select(col("src").as("word")).crossJoin(n)
+    val nodes = ed.select(col("src").as("word")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(n)
       .select(col("word"), expr(s"$SCALE div n").as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks, ed("src") === ranks("word"))
