@@ -309,4 +309,32 @@ class EventStreamsSpec extends SparkSpec {
         r.getAs[Long]("n_events") == 2 && r.getAs[Double]("sum_value") == 3.0))
     } finally q.stop()
   }
+
+  test("streaming parity: charEntropy gate runs unchanged on a file-source stream") {
+    // charEntropy is a per-row fold (zero shuffle), so the SAME
+    // operator body filters a stream at ingest — the entropy-tail
+    // quality gate of a streaming curation pass
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    val src = Files.createTempDirectory("entstream").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch.write.mode("overwrite").parquet(src)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.charEntropy(df)
+        .filter(col("entropy_nats") >= 2.0) // drop the degenerate tail
+        .select("doc_id", "entropy_nats")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    val q = gate(stream).writeStream.format("memory").queryName("entropygate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, entropy_nats FROM entropygate")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val batched = gate(batch)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(streamed == batched && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
