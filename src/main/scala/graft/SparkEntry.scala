@@ -600,6 +600,29 @@ object SparkEntry {
        |FROM r$iters ORDER BY rank DESC, word LIMIT $topK""".stripMargin
   }
 
+  /** Exact word-trigram Jaccard pairs as the NAIVE all-shared-gram
+    * join — n72's oracle (proves the prefix filter lossless) and the
+    * truth side of n84's recall audit.
+    */
+  private val jaccardExactPairsSql: String =
+    s"""WITH base AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+         |    j -> ${fnvSql("array_to_string(ws[j:j+2], ' ')")})) AS hs
+         | FROM (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |  FROM documents)),
+         |g AS (SELECT doc_id, len(hs) AS sz, hs FROM base),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |v AS (SELECT da AS doc_id_a, db AS doc_id_b,
+         |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la, gb.sz AS lb
+         | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)
+         |SELECT doc_id_a, doc_id_b,
+         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+         |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -1856,6 +1879,17 @@ object SparkEntry {
       // sums, two pinned float steps
       graft.ops.Similarity.embeddingDiversity(
         t(s, dir, "embeddings"), groupCol = "label").orderBy("label")
+    }),
+
+    "n84_lsh_recall" -> ((s, dir) => {
+      // the audit you run before trusting banded minhash at scale:
+      // n31's approximation scored against n72's exact truth set over
+      // the same word-trigram Jaccard >= 0.5 relation. Precision is
+      // 1.0 by construction (verified LSH); recall is the banding's
+      val docs = t(s, dir, "documents")
+      Dedup.pairRecall(
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5),
+        Dedup.jaccardPrefixJoin(docs, n = 3, threshold = 0.5))
     }),
 
     "n83_random_projection" -> ((s, dir) => {
@@ -3747,6 +3781,23 @@ object SparkEntry {
 
     "n81_bpe_encode" -> bpeEncodeOracleSql(numMerges = 4),
 
+    "n84_lsh_recall" ->
+      s"""SELECT n_pred, n_truth, n_hit, n_truth - n_hit AS n_missed,
+         | round(CASE WHEN n_pred > 0
+         |   THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) END, 6) AS precision,
+         | round(CASE WHEN n_truth > 0
+         |   THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END, 6) AS recall
+         |FROM
+         | (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM (${minhashOracleSql(
+              k = 3, numHashes = 64, bands = 32, threshold = 0.5,
+              wordGrams = true)}) p0),
+         | (SELECT CAST(count(*) AS BIGINT) AS n_truth
+         |  FROM ($jaccardExactPairsSql) t0),
+         | (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM (${minhashOracleSql(k = 3, numHashes = 64, bands = 32,
+              threshold = 0.5, wordGrams = true)}) p1
+         |  JOIN ($jaccardExactPairsSql) t1 USING (doc_id_a, doc_id_b))""".stripMargin,
+
     "n83_random_projection" -> {
       // table-0 hyperplane components exactly as SimilarityKernels
       // .hyperplanes: splitmix64 -> [-1,1) double -> FLOAT, widened
@@ -3870,24 +3921,7 @@ object SparkEntry {
     // naive all-shared-gram-pairs Jaccard — deliberately WITHOUT the
     // prefix filter, so a green row proves the Spark-side pruning is
     // lossless (recall 1.0), not just replayed
-    "n72_jaccard_prefix_join" ->
-      s"""WITH base AS (SELECT doc_id,
-         |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
-         |    j -> ${fnvSql("array_to_string(ws[j:j+2], ' ')")})) AS hs
-         | FROM (SELECT doc_id,
-         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
-         |  FROM documents)),
-         |g AS (SELECT doc_id, len(hs) AS sz, hs FROM base),
-         |ex AS (SELECT doc_id, unnest(hs) AS h FROM g),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |v AS (SELECT da AS doc_id_a, db AS doc_id_b,
-         |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la, gb.sz AS lb
-         | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)
-         |SELECT doc_id_a, doc_id_b,
-         | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
-         |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
-         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "n72_jaccard_prefix_join" -> jaccardExactPairsSql,
 
     "n11_simhash_neardups" ->
       s"""WITH $simhashCte

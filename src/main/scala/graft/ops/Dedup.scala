@@ -216,6 +216,40 @@ object Dedup {
     survivors.unionByName(upserts)
   }
 
+  /** Recall/precision audit of one near-dup pair relation against
+    * another — the harness a pipeline runs before trusting an
+    * approximate dedup at scale: `pred` (e.g. [[ngramJaccardPairs]],
+    * the banded minhash approximation) scored against `truth` (e.g.
+    * [[jaccardPrefixJoin]], exact by the prefix theorem) over the
+    * same (doc_id_a, doc_id_b) convention. One row out: pair counts,
+    * hits, misses, precision, recall. For a verified-LSH `pred`
+    * (exact-Jaccard check on candidates) precision is 1.0 by
+    * construction and the number that matters is recall — what the
+    * banding missed.
+    *
+    * Scale shape: the two pair relations are near-duplicate-sized
+    * (both inputs already did their anti-quadratic work); this is one
+    * ids-only join plus three 1-row aggs. Empty inputs yield NULL
+    * ratios rather than a division artifact.
+    */
+  def pairRecall(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val p = pred.select("doc_id_a", "doc_id_b")
+    val t = truth.select("doc_id_a", "doc_id_b")
+    val np = p.agg(count(lit(1)).as("n_pred"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nh = p.join(t, Seq("doc_id_a", "doc_id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    np.crossJoin(nt).crossJoin(nh)
+      .select(col("n_pred"), col("n_truth"), col("n_hit"),
+        (col("n_truth") - col("n_hit")).as("n_missed"),
+        round(when(col("n_pred") > 0,
+          col("n_hit").cast("double") / col("n_pred").cast("double")), 6)
+          .as("precision"),
+        round(when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double")), 6)
+          .as("recall"))
+  }
+
   /** Publishes a corpus snapshot: the documents as parquet under
     * `path/docs` AND the distinct text-digest relation under
     * `path/digests` — the ~3-orders-of-magnitude-smaller relation that

@@ -969,38 +969,27 @@ object TextAnalysis {
     * random noise; both tails get filtered before pretraining.
     *
     * 100 TB shape: ZERO shuffle — the character histogram never
-    * materializes. Each row folds its own sorted character array with
-    * a run-length (prev, run, acc) state, closing each run as
-    * `run·ln(run)` in ascending character order; the oracle replays
-    * the identical addition sequence by folding per-char counts
-    * ORDER BY ch. ln() of an integer is a single IEEE op and the
-    * fold order is pinned on both sides, so the doubles match
-    * bit-for-bit (the n51 convention, minus n51's corpus-stats
-    * shuffle). BMP/ASCII caveat as n51: Spark splits UTF-16 units.
+    * materializes. Each row's sorted character runs accumulate
+    * `run·ln(run)` in ascending character order inside ONE native
+    * codegen expression ([[CharEntropyStats]] — the interpreted
+    * sort+fold HOF pipeline it replaces was a top-3 bench line); the
+    * oracle replays the identical addition sequence by folding
+    * per-char counts ORDER BY ch. ln() of an integer is a single
+    * IEEE op and the fold order is pinned on both sides, so the
+    * doubles match bit-for-bit (the n51 convention, minus n51's
+    * corpus-stats shuffle). BMP/ASCII caveat as n51: UTF-16 units,
+    * numeric order == the oracle's binary order on the BMP.
     * Empty texts drop (entropy of nothing is undefined).
     */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val chars = array_sort(filter(split(col("text"), ""), c => c =!= lit("")))
-    val closeRun = (s: Column) =>
-      when(s("run") > 0L, s("run") * log(s("run"))).otherwise(lit(0.0))
-    val folded = aggregate(
-      chars,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
-      (s, c) => struct(
-        c.as("prev"),
-        when(c === s("prev"), s("run") + 1L).otherwise(lit(1L)).as("run"),
-        when(c === s("prev"), s("acc"))
-          .otherwise(s("acc") + closeRun(s)).as("acc")),
-      s => s("acc") + closeRun(s))
     docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"),
-        size(chars).cast("long").as("n_chars_counted"),
-        size(array_distinct(chars)).cast("long").as("distinct_chars"),
-        folded.as("__sum_ln"))
-      .withColumn("entropy_nats",
+        length(col("text")).cast("long").as("n_chars_counted"),
+        char_entropy_stats(col("text")).as("__st"))
+      .select(col("doc_id"), col("n_chars_counted"),
+        col("__st.distinct_chars").as("distinct_chars"),
         round(log(col("n_chars_counted")) -
-          col("__sum_ln") / col("n_chars_counted"), 6))
-      .drop("__sum_ln")
+          col("__st.sum_ln") / col("n_chars_counted"), 6).as("entropy_nats"))
   }
 
   def redactPii(docs: DataFrame): DataFrame = {

@@ -515,6 +515,8 @@ object GraftFunctions {
     column(NfcNormalize(expression(text)))
   def char_bigrams(text: Column): Column =
     column(CharBigrams(expression(text)))
+  def char_entropy_stats(text: Column): Column =
+    column(CharEntropyStats(expression(text)))
   /** Spark's own bloom-filter aggregate (the expression behind runtime
     * filter injection), exposed as a column: builds a broadcastable
     * binary sketch over an xxhash64-hashed LONG column.

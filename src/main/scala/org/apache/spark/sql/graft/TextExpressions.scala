@@ -33,6 +33,36 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Character-entropy statistics in one native pass: sort the UTF-16
+    * units (primitive `Arrays.sort` — BMP numeric order equals the
+    * oracle's binary string order; the corpus fixture is ASCII), then
+    * run-length accumulate `run * ln(run)` in ASCENDING character
+    * order — the exact addition sequence DuckDB replays as
+    * `list(c * ln(c) ORDER BY ch)`, so the double is bit-identical.
+    * Returns (sum_ln, distinct_chars); the interpreted
+    * sort-array + fold HOF pipeline this replaces was a top-3 bench
+    * line (3.9 s at sf0.1 → sub-second native).
+    */
+  def charEntropyStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val cs = s.toCharArray
+    java.util.Arrays.sort(cs)
+    var sumLn = 0.0
+    var distinct = 0L
+    var i = 0
+    val n = cs.length
+    while (i < n) {
+      var j = i + 1
+      while (j < n && cs(j) == cs(i)) j += 1
+      val run = (j - i).toDouble
+      sumLn += run * math.log(run)
+      distinct += 1L
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sumLn, distinct))
+  }
+
   def nfc(text: UTF8String): UTF8String = {
     val s = text.toString
     // fast path: corpus text is overwhelmingly already NFC (all of
@@ -53,6 +83,21 @@ case class CharBigrams(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"org.apache.spark.sql.graft.TextKernels.charBigrams($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CharEntropyStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_ln", DoubleType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy_stats"
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.charEntropyStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.TextKernels.charEntropyStats($t)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -1656,6 +1656,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pairRecall: confusion arithmetic, null ratios on empty inputs") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val pred = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("doc_id_a", "doc_id_b")
+    val r = Dedup.pairRecall(pred, truth).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 2L, 1L)))
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.666667)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    val e = Dedup.pairRecall(empty, truth).collect()(0)
+    assert(e.isNullAt(4) && e.getDouble(5) == 0.0)
+  }
+
   test("randomProject: basis vectors read off hyperplane components, scaling exact") {
     import spark.implicits._
     import org.apache.spark.sql.graft.GraftFunctions.random_project
