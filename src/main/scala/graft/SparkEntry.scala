@@ -1881,6 +1881,27 @@ object SparkEntry {
         t(s, dir, "embeddings"), groupCol = "label").orderBy("label")
     }),
 
+    "n85_distinctive_terms" -> ((s, dir) => {
+      // per-source distinctive vocabulary by integer-scaled PMI lift;
+      // grouped top-3 under WindowGroupLimit
+      TextAnalysis.distinctiveTerms(t(s, dir, "documents"),
+        groupCol = "source", minCount = 5, topK = 3)
+        .orderBy("source", "rk")
+    }),
+
+    "q41_set_ops_all" -> ((s, dir) => {
+      // bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+      // the multiplicity-preserving complement of q28's distinct set
+      // ops; Catalyst plans both as counted joins, no distinct shuffle
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              |INTERSECT ALL
+              |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+              |EXCEPT ALL
+              |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              |ORDER BY o_custkey""".stripMargin)
+    }),
+
     "n84_lsh_recall" -> ((s, dir) => {
       // the audit you run before trusting banded minhash at scale:
       // n31's approximation scored against n72's exact truth set over
@@ -3780,6 +3801,35 @@ object SparkEntry {
     "n79_hll_overlap" -> hllOverlapOracleSql,
 
     "n81_bpe_encode" -> bpeEncodeOracleSql(numMerges = 4),
+
+    "n85_distinctive_terms" ->
+      """WITH wf AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |w2 AS (SELECT grp, w FROM wf WHERE w <> ''),
+        |cws AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS c_ws
+        |        FROM w2 GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(c_ws) AS BIGINT) AS c_w FROM cws GROUP BY 1),
+        |ns AS (SELECT grp, CAST(sum(c_ws) AS BIGINT) AS n_s FROM cws GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_ws) AS BIGINT) AS n_tot FROM cws),
+        |s AS (SELECT cws.grp, cws.w, cws.c_ws, cw.c_w, ns.n_s,
+        |        ((cws.c_ws * 1000000000) // cw.c_w) * n_tot // ns.n_s AS score
+        |      FROM cws JOIN cw USING (w) JOIN ns USING (grp) CROSS JOIN nt
+        |      WHERE cws.c_ws >= 5),
+        |r AS (SELECT grp AS source, w AS word, c_ws, c_w, n_s,
+        |        CAST(score AS BIGINT) AS score,
+        |        CAST(row_number() OVER (PARTITION BY grp
+        |          ORDER BY score DESC, w) AS BIGINT) AS rk
+        |      FROM s)
+        |SELECT source, word, c_ws, c_w, n_s, score, rk
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q41_set_ops_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
 
     "n84_lsh_recall" ->
       s"""SELECT n_pred, n_truth, n_hit, n_truth - n_hit AS n_missed,

@@ -992,6 +992,47 @@ object TextAnalysis {
           col("__st.sum_ln") / col("n_chars_counted"), 6).as("entropy_nats"))
   }
 
+  /** Per-group distinctive vocabulary — "what does source X talk about
+    * that the corpus doesn't?": rank words within each group by the
+    * PMI-style lift (c_ws/N_s)/(c_w/N), the word↔group association
+    * behind per-domain corpus profiling (the word↔word twin is
+    * [[pmiCollocations]]; same integer-scaled ratio convention, so
+    * the ranking replays exactly). `minCount` floors the low-count
+    * lift explosion; same 64-bit headroom note as n78.
+    *
+    * 100 TB shape: ONE corpus scan into the persisted
+    * (group, word) count relation (groups × vocab bounded,
+    * map-side combinable); the marginals (per-word, per-group,
+    * total) all DERIVE from it — the corpus is never rescanned. The
+    * per-group top-k rank filter plans as WindowGroupLimit
+    * (spec-asserted) over the groups × vocab relation.
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String = "source",
+                       minCount: Long = 5, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1 && topK > 0)
+    val words = docs
+      .select(col(groupCol).as("grp"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // persisted: groups × vocab bounded by construction; feeds the
+    // marginals and the scored join. Caller-owned cache lifecycle.
+    val cws = words.groupBy("grp", "w").agg(count(lit(1)).as("c_ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cw = cws.groupBy("w").agg(sum(col("c_ws")).as("c_w"))
+    val ns = cws.groupBy("grp").agg(sum(col("c_ws")).as("n_s"))
+    val nt = cws.agg(sum(col("c_ws")).as("n_tot"))
+    cws.filter(col("c_ws") >= minCount)
+      .join(cw, "w").join(ns, "grp").crossJoin(nt)
+      .withColumn("score",
+        expr("((c_ws * 1000000000) div c_w) * n_tot div n_s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("score").desc, col("w")))
+        .cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("grp").as(groupCol), col("w").as("word"),
+        col("c_ws"), col("c_w"), col("n_s"), col("score"), col("rk"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

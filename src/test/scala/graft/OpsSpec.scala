@@ -1656,6 +1656,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("distinctiveTerms: lift arithmetic, grouped top-k plan") {
+    import spark.implicits._
+    // corpus: 'ml' concentrated in src a, 'law' in src b, 'the' everywhere
+    val d = Seq(
+      (1L, "ml ml ml the the", "a"), (2L, "ml ml the", "a"),
+      (3L, "law law law the the", "b"), (4L, "law law the", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.distinctiveTerms(d, "source", minCount = 2, topK = 2)
+    val m = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("score"), r.getAs[Long]("rk"))).toMap
+    // src a: c_ws(ml)=5, c_w(ml)=5, n_s=8, N=16:
+    // ((5e9 div 5) * 16) div 8 = 2e9; 'the': ((4e9 div 8)*16) div 8 = 1e9
+    assert(m(("a", "ml")) == ((2000000000L, 1L)))
+    assert(m(("a", "the")) == ((1000000000L, 2L)))
+    assert(m(("b", "law")) == ((2000000000L, 1L)))
+    // the rank filter reaches the window as a group limit
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("pairRecall: confusion arithmetic, null ratios on empty inputs") {
     import spark.implicits._
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
