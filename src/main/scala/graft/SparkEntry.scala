@@ -1902,6 +1902,17 @@ object SparkEntry {
               |ORDER BY o_custkey""".stripMargin)
     }),
 
+    "q42_group_by_all" -> ((s, dir) => {
+      // GROUP BY ALL surface (group on every non-aggregate select
+      // item) — resolves at analysis time to the explicit grouping,
+      // so the plan is identical to q38's; longs keep sums exact
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT source, lang, count(*) AS n_docs,
+              | sum(n_chars) AS total_chars
+              |FROM documents GROUP BY ALL
+              |ORDER BY source, lang""".stripMargin)
+    }),
+
     "n84_lsh_recall" -> ((s, dir) => {
       // the audit you run before trusting banded minhash at scale:
       // n31's approximation scored against n72's exact truth set over
@@ -3822,6 +3833,12 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q42_group_by_all" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ALL
+        |ORDER BY source, lang""".stripMargin,
 
     "q41_set_ops_all" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
