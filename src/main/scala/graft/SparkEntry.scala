@@ -1902,6 +1902,17 @@ object SparkEntry {
               |ORDER BY o_custkey""".stripMargin)
     }),
 
+    "n86_exact_quantiles" -> ((s, dir) => {
+      // EXACT order statistics without a global sort: iterative range
+      // bisection (3 combinable aggs at bins=16 on this range). The
+      // oracle is the DEFINITION (smallest v with cumulative count
+      // >= ceil(q*n)), so green proves the bisection finds the true
+      // order statistic rather than replaying itself
+      graft.ops.Sketch.exactQuantiles(t(s, dir, "documents"), "n_chars",
+          qs = Seq(0.25, 0.5, 0.9, 0.99), bins = 16)
+        .select("q", "n", "r", "exact_value").orderBy("q")
+    }),
+
     "q42_group_by_all" -> ((s, dir) => {
       // GROUP BY ALL surface (group on every non-aggregate select
       // item) — resolves at analysis time to the explicit grouping,
@@ -3833,6 +3844,20 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n86_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |probes(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+        |r AS (SELECT CAST(q AS DOUBLE) AS q, n,
+        |       greatest(CAST(ceil(q * n) AS BIGINT), 1) AS r
+        |      FROM probes CROSS JOIN n),
+        |cum AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS vcum
+        |        FROM v GROUP BY v)
+        |SELECT r.q, r.n, r.r, CAST(min(cum.v) AS BIGINT) AS exact_value
+        |FROM r JOIN cum ON cum.vcum >= r.r
+        |GROUP BY 1, 2, 3 ORDER BY q""".stripMargin,
 
     "q42_group_by_all" ->
       """SELECT source, lang, count(*) AS n_docs,

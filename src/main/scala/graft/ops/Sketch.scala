@@ -237,6 +237,80 @@ object Sketch {
         col("exact_value"))
   }
 
+  /** EXACT quantiles of an integral column WITHOUT a global sort — the
+    * iterative completion of [[histQuantiles]]: each round bins the
+    * current candidate range, finds the bin holding the target rank
+    * (rank = ceil(q·n), the n43 convention), and recurses into it;
+    * when the range fits inside one bin span the per-value pass reads
+    * the answer off the cumulative counts. log_bins(range) combinable
+    * aggregation passes — 3 rounds cover a 2^24 value range at 256
+    * bins — versus the full shuffle+sort an exact quantile normally
+    * costs. This is distributed selection (the k-th-element algorithm
+    * of Blum et al. re-expressed as range bisection), and the shape
+    * Spark's own approxQuantile refuses to make exact.
+    *
+    * All range/rank arithmetic is LONG (partition-invariant); each
+    * driver decision reads a `bins`-sized collect (cap-before-collect
+    * by construction — the bpeTrain iteration convention). The oracle
+    * states the DEFINITION instead (smallest v with cum count >= r via
+    * one window), so a green row proves the bisection finds the true
+    * order statistic, not a replay of itself.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double] = Seq(0.5, 0.99),
+                     bins: Int = 256): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b0 = vals.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = b0.getAs[Long]("n")
+    require(n > 0, "no non-null values")
+    val results = qs.map { q =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var lo = b0.getAs[Long]("lo")
+      var hi = b0.getAs[Long]("hi")
+      var below = 0L // values < lo already accounted for
+      var passes = 0
+      while (hi - lo + 1 > bins) {
+        passes += 1
+        val width = (hi - lo + bins) / bins // ceil: width >= 1
+        val counts = vals.filter(col("v") >= lo && col("v") <= hi)
+          .withColumn("bin", expr(s"(v - ${lo}L) div ${width}L"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+          .orderBy("bin").collect() // bins-bounded by construction
+        var cum = below
+        var found = false
+        for (r <- counts if !found) {
+          val bin = r.getAs[Long]("bin"); val c = r.getAs[Long]("cnt")
+          if (cum + c >= target) {
+            lo = lo + bin * width
+            hi = math.min(hi, lo + width - 1)
+            below = cum
+            found = true
+          } else cum += c
+        }
+        assert(found, "target rank not covered — inconsistent counts")
+      }
+      passes += 1
+      val finals = vals.filter(col("v") >= lo && col("v") <= hi)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .orderBy("v").collect() // <= bins distinct values
+      var cum = below
+      val value = finals.collectFirst {
+        case r if { cum += r.getAs[Long]("cnt"); cum >= target } =>
+          r.getAs[Long]("v")
+      }.getOrElse(throw new IllegalStateException("rank not reached"))
+      (q, n, target, value, passes.toLong)
+    }
+    results.toDF("q", "n", "r", "exact_value", "agg_passes")
+  }
+
   /** Group-wise [[histQuantiles]] — per-source/per-language value
     * quantiles in one pass, the profiling shape a mixture report needs
     * ("doc-length p50/p99 per domain"). Same integer binning and

@@ -1388,6 +1388,30 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactQuantiles: bisection == global-sort order statistic across bins") {
+    import spark.implicits._
+    // skewed multiset with duplicates and a wide range
+    val vs = (Seq.fill(50)(7L) ++ (1L to 200L) ++ Seq(100000L, 100001L))
+    val df = vs.toDF("x")
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val sorted = vs.sorted
+    def reference(q: Double): Long =
+      sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+    for (bins <- Seq(2, 16, 256)) {
+      val got = Sketch.exactQuantiles(df, "x", qs, bins).collect()
+        .map(r => r.getAs[Double]("q") -> r.getAs[Long]("exact_value")).toMap
+      qs.foreach { q =>
+        assert(got(q) == reference(q), s"q=$q bins=$bins")
+      }
+    }
+    // partition invariance of the whole loop
+    val a = Sketch.exactQuantiles(df.repartition(13), "x", qs, 16)
+      .orderBy("q").collect().toSeq
+    val b = Sketch.exactQuantiles(df.repartition(1), "x", qs, 16)
+      .orderBy("q").collect().toSeq
+    assert(a == b)
+  }
+
   test("hllOverlapByGroup: inclusion-exclusion tracks the planted overlap") {
     import spark.implicits._
     // a: 1..2000, b: 1001..3000 (overlap 1000), c: disjoint 5001..5500
