@@ -1902,6 +1902,28 @@ object SparkEntry {
               |ORDER BY o_custkey""".stripMargin)
     }),
 
+    "n87_html_extract" -> ((s, dir) => {
+      // WET-style HTML -> text over the corpus plus planted real HTML
+      // (title, nested tags, script/style bodies, entities incl. the
+      // &amp;lt; double-decode trap, hrefs) so every branch of the
+      // extraction is value-bearing; plain text passes through
+      import s.implicits._
+      val planted = Seq(
+        (9000001L,
+          "<html><head><title>Spark at Scale</title>" +
+            "<style>body { color: red; }</style></head>" +
+            "<body><h1>Intro</h1><p>Shuffles &amp; joins are " +
+            "<b>expensive</b> &#39;at&#39; scale &amp;lt;sometimes&amp;gt;." +
+            "</p><script>var x = \"<p>not text</p>\";</script>" +
+            "<a href=\"https://a.example/x\">one</a> " +
+            "<a HREF=\"https://b.example/y\">two</a></body></html>",
+          "en", "planted", 0L),
+        (9000002L, "plain text, no tags &amp; one entity", "en", "planted", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.htmlExtract(t(s, dir, "documents").unionByName(planted))
+        .orderBy("doc_id")
+    }),
+
     "n86_exact_quantiles" -> ((s, dir) => {
       // EXACT order statistics without a global sort: iterative range
       // bisection (3 combinable aggs at bins=16 on this range). The
@@ -3844,6 +3866,32 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n87_html_extract" ->
+      // same regex chain under RE2 with the 'g' flag (Spark's
+      // regexp_replace is global by default); entity decode order
+      // pinned (&amp; last)
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9000001, '<html><head><title>Spark at Scale</title><style>body { color: red; }</style></head><body><h1>Intro</h1><p>Shuffles &amp; joins are <b>expensive</b> &#39;at&#39; scale &amp;lt;sometimes&amp;gt;.</p><script>var x = "<p>not text</p>";</script><a href="https://a.example/x">one</a> <a HREF="https://b.example/y">two</a></body></html>'),
+        |  (9000002, 'plain text, no tags &amp; one entity')) v(doc_id, text)),
+        |s1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t1
+        | FROM d),
+        |s2 AS (SELECT doc_id, text, regexp_replace(t1, '<[^>]+>', ' ', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, text,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    t2, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t3
+        | FROM s2),
+        |f AS (SELECT doc_id,
+        |  regexp_extract(text, '(?is)<title[^>]*>(.*?)</title\s*>', 1) AS title,
+        |  CAST(len(regexp_extract_all(text, '(?i)href\s*=\s*"([^"]*)"', 1)) AS BIGINT) AS n_links,
+        |  trim(regexp_replace(t3, '\s+', ' ', 'g')) AS text_extracted
+        | FROM s3)
+        |SELECT doc_id, title, n_links, text_extracted,
+        | CAST(length(text_extracted) AS BIGINT) AS n_chars_extracted
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "n86_exact_quantiles" ->
       """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents

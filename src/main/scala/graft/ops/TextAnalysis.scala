@@ -1033,6 +1033,43 @@ object TextAnalysis {
         col("c_ws"), col("c_w"), col("n_s"), col("score"), col("rk"))
   }
 
+  /** HTML → text extraction — the step a crawl pipeline runs BEFORE
+    * every text operator in this file (WET-style extraction: strip
+    * script/style subtrees, strip tags, decode the basic entities,
+    * collapse whitespace) plus the page metadata a curation pass
+    * keeps (title, link count). Deliberately regex-based and
+    * dependency-free: each step is one codegen `regexp_replace` /
+    * `regexp_extract_all` whose pattern parses identically under
+    * Java regex and RE2 (inline (?is) flags, lazy quantifiers,
+    * character classes — the n75 dialect-parity conventions), so the
+    * whole chain replays in the oracle. Entity order matters and is
+    * pinned: named/numeric entities decode BEFORE `&amp;`, so
+    * `&amp;lt;` yields the literal `&lt;` and never double-decodes.
+    * Not a full HTML5 parser (malformed-tag soup degrades to tag
+    * stripping) — the standard trade for a screaming-fast one-scan
+    * extraction; plain text without tags passes through unchanged.
+    *
+    * One whole-stage-codegen scan, zero shuffle, stream-composable
+    * like every per-row gate here.
+    */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "text"): DataFrame = {
+    val html = col(htmlCol)
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    docs.select(col("doc_id"),
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1).as("title"),
+      size(regexp_extract_all(html,
+        lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))).cast("long").as("n_links"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_extracted"))
+      .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

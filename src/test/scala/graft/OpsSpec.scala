@@ -1680,6 +1680,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("htmlExtract: script/style dropped, entities decode once, links counted, passthrough") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<html><head><title>T</title><style>a{}</style></head>" +
+        "<body><p>A &amp;lt;b&amp;gt; &#39;q&#39; &amp; B</p>" +
+        "<script>var s = \"<p>no</p>\";</script>" +
+        "<a href=\"u1\">x</a><a HREF=\"u2\">y</a></body></html>"),
+      (2L, "plain text stays"),
+      (3L, "<div><div>nested <b>bold</b></div></div>")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.htmlExtract(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getAs[String]("title") == "T")
+    assert(r1.getAs[Long]("n_links") == 2L)
+    // &amp;lt; decodes to the LITERAL &lt; (no double decode); &#39; -> '
+    assert(r1.getAs[String]("text_extracted") == "T A &lt;b&gt; 'q' & B x y")
+    assert(m(2L).getAs[String]("text_extracted") == "plain text stays")
+    assert(m(2L).getAs[Long]("n_links") == 0L)
+    assert(m(3L).getAs[String]("text_extracted") == "nested bold")
+    // zero shuffle: pure per-row regex chain
+    assert(!TextAnalysis.htmlExtract(d).queryExecution.executedPlan
+      .toString.contains("Exchange"))
+  }
+
   test("distinctiveTerms: lift arithmetic, grouped top-k plan") {
     import spark.implicits._
     // corpus: 'ml' concentrated in src a, 'law' in src b, 'the' everywhere
