@@ -1924,6 +1924,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n88_link_domains" -> ((s, dir) => {
+      // per-domain outlink profile over the corpus plus planted HTML
+      // (absolute http/https, mixed case, relative and mailto links
+      // that must drop) — the relation behind domain caps and
+      // spam-domain filters
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "<a href=\"https://a.example/x\">1</a>" +
+          "<a HREF=\"https://A.EXAMPLE/y\">2</a>" +
+          "<a href=\"http://b.example:8080/z\">3</a>" +
+          "<a href=\"/relative/path\">4</a>" +
+          "<a href=\"mailto:x@c.example\">5</a>", "en", "planted", 0L),
+        (9000002L, "<a href=\"https://b.example/only\">6</a>", "en", "planted", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.extractLinks(t(s, dir, "documents").unionByName(planted))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_links"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
+    "q43_nulls_order" -> ((s, dir) => {
+      // explicit NULLS placement surface: the engines DISAGREE on the
+      // default (Spark: nulls first on ASC; DuckDB: nulls last), so a
+      // portable ordered query must pin it — this one does, both ways
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey,
+              | CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+              |      ELSE o_totalprice END AS p
+              |FROM orders
+              |ORDER BY p DESC NULLS LAST, o_orderkey
+              |LIMIT 100""".stripMargin)
+    }),
+
     "n86_exact_quantiles" -> ((s, dir) => {
       // EXACT order statistics without a global sort: iterative range
       // bisection (3 combinable aggs at bins=16 on this range). The
@@ -3866,6 +3900,29 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n88_link_domains" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9000001, '<a href="https://a.example/x">1</a><a HREF="https://A.EXAMPLE/y">2</a><a href="http://b.example:8080/z">3</a><a href="/relative/path">4</a><a href="mailto:x@c.example">5</a>'),
+        |  (9000002, '<a href="https://b.example/only">6</a>')) v(doc_id, text)),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '(?i)href\s*=\s*"([^"]*)"', 1)) AS url
+        | FROM d),
+        |l AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '(?i)^https?://([^/:]+)', 1)) AS domain
+        | FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM l WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q43_nulls_order" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |      ELSE o_totalprice END AS p
+        |FROM orders
+        |ORDER BY p DESC NULLS LAST, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "n87_html_extract" ->
       // same regex chain under RE2 with the 'g' flag (Spark's

@@ -1070,6 +1070,22 @@ object TextAnalysis {
       .withColumn("n_chars_extracted", length(col("text_extracted")).cast("long"))
   }
 
+  /** Outbound links and their domains — the crawl-graph side of
+    * [[htmlExtract]]: one row per href with its lowercased registrable
+    * host, the relation that feeds domain-level curation (per-domain
+    * caps via [[graft.ops.Sampling]], spam-domain filters, domain
+    * PageRank via the n76 machinery). Same one-scan regex conventions
+    * as htmlExtract; non-http(s) and malformed hrefs yield an empty
+    * domain and are dropped.
+    */
+  def extractLinks(docs: DataFrame, htmlCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))).as("url"))
+      .withColumn("domain",
+        lower(regexp_extract(col("url"), "(?i)^https?://([^/:]+)", 1)))
+      .filter(col("domain") =!= "")
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

@@ -1705,6 +1705,19 @@ class OpsSpec extends SparkSpec {
       .toString.contains("Exchange"))
   }
 
+  test("extractLinks: domains fold case, strip ports, drop relative/mailto") {
+    import spark.implicits._
+    val d = Seq((1L,
+      "<a href=\"https://A.Example/x\">1</a>" +
+        "<a href=\"http://b.example:8080/z\">2</a>" +
+        "<a href=\"/rel\">3</a><a href=\"mailto:a@c.d\">4</a>"))
+      .toDF("doc_id", "text")
+    val links = TextAnalysis.extractLinks(d).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(links == Set(("https://A.Example/x", "a.example"),
+      ("http://b.example:8080/z", "b.example")))
+  }
+
   test("distinctiveTerms: lift arithmetic, grouped top-k plan") {
     import spark.implicits._
     // corpus: 'ml' concentrated in src a, 'law' in src b, 'the' everywhere
