@@ -318,4 +318,47 @@ class PropertySpec extends SparkSpec {
         assert(byPos.map(pos1).sorted.toSeq == byPos.map(pos1).toSeq)
       }
   }
+
+  test("charEntropy bounds law: 0 <= H <= ln(distinct_chars) for any text") {
+    import spark.implicits._
+    val texts = Gen.nonEmptyListOf(
+      Gen.oneOf('a', 'b', 'c', 'd', ' ')).map(_.mkString)
+    assert(passes(Prop.forAll(texts) { t =>
+      val r = graft.ops.TextAnalysis.charEntropy(
+        Seq((1L, t)).toDF("doc_id", "text")).collect()(0)
+      val h = r.getAs[Double]("entropy_nats")
+      val d = r.getAs[Long]("distinct_chars")
+      h >= -1e-9 && h <= math.log(d.toDouble) + 1e-9
+    }))
+  }
+
+  test("bpeEncode bounds law: words <= tokens <= chars, merges only shrink") {
+    import spark.implicits._
+    val words = Gen.nonEmptyListOf(Gen.oneOf("ab", "abab", "ba", "b")).map(_.mkString(" "))
+    assert(passes(Prop.forAll(words) { t =>
+      val d = Seq((1L, t)).toDF("doc_id", "text")
+      def counts(merges: Seq[(String, String)]) = {
+        val r = graft.ops.TextAnalysis.bpeEncode(d, merges).collect()(0)
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))
+      }
+      val (w0, t0) = counts(Nil)                       // char tokenization
+      val (w1, t1) = counts(Seq(("a", "b")))           // one merge
+      val nChars = t.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum
+      w0 == w1 && t0 == nChars && t1 <= t0 && t1 >= w1
+    }))
+  }
+
+  test("exactQuantiles monotonicity law: values non-decreasing in q, bins-invariant") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+    assert(passes(Prop.forAll(gen) { vs =>
+      val df = vs.toDF("x")
+      val qs = Seq(0.1, 0.5, 0.9)
+      val a = graft.ops.Sketch.exactQuantiles(df, "x", qs, bins = 4)
+        .orderBy("q").collect().map(_.getAs[Long]("exact_value")).toSeq
+      val b = graft.ops.Sketch.exactQuantiles(df, "x", qs, bins = 64)
+        .orderBy("q").collect().map(_.getAs[Long]("exact_value")).toSeq
+      a == b && a.sorted == a
+    }))
+  }
 }
