@@ -296,8 +296,10 @@ object Similarity {
     val selfDot = aggregate(
       zip_with(col("codes"), col("codes"), (a, b) => (a * b).cast("long")),
       lit(0L), (a, v) => a + v)
-    val coded = emb.select(col(groupCol).cast("long").as(groupCol),
-        codes.as("codes"))
+    // null embeddings are excluded up front (the withSignBuckets
+    // convention) so n counts exactly the vectors that contribute
+    val coded = emb.filter(col("embedding").isNotNull)
+      .select(col(groupCol).cast("long").as(groupCol), codes.as("codes"))
       .withColumn("self_dot", selfDot)
     val dimSums = coded
       .select(col(groupCol), posexplode(col("codes")).as(Seq("pos", "c")))
