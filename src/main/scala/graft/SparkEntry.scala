@@ -565,14 +565,19 @@ object SparkEntry {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
-  /** Unrolled-CTE DuckDB replay of [[graft.ops.TextAnalysis
-    * .textRankKeywords]]: same co-occurrence edges, same 1e-12
-    * fixed-point damped update per iteration — integer `//` matches
-    * Spark's `div` on the all-positive ranks, and integer sums are
-    * order-independent, so the replay is bit-exact.
+  /** Unrolled-CTE DuckDB replay of [[graft.ops.Graph.integerPageRank]]
+    * over any edge relation: `edgeCtes` must end by defining
+    * `e(src, dst, wt)`; the generator appends degrees, the uniform
+    * init, `iters` fixed-point damped updates (integer `//` matches
+    * Spark's `div` on the all-positive ranks; integer sums are
+    * order-independent, so the replay is bit-exact), and
+    * `finalSelect` reads the result off `r{iters}(word, rank)`. One
+    * generator serves both graph instances — word co-occurrence (n76)
+    * and domain co-citation (n89).
     */
-  private def textRankOracleSql(iters: Int, topK: Int): String = {
-    val S = 1000000000000L
+  private def pageRankOracleSql(edgeCtes: String, iters: Int,
+                                finalSelect: String): String = {
+    val S = graft.ops.Graph.Scale
     val steps = (1 to iters).map { k =>
       s"""c$k AS (SELECT ed.dst AS word,
          |  CAST(sum((r${k - 1}.rank * ed.wt) // ed.wdeg) AS BIGINT) AS csum
@@ -581,24 +586,30 @@ object SparkEntry {
          |  ((15 * $S) // 100) // n + (85 * csum) // 100 AS rank
          | FROM c$k CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
-       |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
-       |p AS (SELECT ws[i] AS a, ws[i+1] AS b
-       |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
-       |      WHERE ws[i] <> ws[i+1]),
-       |und AS (SELECT a AS src, b AS dst FROM p
-       |        UNION ALL SELECT b, a FROM p),
-       |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt
-       |      FROM und GROUP BY 1, 2),
+    s"""WITH $edgeCtes,
        |deg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM e GROUP BY 1),
        |ed AS (SELECT e.src, e.dst, e.wt, deg.wdeg FROM e JOIN deg USING (src)),
        |nn AS (SELECT count(*) AS n FROM deg),
        |r0 AS (SELECT src AS word, $S // n AS rank FROM deg CROSS JOIN nn),
        |$steps
-       |SELECT word, CAST(rank AS BIGINT) AS rank,
-       | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
-       |FROM r$iters ORDER BY rank DESC, word LIMIT $topK""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private def textRankOracleSql(iters: Int, topK: Int): String =
+    pageRankOracleSql(
+      """w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+        |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+        |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |      WHERE ws[i] <> ws[i+1]),
+        |und AS (SELECT a AS src, b AS dst FROM p
+        |        UNION ALL SELECT b, a FROM p),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt
+        |      FROM und GROUP BY 1, 2)""".stripMargin,
+      iters,
+      s"""SELECT word, CAST(rank AS BIGINT) AS rank,
+         | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
+         |FROM r$iters ORDER BY rank DESC, word LIMIT $topK""".stripMargin)
 
   /** Exact word-trigram Jaccard pairs as the NAIVE all-shared-gram
     * join — n72's oracle (proves the prefix filter lossless) and the
@@ -1922,6 +1933,35 @@ object SparkEntry {
       ).toDF("doc_id", "text", "lang", "source", "n_chars")
       TextAnalysis.htmlExtract(t(s, dir, "documents").unionByName(planted))
         .orderBy("doc_id")
+    }),
+
+    "n89_domain_pagerank" -> ((s, dir) => {
+      // domain authority over the crawl outlink graph: co-citation
+      // edges (two domains linked by the same page) ranked by the
+      // SAME integer-fixed-point PageRank kernel as n76 — one graph
+      // operator, two graph instances. Raw fixture docs carry no
+      // links; the planted pages form a 4-domain co-citation graph
+      import s.implicits._
+      val planted = Seq(
+        (9100001L, "<a href=\"https://a.ex/1\">.</a>" +
+          "<a href=\"https://b.ex/2\">.</a><a href=\"https://c.ex/3\">.</a>"),
+        (9100002L, "<a href=\"https://a.ex/1\">.</a><a href=\"https://b.ex/4\">.</a>"),
+        (9100003L, "<a href=\"https://b.ex/5\">.</a><a href=\"https://c.ex/6\">.</a>"),
+        (9100004L, "<a href=\"https://c.ex/7\">.</a><a href=\"https://d.ex/8\">.</a>"),
+        (9100005L, "<a href=\"https://a.ex/9\">.</a><a href=\"https://d.ex/10\">.</a>"))
+        .map { case (id, html) => (id, html, "en", "planted", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val links = TextAnalysis.extractLinks(
+        t(s, dir, "documents").unionByName(planted))
+      val dd = links.select("doc_id", "domain").distinct()
+      val pairs = dd.as("a").join(dd.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.domain") =!= col("b.domain"))
+        .select(col("a.domain").as("src"), col("b.domain").as("dst"))
+      val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      graft.ops.Graph.integerPageRank(edges, iters = 3)
+        .select(col("node").as("domain"), col("rank"))
+        .orderBy(col("rank").desc, col("domain"))
     }),
 
     "n88_link_domains" -> ((s, dir) => {
@@ -3900,6 +3940,30 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n89_domain_pagerank" -> pageRankOracleSql(
+      """d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9100001, '<a href="https://a.ex/1">.</a><a href="https://b.ex/2">.</a><a href="https://c.ex/3">.</a>'),
+        |  (9100002, '<a href="https://a.ex/1">.</a><a href="https://b.ex/4">.</a>'),
+        |  (9100003, '<a href="https://b.ex/5">.</a><a href="https://c.ex/6">.</a>'),
+        |  (9100004, '<a href="https://c.ex/7">.</a><a href="https://d.ex/8">.</a>'),
+        |  (9100005, '<a href="https://a.ex/9">.</a><a href="https://d.ex/10">.</a>')) v(doc_id, text)),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '(?i)href\s*=\s*"([^"]*)"', 1)) AS url
+        | FROM d),
+        |l AS (SELECT DISTINCT doc_id,
+        |  lower(regexp_extract(url, '(?i)^https?://([^/:]+)', 1)) AS domain
+        | FROM u),
+        |l2 AS (SELECT doc_id, domain FROM l WHERE domain <> ''),
+        |p AS (SELECT a.domain AS src, b.domain AS dst
+        |      FROM l2 a JOIN l2 b
+        |        ON a.doc_id = b.doc_id AND a.domain <> b.domain),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt
+        |      FROM p GROUP BY 1, 2)""".stripMargin,
+      iters = 3,
+      """SELECT word AS domain, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY rank DESC, domain""".stripMargin),
 
     "n88_link_domains" ->
       """WITH d AS (SELECT doc_id, text FROM documents

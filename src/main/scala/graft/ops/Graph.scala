@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph ranking in integer fixed point.
+  *
+  * [[integerPageRank]] is the damped power iteration
+  * (Page et al. 1999) with ALL rank arithmetic in 1e-12 fixed point
+  * (damping 85/100, truncating division at every step): LONG sums are
+  * partition-order-independent where float PageRank never
+  * hash-matches, so an oracle replays the iterations bit-exactly as
+  * unrolled CTEs. Two graph instances in the query surface share this
+  * one kernel: the word co-occurrence graph (TextRank keywords, n76)
+  * and the domain co-citation graph from crawl outlinks (n89) — the
+  * point of the factoring is that "rank a graph" is one operator, not
+  * a per-use-case rewrite.
+  */
+object Graph {
+
+  /** Ranks in units of 1e-12; total mass ~SCALE. */
+  val Scale = 1000000000000L
+
+  /** Damped PageRank over a weighted directed edge relation
+    * `(src, dst, wt)` — to rank an undirected graph, pass both edge
+    * directions (as the callers here do). Returns `(node, rank)`.
+    *
+    * Preconditions: every node must have out-degree >= 1 (true by
+    * construction for symmetrized graphs; a dangling node would need
+    * the teleport-redistribution term this kernel deliberately omits).
+    *
+    * 100 TB shape: the edge relation (with out-degrees joined) is
+    * persisted ONCE and is the sole ancestor of the node list and
+    * node count, so whatever pipeline built the edges runs exactly
+    * once into the cache; each of the `iters` rounds is one
+    * edges-bounded join-agg shuffle. `rank * wt` must stay under
+    * 2^63: per-edge weights up to ~9e6 at full scale — lower Scale
+    * beyond (documented, the n76 convention). Caller-owned cache
+    * lifecycle (repo convention).
+    */
+  def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      "iters outside [1,8]: deeper power iterations need checkpointing " +
+        "(see Dedup.dupClusters) before the lineage is safe")
+    val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
+    val ed = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ed.select(col("src").as("node")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(n)
+      .select(col("node"), expr(s"$Scale div n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("csum"))
+      ranks = contrib.crossJoin(n)
+        .select(col("dst").as("node"),
+          (expr(s"(15 * $Scale div 100) div n") +
+            expr("(85 * csum) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

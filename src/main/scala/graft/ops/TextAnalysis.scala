@@ -872,7 +872,6 @@ object TextAnalysis {
       "iters outside [1,8]: deeper power iterations need checkpointing " +
         "(see Dedup.dupClusters) before the lineage is safe")
     require(topK > 0, "topK must be positive")
-    val SCALE = 1000000000000L // ranks in units of 1e-12; sums to ~SCALE
     val ws = docs.select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
     val dirPairs = ws
@@ -885,29 +884,9 @@ object TextAnalysis {
     val und = dirPairs.unionAll(dirPairs.select(col("b").as("a"), col("a").as("b")))
     val edges = und.groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(count(lit(1)).as("wt"))
-    val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
-    // persisted: vocab-sized by construction, consumed by every
-    // iteration — AND the sole ancestor of the node list and node
-    // count below, so the corpus-sized explode+agg pipeline runs once
-    // into the cache and never again (plan-audited: without this, each
-    // iteration's crossJoin(n) re-derived the corpus pipeline).
-    // Caller-owned cache lifecycle (repo convention).
-    val ed = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = ed.select(col("src").as("word")).distinct()
-    val n = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(n)
-      .select(col("word"), expr(s"$SCALE div n").as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(ranks, ed("src") === ranks("word"))
-        .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("csum"))
-      ranks = contrib.crossJoin(n)
-        .select(col("dst").as("word"),
-          (expr(s"(15 * $SCALE div 100) div n") +
-            expr("(85 * csum) div 100")).as("rank"))
-    }
-    ranks.orderBy(col("rank").desc, col("word")).limit(topK)
+    Graph.integerPageRank(edges, iters)
+      .select(col("node").as("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word")).limit(topK)
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("rank").desc, col("word"))).cast("long"))
   }

@@ -1653,6 +1653,22 @@ class OpsSpec extends SparkSpec {
     assert(r7.toSeq == r.toSeq)
   }
 
+  test("integerPageRank: star center dominates, mass conserved up to truncation") {
+    import spark.implicits._
+    // undirected star: center c linked to 4 leaves (both directions)
+    val leaves = Seq("l1", "l2", "l3", "l4")
+    val edges = (leaves.map(l => ("c", l, 1L)) ++ leaves.map(l => (l, "c", 1L)))
+      .toDF("src", "dst", "wt")
+    val r = Graph.integerPageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == (leaves.toSet + "c"))
+    leaves.foreach(l => assert(r("c") > r(l)))
+    assert(leaves.map(r).distinct.size == 1) // symmetry: leaves tie exactly
+    // total mass stays within truncation loss of Scale (each div loses < 1)
+    val total = r.values.sum
+    assert(total <= Graph.Scale && total >= Graph.Scale - 1000L)
+  }
+
   test("applyChangeset: upsert replaces, insert appends, delete drops, absent delete no-ops") {
     import spark.implicits._
     val base = Seq((1L, "one", "en", "web", 3L), (2L, "two", "en", "web", 3L),
