@@ -2009,6 +2009,32 @@ object SparkEntry {
         .select("q", "n", "r", "exact_value").orderBy("q")
     }),
 
+    "q44_join_hints" -> ((s, dir) => {
+      // join-strategy hint surface: BROADCAST on the dim side forces
+      // BroadcastHashJoin (OpsSpec asserts the plan; a MERGE hint
+      // flips it to SortMergeJoin) — hints steer the physical plan
+      // and NEVER the result, which is exactly what the oracle checks
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT /*+ BROADCAST(n) */ n.n_name,
+              | count(*) AS n_customers
+              |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+    }),
+
+    "q45_distribute_by" -> ((s, dir) => {
+      // DISTRIBUTE BY / SORT BY surface: partition-layout control
+      // (hash-partition by source, sort within partitions) — layout
+      // only, content identical, so the oracle is the plain
+      // aggregation; the repartition feeds the agg pre-shuffled
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT source, count(*) AS n_docs,
+              | sum(n_chars) AS total_chars
+              |FROM (SELECT * FROM documents
+              |      DISTRIBUTE BY source SORT BY source, doc_id)
+              |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     "q42_group_by_all" -> ((s, dir) => {
       // GROUP BY ALL surface (group on every non-aggregate select
       // item) — resolves at analysis time to the explicit grouping,
@@ -4027,6 +4053,16 @@ object SparkEntry {
         |SELECT r.q, r.n, r.r, CAST(min(cum.v) AS BIGINT) AS exact_value
         |FROM r JOIN cum ON cum.vcum >= r.r
         |GROUP BY 1, 2, 3 ORDER BY q""".stripMargin,
+
+    "q44_join_hints" ->
+      """SELECT n.n_name, count(*) AS n_customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q45_distribute_by" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q42_group_by_all" ->
       """SELECT source, lang, count(*) AS n_docs,

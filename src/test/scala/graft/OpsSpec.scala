@@ -1653,6 +1653,22 @@ class OpsSpec extends SparkSpec {
     assert(r7.toSeq == r.toSeq)
   }
 
+  test("join hints steer the physical strategy, never the result") {
+    import spark.implicits._
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val fact = (1L to 100L).map(i => (i, i % 2 + 1)).toDF("id", "k")
+    dim.createOrReplaceTempView("hint_dim")
+    fact.createOrReplaceTempView("hint_fact")
+    def q(hint: String) = spark.sql(
+      s"SELECT $hint name, count(*) AS n FROM hint_fact f " +
+        "JOIN hint_dim d ON f.k = d.k GROUP BY name ORDER BY name")
+    val b = q("/*+ BROADCAST(d) */")
+    val m = q("/*+ MERGE(d) */")
+    assert(b.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(m.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(b.collect().toSeq == m.collect().toSeq) // strategy, not semantics
+  }
+
   test("integerPageRank: star center dominates, mass conserved up to truncation") {
     import spark.implicits._
     // undirected star: center c linked to 4 leaves (both directions)
