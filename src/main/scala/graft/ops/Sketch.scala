@@ -108,6 +108,40 @@ object Sketch {
           .otherwise(col("e_raw")), 2))
   }
 
+  /** Per-group registers as a PUBLISHABLE relation — the sketch-state
+    * twin of the corpus snapshot's digest relation: each crawl slice
+    * writes its `(group, reg, mj)` rows (groups × 2^p bounded), and
+    * the corpus-wide distinct count updates by MERGING register
+    * relations ([[hllEstimateFromRegisterRelation]]) — the corpus is
+    * never rescanned. Merge is the elementwise max, which is
+    * associative/commutative/idempotent, so slice boundaries, arrival
+    * order, and re-delivery all cannot change the estimate (the
+    * spec-asserted law: merged slices == whole-corpus, bit-exact).
+    */
+  def hllRegistersByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                          p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
+    hllRegisters(
+      df.select(col(groupCol).cast("string").as("col_name"),
+          col(valueCol).cast("string").as("v"))
+        .filter(col("v").isNotNull), p)
+      .withColumnRenamed("col_name", groupCol)
+  }
+
+  /** Estimate from a (possibly slice-unioned) register relation:
+    * max-merges duplicate registers first, then applies the standard
+    * estimator — [[hllRegistersByGroup]]'s read side.
+    */
+  def hllEstimateFromRegisterRelation(regs: DataFrame, groupCol: String,
+                                      p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
+    val merged = regs.groupBy(col(groupCol).as("col_name"), col("reg"))
+      .agg(max("mj").as("mj"))
+    hllEstimateFromRegs(merged, Seq("col_name"), p)
+      .select(col("col_name").as(groupCol), col("hll_estimate"),
+        col("nonzero").as("registers_used"))
+  }
+
   private def hllOverPairs(pairs: DataFrame, p: Int): DataFrame = {
     require(p >= 7 && p <= 16, s"p=$p outside the alpha_m>=128 regime")
     val regs = hllRegisters(pairs, p)

@@ -1412,6 +1412,28 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hll register publishing: merged slice registers == whole corpus, bit-exact") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"v$i"))
+    val df = rows.toDF("grp", "v")
+    val sliceA = df.filter(md5(col("v")).startsWith("a").isNotNull &&
+      substring(md5(col("v")), 1, 1) < "8")
+    val sliceB = df.except(sliceA)
+    // slices overlap-free by construction; re-deliver sliceB twice to
+    // prove idempotence of the max-merge
+    val merged = Sketch.hllEstimateFromRegisterRelation(
+      Sketch.hllRegistersByGroup(sliceA, "grp", "v")
+        .unionByName(Sketch.hllRegistersByGroup(sliceB, "grp", "v"))
+        .unionByName(Sketch.hllRegistersByGroup(sliceB, "grp", "v")),
+      "grp").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val whole = Sketch.hllDistinctByGroup(df, "grp", "v")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("hll_estimate"),
+        r.getAs[Long]("registers_used"))).toSeq
+    assert(merged == whole) // bit-exact, not approximately equal
+  }
+
   test("hllOverlapByGroup: inclusion-exclusion tracks the planted overlap") {
     import spark.implicits._
     // a: 1..2000, b: 1001..3000 (overlap 1000), c: disjoint 5001..5500
