@@ -1935,6 +1935,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n90_curation_v2" -> ((s, dir) => {
+      // the round-7 composition: crawl HTML -> text extraction ->
+      // entropy + length quality gates -> exact dedup on the
+      // EXTRACTED text (two planted pages with identical content
+      // under different markup collapse to one; a degenerate
+      // low-entropy page drops at the gate) — each stage is an
+      // already-oracled operator, composed
+      import s.implicits._
+      val planted = Seq(
+        (9200001L, "<html><body><p>the quick brown fox jumps over " +
+          "the lazy dog near the river bank</p></body></html>"),
+        (9200002L, "<div>the quick <b>brown</b> fox jumps over the " +
+          "lazy dog near the river bank</div>"),
+        (9200003L, "<p>" + ("a" * 80) + "</p>"))
+        .map { case (id, html) => (id, html, "en", "planted", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ex = TextAnalysis.htmlExtract(
+        t(s, dir, "documents").unionByName(planted))
+        .select(col("doc_id"), col("text_extracted").as("text"),
+          col("n_chars_extracted"))
+      val ent = TextAnalysis.charEntropy(ex.select("doc_id", "text"))
+        .select(col("doc_id"), col("entropy_nats"))
+      val gated = ex.join(ent, "doc_id")
+        .filter(col("entropy_nats") >= 2.0 && col("n_chars_extracted") >= 10)
+      Dedup.exactDedup(gated)
+        .select("doc_id", "n_chars_extracted", "entropy_nats")
+        .orderBy("doc_id")
+    }),
+
     "n89_domain_pagerank" -> ((s, dir) => {
       // domain authority over the crawl outlink graph: co-citation
       // edges (two domains linked by the same page) ranked by the
@@ -3966,6 +3995,47 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n90_curation_v2" ->
+      // the n87 extraction chain feeding the n80 entropy chain feeding
+      // the n01 keep-lowest dedup rule — stage replays composed
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT * FROM (VALUES
+        |  (9200001, '<html><body><p>the quick brown fox jumps over the lazy dog near the river bank</p></body></html>'),
+        |  (9200002, '<div>the quick <b>brown</b> fox jumps over the lazy dog near the river bank</div>'),
+        |  (9200003, '<p>' || repeat('a', 80) || '</p>')) v(doc_id, text)),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t1
+        | FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(t1, '<[^>]+>', ' ', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    t2, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t3
+        | FROM s2),
+        |ex2 AS (SELECT doc_id, trim(regexp_replace(t3, '\s+', ' ', 'g')) AS text,
+        |  CAST(length(trim(regexp_replace(t3, '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_extracted
+        | FROM s3),
+        |g AS (SELECT doc_id, substr(text, pos, 1) AS ch
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, strlen(text))) AS pos
+        |            FROM ex2 WHERE strlen(text) >= 1)),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(c * ln(c) ORDER BY ch)), (a, x) -> a + x) AS sum_ln
+        | FROM cc GROUP BY doc_id),
+        |ent AS (SELECT doc_id, round(ln(n) - sum_ln / n, 6) AS entropy_nats FROM pd),
+        |gated AS (SELECT ex2.doc_id, ex2.text, ex2.n_chars_extracted,
+        |            ent.entropy_nats
+        |          FROM ex2 JOIN ent USING (doc_id)
+        |          WHERE ent.entropy_nats >= 2.0 AND ex2.n_chars_extracted >= 10),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |       FROM gated)
+        |SELECT doc_id, n_chars_extracted, entropy_nats
+        |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "n89_domain_pagerank" -> pageRankOracleSql(
       """d AS (SELECT doc_id, text FROM documents
