@@ -416,6 +416,60 @@ object Sketch {
     * CacheManager — caller-owned lifecycle (Bench clearCache()s
     * between runs).
     */
+  /** CMS cells as a PUBLISHABLE relation — the count-sketch twin of
+    * [[hllRegistersByGroup]]: each slice writes its
+    * `(row_id, cell, c)` rows (depth × width bounded) and the corpus
+    * sketch is the cell-wise SUM of slice relations — counts are
+    * additive, so merging never rescans the corpus. Unlike HLL's
+    * idempotent max-merge, ADDITION double-counts on re-delivery:
+    * exactly-once slice publication is the contract (the same one the
+    * corpus snapshot's digest relation carries).
+    */
+  def cmsCells(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+               seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val cellCols = (0 until depth).map { i =>
+      val perm = graft.functions.Hashing.splitmix64(seed + i)
+      struct(lit(i).as("row_id"),
+        fmix64(fnv64(col("word")).bitwiseXOR(lit(perm)))
+          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+    }
+    counts.select(col("cnt"), explode(array(cellCols: _*)).as("rc"))
+      .groupBy(col("rc.row_id").as("row_id"), col("rc.cell").as("cell"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  /** Probe a (possibly slice-unioned) cell relation for `words`:
+    * sum-merges duplicate cells first, then takes the min over the
+    * depth rows — [[cmsCells]]'s read side. The probe cells are
+    * computed driver-side with the same FNV⊕splitmix→fmix chain the
+    * build uses ([[graft.functions.Hashing]] mirrors the codegen
+    * kernels bit-for-bit), so no corpus access happens at read time.
+    */
+  def cmsEstimateFromCells(cells: DataFrame, words: Seq[String],
+                           depth: Int = 4, width: Int = 1024,
+                           seed: Long = 42L): DataFrame = {
+    require(words.nonEmpty)
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val merged = cells.groupBy("row_id", "cell").agg(sum("c").as("c"))
+    val probes = words.flatMap { w =>
+      (0 until depth).map { i =>
+        val perm = graft.functions.Hashing.splitmix64(seed + i)
+        val cell = graft.functions.Hashing.fmix64(
+          graft.functions.Hashing.fnv1a64(w) ^ perm) & (width - 1).toLong
+        (w, i, cell)
+      }
+    }.toDF("word", "row_id", "cell")
+    probes.join(merged, Seq("row_id", "cell"), "left")
+      .groupBy("word")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
+  }
+
   def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                     topK: Int = 10, seed: Long = 42L): DataFrame = {
     require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")

@@ -1468,6 +1468,27 @@ class OpsSpec extends SparkSpec {
     assert(p1 == p13)
   }
 
+  test("cms cell publishing: summed slice cells == whole corpus, probes one-sided") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "spark spark engine" else "data engine row"))
+      .toDF("doc_id", "text")
+    val a = d.filter(col("doc_id") % 2 === 0)
+    val b = d.filter(col("doc_id") % 2 =!= 0)
+    val words = Seq("spark", "engine", "data", "absent")
+    val merged = Sketch.cmsEstimateFromCells(
+      Sketch.cmsCells(a).unionByName(Sketch.cmsCells(b)), words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = Sketch.cmsEstimateFromCells(Sketch.cmsCells(d), words)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == whole) // addition merges exactly
+    // one-sided: estimate >= exact corpus count; absent word can only
+    // collide upward from 0
+    val exact = Map("spark" -> 2L * 66, "engine" -> 200L, "data" -> 134L)
+    exact.foreach { case (w, c) => assert(merged(w) >= c, w) }
+    assert(merged("absent") >= 0L)
+  }
+
   test("cmsWordCounts: one-sided error, exact when width dwarfs the vocabulary") {
     val r = Sketch.cmsWordCounts(docs, depth = 4, width = 1024, topK = 5).collect()
     assert(r.nonEmpty)
