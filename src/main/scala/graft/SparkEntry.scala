@@ -1935,6 +1935,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n91_exact_quantiles_by_source" -> ((s, dir) => {
+      // per-source exact p50/p99 via lock-step group bisection: one
+      // corpus pass per round for ALL (group, q) pairs; definitional
+      // oracle (per-group rank window) as n86
+      graft.ops.Sketch.exactQuantilesByGroup(t(s, dir, "documents"),
+          "source", "n_chars", qs = Seq(0.5, 0.99), bins = 16)
+        .orderBy("source", "q")
+    }),
+
     "n90_curation_v2" -> ((s, dir) => {
       // the round-7 composition: crawl HTML -> text extraction ->
       // entropy + length quality gates -> exact dedup on the
@@ -3995,6 +4004,22 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n91_exact_quantiles_by_source" ->
+      """WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |probes(q) AS (VALUES (0.5), (0.99)),
+        |r AS (SELECT grp, CAST(q AS DOUBLE) AS q, n,
+        |       greatest(CAST(ceil(q * n) AS BIGINT), 1) AS r
+        |      FROM n CROSS JOIN probes),
+        |cum AS (SELECT grp, v,
+        |  sum(count(*)) OVER (PARTITION BY grp ORDER BY v) AS vcum
+        | FROM v GROUP BY grp, v)
+        |SELECT r.grp AS source, r.q, r.n, r.r,
+        | CAST(min(cum.v) AS BIGINT) AS exact_value
+        |FROM r JOIN cum ON cum.grp = r.grp AND cum.vcum >= r.r
+        |GROUP BY 1, 2, 3, 4 ORDER BY source, q""".stripMargin,
 
     "n90_curation_v2" ->
       // the n87 extraction chain feeding the n80 entropy chain feeding

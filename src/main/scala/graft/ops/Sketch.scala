@@ -345,6 +345,90 @@ object Sketch {
     results.toDF("q", "n", "r", "exact_value", "agg_passes")
   }
 
+  /** Group-wise [[exactQuantiles]] — per-domain exact p50/p99 without
+    * sorting anything: every (group, quantile) pair bisects its OWN
+    * candidate range, but all pairs advance in LOCK-STEP — each round
+    * is ONE corpus pass (broadcast range join + combinable bin
+    * count, `groups × qs × bins`-bounded output), not a round per
+    * group. Rounds run until every pair's range fits one bin span
+    * (the widest group decides the round count, log_bins of its
+    * range); the driver holds `groups × qs` range state — bounded
+    * like the n59 bins walk. Same definitional-oracle stance as n86:
+    * the oracle is the per-group rank window, so green proves the
+    * lock-step bisection finds every group's true order statistic.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[Double] = Seq(0.5, 0.99),
+                            bins: Int = 256): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = vals.groupBy("grp").agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n")).collect()
+    final case class St(var lo: Long, var hi: Long, var below: Long,
+                        target: Long, n: Long)
+    val state = scala.collection.mutable.LinkedHashMap[(String, Double), St]()
+    bounds.foreach { r =>
+      val (g, lo, hi, n) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      qs.foreach { q =>
+        state((g, q)) = St(lo, hi, 0L, math.max(1L, math.ceil(q * n).toLong), n)
+      }
+    }
+    def active = state.filter { case (_, s) => s.hi - s.lo + 1 > bins }
+    while (active.nonEmpty) {
+      val ranges = active.toSeq.map { case ((g, q), s) =>
+        (g, q, s.lo, s.hi, (s.hi - s.lo + bins) / bins)
+      }.toDF("grp", "q", "lo", "hi", "w")
+      val counts = vals.join(broadcast(ranges), Seq("grp"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .withColumn("bin", expr("(v - lo) div w"))
+        .groupBy("grp", "q", "bin").agg(count(lit(1)).as("cnt"))
+        .collect() // groups × qs × bins bounded by construction
+      counts.groupBy(r => (r.getString(0), r.getDouble(1))).foreach {
+        case (key, rows) =>
+          val s = state(key)
+          val w = (s.hi - s.lo + bins) / bins
+          var cum = s.below
+          var done = false
+          rows.sortBy(_.getLong(2)).foreach { r =>
+            if (!done) {
+              val c = r.getLong(3)
+              if (cum + c >= s.target) {
+                val newLo = s.lo + r.getLong(2) * w
+                s.hi = math.min(s.hi, newLo + w - 1)
+                s.lo = newLo
+                s.below = cum
+                done = true
+              } else cum += c
+            }
+          }
+          assert(done, s"target rank not covered for $key")
+      }
+    }
+    val ranges = state.toSeq.map { case ((g, q), s) => (g, q, s.lo, s.hi) }
+      .toDF("grp", "q", "lo", "hi")
+    val finals = vals.join(broadcast(ranges), Seq("grp"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("grp", "q", "v").agg(count(lit(1)).as("cnt"))
+      .collect()
+    val out = finals.groupBy(r => (r.getString(0), r.getDouble(1))).map {
+      case (key, rows) =>
+        val s = state(key)
+        var cum = s.below
+        val v = rows.sortBy(_.getLong(2)).collectFirst {
+          case r if { cum += r.getLong(3); cum >= s.target } => r.getLong(2)
+        }.getOrElse(throw new IllegalStateException(s"rank not reached: $key"))
+        (key._1, key._2, s.n, s.target, v)
+    }.toSeq
+    out.toDF(groupCol, "q", "n", "r", "exact_value")
+  }
+
   /** Group-wise [[histQuantiles]] — per-source/per-language value
     * quantiles in one pass, the profiling shape a mixture report needs
     * ("doc-length p50/p99 per domain"). Same integer binning and

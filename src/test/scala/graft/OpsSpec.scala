@@ -1434,6 +1434,30 @@ class OpsSpec extends SparkSpec {
     assert(merged == whole) // bit-exact, not approximately equal
   }
 
+  test("exactQuantilesByGroup: lock-step bisection == per-group sort reference") {
+    import spark.implicits._
+    // groups with wildly different ranges (the lock-step rounds are
+    // driven by the widest) and duplicate-heavy values
+    val rows = (1L to 300L).map(i => ("narrow", i % 7)) ++
+      (1L to 100L).map(i => ("wide", i * i * 13)) ++
+      Seq(("tiny", 42L), ("tiny", 42L), ("tiny", 7L))
+    val df = rows.toDF("grp", "x")
+    val qs = Seq(0.1, 0.5, 0.99)
+    val got = Sketch.exactQuantilesByGroup(df, "grp", "x", qs, bins = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Long]("exact_value")).toMap
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byGroup; q <- qs) {
+      val expected = vs(math.max(1, math.ceil(q * vs.size).toInt) - 1)
+      assert(got((g, q)) == expected, s"group $g q=$q")
+    }
+    // agrees with the ungrouped operator on a single-group frame
+    val single = Sketch.exactQuantiles(
+      df.filter(col("grp") === "wide").select("x"), "x", qs, bins = 8)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Long]("exact_value")).toMap
+    qs.foreach(q => assert(single(q) == got(("wide", q))))
+  }
+
   test("hllOverlapByGroup: inclusion-exclusion tracks the planted overlap") {
     import spark.implicits._
     // a: 1..2000, b: 1001..3000 (overlap 1000), c: disjoint 5001..5500
