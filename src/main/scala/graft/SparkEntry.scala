@@ -1935,6 +1935,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n92_weighted_sample" -> ((s, dir) => {
+      // bottom-k weighted priority sample, PPS-without-replacement by
+      // document length: zero-shuffle per-row key folds, top-k via
+      // TakeOrderedAndProject; the oracle replays the double-fmix key
+      // chain in HUGEINT mod-2^64 arithmetic with a sign-adjusted min
+      graft.ops.Sampling.weightedPrioritySample(t(s, dir, "documents"),
+        weight = col("n_chars"), k = 25)
+    }),
+
     "n91_exact_quantiles_by_source" -> ((s, dir) => {
       // per-source exact p50/p99 via lock-step group bisection: one
       // corpus pass per round for ALL (group, q) pairs; definitional
@@ -4004,6 +4013,44 @@ object SparkEntry {
         |      FROM s)
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "n92_weighted_sample" -> {
+      // XOR-only composition of three fmix chains (id-side, j-side,
+      // final) in HUGEINT mod-2^64; seed mix rendered unsigned
+      val seedMixU = uns(graft.functions.Hashing.splitmix64(42L))
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+         |           FROM documents WHERE n_chars >= 1),
+         |a1 AS (SELECT doc_id, weight,
+         |  xor(CAST(doc_id AS HUGEINT), CAST(doc_id AS HUGEINT) >> 33) AS x
+         | FROM d),
+         |a2 AS (SELECT doc_id, weight, xor(y, y >> 33) AS x2
+         |       FROM (SELECT doc_id, weight, ${mulC("x", c1, c1lo)} AS y FROM a1)),
+         |a3 AS (SELECT doc_id, weight, xor(z, z >> 33) AS base
+         |       FROM (SELECT doc_id, weight, ${mulC("x2", c2, c2lo)} AS z FROM a2)),
+         |e AS (SELECT doc_id, weight, base,
+         |  unnest(generate_series(1, least(weight, 100000))) AS j FROM a3),
+         |m0 AS (SELECT doc_id, weight, base,
+         |  xor(CAST(j AS HUGEINT), CAST('$seedMixU' AS HUGEINT)) AS x FROM e),
+         |i1 AS (SELECT doc_id, weight, base, xor(x, x >> 33) AS v1 FROM m0),
+         |i2 AS (SELECT doc_id, weight, base, xor(y, y >> 33) AS v3
+         |       FROM (SELECT doc_id, weight, base, ${mulC("v1", c1, c1lo)} AS y FROM i1)),
+         |i3 AS (SELECT doc_id, weight, base, xor(z, z >> 33) AS jmix
+         |       FROM (SELECT doc_id, weight, base, ${mulC("v3", c2, c2lo)} AS z FROM i2)),
+         |m AS (SELECT doc_id, weight, xor(base, jmix) AS x FROM i3),
+         |k1 AS (SELECT doc_id, weight, xor(x, x >> 33) AS v1 FROM m),
+         |k2 AS (SELECT doc_id, weight, xor(y, y >> 33) AS v3
+         |       FROM (SELECT doc_id, weight, ${mulC("v1", c1, c1lo)} AS y FROM k1)),
+         |k3 AS (SELECT doc_id, weight, xor(z, z >> 33) AS u
+         |       FROM (SELECT doc_id, weight, ${mulC("v3", c2, c2lo)} AS z FROM k2)),
+         |keys AS (SELECT doc_id, weight,
+         |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+         |       THEN u - CAST('18446744073709551616' AS HUGEINT)
+         |       ELSE u END AS BIGINT) AS key
+         | FROM k3)
+         |SELECT doc_id, weight, min(key) AS priority_key
+         |FROM keys GROUP BY 1, 2
+         |ORDER BY priority_key, doc_id LIMIT 25""".stripMargin
+    },
 
     "n91_exact_quantiles_by_source" ->
       """WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v

@@ -399,4 +399,44 @@ object Sampling {
       .agg(sum(col("pairs")).as("n_leaked_pairs"))
       .filter(col("n_leaked_pairs") > 0)
   }
+
+  /** Weighted priority (bottom-k) sampling — probability-proportional-
+    * to-size selection WITHOUT replacement (Cohen & Kaplan 2007,
+    * "Summarizing data using bottom-k sketches"; the integer-weight
+    * exponential race): each item draws `weight` pseudo-random keys
+    * and keeps its MINIMUM; the global k smallest minima are the
+    * sample. An item with twice the weight enters twice as many draws
+    * into the race, which is exactly PPS-without-replacement.
+    *
+    * Every key is `fmix64(fmix64(id) ⊕ fmix64(j ⊕ splitmix64(seed)))`
+    * — integer, deterministic, XOR-only at the column level (ANSI
+    * Spark rejects wrapping multiplies; all multiplicative mixing
+    * lives inside the fmix64 kernel), and replayed by the oracle
+    * through the HUGEINT mod-2^64 chain (signed min == the oracle's
+    * sign-adjusted min). Weights clip at `maxWeight` (a per-row array
+    * of that many longs is the cost ceiling — clip is a distribution
+    * truncation, documented, for adversarial weights only).
+    *
+    * 100 TB shape: ZERO shuffle for scoring — the `weight` draws fold
+    * per row (no explode relation); the k winners come from
+    * orderBy+limit = TakeOrderedAndProject, a distributed partial
+    * top-k. Cost is O(total weight) key evaluations — the same order
+    * as one tokenize pass when weights are token counts.
+    */
+  def weightedPrioritySample(docs: DataFrame, weight: Column, k: Int,
+                             seed: Long = 42L, idCol: String = "doc_id",
+                             maxWeight: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.graft.GraftFunctions.fmix64
+    require(k > 0 && maxWeight >= 1)
+    val seedMix = graft.functions.Hashing.splitmix64(seed)
+    val base = fmix64(col(idCol))
+    val key = array_min(transform(
+      sequence(lit(1L), least(col("weight"), lit(maxWeight))),
+      j => fmix64(base.bitwiseXOR(fmix64(j.bitwiseXOR(lit(seedMix)))))))
+    docs.withColumn("weight", weight.cast("long"))
+      .filter(col("weight") >= 1L)
+      .withColumn("priority_key", key)
+      .select(col(idCol), col("weight"), col("priority_key"))
+      .orderBy(col("priority_key"), col(idCol)).limit(k)
+  }
 }

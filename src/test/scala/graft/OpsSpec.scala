@@ -1685,6 +1685,28 @@ class OpsSpec extends SparkSpec {
     assert(lr.getLong(4) == 0L && lr.getLong(5) == 2L)
   }
 
+  test("weightedPrioritySample: deterministic, partition-invariant, PPS tendency") {
+    import spark.implicits._
+    val d = ((1L to 9L).map(i => (i, 1L)) :+ (10L, 1000L))
+      .toDF("doc_id", "w")
+    val a = Sampling.weightedPrioritySample(d, col("w"), k = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = Sampling.weightedPrioritySample(d.repartition(5), col("w"), k = 3, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a == b && a.size == 3)
+    // k >= population returns everyone, ordered by key
+    val all = Sampling.weightedPrioritySample(d, col("w"), k = 100)
+      .collect().map(_.getLong(2)).toSeq
+    assert(all.size == 10 && all == all.sorted)
+    // PPS: the weight-1000 item (99% of total mass) should win the
+    // top-1 race for the overwhelming majority of seeds
+    val wins = (1L to 30L).count { s =>
+      Sampling.weightedPrioritySample(d, col("w"), k = 1, seed = s)
+        .collect()(0).getLong(0) == 10L
+    }
+    assert(wins >= 24, s"heavy item won only $wins/30 seeds")
+  }
+
   test("capPerGroup: deterministic, partition-invariant, WindowGroupLimit plan") {
     val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 3)
     val kept = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
