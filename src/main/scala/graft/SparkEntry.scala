@@ -634,6 +634,45 @@ object SparkEntry {
          |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** The n92 bottom-k key chain as reusable CTEs ending in
+    * `keys($cols, key)` — three fmix chains in HUGEINT mod-2^64 with
+    * the sign-adjusted BIGINT key, parameterized over the carried
+    * columns so the global (n92) and stratified (n93) samples share
+    * one replay.
+    */
+  private def ppsKeysSql(cols: String): String = {
+    val seedMixU = uns(graft.functions.Hashing.splitmix64(42L))
+    s"""d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+       |      FROM documents WHERE n_chars >= 1),
+       |a1 AS (SELECT $cols,
+       |  xor(CAST(doc_id AS HUGEINT), CAST(doc_id AS HUGEINT) >> 33) AS x
+       | FROM d),
+       |a2 AS (SELECT $cols, xor(y, y >> 33) AS x2
+       |       FROM (SELECT $cols, ${mulC("x", c1, c1lo)} AS y FROM a1)),
+       |a3 AS (SELECT $cols, xor(z, z >> 33) AS base
+       |       FROM (SELECT $cols, ${mulC("x2", c2, c2lo)} AS z FROM a2)),
+       |e AS (SELECT $cols, base,
+       |  unnest(generate_series(1, least(weight, 100000))) AS j FROM a3),
+       |m0 AS (SELECT $cols, base,
+       |  xor(CAST(j AS HUGEINT), CAST('$seedMixU' AS HUGEINT)) AS x FROM e),
+       |i1 AS (SELECT $cols, base, xor(x, x >> 33) AS v1 FROM m0),
+       |i2 AS (SELECT $cols, base, xor(y, y >> 33) AS v3
+       |       FROM (SELECT $cols, base, ${mulC("v1", c1, c1lo)} AS y FROM i1)),
+       |i3 AS (SELECT $cols, base, xor(z, z >> 33) AS jmix
+       |       FROM (SELECT $cols, base, ${mulC("v3", c2, c2lo)} AS z FROM i2)),
+       |m AS (SELECT $cols, xor(base, jmix) AS x FROM i3),
+       |k1 AS (SELECT $cols, xor(x, x >> 33) AS v1 FROM m),
+       |k2 AS (SELECT $cols, xor(y, y >> 33) AS v3
+       |       FROM (SELECT $cols, ${mulC("v1", c1, c1lo)} AS y FROM k1)),
+       |k3 AS (SELECT $cols, xor(z, z >> 33) AS u
+       |       FROM (SELECT $cols, ${mulC("v3", c2, c2lo)} AS z FROM k2)),
+       |keys AS (SELECT $cols,
+       |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+       |       THEN u - CAST('18446744073709551616' AS HUGEINT)
+       |       ELSE u END AS BIGINT) AS key
+       | FROM k3)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -1942,6 +1981,16 @@ object SparkEntry {
       // chain in HUGEINT mod-2^64 arithmetic with a sign-adjusted min
       graft.ops.Sampling.weightedPrioritySample(t(s, dir, "documents"),
         weight = col("n_chars"), k = 25)
+    }),
+
+    "n93_stratified_pps" -> ((s, dir) => {
+      // per-source bottom-5 PPS by document length: n92's key fold
+      // under a WindowGroupLimit rank filter — stratified sampling
+      // where heavy docs win their stratum's race proportionally
+      graft.ops.Sampling.weightedPrioritySampleByGroup(
+          t(s, dir, "documents"), "source",
+          weight = col("n_chars"), perGroup = 5)
+        .orderBy("source", "rk")
     }),
 
     "n91_exact_quantiles_by_source" -> ((s, dir) => {
@@ -4014,43 +4063,22 @@ object SparkEntry {
         |SELECT source, word, c_ws, c_w, n_s, score, rk
         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
-    "n92_weighted_sample" -> {
-      // XOR-only composition of three fmix chains (id-side, j-side,
-      // final) in HUGEINT mod-2^64; seed mix rendered unsigned
-      val seedMixU = uns(graft.functions.Hashing.splitmix64(42L))
-      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
-         |           FROM documents WHERE n_chars >= 1),
-         |a1 AS (SELECT doc_id, weight,
-         |  xor(CAST(doc_id AS HUGEINT), CAST(doc_id AS HUGEINT) >> 33) AS x
-         | FROM d),
-         |a2 AS (SELECT doc_id, weight, xor(y, y >> 33) AS x2
-         |       FROM (SELECT doc_id, weight, ${mulC("x", c1, c1lo)} AS y FROM a1)),
-         |a3 AS (SELECT doc_id, weight, xor(z, z >> 33) AS base
-         |       FROM (SELECT doc_id, weight, ${mulC("x2", c2, c2lo)} AS z FROM a2)),
-         |e AS (SELECT doc_id, weight, base,
-         |  unnest(generate_series(1, least(weight, 100000))) AS j FROM a3),
-         |m0 AS (SELECT doc_id, weight, base,
-         |  xor(CAST(j AS HUGEINT), CAST('$seedMixU' AS HUGEINT)) AS x FROM e),
-         |i1 AS (SELECT doc_id, weight, base, xor(x, x >> 33) AS v1 FROM m0),
-         |i2 AS (SELECT doc_id, weight, base, xor(y, y >> 33) AS v3
-         |       FROM (SELECT doc_id, weight, base, ${mulC("v1", c1, c1lo)} AS y FROM i1)),
-         |i3 AS (SELECT doc_id, weight, base, xor(z, z >> 33) AS jmix
-         |       FROM (SELECT doc_id, weight, base, ${mulC("v3", c2, c2lo)} AS z FROM i2)),
-         |m AS (SELECT doc_id, weight, xor(base, jmix) AS x FROM i3),
-         |k1 AS (SELECT doc_id, weight, xor(x, x >> 33) AS v1 FROM m),
-         |k2 AS (SELECT doc_id, weight, xor(y, y >> 33) AS v3
-         |       FROM (SELECT doc_id, weight, ${mulC("v1", c1, c1lo)} AS y FROM k1)),
-         |k3 AS (SELECT doc_id, weight, xor(z, z >> 33) AS u
-         |       FROM (SELECT doc_id, weight, ${mulC("v3", c2, c2lo)} AS z FROM k2)),
-         |keys AS (SELECT doc_id, weight,
-         |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
-         |       THEN u - CAST('18446744073709551616' AS HUGEINT)
-         |       ELSE u END AS BIGINT) AS key
-         | FROM k3)
+    "n92_weighted_sample" ->
+      s"""WITH ${ppsKeysSql("doc_id, weight")}
          |SELECT doc_id, weight, min(key) AS priority_key
          |FROM keys GROUP BY 1, 2
-         |ORDER BY priority_key, doc_id LIMIT 25""".stripMargin
-    },
+         |ORDER BY priority_key, doc_id LIMIT 25""".stripMargin,
+
+    "n93_stratified_pps" ->
+      s"""WITH ${ppsKeysSql("doc_id, source, weight")},
+         |mins AS (SELECT source, doc_id, weight, min(key) AS priority_key
+         |         FROM keys GROUP BY 1, 2, 3),
+         |r AS (SELECT source, doc_id, weight, priority_key,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY priority_key, doc_id) AS BIGINT) AS rk
+         | FROM mins)
+         |SELECT source, doc_id, weight, priority_key, rk
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "n91_exact_quantiles_by_source" ->
       """WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v

@@ -426,8 +426,43 @@ object Sampling {
   def weightedPrioritySample(docs: DataFrame, weight: Column, k: Int,
                              seed: Long = 42L, idCol: String = "doc_id",
                              maxWeight: Long = 100000L): DataFrame = {
+    require(k > 0)
+    weightedKeys(docs, weight, seed, idCol, maxWeight)
+      .select(col(idCol), col("weight"), col("priority_key"))
+      .orderBy(col("priority_key"), col(idCol)).limit(k)
+  }
+
+  /** Stratified [[weightedPrioritySample]] — the per-group bottom-k:
+    * PPS-without-replacement INSIDE each stratum (per-source caps
+    * with length-proportional selection instead of n35's uniform
+    * rank). Same zero-shuffle key fold; the per-group winners come
+    * from a rank filter that plans as WindowGroupLimit
+    * (spec-asserted) — a per-map-task partial bottom-k, never a
+    * global sort.
+    */
+  def weightedPrioritySampleByGroup(docs: DataFrame, groupCol: String,
+                                    weight: Column, perGroup: Int,
+                                    seed: Long = 42L, idCol: String = "doc_id",
+                                    maxWeight: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perGroup > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority_key"), col(idCol))
+    weightedKeys(docs, weight, seed, idCol, maxWeight)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perGroup)
+      .select(col(groupCol), col(idCol), col("weight"),
+        col("priority_key"), col("rk"))
+  }
+
+  /** The shared bottom-k key fold: weight pseudo-random draws per row,
+    * minimum kept — `fmix64(fmix64(id) ⊕ fmix64(j ⊕ splitmix64(seed)))`
+    * per draw, XOR-only at the column level.
+    */
+  private def weightedKeys(docs: DataFrame, weight: Column, seed: Long,
+                           idCol: String, maxWeight: Long): DataFrame = {
     import org.apache.spark.sql.graft.GraftFunctions.fmix64
-    require(k > 0 && maxWeight >= 1)
+    require(maxWeight >= 1)
     val seedMix = graft.functions.Hashing.splitmix64(seed)
     val base = fmix64(col(idCol))
     val key = array_min(transform(
@@ -436,7 +471,5 @@ object Sampling {
     docs.withColumn("weight", weight.cast("long"))
       .filter(col("weight") >= 1L)
       .withColumn("priority_key", key)
-      .select(col(idCol), col("weight"), col("priority_key"))
-      .orderBy(col("priority_key"), col(idCol)).limit(k)
   }
 }

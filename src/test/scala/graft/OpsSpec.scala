@@ -1707,6 +1707,26 @@ class OpsSpec extends SparkSpec {
     assert(wins >= 24, s"heavy item won only $wins/30 seeds")
   }
 
+  test("weightedPrioritySampleByGroup: per-stratum bottom-k, group-limit plan") {
+    import spark.implicits._
+    val d = (Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("b", 10L, 7L))
+      .map { case (g, id, w) => (g, id, w) }).toDF("grp", "doc_id", "w")
+    val out = Sampling.weightedPrioritySampleByGroup(d, "grp", col("w"), perGroup = 2)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(rows.count(_._1 == "a") == 2 && rows.count(_._1 == "b") == 1)
+    assert(rows.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    // within a stratum, winners agree with the global sample restricted
+    // to that stratum (same keys, same ordering)
+    val globalA = Sampling.weightedPrioritySample(
+      d.filter(col("grp") === "a"), col("w"), k = 2)
+      .collect().map(_.getLong(0)).toSet
+    val stratA = out.filter(col("grp") === "a")
+      .collect().map(_.getLong(1)).toSet
+    assert(globalA == stratA)
+    // the rank filter reaches the window as a group limit
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("capPerGroup: deterministic, partition-invariant, WindowGroupLimit plan") {
     val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 3)
     val kept = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
