@@ -310,6 +310,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL: register build aggregates on a stream, estimate matches batch bit-exactly") {
+    // the sketch-state side of streaming ingest: register max is a
+    // streaming-legal aggregate (complete mode), so the SAME
+    // hllRegistersByGroup body maintains distinct-vocabulary state
+    // over an unbounded source; the estimate read off the streaming
+    // state equals the batch computation exactly (integer registers)
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketch
+    val src = Files.createTempDirectory("hllstream").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Sketch.hllRegistersByGroup(words(stream), "source", "word")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = Sketch.hllEstimateFromRegisterRelation(
+        spark.sql("SELECT * FROM hllregs"), "source")
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      val batched = Sketch.hllDistinctByGroup(words(batch), "source", "word")
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getAs[Double]("hll_estimate"),
+          r.getAs[Long]("registers_used"))).toSeq
+      assert(streamed == batched && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming parity: charEntropy gate runs unchanged on a file-source stream") {
     // charEntropy is a per-row fold (zero shuffle), so the SAME
     // operator body filters a stream at ingest — the entropy-tail
