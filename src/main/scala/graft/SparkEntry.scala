@@ -352,11 +352,12 @@ object SparkEntry {
          | WHERE len(syms) >= 2 GROUP BY 1, 2),
          |m$k AS (SELECT l, r FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |s$k AS (SELECT word, wcount,
-         |  list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |  CASE WHEN m$k.l IS NULL THEN syms
+         |  ELSE list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
          |    CASE WHEN len(acc) > 0 AND acc[-1] = m$k.l AND x[1] = m$k.r
          |         THEN list_concat(acc[1:len(acc)-1], [m$k.l || m$k.r])
-         |         ELSE list_concat(acc, x) END) AS syms
-         | FROM s${k - 1} CROSS JOIN m$k)""".stripMargin
+         |         ELSE list_concat(acc, x) END) END AS syms
+         | FROM s${k - 1} LEFT JOIN m$k ON true)""".stripMargin
     }.mkString(",\n")
     s"""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
        | FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
@@ -597,7 +598,8 @@ object SparkEntry {
 
   private def textRankOracleSql(iters: Int, topK: Int): String =
     pageRankOracleSql(
-      """w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      """w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |       FROM documents),
         |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
         |p AS (SELECT ws[i] AS a, ws[i+1] AS b
         |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
@@ -1928,7 +1930,8 @@ object SparkEntry {
       // ||sum||^2 identity over unit-sphere int8 codes — all-long
       // sums, two pinned float steps
       graft.ops.Similarity.embeddingDiversity(
-        t(s, dir, "embeddings"), groupCol = "label").orderBy("label")
+        t(s, dir, "embeddings").withColumn("label", col("label").cast("long")),
+        groupCol = "label").orderBy("label")
     }),
 
     "n85_distinctive_terms" -> ((s, dir) => {
@@ -4295,7 +4298,7 @@ object SparkEntry {
         |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
         |    (a, x) -> a + x)) AS nq
-        | FROM embeddings),
+        | FROM embeddings WHERE embedding IS NOT NULL),
         |codes AS (SELECT CAST(label AS BIGINT) AS label,
         |  CASE WHEN nq = 0.0 THEN list_transform(embedding, v -> 0)
         |       ELSE list_transform(embedding,

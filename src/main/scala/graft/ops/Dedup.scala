@@ -211,7 +211,11 @@ object Dedup {
     require(dup.isEmpty,
       s"changeset has duplicated $idCol values — MERGE semantics are ambiguous")
     val survivors = base.join(changes.select(col(idCol)), Seq(idCol), "left_anti")
-    val upserts = changes.filter(col(opCol) =!= "delete")
+    // NULL op is "any other op" per the contract above, so it must
+    // UPSERT — a bare =!= comparison would drop the row from upserts
+    // while the anti-join still removed its id (silent delete)
+    val upserts = changes
+      .filter(!coalesce(col(opCol) === "delete", lit(false)))
       .select(base.columns.map(col).toIndexedSeq: _*)
     survivors.unionByName(upserts)
   }

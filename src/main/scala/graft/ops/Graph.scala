@@ -26,8 +26,11 @@ object Graph {
     * directions (as the callers here do). Returns `(node, rank)`.
     *
     * Preconditions: every node must have out-degree >= 1 (true by
-    * construction for symmetrized graphs; a dangling node would need
-    * the teleport-redistribution term this kernel deliberately omits).
+    * construction for symmetrized graphs; a node with no OUTBOUND
+    * edges would need the dangling-mass redistribution term this
+    * kernel deliberately omits). Nodes with no INBOUND edges are
+    * fine: the per-round left join keeps them at their teleport rank
+    * instead of silently dropping them.
     *
     * 100 TB shape: the edge relation (with out-degrees joined) is
     * persisted ONCE and is the sole ancestor of the node list and
@@ -53,10 +56,13 @@ object Graph {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      ranks = contrib.crossJoin(n)
-        .select(col("dst").as("node"),
+      // LEFT join from the node list: a node with no inbound edges
+      // keeps its teleport rank instead of vanishing from the result
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(n)
+        .select(nodes("node"),
           (expr(s"(15 * $Scale div 100) div n") +
-            expr("(85 * csum) div 100")).as("rank"))
+            expr("(85 * coalesce(csum, 0)) div 100")).as("rank"))
     }
     ranks
   }

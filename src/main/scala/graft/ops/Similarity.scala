@@ -297,9 +297,11 @@ object Similarity {
       zip_with(col("codes"), col("codes"), (a, b) => (a * b).cast("long")),
       lit(0L), (a, v) => a + v)
     // null embeddings are excluded up front (the withSignBuckets
-    // convention) so n counts exactly the vectors that contribute
+    // convention) so n counts exactly the vectors that contribute;
+    // the group column keeps its own type (casting string groups to
+    // long would collapse them all into one NULL group)
     val coded = emb.filter(col("embedding").isNotNull)
-      .select(col(groupCol).cast("long").as(groupCol), codes.as("codes"))
+      .select(col(groupCol), codes.as("codes"))
       .withColumn("self_dot", selfDot)
     val dimSums = coded
       .select(col(groupCol), posexplode(col("codes")).as(Seq("pos", "c")))

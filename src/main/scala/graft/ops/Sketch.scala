@@ -187,7 +187,6 @@ object Sketch {
     val unionRegs = gpairs.join(regs,
         col("col_name") === col("ga") || col("col_name") === col("gb"))
       .groupBy("ga", "gb", "reg").agg(max("mj").as("mj"))
-      .withColumn("col_name", concat(col("ga"), lit("|"), col("gb")))
     val unionEst = hllEstimateFromRegs(unionRegs, Seq("ga", "gb"), p)
       .select(col("ga"), col("gb"), col("hll_estimate").as("est_union"))
     val exact = pairs.distinct()
@@ -305,6 +304,10 @@ object Sketch {
       count(lit(1)).as("n")).collect()(0)
     val n = b0.getAs[Long]("n")
     require(n > 0, "no non-null values")
+    // fail fast instead of silently wrapping: hi - lo overflow would
+    // skip bisection and collect every distinct value to the driver
+    require(BigInt(b0.getAs[Long]("hi")) - BigInt(b0.getAs[Long]("lo"))
+      < Long.MaxValue, "value range exceeds 2^63 - shift/scale values first")
     val results = qs.map { q =>
       val target = math.max(1L, math.ceil(q * n).toLong)
       var lo = b0.getAs[Long]("lo")
@@ -376,6 +379,8 @@ object Sketch {
     val state = scala.collection.mutable.LinkedHashMap[(String, Double), St]()
     bounds.foreach { r =>
       val (g, lo, hi, n) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(BigInt(hi) - BigInt(lo) < Long.MaxValue,
+        s"value range of group $g exceeds 2^63 - shift/scale values first")
       qs.foreach { q =>
         state((g, q)) = St(lo, hi, 0L, math.max(1L, math.ceil(q * n).toLong), n)
       }
@@ -478,28 +483,6 @@ object Sketch {
         col("est_hi"), col("exact_value"))
   }
 
-  /** Count-min sketch over the corpus word frequencies (Cormode &
-    * Muthukrishnan 2005) — bounded-memory term-frequency estimation:
-    * `depth × width` counters answer "how often does this term occur"
-    * with one-sided error (estimate >= truth, overshoot < corpus/width
-    * w.h.p.), regardless of vocabulary size. Fully integer end to end
-    * — value hash fnv64 xor'd with a splitmix64 row seed through
-    * fmix64, cell = low bits, counters are exact sums, the estimate is
-    * a min — so the oracle replay has no float step at all.
-    *
-    * Shape at scale: exact per-word counts first (one combinable
-    * shuffle — the same relation any frequency pass needs), then the
-    * sketch build is a `depth × width`-bounded second agg, and probes
-    * are a broadcast-sized join against it. The probe set here (top-K
-    * exact terms, count-desc/word-asc — deterministic) exercises the
-    * worst case for CMS: heavy hitters collide with everything.
-    *
-    * Returns (word, exact_count, cms_estimate): the exact column is
-    * the audit; `cms_estimate >= exact_count` always (spec-asserted).
-    * The persisted vocabulary relation stays in the session
-    * CacheManager — caller-owned lifecycle (Bench clearCache()s
-    * between runs).
-    */
   /** CMS cells as a PUBLISHABLE relation — the count-sketch twin of
     * [[hllRegistersByGroup]]: each slice writes its
     * `(row_id, cell, c)` rows (depth × width bounded) and the corpus
@@ -511,20 +494,32 @@ object Sketch {
     */
   def cmsCells(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                seed: Long = 42L): DataFrame = {
-    require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")
     val counts = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    cmsWordCells(counts, depth, width, seed)
+      .groupBy("row_id", "cell").agg(sum("cnt").as("c"))
+  }
+
+  /** (word, cnt, row_id, cell) rows for a word-count relation — the
+    * one FNV⊕splitmix→fmix cell derivation shared by the publishable
+    * cells ([[cmsCells]]) and the legacy build+probe path
+    * ([[cmsWordCounts]]), so the hash chain cannot drift between them.
+    */
+  private def cmsWordCells(counts: DataFrame, depth: Int, width: Int,
+                           seed: Long): DataFrame = {
+    require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")
     val cellCols = (0 until depth).map { i =>
       val perm = graft.functions.Hashing.splitmix64(seed + i)
       struct(lit(i).as("row_id"),
         fmix64(fnv64(col("word")).bitwiseXOR(lit(perm)))
           .bitwiseAND(lit((width - 1).toLong)).as("cell"))
     }
-    counts.select(col("cnt"), explode(array(cellCols: _*)).as("rc"))
-      .groupBy(col("rc.row_id").as("row_id"), col("rc.cell").as("cell"))
-      .agg(sum("cnt").as("c"))
+    counts.select(col("word"), col("cnt"),
+        explode(array(cellCols: _*)).as("rc"))
+      .select(col("word"), col("cnt"),
+        col("rc.row_id").as("row_id"), col("rc.cell").as("cell"))
   }
 
   /** Probe a (possibly slice-unioned) cell relation for `words`:
@@ -554,9 +549,30 @@ object Sketch {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_estimate"))
   }
 
+  /** Count-min sketch over the corpus word frequencies (Cormode &
+    * Muthukrishnan 2005) — bounded-memory term-frequency estimation:
+    * `depth × width` counters answer "how often does this term occur"
+    * with one-sided error (estimate >= truth, overshoot < corpus/width
+    * w.h.p.), regardless of vocabulary size. Fully integer end to end
+    * — value hash fnv64 xor'd with a splitmix64 row seed through
+    * fmix64, cell = low bits, counters are exact sums, the estimate is
+    * a min — so the oracle replay has no float step at all.
+    *
+    * Shape at scale: exact per-word counts first (one combinable
+    * shuffle — the same relation any frequency pass needs), then the
+    * sketch build is a `depth × width`-bounded second agg, and probes
+    * are a broadcast-sized join against it. The probe set here (top-K
+    * exact terms, count-desc/word-asc — deterministic) exercises the
+    * worst case for CMS: heavy hitters collide with everything.
+    *
+    * Returns (word, exact_count, cms_estimate): the exact column is
+    * the audit; `cms_estimate >= exact_count` always (spec-asserted).
+    * The persisted vocabulary relation stays in the session
+    * CacheManager — caller-owned lifecycle (Bench clearCache()s
+    * between runs).
+    */
   def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                     topK: Int = 10, seed: Long = 42L): DataFrame = {
-    require(depth >= 1 && (width & (width - 1)) == 0, "width must be a power of 2")
     // persisted: this vocabulary-sized relation feeds BOTH the sketch
     // build and the probe top-k — without it the corpus-wide word-count
     // shuffle (the only corpus-sized work here) runs twice. Vocabulary
@@ -566,16 +582,7 @@ object Sketch {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cellCols = (0 until depth).map { i =>
-      val perm = graft.functions.Hashing.splitmix64(seed + i)
-      struct(lit(i).as("row_id"),
-        fmix64(fnv64(col("word")).bitwiseXOR(lit(perm)))
-          .bitwiseAND(lit((width - 1).toLong)).as("cell"))
-    }
-    val cells = counts.select(col("word"), col("cnt"),
-        explode(array(cellCols: _*)).as("rc"))
-      .select(col("word"), col("cnt"),
-        col("rc.row_id").as("row_id"), col("rc.cell").as("cell"))
+    val cells = cmsWordCells(counts, depth, width, seed)
     val cms = cells.groupBy("row_id", "cell").agg(sum("cnt").as("c"))
     val probes = counts.orderBy(col("cnt").desc, col("word")).limit(topK)
       .select(col("word"), col("cnt").as("exact_count"))

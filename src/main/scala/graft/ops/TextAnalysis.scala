@@ -872,7 +872,10 @@ object TextAnalysis {
       "iters outside [1,8]: deeper power iterations need checkpointing " +
         "(see Dedup.dupClusters) before the lineage is safe")
     require(topK > 0, "topK must be positive")
-    val ws = docs.select(split(col("text"), " ").as("ws"))
+    // empty tokens filtered like every sibling text operator — a
+    // doubled space must not mint a high-degree "" graph node
+    val ws = docs.select(
+        filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
       .filter(size(col("ws")) >= 2)
     val dirPairs = ws
       .select(explode(expr(

@@ -1778,6 +1778,19 @@ class OpsSpec extends SparkSpec {
     assert(b.collect().toSeq == m.collect().toSeq) // strategy, not semantics
   }
 
+  test("integerPageRank: node without inbound edges keeps its teleport rank") {
+    import spark.implicits._
+    // a -> b, b <-> c: every node has out-degree >= 1, but a has no
+    // inbound edges — it must stay in the result at the teleport rank
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "b", 1L))
+      .toDF("src", "dst", "wt")
+    val r = Graph.integerPageRank(edges, iters = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set("a", "b", "c"))
+    assert(r("a") == (15L * Graph.Scale / 100) / 3) // pure teleport
+    assert(r("b") > r("a") && r("c") > r("a"))
+  }
+
   test("integerPageRank: star center dominates, mass conserved up to truncation") {
     import spark.implicits._
     // undirected star: center c linked to 4 leaves (both directions)
@@ -1799,15 +1812,16 @@ class OpsSpec extends SparkSpec {
     val base = Seq((1L, "one", "en", "web", 3L), (2L, "two", "en", "web", 3L),
       (3L, "three", "en", "web", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val changes = Seq(
-      (2L, "upsert", "two v2", "en", "web", 6L),   // update in place
-      (4L, "upsert", "four", "en", "web", 4L),     // insert new id
-      (3L, "delete", "", "en", "web", 0L),         // delete present id
-      (9L, "delete", "", "en", "web", 0L)          // delete absent id: no-op
+      (2L, "upsert", "two v2", "en", "web", 6L),      // update in place
+      (4L, "upsert", "four", "en", "web", 4L),        // insert new id
+      (3L, "delete", "", "en", "web", 0L),            // delete present id
+      (9L, "delete", "", "en", "web", 0L),            // delete absent id: no-op
+      (5L, null: String, "five", "en", "web", 4L)     // NULL op = "any other" -> UPSERT
     ).toDF("doc_id", "op", "text", "lang", "source", "n_chars")
     val out = Dedup.applyChangeset(base, changes)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    assert(out.toSeq == Seq((1L, "one"), (2L, "two v2"), (4L, "four")))
+    assert(out.toSeq == Seq((1L, "one"), (2L, "two v2"), (4L, "four"), (5L, "five")))
     // ambiguous changeset (duplicated id) must fail fast
     val dup = Seq((2L, "upsert", "x", "en", "web", 1L),
       (2L, "delete", "", "en", "web", 0L))
@@ -1912,25 +1926,27 @@ class OpsSpec extends SparkSpec {
 
   test("embeddingDiversity: ||sum||^2 identity == brute-force pair enumeration") {
     import spark.implicits._
+    // STRING group labels: the group column must keep its own type
+    // (an unconditional long cast would collapse these into one NULL)
     val rows = Seq(
-      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // group 0: two identical + one orthogonal
-      (2L, Array(1.0f, 0.0f, 0.0f), 0),
-      (3L, Array(0.0f, 1.0f, 0.0f), 0),
-      (4L, Array(3.0f, 4.0f, 0.0f), 1),   // group 1: parallel (cos 1 after norm)
-      (5L, Array(6.0f, 8.0f, 0.0f), 1),
-      (6L, Array(1.0f, 1.0f, 1.0f), 2)    // group 2: singleton -> drops
+      (1L, Array(1.0f, 0.0f, 0.0f), "g0"), // group 0: two identical + one orthogonal
+      (2L, Array(1.0f, 0.0f, 0.0f), "g0"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "g0"),
+      (4L, Array(3.0f, 4.0f, 0.0f), "g1"), // group 1: parallel (cos 1 after norm)
+      (5L, Array(6.0f, 8.0f, 0.0f), "g1"),
+      (6L, Array(1.0f, 1.0f, 1.0f), "g2")  // group 2: singleton -> drops
     ).toDF("vec_id", "embedding", "label")
     val out = Similarity.embeddingDiversity(rows, "label").collect()
-      .map(r => r.getLong(0) -> r).toMap
-    assert(out.keySet == Set(0L, 1L)) // singleton group dropped
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("g0", "g1")) // singleton group dropped
     // group 1: identical unit vectors -> quantized cosine exactly 1
     // (codes are equal, so S2 - sum_self == 2 * self_dot == n(n-1) * 127^2
     // only if |code|^2 == 16129; (76,102) gives 76^2+102^2 = 16180)
-    val g1 = out(1L)
+    val g1 = out("g1")
     assert(math.abs(g1.getAs[Double]("avg_pair_cos") - 16180.0 / 16129.0) < 5.1e-7)
     // group 0: brute-force over quantized codes: pairs (1,2)=127^2,
     // (1,3)=0, (2,3)=0 -> avg = 2*127^2 / 6
-    val g0 = out(0L)
+    val g0 = out("g0")
     assert(math.abs(g0.getAs[Double]("avg_pair_cos") - 1.0 / 3.0) < 5.1e-7)
     assert(g0.getAs[Long]("n") == 3L)
     // partition invariance: all-long sums
