@@ -369,9 +369,18 @@ object Dedup {
     * what keeps that sub-quadratic.
     */
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 3,
+                      maxBucket: Int = 1000): DataFrame =
+    hammingNearDups(docs.select(col("doc_id"), simhash64(col("text")).as("sh")),
+      maxDistance, maxBucket)
+
+  /** Banded Hamming near-dup join over ANY (doc_id, sh) 64-bit
+    * fingerprint relation — the choreography behind [[simhashNearDups]]
+    * (text) and the image dHash pipeline ([[Multimodal.dhashRelation]]),
+    * factored so both run the same recall-lossless banding.
+    */
+  def hammingNearDups(hashed: DataFrame, maxDistance: Int,
                       maxBucket: Int = 1000): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64, "maxDistance must be in [0, 63]")
-    val hashed = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
     val nBands = maxDistance + 1
     val base = 64 / nBands
     val extra = 64 % nBands // first `extra` bands are one bit wider

@@ -118,6 +118,111 @@ object Multimodal {
     } else None
   }
 
+  /** Real BMP PIXEL decode (not just the header): 24bpp uncompressed
+    * DIBs only — the one mainstream image format whose pixels need no
+    * codec. Returns (width, height, grayscale rows top-down) where
+    * gray = (299*R + 587*G + 114*B) / 1000 (integer ITU-R 601 luma —
+    * exact when R=G=B since the weights sum to 1000). Handles both
+    * bottom-up (positive height, the default) and top-down (negative
+    * height) row order, the 4-byte row stride padding, and an
+    * arbitrary pixel-data offset from the file header. None for
+    * anything that is not a plain 24bpp BI_RGB BMP.
+    */
+  def bmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length < 54 || u8(0) != 'B' || u8(1) != 'M') return None
+    val pixOff = le32(10)
+    val hdrSize = le32(14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None // planes/24bpp/BI_RGB
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * h > p.length) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      val rowOff = pixOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val b = u8(rowOff + x * 3)
+        val g = u8(rowOff + x * 3 + 1)
+        val r = u8(rowOff + x * 3 + 2)
+        gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 64-bit difference hash (dHash) over a 9x8 grid: bit (cy*8 + cx)
+    * is set when cell (cx+1, cy) is brighter than cell (cx, cy) —
+    * 8 horizontal gradients per row over 8 rows. Cells are exact
+    * integer block means over the [cx*w/9,(cx+1)*w/9) x
+    * [cy*h/8,(cy+1)*h/8) tile (truncating division, so any image
+    * whose tiles are constant hashes identically to its 9x8
+    * downsample — the scale-invariance the spec asserts). Requires
+    * w >= 9 && h >= 8.
+    */
+  def dHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+    val cells = new Array[Long](72)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        cells(cy * 9 + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var bit = 0
+    while (bit < 64) {
+      val cy = bit / 8; val cx = bit % 8
+      if (cells(cy * 9 + cx + 1) > cells(cy * 9 + cx)) hash |= 1L << bit
+      bit += 1
+    }
+    hash
+  }
+
+  /** dHash relation over image-typed media rows: (media_id, dhash) for
+    * every payload that decodes as a 24bpp BMP; non-decodable payloads
+    * drop (a production pipeline would route them to a quarantine
+    * sink). One pass, no shuffle — the decode stays inside
+    * mapPartitions exactly like [[extractFeatures]].
+    */
+  def dhashRelation(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val bytes = if (payload == null) Array.emptyByteArray else payload
+          bmpGray(bytes).map { case (w, h, g) => (id, dHash64(g, w, h)) }
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
   /** Real WAV metadata: RIFF/WAVE chunk walk reading the `fmt ` chunk
     * (PCM sample rate / channels / bits per sample, little-endian —
     * RIFF spec: each chunk is fourcc + u32 size, bodies 2-byte padded)
@@ -357,6 +462,79 @@ object Multimodal {
     bb.putShort(1)     // planes
     bb.putShort(24)    // bits per pixel; remaining 24 bytes stay zero
     bb.array()
+  }
+
+  /** COMPLETE 24bpp bottom-up BMP (not just a header): 54-byte headers
+    * plus padded pixel rows, R=G=B=gray so the ITU-R 601 luma in
+    * [[bmpGray]] recovers the written value exactly (the weights sum
+    * to 1000). `gray` is row-major top-down; rows are written
+    * bottom-up with the 4-byte stride padding, so the decode walk is
+    * exercised for real.
+    */
+  private[graft] def bmpPixelBytes(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h, s"expected ${w * h} pixels, got ${gray.length}")
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + stride * h)
+    bb.putInt(0)
+    bb.putInt(54)
+    bb.putInt(40)
+    bb.putInt(w).putInt(h) // positive height: bottom-up row order
+    bb.putShort(1)
+    bb.putShort(24)
+    bb.putInt(0)                    // BI_RGB
+    bb.putInt(stride * h)           // image size
+    bb.putInt(2835).putInt(2835)    // 72 DPI
+    bb.putInt(0).putInt(0)          // palette fields
+    var y = h - 1                   // file rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = (gray(y * w + x) & 0xff).toByte
+        bb.put(v).put(v).put(v)     // B, G, R
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Fixture pixel formula for [[bmpPixelMedia]]: docs in the same
+    * group (doc_id / 4) share a pseudo-random base pattern
+    * fmix64(group * 73 + cell + 1234567) & 0xff; members 1..3 invert
+    * ONE cell each — cell (group + member * 13) % 72 — so a member's
+    * dHash differs from the base in at most 2 bits (the inverted cell
+    * touches only its left and right gradient comparisons). Every
+    * quantity replays in SQL from doc_id alone, which is what lets the
+    * oracle verify the real byte-level decode arithmetically.
+    */
+  private[graft] def cellGray(group: Long, member: Int, cell: Int): Int = {
+    val base = (graft.functions.Hashing.fmix64(group * 73L + cell + 1234567L) & 0xffL).toInt
+    if (member > 0 && cell == ((group + member * 13L) % 72L).toInt) 255 - base else base
+  }
+
+  /** Fixture with REAL pixel data: one 9x8 24bpp BMP per document,
+    * grayscale values from [[cellGray]] over group = doc_id / 4 and
+    * member = doc_id % 4 — planted so each group of four images is a
+    * near-duplicate cluster at Hamming distance <= 2 from its base
+    * while distinct groups are ~32 bits apart. Exercises the full
+    * bottom-up/stride/BGR decode in [[bmpGray]] end-to-end.
+    */
+  def bmpPixelMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val group = id / 4
+        val member = (id % 4).toInt
+        val gray = Array.tabulate(72)(cell => cellGray(group, member, cell))
+        (id, "image", bmpPixelBytes(9, 8, gray), src)
+      }
+      .toDF("media_id", "media_type", "payload", "meta_source")
   }
 
   /** SOI + baseline SOF0 frame header (8-bit, 3 components, 4:4:4).

@@ -1194,6 +1194,81 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.headerDims("GIF8".getBytes("UTF-8")).isEmpty) // truncated magic
   }
 
+  test("bmpGray pixel decode: round-trip, stride, top-down rows, luma, rejects") {
+    val rnd = new scala.util.Random(7)
+    // round-trip across widths that exercise every stride remainder
+    for ((w, h) <- Seq((9, 8), (10, 3), (7, 5), (16, 16), (11, 2))) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val dec = Multimodal.bmpGray(Multimodal.bmpPixelBytes(w, h, gray))
+      assert(dec.exists { case (dw, dh, dg) =>
+        dw == w && dh == h && dg.sameElements(gray) }, s"$w x $h round-trip")
+    }
+    // top-down variant: negative height + reversed file rows must
+    // decode to the SAME image as the bottom-up original
+    val gray = Array.tabulate(9 * 8)(i => (i * 7) % 256)
+    val up = Multimodal.bmpPixelBytes(9, 8, gray)
+    val stride = 28
+    val down = up.clone()
+    java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -8)
+    for (y <- 0 until 8)
+      System.arraycopy(up, 54 + (8 - 1 - y) * stride, down, 54 + y * stride, stride)
+    assert(Multimodal.bmpGray(down).exists(_._3.sameElements(gray)))
+    // non-gray pixel: integer ITU-R 601 luma (299R + 587G + 114B) / 1000
+    val one = Multimodal.bmpPixelBytes(9, 8, new Array[Int](72))
+    one(54) = 10; one(55) = 20; one(56) = 30 // B G R of image pixel (0, 7)
+    assert(Multimodal.bmpGray(one).exists(_._3(7 * 9) == 21))
+    // rejects: truncated pixel data, non-24bpp, compressed
+    assert(Multimodal.bmpGray(up.take(100)).isEmpty)
+    val bpp32 = up.clone(); bpp32(28) = 32
+    assert(Multimodal.bmpGray(bpp32).isEmpty)
+    val rle = up.clone(); rle(30) = 1 // BI_RLE8
+    assert(Multimodal.bmpGray(rle).isEmpty)
+  }
+
+  test("dHash64: scale invariance, fixture perturbation bound, banding recall") {
+    def upscale(g: Array[Int], w: Int, h: Int, k: Int): Array[Int] =
+      Array.tabulate(w * k * h * k) { i =>
+        val x = i % (w * k); val y = i / (w * k)
+        g((y / k) * w + x / k)
+      }
+    for (group <- 0L until 50L; member <- 0 to 3) {
+      val g = Array.tabulate(72)(c => Multimodal.cellGray(group, member, c))
+      val h1 = Multimodal.dHash64(g, 9, 8)
+      // block-constant upscales hash identically (exact block means)
+      assert(Multimodal.dHash64(upscale(g, 9, 8, 2), 18, 16) == h1)
+      assert(Multimodal.dHash64(upscale(g, 9, 8, 3), 27, 24) == h1)
+      // one inverted cell touches at most its two gradient comparisons
+      if (member > 0) {
+        val base = Array.tabulate(72)(c => Multimodal.cellGray(group, 0, c))
+        val d = java.lang.Long.bitCount(h1 ^ Multimodal.dHash64(base, 9, 8))
+        assert(d <= 2, s"group $group member $member hamming $d")
+      }
+    }
+    // banding recall + bucket cap on hand-built fingerprints
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL), (2L, 0x0F0F0F0F0F0F0F0CL), // hamming 2
+      (3L, -1L)                                              // far from both
+    ).toDF("doc_id", "sh")
+    val pairs = Dedup.hammingNearDups(hashes, maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)))
+    val capped = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("doc_id", "sh")
+    assert(Dedup.hammingNearDups(capped, maxDistance = 2, maxBucket = 2).count() == 0)
+  }
+
+  test("bmpPixelMedia end-to-end: dhashRelation equals the formula hash per doc") {
+    val rel = Multimodal.dhashRelation(Multimodal.bmpPixelMedia(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    for ((id, got) <- rel) {
+      val g = Array.tabulate(72)(c =>
+        Multimodal.cellGray(id / 4, (id % 4).toInt, c))
+      assert(got == Multimodal.dHash64(g, 9, 8), s"doc $id")
+    }
+  }
+
   test("mediaWithHeaders fixture: parsed dims match the encoded formula") {
     val media = Multimodal.mediaWithHeaders(docs)
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
