@@ -1794,6 +1794,22 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n95_heavy_hitters" -> ((s, dir) => {
+      // EXACT heavy hitters (count > n/32) in two scans: per-partition
+      // Misra-Gries candidates (a proven superset, partitions x k
+      // rows) then an exact recount behind a broadcast semi-join. The
+      // oracle is DEFINITIONAL — HAVING cnt * 32 > n — so green proves
+      // the candidate pass loses no true heavy hitter, not that the
+      // choreography replays
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").as[String]
+      graft.ops.Sketch.exactHeavyHitters(words, k = 32)
+        .select(col("item").as("word"), col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     "n20_embedding_allpairs" -> ((s, dir) => {
       // exact O(n^2) baseline for n14 (cf. n08 for n09): broadcast
       // self-join; at scale this runs on deterministic samples only
@@ -4004,6 +4020,14 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n95_heavy_hitters" -> // definitional: the frequency bar itself
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM w WHERE word <> '' GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f)
+        |SELECT word, cnt FROM f, n WHERE cnt * 32 > n
+        |ORDER BY cnt DESC, word""".stripMargin,
 
     "n20_embedding_allpairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

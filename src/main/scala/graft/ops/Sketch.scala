@@ -571,6 +571,60 @@ object Sketch {
     * CacheManager — caller-owned lifecycle (Bench clearCache()s
     * between runs).
     */
+  /** EXACT heavy hitters — every item with count strictly above n/k —
+    * in two scans and no corpus-sized shuffle.
+    *
+    * Pass 1: a per-partition Misra–Gries summary with k counters. By
+    * pigeonhole, an item with global count > n/k exceeds its partition
+    * threshold n_p/k in at least one partition (if it were <= n_p/k in
+    * all of them the totals would sum to <= n/k), and MG(k) never
+    * evicts an item whose partition count exceeds n_p/k — so the union
+    * of partition candidates is a SUPERSET of every true heavy hitter.
+    * That union is at most partitions * k rows, collected driver-side
+    * under the same metadata-size convention as the IVF training
+    * sample (one array-typed row per partition, k items each).
+    *
+    * Pass 2: an exact recount of candidates only, behind a broadcast
+    * semi-join (map-side combinable agg over candidate-matching rows;
+    * the shuffle carries at most |candidates| keys). The result is
+    * EXACT — the sketch only bounds who gets recounted — which is what
+    * lets the oracle be DEFINITIONAL (HAVING count * k > n) rather
+    * than a replay of this choreography.
+    *
+    * cf. Misra & Gries 1982; the two-pass exact variant is the
+    * classic distributed-frequent-items recipe.
+    */
+  def exactHeavyHitters(items: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val summaries = items.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var total = 0L
+      it.foreach { w =>
+        total += 1
+        counters.get(w) match {
+          case Some(c) => counters.update(w, c + 1)
+          case None if counters.size < k => counters.update(w, 1L)
+          case None =>
+            // decrement-all step: O(k), amortized O(1) per input item
+            val snapshot = counters.keysIterator.toArray
+            snapshot.foreach { kw =>
+              val c = counters(kw)
+              if (c == 1L) counters.remove(kw) else counters.update(kw, c - 1)
+            }
+        }
+      }
+      Iterator.single((counters.keysIterator.toArray, total))
+    }.collect() // bounded: one row per partition, <= k candidates each
+    val n = summaries.map(_._2).sum
+    val cand = summaries.iterator.flatMap(_._1).toArray.distinct.toSeq.toDF("item")
+    items.toDF("item")
+      .join(broadcast(cand), "item")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+  }
+
   def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                     topK: Int = 10, seed: Long = 42L): DataFrame = {
     // persisted: this vocabulary-sized relation feeds BOTH the sketch

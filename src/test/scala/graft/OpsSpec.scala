@@ -1421,6 +1421,29 @@ class OpsSpec extends SparkSpec {
     assert(again.map(r => r.getLong(1) == r.getLong(2)).forall(identity))
   }
 
+  test("exactHeavyHitters: equals brute force, strict bar, partition-invariant") {
+    import spark.implicits._
+    def brute(items: Seq[String], k: Int): Set[(String, Long)] = {
+      val n = items.size.toLong
+      items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toSet
+    }
+    // skewed: two clear heavy hitters, one exactly AT the bar (n=40,
+    // k=4 -> bar 10; "c" has exactly 10 and must be EXCLUDED)
+    val skewed = Seq.fill(18)("a") ++ Seq.fill(12)("b") ++ Seq.fill(10)("c")
+    // near-uniform: MG thrashes (vocab > k) and the true answer is empty
+    val uniform = (0 until 200).map(i => s"w${i % 40}")
+    for ((data, k) <- Seq((skewed, 4), (uniform, 8), (skewed ++ uniform, 16))) {
+      val expected = brute(data, k)
+      for (parts <- Seq(1, 7)) {
+        val got = Sketch.exactHeavyHitters(
+            spark.createDataset(data).repartition(parts), k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(got == expected, s"k=$k parts=$parts")
+      }
+    }
+  }
+
   test("hllDistinct: error bound across cardinalities, partition-invariant") {
     import spark.implicits._
     // sigma at p=8 is 1.04/sqrt(256) = 6.5%; 20% is ~3 sigma. FNV is
