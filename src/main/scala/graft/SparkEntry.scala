@@ -1794,6 +1794,32 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n96_url_canonical" -> ((s, dir) => {
+      // URL-level dedup: five URL variants per group derived from
+      // doc_id (case, default port, tracking params, param order,
+      // fragment — all must collapse; a NON-default port stays
+      // distinct), collapsed by the real codegen canonicalizer. The
+      // oracle replays the normalization in DuckDB's string machinery,
+      // so green is cross-engine agreement on the canonical form
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id DIV 5").as("g"), (col("doc_id") % 5).as("m"))
+      val gs = col("g").cast("string")
+      val url = when(col("m") === 0,
+          concat(lit("https://example"), gs, lit(".com/p"), gs, lit("?a=1&b=2")))
+        .when(col("m") === 1,
+          concat(lit("HTTPS://EXAMPLE"), gs, lit(".COM:443/p"), gs, lit("?b=2&a=1")))
+        .when(col("m") === 2,
+          concat(lit("https://example"), gs, lit(".com/p"), gs, lit("?a=1&utm_source=feed&b=2")))
+        .when(col("m") === 3,
+          concat(lit("https://example"), gs, lit(".com/p"), gs, lit("?a=1&b=2#section")))
+        .otherwise(
+          concat(lit("https://example"), gs, lit(".com:8080/p"), gs, lit("?a=1&b=2")))
+      d.select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"), min("doc_id").as("min_doc"))
+        .orderBy("canonical_url")
+    }),
+
     "n95_heavy_hitters" -> ((s, dir) => {
       // EXACT heavy hitters (count > n/32) in two scans: per-partition
       // Misra-Gries candidates (a proven superset, partitions x k
@@ -4020,6 +4046,35 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n96_url_canonical" ->
+      """WITH d AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m FROM documents),
+        |u AS (SELECT doc_id, CASE m
+        |  WHEN 0 THEN 'https://example' || CAST(g AS VARCHAR) || '.com/p' || CAST(g AS VARCHAR) || '?a=1&b=2'
+        |  WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(g AS VARCHAR) || '.COM:443/p' || CAST(g AS VARCHAR) || '?b=2&a=1'
+        |  WHEN 2 THEN 'https://example' || CAST(g AS VARCHAR) || '.com/p' || CAST(g AS VARCHAR) || '?a=1&utm_source=feed&b=2'
+        |  WHEN 3 THEN 'https://example' || CAST(g AS VARCHAR) || '.com/p' || CAST(g AS VARCHAR) || '?a=1&b=2#section'
+        |  ELSE 'https://example' || CAST(g AS VARCHAR) || '.com:8080/p' || CAST(g AS VARCHAR) || '?a=1&b=2' END AS url
+        | FROM d),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1)) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        | FROM u),
+        |c2 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END AS host,
+        |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|fbclid|gclid)(=|$)'))), '&') AS q
+        | FROM c)
+        |SELECT scheme || '://' || host || path ||
+        |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+        | CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM c2 GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
     "n95_heavy_hitters" -> // definitional: the frequency bar itself
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -1068,6 +1068,33 @@ object TextAnalysis {
         lower(regexp_extract(col("url"), "(?i)^https?://([^/:]+)", 1)))
       .filter(col("domain") =!= "")
 
+  /** URL canonicalization — the normalization every crawl pipeline
+    * runs before URL-level dedup, as ONE codegen column expression
+    * chain (no UDF): lowercase scheme and host, strip the scheme's
+    * default port (:80 / :443 — non-default ports are meaning-bearing
+    * and survive), empty path -> "/", drop the fragment, drop
+    * tracking parameters (utm_*, fbclid, gclid), and sort the
+    * surviving query parameters so param order cannot split a URL
+    * into two identities. Null for anything without a scheme://host.
+    * cf. RFC 3986 s6 (syntax-based normalization).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=&]*|fbclid|gclid)(=|$)"))
+    val query = array_join(sort_array(params), "&")
+    when(scheme === "" || hostPort === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val text = col("text")
     def n(p: String) = size(regexp_extract_all(text, lit(p), lit(0))).cast("long")

@@ -1958,6 +1958,38 @@ class OpsSpec extends SparkSpec {
       .toString.contains("Exchange"))
   }
 
+  test("canonicalizeUrl: case/port/fragment/tracking/param-order normalization") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected canonical or null)
+      ("https://Example.COM/Path?b=2&a=1", "https://example.com/Path?a=1&b=2"),
+      ("HTTP://HOST.example:80/x", "http://host.example/x"),
+      ("https://host.example:443/x", "https://host.example/x"),
+      ("https://host.example:8080/x", "https://host.example:8080/x"), // non-default survives
+      ("http://host.example:443/x", "http://host.example:443/x"),    // not http's default
+      ("https://h.example", "https://h.example/"),                   // empty path -> /
+      ("https://h.example#frag", "https://h.example/"),
+      ("https://h.example/x?utm_source=a&utm_campaign=b", "https://h.example/x"),
+      ("https://h.example/x?fbclid=zz&q=1&gclid", "https://h.example/x?q=1"),
+      ("https://h.example/x?utm=keep&utmost=1", "https://h.example/x?utm=keep&utmost=1"), // only utm_ prefix drops
+      ("https://h.example/x?", "https://h.example/x"),
+      ("ftp://h.example/f", "ftp://h.example/f"), // unknown scheme: no default port to strip
+      ("/relative/path", null),
+      ("mailto:a@b.example", null),
+      ("", null))
+    val got = cases.map(_._1).toDF("url")
+      .select(ops.TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    for (((in, want), g) <- cases.zip(got))
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    // idempotence: canonicalizing a canonical form is the identity
+    val canon = cases.collect { case (_, c) if c != null => c }
+    val twice = canon.toDF("url")
+      .select(ops.TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == canon)
+  }
+
   test("extractLinks: domains fold case, strip ports, drop relative/mailto") {
     import spark.implicits._
     val d = Seq((1L,
