@@ -1794,6 +1794,26 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n97_word_triangles" -> ((s, dir) => {
+      // triangle census of the word co-occurrence graph (n76's graph):
+      // degree-oriented wedge closure — the O(m^1.5) choreography —
+      // under a DEFINITIONAL oracle (an ordered three-way edge join
+      // states what a triangle IS), so green proves the orientation
+      // trick finds every triangle exactly once, not that the
+      // choreography replays
+      val ws = t(s, dir, "documents").select(
+          filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Graph.triangleCounts(pairs)
+        .select(col("node").as("word"), col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("word"))
+    }),
+
     "n96_url_canonical" -> ((s, dir) => {
       // URL-level dedup: five URL variants per group derived from
       // doc_id (case, default port, tracking params, param order,
@@ -4046,6 +4066,23 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n97_word_triangles" -> // definitional: ordered 3-way edge join
+      """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |           FROM documents),
+        |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+        |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+        |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |      WHERE ws[i] <> ws[i+1]),
+        |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM und e1
+        |        JOIN und e2 ON e2.u = e1.v
+        |        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT node AS word, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY 1 ORDER BY n_triangles DESC, word""".stripMargin,
 
     "n96_url_canonical" ->
       """WITH d AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m FROM documents),

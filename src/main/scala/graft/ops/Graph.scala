@@ -66,4 +66,48 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph given as a
+    * directed pair relation `(src, dst)` (self-loops and duplicate /
+    * reverse pairs are normalized away). Returns `(node, n_triangles)`
+    * for every node in at least one triangle.
+    *
+    * Uses the degree-orientation trick (Schank & Wagner 2005; the
+    * MapReduce form is Suri & Vassilvitskii 2011): orient every edge
+    * toward its higher-(degree, id) endpoint, build wedges only at
+    * each edge's LOW end, and close them against the oriented edge
+    * set. Every triangle is found exactly once, and the wedge
+    * relation — the only super-linear intermediate — is bounded by
+    * sum(min-degree over edges) = O(m^1.5) instead of the
+    * sum-of-degrees-squared a naive neighbor self-join pays (one
+    * celebrity node would make that quadratic). Three shuffles total:
+    * degree agg, wedge self-join, closing join; nothing is ever
+    * keyed by a high-degree node's full neighborhood.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val low = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // o: (a, b, bd) with a ≺ b in (degree, id) order; bd = deg(b) rides
+    // along so the wedge self-join needs no extra degree lookup
+    val o = withDeg.select(
+      when(low, col("u")).otherwise(col("v")).as("a"),
+      when(low, col("v")).otherwise(col("u")).as("b"),
+      when(low, col("dv")).otherwise(col("du")).as("bd"))
+    val e2 = o.select(col("a"), col("b").as("c"), col("bd").as("cd"))
+    val wedges = o.join(e2, "a")
+      .filter(struct(col("bd"), col("b")) < struct(col("cd"), col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(o.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1876,6 +1876,34 @@ class OpsSpec extends SparkSpec {
     assert(b.collect().toSeq == m.collect().toSeq) // strategy, not semantics
   }
 
+  test("triangleCounts: known graphs, input normalization, equals brute force") {
+    import spark.implicits._
+    def run(pairs: Seq[(String, String)]): Map[String, Long] =
+      Graph.triangleCounts(pairs.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node in 3 of them
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d"); if a < b) yield (a, b)
+    assert(run(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // path and star are triangle-free -> empty result
+    assert(run(Seq(("a", "b"), ("b", "c"), ("c", "d"))).isEmpty)
+    assert(run(Seq(("hub", "x"), ("hub", "y"), ("hub", "z"))).isEmpty)
+    // self-loops, duplicates and reversed pairs must not mint triangles
+    assert(run(Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "b"),
+      ("a", "c"), ("a", "c"))) == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    // pseudo-random graph vs brute force over all ordered node triples
+    val nodes = (0 until 12).map(i => s"n$i")
+    val rng = Seq.tabulate(40) { i =>
+      (nodes(graft.functions.Hashing.splitmix64(i).toInt.abs % 12),
+       nodes(graft.functions.Hashing.splitmix64(i + 100).toInt.abs % 12))
+    }.filter { case (a, b) => a != b }
+    val edgeSet = rng.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val brute = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (Seq(a, b, c) <- nodes.sorted.combinations(3)
+         if edgeSet((a, b)) && edgeSet((b, c)) && edgeSet((a, c));
+         n <- Seq(a, b, c)) brute(n) += 1
+    assert(run(rng) == brute.toMap)
+  }
+
   test("integerPageRank: node without inbound edges keeps its teleport rank") {
     import spark.implicits._
     // a -> b, b <-> c: every node has out-degree >= 1, but a has no
