@@ -1794,6 +1794,30 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n98_ip_prefix_join" -> ((s, dir) => {
+      // longest-prefix-match IP enrichment: per-doc synthetic IPv4
+      // (fmix64 of doc_id), a three-level prefix table derived from
+      // the %5 / %13 / %97 docs' own addresses (so every level is
+      // value-bearing and /24 beats /16 beats /8 on the planted
+      // collisions), matched by the zero-shuffle broadcast-left-join
+      // chain in PrefixJoin. Oracle is definitional: max prefix_len
+      // over the per-level masked joins
+      import org.apache.spark.sql.graft.GraftFunctions.fmix64
+      val ips = t(s, dir, "documents").select(col("doc_id"),
+        fmix64(col("doc_id")).bitwiseAND(lit(0xffffffffL)).as("ip"))
+      def level(modK: Int, len: Int, mask: Long): DataFrame =
+        ips.filter(col("doc_id") % modK === 0)
+          .select(col("ip").as("prefix_ip"), lit(len).as("prefix_len"),
+            concat(lit(s"p$len-"),
+              col("ip").bitwiseAND(lit(mask)).cast("string")).as("label"))
+      val dims = level(5, 8, 4278190080L)
+        .unionByName(level(13, 16, 4294901760L))
+        .unionByName(level(97, 24, 4294967040L))
+      graft.operators.PrefixJoin
+        .longestPrefixMatch(ips, "doc_id", "ip", dims)
+        .orderBy("doc_id")
+    }),
+
     "n97_word_triangles" -> ((s, dir) => {
       // triangle census of the word co-occurrence graph (n76's graph):
       // degree-oriented wedge closure — the O(m^1.5) choreography —
@@ -4066,6 +4090,37 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n98_ip_prefix_join" -> // definitional: max prefix_len over levels
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |h0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM ids),
+         |f1 AS (SELECT doc_id, xor(x, x >> 33) AS v1 FROM h0),
+         |f2 AS (SELECT doc_id, xor(y, y >> 33) AS v3
+         |       FROM (SELECT doc_id, ${mulC("v1", c1, c1lo)} AS y FROM f1)),
+         |f3 AS (SELECT doc_id, xor(z, z >> 33) AS u
+         |       FROM (SELECT doc_id, ${mulC("v3", c2, c2lo)} AS z FROM f2)),
+         |ip AS (SELECT doc_id, CAST(u & 4294967295 AS BIGINT) AS ip FROM f3),
+         |d8 AS (SELECT DISTINCT (ip & 4278190080) AS m,
+         |        'p8-' || CAST(ip & 4278190080 AS VARCHAR) AS label
+         |       FROM ip WHERE doc_id % 5 = 0),
+         |d16 AS (SELECT DISTINCT (ip & 4294901760) AS m,
+         |        'p16-' || CAST(ip & 4294901760 AS VARCHAR) AS label
+         |       FROM ip WHERE doc_id % 13 = 0),
+         |d24 AS (SELECT DISTINCT (ip & 4294967040) AS m,
+         |        'p24-' || CAST(ip & 4294967040 AS VARCHAR) AS label
+         |       FROM ip WHERE doc_id % 97 = 0),
+         |matched AS (
+         | SELECT i.doc_id, i.ip, 24 AS prefix_len, d.label
+         |   FROM ip i JOIN d24 d ON (i.ip & 4294967040) = d.m
+         | UNION ALL SELECT i.doc_id, i.ip, 16, d.label
+         |   FROM ip i JOIN d16 d ON (i.ip & 4294901760) = d.m
+         | UNION ALL SELECT i.doc_id, i.ip, 8, d.label
+         |   FROM ip i JOIN d8 d ON (i.ip & 4278190080) = d.m),
+         |best AS (SELECT doc_id, ip, prefix_len, label,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY prefix_len DESC) AS rk
+         | FROM matched)
+         |SELECT doc_id, ip, CAST(prefix_len AS BIGINT) AS prefix_len, label
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "n97_word_triangles" -> // definitional: ordered 3-way edge join
       """WITH w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws

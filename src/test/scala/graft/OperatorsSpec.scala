@@ -10,6 +10,38 @@ class OperatorsSpec extends SparkSpec {
 
   private def grid = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
 
+  test("longestPrefixMatch: longest wins, unmatched drop, label collapse, broadcast plan") {
+    import spark.implicits._
+    def ip(a: Int, b: Int, c: Int, d: Int): Long =
+      (a.toLong << 24) | (b.toLong << 16) | (c.toLong << 8) | d.toLong
+    val dims = Seq(
+      (ip(10, 0, 0, 0), 8, "ten8"),
+      (ip(10, 1, 0, 0), 16, "ten-one16"),
+      (ip(10, 1, 2, 0), 24, "ten-one-two24"),
+      (ip(10, 1, 2, 99), 24, "zz-dup24"), // same /24 network -> min label wins
+      (ip(192, 168, 0, 0), 16, "private16")
+    ).toDF("prefix_ip", "prefix_len", "label")
+    val facts = Seq(
+      (1L, ip(10, 1, 2, 3)),     // /8, /16, /24 all match -> 24
+      (2L, ip(10, 1, 9, 9)),     // /8, /16 -> 16
+      (3L, ip(10, 9, 9, 9)),     // /8 only
+      (4L, ip(192, 168, 55, 1)), // /16 only
+      (5L, ip(8, 8, 8, 8))       // no match -> dropped
+    ).toDF("doc_id", "ip")
+    val out = PrefixJoin.longestPrefixMatch(facts, "doc_id", "ip", dims)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 24L, "ten-one-two24"),
+      (2L, 16L, "ten-one16"),
+      (3L, 8L, "ten8"),
+      (4L, 16L, "private16")))
+    // the fact side must never shuffle: dims broadcast per length,
+    // no sort-merge join anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
+  }
+
   test("snapped bbox crop can retain cells outside the raw bbox (P2)") {
     // raw east edge -80.2 snaps OUT to -80.25... and -80.2's nearest line
     // is -80.25 (inside); west -82.9 snaps to -83.0 which is OUTSIDE the
