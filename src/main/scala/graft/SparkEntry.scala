@@ -1794,6 +1794,33 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "q46_try_arithmetic" -> ((s, dir) => {
+      // ANSI-safe error-handling surface: Spark 4 runs ANSI mode, so
+      // plain /0 and bad casts THROW — try_divide / try_cast are the
+      // NULL-on-error forms a pipeline needs. DuckDB's lenient
+      // division + TRY_CAST replay the same semantics
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey,
+              | round(try_divide(o_totalprice, o_custkey % 7), 6) AS ratio,
+              | try_cast(CASE WHEN o_orderkey % 3 = 0
+              |   THEN CAST(o_orderkey AS STRING)
+              |   ELSE o_orderpriority END AS BIGINT) AS parsed
+              |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin)
+    }),
+
+    "q47_listagg" -> ((s, dir) => {
+      // ordered string aggregation surface (SQL:2023 LISTAGG ...
+      // WITHIN GROUP, Spark 4) — deterministic only because the
+      // within-group order is pinned; DuckDB's ORDER BY-qualified
+      // string_agg is the same contract
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus,
+              | listagg(CAST(o_orderkey AS STRING), ',')
+              |   WITHIN GROUP (ORDER BY o_orderkey) AS keys
+              |FROM orders WHERE o_orderkey < 120
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     "n98_ip_prefix_join" -> ((s, dir) => {
       // longest-prefix-match IP enrichment: per-doc synthetic IPv4
       // (fmix64 of doc_id), a three-level prefix table derived from
@@ -4090,6 +4117,20 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q46_try_arithmetic" ->
+      """SELECT o_orderkey,
+        | round(o_totalprice / nullif(o_custkey % 7, 0), 6) AS ratio,
+        | try_cast(CASE WHEN o_orderkey % 3 = 0
+        |   THEN CAST(o_orderkey AS VARCHAR)
+        |   ELSE o_orderpriority END AS BIGINT) AS parsed
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+
+    "q47_listagg" ->
+      """SELECT o_orderstatus,
+        | string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_orderkey < 120
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "n98_ip_prefix_join" -> // definitional: max prefix_len over levels
       s"""WITH ids AS (SELECT doc_id FROM documents),
