@@ -675,6 +675,54 @@ object SparkEntry {
        | FROM k3)""".stripMargin
   }
 
+  /** Full integer replay of [[graft.ops.Similarity.principalProjection]]:
+    * the proven n45 quantizer CTE, covariance C = n·M − S·Sᵀ in
+    * HUGEINT, the ±1e6 rescale, and `iters` unrolled power-iteration
+    * rounds with the sign-split truncating division (`//` floors on
+    * negatives, so both engines divide magnitudes only).
+    */
+  private def principalProjectionOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val pv = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS (SELECT cr.j, sum(cr.c * $pv.v) AS w
+         |        FROM cr JOIN $pv ON $pv.j = cr.k GROUP BY 1),
+         |m$i AS (SELECT max(abs(w)) AS mx FROM w$i),
+         |v$i AS (SELECT w$i.j,
+         |  CASE WHEN m$i.mx = 0 THEN $pv.v
+         |       WHEN w$i.w < 0 THEN -((-w$i.w) * 100000 // m$i.mx)
+         |       ELSE (w$i.w * 100000 // m$i.mx) END AS v
+         | FROM w$i JOIN $pv ON $pv.j = w$i.j CROSS JOIN m$i),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       |c AS (SELECT vec_id,
+       |      CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |           ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+       |      END AS codes FROM s),
+       |x AS (SELECT vec_id, j, CAST(codes[j] AS HUGEINT) AS xj
+       |      FROM c, unnest(generate_series(1, 64)) AS t(j)),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM c),
+       |sv AS (SELECT j, sum(xj) AS sj FROM x GROUP BY j),
+       |mm AS (SELECT a.j AS j, b.j AS k, sum(a.xj * b.xj) AS mjk
+       |       FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT mm.j, mm.k, nn.n * mm.mjk - sa.sj * sb.sj AS cjk
+       |        FROM mm CROSS JOIN nn
+       |        JOIN sv sa ON sa.j = mm.j JOIN sv sb ON sb.j = mm.k),
+       |cmax AS (SELECT max(abs(cjk)) AS cm FROM cov),
+       |cr AS (SELECT j, k,
+       |       CASE WHEN cm = 0 THEN cjk
+       |            WHEN cjk < 0 THEN -((-cjk) * 1000000 // cm)
+       |            ELSE (cjk * 1000000 // cm) END AS c
+       |      FROM cov CROSS JOIN cmax),
+       |v0 AS (SELECT unnest(generate_series(1, 64)) AS j,
+       |       CAST(100000 AS HUGEINT) AS v),
+       |$iterCtes
+       |proj AS (SELECT x.vec_id, sum(x.xj * v$iters.v) AS p
+       |         FROM x JOIN v$iters ON v$iters.j = x.j GROUP BY 1)
+       |SELECT vec_id, CAST(p AS BIGINT) AS proj FROM proj ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -1792,6 +1840,17 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
         .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "n99_top_component" -> ((s, dir) => {
+      // "all-but-the-top" phase 1: dominant principal direction of the
+      // int8 code cloud by INTEGER power iteration (BigInt/HUGEINT —
+      // float PCA could never hash-match), per-vector projection as
+      // the output. Covariance accumulates per-partition in one
+      // mapPartitions pass (dim^2 longs each, no n x dim^2 explode);
+      // the d x d iteration is metadata-sized driver arithmetic
+      Similarity.principalProjection(t(s, dir, "embeddings"), dim = 64, iters = 3)
+        .orderBy("vec_id")
     }),
 
     "q46_try_arithmetic" -> ((s, dir) => {
@@ -4117,6 +4176,8 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n99_top_component" -> principalProjectionOracleSql(iters = 3),
 
     "q46_try_arithmetic" ->
       """SELECT o_orderkey,

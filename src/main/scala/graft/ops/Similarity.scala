@@ -168,6 +168,86 @@ object Similarity {
         .otherwise(transform(col("embedding"),
           x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("int"))))
 
+  /** "All-but-the-top" phase 1 (Mu & Viswanath 2018): the dominant
+    * principal direction of the quantized embedding cloud and every
+    * vector's integer projection onto it — the post-processing that
+    * removes the common-direction bias before cosine retrieval.
+    * Returns (vec_id, proj).
+    *
+    * ENTIRELY integer after the [[scalarQuantize]] codes (whose float
+    * formula is already oracle-proven): the scaled centered covariance
+    * is C = n·M − S·Sᵀ over code column-sums S and second moments M
+    * (scaling by n preserves the eigenvector and avoids a division),
+    * rescaled to ±1e6 by a sign-split truncating division, then
+    * `iters` power-iteration rounds v ← C·v renormalized to ±`scale`
+    * by max-|component| — all in BigInt/HUGEINT, so an oracle unrolls
+    * the rounds exactly where float PCA could never hash-match.
+    *
+    * 100 TB shape: M and S accumulate per-partition inside ONE
+    * mapPartitions pass (a dim² long array per partition — no n×dim²
+    * explode, no shuffle), collected under the metadata-size
+    * convention (partitions × dim² longs) and reduced on the driver;
+    * the d×d power iteration is driver arithmetic on a
+    * metadata-sized matrix, exactly like the n86 range walk. The
+    * projection pass is one more scan with the direction as a
+    * literal array.
+    */
+  def principalProjection(emb: DataFrame, dim: Int, iters: Int = 3,
+                          scale: Long = 100000L): DataFrame = {
+    require(iters >= 1 && iters <= 6, "iters outside [1,6]: unroll bound")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = scalarQuantize(emb).select(col("vec_id"), col("codes"))
+    val partials = codes.select(col("codes")).as[Seq[Int]].mapPartitions { it =>
+      val m = new Array[Long](dim * dim)
+      val s = new Array[Long](dim)
+      var n = 0L
+      it.foreach { c =>
+        require(c.length == dim, s"embedding dim ${c.length} != $dim")
+        var j = 0
+        while (j < dim) {
+          val cj = c(j).toLong
+          s(j) += cj
+          var k = 0
+          while (k < dim) { m(j * dim + k) += cj * c(k).toLong; k += 1 }
+          j += 1
+        }
+        n += 1
+      }
+      Iterator.single((m.toSeq, s.toSeq, n))
+    }.collect()
+    val mTot = Array.fill(dim * dim)(BigInt(0))
+    val sTot = Array.fill(dim)(BigInt(0))
+    var n = BigInt(0)
+    partials.foreach { case (m, s, c) =>
+      var i = 0; while (i < dim * dim) { mTot(i) += m(i); i += 1 }
+      var j = 0; while (j < dim) { sTot(j) += s(j); j += 1 }
+      n += c
+    }
+    // truncating division via sign-split: BigInt / and SQL // agree on
+    // nonnegatives; they DISAGREE on negatives (truncate vs floor)
+    def tdiv(x: BigInt, y: BigInt): BigInt = (x.abs / y) * x.signum
+    val cov = Array.tabulate(dim * dim) { i =>
+      n * mTot(i) - sTot(i / dim) * sTot(i % dim)
+    }
+    val covMax = cov.map(_.abs).max
+    val cR = if (covMax == 0) cov else cov.map(x => tdiv(x * 1000000L, covMax))
+    var v = Array.fill(dim)(BigInt(scale))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { j =>
+        var acc = BigInt(0); var k = 0
+        while (k < dim) { acc += cR(j * dim + k) * v(k); k += 1 }
+        acc
+      }
+      val mx = w.map(_.abs).max
+      if (mx != 0) v = w.map(x => tdiv(x * scale, mx))
+    }
+    val vLit = array(v.map(x => lit(x.toLong)): _*)
+    codes.select(col("vec_id"),
+      aggregate(zip_with(col("codes"), vLit, (a, b) => a.cast("long") * b),
+        lit(0L), (acc, x) => acc + x).as("proj"))
+  }
+
   /** Quantized cosine scoring of the corpus against one query vector,
     * with the exact cosine joined alongside as the audit: integer code
     * dot products (order-independent, exact) over [[scalarQuantize]]

@@ -1421,6 +1421,36 @@ class OpsSpec extends SparkSpec {
     assert(again.map(r => r.getLong(1) == r.getLong(2)).forall(identity))
   }
 
+  test("principalProjection: recovers a planted direction, partition-invariant") {
+    import spark.implicits._
+    // cloud dominated by +-axis-0 spikes, small structured noise on
+    // the other axes: the top principal direction is axis 0, so the
+    // projections must separate the +- groups by sign with magnitudes
+    // far above the noise-only rows
+    val dim = 64
+    val emb = (0 until 60).map { i =>
+      val a = new Array[Float](dim)
+      if (i % 3 == 0) a(0) = 100f
+      else if (i % 3 == 1) a(0) = -100f
+      a(1 + i % 7) += (3 + i % 5).toFloat // noise axes
+      (i.toLong, a.toSeq)
+    }.toDF("vec_id", "embedding")
+    def projOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.principalProjection(df, dim = dim, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = projOf(emb)
+    val pos = (0 until 60).filter(_ % 3 == 0).map(i => p(i.toLong))
+    val neg = (0 until 60).filter(_ % 3 == 1).map(i => p(i.toLong))
+    val noise = (0 until 60).filter(_ % 3 == 2).map(i => p(i.toLong))
+    // one consistent sign per planted group, magnitudes dominating noise
+    assert(pos.forall(_ > 0) && neg.forall(_ < 0) || pos.forall(_ < 0) && neg.forall(_ > 0))
+    val minSpike = (pos ++ neg).map(math.abs).min
+    assert(noise.forall(v => math.abs(v) < minSpike / 2),
+      s"noise $noise vs spike floor $minSpike")
+    // integer accumulators commute: any partitioning, same projections
+    assert(projOf(emb.repartition(7)) == p)
+  }
+
   test("exactHeavyHitters: equals brute force, strict bar, partition-invariant") {
     import spark.implicits._
     def brute(items: Seq[String], k: Int): Set[(String, Long)] = {
