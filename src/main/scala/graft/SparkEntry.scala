@@ -1842,6 +1842,32 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n100_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking census: boundaries where the 8-char
+      // window fingerprint ≡ 0 (mod 32), so cut points are content-
+      // determined and re-synchronize after a prefix shift — the two
+      // planted docs share a 140-char interior region behind DIFFERENT
+      // prefixes, and their interior chunks still align (the property
+      // fixed-size blocks lack). Output: chunks seen in >= 2 docs
+      import s.implicits._
+      val shared = "the content defined chunking boundary stream re " +
+        "synchronizes after any prefix shift because cut points depend " +
+        "only on the local window bytes"
+      val planted = Seq(
+        (9300001L, s"intro A $shared tail one", "en", "planted", 0L),
+        (9300002L, s"a completely different and much longer preamble here $shared other ending",
+          "en", "planted", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.cdcChunks(t(s, dir, "documents").unionByName(planted))
+        .groupBy("digest")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"),
+          min("doc_id").as("min_doc"),
+          max(length(col("chunk"))).cast("long").as("chunk_len"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("digest")
+    }),
+
     "n99_top_component" -> ((s, dir) => {
       // "all-but-the-top" phase 1: dominant principal direction of the
       // int8 code cloud by INTEGER power iteration (BigInt/HUGEINT —
@@ -4176,6 +4202,40 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n100_cdc_chunks" -> {
+      val shared = "the content defined chunking boundary stream re " +
+        "synchronizes after any prefix shift because cut points depend " +
+        "only on the local window bytes"
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         | UNION ALL SELECT * FROM (VALUES
+         |  (9300001, 'intro A $shared tail one'),
+         |  (9300002, 'a completely different and much longer preamble here $shared other ending')) v(doc_id, text)),
+         |pos AS (SELECT doc_id, text, unnest(generate_series(8, strlen(text))) AS i
+         |        FROM d WHERE strlen(text) >= 8),
+         |b AS (SELECT doc_id, i FROM pos
+         |      WHERE (${fnvSql("substr(text, CAST(i AS INT) - 7, 8)")}) % 32 = 0),
+         |bl AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY 1),
+         |cuts AS (SELECT d.doc_id, d.text,
+         |  list_prepend(CAST(0 AS BIGINT),
+         |    list_append(coalesce(bl.bs, CAST([] AS BIGINT[])), strlen(d.text))) AS cs
+         | FROM d LEFT JOIN bl USING (doc_id)),
+         |ch AS (SELECT doc_id,
+         |  substr(text, CAST(cs[k] AS INT) + 1, CAST(cs[k+1] - cs[k] AS INT)) AS chunk
+         | FROM cuts, unnest(generate_series(1, len(cs) - 1)) AS t(k)),
+         |chf AS (SELECT doc_id, chunk FROM ch WHERE strlen(chunk) > 0),
+         |dg AS (SELECT doc_id, chunk,
+         |  CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+         |       THEN u - CAST('18446744073709551616' AS HUGEINT)
+         |       ELSE u END AS BIGINT) AS digest
+         | FROM (SELECT doc_id, chunk, ${fnvSql("chunk")} AS u FROM chf))
+         |SELECT digest, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS n_total,
+         | CAST(min(doc_id) AS BIGINT) AS min_doc,
+         | CAST(max(strlen(chunk)) AS BIGINT) AS chunk_len
+         |FROM dg GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY digest""".stripMargin
+    },
 
     "n99_top_component" -> principalProjectionOracleSql(iters = 3),
 

@@ -1068,6 +1068,41 @@ object TextAnalysis {
         lower(regexp_extract(col("url"), "(?i)^https?://([^/:]+)", 1)))
       .filter(col("domain") =!= "")
 
+  /** Content-defined chunking (the Rabin/FastCDC family, parameter-free
+    * form): a position ends a chunk when the rolling-window fingerprint
+    * of the last `w` characters satisfies hash % modulus == 0 — so cut
+    * points are determined by CONTENT, and an insertion early in a
+    * document shifts the text but the downstream boundaries
+    * re-synchronize (the property that makes chunk-level dedup robust
+    * where fixed-size blocks are not; cf. Muthitacharoen et al. 2001,
+    * LBFS). Returns one row per non-empty chunk:
+    * (doc_id, chunk_idx, chunk, digest).
+    *
+    * Pure column expressions over the codegen fnv64 kernel — per-doc
+    * work is O(len · w) with no shuffle; documents shorter than `w`
+    * become a single whole-document chunk. No min/max chunk-size
+    * clamps: they would make each boundary depend on the previous one
+    * (a sequential fold), while the bare modulus rule keeps every
+    * position independently testable — the distributed-friendly form.
+    */
+  def cdcChunks(docs: DataFrame, w: Int = 8, modulus: Int = 32): DataFrame = {
+    require(w >= 2 && modulus >= 2, "window >= 2 and modulus >= 2")
+    val len = length(col("text"))
+    val positions = when(len >= w, sequence(lit(w), len))
+      .otherwise(array().cast("array<int>"))
+    val bounds = filter(positions, i =>
+      pmod(fnv64(col("text").substr(i - lit(w - 1), lit(w))), lit(modulus)) === 0)
+    val cuts = concat(array(lit(0)), bounds, array(len))
+    val chunks = transform(sequence(lit(1), size(cuts) - 1), k =>
+      struct(k.cast("long").as("chunk_idx"),
+        col("text").substr(element_at(cuts, k) + 1,
+          element_at(cuts, k + 1) - element_at(cuts, k)).as("chunk")))
+    docs.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+      .filter(length(col("chunk")) > 0)
+      .withColumn("digest", fnv64(col("chunk")))
+  }
+
   /** URL canonicalization — the normalization every crawl pipeline
     * runs before URL-level dedup, as ONE codegen column expression
     * chain (no UDF): lowercase scheme and host, strip the scheme's

@@ -2016,6 +2016,33 @@ class OpsSpec extends SparkSpec {
       .toString.contains("Exchange"))
   }
 
+  test("cdcChunks: reassembly, boundary resync after prefix shift, short docs") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog while the " +
+      "content defined chunker keeps cutting wherever the window hash " +
+      "lands on zero regardless of where the text begins in the stream"
+    val docs = Seq(
+      (1L, body, "en", "t", 0L),
+      (2L, "PREPENDED NOISE BLOCK " + body, "en", "t", 0L), // shifted copy
+      (3L, "tiny", "en", "t", 0L),                          // < window -> one chunk
+      (4L, "", "en", "t", 0L)                               // empty -> no rows
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ch = TextAnalysis.cdcChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // chunks reassemble exactly, in index order
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).mkString).toMap
+    assert(byDoc(1L) == body)
+    assert(byDoc(2L) == "PREPENDED NOISE BLOCK " + body)
+    assert(byDoc(3L) == "tiny" && ch.count(_._1 == 3L) == 1)
+    assert(!byDoc.contains(4L))
+    // resync: after the shifted prefix, doc 2's chunk stream converges
+    // to doc 1's — they share a common SUFFIX of chunks
+    val c1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val c2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    val commonSuffix = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(commonSuffix >= 1, s"no shared chunk suffix: ${c1.toSeq} vs ${c2.toSeq}")
+  }
+
   test("canonicalizeUrl: case/port/fragment/tracking/param-order normalization") {
     import spark.implicits._
     val cases = Seq(
