@@ -1842,6 +1842,18 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n101_exif_orientation" -> ((s, dir) => {
+      // real EXIF decode: APP1/TIFF IFD walk in BOTH byte orders (II
+      // for even ids, MM for odd), orientation = 1 + doc_id % 8, dims
+      // from the SOF0 BEHIND the APP1 (the dims walk must skip it,
+      // the EXIF walk must enter it); orientations 5..8 transpose the
+      // display dims — every field replayed arithmetically from doc_id
+      Multimodal.exifFeatures(Multimodal.exifJpegMedia(t(s, dir, "documents")))
+        .select(col("media_id"), col("orientation"),
+          col("display_w"), col("display_h"))
+        .orderBy("media_id")
+    }),
+
     "n100_cdc_chunks" -> ((s, dir) => {
       // content-defined chunking census: boundaries where the 8-char
       // window fingerprint ≡ 0 (mod 32), so cut points are content-
@@ -4202,6 +4214,15 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n101_exif_orientation" ->
+      """SELECT doc_id AS media_id,
+        | CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        | CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + (doc_id // 7) % 1000
+        |      ELSE 16 + doc_id % 1000 END AS BIGINT) AS display_w,
+        | CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 16 + doc_id % 1000
+        |      ELSE 16 + (doc_id // 7) % 1000 END AS BIGINT) AS display_h
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "n100_cdc_chunks" -> {
       val shared = "the content defined chunking boundary stream re " +

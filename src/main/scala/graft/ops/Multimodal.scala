@@ -223,6 +223,67 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** Real EXIF orientation decode: JPEG marker walk to the APP1
+    * segment, "Exif\0\0" signature, then a TIFF IFD0 walk honoring the
+    * header's declared byte order ("II" little / "MM" big — the same
+    * file format carries both) to the Orientation tag (0x0112, SHORT).
+    * Returns the 1..8 orientation, None when absent/malformed.
+    * JEITA CP-3451 (EXIF 2.3) s4.6.4, TIFF 6.0 s2.
+    */
+  def exifOrientation(p: Array[Byte]): Option[Int] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 1 < p.length) {
+      if (u8(i) != 0xff) return None
+      var j = i + 1
+      while (j < p.length && u8(j) == 0xff) j += 1 // fill bytes
+      if (j >= p.length) return None
+      val m = u8(j)
+      if (m == 0xe1 && j + 9 <= p.length &&
+          u8(j + 3) == 'E' && u8(j + 4) == 'x' && u8(j + 5) == 'i' &&
+          u8(j + 6) == 'f' && u8(j + 7) == 0 && u8(j + 8) == 0) {
+        val tiff = j + 9 // TIFF header base; all IFD offsets relative to it
+        val segEnd = math.min(p.length, j + 1 + be16(j + 1))
+        if (tiff + 8 > segEnd) return None
+        val little =
+          if (u8(tiff) == 'I' && u8(tiff + 1) == 'I') true
+          else if (u8(tiff) == 'M' && u8(tiff + 1) == 'M') false
+          else return None
+        def r16(k: Int): Int =
+          if (little) u8(k) | (u8(k + 1) << 8) else (u8(k) << 8) | u8(k + 1)
+        def r32(k: Int): Long =
+          if (little) (u8(k) | (u8(k + 1) << 8) | (u8(k + 2) << 16) | (u8(k + 3).toLong << 24))
+          else ((u8(k).toLong << 24) | (u8(k + 1) << 16) | (u8(k + 2) << 8) | u8(k + 3))
+        if (r16(tiff + 2) != 42) return None
+        val ifd0 = tiff + r32(tiff + 4)
+        if (ifd0 < tiff || ifd0 + 2 > segEnd) return None
+        val n = r16(ifd0.toInt)
+        var e = ifd0.toInt + 2
+        var left = n
+        while (left > 0 && e + 12 <= segEnd) {
+          if (r16(e) == 0x0112 && r16(e + 2) == 3) {
+            val v = r16(e + 8) // SHORT value lives in the field's first 2 bytes
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          e += 12; left -= 1
+        }
+        return None
+      } else if (m == 0xda || m == 0xd9 || m == 0x00) {
+        return None
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        i = j + 1
+      } else {
+        if (j + 3 > p.length) return None
+        val len = be16(j + 1)
+        if (len < 2) return None
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
   /** Real WAV metadata: RIFF/WAVE chunk walk reading the `fmt ` chunk
     * (PCM sample rate / channels / bits per sample, little-endian —
     * RIFF spec: each chunk is fourcc + u32 size, bodies 2-byte padded)
@@ -569,6 +630,78 @@ object Multimodal {
     bb.put((bits & 0xff).toByte).put(((bits >> 8) & 0xff).toByte)
       .put(((bits >> 16) & 0xff).toByte).put(((bits >> 24) & 0xff).toByte)
     bb.array()
+  }
+
+  /** Real APP1/EXIF segment (34 bytes): FFE1 marker, segment length,
+    * "Exif\0\0", then a TIFF header + one-entry IFD0 carrying the
+    * Orientation tag — in EITHER byte order, so the decoder's "II"/"MM"
+    * dispatch is exercised for real.
+    */
+  private[graft] def exifApp1(orientation: Int, littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "EXIF orientation is 1..8")
+    val bb = java.nio.ByteBuffer.allocate(36) // big-endian for marker/len
+    bb.putShort(0xffe1.toShort)
+    bb.putShort(34) // segment length (everything after the marker)
+    bb.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    if (littleEndian) {
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(0x4949.toShort) // "II"
+    } else bb.putShort(0x4d4d.toShort) // "MM"
+    bb.putShort(42)
+    bb.putInt(8) // IFD0 offset from TIFF base
+    bb.putShort(1) // entry count
+    bb.putShort(0x0112.toShort) // Orientation
+    bb.putShort(3) // SHORT
+    bb.putInt(1) // count
+    bb.putShort(orientation.toShort).putShort(0) // value + pad
+    bb.putInt(0) // next IFD
+    bb.array()
+  }
+
+  /** Fixture with REAL EXIF metadata: every doc becomes a JPEG whose
+    * SOI is followed by a genuine APP1/TIFF segment (byte order
+    * alternating by doc parity) with orientation = 1 + doc_id % 8 and
+    * the n13 dimension formulas in the SOF0 header — the decoder must
+    * walk PAST the APP1 for dims and INTO it for orientation.
+    */
+  def exifJpegMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val w = 16 + (id % 1000).toInt
+        val h = 16 + ((id / 7) % 1000).toInt
+        val jpeg = jpegHeader(w, h)
+        val payload = jpeg.take(2) ++
+          exifApp1(1 + (id % 8).toInt, littleEndian = id % 2 == 0) ++ jpeg.drop(2)
+        (id, "image", payload, src)
+      }
+      .toDF("media_id", "media_type", "payload", "meta_source")
+  }
+
+  /** Orientation-aware image features over image media rows: real EXIF
+    * orientation + real header dims per payload, with the
+    * display-space dimensions (orientations 5..8 transpose). One
+    * mapPartitions pass, rows without both fields drop.
+    */
+  def exifFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val bytes = if (p == null) Array.emptyByteArray else p
+          for (o <- exifOrientation(bytes); wh <- headerDims(bytes))
+            yield (id, o.toLong, wh._1.toLong, wh._2.toLong)
+        }
+      }
+      .toDF("media_id", "orientation", "width", "height")
+      .withColumn("display_w",
+        when(col("orientation") >= 5, col("height")).otherwise(col("width")))
+      .withColumn("display_h",
+        when(col("orientation") >= 5, col("width")).otherwise(col("height")))
   }
 
   /** Canonical 44-byte PCM WAV header (RIFF + fmt + data chunk header);

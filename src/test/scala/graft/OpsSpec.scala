@@ -1194,6 +1194,44 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.headerDims("GIF8".getBytes("UTF-8")).isEmpty) // truncated magic
   }
 
+  test("exifOrientation: both byte orders, non-first entry, rejects, dims coexist") {
+    def jpegWithApp1(app1: Array[Byte]): Array[Byte] = {
+      val j = Multimodal.jpegHeader(321, 123)
+      j.take(2) ++ app1 ++ j.drop(2)
+    }
+    for (o <- 1 to 8; le <- Seq(true, false)) {
+      val p = jpegWithApp1(Multimodal.exifApp1(o, le))
+      assert(Multimodal.exifOrientation(p) == Some(o), s"o=$o le=$le")
+      // the dims walk must skip the APP1 the EXIF walk enters
+      assert(Multimodal.headerDims(p) == Some((321, 123)))
+    }
+    // orientation as the SECOND IFD entry (a make-note tag first)
+    val two = {
+      val bb = java.nio.ByteBuffer.allocate(48)
+      bb.putShort(0xffe1.toShort).putShort(46)
+      bb.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+      bb.putShort(0x4d4d.toShort).putShort(42).putInt(8) // MM
+      bb.putShort(2)
+      bb.putShort(0x010f.toShort).putShort(2).putInt(4).putInt(0) // Make, ASCII
+      bb.putShort(0x0112.toShort).putShort(3).putInt(1)
+      bb.putShort(6.toShort).putShort(0)
+      bb.putInt(0)
+      bb.array()
+    }
+    assert(Multimodal.exifOrientation(jpegWithApp1(two)) == Some(6))
+    // rejects: plain JPEG (no APP1), bad TIFF magic, out-of-range value
+    assert(Multimodal.exifOrientation(Multimodal.jpegHeader(10, 10)).isEmpty)
+    val badMagic = jpegWithApp1(Multimodal.exifApp1(3, littleEndian = true))
+    badMagic(12) = 'X'.toByte // clobber "II"
+    assert(Multimodal.exifOrientation(badMagic).isEmpty)
+    val badVal = {
+      val a = Multimodal.exifApp1(1, littleEndian = false)
+      a(28) = 0; a(29) = 9 // orientation 9 (BE value bytes at offset 28)
+      jpegWithApp1(a)
+    }
+    assert(Multimodal.exifOrientation(badVal).isEmpty)
+  }
+
   test("bmpGray pixel decode: round-trip, stride, top-down rows, luma, rejects") {
     val rnd = new scala.util.Random(7)
     // round-trip across widths that exercise every stride remainder
