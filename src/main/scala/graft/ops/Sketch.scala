@@ -502,6 +502,19 @@ object Sketch {
       .groupBy("row_id", "cell").agg(sum("cnt").as("c"))
   }
 
+  /** Streaming-legal CMS build over raw word OCCURRENCES
+    * (`words(word)`): one aggregation total, because the word pre-agg
+    * in [[cmsCells]] is an optimization, not semantics — summing
+    * per-word counts into cells equals counting occurrences directly.
+    * Structured Streaming forbids chained aggregations, so this is
+    * the form that maintains additive sketch state on an unbounded
+    * source; batch-equality with [[cmsCells]] is spec-asserted.
+    */
+  def cmsCellsFromOccurrences(words: DataFrame, depth: Int = 4,
+                              width: Int = 1024, seed: Long = 42L): DataFrame =
+    cmsWordCells(words.select(col("word"), lit(1L).as("cnt")), depth, width, seed)
+      .groupBy("row_id", "cell").agg(count(lit(1)).as("c"))
+
   /** (word, cnt, row_id, cell) rows for a word-count relation — the
     * one FNV⊕splitmix→fmix cell derivation shared by the publishable
     * cells ([[cmsCells]]) and the legacy build+probe path

@@ -344,6 +344,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: additive cells aggregate on a stream, estimates match batch bit-exactly") {
+    // the additive twin of the streaming-HLL proof: cell counts are a
+    // single streaming-legal aggregation (the per-word pre-agg in the
+    // batch build is an optimization, not semantics), so the same
+    // derivation maintains count state on an unbounded source
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketch
+    val src = Files.createTempDirectory("cmsstream").toString
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    def words(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    // equivalence law first: occurrence-built cells == word-count-built
+    val occCells = Sketch.cmsCellsFromOccurrences(words(batch))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batchCells = Sketch.cmsCells(batch)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(occCells == batchCells && occCells.nonEmpty)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Sketch.cmsCellsFromOccurrences(words(stream))
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val probes = Seq("join", "hash", "row", "zzz-absent")
+      val streamed = Sketch.cmsEstimateFromCells(
+          spark.sql("SELECT * FROM cmscells"), probes)
+        .orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batched = Sketch.cmsEstimateFromCells(Sketch.cmsCells(batch), probes)
+        .orderBy("word").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamed == batched && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming parity: charEntropy gate runs unchanged on a file-source stream") {
     // charEntropy is a per-row fold (zero shuffle), so the SAME
     // operator body filters a stream at ingest — the entropy-tail

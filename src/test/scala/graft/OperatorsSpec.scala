@@ -10,6 +10,37 @@ class OperatorsSpec extends SparkSpec {
 
   private def grid = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true), results intact") {
+    // the engine-native complement to SaltedJoin (q23): with realistic
+    // thresholds AQE detects the oversized partition AFTER the shuffle
+    // materializes and splits it — no manual salting, same results.
+    // Thresholds are shrunk so a test-sized skew crosses them.
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val left = spark.range(0, 40000)
+        .select(when($"id" < 36000, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(0, 64).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k")
+      assert(j.collect().length == 36000) // key 0 alone carries the join
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n${plan.take(3000)}")
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("longestPrefixMatch: longest wins, unmatched drop, label collapse, broadcast plan") {
     import spark.implicits._
     def ip(a: Int, b: Int, c: Int, d: Int): Long =
