@@ -816,6 +816,27 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    "q48_session_window" -> ((s, dir) => {
+      // the ENGINE's session_window (q30 is the manual gaps-and-islands
+      // build): the oracle derives sessions from the DEFINITION (break
+      // when the gap >= 30min — session windows are half-open
+      // [ts, ts+gap), so an exact-gap event starts a new session), so
+      // green proves Spark's built-in merge semantics
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    "q49_limit_offset" -> ((s, dir) => {
+      // pagination surface: LIMIT/OFFSET over a total order
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+              |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin)
+    }),
+
     "q31_pivot" -> ((s, dir) => {
       // PIVOT surface with an explicit value list (no extra distinct
       // pass to discover columns — the list is the contract, which is
@@ -2887,6 +2908,26 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q48_session_window" -> // definitional: gap rule + half-open end
+      """WITH f AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q49_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
 
     "q30_sessionization" ->
       // identical gap-flag + running-sum choreography in integer
