@@ -2054,6 +2054,26 @@ class OpsSpec extends SparkSpec {
       .toString.contains("Exchange"))
   }
 
+  test("Observation API: curation counters ride the scan — no second pass, exact values") {
+    // production pipelines need kept/dropped/byte counters per run;
+    // observe() attaches them to the SAME job (metrics come back with
+    // the action, not from a re-scan), which is the only affordable
+    // shape at 100 TB. Values must equal independent recomputation.
+    import org.apache.spark.sql.Observation
+    import spark.implicits._
+    val obs = Observation("curation")
+    val d = docs.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum(when(length(col("text")) >= 10, 1L).otherwise(0L)).as("n_kept"),
+      sum(length(col("text"))).cast("long").as("chars_in"))
+    val kept = d.filter(length(col("text")) >= 10).count()
+    val m = obs.get
+    assert(m("n_in") == 6L)
+    assert(m("n_kept") == kept)
+    assert(m("chars_in") ==
+      docs.agg(sum(length(col("text")))).collect()(0).getLong(0))
+  }
+
   test("cdcChunks: reassembly, boundary resync after prefix shift, short docs") {
     import spark.implicits._
     val body = "the quick brown fox jumps over the lazy dog while the " +
