@@ -1863,6 +1863,26 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n102_vocab_drift" -> ((s, dir) => {
+      // distribution-level drift between corpus versions (even docs =
+      // old slice, odd = new), all classes planted value-bearing:
+      // vanishterm (old only), novelterm (new only), upword (1 -> 9),
+      // downword (14 -> 1). Classification is exact integer
+      // cross-multiplication — no float ratio
+      import s.implicits._
+      val base = t(s, dir, "documents")
+      val oldPlanted = Seq((9400000L,
+        "vanishterm " * 5 + "downword " * 14 + "upword", "en", "planted", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val newPlanted = Seq((9400001L,
+        "novelterm " * 5 + "upword " * 9 + "downword", "en", "planted", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.vocabularyDrift(
+          base.filter(col("doc_id") % 2 === 0).unionByName(oldPlanted),
+          base.filter(col("doc_id") % 2 === 1).unionByName(newPlanted))
+        .orderBy("word")
+    }),
+
     "n101_exif_orientation" -> ((s, dir) => {
       // real EXIF decode: APP1/TIFF IFD walk in BOTH byte orders (II
       // for even ids, MM for odd), orientation = 1 + doc_id % 8, dims
@@ -4255,6 +4275,30 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n102_vocab_drift" ->
+      """WITH old_d AS (SELECT text FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL SELECT repeat('vanishterm ', 5) || repeat('downword ', 14) || 'upword'),
+        |new_d AS (SELECT text FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL SELECT repeat('novelterm ', 5) || repeat('upword ', 9) || 'downword'),
+        |oc AS (SELECT word, CAST(count(*) AS BIGINT) AS c_old
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM old_d)
+        |       WHERE word <> '' GROUP BY 1),
+        |nc AS (SELECT word, CAST(count(*) AS BIGINT) AS c_new
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM new_d)
+        |       WHERE word <> '' GROUP BY 1),
+        |j AS (SELECT word, coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |      FROM oc FULL OUTER JOIN nc USING (word)),
+        |t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+        |             CAST(sum(c_new) AS BIGINT) AS n_new FROM j)
+        |SELECT word, c_old, c_new,
+        | CASE WHEN c_old = 0 AND c_new >= 5 THEN 'new'
+        |      WHEN c_new = 0 AND c_old >= 5 THEN 'vanished'
+        |      WHEN c_old = 0 OR c_new = 0 THEN 'rare'
+        |      WHEN c_new * n_old > 2 * c_old * n_new THEN 'up'
+        |      WHEN c_old * n_new > 2 * c_new * n_old THEN 'down'
+        |      ELSE 'stable' END AS drift
+        |FROM j, t ORDER BY word""".stripMargin,
 
     "n101_exif_orientation" ->
       """SELECT doc_id AS media_id,

@@ -1068,6 +1068,41 @@ object TextAnalysis {
         lower(regexp_extract(col("url"), "(?i)^https?://([^/:]+)", 1)))
       .filter(col("domain") =!= "")
 
+  /** Vocabulary drift between two corpus slices — the distribution-
+    * level QA a crawl pipeline runs between snapshot versions (n64's
+    * slice diff is doc-level; this is the "did the language change"
+    * check). Classes: `new` / `vanished` (presence flips), `up` /
+    * `down` (relative frequency moved by more than `factor`×, decided
+    * by EXACT integer cross-multiplication — c_new·N_old > factor·
+    * c_old·N_new — no float ratio to disagree on), else `stable`.
+    * `minCount` keeps one-off words out of the new/vanished classes.
+    * One combinable count agg per slice + a full outer join on the
+    * word — vocabulary-sized, never corpus-sized.
+    */
+  def vocabularyDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                      factor: Int = 2, minCount: Long = 5L): DataFrame = {
+    require(factor >= 1 && minCount >= 1, "factor >= 1, minCount >= 1")
+    def counts(d: DataFrame) = d
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val o = counts(oldDocs).select(col("word"), col("c").as("c_old"))
+    val n = counts(newDocs).select(col("word"), col("c").as("c_new"))
+    val joined = o.join(n, Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val totals = joined.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("word"), col("c_old"), col("c_new"),
+        when(col("c_old") === 0 && col("c_new") >= minCount, lit("new"))
+          .when(col("c_new") === 0 && col("c_old") >= minCount, lit("vanished"))
+          .when(col("c_old") === 0 || col("c_new") === 0, lit("rare"))
+          .when(col("c_new") * col("n_old") > lit(factor.toLong) * col("c_old") * col("n_new"), lit("up"))
+          .when(col("c_old") * col("n_new") > lit(factor.toLong) * col("c_new") * col("n_old"), lit("down"))
+          .otherwise(lit("stable")).as("drift"))
+  }
+
   /** Content-defined chunking (the Rabin/FastCDC family, parameter-free
     * form): a position ends a chunk when the rolling-window fingerprint
     * of the last `w` characters satisfies hash % modulus == 0 — so cut

@@ -2054,6 +2054,29 @@ class OpsSpec extends SparkSpec {
       .toString.contains("Exchange"))
   }
 
+  test("vocabularyDrift: class boundaries exact (strict factor, minCount, rare)") {
+    import spark.implicits._
+    def slice(texts: String*): org.apache.spark.sql.DataFrame =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "t", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // totals engineered equal (20 words each side) so cross-products
+    // reduce to raw counts: up needs c_new > 2*c_old STRICTLY
+    val oldS = slice("a a a a a b b b b b c c c c c x y z w q")         // a:5 b:5 c:5
+    val newS = slice("a a a a a b b c c c c c c c c c c n n n")         // a:5 b:2 c:10 n:3
+    val d = TextAnalysis.vocabularyDrift(oldS, newS, factor = 2, minCount = 3)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(d("a") == "stable")   // unchanged
+    assert(d("c") == "stable")   // exactly 2x: strict > excludes the boundary
+    assert(d("b") == "down")     // 5 -> 2 (ratio 2.5)
+    assert(d("n") == "new")      // 0 -> 3 == minCount
+    assert(d("x") == "rare")     // 1 occurrence, below minCount
+    // vanished needs minCount on the old side
+    val d2 = TextAnalysis.vocabularyDrift(
+      slice("gone gone gone gone gone stay"), slice("stay"), factor = 2, minCount = 5)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(d2("gone") == "vanished")
+  }
+
   test("Observation API: curation counters ride the scan — no second pass, exact values") {
     // production pipelines need kept/dropped/byte counters per run;
     // observe() attaches them to the SAME job (metrics come back with
