@@ -1863,6 +1863,23 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n103_phrase_search" -> ((s, dir) => {
+      // exact-quote detection via positional postings: the corpus
+      // contains the phrase naturally AND one planted doc carries two
+      // occurrences (so multi-hit-per-doc is value-bearing). Oracle is
+      // DEFINITIONAL — consecutive-word equality on the token list —
+      // so green proves the filtered k-way alignment join finds
+      // exactly the phrase starts
+      import s.implicits._
+      val planted = Seq((9500001L,
+        "prefix slow hash batch suffix slow hash batch", "en", "planted", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.phraseSearch(
+          t(s, dir, "documents").unionByName(planted),
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "n102_vocab_drift" -> ((s, dir) => {
       // distribution-level drift between corpus versions (even docs =
       // old slice, odd = new), all classes planted value-bearing:
@@ -4275,6 +4292,18 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n103_phrase_search" -> // definitional: consecutive-word equality
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT 9500001, 'prefix slow hash batch suffix slow hash batch'),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |      FROM d),
+        |m AS (SELECT doc_id, i AS pos
+        |      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |      WHERE len(ws) >= 3 AND ws[i] = 'slow' AND ws[i+1] = 'hash'
+        |        AND ws[i+2] = 'batch')
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM m
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "n102_vocab_drift" ->
       """WITH old_d AS (SELECT text FROM documents WHERE doc_id % 2 = 0

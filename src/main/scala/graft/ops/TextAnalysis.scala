@@ -1068,6 +1068,30 @@ object TextAnalysis {
         lower(regexp_extract(col("url"), "(?i)^https?://([^/:]+)", 1)))
       .filter(col("domain") =!= "")
 
+  /** Exact phrase search via positional postings — the n41 inverted
+    * index extended with positions, which is what turns "docs
+    * containing these words" into "docs containing this PHRASE" (the
+    * shape benchmark-contamination sweeps need for exact quote
+    * detection). Postings are filtered to the phrase's words BEFORE
+    * any join — the index access path — so the k-way alignment join
+    * runs on a phrase-sized relation, co-keyed on (doc_id, aligned
+    * start), never on the corpus. Returns (doc_id, pos) per match
+    * (1-based word position of the phrase start).
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(w => w.nonEmpty && !w.contains(" ")),
+      "phrase must be non-empty whitespace-free words")
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), w => w =!= lit("")))
+        .as(Seq("pos", "word")))
+    val parts = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("word") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .select(col("doc_id"), (col("start") + 1).cast("long").as("pos"))
+  }
+
   /** Vocabulary drift between two corpus slices — the distribution-
     * level QA a crawl pipeline runs between snapshot versions (n64's
     * slice diff is doc-level; this is the "did the language change"

@@ -2054,6 +2054,25 @@ class OpsSpec extends SparkSpec {
       .toString.contains("Exchange"))
   }
 
+  test("phraseSearch: boundaries, overlaps, repeated words, absence") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z tail", "en", "t", 0L),          // match at start
+      (2L, "head x y z", "en", "t", 0L),          // match at end
+      (3L, "x y z x y z", "en", "t", 0L),         // two matches
+      (4L, "x x x x", "en", "t", 0L),             // repeated-word phrase source
+      (5L, "x y q z", "en", "t", 0L),             // near miss
+      (6L, "", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def hits(p: String*) = TextAnalysis.phraseSearch(d, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hits("x", "y", "z") == Seq((1L, 1L), (2L, 2L), (3L, 1L), (3L, 4L)))
+    // self-overlapping phrase: "x x" in "x x x x" starts at 1, 2, 3
+    assert(hits("x", "x") == Seq((4L, 1L), (4L, 2L), (4L, 3L)))
+    assert(hits("x", "y", "missing").isEmpty)
+    assert(hits("z").map(_._1).toSet == Set(1L, 2L, 3L, 5L)) // single-word degenerate
+  }
+
   test("vocabularyDrift: class boundaries exact (strict factor, minCount, rare)") {
     import spark.implicits._
     def slice(texts: String*): org.apache.spark.sql.DataFrame =
