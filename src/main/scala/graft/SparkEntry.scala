@@ -1863,6 +1863,18 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n104_heavy_hitters_by_source" -> ((s, dir) => {
+      // n95 stratified: per-source heavy hitters (count > n_source/24)
+      // via one Misra-Gries summary per (group, partition) and a
+      // per-group exact recount — same definitional oracle shape,
+      // applied within each source
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      graft.ops.Sketch.exactHeavyHittersByGroup(words, "source", "word", k = 24)
+        .orderBy(col("source"), col("cnt").desc, col("word"))
+    }),
+
     "n103_phrase_search" -> ((s, dir) => {
       // exact-quote detection via positional postings: the corpus
       // contains the phrase naturally AND one planted doc carries two
@@ -4292,6 +4304,16 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n104_heavy_hitters_by_source" -> // definitional per group
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |f AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM w WHERE word <> '' GROUP BY 1, 2),
+        |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM f GROUP BY 1)
+        |SELECT f.source, f.word, f.cnt FROM f JOIN n ON n.source = f.source
+        |WHERE f.cnt * 24 > n.n
+        |ORDER BY f.source, f.cnt DESC, f.word""".stripMargin,
 
     "n103_phrase_search" -> // definitional: consecutive-word equality
       """WITH d AS (SELECT doc_id, text FROM documents

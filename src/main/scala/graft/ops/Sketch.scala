@@ -638,6 +638,57 @@ object Sketch {
       .filter(col("cnt") * k > n)
   }
 
+  /** Per-group exact heavy hitters — [[exactHeavyHitters]] stratified:
+    * every (group, item) with count > n_group / k, exactly. One
+    * Misra–Gries summary PER GROUP per partition (the superset proof
+    * applies within each group separately), candidates and per-group
+    * totals collected at partitions × groups × k (metadata-sized for
+    * the grouping columns this is meant for — sources, languages,
+    * shards), then one exact recount behind a broadcast semi-join on
+    * the (group, item) candidate pairs.
+    */
+  def exactHeavyHittersByGroup(pairs: DataFrame, groupCol: String,
+                               itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ds = pairs.select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+    val summaries = ds.mapPartitions { it =>
+      val state = scala.collection.mutable.HashMap
+        .empty[String, (scala.collection.mutable.HashMap[String, Long], Array[Long])]
+      it.foreach { case (g, w) =>
+        val (counters, total) = state.getOrElseUpdate(g,
+          (scala.collection.mutable.HashMap.empty[String, Long], Array(0L)))
+        total(0) += 1
+        counters.get(w) match {
+          case Some(c) => counters.update(w, c + 1)
+          case None if counters.size < k => counters.update(w, 1L)
+          case None =>
+            val snapshot = counters.keysIterator.toArray
+            snapshot.foreach { kw =>
+              val c = counters(kw)
+              if (c == 1L) counters.remove(kw) else counters.update(kw, c - 1)
+            }
+        }
+      }
+      state.iterator.map { case (g, (counters, total)) =>
+        (g, counters.keysIterator.toArray, total(0))
+      }
+    }.collect()
+    val totals = summaries.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cand = summaries.iterator
+      .flatMap { case (g, ws, _) => ws.iterator.map(w => (g, w)) }
+      .toArray.distinct.toSeq.toDF(groupCol, itemCol)
+    val totalsDf = totals.toSeq.toDF(groupCol, "grp_n")
+    pairs.select(col(groupCol).cast("string"), col(itemCol).cast("string"))
+      .join(broadcast(cand), Seq(groupCol, itemCol))
+      .groupBy(groupCol, itemCol).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totalsDf), groupCol)
+      .filter(col("cnt") * k > col("grp_n"))
+      .select(col(groupCol), col(itemCol), col("cnt"))
+  }
+
   def cmsWordCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
                     topK: Int = 10, seed: Long = 42L): DataFrame = {
     // persisted: this vocabulary-sized relation feeds BOTH the sketch

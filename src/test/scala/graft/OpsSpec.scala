@@ -1512,6 +1512,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("exactHeavyHittersByGroup: per-group brute force, groups independent") {
+    import spark.implicits._
+    // group A is skewed, group B uniform: B must contribute nothing
+    // while A's hitters are judged against A's OWN total, not the
+    // global one (a global bar would wrongly admit/drop items)
+    val a = Seq.fill(12)("hot") ++ Seq.fill(4)("warm") ++ (0 until 4).map(i => s"a$i")
+    val b = (0 until 40).map(i => s"w${i % 20}")
+    val pairs = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "w")
+    def brute(items: Seq[String], k: Int): Set[(String, Long)] = {
+      val n = items.size.toLong
+      items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }.toSet
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Sketch.exactHeavyHittersByGroup(pairs.repartition(parts), "g", "w", k = 4)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = brute(a, 4).map { case (w, c) => ("A", w, c) } ++
+        brute(b, 4).map { case (w, c) => ("B", w, c) }
+      assert(got == want && got.nonEmpty, s"parts=$parts")
+    }
+  }
+
   test("hllDistinct: error bound across cardinalities, partition-invariant") {
     import spark.implicits._
     // sigma at p=8 is 1.04/sqrt(256) = 6.5%; 20% is ~3 sigma. FNV is
