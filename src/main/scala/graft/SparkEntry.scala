@@ -1863,6 +1863,25 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n105_multi_phrase" -> ((s, dir) => {
+      // the contamination-sweep form of n103: MANY quote strings in
+      // ONE corpus pass (broadcast parts dim, offset-aligned count ==
+      // phrase length). Two natural phrases + one planted four-word
+      // quote occurring twice in one doc
+      import s.implicits._
+      val planted = Seq((9500002L,
+        "alpha beta gamma delta filler words alpha beta gamma delta",
+        "en", "planted", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      TextAnalysis.multiPhraseSearch(
+          t(s, dir, "documents").unionByName(planted),
+          Seq(
+            "bench1" -> Seq("slow", "hash", "batch"),
+            "bench2" -> Seq("stream", "table", "hash"),
+            "planted" -> Seq("alpha", "beta", "gamma", "delta")))
+        .orderBy("phrase_id", "doc_id", "pos")
+    }),
+
     "n104_heavy_hitters_by_source" -> ((s, dir) => {
       // n95 stratified: per-source heavy hitters (count > n_source/24)
       // via one Misra-Gries summary per (group, partition) and a
@@ -4304,6 +4323,28 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n105_multi_phrase" -> // definitional per phrase, unioned
+      """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT 9500002,
+        |  'alpha beta gamma delta filler words alpha beta gamma delta'),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |      FROM d),
+        |m AS (
+        | SELECT 'bench1' AS phrase_id, doc_id, i AS pos
+        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3 AND ws[i] = 'slow' AND ws[i+1] = 'hash' AND ws[i+2] = 'batch'
+        | UNION ALL
+        | SELECT 'bench2', doc_id, i
+        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3 AND ws[i] = 'stream' AND ws[i+1] = 'table' AND ws[i+2] = 'hash'
+        | UNION ALL
+        | SELECT 'planted', doc_id, i
+        |  FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+        |  WHERE len(ws) >= 4 AND ws[i] = 'alpha' AND ws[i+1] = 'beta'
+        |    AND ws[i+2] = 'gamma' AND ws[i+3] = 'delta')
+        |SELECT phrase_id, doc_id, CAST(pos AS BIGINT) AS pos FROM m
+        |ORDER BY phrase_id, doc_id, pos""".stripMargin,
 
     "n104_heavy_hitters_by_source" -> // definitional per group
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word

@@ -1092,6 +1092,39 @@ object TextAnalysis {
       .select(col("doc_id"), (col("start") + 1).cast("long").as("pos"))
   }
 
+  /** Multi-phrase search in ONE corpus pass — the form a benchmark-
+    * contamination sweep actually runs (thousands of quote strings at
+    * once, not one [[phraseSearch]] per phrase): the phrase list
+    * becomes a broadcast (phrase_id, offset, word, plen) dimension,
+    * every token joins it by word, and a match is a (phrase, doc,
+    * aligned start) cell where the number of matched offsets equals
+    * the phrase length. Corpus tokens are read once regardless of
+    * phrase count; the group-by runs on the word-hit relation, which
+    * is phrase-selectivity-sized. Returns (phrase_id, doc_id, pos).
+    */
+  def multiPhraseSearch(docs: DataFrame,
+                        phrases: Seq[(String, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty &&
+      phrases.forall { case (_, ws) => ws.nonEmpty && ws.forall(w => w.nonEmpty && !w.contains(" ")) },
+      "phrases must be non-empty whitespace-free word lists")
+    require(phrases.map(_._1).distinct.size == phrases.size, "phrase ids must be unique")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = phrases.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (w, i) => (id, i, w, ws.length) }
+    }.toDF("phrase_id", "offset", "word", "plen")
+    val toks = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), w => w =!= lit("")))
+        .as(Seq("pos", "word")))
+    toks.join(broadcast(parts), "word")
+      .groupBy(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("offset")).as("start"), col("plen"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("plen"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("start") + 1).cast("long").as("pos"))
+  }
+
   /** Vocabulary drift between two corpus slices — the distribution-
     * level QA a crawl pipeline runs between snapshot versions (n64's
     * slice diff is doc-level; this is the "did the language change"

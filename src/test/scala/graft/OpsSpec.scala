@@ -2095,6 +2095,28 @@ class OpsSpec extends SparkSpec {
     assert(hits("z").map(_._1).toSet == Set(1L, 2L, 3L, 5L)) // single-word degenerate
   }
 
+  test("multiPhraseSearch: equals per-phrase phraseSearch, shared words, repeats") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z and then x y again", "en", "t", 0L),
+      (2L, "y z x y z", "en", "t", 0L),
+      (3L, "x x y y", "en", "t", 0L),
+      (4L, "nothing here", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // phrases share words ("x y" is a prefix of "x y z"), and one has
+    // a repeated word — both stress the offset-alignment counting
+    val phrases = Seq("pxy" -> Seq("x", "y"), "pxyz" -> Seq("x", "y", "z"),
+      "pxx" -> Seq("x", "x"))
+    val multi = TextAnalysis.multiPhraseSearch(d, phrases)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val single = phrases.flatMap { case (id, ws) =>
+      TextAnalysis.phraseSearch(d, ws).collect()
+        .map(r => (id, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(multi == single && multi.nonEmpty)
+    assert(multi.contains(("pxx", 3L, 1L)) && multi.contains(("pxy", 1L, 1L)))
+  }
+
   test("vocabularyDrift: class boundaries exact (strict factor, minCount, rare)") {
     import spark.implicits._
     def slice(texts: String*): org.apache.spark.sql.DataFrame =
