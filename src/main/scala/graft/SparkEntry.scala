@@ -816,6 +816,20 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    "q50_semi_anti_join" -> ((s, dir) => {
+      // explicit SEMI/ANTI JOIN syntax surface (q07/q08 prove the
+      // semantics via EXISTS; this pins the join-type keywords both
+      // engines ship) — per-customer-class counts in one result
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT 'with_orders' AS cls, count(*) AS n
+              |FROM customer LEFT SEMI JOIN orders ON o_custkey = c_custkey
+              |UNION ALL
+              |SELECT 'without_orders', count(*)
+              |FROM customer LEFT ANTI JOIN orders ON o_custkey = c_custkey
+              |ORDER BY cls""".stripMargin)
+    }),
+
     "q48_session_window" -> ((s, dir) => {
       // the ENGINE's session_window (q30 is the manual gaps-and-islands
       // build): the oracle derives sessions from the DEFINITION (break
@@ -2976,6 +2990,14 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q50_semi_anti_join" ->
+      """SELECT 'with_orders' AS cls, CAST(count(*) AS BIGINT) AS n
+        |FROM customer SEMI JOIN orders ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'without_orders', CAST(count(*) AS BIGINT)
+        |FROM customer ANTI JOIN orders ON o_custkey = c_custkey
+        |ORDER BY cls""".stripMargin,
 
     "q48_session_window" -> // definitional: gap rule + half-open end
       """WITH f AS (SELECT user_id, ts,
