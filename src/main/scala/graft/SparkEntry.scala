@@ -1877,6 +1877,29 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n106_containment" -> ((s, dir) => {
+      // near-SUPERSET detection: containment |A∩B|/|A| over word
+      // trigrams — the asymmetric case Jaccard misses (wrapper pages,
+      // quoted fragments). Both planted paths derive from the corpus
+      // itself (a words-6..25 fragment of doc 0, doc 1 wrapped in
+      // boilerplate) so the engines build identical fixtures
+      val base = t(s, dir, "documents")
+      val toks = filter(split(col("text"), " "), w => w =!= lit(""))
+      val frag = base.filter(col("doc_id") === 0).select(
+        lit(9600001L).as("doc_id"),
+        array_join(slice(toks, 6, 20), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      val wrap = base.filter(col("doc_id") === 1).select(
+        lit(9600002L).as("doc_id"),
+        concat(lit("wrapper header boilerplate "), col("text"),
+          lit(" trailing footer block")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      Dedup.containmentPairs(base.unionByName(frag).unionByName(wrap),
+          n = 3, threshold = 0.9)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("doc_id_contained", "doc_id_container")
+    }),
+
     "n105_multi_phrase" -> ((s, dir) => {
       // the contamination-sweep form of n103: MANY quote strings in
       // ONE corpus pass (broadcast parts dim, offset-aligned count ==
@@ -4345,6 +4368,35 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n106_containment" -> // definitional: exact containment over any-shared-gram pairs
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+         |aug AS (
+         | SELECT doc_id, text FROM d0
+         | UNION ALL
+         | SELECT 9600001, array_to_string(
+         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[6:25], ' ')
+         |  FROM d0 WHERE doc_id = 0
+         | UNION ALL
+         | SELECT 9600002, 'wrapper header boilerplate ' || text || ' trailing footer block'
+         |  FROM d0 WHERE doc_id = 1),
+         |base AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+         |    j -> ${fnvSql("array_to_string(ws[j:j+2], ' ')")})) AS hs
+         | FROM (SELECT doc_id,
+         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |  FROM aug)),
+         |g AS (SELECT doc_id, len(hs) AS sz, hs FROM base WHERE len(hs) > 0),
+         |exx AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM exx a JOIN exx b ON a.h = b.h AND a.doc_id <> b.doc_id),
+         |v AS (SELECT da AS doc_id_contained, db AS doc_id_container,
+         |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la
+         | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)
+         |SELECT doc_id_contained, doc_id_container,
+         | round(CAST(inter AS DOUBLE) / la, 6) AS containment
+         |FROM v WHERE CAST(inter AS DOUBLE) / la >= 0.9
+         |ORDER BY doc_id_contained, doc_id_container""".stripMargin,
 
     "n105_multi_phrase" -> // definitional per phrase, unioned
       """WITH d AS (SELECT doc_id, text FROM documents

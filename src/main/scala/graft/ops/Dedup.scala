@@ -715,6 +715,52 @@ object Dedup {
     * one floating-point comparison is the final exact-Jaccard verify,
     * computed identically by the DuckDB oracle.
     */
+  /** Near-SUPERSET pairs: containment C(A→B) = |A∩B| / |A| >= t over
+    * word n-gram sets — the asymmetric relative of Jaccard that
+    * catches wrapper pages, quoted fragments, and boilerplate-padded
+    * republications, where Jaccard stays low because |B| >> |A|.
+    *
+    * Prefix filtering applies on the CONTAINED side only (there is no
+    * symmetric size bound: a tiny doc can live inside a huge one): if
+    * C(A→B) >= t, B shares at least one of A's first
+    * |A| − ceil(t·|A|) + 1 grams in global-df order, so candidates
+    * come from prefix(A) ⋈ postings(B) — A's side shrinks to ~(1−t)
+    * of its grams, B's side is the full posting list (cf. Chaudhuri
+    * et al. 2006, the prefix filter n72 already proves lossless for
+    * the symmetric case). Verification is exact set intersection.
+    * Returns (doc_id_contained, doc_id_container, containment).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val tScaled = math.floor(threshold * (1L << 20)).toLong
+    val grams = docs.select(col("doc_id"),
+        word_shingle_set(col("text"), n).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .filter(col("sz") > 0)
+    val ex = grams.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ceilT = shiftright(col("sz") * tScaled + ((1L << 20) - 1), 20)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceilT + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_contained"),
+        col("b.doc_id").as("doc_id_container"))
+      .distinct()
+    val ga = grams.select(col("doc_id").as("doc_id_contained"),
+      col("hs").as("hsa"), col("sz").as("la"))
+    val gb = grams.select(col("doc_id").as("doc_id_container"), col("hs").as("hsb"))
+    cand.join(ga, Seq("doc_id_contained")).join(gb, Seq("doc_id_container"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("la"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id_contained"), col("doc_id_container"), col("containment"))
+  }
+
   def jaccardPrefixJoin(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")

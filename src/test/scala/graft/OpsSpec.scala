@@ -2095,6 +2095,37 @@ class OpsSpec extends SparkSpec {
     assert(hits("z").map(_._1).toSet == Set(1L, 2L, 3L, 5L)) // single-word degenerate
   }
 
+  test("containmentPairs: asymmetry, fragment detection, prefix filter lossless") {
+    import spark.implicits._
+    val big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val d = Seq(
+      (1L, big, "en", "t", 0L),
+      (2L, "w5 w6 w7 w8 w9 w10 w11 w12", "en", "t", 0L), // interior fragment of 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8", "en", "t", 0L),    // unrelated
+      (4L, "pre amble " + big + " post script", "en", "t", 0L) // superset of 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.containmentPairs(d, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 2 ⊂ 1, 2 ⊂ 4, 1 ⊂ 4 at containment 1.0; nothing in reverse
+    // (the big doc is NOT 90% contained in its fragment) and nothing
+    // touches doc 3
+    assert(got.map(p => (p._1, p._2)) == Set((2L, 1L), (2L, 4L), (1L, 4L)))
+    assert(got.forall(_._3 == 1.0))
+    // brute-force equality on a threshold that admits partial overlap
+    val loose = Dedup.containmentPairs(d, n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def gramSet(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> big, 2L -> "w5 w6 w7 w8 w9 w10 w11 w12",
+      3L -> "x1 x2 x3 x4 x5 x6 x7 x8", 4L -> ("pre amble " + big + " post script"))
+    val brute = (for {
+      (a, ta) <- texts.toSeq; (b, tb) <- texts.toSeq; if a != b
+      inter = gramSet(ta).intersect(gramSet(tb)).size
+      if inter.toDouble / gramSet(ta).size >= 0.3
+    } yield (a, b)).toSet
+    assert(loose == brute)
+  }
+
   test("multiPhraseSearch: equals per-phrase phraseSearch, shared words, repeats") {
     import spark.implicits._
     val d = Seq(
