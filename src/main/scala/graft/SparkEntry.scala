@@ -816,6 +816,30 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    "q51_event_funnel" -> ((s, dir) => {
+      // stepwise funnel (view -> click -> purchase, each within 24h of
+      // the previous stage's earliest completion): three user-keyed
+      // min-aggs chained by co-partitioned joins — the classic funnel
+      // shape that never materializes event pairs
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c2 = ev.filter(col("event_type") === "click").join(v1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p3 = ev.filter(col("event_type") === "purchase").join(c2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+
     "q50_semi_anti_join" -> ((s, dir) => {
       // explicit SEMI/ANTI JOIN syntax surface (q07/q08 prove the
       // semantics via EXISTS; this pins the join-type keywords both
@@ -3013,6 +3037,22 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q51_event_funnel" ->
+      """WITH v1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |c2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN v1 ON v1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > v1.t1
+        |         AND e.ts <= v1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN c2 ON c2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > c2.t2
+        |         AND e.ts <= c2.t2 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v1
+        |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c2
+        |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p3
+        |ORDER BY stage""".stripMargin,
 
     "q50_semi_anti_join" ->
       """SELECT 'with_orders' AS cls, CAST(count(*) AS BIGINT) AS n
