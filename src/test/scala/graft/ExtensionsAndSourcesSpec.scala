@@ -98,6 +98,36 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("Compaction: FFD plan properties and content-preserving rewrite") {
+    import graft.sources.Compaction
+    // FFD arithmetic on synthetic sizes: deterministic bins, no bin
+    // over target (except mandatory solo bins for oversized files)
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(24).write.mode("overwrite").parquet(s"$tmp/frag")
+    val before = Compaction.plan(spark, s"$tmp/frag", targetBytes = 1L << 40)
+    assert(before.size >= 20, s"expected many fragments, got ${before.size}")
+    // huge target -> everything fits one bin
+    assert(before.forall(_.bin == 0))
+    // target below every file size -> one bin per file
+    val solo = Compaction.plan(spark, s"$tmp/frag", targetBytes = 1L)
+    assert(solo.map(_.bin).distinct.size == solo.size)
+    // bins never exceed target when files individually fit
+    val mid = Compaction.plan(spark, s"$tmp/frag",
+      targetBytes = before.map(_.bytes).max * 3)
+    val loads = mid.groupBy(_.bin).view.mapValues(_.map(_.bytes).sum)
+    assert(loads.values.forall(_ <= before.map(_.bytes).max * 3))
+    assert(mid.map(_.bin).max + 1 < before.size) // actually compacts
+    // execute: fewer files, identical content
+    val (nBefore, nAfter) = Compaction.compact(spark, s"$tmp/frag",
+      s"$tmp/out", targetBytes = before.map(_.bytes).max * 3)
+    assert(nBefore >= 20 && nAfter < nBefore)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(s"$tmp/out").orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("CSV points source reads and assigns ids like the reference") {
     val dir = Files.createTempDirectory("pts")
     val f = dir.resolve("points.csv")
