@@ -723,6 +723,46 @@ object SparkEntry {
        |SELECT vec_id, CAST(p AS BIGINT) AS proj FROM proj ORDER BY vec_id""".stripMargin
   }
 
+  /** n107's planted cascade: `hub` interleaved with 28 vocabulary
+    * words (degree 29 = exactly the k bar) plus a degree-1 `spoke` —
+    * round 1 peels spoke, dropping hub to 28, so round 2 peels hub:
+    * the multi-round cascade that distinguishes k-core peeling from a
+    * single degree filter. Shared verbatim by the Spark fixture and
+    * the oracle.
+    */
+  private val kcoreHubText: String = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the")
+    .flatMap(w => Seq("hub", w)).mkString(" ")
+
+  /** Unrolled replay of [[graft.ops.Graph.kCore]]: each round is a
+    * degree agg, a >= k filter, and an endpoint semi-filter.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val pe = s"e${i - 1}"
+      s"""k$i AS (SELECT src FROM (SELECT src, count(*) AS d FROM $pe GROUP BY 1)
+         |        WHERE d >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM $pe e
+         |        JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst),""".stripMargin
+    }.mkString("\n")
+    s"""WITH d AS (SELECT text FROM documents
+       | UNION ALL SELECT '$kcoreHubText'
+       | UNION ALL SELECT 'spoke hub'),
+       |w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM d),
+       |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+       |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+       |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |      WHERE ws[i] <> ws[i+1]),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM p),
+       |e0 AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+       |$roundCtes
+       |f AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e$rounds GROUP BY 1)
+       |SELECT src AS word, degree FROM f ORDER BY degree DESC, word""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -1899,6 +1939,29 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
         .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "n107_kcore" -> ((s, dir) => {
+      // k-core of the word graph at k=29 with the planted hub/spoke
+      // cascade (spoke peels round 1, hub — at exactly the bar —
+      // peels round 2): survivors + their in-core degrees after 4
+      // rounds, replayed by unrolled peel CTEs
+      import s.implicits._
+      val planted = Seq(
+        (9700001L, kcoreHubText, "en", "planted", 0L),
+        (9700002L, "spoke hub", "en", "planted", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ws = t(s, dir, "documents").unionByName(planted).select(
+          filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Graph.kCore(pairs, k = 29, rounds = 4)
+        .select(col("node").as("word"), col("degree"))
+        .orderBy(col("degree").desc, col("word"))
     }),
 
     "n106_containment" -> ((s, dir) => {
@@ -4408,6 +4471,8 @@ object SparkEntry {
          | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "n107_kcore" -> kCoreOracleSql(k = 29, rounds = 4),
 
     "n106_containment" -> // definitional: exact containment over any-shared-gram pairs
       s"""WITH d0 AS (SELECT doc_id, text FROM documents),

@@ -67,6 +67,43 @@ object Graph {
     ranks
   }
 
+  /** Fixed-round k-core peeling over an undirected graph given as a
+    * directed pair relation: each round removes every node whose
+    * CURRENT degree is below k, which can cascade (a removal drops a
+    * neighbor below the bar next round). Peeling is confluent — the
+    * removal order cannot change the fixpoint — so once a round
+    * removes nothing the survivors ARE the k-core (Seidman 1983; the
+    * spec asserts convergence on its graphs). Returns
+    * (node, degree) of the survivors after `rounds` rounds with
+    * degrees measured in the peeled subgraph.
+    *
+    * Rounds are join-filtered degree aggs over an edges-bounded
+    * relation; `rounds <= 6` is the same lineage bound as the n76
+    * power iteration — deeper peeling wants per-round checkpoints
+    * (see Dedup.dupClusters) on a real cluster.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 6,
+      "rounds outside [1,6]: deeper peeling needs checkpointing")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    var cur = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      cur = cur.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst"))
+    }
+    cur.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
+
   /** Per-node triangle counts over an undirected graph given as a
     * directed pair relation `(src, dst)` (self-loops and duplicate /
     * reverse pairs are normalized away). Returns `(node, n_triangles)`

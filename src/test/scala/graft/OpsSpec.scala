@@ -1994,6 +1994,39 @@ class OpsSpec extends SparkSpec {
     assert(run(rng) == brute.toMap)
   }
 
+  test("kCore: multi-round cascade, convergence, equals peeling fixpoint") {
+    import spark.implicits._
+    def run(pairs: Seq[(String, String)], k: Int, rounds: Int): Map[String, Long] =
+      Graph.kCore(pairs.toDF("src", "dst"), k, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // path a-b-c-d-e at k=2: endpoints peel, cascade eats the whole
+    // path over successive rounds — one round is NOT enough
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    assert(run(path, 2, 1).nonEmpty) // after 1 round interior survives
+    assert(run(path, 2, 4).isEmpty)  // converged: no 2-core in a path
+    // K4 plus a pendant at k=3: pendant peels, K4 survives as the core
+    val k4 = for (x <- Seq("p", "q", "r", "s"); y <- Seq("p", "q", "r", "s"); if x < y) yield (x, y)
+    val g = k4 :+ (("p", "tail"))
+    assert(run(g, 3, 3) == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L))
+    // fixpoint equality vs a reference peel
+    def refCore(pairs: Seq[(String, String)], k: Int): Map[String, Long] = {
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var nodes = adj.keySet
+      var done = false
+      while (!done) {
+        val drop = nodes.filter(n => (adj(n) & nodes).size < k)
+        if (drop.isEmpty) done = true else nodes = nodes -- drop
+      }
+      nodes.map(n => n -> (adj(n) & nodes).size.toLong).toMap
+    }
+    val rng = Seq.tabulate(30) { i =>
+      (s"n${graft.functions.Hashing.splitmix64(i).toInt.abs % 10}",
+       s"n${graft.functions.Hashing.splitmix64(i + 50).toInt.abs % 10}")
+    }.filter { case (a, b) => a != b }
+    assert(run(rng, 3, 6) == refCore(rng, 3))
+  }
+
   test("integerPageRank: node without inbound edges keeps its teleport rank") {
     import spark.implicits._
     // a -> b, b <-> c: every node has out-degree >= 1, but a has no
