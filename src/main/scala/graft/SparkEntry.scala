@@ -856,6 +856,24 @@ object SparkEntry {
         .orderBy("user_id", "session_idx")
     }),
 
+    "q52_not_in_nulls" -> ((s, dir) => {
+      // the NOT IN null trap as a pinned surface: a NULL in the
+      // subquery makes NOT IN three-valued (empty result), while NOT
+      // EXISTS keeps filtering rows — both engines implement the SQL
+      // standard, and a migration MUST know which one a query meant
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql("""WITH keys AS (SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
+              |                     ELSE s_nationkey END AS k FROM supplier)
+              |SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+              |FROM nation WHERE n_nationkey NOT IN (SELECT k FROM keys)
+              |UNION ALL
+              |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+              |FROM nation WHERE NOT EXISTS (
+              |  SELECT 1 FROM keys WHERE keys.k = nation.n_nationkey)
+              |ORDER BY variant""".stripMargin)
+    }),
+
     "q51_event_funnel" -> ((s, dir) => {
       // stepwise funnel (view -> click -> purchase, each within 24h of
       // the previous stage's earliest completion): three user-keyed
@@ -3100,6 +3118,17 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q52_not_in_nulls" ->
+      """WITH keys AS (SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL
+        |                     ELSE s_nationkey END AS k FROM supplier)
+        |SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+        |FROM nation WHERE n_nationkey NOT IN (SELECT k FROM keys)
+        |UNION ALL
+        |SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        |FROM nation WHERE NOT EXISTS (
+        |  SELECT 1 FROM keys WHERE keys.k = nation.n_nationkey)
+        |ORDER BY variant""".stripMargin,
 
     "q51_event_funnel" ->
       """WITH v1 AS (SELECT user_id, min(ts) AS t1 FROM events
