@@ -763,6 +763,56 @@ object SparkEntry {
        |SELECT src AS word, degree FROM f ORDER BY degree DESC, word""".stripMargin
   }
 
+  /** Full arithmetic replay of the pixel-dHash fixtures (shared by
+    * n94/BMP and n108/PNG — both containers encode the same cellGray
+    * pixels): fmix64 per (group, cell) in HUGEINT mod-2^64 ->
+    * member-cell inversion -> 8x8 horizontal-gradient bits -> 64-bit
+    * hash (sign-adjusted to BIGINT like the Spark long) -> the n11
+    * banding at maxDistance=2 (3 bands: widths 22/21/21 at offsets
+    * 0/22/43) -> exact bit_count filter. Green proves the byte-level
+    * decodes reproduce this formula bit-for-bit.
+    */
+  private lazy val pixelDhashOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
+       |cells AS (SELECT doc_id, g, m, unnest(generate_series(0, 71)) AS cell FROM d),
+       |v0 AS (SELECT doc_id, g, m, cell,
+       |  CAST(g * 73 + cell + 1234567 AS HUGEINT) AS x FROM cells),
+       |f1 AS (SELECT doc_id, g, m, cell, xor(x, x >> 33) AS v1 FROM v0),
+       |f2 AS (SELECT doc_id, g, m, cell, xor(y, y >> 33) AS v3
+       |       FROM (SELECT doc_id, g, m, cell, ${mulC("v1", c1, c1lo)} AS y FROM f1)),
+       |f3 AS (SELECT doc_id, g, m, cell, xor(z, z >> 33) AS u
+       |       FROM (SELECT doc_id, g, m, cell, ${mulC("v3", c2, c2lo)} AS z FROM f2)),
+       |gr AS (SELECT doc_id, cell,
+       |  CASE WHEN m > 0 AND cell = (g + m * 13) % 72
+       |       THEN 255 - CAST(u & 255 AS BIGINT)
+       |       ELSE CAST(u & 255 AS BIGINT) END AS gray FROM f3),
+       |bitgrid AS (SELECT doc_id, bit, (bit // 8) * 9 + (bit % 8) AS cl
+       |            FROM d, unnest(generate_series(0, 63)) AS t(bit)),
+       |bset AS (SELECT bg.doc_id, bg.bit
+       |         FROM bitgrid bg
+       |         JOIN gr ga ON ga.doc_id = bg.doc_id AND ga.cell = bg.cl
+       |         JOIN gr gb ON gb.doc_id = bg.doc_id AND gb.cell = bg.cl + 1
+       |         WHERE gb.gray > ga.gray),
+       |hsh AS (SELECT d.doc_id,
+       |  coalesce(sum(CAST(1 AS HUGEINT) << bit), CAST(0 AS HUGEINT)) AS hu
+       | FROM d LEFT JOIN bset ON bset.doc_id = d.doc_id GROUP BY 1),
+       |sh AS (SELECT doc_id,
+       |  CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+       |       THEN hu - CAST('18446744073709551616' AS HUGEINT)
+       |       ELSE hu END AS BIGINT) AS sh, hu FROM hsh),
+       |bands AS (
+       |  SELECT doc_id, sh, 0 AS band, CAST(hu & 4194303 AS BIGINT) AS key FROM sh
+       |  UNION ALL SELECT doc_id, sh, 1, CAST((hu >> 22) & 2097151 AS BIGINT) FROM sh
+       |  UNION ALL SELECT doc_id, sh, 2, CAST((hu >> 43) & 2097151 AS BIGINT) FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |    a.sh AS sha, b.sh AS shb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_id_a, doc_id_b,
+       | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -1953,6 +2003,20 @@ object SparkEntry {
       // maxBucket cap never triggers at these SFs (random 21-bit band
       // keys over 5k docs), so the replay omits it.
       val media = Multimodal.bmpPixelMedia(t(s, dir, "documents"))
+      val hashes = Multimodal.dhashRelation(media)
+        .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
+      Dedup.hammingNearDups(hashes, maxDistance = 2)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "n108_png_dhash" -> ((s, dir) => {
+      // REAL PNG pixel decode: zlib inflate (JDK Inflater) + all five
+      // scanline filters unfiltered per RFC 2083 (the fixture rotates
+      // Sub/Up/Average/Paeth through the rows), feeding the SAME
+      // dHash/banding pipeline and the SAME oracle as n94 — one
+      // arithmetic replay certifying two independent container
+      // decoders
+      val media = Multimodal.pngPixelMedia(t(s, dir, "documents"))
       val hashes = Multimodal.dhashRelation(media)
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
@@ -4452,54 +4516,15 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 300 ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 <> 0 ORDER BY media_id""".stripMargin,
 
-    "n94_image_dhash" ->
-      // full arithmetic replay of the BMP fixture: fmix64 per
-      // (group, cell) in HUGEINT mod-2^64 -> member-cell inversion ->
-      // 8x8 horizontal-gradient bits -> 64-bit hash (sign-adjusted to
-      // BIGINT like the Spark long) -> the n11 banding at
-      // maxDistance=2 (3 bands: widths 22/21/21 at offsets 0/22/43)
-      // -> exact bit_count filter. Green proves the real byte-level
-      // BMP decode (stride, bottom-up rows, BGR, luma) reproduces
-      // this formula bit-for-bit.
-      s"""WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents),
-         |cells AS (SELECT doc_id, g, m, unnest(generate_series(0, 71)) AS cell FROM d),
-         |v0 AS (SELECT doc_id, g, m, cell,
-         |  CAST(g * 73 + cell + 1234567 AS HUGEINT) AS x FROM cells),
-         |f1 AS (SELECT doc_id, g, m, cell, xor(x, x >> 33) AS v1 FROM v0),
-         |f2 AS (SELECT doc_id, g, m, cell, xor(y, y >> 33) AS v3
-         |       FROM (SELECT doc_id, g, m, cell, ${mulC("v1", c1, c1lo)} AS y FROM f1)),
-         |f3 AS (SELECT doc_id, g, m, cell, xor(z, z >> 33) AS u
-         |       FROM (SELECT doc_id, g, m, cell, ${mulC("v3", c2, c2lo)} AS z FROM f2)),
-         |gr AS (SELECT doc_id, cell,
-         |  CASE WHEN m > 0 AND cell = (g + m * 13) % 72
-         |       THEN 255 - CAST(u & 255 AS BIGINT)
-         |       ELSE CAST(u & 255 AS BIGINT) END AS gray FROM f3),
-         |bitgrid AS (SELECT doc_id, bit, (bit // 8) * 9 + (bit % 8) AS cl
-         |            FROM d, unnest(generate_series(0, 63)) AS t(bit)),
-         |bset AS (SELECT bg.doc_id, bg.bit
-         |         FROM bitgrid bg
-         |         JOIN gr ga ON ga.doc_id = bg.doc_id AND ga.cell = bg.cl
-         |         JOIN gr gb ON gb.doc_id = bg.doc_id AND gb.cell = bg.cl + 1
-         |         WHERE gb.gray > ga.gray),
-         |hsh AS (SELECT d.doc_id,
-         |  coalesce(sum(CAST(1 AS HUGEINT) << bit), CAST(0 AS HUGEINT)) AS hu
-         | FROM d LEFT JOIN bset ON bset.doc_id = d.doc_id GROUP BY 1),
-         |sh AS (SELECT doc_id,
-         |  CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
-         |       THEN hu - CAST('18446744073709551616' AS HUGEINT)
-         |       ELSE hu END AS BIGINT) AS sh, hu FROM hsh),
-         |bands AS (
-         |  SELECT doc_id, sh, 0 AS band, CAST(hu & 4194303 AS BIGINT) AS key FROM sh
-         |  UNION ALL SELECT doc_id, sh, 1, CAST((hu >> 22) & 2097151 AS BIGINT) FROM sh
-         |  UNION ALL SELECT doc_id, sh, 2, CAST((hu >> 43) & 2097151 AS BIGINT) FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |    a.sh AS sha, b.sh AS shb
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT doc_id_a, doc_id_b,
-         | CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
-         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+    "n94_image_dhash" -> pixelDhashOracleSql,
+
+    "n108_png_dhash" ->
+      // the SAME oracle as n94 on purpose: the PNG fixture encodes the
+      // identical cellGray pixels through a REAL deflate stream with
+      // all five scanline filters, so one arithmetic replay certifies
+      // two independent byte-level decoders (BMP stride walk and PNG
+      // inflate+unfilter) against each other
+      pixelDhashOracleSql,
 
     "n107_kcore" -> kCoreOracleSql(k = 29, rounds = 4),
 

@@ -162,6 +162,100 @@ object Multimodal {
     Some((w, h, gray))
   }
 
+  /** Real PNG PIXEL decode — a full dependency-free implementation of
+    * the non-interlaced 8-bit path: chunk walk (IHDR/IDAT/IEND with
+    * arbitrary ancillary chunks between), zlib inflate of the
+    * concatenated IDAT stream via `java.util.zip.Inflater`, and
+    * per-scanline UNFILTERING of all five PNG filter types (None /
+    * Sub / Up / Average / Paeth — RFC 2083 s6), then the same integer
+    * ITU-R 601 luma as [[bmpGray]] for color types 0 (gray),
+    * 2 (RGB) and 6 (RGBA; alpha ignored). Returns (w, h, grayscale
+    * rows top-down); None for interlaced / 16-bit / palette images or
+    * malformed streams.
+    */
+  def pngGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length < 45 || u8(0) != 0x89 || u8(1) != 'P' || u8(2) != 'N' || u8(3) != 'G' ||
+        u8(4) != 0x0d || u8(5) != 0x0a || u8(6) != 0x1a || u8(7) != 0x0a) return None
+    var i = 8
+    var w = 0; var h = 0; var colorType = -1; var sawIhdr = false
+    var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && i + 12 <= p.length) {
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      new String(p, i + 4, 4, "US-ASCII") match {
+        case "IHDR" if len >= 13 =>
+          w = be32(i + 8); h = be32(i + 12)
+          if (u8(i + 16) != 8 || u8(i + 18) != 0 || u8(i + 19) != 0 || u8(i + 20) != 0)
+            return None // only depth 8, compression 0, filter 0, no interlace
+          colorType = u8(i + 17)
+          sawIhdr = true
+        case "IDAT" => idat.write(p, i + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      if (!done) i += 12 + len
+    }
+    if (!sawIhdr || w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (off < raw.length) return None
+    val img = new Array[Int](stride * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y * (stride + 1) + 1 + x) & 0xff
+        val a = if (x >= channels) img(y * stride + x - channels) else 0
+        val b = if (y > 0) img((y - 1) * stride + x) else 0
+        val c = if (x >= channels && y > 0) img((y - 1) * stride + x - channels) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => (cur + a) & 0xff
+          case 2 => (cur + b) & 0xff
+          case 3 => (cur + (a + b) / 2) & 0xff
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (cur + pred) & 0xff
+          case _ => return None
+        }
+        img(y * stride + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    val gray = new Array[Int](w * h)
+    var j = 0
+    while (j < w * h) {
+      val base = j * channels
+      gray(j) =
+        if (channels == 1) img(base)
+        else (299 * img(base) + 587 * img(base + 1) + 114 * img(base + 2)) / 1000
+      j += 1
+    }
+    Some((w, h, gray))
+  }
+
   /** 64-bit difference hash (dHash) over a 9x8 grid: bit (cy*8 + cx)
     * is set when cell (cx+1, cy) is brighter than cell (cx, cy) —
     * 8 horizontal gradients per row over 8 rows. Cells are exact
@@ -217,7 +311,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          bmpGray(bytes).map { case (w, h, g) => (id, dHash64(g, w, h)) }
+          bmpGray(bytes).orElse(pngGray(bytes))
+            .map { case (w, h, g) => (id, dHash64(g, w, h)) }
         }
       }
       .toDF("media_id", "dhash")
@@ -562,6 +657,82 @@ object Multimodal {
       y -= 1
     }
     bb.array()
+  }
+
+  /** COMPLETE 8-bit grayscale PNG with real zlib-compressed pixel
+    * data and the scanline filter ROTATING through all five types
+    * (row y uses filter y % 5, with the filtered bytes computed per
+    * RFC 2083 s6), so [[pngGray]]'s Sub/Up/Average/Paeth unfiltering
+    * is exercised for real — a filter-0-only fixture would leave four
+    * of the five reconstruction paths untested.
+    */
+  private[graft] def pngPixelBytes(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h, s"expected ${w * h} pixels, got ${gray.length}")
+    val stride = w
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = gray(y * stride + x)
+        val a = if (x >= 1) gray(y * stride + x - 1) else 0
+        val b = if (y > 0) gray((y - 1) * stride + x) else 0
+        val c = if (x >= 1 && y > 0) gray((y - 1) * stride + x - 1) else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => (cur - a) & 0xff
+          case 2 => (cur - b) & 0xff
+          case 3 => (cur - (a + b) / 2) & 0xff
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (cur - pred) & 0xff
+        }
+        raw(y * (stride + 1) + 1 + x) = f.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte) // depth 8, color type 0 (gray)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** PNG twin of [[bmpPixelMedia]]: SAME [[cellGray]] pixel formula,
+    * different container — real deflate + all five scanline filters —
+    * so the n94 oracle replay certifies BOTH byte-level decoders.
+    */
+  def pngPixelMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val gray = Array.tabulate(72)(cell => cellGray(id / 4, (id % 4).toInt, cell))
+        (id, "image", pngPixelBytes(9, 8, gray), src)
+      }
+      .toDF("media_id", "media_type", "payload", "meta_source")
   }
 
   /** Fixture pixel formula for [[bmpPixelMedia]]: docs in the same

@@ -1264,6 +1264,56 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.bmpGray(rle).isEmpty)
   }
 
+  test("pngGray: inflate + all five filters round-trip, RGB luma, ancillary chunks, rejects") {
+    val rnd = new scala.util.Random(11)
+    // the writer rotates filters 0..4 by row, so any h >= 5 exercises
+    // every unfilter path against random (worst-case) pixel data
+    for ((w, h) <- Seq((9, 8), (5, 5), (17, 6), (3, 11))) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val dec = Multimodal.pngGray(Multimodal.pngPixelBytes(w, h, gray))
+      assert(dec.exists { case (dw, dh, dg) =>
+        dw == w && dh == h && dg.sameElements(gray) }, s"$w x $h png round-trip")
+    }
+    // ancillary chunk before IDAT + trailing bytes after IEND tolerated
+    val base = Multimodal.pngPixelBytes(9, 8, Array.tabulate(72)(i => i * 3 % 256))
+    val sig = base.take(8); val rest = base.drop(8)
+    val ihdrLen = 12 + 13
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt); bb.array()
+    }
+    val withAncillary = sig ++ rest.take(ihdrLen) ++
+      chunk("tEXt", "comment".getBytes("US-ASCII")) ++ rest.drop(ihdrLen) ++
+      "trailing payload".getBytes("UTF-8")
+    assert(Multimodal.pngGray(withAncillary).map(_._3.toSeq) ==
+      Multimodal.pngGray(base).map(_._3.toSeq))
+    // RGB (color type 2) luma: hand-build one 1x1 RGB PNG
+    val rgbRaw = Array[Byte](0, 30, 20, 10) // filter 0, R=30 G=20 B=10
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(rgbRaw); defl.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!defl.finished()) zb.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val rgbIhdr = java.nio.ByteBuffer.allocate(13).putInt(1).putInt(1)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val rgbPng = sig ++ chunk("IHDR", rgbIhdr) ++ chunk("IDAT", zb.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.pngGray(rgbPng).exists(_._3(0) == (299 * 30 + 587 * 20 + 114 * 10) / 1000))
+    // rejects: header-only prefix (no IDAT), truncated zlib stream
+    assert(Multimodal.pngGray(Multimodal.pngHeader(9, 8)).isEmpty)
+    val truncated = base.dropRight(30)
+    assert(Multimodal.pngGray(truncated).isEmpty)
+    // dHash parity with the BMP container on identical pixels
+    val g2 = Array.tabulate(72)(c => Multimodal.cellGray(7L, 2, c))
+    val viaPng = Multimodal.pngGray(Multimodal.pngPixelBytes(9, 8, g2)).get
+    val viaBmp = Multimodal.bmpGray(Multimodal.bmpPixelBytes(9, 8, g2)).get
+    assert(Multimodal.dHash64(viaPng._3, 9, 8) == Multimodal.dHash64(viaBmp._3, 9, 8))
+  }
+
   test("dHash64: scale invariance, fixture perturbation bound, banding recall") {
     def upscale(g: Array[Int], w: Int, h: Int, k: Int): Array[Int] =
       Array.tabulate(w * k * h * k) { i =>
