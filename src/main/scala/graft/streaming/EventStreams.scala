@@ -87,6 +87,32 @@ object EventStreams {
       .select("user_id", "p_id", "p_ts", "c_id", "c_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase emits,
+    * with its preceding click within `gap` or NULL click columns when
+    * none exists. The outer semantics are the interesting part on
+    * streams: a null row can only be emitted once the watermark has
+    * passed the join window — the engine must PROVE no future click
+    * can still match — so unmatched results trail the watermark
+    * instead of appearing immediately (the spec drives exactly that
+    * delayed-null contract). State stays bounded by the same
+    * watermark that gates the nulls.
+    */
+  def purchasesWithOptionalClick(events: DataFrame, gap: String = "10 minutes",
+                                 watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL $gap"), "left_outer")
+      .select("user_id", "p_id", "p_ts", "c_id", "c_ts")
+  }
+
   /** Stream-static enrichment: join the unbounded stream against a
     * bounded dimension. No watermark and no state — Spark re-plans the
     * static side per micro-batch, and a small dim broadcasts, so each

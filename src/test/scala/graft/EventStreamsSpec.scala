@@ -287,6 +287,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: nulls emit only after the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val joined = EventStreams.purchasesWithOptionalClick(df,
+      gap = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssoj")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click"),
+        (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "purchase"), // matches 1
+        (3L, Timestamp.valueOf("2024-01-01 00:06:00"), 9L, "purchase")) // no click ever
+      q.processAllAvailable()
+      def rows() = spark.sql("SELECT p_id, c_id FROM ssoj").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // matched row emits; the unmatched purchase must NOT have a null
+      // row yet — a future click could still arrive inside its window
+      assert(rows() == Set((2L, 1L)), s"premature null row: ${rows()}")
+      // advance BOTH stream watermarks far past purchase 3's window
+      mem.addData(
+        (4L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "click"),
+        (5L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      mem.addData(
+        (6L, Timestamp.valueOf("2024-01-01 02:30:00"), 2L, "click"),
+        (7L, Timestamp.valueOf("2024-01-01 02:30:00"), 2L, "purchase"))
+      q.processAllAvailable()
+      val after = rows()
+      assert(after.contains((3L, -1L)), s"null row never flushed: $after")
+      assert(after.contains((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
