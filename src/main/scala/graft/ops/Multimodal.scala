@@ -412,6 +412,105 @@ object Multimodal {
     for ((sr, ch, bits) <- fmt; dl <- dataLen) yield (sr, ch, bits, dl)
   }
 
+  /** Real WAV SAMPLE decode (not just the fmt metadata): the RIFF walk
+    * locates the data chunk and the 16-bit PCM samples are read as
+    * signed little-endian shorts, all channels interleaved — the one
+    * audio format whose samples need no codec. Returns
+    * (sampleRate, channels, samples). None unless PCM 16-bit.
+    */
+  def wavSamples(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)) & 0xffffffffL
+    def cc(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 44 || cc(0) != "RIFF" || cc(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(i + 4)
+      cc(i) match {
+        case "fmt " if i + 8 + 16 <= p.length =>
+          fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
+        case "data" =>
+          val len = math.min(size, (p.length - i - 8).toLong).toInt
+          data = Some((i + 8, len))
+        case _ => ()
+      }
+      val adv = 8L + size + (size & 1L)
+      if (i + adv > p.length) i = p.length else i += adv.toInt
+    }
+    for ((sr, ch, bits) <- fmt; (off, len) <- data; if bits == 16) yield {
+      val n = len / 2
+      val samples = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        samples(j) = (le16(off + j * 2) << 16) >> 16 // sign-extend
+        j += 1
+      }
+      (sr, ch, samples)
+    }
+  }
+
+  /** Sample-level audio statistics over audio-typed media rows — the
+    * loudness/silence gates an audio-corpus pipeline runs (drop silent
+    * clips, clip-detection via peak, activity via zero crossings).
+    * ALL integer: peak = max |s|, mean_square = sum(s²) div n (the
+    * RMS decision statistic without the sqrt — monotone equivalent,
+    * exactly replayable), zero_crossings counts sign flips with
+    * sign(0) pinned positive. One mapPartitions pass, no shuffle.
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val bytes = if (p == null) Array.emptyByteArray else p
+          wavSamples(bytes).map { case (sr, ch, s) =>
+            var peak = 0L; var sumSq = 0L; var zc = 0L
+            var j = 0
+            while (j < s.length) {
+              val v = s(j)
+              if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+              sumSq += v.toLong * v
+              if (j > 0 && ((s(j - 1) < 0) != (v < 0))) zc += 1
+              j += 1
+            }
+            val ms = if (s.length > 0) sumSq / s.length else 0L
+            (id, sr.toLong, s.length.toLong, peak, ms, zc)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "peak", "mean_square", "zero_crossings")
+  }
+
+  /** Fixture with REAL PCM payloads: mono 16-bit 8 kHz WAVs whose 64
+    * samples come from the fmix64 formula
+    * ((fmix64(doc_id * 1000003 + i) & 0xffff) - 32768), so every
+    * statistic replays arithmetically from doc_id in HUGEINT.
+    */
+  def pcmWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val n = 64
+        val bb = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val s = ((graft.functions.Hashing.fmix64(id * 1000003L + i) & 0xffffL) - 32768L).toInt
+          bb.putShort(s.toShort)
+          i += 1
+        }
+        (id, "audio", wavHeader(8000, 1, 16, n * 2) ++ bb.array(), src)
+      }
+      .toDF("media_id", "media_type", "payload", "meta_source")
+  }
+
   /** Real MP4 metadata: ISO BMFF box walk (u32 BE size + fourcc,
     * containers recursed) reading `mvhd` (movie timescale + duration,
     * v0 u32 / v1 u64 fields) and a track's `stsz` sample count — the

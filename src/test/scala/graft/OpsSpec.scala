@@ -1194,6 +1194,32 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.headerDims("GIF8".getBytes("UTF-8")).isEmpty) // truncated magic
   }
 
+  test("wavSamples + audioStats: sign extension, pinned zero-crossing rule, rejects") {
+    import spark.implicits._
+    def wavOf(samples: Seq[Int], sr: Int = 8000, ch: Int = 1): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => bb.putShort(s.toShort))
+      Multimodal.wavHeader(sr, ch, 16, samples.length * 2) ++ bb.array()
+    }
+    // round-trip with negatives (sign extension) and extremes
+    val vals = Seq(0, 1, -1, 32767, -32768, 12345, -12345)
+    assert(Multimodal.wavSamples(wavOf(vals)).exists(_._3.toSeq == vals))
+    // 8-bit WAV rejected (PCM-16 only); truncated header rejected
+    assert(Multimodal.wavSamples(Multimodal.wavHeader(8000, 1, 8, 4) ++
+      Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.wavSamples(wavOf(vals).take(20)).isEmpty)
+    // audioStats: hand-computed, zero sample counts as positive
+    val media = Seq((1L, "audio", wavOf(Seq(3, -2, 0, -5)), "t"))
+      .toDF("media_id", "media_type", "payload", "meta_source")
+    val r = Multimodal.audioStats(media).collect()(0)
+    assert(r.getLong(2) == 4L)                       // n_samples
+    assert(r.getLong(3) == 5L)                       // peak
+    assert(r.getLong(4) == (9L + 4 + 0 + 25) / 4)    // mean_square
+    // signs: + - + - => 3 crossings (0 is positive by the pinned rule)
+    assert(r.getLong(5) == 3L)
+  }
+
   test("exifOrientation: both byte orders, non-first entry, rejects, dims coexist") {
     def jpegWithApp1(app1: Array[Byte]): Array[Byte] = {
       val j = Multimodal.jpegHeader(321, 123)
