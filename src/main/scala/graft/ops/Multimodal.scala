@@ -567,6 +567,139 @@ object Multimodal {
       yield (ts, dur, f)
   }
 
+  /** Real MP4 frame-extraction bookkeeping: the per-sample SIZE table
+    * (stsz with sample_size = 0) and the first chunk offset (stco)
+    * are the container fields that locate each frame's bytes — frame
+    * i occupies [stco[0] + Σ sizes[<i], + sizes[i]). Returns the
+    * (offset, length) table; None unless both boxes parse.
+    * ISO/IEC 14496-12 s8.7.3 (stsz), s8.7.5 (stco).
+    */
+  def mp4FrameOffsets(p: Array[Byte]): Option[Array[(Long, Long)]] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def cc(i: Int): String = new String(p, i, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var sizes: Option[Array[Long]] = None
+    var chunkOff: Option[Long] = None
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        val size = be32(i)
+        if (size < 8 || i + size > end) return
+        cc(i + 4) match {
+          case "stsz" if i + 20 <= end =>
+            val fixed = be32(i + 12)
+            val n = be32(i + 16).toInt
+            if (sizes.isEmpty && fixed == 0 && n >= 0 && i + 20 + 4L * n <= end)
+              sizes = Some(Array.tabulate(n)(k => be32(i + 20 + 4 * k)))
+          case "stco" if i + 16 <= end =>
+            val n = be32(i + 12).toInt
+            if (chunkOff.isEmpty && n >= 1 && i + 16 + 4L * n <= end)
+              chunkOff = Some(be32(i + 16))
+          case t if containers(t) => walk(i + 8, i + size.toInt)
+          case _ => ()
+        }
+        i += size.toInt
+      }
+    }
+    if (p.length >= 8) walk(0, p.length)
+    for (sz <- sizes; off <- chunkOff) yield {
+      val out = new Array[(Long, Long)](sz.length)
+      var acc = off
+      var k = 0
+      while (k < sz.length) { out(k) = (acc, sz(k)); acc += sz(k); k += 1 }
+      out
+    }
+  }
+
+  /** Per-frame byte ranges for video media rows — the real-offset form
+    * of [[sampleFrames]]: one row per frame with its mdat byte range
+    * read from the actual stsz/stco tables. One pass, no shuffle.
+    */
+  def frameOffsetTable(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val bytes = if (p == null) Array.emptyByteArray else p
+        mp4FrameOffsets(bytes).toSeq.flatMap(_.iterator.zipWithIndex.map {
+          case ((off, len), idx) => (id, idx.toLong, off, len)
+        })
+      }
+      .toDF("media_id", "frame_idx", "byte_off", "byte_len")
+  }
+
+  /** MP4 fixture WITH a real per-sample size table: like [[mp4Header]]
+    * but stsz carries `sizes` explicitly (sample_size = 0) and an stco
+    * box records the mdat payload offset, so [[mp4FrameOffsets]] reads
+    * genuine container fields. Box math: stbl = stsz(20 + 4n) +
+    * stco(20); moov = mvhd(108) + trak chain; mdat payload begins at
+    * 16 + moovSize + 8.
+    */
+  private[graft] def mp4HeaderWithSizes(timescale: Int, durationTs: Long,
+      sizes: Array[Int]): Array[Byte] = {
+    val n = sizes.length
+    val stszSize = 20 + 4 * n
+    val stcoSize = 20
+    val stblSize = 8 + stszSize + stcoSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val trakSize = 8 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val mdatPayloadOff = 16 + moovSize + 8
+    val dataLen = sizes.map(_.toLong).sum.toInt
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize + 8)
+    bb.put(Array[Byte](0, 0, 0, 16)).put("ftyp".getBytes("US-ASCII"))
+    bb.put("isom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)
+    bb.putInt(0).putInt(0)
+    bb.putInt(timescale).putInt(durationTs.toInt)
+    bb.putInt(0x00010000)
+    bb.putShort(0x0100.toShort)
+    bb.position(bb.position() + 10)
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+    bb.putInt(0).putInt(0x00010000).putInt(0)
+    bb.putInt(0).putInt(0).putInt(0x40000000)
+    bb.position(bb.position() + 24)
+    bb.putInt(2)
+    bb.putInt(trakSize).put("trak".getBytes("US-ASCII"))
+    bb.putInt(mdiaSize).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(minfSize).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stblSize).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(stszSize).put("stsz".getBytes("US-ASCII"))
+    bb.putInt(0)        // version + flags
+    bb.putInt(0)        // sample_size 0 -> per-sample table follows
+    bb.putInt(n)
+    sizes.foreach(bb.putInt)
+    bb.putInt(stcoSize).put("stco".getBytes("US-ASCII"))
+    bb.putInt(0)        // version + flags
+    bb.putInt(1)        // entry_count
+    bb.putInt(mdatPayloadOff)
+    bb.putInt(8 + dataLen).put("mdat".getBytes("US-ASCII"))
+    bb.array()
+  }
+
+  /** Fixture: one MP4 per doc with 1 + doc_id % 20 frames whose sizes
+    * come from 100 + (fmix64(doc_id * 31 + i) & 255) — every byte
+    * range replays arithmetically from doc_id.
+    */
+  def mp4FrameMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .map { case (id, src) =>
+        val n = 1 + (id % 20).toInt
+        val sizes = Array.tabulate(n)(i =>
+          100 + (graft.functions.Hashing.fmix64(id * 31L + i) & 255L).toInt)
+        (id, "video", mp4HeaderWithSizes(1000, (1 + id % 60) * 1000, sizes), src)
+      }
+      .toDF("media_id", "media_type", "payload", "meta_source")
+  }
+
   /** Decode dispatch: image-typed rows get real header dims when the
     * payload is PNG/GIF/BMP/JPEG/WebP; audio rows get real sample rate + duration
     * when the payload is WAV (dims 0 — meaningless for audio); video

@@ -1194,6 +1194,25 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.headerDims("GIF8".getBytes("UTF-8")).isEmpty) // truncated magic
   }
 
+  test("mp4FrameOffsets: contiguous ranges from real stsz/stco, meta coexists") {
+    val sizes = Array(120, 250, 101, 333)
+    val p = Multimodal.mp4HeaderWithSizes(1000, 5000L, sizes)
+    val offs = Multimodal.mp4FrameOffsets(p).get
+    assert(offs.length == 4)
+    // ranges are contiguous and start exactly at the mdat payload
+    assert(offs(0)._1 == 212 + 4 * sizes.length)
+    for (i <- offs.indices) assert(offs(i)._2 == sizes(i).toLong)
+    for (i <- 1 until offs.length)
+      assert(offs(i)._1 == offs(i - 1)._1 + offs(i - 1)._2, s"gap at $i")
+    // the metadata walk still reads the same file (count from stsz)
+    assert(Multimodal.mp4Meta(p).exists { case (ts, dur, n) =>
+      ts == 1000 && dur == 5000L && n == 4 })
+    // no stco (the plain fixture) -> no offset table, meta still fine
+    val plain = Multimodal.mp4Header(1000, 5000L, 7, 64)
+    assert(Multimodal.mp4FrameOffsets(plain).isEmpty)
+    assert(Multimodal.mp4Meta(plain).exists(_._3 == 7))
+  }
+
   test("wavSamples + audioStats: sign extension, pinned zero-crossing rule, rejects") {
     import spark.implicits._
     def wavOf(samples: Seq[Int], sr: Int = 8000, ch: Int = 1): Array[Byte] = {
