@@ -2043,6 +2043,20 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n111_gif_dhash" -> ((s, dir) => {
+      // REAL GIF pixel decode: full LZW decompression (variable code
+      // width, CLEAR/EOI, KwKwK, dictionary growth) + palette lookup,
+      // feeding the SAME dHash/banding pipeline and the SAME oracle as
+      // n94/n108 — one arithmetic replay now certifying THREE
+      // independent container decoders (BMP stride walk, PNG
+      // inflate+unfilter, GIF LZW) against each other
+      val media = graft.ops.Gif.gifPixelMedia(t(s, dir, "documents"))
+      val hashes = Multimodal.dhashRelation(media)
+        .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
+      Dedup.hammingNearDups(hashes, maxDistance = 2)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
     "n107_kcore" -> ((s, dir) => {
       // k-core of the word graph at k=29 with the planted hub/spoke
       // cascade (spoke peels round 1, hub — at exactly the bar —
@@ -4584,6 +4598,13 @@ object SparkEntry {
       // all five scanline filters, so one arithmetic replay certifies
       // two independent byte-level decoders (BMP stride walk and PNG
       // inflate+unfilter) against each other
+      pixelDhashOracleSql,
+
+    "n111_gif_dhash" ->
+      // third container over the same arithmetic truth: the GIF
+      // fixture carries the identical cellGray pixels through REAL
+      // dictionary-built LZW, so the one replay certifies the LZW
+      // decoder too
       pixelDhashOracleSql,
 
     "n107_kcore" -> kCoreOracleSql(k = 29, rounds = 4),

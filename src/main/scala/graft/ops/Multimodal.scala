@@ -297,10 +297,11 @@ object Multimodal {
   }
 
   /** dHash relation over image-typed media rows: (media_id, dhash) for
-    * every payload that decodes as a 24bpp BMP; non-decodable payloads
-    * drop (a production pipeline would route them to a quarantine
-    * sink). One pass, no shuffle — the decode stays inside
-    * mapPartitions exactly like [[extractFeatures]].
+    * every payload that decodes as a 24bpp BMP, 8-bit PNG, or
+    * non-interlaced GIF; non-decodable payloads drop (a production
+    * pipeline would route them to a quarantine sink). One pass, no
+    * shuffle — the decode stays inside mapPartitions exactly like
+    * [[extractFeatures]].
     */
   def dhashRelation(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -311,7 +312,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
-          bmpGray(bytes).orElse(pngGray(bytes))
+          bmpGray(bytes).orElse(pngGray(bytes)).orElse(Gif.gifGray(bytes))
             .map { case (w, h, g) => (id, dHash64(g, w, h)) }
         }
       }
