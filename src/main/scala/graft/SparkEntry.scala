@@ -2019,6 +2019,18 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n112_audio_resample" -> ((s, dir) => {
+      // integer PCM resample 8 kHz -> 12 kHz over the real WAV
+      // payloads: decode -> linear-interp resample (floor division,
+      // convention-pinned) -> loudness stats of the RESAMPLED signal,
+      // so the oracle certifies the whole chain arithmetically; the
+      // 3:2 ratio mixes exact sample hits (every 3rd output) with
+      // interpolated values, covering both branches
+      Multimodal.resampledAudioStats(
+          Multimodal.pcmWavMedia(t(s, dir, "documents")), targetRate = 12000)
+        .orderBy("media_id")
+    }),
+
     "n109_audio_stats" -> ((s, dir) => {
       // real 16-bit PCM SAMPLE decode (the r5 verdict's "audio decode
       // stubbed" gap, sample level): peak / mean-square / zero
@@ -2041,6 +2053,38 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
         .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "q54_recursive_cte" -> ((s, dir) => {
+      // Spark 4's WITH RECURSIVE surface: a recursive calendar
+      // dimension (the classic date-spine build) LEFT-joined to
+      // orders so silent zero days appear explicitly — the join
+      // direction a plain GROUP BY over orders cannot express.
+      // DuckDB replays the SAME recursion; 90 levels sits under
+      // Spark's default cteRecursionLevelLimit of 100
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""WITH RECURSIVE cal(d) AS (
+              |  SELECT DATE '1998-01-01'
+              |  UNION ALL
+              |  SELECT date_add(d, 1) FROM cal WHERE d < DATE '1998-03-31'
+              |)
+              |SELECT CAST(cal.d AS TIMESTAMP) AS day,
+              |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+              |       round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+              |FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+              |GROUP BY cal.d ORDER BY day""".stripMargin)
+    }),
+
+    "q53_skyline" -> ((s, dir) => {
+      // 2-D Pareto frontier (cheapest AND biggest part): the operator
+      // reduces dominance to a per-price-level max + a running max
+      // over the LEVEL relation — no quadratic pair join (the spec
+      // asserts the plan is nested-loop-free); the oracle is the
+      // DEFINITION (NOT EXISTS a dominating row), so green proves the
+      // level-reduction algorithm, not a replay of it
+      graft.operators.Skyline.skyline2d(t(s, dir, "part"), "p_retailprice", "p_size")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
     }),
 
     "n111_gif_dhash" -> ((s, dir) => {
@@ -4590,6 +4634,46 @@ object SparkEntry {
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
 
+    "n112_audio_resample" ->
+      // the n109 sample replay extended through the interpolation:
+      // output j sits at input position (j*8000) // 12000 with
+      // remainder frac; exact hits (frac = 0) copy, otherwise floor
+      // division matches Math.floorDiv on negative samples. n_out =
+      // (64-1)*12000/8000 + 1 = 95
+      s"""WITH d AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents),
+         |v0 AS (SELECT doc_id, i, CAST(doc_id * 1000003 + i AS HUGEINT) AS x FROM d),
+         |f1 AS (SELECT doc_id, i, xor(x, x >> 33) AS v1 FROM v0),
+         |f2 AS (SELECT doc_id, i, xor(y, y >> 33) AS v3
+         |       FROM (SELECT doc_id, i, ${mulC("v1", c1, c1lo)} AS y FROM f1)),
+         |f3 AS (SELECT doc_id, i, xor(z, z >> 33) AS u
+         |       FROM (SELECT doc_id, i, ${mulC("v3", c2, c2lo)} AS z FROM f2)),
+         |sm AS (SELECT doc_id, i, CAST(u & 65535 AS BIGINT) - 32768 AS s FROM f3),
+         |pos0 AS (SELECT doc_id, unnest(generate_series(0, 94)) AS j FROM documents),
+         |ip AS (SELECT doc_id, j, (j * 8000) // 12000 AS pos,
+         |               (j * 8000) % 12000 AS frac FROM pos0),
+         |nm AS (SELECT ip.doc_id, ip.j, ip.frac,
+         |  a.s AS sa, a.s * (12000 - ip.frac) + b.s * ip.frac AS num
+         | FROM ip JOIN sm a ON a.doc_id = ip.doc_id AND a.i = ip.pos
+         |   LEFT JOIN sm b ON b.doc_id = ip.doc_id AND b.i = ip.pos + 1),
+         |r0 AS (SELECT doc_id, j,
+         |  -- FLOOR division (DuckDB // truncates toward zero on
+         |  -- integers; Math.floorDiv floors on negative numerators)
+         |  CASE WHEN frac = 0 THEN sa
+         |       ELSE (num - ((num % 12000 + 12000) % 12000)) // 12000 END AS r
+         | FROM nm),
+         |l2 AS (SELECT doc_id, j, r,
+         |  lag(r) OVER (PARTITION BY doc_id ORDER BY j) AS prev FROM r0),
+         |a2 AS (SELECT doc_id,
+         |  CAST(max(abs(r)) AS BIGINT) AS peak,
+         |  CAST(sum(r * r) // 95 AS BIGINT) AS mean_square,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (r < 0)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         | FROM l2 GROUP BY 1)
+         |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS src_rate,
+         | CAST(12000 AS BIGINT) AS target_rate, CAST(95 AS BIGINT) AS n_out,
+         | peak, mean_square, zero_crossings
+         |FROM a2 ORDER BY media_id""".stripMargin,
+
     "n94_image_dhash" -> pixelDhashOracleSql,
 
     "n108_png_dhash" ->
@@ -4606,6 +4690,29 @@ object SparkEntry {
       // dictionary-built LZW, so the one replay certifies the LZW
       // decoder too
       pixelDhashOracleSql,
+
+    "q54_recursive_cte" ->
+      // the same recursion in DuckDB's dialect (DATE + INTEGER)
+      """WITH RECURSIVE cal(d) AS (
+        |  SELECT DATE '1998-01-01'
+        |  UNION ALL
+        |  SELECT d + 1 FROM cal WHERE d < DATE '1998-03-31'
+        |)
+        |SELECT CAST(cal.d AS TIMESTAMP) AS day,
+        |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+        |FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+        |GROUP BY cal.d ORDER BY day""".stripMargin,
+
+    "q53_skyline" ->
+      // definitional: a frontier row is one no other row strictly
+      // dominates (<= price, >= size, at least one strict)
+      """SELECT p_partkey, p_size, p_retailprice FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     "n107_kcore" -> kCoreOracleSql(k = 29, rounds = 4),
 

@@ -488,6 +488,73 @@ object Multimodal {
       .toDF("media_id", "sample_rate", "n_samples", "peak", "mean_square", "zero_crossings")
   }
 
+  /** Integer linear-interpolation PCM resample of a mono sample array
+    * from `srcRate` to `dstRate` — the rate-normalization step an
+    * audio-corpus pipeline runs before any model sees a clip. ALL
+    * integer and convention-pinned so it replays exactly: output
+    * position j sits at input time j*src/dst; n_out =
+    * (n-1)*dst/src + 1 (the last output lands on or before the last
+    * input sample); exact hits copy the sample, interpolated values
+    * use FLOOR division (Math.floorDiv == DuckDB's `//`, which
+    * truncating `/` would break on negative samples).
+    */
+  def resamplePcm(s: Array[Int], srcRate: Int, dstRate: Int): Array[Int] = {
+    require(srcRate > 0 && dstRate > 0, "rates must be positive")
+    if (s.isEmpty) return Array.emptyIntArray
+    val nOut = ((s.length - 1).toLong * dstRate / srcRate).toInt + 1
+    val out = new Array[Int](nOut)
+    var j = 0
+    while (j < nOut) {
+      val num = j.toLong * srcRate
+      val pos = (num / dstRate).toInt
+      val frac = num % dstRate
+      out(j) =
+        if (frac == 0) s(pos)
+        else Math.floorDiv(
+          s(pos).toLong * (dstRate - frac) + s(pos + 1).toLong * frac,
+          dstRate.toLong).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** Resampled loudness statistics over audio media rows: decode real
+    * 16-bit PCM ([[wavSamples]]), resample to `targetRate`
+    * ([[resamplePcm]]), and emit the same integer loudness statistics
+    * as [[audioStats]] over the RESAMPLED signal — proving the whole
+    * decode→resample chain arithmetically. Mono only (multi-channel
+    * rows drop; a production pipeline downmixes first). One
+    * mapPartitions pass, no shuffle.
+    */
+  def resampledAudioStats(media: DataFrame, targetRate: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val bytes = if (p == null) Array.emptyByteArray else p
+          wavSamples(bytes).collect { case (sr, 1, s) if s.nonEmpty =>
+            val r = resamplePcm(s, sr, targetRate)
+            var peak = 0L; var sumSq = 0L; var zc = 0L
+            var j = 0
+            while (j < r.length) {
+              val v = r(j)
+              if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+              sumSq += v.toLong * v
+              if (j > 0 && ((r(j - 1) < 0) != (v < 0))) zc += 1
+              j += 1
+            }
+            (id, sr.toLong, targetRate.toLong, r.length.toLong,
+              peak, sumSq / r.length, zc)
+          }
+        }
+      }
+      .toDF("media_id", "src_rate", "target_rate", "n_out",
+        "peak", "mean_square", "zero_crossings")
+  }
+
   /** Fixture with REAL PCM payloads: mono 16-bit 8 kHz WAVs whose 64
     * samples come from the fmix64 formula
     * ((fmix64(doc_id * 1000003 + i) & 0xffff) - 32768), so every

@@ -222,4 +222,29 @@ class OperatorsSpec extends SparkSpec {
     val b = Crop.time(g, "2019-01-31 00:00:00", "2019-02-02 00:00:00")
     assert(VariableMerge.concatTime(Seq(a, b)).df.count() == g.df.count())
   }
+
+  test("skyline2d equals the brute-force dominance definition; ties survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // small value ranges force plenty of ties on BOTH dimensions
+    val rows = (1 to 400).map(i => (i.toLong, rnd.nextInt(12) * 1.5, rnd.nextInt(10)))
+    val df = rows.toDF("id", "price", "size")
+    val got = graft.operators.Skyline.skyline2d(df, "price", "size")
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter { case (_, p, s) =>
+      !rows.exists { case (_, p2, s2) => p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // exact duplicates of a frontier point are incomparable: all survive
+    val (fp, fs) = rows.collectFirst { case (id, p, s) if want(id) => (p, s) }.get
+    val dup = (rows :+ (9001L, fp, fs) :+ (9002L, fp, fs)).toDF("id", "price", "size")
+    val got2 = graft.operators.Skyline.skyline2d(dup, "price", "size")
+      .select("id").as[Long].collect().toSet
+    assert(got2.contains(9001L) && got2.contains(9002L))
+    // scale shape: level-reduction, never a quadratic nested-loop join
+    val plan = graft.operators.Skyline.skyline2d(df, "price", "size")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -1239,6 +1239,47 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(5) == 3L)
   }
 
+  test("resamplePcm: identity, integer-factor upsample law, floor-div pin, stats chain") {
+    import spark.implicits._
+    // identity: same rate returns the samples unchanged
+    val s = Array(100, -200, 0, 32767, -32768, 7)
+    assert(Multimodal.resamplePcm(s, 8000, 8000).toSeq == s.toSeq)
+    // integer-factor upsample preserves originals at the factor grid
+    val up = Multimodal.resamplePcm(s, 8000, 24000)
+    assert(up.length == (s.length - 1) * 3 + 1)
+    for (j <- s.indices) assert(up(j * 3) == s(j), s"grid point $j")
+    // hand-check interpolation with NEGATIVE values: between 100 and
+    // -200 at frac 1/3: floor((100*2 + -200*1)/3) = floor(0/3) = 0,
+    // at frac 2/3: floor((100*1 + -200*2)/3) = floor(-300/3) = -100
+    assert(up(1) == 0 && up(2) == -100)
+    // floor-division pin (truncation would give -33): between 0 and
+    // -100 at frac 1/3: floor(-100/3) = -34
+    val neg = Multimodal.resamplePcm(Array(0, -100), 1000, 3000)
+    assert(neg.toSeq == Seq(0, -34, -67, -100))
+    // downsample: every 2nd sample at half rate
+    assert(Multimodal.resamplePcm(s, 8000, 4000).toSeq ==
+      Seq(s(0), s(2), s(4)))
+    // end-to-end: resampledAudioStats equals stats of resamplePcm output
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(v => bb.putShort(v.toShort))
+      Multimodal.wavHeader(8000, 1, 16, samples.length * 2) ++ bb.array()
+    }
+    val media = Seq((1L, "audio", wavOf(s.toSeq), "t"))
+      .toDF("media_id", "media_type", "payload", "meta_source")
+    val r2 = Multimodal.resampledAudioStats(media, 12000).collect()(0)
+    val want = Multimodal.resamplePcm(s, 8000, 12000)
+    assert(r2.getLong(3) == want.length.toLong)
+    assert(r2.getLong(4) == want.map(v => math.abs(v.toLong)).max)
+    assert(r2.getLong(5) == want.map(v => v.toLong * v).sum / want.length)
+    // stereo rows drop (mono-only contract)
+    val stereo = Seq((2L, "audio",
+        Multimodal.wavHeader(8000, 2, 16, 8) ++ new Array[Byte](8), "t"))
+      .toDF("media_id", "media_type", "payload", "meta_source")
+    assert(Multimodal.resampledAudioStats(stereo, 12000).count() == 0)
+  }
+
   test("exifOrientation: both byte orders, non-first entry, rejects, dims coexist") {
     def jpegWithApp1(app1: Array[Byte]): Array[Byte] = {
       val j = Multimodal.jpegHeader(321, 123)
