@@ -59,6 +59,13 @@ object SparkEntry {
       .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  /** Planted encoding damage for n114 (SQL twin inline in the oracle
+    * via chr() codes): one U+FFFD, one C1 control (U+0085 NEL), three
+    * 'Ã' UTF-8-as-latin1 pairs (café / naïve / ë).
+    */
+  private val mojibakeSuffix: String =
+    " caf\u00c3\u00a9 na\u00c3\u00afve \ufffd x\u0085y \u00c3\u00ab"
+
   private val plantedDocsCte: String =
     """pd AS (
       | SELECT doc_id, text, n_chars FROM documents
@@ -2019,6 +2026,26 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n113_readability" -> ((s, dir) => {
+      // integer Flesch fixed point: both ratio terms floor-divided so
+      // the classic readability gate replays exactly cross-engine
+      TextAnalysis.readability(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "n114_mojibake" -> ((s, dir) => {
+      // encoding-damage gate with planted damage (the fixture is clean
+      // ASCII, so without salting every count is 0 and the oracle
+      // proves nothing): docs at doc_id % 7 == 0 get a suffix carrying
+      // the three signatures — U+FFFD, a C1 control (U+0085), and
+      // three UTF-8-as-latin1 'Ã' pairs
+      val salted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(mojibakeSuffix))).otherwise(col("text")))
+      TextAnalysis.encodingDamage(salted)
+        .withColumn("is_suspect", col("is_suspect").cast("long"))
+        .orderBy("doc_id")
+    }),
+
     "n112_audio_resample" -> ((s, dir) => {
       // integer PCM resample 8 kHz -> 12 kHz over the real WAV
       // payloads: decode -> linear-interp resample (floor division,
@@ -2053,6 +2080,16 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
         .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "q55_scd2" -> ((s, dir) => {
+      // SCD type-2 dimension build: per-user event_type runs become
+      // version rows with half-open [valid_from, valid_to) intervals
+      // (lag-compare islands + lead close-off). Every window
+      // partitions by user_id — one key shuffle, no global order
+      graft.operators.Scd.scd2(t(s, dir, "events"),
+          key = "user_id", ts = "ts", attr = "event_type", tieBreaker = "event_id")
+        .orderBy("user_id", "version")
     }),
 
     "q54_recursive_cte" -> ((s, dir) => {
@@ -4634,6 +4671,40 @@ object SparkEntry {
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
 
+    "n113_readability" ->
+      // all terms non-negative, so DuckDB's truncating // equals the
+      // floor the Spark side takes
+      """WITH f AS (SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        | CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CAST(CASE WHEN n_words = 0 THEN NULL
+        |      ELSE 206835 - (1015 * n_words) // n_sentences
+        |                  - (84600 * n_syllables) // n_words END AS BIGINT) AS flesch_x1000
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "n114_mojibake" ->
+      // chr() builds the identical planted suffix; replace() is
+      // replace-all in both engines, and the \x{..} hex class parses
+      // identically in RE2 and Java regex
+      """WITH salted AS (SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169) ||
+        |   ' na' || chr(195) || chr(175) || 've ' || chr(65533) || ' x' ||
+        |   chr(133) || 'y ' || chr(195) || chr(171)
+        | ELSE text END AS text FROM documents),
+        |c AS (SELECT doc_id,
+        | CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_replacement,
+        | CAST(len(regexp_extract_all(text, '[\x{80}-\x{9f}]')) AS BIGINT) AS n_c1,
+        | CAST(length(text) - length(replace(text, chr(195), '')) AS BIGINT) AS n_atilde
+        | FROM salted)
+        |SELECT doc_id, n_replacement, n_c1, n_atilde,
+        | CAST(CASE WHEN n_replacement > 0 OR n_c1 > 0 OR n_atilde >= 2
+        |      THEN 1 ELSE 0 END AS BIGINT) AS is_suspect
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "n112_audio_resample" ->
       // the n109 sample replay extended through the interpolation:
       // output j sits at input position (j*8000) // 12000 with
@@ -4690,6 +4761,25 @@ object SparkEntry {
       // dictionary-built LZW, so the one replay certifies the LZW
       // decoder too
       pixelDhashOracleSql,
+
+    "q55_scd2" ->
+      // the islands derivation replayed: lag-compare change flags,
+      // running-sum version ids, min(ts) starts, lead close-off
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |g AS (SELECT *, sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |                    THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS UNBOUNDED PRECEDING) AS version
+        |      FROM e),
+        |v AS (SELECT user_id, version, min(event_type) AS event_type,
+        |             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM g GROUP BY user_id, version)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |  n_events
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     "q54_recursive_cte" ->
       // the same recursion in DuckDB's dialect (DATE + INTEGER)

@@ -1239,4 +1239,50 @@ object TextAnalysis {
             idPat, "<ID>"),
           phonePat, "<PHONE>"))
   }
+
+  /** Integer Flesch-style readability over `text`: whitespace words
+    * (the n03 convention), sentence count = terminator groups
+    * `[.!?]+` floored at 1, syllable proxy = lowercase vowel-cluster
+    * count (the standard dependency-free estimator), and the Flesch
+    * Reading Ease formula in x1000 fixed point with FLOOR division at
+    * each of the two ratio terms — every value replays exactly, where
+    * the float formula could never hash-match across engines. Score is
+    * NULL for word-less docs (a 0 would fake "unreadable").
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = tokenCount(col("text"))
+    val nSentences = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyllables =
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+        nWords.as("n_words"), nSentences.as("n_sentences"), nSyllables.as("n_syllables"))
+      .withColumn("flesch_x1000",
+        when(col("n_words") === 0, lit(null).cast("long"))
+          .otherwise(lit(206835L) -
+            floor(lit(1015L) * col("n_words") / col("n_sentences")).cast("long") -
+            floor(lit(84600L) * col("n_syllables") / col("n_words")).cast("long")))
+  }
+
+  /** Encoding-damage signals — the mojibake/corruption gate a crawl
+    * pipeline runs before any text op trusts the bytes: counts of
+    * U+FFFD replacement characters (decoder already gave up), C1
+    * control characters U+0080–U+009F (the cp1252-read-as-latin1
+    * signature), and U+00C3 'Ã' occurrences (the UTF-8-read-as-latin1
+    * signature: every two-byte UTF-8 sequence for Latin letters
+    * surfaces as 'Ã' + garbage). `is_suspect` flags any replacement
+    * char, any C1 control, or 2+ 'Ã' hits. Pure column expressions —
+    * one scan, codegen, no shuffle.
+    */
+  def encodingDamage(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    def occurrences(ch: String): Column =
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(ch), ""))).cast("long")
+    docs.select(col("doc_id"),
+        occurrences("�").as("n_replacement"),
+        size(regexp_extract_all(text, lit("[\\x{80}-\\x{9f}]"), lit(0))).cast("long").as("n_c1"),
+        occurrences("Ã").as("n_atilde"))
+      .withColumn("is_suspect",
+        col("n_replacement") > 0 || col("n_c1") > 0 || col("n_atilde") >= 2)
+  }
 }

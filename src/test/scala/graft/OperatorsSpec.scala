@@ -247,4 +247,39 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("scd2 builds half-open version intervals; asOf resolves point-in-time") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2020-01-01 10:00:00", 1L, "A"),
+      (1L, "2020-01-01 11:00:00", 2L, "A"),   // same value: same version
+      (1L, "2020-01-01 12:00:00", 3L, "B"),   // change
+      (1L, "2020-01-01 13:00:00", 4L, "A"),   // A again: NEW version (type 2)
+      (2L, "2020-01-01 09:00:00", 5L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dim = graft.operators.Scd.scd2(events, "user_id", "ts", "event_type", "event_id")
+    val rows = dim.orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).toString, Option(r.getTimestamp(4)).map(_.toString), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "A", "2020-01-01 10:00:00.0", Some("2020-01-01 12:00:00.0"), 2L),
+      (1L, 2L, "B", "2020-01-01 12:00:00.0", Some("2020-01-01 13:00:00.0"), 1L),
+      (1L, 3L, "A", "2020-01-01 13:00:00.0", None, 1L),
+      (2L, 1L, "C", "2020-01-01 09:00:00.0", None, 1L)))
+    // asOf: half-open — at exactly 12:00 the NEW version holds
+    val at = graft.operators.Scd.asOf(dim, "user_id",
+        lit("2020-01-01 12:00:00").cast("timestamp"))
+      .filter(col("user_id") === 1L).collect()
+    assert(at.length == 1 && at(0).getString(2) == "B")
+    // tie on ts: the tieBreaker pins which value wins the run order
+    val tied = Seq(
+      (3L, "2020-01-01 10:00:00", 10L, "X"),
+      (3L, "2020-01-01 10:00:00", 11L, "Y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val tdim = graft.operators.Scd.scd2(tied, "user_id", "ts", "event_type", "event_id")
+      .orderBy("version").collect()
+    assert(tdim.map(_.getString(2)).toSeq == Seq("X", "Y"))
+  }
 }

@@ -2584,4 +2584,40 @@ class OpsSpec extends SparkSpec {
       ("york", "times", 2666666664L),
       ("york", "new", 888888888L)))
   }
+
+  test("readability: hand-computed fixed point, sentence floor, null on empty") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "The cat sat. It purred!"),     // 5 words, 2 sentences, 6 vowel groups
+      (2L, "no terminators here"),          // sentences floored at 1
+      (3L, ""),                             // word-less: NULL score
+      (4L, "word")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(d).orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 5L && r(0).getLong(2) == 2L)
+    // "the cat sat it purred": e,a,a,i,u,e -> 6 clusters
+    assert(r(0).getLong(3) == 6L)
+    assert(r(0).getLong(4) == 206835L - (1015L * 5 / 2) - (84600L * 6 / 5))
+    assert(r(1).getLong(2) == 1L)
+    assert(r(2).isNullAt(4) && r(2).getLong(1) == 0L)
+    assert(r(3).getLong(4) == 206835L - 1015L - 84600L)
+  }
+
+  test("encodingDamage: three signatures counted, suspect thresholds pinned") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "perfectly clean ascii text."),
+      (2L, "damaged caf\u00c3\u00a9 and na\u00c3\u00afve"),    // two A-tilde pairs
+      (3L, "single \u00c3 alone"),                                // one: below the bar
+      (4L, "lost byte \ufffd here"),
+      (5L, "c1 control x\u0085y embedded")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.encodingDamage(d).orderBy("doc_id").collect()
+    def row(i: Int) = (r(i).getLong(1), r(i).getLong(2), r(i).getLong(3), r(i).getBoolean(4))
+    assert(row(0) == (0L, 0L, 0L, false))
+    assert(row(1) == (0L, 0L, 2L, true))   // 2+ A-tilde -> suspect
+    assert(row(2) == (0L, 0L, 1L, false))  // a lone one can be legitimate
+    assert(row(3) == (1L, 0L, 0L, true))
+    assert(row(4) == (0L, 1L, 0L, true))
+  }
 }
