@@ -1382,6 +1382,15 @@ object SparkEntry {
         .df.orderBy("time", "y", "x")
     }),
 
+    "g34_rolling_time_mean" -> ((s, _) => {
+      // xarray ds.rolling(time=4).mean() surface: trailing 4-step
+      // window per cell, leading edge NULL (min_periods = window).
+      // One (y,x)-partitioned window — a single cell-key shuffle
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      TemporalResample.rollingTime(g, nSteps = 4, method = "mean")
+        .df.orderBy("time", "y", "x")
+    }),
+
     "g02_downsample_6h_mean" -> ((s, _) => {
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
       TemporalResample.downsample(g, "6 hours", "mean").df.orderBy("time", "y", "x")
@@ -2080,6 +2089,44 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
         .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "q56_collation" -> ((s, dir) => {
+      // Spark 4 collation surface: UTF8_LCASE grouping collapses
+      // planted case variants (even doc_ids upper-cased). The emitted
+      // group key is min(lower(..)) — the collated group's
+      // REPRESENTATIVE value is engine-chosen, so a deterministic
+      // projection is part of using collations correctly
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""WITH mixed AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src,
+              |  n_chars FROM documents)
+              |SELECT min(lower(src)) AS source_key,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM mixed GROUP BY src COLLATE UTF8_LCASE
+              |ORDER BY source_key""".stripMargin)
+    }),
+
+    "q57_variant" -> ((s, dir) => {
+      // Spark 4 VARIANT surface: build nested JSON from typed columns,
+      // parse_json into VARIANT, extract typed fields back by path
+      // (object, array index, and a missing path via try_variant_get).
+      // The oracle is definitional: round-tripping through VARIANT
+      // must recover exactly the constructed values
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""WITH j AS (SELECT event_id,
+              |  parse_json(concat('{"meta":{"type":"', event_type,
+              |    '","uid":', CAST(user_id AS STRING),
+              |    '},"tags":[', CAST(event_id % 5 AS STRING), ',',
+              |    CAST(event_id % 7 AS STRING), ']}')) AS v
+              | FROM events)
+              |SELECT event_id,
+              | variant_get(v, '$.meta.type', 'string') AS vtype,
+              | variant_get(v, '$.meta.uid', 'long') AS uid,
+              | variant_get(v, '$.tags[1]', 'long') AS tag1,
+              | try_variant_get(v, '$.meta.missing', 'long') AS missing
+              |FROM j ORDER BY event_id""".stripMargin)
     }),
 
     "q55_scd2" -> ((s, dir) => {
@@ -3558,6 +3605,15 @@ object SparkEntry {
          |  AND time BETWEEN TIMESTAMP '2019-01-30 12:00:00' AND TIMESTAMP '2019-01-31 06:00:00'
          |ORDER BY time, y, x""".stripMargin,
 
+    "g34_rolling_time_mean" ->
+      s"""WITH $grid
+         |SELECT time, y, x,
+         | CASE WHEN count(t2m) OVER w >= 4 THEN avg(t2m) OVER w END AS t2m
+         |FROM grid
+         |WINDOW w AS (PARTITION BY y, x ORDER BY time
+         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY time, y, x""".stripMargin,
+
     "g02_downsample_6h_mean" ->
       s"""WITH $grid
          |SELECT make_timestamp(CAST(floor(epoch(time) / 21600) * 21600 AS BIGINT) * 1000000) AS time,
@@ -4761,6 +4817,25 @@ object SparkEntry {
       // dictionary-built LZW, so the one replay certifies the LZW
       // decoder too
       pixelDhashOracleSql,
+
+    "q56_collation" ->
+      // the collation collapse replayed as grouping by lower()
+      """WITH mixed AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src,
+        |  n_chars FROM documents)
+        |SELECT min(lower(src)) AS source_key,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM mixed GROUP BY lower(src)
+        |ORDER BY source_key""".stripMargin,
+
+    "q57_variant" ->
+      // definitional: the VARIANT round-trip must recover the typed
+      // source columns exactly
+      """SELECT event_id, event_type AS vtype, user_id AS uid,
+        | CAST(event_id % 7 AS BIGINT) AS tag1,
+        | CAST(NULL AS BIGINT) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q55_scd2" ->
       // the islands derivation replayed: lag-compare change flags,

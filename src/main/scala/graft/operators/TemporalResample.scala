@@ -208,4 +208,36 @@ object TemporalResample {
         vars.zipWithIndex.map { case (v, i) => col("vs").getItem(i).as(v) }: _*)
     g.copy(df = out)
   }
+
+  /** Rolling aggregation along the time axis per grid cell — the
+    * `ds.rolling(time=n).<method>()` xarray surface. Trailing window of
+    * `nSteps` observations (xarray's default alignment); values where
+    * fewer than `minPeriods` observations fill the window are NULL
+    * (xarray default: min_periods = window size → leading edge NULL).
+    *
+    * Scale shape: ONE window partitioned by (y, x) ordered by time —
+    * a single hash shuffle on the cell key, per-cell sorted scans, no
+    * global order. The frame is row-count-based, so the plan is a
+    * WindowExec with a sliding frame, not a self-join.
+    */
+  def rollingTime(g: GridDataset, nSteps: Int, method: String,
+      minPeriods: Int = -1): GridDataset = {
+    require(nSteps >= 1, s"window must be >= 1 step, got $nSteps")
+    val minP = if (minPeriods < 0) nSteps else minPeriods
+    val w = Window.partitionBy(g.y, g.x).orderBy(g.time)
+      .rowsBetween(-(nSteps - 1), 0)
+    val rolled = g.variables.map { v =>
+      val agg = method match {
+        case "mean" => avg(col(v)).over(w)
+        case "sum"  => sum(col(v)).over(w)
+        case "max"  => max(col(v)).over(w)
+        case "min"  => min(col(v)).over(w)
+        case other  => throw new IllegalArgumentException(s"unknown method: $other")
+      }
+      when(count(col(v)).over(w) >= minP, agg).otherwise(lit(null)).as(v)
+    }
+    g.copy(df = g.df.select(
+      Seq(g.time.as(g.meta.timeDim), g.y.as(g.meta.yDim), g.x.as(g.meta.xDim)) ++
+        rolled: _*))
+  }
 }

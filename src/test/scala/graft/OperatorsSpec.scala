@@ -248,6 +248,33 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("rollingTime: trailing mean matches manual fold; leading edge NULL; minPeriods") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    val rolled = TemporalResample.rollingTime(g, nSteps = 4, method = "mean")
+    // one cell, manually folded
+    val cell = g.df.filter(col("y") === 41.25 && col("x") === -83.5)
+      .orderBy("time").select("t2m").collect().map(_.getDouble(0))
+    val got = rolled.df.filter(col("y") === 41.25 && col("x") === -83.5)
+      .orderBy("time").collect()
+    assert(got.length == cell.length)
+    for (i <- cell.indices) {
+      if (i < 3) assert(got(i).isNullAt(3), s"row $i should be leading-edge NULL")
+      else assert(got(i).getDouble(3) == cell.slice(i - 3, i + 1).sum / 4.0, s"row $i")
+    }
+    // minPeriods = 1: no NULLs, first row equals itself
+    val loose = TemporalResample.rollingTime(g, 4, "mean", minPeriods = 1)
+      .df.filter(col("y") === 41.25 && col("x") === -83.5).orderBy("time").collect()
+    assert(!loose.exists(_.isNullAt(3)))
+    assert(loose(0).getDouble(3) == cell(0))
+    // sum/max/min methods agree with manual on a full window
+    for ((m, f) <- Seq[(String, Seq[Double] => Double)](
+        ("sum", _.sum), ("max", _.max), ("min", _.min))) {
+      val r = TemporalResample.rollingTime(g, 4, m)
+        .df.filter(col("y") === 41.25 && col("x") === -83.5).orderBy("time").collect()
+      assert(r(5).getDouble(3) == f(cell.slice(2, 6).toSeq), m)
+    }
+  }
+
   test("scd2 builds half-open version intervals; asOf resolves point-in-time") {
     import spark.implicits._
     val events = Seq(
