@@ -2035,6 +2035,16 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n115_ewma" -> ((s, dir) => {
+      // per-user EWMA (alpha = 1/4) in 2^10 fixed point via the
+      // secondary-sort fold — O(1) state per key, no collect_list;
+      // the recurrence is sequential, so the oracle replays it as a
+      // per-user recursive CTE over row_number
+      graft.ops.TimeSeries.ewmaScaled(t(s, dir, "events"),
+          key = "user_id", ts = "ts", tie = "event_id", value = col("value"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     "n113_readability" -> ((s, dir) => {
       // integer Flesch fixed point: both ratio terms floor-divided so
       // the classic readability gate replays exactly cross-engine
@@ -4726,6 +4736,24 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n115_ewma" ->
+      // sequential recurrence replayed as a recursive CTE chained on
+      // per-user row_number; the (d % 4 + 4) % 4 adjustment turns
+      // DuckDB's truncating // into the floor division the fold takes
+      """WITH RECURSIVE o AS (SELECT user_id, ts, event_id,
+        |  CAST(floor(value * 1024) AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |r(user_id, rn, s) AS (
+        |  SELECT user_id, rn, v FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    r.s + ((o.v - r.s) - (((o.v - r.s) % 4 + 4) % 4)) // 4
+        |  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT o.user_id, o.ts, o.event_id, o.v AS v_scaled, r.s AS ewma_scaled
+        |FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn
+        |ORDER BY o.user_id, o.ts, o.event_id""".stripMargin,
 
     "n113_readability" ->
       // all terms non-negative, so DuckDB's truncating // equals the

@@ -2620,4 +2620,45 @@ class OpsSpec extends SparkSpec {
     assert(row(3) == (1L, 0L, 0L, true))
     assert(row(4) == (0L, 1L, 0L, true))
   }
+
+  test("ewmaScaled: hand fold, key isolation, partition invariance") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "2020-01-01 10:00:00", 1L, 4.0),
+      (1L, "2020-01-01 11:00:00", 2L, 8.0),
+      (1L, "2020-01-01 12:00:00", 3L, 0.5),
+      (2L, "2020-01-01 10:30:00", 4L, 100.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = TimeSeries.ewmaScaled(e, "user_id", "ts", "event_id", col("value"))
+      .orderBy("user_id", "ts", "event_id").collect()
+    // scaled inputs: 4096, 8192, 512; fold: s1=4096,
+    // s2 = 4096 + (8192-4096)/4 = 5120, s3 = 5120 + floor((512-5120)/4)
+    //    = 5120 + floor(-4608/4) = 5120 - 1152 = 3968
+    assert(r.map(_.getLong(4)).toSeq == Seq(4096L, 5120L, 3968L, 102400L))
+    // a second key restarts the state (102400 = its own first value)
+    // negative delta NOT divisible by 4: floor semantics pinned
+    val neg = Seq((1L, "2020-01-01 10:00:00", 1L, 1.0),
+                  (1L, "2020-01-01 11:00:00", 2L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rn = TimeSeries.ewmaScaled(neg, "user_id", "ts", "event_id", col("value"))
+      .orderBy("event_id").collect()
+    // s2 = 1024 + floor(-1024/4) = 768 (exact); and with scaleBits=0:
+    // s = 1 + floor(-1/4) = 1 - 1 = 0  (truncation would keep 1)
+    assert(rn(1).getLong(4) == 768L)
+    val rn0 = TimeSeries.ewmaScaled(neg, "user_id", "ts", "event_id", col("value"),
+      scaleBits = 0).orderBy("event_id").collect()
+    assert(rn0(1).getLong(4) == 0L)
+    // partition invariance on the real fixture: 1 vs 16 shuffle partitions
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try TimeSeries.ewmaScaled(ev, "user_id", "ts", "event_id", col("value"))
+        .orderBy("user_id", "ts", "event_id").collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(run("1") == run("16"))
+  }
 }
