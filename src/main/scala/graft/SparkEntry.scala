@@ -1449,6 +1449,17 @@ object SparkEntry {
       VariableMerge.concatTime(Seq(first, second)).df.orderBy("time", "y", "x")
     }),
 
+    "g35_hilbert_key" -> ((s, _) => {
+      // the Hilbert clustering key (Zorder.writeHilbertClustered's
+      // sort key) as a codegen expression; the oracle replays the
+      // 16-step bit-descent with quadrant rotation as unrolled CTEs
+      SyntheticGrid.df(s)
+        .select(col("time"), col("y"), col("x"),
+          org.apache.spark.sql.graft.GraftFunctions
+            .hilbert_key(col("jy"), col("jx")).as("hkey"))
+        .orderBy("time", "y", "x")
+    }),
+
     "g33_zorder_key" -> ((s, _) => {
       // the storage-layout clustering key Zorder.writeZordered sorts
       // by: Morton bit-interleave of the cell indices, as a codegen
@@ -3743,6 +3754,31 @@ object SparkEntry {
          |   (((jx >> b) & 1) << (2 * b)) + (((jy >> b) & 1) << (2 * b + 1))))
          |  AS BIGINT) AS zkey
          |FROM grid ORDER BY time, y, x""".stripMargin,
+
+    "g35_hilbert_key" -> {
+      // one CTE per curve order bit, each applying the loop body of
+      // HilbertKernels.xy2d verbatim: quadrant digit into d, then the
+      // conditional reflect+transpose of the running (hx, hy) frame.
+      // All references in a step's SELECT read the PREVIOUS step's
+      // columns, so the aliases carry the mutation exactly
+      val steps = (15 to 0 by -1).map { b =>
+        val s = 1L << b
+        val src = if (b == 15) "hinit" else "h" + (b + 1)
+        s"""h$b AS (SELECT time, yc, xc,
+           | CASE WHEN ((hy >> $b) & 1) = 1 THEN hx
+           |      WHEN ((hx >> $b) & 1) = 1 THEN ${s - 1} - hy ELSE hy END AS hx,
+           | CASE WHEN ((hy >> $b) & 1) = 1 THEN hy
+           |      WHEN ((hx >> $b) & 1) = 1 THEN ${s - 1} - hx ELSE hx END AS hy,
+           | d + ${s * s} * xor(3 * ((hx >> $b) & 1), (hy >> $b) & 1) AS d
+           | FROM $src)"""
+      }.mkString(",\n")
+      s"""WITH $grid,
+         |hinit AS (SELECT time, y AS yc, x AS xc, CAST(jy AS BIGINT) AS hy,
+         |          CAST(jx AS BIGINT) AS hx, CAST(0 AS BIGINT) AS d FROM grid),
+         |$steps
+         |SELECT time, yc AS y, xc AS x, CAST(d AS BIGINT) AS hkey
+         |FROM h0 ORDER BY time, y, x""".stripMargin
+    },
 
     "g09_spatial_nearest_x2" ->
       s"""WITH $grid,

@@ -33,4 +33,19 @@ object Zorder {
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert-curve key column — consecutive key values are always
+    * grid-adjacent (Morton jumps at quadrant seams), so range
+    * partitions are tiles with strictly better worst-case locality.
+    */
+  def withHilbertKey(df: DataFrame, y: Column, x: Column): DataFrame =
+    df.withColumn("hkey", hilbert_key(y.cast("long"), x.cast("long")))
+
+  /** Hilbert twin of [[writeZordered]]. */
+  def writeHilbertClustered(df: DataFrame, y: Column, x: Column, path: String,
+                            numFiles: Int = 200): Unit =
+    withHilbertKey(df, y, x)
+      .repartitionByRange(numFiles, col("hkey"))
+      .sortWithinPartitions("hkey")
+      .write.mode("overwrite").parquet(path)
 }

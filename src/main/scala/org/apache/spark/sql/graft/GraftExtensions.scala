@@ -60,6 +60,7 @@ object GraftExtensions {
       if (args.length > 2) intArg(args(2), "numHashes") else 64,
       if (args.length > 3) longArg(args(3), "seed") else 42L)),
     "interleave_bits" -> (args => InterleaveBits(args(0), args(1))),
+    "hilbert_key" -> (args => HilbertKey(args(0), args(1))),
     "nfc_normalize" -> (args => NfcNormalize(args(0))),
     "char_entropy_stats" -> (args => CharEntropyStats(args(0))),
     "random_project" -> (args => RandomProject(args(0),

@@ -511,6 +511,8 @@ object GraftFunctions {
     column(WordShingleSet(expression(text), n))
   def interleave_bits(y: Column, x: Column): Column =
     column(InterleaveBits(expression(y), expression(x)))
+  def hilbert_key(y: Column, x: Column): Column =
+    column(HilbertKey(expression(y), expression(x)))
   def nfc_normalize(text: Column): Column =
     column(NfcNormalize(expression(text)))
   def char_bigrams(text: Column): Column =
