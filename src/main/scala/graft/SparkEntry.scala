@@ -2046,6 +2046,16 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n116_outlier_fences" -> ((s, dir) => {
+      // Tukey IQR anomaly audit per event_type: exact fixed-point
+      // quartiles from the lock-step bisection (no sort), integer
+      // fences, one broadcast join + counting agg. DEFINITIONAL
+      // oracle: the rank window states what a quartile IS
+      graft.ops.Sketch.outlierFences(t(s, dir, "events"),
+          groupCol = "event_type", valueCol = "value")
+        .orderBy("event_type")
+    }),
+
     "n115_ewma" -> ((s, dir) => {
       // per-user EWMA (alpha = 1/4) in 2^10 fixed point via the
       // secondary-sort fold — O(1) state per key, no collect_list;
@@ -4772,6 +4782,28 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n116_outlier_fences" ->
+      // definitional: row_number at rank ceil(q*n) IS the exact
+      // quartile; fences and counts replay in integer arithmetic
+      """WITH s AS (SELECT event_type AS grp,
+        |  CAST(floor(value * 1024) AS BIGINT) AS v FROM events),
+        |n AS (SELECT grp, count(*) AS n FROM s GROUP BY grp),
+        |r AS (SELECT grp, v,
+        |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM s),
+        |q AS (SELECT r.grp,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+        |      THEN v END) AS q1,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+        |      THEN v END) AS q3
+        | FROM r JOIN n ON r.grp = n.grp GROUP BY r.grp)
+        |SELECT q.grp AS event_type, q1, q3,
+        | q1 - (3 * (q3 - q1)) // 2 AS lo, q3 + (3 * (q3 - q1)) // 2 AS hi,
+        | CAST(sum(CASE WHEN s.v < q1 - (3 * (q3 - q1)) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | CAST(sum(CASE WHEN s.v > q3 + (3 * (q3 - q1)) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(count(*) AS BIGINT) AS n_total
+        |FROM q JOIN s ON s.grp = q.grp
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
 
     "n115_ewma" ->
       // sequential recurrence replayed as a recursive CTE chained on

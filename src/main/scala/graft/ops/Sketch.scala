@@ -709,4 +709,36 @@ object Sketch {
       .groupBy("word", "exact_count")
       .agg(min("c").as("cms_estimate"))
   }
+
+  /** Tukey IQR outlier fences per group over a double column, computed
+    * in 2^scaleBits fixed point so the quartiles are EXACT order
+    * statistics (via [[exactQuantilesByGroup]]'s lock-step bisection —
+    * no sort, no approx) and the fence arithmetic is integer:
+    * iqr = q3 - q1, fences = q1/q3 -/+ (3*iqr) div 2 (truncating —
+    * iqr >= 0, so this equals floor). Returns per group the quartiles,
+    * fences, and the outlier counts on each side — the anomaly-audit
+    * report a pipeline runs per slice before trusting a metric.
+    *
+    * Scale shape: the bisection's log-range rounds of combinable bin
+    * counts + one broadcast fence join + one counting agg. Nothing
+    * corpus-sized is ever collected or sorted.
+    */
+  def outlierFences(df: DataFrame, groupCol: String, valueCol: String,
+                    scaleBits: Int = 10): DataFrame = {
+    val scaled = df.select(col(groupCol).cast("string").as(groupCol),
+      floor(col(valueCol) * (1L << scaleBits)).cast("long").as("v_scaled"))
+    val qdf = exactQuantilesByGroup(scaled, groupCol, "v_scaled", Seq(0.25, 0.75))
+    val fences = qdf.groupBy(col(groupCol))
+      .agg(max(when(col("q") === 0.25, col("exact_value"))).as("q1"),
+           max(when(col("q") === 0.75, col("exact_value"))).as("q3"))
+      .withColumn("lo", expr("q1 - (3 * (q3 - q1)) div 2"))
+      .withColumn("hi", expr("q3 + (3 * (q3 - q1)) div 2"))
+    scaled.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(max("q1").as("q1"), max("q3").as("q3"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        sum(when(col("v_scaled") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v_scaled") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        count(lit(1)).as("n_total"))
+  }
 }

@@ -2661,4 +2661,32 @@ class OpsSpec extends SparkSpec {
     }
     assert(run("1") == run("16"))
   }
+
+  test("outlierFences: equals brute-force Tukey fences with planted outliers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (1 to 400).map(i => ("a", 50.0 + rnd.nextGaussian() * 5)) ++
+      (1 to 300).map(i => ("b", 10.0 + rnd.nextDouble())) ++
+      Seq(("a", 500.0), ("a", -500.0), ("b", 99.0))   // planted extremes
+    val df = base.toDF("grp", "value")
+    val got = graft.ops.Sketch.outlierFences(df, "grp", "value")
+      .orderBy("grp").collect()
+    // brute force in scaled longs
+    for (r <- got) {
+      val g = r.getString(0)
+      val vs = base.filter(_._1 == g).map(v => math.floor(v._2 * 1024).toLong).sorted
+      val n = vs.length
+      def q(p: Double) = vs(math.max(1, math.ceil(p * n).toLong).toInt - 1)
+      val (q1, q3) = (q(0.25), q(0.75))
+      val iqr3 = 3 * (q3 - q1) / 2
+      assert(r.getLong(1) == q1 && r.getLong(2) == q3, g)
+      assert(r.getLong(3) == q1 - iqr3 && r.getLong(4) == q3 + iqr3, g)
+      assert(r.getLong(5) == vs.count(_ < q1 - iqr3), s"$g n_low")
+      assert(r.getLong(6) == vs.count(_ > q3 + iqr3), s"$g n_high")
+      assert(r.getLong(7) == n.toLong, g)
+    }
+    // the plants are actually caught
+    val a = got.find(_.getString(0) == "a").get
+    assert(a.getLong(5) >= 1 && a.getLong(6) >= 1)
+  }
 }
