@@ -2122,6 +2122,22 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "q58_regression" -> ((s, dir) => {
+      // OLS aggregate surface: slope/intercept/r2/corr of extended
+      // price against quantity per return flag — a genuinely
+      // correlated pair, so the fit is value-bearing. Order-dependent
+      // double reductions rounded per the repo convention
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag,
+              | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+              | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+              | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+              | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+              | round(corr(l_extendedprice, l_quantity), 6) AS corr_qty
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "q56_collation" -> ((s, dir) => {
       // Spark 4 collation surface: UTF8_LCASE grouping collapses
       // planted case variants (even doc_ids upper-cased). The emitted
@@ -4913,6 +4929,16 @@ object SparkEntry {
       // dictionary-built LZW, so the one replay certifies the LZW
       // decoder too
       pixelDhashOracleSql,
+
+    "q58_regression" ->
+      """SELECT l_returnflag,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | round(corr(l_extendedprice, l_quantity), 6) AS corr_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q56_collation" ->
       // the collation collapse replayed as grouping by lower()

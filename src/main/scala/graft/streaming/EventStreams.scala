@@ -194,4 +194,49 @@ object EventStreams {
           }
       }
   }
+
+  /** Event row for the transformWithState surfaces. */
+  final case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+
+  /** TTL dedup processor: emits the FIRST row per key while unexpired
+    * state exists, drops the rest; the state value expires `ttl` after
+    * its last update, after which the key is admitted again — the
+    * arbitrary-state shape (Spark 4 transformWithState) that
+    * `dropDuplicatesWithinWatermark` cannot express, because its
+    * horizon is event time while suppression windows ("send at most
+    * one alert per key per minute") are processing time.
+    */
+  private final class TtlDedupProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Ev, Ev] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Ev] = {
+      val out =
+        if (!seen.exists() && rows.hasNext) Iterator.single(rows.next())
+        else Iterator.empty
+      seen.update(true) // refreshes the TTL clock on every sighting
+      out
+    }
+  }
+
+  /** Suppression-window dedup on (user_id, event_type): at most one
+    * emitted row per key per `ttl` of processing time. Requires the
+    * RocksDB state store provider (transformWithState's backing
+    * store); the spec proves both directions — duplicates inside the
+    * window drop, the key re-admits after expiry.
+    */
+  def dedupWithTtl(events: Dataset[Ev], ttl: java.time.Duration): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => e.user_id + "/" + e.event_type)
+      .transformWithState(new TtlDedupProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

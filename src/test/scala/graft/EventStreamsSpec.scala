@@ -445,4 +445,68 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed == batched && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("transformWithState TTL dedup: in-window duplicates drop, key re-admits after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing (the recommended transformWithState
+    // pairing) — full RocksDB snapshot upload can wedge on the
+    // checksum file manager in this environment
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // ProcessingTime TimeMode otherwise busy-loops no-data microbatches
+    // (state-eviction ticks) — TTL expiry is checked on read, so the
+    // spec does not need them
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // direction 1: a generous TTL — the duplicate in a LATER batch
+      // still drops (cross-batch state, not per-batch dedup)
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs = mem.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      val out = EventStreams.dedupWithTtl(evs, java.time.Duration.ofMinutes(10))
+      val q = out.writeStream.format("memory").queryName("ttldedup")
+        .outputMode("append").start()
+      try {
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "alert", 1.0),
+                    (Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "alert", 2.0), // same batch dup
+                    (Timestamp.valueOf("2024-01-01 00:00:03"), 2L, "alert", 3.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:04"), 1L, "alert", 4.0)) // later batch dup
+        q.processAllAvailable()
+        val got = spark.sql("SELECT user_id, value FROM ttldedup ORDER BY user_id")
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        assert(got.toSeq == Seq((1L, 1.0), (2L, 3.0)))
+      } finally q.stop()
+      // direction 2: a 1-second TTL — after sleeping past expiry the
+      // same key emits again (the suppression window reopens)
+      val mem2 = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs2 = mem2.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      val out2 = EventStreams.dedupWithTtl(evs2, java.time.Duration.ofSeconds(1))
+      val q2 = out2.writeStream.format("memory").queryName("ttldedup2")
+        .outputMode("append").start()
+      try {
+        mem2.addData((Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "alert", 1.0))
+        q2.processAllAvailable()
+        Thread.sleep(3000) // TTL expires
+        mem2.addData((Timestamp.valueOf("2024-01-01 00:00:09"), 7L, "alert", 9.0))
+        q2.processAllAvailable()
+        val got2 = spark.sql("SELECT value FROM ttldedup2 ORDER BY value")
+          .collect().map(_.getDouble(0))
+        assert(got2.toSeq == Seq(1.0, 9.0), "key should re-admit after TTL expiry")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }
