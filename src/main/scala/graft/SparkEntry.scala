@@ -2046,6 +2046,15 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n117_matryoshka" -> ((s, dir) => {
+      // MRL truncation audit: top-10 by integer code dot over the full
+      // 64 dims vs the first 16 — overlap and top-1 agreement per
+      // query, all-integer rankings with vec_id tie-break
+      Similarity.prefixDimAudit(t(s, dir, "embeddings"),
+          prefixDim = 16, k = 10, nQueries = 5)
+        .orderBy("query_id")
+    }),
+
     "n116_outlier_fences" -> ((s, dir) => {
       // Tukey IQR anomaly audit per event_type: exact fixed-point
       // quartiles from the lock-step bisection (no sort), integer
@@ -2120,6 +2129,20 @@ object SparkEntry {
         .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
       Dedup.hammingNearDups(hashes, maxDistance = 2)
         .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "q59_time_range_frame" -> ((s, dir) => {
+      // event-TIME range frame (trailing 1 hour per user) — the
+      // interval twin of q29's numeric RANGE frame; peers share
+      // frames, so ties in ts are deterministic by construction
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""SELECT user_id, ts, event_id,
+              | CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+              | round(sum(value) OVER w, 6) AS sum_value_1h
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY user_id, ts, event_id""".stripMargin)
     }),
 
     "q58_regression" -> ((s, dir) => {
@@ -4799,6 +4822,38 @@ object SparkEntry {
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
 
+    "n117_matryoshka" ->
+      // n45's proven code formula + list slices; both rankings are
+      // integer dots (exact in double far below 2^53) with vec_id
+      // tie-break, so the windows replay deterministically
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id,
+        |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |       END AS codes FROM s),
+        |q AS (SELECT vec_id AS query_id, codes AS qc FROM c WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, c.vec_id,
+        |  CAST(list_dot_product(c.codes, q.qc) AS BIGINT) AS dot_full,
+        |  CAST(list_dot_product(c.codes[1:16], q.qc[1:16]) AS BIGINT) AS dot_prefix
+        | FROM c, q WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dot_full DESC, vec_id) AS rf,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY dot_prefix DESC, vec_id) AS rp
+        | FROM p),
+        |ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM (SELECT query_id, vec_id FROM r WHERE rf <= 10) f
+        |  JOIN (SELECT query_id, vec_id FROM r WHERE rp <= 10) pp
+        |    USING (query_id, vec_id) GROUP BY query_id),
+        |t1 AS (SELECT query_id,
+        |  max(CASE WHEN rf = 1 THEN vec_id END) AS full_top1,
+        |  max(CASE WHEN rp = 1 THEN vec_id END) AS prefix_top1
+        | FROM r GROUP BY query_id)
+        |SELECT query_id, n_overlap, full_top1, prefix_top1,
+        | CAST(CASE WHEN full_top1 = prefix_top1 THEN 1 ELSE 0 END AS BIGINT) AS top1_same
+        |FROM ov JOIN t1 USING (query_id) ORDER BY query_id""".stripMargin,
+
     "n116_outlier_fences" ->
       // definitional: row_number at rank ceil(q*n) IS the exact
       // quartile; fences and counts replay in integer arithmetic
@@ -4929,6 +4984,15 @@ object SparkEntry {
       // dictionary-built LZW, so the one replay certifies the LZW
       // decoder too
       pixelDhashOracleSql,
+
+    "q59_time_range_frame" ->
+      """SELECT user_id, ts, event_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+        | round(sum(value) OVER w, 6) AS sum_value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q58_regression" ->
       """SELECT l_returnflag,

@@ -326,6 +326,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Matryoshka prefix-dimension retrieval audit: rank the corpus for
+    * each query by integer code dot product over the FULL dimension and
+    * over only the first `prefixDim` components (the MRL deployment
+    * question: how much retrieval quality does a truncated embedding
+    * keep?), and report top-k overlap and top-1 agreement per query.
+    * Rankings are ENTIRELY integer (code dots with vec_id tie-break),
+    * so the audit replays exactly — no float rank boundaries.
+    *
+    * Scale shape: code dots compute map-side on the 4x-compressed
+    * codes; both rank windows shuffle (query_id, vec_id, two longs)
+    * only — embeddings never ride a shuffle — and the rank filters sit
+    * directly on row_number (WindowGroupLimit prunes per task).
+    */
+  def prefixDimAudit(emb: DataFrame, prefixDim: Int, k: Int = 10,
+                     nQueries: Int = 5): DataFrame = {
+    require(prefixDim >= 1 && k >= 1 && nQueries >= 1)
+    val sq = scalarQuantize(emb).select(col("vec_id"), col("codes"))
+    val q = sq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
+    def idot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    val pairs = sq.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        idot(col("codes"), col("q_codes")).as("dot_full"),
+        idot(slice(col("codes"), 1, prefixDim),
+          slice(col("q_codes"), 1, prefixDim)).as("dot_prefix"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_full").desc, col("vec_id"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_prefix").desc, col("vec_id"))
+    val ranked = pairs.select(col("query_id"), col("vec_id"),
+      row_number().over(wf).as("rf"), row_number().over(wp).as("rp"))
+    val overlap = ranked.filter(col("rf") <= k)
+      .join(ranked.filter(col("rp") <= k).select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    val tops = ranked.filter(col("rf") === 1 || col("rp") === 1)
+      .groupBy("query_id")
+      .agg(max(when(col("rf") === 1, col("vec_id"))).as("full_top1"),
+           max(when(col("rp") === 1, col("vec_id"))).as("prefix_top1"))
+    overlap.join(tops, "query_id")
+      .withColumn("top1_same", (col("full_top1") === col("prefix_top1")).cast("long"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
     * buckets across `tables` tables, exact cosine re-rank.
     */

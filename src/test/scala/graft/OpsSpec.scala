@@ -2689,4 +2689,22 @@ class OpsSpec extends SparkSpec {
     val a = got.find(_.getString(0) == "a").get
     assert(a.getLong(5) >= 1 && a.getLong(6) >= 1)
   }
+
+  test("prefixDimAudit: full-dim prefix is the identity; truncation degrades overlap") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // identity law: prefix = full dimension -> both rankings equal
+    val ident = Similarity.prefixDimAudit(emb, prefixDim = 64, k = 5, nQueries = 3)
+      .collect()
+    assert(ident.length == 3)
+    for (r <- ident) {
+      assert(r.getLong(1) == 5L, "overlap must be k when prefix = full dim")
+      assert(r.getLong(4) == 1L, "top1 must agree with itself")
+    }
+    // monotone sanity: a 4-dim prefix cannot beat the identity overlap
+    val trunc = Similarity.prefixDimAudit(emb, prefixDim = 4, k = 5, nQueries = 3)
+      .collect()
+    assert(trunc.forall(_.getLong(1) <= 5L))
+    // rankings are over the corpus minus the query itself
+    assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
+  }
 }
