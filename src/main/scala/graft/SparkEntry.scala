@@ -2046,6 +2046,17 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n118_poisson_bootstrap" -> ((s, dir) => {
+      // distributed bootstrap: per-(row, replicate) Poisson(1) weights
+      // from the fmix64 uniform, 16 weighted means in one combinable
+      // agg — the uncertainty-quantification shape that needs no
+      // resampling pass
+      graft.ops.Sampling.poissonBootstrap(t(s, dir, "lineitem"),
+          key = (col("l_orderkey") * 8 + col("l_linenumber")).cast("long"),
+          value = col("l_extendedprice"), replicates = 16)
+        .orderBy("replicate")
+    }),
+
     "n117_matryoshka" -> ((s, dir) => {
       // MRL truncation audit: top-10 by integer code dot over the full
       // 64 dims vs the first 16 — overlap and top-1 agreement per
@@ -4821,6 +4832,30 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n118_poisson_bootstrap" -> {
+      val cdf = graft.ops.Sampling.PoissonCdf
+      // same fmix64 HUGEINT replay as n109, then the shared CDF
+      // thresholds bucket the identical uniforms
+      s"""WITH d AS (SELECT l_orderkey * 8 + l_linenumber AS k, l_extendedprice AS v,
+         |  unnest(generate_series(0, 15)) AS r FROM lineitem),
+         |v0 AS (SELECT k, v, r, CAST(k AS HUGEINT) * 1000003 + r AS x FROM d),
+         |f1 AS (SELECT v, r, xor(x, x >> 33) AS v1 FROM v0),
+         |f2 AS (SELECT v, r, xor(y, y >> 33) AS v3
+         |       FROM (SELECT v, r, ${mulC("v1", c1, c1lo)} AS y FROM f1)),
+         |f3 AS (SELECT v, r, xor(z, z >> 33) AS u64
+         |       FROM (SELECT v, r, ${mulC("v3", c2, c2lo)} AS z FROM f2)),
+         |w AS (SELECT v, r,
+         |  CASE WHEN u < ${cdf(0)} THEN 0 WHEN u < ${cdf(1)} THEN 1
+         |       WHEN u < ${cdf(2)} THEN 2 WHEN u < ${cdf(3)} THEN 3
+         |       WHEN u < ${cdf(4)} THEN 4 WHEN u < ${cdf(5)} THEN 5
+         |       ELSE 6 END AS w
+         | FROM (SELECT v, r,
+         |   CAST(u64 >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM f3))
+         |SELECT CAST(r AS BIGINT) AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+         | round(sum(w * v) / sum(w), 6) AS wmean
+         |FROM w GROUP BY r ORDER BY replicate""".stripMargin
+    },
 
     "n117_matryoshka" ->
       // n45's proven code formula + list slices; both rankings are

@@ -472,4 +472,51 @@ object Sampling {
       .filter(col("weight") >= 1L)
       .withColumn("priority_key", key)
   }
+
+  /** Cumulative Poisson(1) CDF thresholds for [[poissonBootstrap]] —
+    * shared verbatim with the oracle SQL so both engines bucket the
+    * same uniforms into the same weights (w = 6 caps the tail at
+    * P ~ 6e-5, a deliberate convention).
+    */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, // P(X <= 0) = e^-1
+    0.7357588823428846,  // P(X <= 1)
+    0.9196986029286058,  // P(X <= 2)
+    0.9810118431238462,  // P(X <= 3)
+    0.9963401531726563,  // P(X <= 4)
+    0.9994058151824183)  // P(X <= 5)
+
+  /** Poisson bootstrap (the distributed bootstrap of Chamandy et al.,
+    * Google 2012): instead of resampling n rows with replacement —
+    * impossible without a global pass — each row draws an independent
+    * Poisson(1) weight per replicate, which converges to the same
+    * resampling distribution. One scan emits `replicates` weighted
+    * copies of the aggregate; no shuffle of data rows, only of
+    * (replicate, partial-sum) pairs, so uncertainty quantification
+    * costs replicates x one combinable aggregation — at 100 TB this
+    * is the ONLY bootstrap shape that works.
+    *
+    * Determinism: the per-(row, replicate) uniform is
+    * (fmix64(key * 1000003 + r) >> 11) / 2^53 — exactly replayable —
+    * bucketed through [[PoissonCdf]]. Returns one row per replicate:
+    * (replicate, n_eff = sum of weights, wmean rounded to 6).
+    */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+                       replicates: Int = 16): DataFrame = {
+    require(replicates >= 2, "need at least two replicates")
+    import org.apache.spark.sql.graft.GraftFunctions.fmix64
+    val u = (shiftrightunsigned(
+        fmix64(col("k") * lit(1000003L) + col("r")), 11).cast("double") /
+      lit(9007199254740992.0)) // 2^53
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(6): Column) {
+      case ((cdf, i), rest) => when(col("u") < lit(cdf), lit(i)).otherwise(rest)
+    }
+    df.select(key.as("k"), value.as("v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("r").cast("long").as("replicate"))
+      .agg(sum("w").as("n_eff"),
+        round(sum(col("w") * col("v")) / sum("w"), 6).as("wmean"))
+  }
 }

@@ -2707,4 +2707,33 @@ class OpsSpec extends SparkSpec {
     // rankings are over the corpus minus the query itself
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
+
+  test("poissonBootstrap: weights match the scalar formula; replicate means bracket the truth") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val key = (col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
+    val out = Sampling.poissonBootstrap(li, key, col("l_extendedprice"), replicates = 8)
+      .orderBy("replicate").collect()
+    assert(out.length == 8)
+    val n = li.count()
+    val truth = li.agg(avg("l_extendedprice")).collect()(0).getDouble(0)
+    for (r <- out) {
+      // E[n_eff] = n: each replicate's weight sum concentrates hard
+      assert(math.abs(r.getLong(1) - n) < n * 0.1, s"replicate ${r.getLong(0)} n_eff")
+      assert(math.abs(r.getDouble(2) - truth) < truth * 0.1, "replicate mean near truth")
+    }
+    // replicates genuinely differ (independent weights per r)
+    assert(out.map(_.getLong(1)).distinct.length > 1)
+    // scalar cross-check: replicate 0's n_eff equals a driver-side fold
+    // of the same fmix64 -> CDF bucketing
+    val keys = li.select(key.as("k")).collect().map(_.getLong(0))
+    def weight(k: Long, r: Long): Long = {
+      val u = (graft.functions.Hashing.fmix64(k * 1000003L + r) >>> 11).toDouble /
+        9007199254740992.0
+      val i = Sampling.PoissonCdf.indexWhere(u < _)
+      if (i < 0) 6L else i.toLong
+    }
+    assert(out(0).getLong(1) == keys.map(weight(_, 0L)).sum)
+    assert(out(5).getLong(1) == keys.map(weight(_, 5L)).sum)
+  }
 }
