@@ -1382,6 +1382,13 @@ object SparkEntry {
         .df.orderBy("time", "y", "x")
     }),
 
+    "g36_weighted_spatial_mean" -> ((s, _) => {
+      // xarray ds.weighted(cos(lat)).mean() — the area-correct spatial
+      // mean; the unweighted mean rides along so the bias is visible
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      SpatialResample.weightedSpatialMean(g).orderBy("time")
+    }),
+
     "g34_rolling_time_mean" -> ((s, _) => {
       // xarray ds.rolling(time=4).mean() surface: trailing 4-step
       // window per cell, leading edge NULL (min_periods = window).
@@ -3685,6 +3692,13 @@ object SparkEntry {
          |WHERE x BETWEEN $cxLo AND $cxHi AND y BETWEEN $cyLo AND $cyHi
          |  AND time BETWEEN TIMESTAMP '2019-01-30 12:00:00' AND TIMESTAMP '2019-01-31 06:00:00'
          |ORDER BY time, y, x""".stripMargin,
+
+    "g36_weighted_spatial_mean" ->
+      s"""WITH $grid
+         |SELECT time,
+         | round(sum(t2m * cos(radians(y))) / sum(cos(radians(y))), 6) AS wmean_t2m,
+         | round(avg(t2m), 6) AS mean_t2m
+         |FROM grid GROUP BY time ORDER BY time""".stripMargin,
 
     "g34_rolling_time_mean" ->
       s"""WITH $grid

@@ -371,4 +371,21 @@ object SpatialResample {
     g.df.drop("jx", "jy")
       .withColumn("jx", floor((g.x - lit(xa.origin)) / lit(xa.step) + 0.5).cast("long"))
       .withColumn("jy", floor((g.y - lit(ya.origin)) / lit(ya.step) + 0.5).cast("long"))
+
+  /** Latitude-weighted spatial mean per timestep — the xarray
+    * `ds.weighted(np.cos(np.deg2rad(ds.lat))).mean(("y","x"))` surface:
+    * on a regular lat/lon grid, cell area shrinks with cos(lat), so an
+    * unweighted spatial mean over-counts high latitudes (the classic
+    * climate-statistics bug). One map-side-combinable aggregation per
+    * timestep; the weight is a per-row column expression, never a
+    * separate relation.
+    */
+  def weightedSpatialMean(g: GridDataset): DataFrame = {
+    val w = cos(radians(g.y))
+    val aggs = g.variables.flatMap { v =>
+      Seq(round(sum(col(v) * w) / sum(w), 6).as(s"wmean_$v"),
+          round(avg(col(v)), 6).as(s"mean_$v"))
+    }
+    g.df.groupBy(g.time.as(g.meta.timeDim)).agg(aggs.head, aggs.tail: _*)
+  }
 }

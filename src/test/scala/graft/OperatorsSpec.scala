@@ -275,6 +275,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSpatialMean: cos-lat weighting, constant-field invariance") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    val out = SpatialResample.weightedSpatialMean(g).orderBy("time").collect()
+    assert(out.length == g.df.select("time").distinct().count())
+    // the weighted and unweighted means genuinely differ on this grid
+    assert(out.exists(r => r.getDouble(1) != r.getDouble(2)))
+    // constant field: weighting cannot move the mean
+    val const = g.copy(df = g.df.withColumn("t2m", lit(7.5)))
+    val c = SpatialResample.weightedSpatialMean(const).collect()
+    assert(c.forall(r => r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5))
+    // hand check one timestep against an explicit fold
+    val t0 = g.df.orderBy("time").select("time").limit(1).collect()(0).getTimestamp(0)
+    val rows = g.df.filter(col("time") === t0)
+      .select("y", "t2m").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val wm = rows.map { case (y, v) => v * math.cos(math.toRadians(y)) }.sum /
+      rows.map { case (y, _) => math.cos(math.toRadians(y)) }.sum
+    val got = out.find(_.getTimestamp(0) == t0).get.getDouble(1)
+    assert(math.abs(got - wm) < 1e-6)
+  }
+
   test("scd2 builds half-open version intervals; asOf resolves point-in-time") {
     import spark.implicits._
     val events = Seq(

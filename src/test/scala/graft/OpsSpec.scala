@@ -2736,4 +2736,31 @@ class OpsSpec extends SparkSpec {
     assert(out(0).getLong(1) == keys.map(weight(_, 0L)).sum)
     assert(out(5).getLong(1) == keys.map(weight(_, 5L)).sum)
   }
+
+  test("approx_percentile honors its accuracy contract against the exact bisection") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_extendedprice") * 100).cast("long").as("cents"))
+    val n = li.count()
+    val accuracy = 100 // rank error bound: n / accuracy
+    val approx = li.agg(expr(s"approx_percentile(cents, array(0.5, 0.99), $accuracy)"))
+      .collect()(0).getSeq[Long](0)
+    val exact = Sketch.exactQuantiles(li, "cents", Seq(0.5, 0.99))
+      .orderBy("q").select("exact_value").collect().map(_.getLong(0))
+    // the approx answer's RANK must sit within n/accuracy of the target
+    val sorted = li.orderBy("cents").select("cents").collect().map(_.getLong(0))
+    for ((q, a) <- Seq(0.5, 0.99).zip(approx)) {
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val rankLo = sorted.indexWhere(_ >= a) + 1L         // first rank holding a
+      val rankHi = sorted.lastIndexWhere(_ <= a) + 1L     // last rank holding a
+      val err = math.min(math.abs(rankLo - target), math.abs(rankHi - target))
+      assert(err <= n / accuracy + 1,
+        s"approx_percentile($q) rank error $err exceeds contract ${n / accuracy}")
+    }
+    // and the exact bisection returns true order statistics
+    for ((q, e) <- Seq(0.5, 0.99).zip(exact)) {
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      assert(sorted(target.toInt - 1) == e, s"exact quantile $q")
+    }
+  }
 }
