@@ -1382,6 +1382,21 @@ object SparkEntry {
         .df.orderBy("time", "y", "x")
     }),
 
+    "g37_time_integral" -> ((s, _) => {
+      // xarray ds.integrate("time"): trapezoidal integral per cell
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      TemporalResample.timeIntegral(g)
+        .withColumn("integral_t2m", round(col("integral_t2m"), 6))
+        .orderBy("y", "x")
+    }),
+
+    "g38_time_derivative" -> ((s, _) => {
+      // xarray ds.differentiate("time"): central differences inside,
+      // one-sided at the edges — per-row IEEE expressions, no rounding
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      TemporalResample.timeDerivative(g).df.orderBy("time", "y", "x")
+    }),
+
     "g36_weighted_spatial_mean" -> ((s, _) => {
       // xarray ds.weighted(cos(lat)).mean() — the area-correct spatial
       // mean; the unweighted mean rides along so the bias is visible
@@ -2051,6 +2066,18 @@ object SparkEntry {
       // 212 + 4n and frame i begins after the cumulative sizes
       Multimodal.frameOffsetTable(Multimodal.mp4FrameMedia(t(s, dir, "documents")))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "n119_rendezvous" -> ((s, dir) => {
+      // HRW sharding + the resharding audit: the (shard-at-8,
+      // shard-at-9) contingency table — HRW's contract makes every
+      // off-diagonal cell land in column 8 (keys move ONLY to the new
+      // shard), with ~1/9 of keys moving
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Sampling.rendezvousShard(col("doc_id"), 8).as("shard8"),
+        graft.ops.Sampling.rendezvousShard(col("doc_id"), 9).as("shard9"))
+      d.groupBy("shard8", "shard9").agg(count(lit(1)).as("n"))
+        .orderBy("shard8", "shard9")
     }),
 
     "n118_poisson_bootstrap" -> ((s, dir) => {
@@ -3693,6 +3720,28 @@ object SparkEntry {
          |  AND time BETWEEN TIMESTAMP '2019-01-30 12:00:00' AND TIMESTAMP '2019-01-31 06:00:00'
          |ORDER BY time, y, x""".stripMargin,
 
+    "g37_time_integral" ->
+      s"""WITH $grid,
+         |m AS (SELECT y, x, t2m, lead(t2m) OVER w AS nv,
+         |        epoch(time) AS t, lead(epoch(time)) OVER w AS nt
+         |      FROM grid WINDOW w AS (PARTITION BY y, x ORDER BY time))
+         |SELECT y, x, round(sum((t2m + nv) / 2.0 * (nt - t)), 6) AS integral_t2m
+         |FROM m WHERE nt IS NOT NULL GROUP BY y, x ORDER BY y, x""".stripMargin,
+
+    "g38_time_derivative" ->
+      s"""WITH $grid,
+         |m AS (SELECT time, y, x, t2m,
+         |  lag(t2m) OVER w AS pv, lead(t2m) OVER w AS nv,
+         |  lag(epoch(time)) OVER w AS pt, lead(epoch(time)) OVER w AS nt,
+         |  epoch(time) AS t
+         | FROM grid WINDOW w AS (PARTITION BY y, x ORDER BY time))
+         |SELECT time, y, x,
+         | CASE WHEN pt IS NULL AND nt IS NULL THEN NULL
+         |      WHEN pt IS NULL THEN (nv - t2m) / (nt - t)
+         |      WHEN nt IS NULL THEN (t2m - pv) / (t - pt)
+         |      ELSE (nv - pv) / (nt - pt) END AS t2m
+         |FROM m ORDER BY time, y, x""".stripMargin,
+
     "g36_weighted_spatial_mean" ->
       s"""WITH $grid
          |SELECT time,
@@ -4846,6 +4895,26 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n119_rendezvous" ->
+      // same fmix64 HUGEINT replay, scores masked to 63 bits so the
+      // max is order-identical to the signed Scala comparison;
+      // arg_max ties are a 2^-63 event
+      s"""WITH g AS (SELECT doc_id, unnest(generate_series(0, 8)) AS s FROM documents),
+         |v0 AS (SELECT doc_id, s, CAST(doc_id AS HUGEINT) * 31 + s AS x FROM g),
+         |f1 AS (SELECT doc_id, s, xor(x, x >> 33) AS v1 FROM v0),
+         |f2 AS (SELECT doc_id, s, xor(y, y >> 33) AS v3
+         |       FROM (SELECT doc_id, s, ${mulC("v1", c1, c1lo)} AS y FROM f1)),
+         |f3 AS (SELECT doc_id, s, xor(z, z >> 33) AS u
+         |       FROM (SELECT doc_id, s, ${mulC("v3", c2, c2lo)} AS z FROM f2)),
+         |sc AS (SELECT doc_id, s,
+         |       CAST(u & 9223372036854775807 AS BIGINT) AS score FROM f3),
+         |a8 AS (SELECT doc_id, arg_max(s, score) AS shard8 FROM sc
+         |       WHERE s < 8 GROUP BY doc_id),
+         |a9 AS (SELECT doc_id, arg_max(s, score) AS shard9 FROM sc GROUP BY doc_id)
+         |SELECT CAST(shard8 AS BIGINT) AS shard8, CAST(shard9 AS BIGINT) AS shard9,
+         | CAST(count(*) AS BIGINT) AS n
+         |FROM a8 JOIN a9 USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "n118_poisson_bootstrap" -> {
       val cdf = graft.ops.Sampling.PoissonCdf

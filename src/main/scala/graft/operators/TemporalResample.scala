@@ -240,4 +240,46 @@ object TemporalResample {
       Seq(g.time.as(g.meta.timeDim), g.y.as(g.meta.yDim), g.x.as(g.meta.xDim)) ++
         rolled: _*))
   }
+
+  /** Trapezoidal time integral per grid cell — xarray's
+    * `ds.integrate("time")`: sum of (v_i + v_{i+1})/2 * dt_i over
+    * consecutive observations, in value-units x seconds. One
+    * (y, x)-partitioned window (lead) feeding a map-side-combinable
+    * sum — a single cell-key shuffle, like [[rollingTime]].
+    */
+  def timeIntegral(g: GridDataset): DataFrame = {
+    val w = Window.partitionBy(g.y, g.x).orderBy(g.time)
+    val dt = (lead(unix_timestamp(g.time), 1).over(w) -
+      unix_timestamp(g.time)).cast("double")
+    val terms = g.df.select(
+      (Seq(g.y.as(g.meta.yDim), g.x.as(g.meta.xDim), dt.as("_dt")) ++
+        g.variables.map(v =>
+          ((col(v) + lead(col(v), 1).over(w)) / 2.0).as(s"_m_$v"))): _*)
+      .filter(col("_dt").isNotNull)
+    val aggs = g.variables.map(v =>
+      sum(col(s"_m_$v") * col("_dt")).as(s"integral_$v"))
+    terms.groupBy(g.meta.yDim, g.meta.xDim).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Central-difference time derivative per grid cell — xarray's
+    * `ds.differentiate("time")`: (v_{i+1} - v_{i-1}) / (t_{i+1} -
+    * t_{i-1}) at interior points, one-sided differences at the two
+    * edges, in value-units per second. Same single cell-key shuffle.
+    */
+  def timeDerivative(g: GridDataset): GridDataset = {
+    val w = Window.partitionBy(g.y, g.x).orderBy(g.time)
+    val t = unix_timestamp(g.time).cast("double")
+    val tp = lag(t, 1).over(w)
+    val tn = lead(t, 1).over(w)
+    val out = g.variables.foldLeft(g.df) { (d, v) =>
+      val vp = lag(col(v), 1).over(w)
+      val vn = lead(col(v), 1).over(w)
+      d.withColumn(v,
+        when(tp.isNull && tn.isNull, lit(null))
+          .when(tp.isNull, (vn - col(v)) / (tn - t))   // leading edge
+          .when(tn.isNull, (col(v) - vp) / (t - tp))   // trailing edge
+          .otherwise((vn - vp) / (tn - tp)))
+    }
+    g.copy(df = out)
+  }
 }

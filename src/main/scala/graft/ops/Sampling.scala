@@ -519,4 +519,23 @@ object Sampling {
       .agg(sum("w").as("n_eff"),
         round(sum(col("w") * col("v")) / sum("w"), 6).as("wmean"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over s of fmix64(key * 31 + s), scores masked to 63 bits
+    * so the signed/unsigned comparison convention cannot diverge
+    * across engines. HRW's defining property — growing the cluster
+    * from n to n+1 shards moves a key ONLY to the new shard, never
+    * between old ones, and only ~1/(n+1) of keys move — is what makes
+    * resharding a 100 TB corpus an incremental copy instead of a full
+    * reshuffle. Ties break to the lowest shard id (first-max), a
+    * 2^-63 event. Thaler & Ravishankar (1998).
+    */
+  def rendezvousShard(key: Column, shards: Int): Column = {
+    require(shards >= 1, "need at least one shard")
+    import org.apache.spark.sql.graft.GraftFunctions.fmix64
+    val scores = transform(sequence(lit(0), lit(shards - 1)),
+      s => fmix64(key * lit(31L) + s.cast("long"))
+        .bitwiseAND(lit(Long.MaxValue)))
+    (array_position(scores, array_max(scores)) - 1).cast("long")
+  }
 }

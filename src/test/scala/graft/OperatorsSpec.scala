@@ -329,4 +329,32 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("version").collect()
     assert(tdim.map(_.getString(2)).toSeq == Seq("X", "Y"))
   }
+
+  test("timeIntegral and timeDerivative match hand folds; constant-field laws") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    // integral of a constant c over [t0, tN] is c * (tN - t0)
+    val const = g.copy(df = g.df.withColumn("t2m", lit(2.5)))
+    val span = g.df.agg((max(unix_timestamp(col("time"))) -
+      min(unix_timestamp(col("time")))).cast("double")).collect()(0).getDouble(0)
+    val ci = TemporalResample.timeIntegral(const).collect()
+    assert(ci.forall(r => math.abs(r.getDouble(2) - 2.5 * span) < 1e-6))
+    // derivative of a constant is 0 everywhere
+    val cd = TemporalResample.timeDerivative(const).df.collect()
+    assert(cd.forall(r => r.getDouble(3) == 0.0))
+    // hand fold on one real cell
+    val cell = g.df.filter(col("y") === 41.25 && col("x") === -83.5)
+      .orderBy("time").select(unix_timestamp(col("time")).cast("double"), col("t2m"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val wantI = cell.sliding(2).map { case Array((t0, v0), (t1, v1)) =>
+      (v0 + v1) / 2.0 * (t1 - t0) }.sum
+    val gotI = TemporalResample.timeIntegral(g)
+      .filter(col("y") === 41.25 && col("x") === -83.5).collect()(0).getDouble(2)
+    assert(math.abs(gotI - wantI) < 1e-6)
+    // central difference at an interior point
+    val der = TemporalResample.timeDerivative(g).df
+      .filter(col("y") === 41.25 && col("x") === -83.5)
+      .orderBy("time").collect().map(_.getDouble(3))
+    assert(der(1) == (cell(2)._2 - cell(0)._2) / (cell(2)._1 - cell(0)._1))
+    assert(der(0) == (cell(1)._2 - cell(0)._2) / (cell(1)._1 - cell(0)._1)) // edge
+  }
 }

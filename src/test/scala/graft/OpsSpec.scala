@@ -2763,4 +2763,26 @@ class OpsSpec extends SparkSpec {
       assert(sorted(target.toInt - 1) == e, s"exact quantile $q")
     }
   }
+
+  test("rendezvousShard: keys move ONLY to the added shard, ~1/(n+1) of them") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val d = keys.select(col("k"),
+      Sampling.rendezvousShard(col("k"), 8).as("s8"),
+      Sampling.rendezvousShard(col("k"), 9).as("s9")).collect()
+    // every shard id in range; all 8 (and 9) shards actually used
+    assert(d.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    assert(d.map(_.getLong(1)).distinct.length == 8)
+    assert(d.map(_.getLong(2)).distinct.length == 9)
+    // THE defining property: a key either keeps its shard or moves to
+    // the NEW shard 8 — never between old shards
+    assert(d.forall(r => r.getLong(2) == r.getLong(1) || r.getLong(2) == 8L))
+    // movement fraction concentrates near 1/9
+    val moved = d.count(r => r.getLong(2) != r.getLong(1))
+    assert(moved > 2000 / 9 / 2 && moved < 2000 / 9 * 2, s"moved $moved")
+    // scalar cross-check against a driver-side argmax
+    def hrw(k: Long, n: Int): Long =
+      (0 until n).maxBy(s => graft.functions.Hashing.fmix64(k * 31L + s) & Long.MaxValue).toLong
+    for (r <- d.take(50)) assert(r.getLong(1) == hrw(r.getLong(0), 8))
+  }
 }
