@@ -1382,6 +1382,26 @@ object SparkEntry {
         .df.orderBy("time", "y", "x")
     }),
 
+    "g39_diurnal_cycle" -> ((s, _) => {
+      // xarray ds.groupby("time.hour").mean() climatology: per-cell
+      // diurnal cycle — one map-side-combinable agg on (hour, y, x)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      g.df.groupBy(hour(col("time")).cast("long").as("hr"), col("y"), col("x"))
+        .agg(avg("t2m").as("t2m_mean"), count(lit(1)).as("n"))
+        .orderBy("hr", "y", "x")
+    }),
+
+    "g40_anomaly" -> ((s, _) => {
+      // the groupby-transform surface (xarray g - g.groupby(..).mean()):
+      // anomaly against the per-(hour, cell) climatology via ONE
+      // window — no self-join of the grid against its own aggregate
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      val w = Window.partitionBy(hour(col("time")), col("y"), col("x"))
+      g.df.select(col("time"), col("y"), col("x"),
+          (col("t2m") - avg(col("t2m")).over(w)).as("t2m_anom"))
+        .orderBy("time", "y", "x")
+    }),
+
     "g37_time_integral" -> ((s, _) => {
       // xarray ds.integrate("time"): trapezoidal integral per cell
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
@@ -2066,6 +2086,18 @@ object SparkEntry {
       // 212 + 4n and frame i begins after the cumulative sizes
       Multimodal.frameOffsetTable(Multimodal.mp4FrameMedia(t(s, dir, "documents")))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "n120_good_turing" -> ((s, dir) => {
+      // Good-Turing r* = (r+1) N_{r+1} / N_r in x1e6 fixed point over
+      // the corpus word-BIGRAM frequencies (the granularity whose
+      // r = 1..4 tail is populated — every unigram of the 31-word
+      // synthetic vocabulary is frequent, which made a unigram first
+      // cut return the empty set) — the unseen-mass smoothing of every
+      // n-gram LM, with the lead window on the tiny count-of-counts
+      // relation
+      TextAnalysis.goodTuring(t(s, dir, "documents"), maxR = 10)
+        .orderBy("r")
     }),
 
     "n119_rendezvous" -> ((s, dir) => {
@@ -3720,6 +3752,18 @@ object SparkEntry {
          |  AND time BETWEEN TIMESTAMP '2019-01-30 12:00:00' AND TIMESTAMP '2019-01-31 06:00:00'
          |ORDER BY time, y, x""".stripMargin,
 
+    "g39_diurnal_cycle" ->
+      s"""WITH $grid
+         |SELECT CAST(hour(time) AS BIGINT) AS hr, y, x,
+         | avg(t2m) AS t2m_mean, CAST(count(*) AS BIGINT) AS n
+         |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g40_anomaly" ->
+      s"""WITH $grid
+         |SELECT time, y, x,
+         | t2m - avg(t2m) OVER (PARTITION BY hour(time), y, x) AS t2m_anom
+         |FROM grid ORDER BY time, y, x""".stripMargin,
+
     "g37_time_integral" ->
       s"""WITH $grid,
          |m AS (SELECT y, x, t2m, lead(t2m) OVER w AS nv,
@@ -4895,6 +4939,22 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n120_good_turing" ->
+      """WITH ws AS (SELECT list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |      FROM ws WHERE len(ws) >= 2),
+        |w AS (SELECT ws[i] || ' ' || ws[i + 1] AS w FROM g),
+        |wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |coc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY c),
+        |l AS (SELECT r, n_r, lead(n_r) OVER (ORDER BY r) AS n_next,
+        |        lead(r) OVER (ORDER BY r) AS r_next FROM coc)
+        |SELECT CAST(r AS BIGINT) AS r, n_r,
+        | CAST(CASE WHEN r_next = r + 1
+        |      THEN (1000000 * (r + 1) * n_next) // n_r END AS BIGINT) AS r_star_x1e6
+        |FROM l WHERE r <= 10 ORDER BY r""".stripMargin,
 
     "n119_rendezvous" ->
       // same fmix64 HUGEINT replay, scores masked to 63 bits so the

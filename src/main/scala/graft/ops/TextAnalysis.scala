@@ -1180,10 +1180,11 @@ object TextAnalysis {
   def cdcChunks(docs: DataFrame, w: Int = 8, modulus: Int = 32): DataFrame = {
     require(w >= 2 && modulus >= 2, "window >= 2 and modulus >= 2")
     val len = length(col("text"))
-    val positions = when(len >= w, sequence(lit(w), len))
-      .otherwise(array().cast("array<int>"))
-    val bounds = filter(positions, i =>
-      pmod(fnv64(col("text").substr(i - lit(w - 1), lit(w))), lit(modulus)) === 0)
+    // one tight codegen loop per row — the per-position formulation
+    // (filter(sequence(..), i -> pmod(fnv64(substr(..)), m) = 0))
+    // allocates a substring per char through an interpreted lambda and
+    // measured 59 s at sf0.1; cdc_boundaries is value-identical
+    val bounds = cdc_boundaries(col("text"), w, modulus)
     val cuts = concat(array(lit(0)), bounds, array(len))
     val chunks = transform(sequence(lit(1), size(cuts) - 1), k =>
       struct(k.cast("long").as("chunk_idx"),
@@ -1238,6 +1239,39 @@ object TextAnalysis {
               ipPat, "<IP>"),
             idPat, "<ID>"),
           phonePat, "<PHONE>"))
+  }
+
+  /** Good–Turing count-of-counts re-estimation over the corpus WORD
+    * BIGRAM frequencies: r* = (r+1) · N_{r+1} / N_r — the smoothing an
+    * n-gram LM applies to unseen-mass estimation (Good 1953), at the
+    * granularity where a low-frequency tail actually exists (the
+    * synthetic vocabulary is 31 words, so every unigram is frequent,
+    * but bigram TYPES are quadratic and the r = 1..4 tail is
+    * populated). Emitted in x1e6 fixed point with integer division,
+    * NULL where N_{r+1} is absent (the estimate is undefined, not
+    * zero). Two combinable aggs; the lead window runs over the
+    * FREQUENCY-OF-FREQUENCY relation, whose size is the number of
+    * distinct counts — never corpus-sized.
+    */
+  def goodTuring(docs: DataFrame, maxR: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = docs.select(
+      filter(split(trim(col("text")), "\\s+"), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = ws.select(explode(expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("b"))
+    val coc = bigrams.groupBy("b").agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val w = Window.orderBy(col("r"))
+    coc
+      .withColumn("n_next", lead(col("n_r"), 1).over(w))
+      .withColumn("r_next", lead(col("r"), 1).over(w))
+      .withColumn("r_star_x1e6",
+        when(col("r_next") === col("r") + 1,
+          expr("(1000000 * (r + 1) * n_next) div n_r")).otherwise(lit(null)))
+      .filter(col("r") <= maxR)
+      .select(col("r"), col("n_r"), col("r_star_x1e6"))
   }
 
   /** Integer Flesch-style readability over `text`: whitespace words

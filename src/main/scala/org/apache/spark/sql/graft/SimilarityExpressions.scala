@@ -191,6 +191,27 @@ object SimilarityKernels {
     */
   def fnv64(text: UTF8String): Long = Hashing.fnv1a64(text.toString)
 
+  /** Content-defined-chunking boundary positions: every 1-based char
+    * position i in [w, len] where fnv64 of the trailing w-char window
+    * hits 0 mod `modulus` — value-identical to filtering
+    * pmod(fnv64(substr(i-w+1, w)), modulus) = 0 position by position,
+    * but ONE tight loop per row instead of per-position substring
+    * allocation through an interpreted lambda (measured 59 s -> sub-s
+    * on the n100 sweep at sf0.1).
+    */
+  def cdcBoundaries(text: UTF8String, w: Int, modulus: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = w
+    while (i <= n) {
+      if (java.lang.Math.floorMod(Hashing.fnv1a64(s, i - w, i), modulus.toLong) == 0L)
+        out += i
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
   /** FNV-1a-64 pushed through the murmur3 fmix64 finalizer — the HLL
     * value hash. Raw FNV's low bits avalanche poorly on short
     * near-identical strings (they bias register assignment, measured
@@ -422,6 +443,19 @@ case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTyp
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class CdcBoundaries(child: Expression, w: Int, modulus: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.cdcBoundaries(t.asInstanceOf[UTF8String], w, modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.cdcBoundaries($t, $w, $modulus)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FnvMix64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -501,6 +535,8 @@ object GraftFunctions {
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def rolling_hash64(text: Column): Column = column(RollingHash64(expression(text)))
   def fnv64(text: Column): Column = column(Fnv64(expression(text)))
+  def cdc_boundaries(text: Column, w: Int, modulus: Int): Column =
+    column(CdcBoundaries(expression(text), w, modulus))
   def fnv_mix64(text: Column): Column = column(FnvMix64(expression(text)))
   def fmix64(v: Column): Column = column(Fmix64(expression(v)))
   def shingle_set(text: Column, k: Int = 5): Column = column(ShingleSet(expression(text), k))

@@ -357,4 +357,20 @@ class OperatorsSpec extends SparkSpec {
     assert(der(1) == (cell(2)._2 - cell(0)._2) / (cell(2)._1 - cell(0)._1))
     assert(der(0) == (cell(1)._2 - cell(0)._2) / (cell(1)._1 - cell(0)._1)) // edge
   }
+
+  test("diurnal climatology and anomaly: identity laws") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    // anomaly sums to ~0 within each (hour, cell) group by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hour(col("time")), col("y"), col("x"))
+    val anom = g.df.select(hour(col("time")).as("hr"), col("y"), col("x"),
+      (col("t2m") - avg(col("t2m")).over(w)).as("a"))
+    val sums = anom.groupBy("hr", "y", "x").agg(sum("a").as("s")).collect()
+    assert(sums.forall(r => math.abs(r.getDouble(3)) < 1e-9))
+    // climatology of a constant field is that constant
+    val const = g.copy(df = g.df.withColumn("t2m", lit(3.25)))
+    val clim = const.df.groupBy(hour(col("time")), col("y"), col("x"))
+      .agg(avg("t2m").as("m")).collect()
+    assert(clim.forall(_.getDouble(3) == 3.25))
+  }
 }

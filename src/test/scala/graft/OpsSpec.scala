@@ -2785,4 +2785,39 @@ class OpsSpec extends SparkSpec {
       (0 until n).maxBy(s => graft.functions.Hashing.fmix64(k * 31L + s) & Long.MaxValue).toLong
     for (r <- d.take(50)) assert(r.getLong(1) == hrw(r.getLong(0), 8))
   }
+
+  test("goodTuring: hand-computed bigram count-of-counts; undefined estimates NULL") {
+    import spark.implicits._
+    // bigrams: "a b" x3, "b a" x2, "b c" x1, "c d" x1 ->
+    // N_1 = 2, N_2 = 1, N_3 = 1
+    val d = Seq((1L, "a b a b c d"), (2L, "a b a")).toDF("doc_id", "text")
+    val r = TextAnalysis.goodTuring(d).orderBy("r").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    // r*_1 = 2 * N_2 / N_1 = 1.0; r*_2 = 3 * N_3 / N_2 = 3.0; r*_3 undefined
+    assert(r(0).getLong(2) == 1000000L)
+    assert(r(1).getLong(2) == 3000000L)
+    assert(r(2).isNullAt(2))
+    // single-word docs contribute nothing; maxR filters
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.goodTuring(one).count() == 0)
+  }
+
+  test("cdcBoundaries kernel is value-identical to the per-position formulation") {
+    import org.apache.spark.sql.graft.GraftFunctions._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val fast = docs.select(col("doc_id"), cdc_boundaries(col("text"), 8, 32).as("b"))
+    val slow = docs.select(col("doc_id"),
+      filter(when(length(col("text")) >= 8, sequence(lit(8), length(col("text"))))
+          .otherwise(array().cast("array<int>")),
+        i => pmod(fnv64(col("text").substr(i - lit(7), lit(8))), lit(32)) === 0).as("b"))
+    val f = fast.orderBy("doc_id").collect().map(_.getSeq[Int](1).toSeq)
+    val s2 = slow.orderBy("doc_id").collect().map(_.getSeq[Int](1).toSeq)
+    assert(f.toSeq == s2.toSeq)
+    // short text: no window fits -> no boundaries
+    val tiny = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(cdc_boundaries(col("text"), 8, 32).as("b")).collect()(0).getSeq[Int](0)
+    assert(tiny.isEmpty)
+  }
 }
