@@ -2088,6 +2088,14 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n121_ks_drift" -> ((s, dir) => {
+      // two-sample KS between the src0 and src1 doc-length
+      // distributions, cross-multiplied to exact integers; the
+      // cumulative window runs over distinct lengths only
+      graft.ops.Profile.ksDrift(t(s, dir, "documents"),
+        groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
+    }),
+
     "n120_good_turing" -> ((s, dir) => {
       // Good-Turing r* = (r+1) N_{r+1} / N_r in x1e6 fixed point over
       // the corpus word-BIGRAM frequencies (the granularity whose
@@ -4939,6 +4947,25 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n121_ks_drift" ->
+      """WITH s AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT v,
+        |  sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        | FROM s GROUP BY v),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |cum AS (SELECT v,
+        |  sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |  sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        | FROM c),
+        |d AS (SELECT v, abs(cuma * nb - cumb * na) AS d, na, nb FROM cum, t)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        | CAST(d AS BIGINT) AS ks_num,
+        | CAST((1000000 * d) // (na * nb) AS BIGINT) AS ks_x1e6,
+        | v AS at_value
+        |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n120_good_turing" ->
       """WITH ws AS (SELECT list_filter(

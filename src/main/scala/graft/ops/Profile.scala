@@ -107,4 +107,39 @@ object Profile {
           .otherwise(lit(null).cast("double")))
       .drop("__n", "__s", "__sq", "__mn", "__mx", "__mean")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between groups `ga`
+    * and `gb` of `valueCol` — the distribution-shift gate between two
+    * corpus slices (new crawl vs old, train vs serve). ENTIRELY
+    * integer: D = max over values of |cumA·nB − cumB·nA| (the CDF
+    * difference cross-multiplied to clear both denominators), with the
+    * attaining value reported (ties to the smallest value). One row:
+    * (n_a, n_b, ks_num, ks_x1e6 = 10^6·D/(nA·nB), at_value).
+    *
+    * Scale shape: one counting agg keyed by value, one cumulative
+    * window over the DISTINCT-VALUE relation (metric-cardinality-
+    * sized, like the skyline levels — never row-sized), a broadcast
+    * of the two totals, and a top-1. Nothing row-sized sorts.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+              ga: String, gb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.filter(col(groupCol).isin(ga, gb))
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val counts = s.groupBy("v").agg(
+      sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .select(col("v"), sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("d", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("d").as("ks_num"),
+        expr("(1000000 * d) div (na * nb)").as("ks_x1e6"),
+        col("v").as("at_value"))
+  }
 }

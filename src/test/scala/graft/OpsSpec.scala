@@ -2820,4 +2820,34 @@ class OpsSpec extends SparkSpec {
       .select(cdc_boundaries(col("text"), 8, 32).as("b")).collect()(0).getSeq[Int](0)
     assert(tiny.isEmpty)
   }
+
+  test("ksDrift: hand-computed statistic, shifted-distribution detection, identity zero") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,3,4}: D = 1/3 at v=1 (cumA*nB - cumB*nA = 3 there)
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r = graft.ops.Profile.ksDrift(d, "g", "v", "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (3L, 3L, 3L, 333333L, 1L))
+    // identical samples: D = 0
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+    assert(graft.ops.Profile.ksDrift(same, "g", "v", "a", "b")
+      .collect()(0).getLong(2) == 0L)
+    // a hard shift saturates: disjoint supports -> D = nA*nB (ks_x1e6 = 1e6)
+    val shift = Seq(("a", 1L), ("a", 2L), ("b", 100L), ("b", 200L)).toDF("g", "v")
+    assert(graft.ops.Profile.ksDrift(shift, "g", "v", "a", "b")
+      .collect()(0).getLong(3) == 1000000L)
+    // brute-force agreement on the fixture slice
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = graft.ops.Profile.ksDrift(docs, "source", "n_chars", "src0", "src1")
+      .collect()(0)
+    val a = docs.filter(col("source") === "src0").select("n_chars")
+      .collect().map(_.getLong(0)).sorted
+    val b = docs.filter(col("source") === "src1").select("n_chars")
+      .collect().map(_.getLong(0)).sorted
+    val want = (a ++ b).distinct.sorted.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+    }.max
+    assert(got.getLong(2) == want)
+  }
 }
