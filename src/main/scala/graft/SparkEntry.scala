@@ -2216,6 +2216,26 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "q60_sql_udf" -> ((s, dir) => {
+      // Spark 4 SQL UDFs: a scalar function and a TABLE-VALUED
+      // function (declarative chunking) applied via LATERAL — the
+      // reusable-logic surface that needs no JVM code; the oracle
+      // inlines both bodies
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION len_bucket(s STRING)
+              |RETURNS BIGINT RETURN length(s) DIV 100""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION char_chunks(s STRING, k INT)
+              |RETURNS TABLE(i INT, piece STRING)
+              |RETURN SELECT i, substr(s, (i - 1) * k + 1, k)
+              |FROM (SELECT explode(sequence(1,
+              |  CAST(ceil(length(s) / k) AS INT))) AS i)""".stripMargin)
+      s.sql("""SELECT d.doc_id, len_bucket(d.text) AS bucket,
+              | CAST(c.i AS BIGINT) AS chunk_idx,
+              | CAST(length(c.piece) AS BIGINT) AS piece_len
+              |FROM documents d, LATERAL char_chunks(d.text, 500) c
+              |ORDER BY doc_id, chunk_idx""".stripMargin)
+    }),
+
     "q59_time_range_frame" -> ((s, dir) => {
       // event-TIME range frame (trailing 1 hour per user) — the
       // interval twin of q29's numeric RANGE frame; peers share
@@ -5189,6 +5209,17 @@ object SparkEntry {
       // dictionary-built LZW, so the one replay certifies the LZW
       // decoder too
       pixelDhashOracleSql,
+
+    "q60_sql_udf" ->
+      // both UDF bodies inlined
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(generate_series(1,
+        |    CAST(ceil(strlen(text) / 500.0) AS BIGINT))) AS i
+        | FROM documents)
+        |SELECT doc_id, CAST(strlen(text) // 100 AS BIGINT) AS bucket,
+        | CAST(i AS BIGINT) AS chunk_idx,
+        | CAST(strlen(substr(text, CAST((i - 1) * 500 + 1 AS INT), 500)) AS BIGINT) AS piece_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q59_time_range_frame" ->
       """SELECT user_id, ts, event_id,
