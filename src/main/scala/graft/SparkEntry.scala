@@ -1382,6 +1382,23 @@ object SparkEntry {
         .df.orderBy("time", "y", "x")
     }),
 
+    "g41_where_clip_fillna" -> ((s, _) => {
+      // the xarray masking trio on one relation: where(t2m >= 50)
+      // nulls the low half, fillna(0) restores it as a sentinel, and
+      // clip(20, 80) clamps the raw values — all pure column
+      // expressions, rows never dropped
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      val masked = g.whereMask(col("t2m") >= 50.0)
+      val out = masked.df
+        .withColumnRenamed("t2m", "t2m_masked")
+        .withColumn("t2m_filled", coalesce(col("t2m_masked"), lit(0.0)))
+      out.join(g.clip(20.0, 80.0).df.withColumnRenamed("t2m", "t2m_clip"),
+          Seq("time", "y", "x"))
+        .select(col("time"), col("y"), col("x"),
+          col("t2m_masked"), col("t2m_filled"), col("t2m_clip"))
+        .orderBy("time", "y", "x")
+    }),
+
     "g39_diurnal_cycle" -> ((s, _) => {
       // xarray ds.groupby("time.hour").mean() climatology: per-cell
       // diurnal cycle — one map-side-combinable agg on (hour, y, x)
@@ -3779,6 +3796,14 @@ object SparkEntry {
          |WHERE x BETWEEN $cxLo AND $cxHi AND y BETWEEN $cyLo AND $cyHi
          |  AND time BETWEEN TIMESTAMP '2019-01-30 12:00:00' AND TIMESTAMP '2019-01-31 06:00:00'
          |ORDER BY time, y, x""".stripMargin,
+
+    "g41_where_clip_fillna" ->
+      s"""WITH $grid
+         |SELECT time, y, x,
+         | CASE WHEN t2m >= 50.0 THEN t2m END AS t2m_masked,
+         | coalesce(CASE WHEN t2m >= 50.0 THEN t2m END, 0.0) AS t2m_filled,
+         | least(greatest(t2m, 20.0), 80.0) AS t2m_clip
+         |FROM grid ORDER BY time, y, x""".stripMargin,
 
     "g39_diurnal_cycle" ->
       s"""WITH $grid

@@ -108,4 +108,27 @@ final case class GridDataset(df: DataFrame, meta: GridMeta) {
     val dims = Seq(meta.timeDim, meta.yDim, meta.xDim).filter(df.columns.contains)
     copy(df = df.select((dims ++ ok).map(col): _*))
   }
+
+  /** xarray `ds.where(cond)`: keep variable values where `cond` holds,
+    * NULL elsewhere (xarray's NaN — the engine's missing value is
+    * NULL). Rows are retained; only values are masked.
+    */
+  def whereMask(cond: Column): GridDataset =
+    copy(df = variables.foldLeft(df) { (d, v) =>
+      d.withColumn(v, when(cond, col(v)))
+    })
+
+  /** xarray `ds.clip(min, max)`: values clamped into [lo, hi]. */
+  def clip(lo: Double, hi: Double): GridDataset = {
+    require(lo <= hi, s"clip bounds inverted: [$lo, $hi]")
+    copy(df = variables.foldLeft(df) { (d, v) =>
+      d.withColumn(v, least(greatest(col(v), lit(lo)), lit(hi)))
+    })
+  }
+
+  /** xarray `ds.fillna(value)`: NULL variable values replaced. */
+  def fillna(value: Double): GridDataset =
+    copy(df = variables.foldLeft(df) { (d, v) =>
+      d.withColumn(v, coalesce(col(v), lit(value)))
+    })
 }

@@ -37,4 +37,28 @@ class GridModelSpec extends SparkSpec {
     assert(sel.variables == Seq("t2m"))
     assertThrows[IllegalArgumentException](g.selectVariables(Seq("nope")))
   }
+
+  test("whereMask/clip/fillna: masking trio laws") {
+    import org.apache.spark.sql.functions._
+    val g = graft.sources.SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    val n = g.df.count()
+    // where keeps every row, nulls exactly the failing values
+    val masked = g.whereMask(col("t2m") >= 50.0)
+    assert(masked.df.count() == n)
+    assert(masked.df.filter(col("t2m").isNull).count() ==
+      g.df.filter(col("t2m") < 50.0).count())
+    assert(masked.df.filter(col("t2m").isNotNull && col("t2m") < 50.0).count() == 0)
+    // fillna restores row-completeness with the sentinel
+    val filled = masked.fillna(0.0)
+    assert(filled.df.filter(col("t2m").isNull).count() == 0)
+    assert(filled.df.filter(col("t2m") === 0.0).count() ==
+      g.df.filter(col("t2m") < 50.0).count())
+    // clip: bounds respected, interior values untouched
+    val clipped = g.clip(20.0, 80.0)
+    assert(clipped.df.filter(col("t2m") < 20.0 || col("t2m") > 80.0).count() == 0)
+    val interiorBefore = g.df.filter(col("t2m") >= 20.0 && col("t2m") <= 80.0).count()
+    assert(clipped.df.join(g.df.withColumnRenamed("t2m", "orig"),
+      Seq("time", "y", "x")).filter(col("t2m") === col("orig")).count() == interiorBefore)
+    intercept[IllegalArgumentException](g.clip(5.0, 1.0))
+  }
 }
