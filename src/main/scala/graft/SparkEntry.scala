@@ -2105,6 +2105,13 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    "n122_psi_drift" -> ((s, dir) => {
+      // PSI between the same two slices as n121, localized per bin —
+      // KS's max-deviation twin weighted over the whole distribution
+      graft.ops.Profile.psiDrift(t(s, dir, "documents"),
+        groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
+    }),
+
     "n121_ks_drift" -> ((s, dir) => {
       // two-sample KS between the src0 and src1 doc-length
       // distributions, cross-multiplied to exact integers; the
@@ -4992,6 +4999,22 @@ object SparkEntry {
          |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
          | CAST(64 AS BIGINT) AS n_samples, peak, mean_square, zero_crossings
          |FROM a ORDER BY media_id""".stripMargin,
+
+    "n122_psi_drift" ->
+      """WITH s AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM s),
+        |w AS (SELECT greatest(1, (hi - lo + 16) // 16) AS w, lo FROM b),
+        |c AS (SELECT (v - lo) // w AS bin,
+        |  sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        | FROM s, w GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(ca AS BIGINT) AS ca,
+        | CAST(cb AS BIGINT) AS cb,
+        | round(1000000.0 * (ca / na - cb / nb) * ln(ca / na * nb / cb), 6)
+        |   AS psi_term_x1e6
+        |FROM c, t WHERE ca > 0 AND cb > 0 ORDER BY bin""".stripMargin,
 
     "n121_ks_drift" ->
       """WITH s AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v

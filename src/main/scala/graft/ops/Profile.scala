@@ -142,4 +142,41 @@ object Profile {
         expr("(1000000 * d) div (na * nb)").as("ks_x1e6"),
         col("v").as("at_value"))
   }
+
+  /** Population Stability Index between groups `ga` and `gb` of
+    * `valueCol` — the binned drift report that complements [[ksDrift]]
+    * (KS gives the max deviation; PSI weights the whole distribution):
+    * psi = Σ_bins (p_a − p_b) · ln(p_a / p_b). Bins are fixed-width
+    * over the POOLED min/max (integer arithmetic, the n43 binning
+    * convention); bins where either side is empty are skipped — the
+    * pinned convention instead of an epsilon fudge. Returns one row
+    * per populated bin with its contribution (x1e6, rounded) plus the
+    * per-bin counts, so the drift is localized, not just totaled.
+    *
+    * Scale shape: one counting agg keyed by bin (bins-bounded output),
+    * the totals broadcast. The ln runs on ratios of exact counts, and
+    * the rounding absorbs the engines' sub-ulp ln differences.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               ga: String, gb: String, bins: Int = 16): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val s = df.filter(col(groupCol).isin(ga, gb))
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val bounds = s.agg(min("v").as("lo"), max("v").as("hi"))
+    val binned = s.crossJoin(broadcast(bounds))
+      .withColumn("w", expr(s"greatest(1L, (hi - lo + $bins) div $bins)"))
+      .withColumn("bin", expr("(v - lo) div w"))
+      .groupBy("bin").agg(
+        sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+    val totals = binned.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    binned.crossJoin(broadcast(totals))
+      .filter(col("ca") > 0 && col("cb") > 0)
+      .select(col("bin"), col("ca"), col("cb"),
+        round(lit(1000000.0) *
+          (col("ca") / col("na") - col("cb") / col("nb")) *
+          log(col("ca") / col("na") * col("nb") / col("cb")), 6)
+          .as("psi_term_x1e6"))
+      .orderBy("bin")
+  }
 }

@@ -2850,4 +2850,25 @@ class OpsSpec extends SparkSpec {
     }.max
     assert(got.getLong(2) == want)
   }
+
+  test("psiDrift: identical samples give zero terms; hand-computed contribution") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+      .toDF("g", "v")
+    val zero = graft.ops.Profile.psiDrift(same, "g", "v", "a", "b").collect()
+    assert(zero.nonEmpty && zero.forall(_.getDouble(3) == 0.0))
+    // two bins, hand-computed: A = {0 x3, 100 x1}, B = {0 x1, 100 x3}
+    val d = (Seq.fill(3)(("a", 0L)) ++ Seq(("a", 100L)) ++
+      Seq(("b", 0L)) ++ Seq.fill(3)(("b", 100L))).toDF("g", "v")
+    val r = graft.ops.Profile.psiDrift(d, "g", "v", "a", "b", bins = 2).collect()
+    assert(r.length == 2)
+    val t0 = 1e6 * (0.75 - 0.25) * math.log(0.75 / 0.25)
+    assert(math.abs(r(0).getDouble(3) - math.rint(t0 * 1e6) / 1e6) < 1e-6)
+    // symmetric distributions: the two terms are equal (PSI is symmetric)
+    assert(r(0).getDouble(3) == r(1).getDouble(3))
+    // a bin empty on one side is skipped, not infinite
+    val gap = Seq(("a", 0L), ("a", 0L), ("b", 0L), ("a", 100L)).toDF("g", "v")
+    val g2 = graft.ops.Profile.psiDrift(gap, "g", "v", "a", "b", bins = 2).collect()
+    assert(g2.length == 1 && g2(0).getLong(0) == 0L)
+  }
 }
