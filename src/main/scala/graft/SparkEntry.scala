@@ -1399,6 +1399,42 @@ object SparkEntry {
         .orderBy("time", "y", "x")
     }),
 
+    "g42_focal_mean" -> ((s, _) => {
+      // 2-D focal mean (raster focal statistics / centered 3x3 rolling
+      // window): SEPARABLE two-pass sum+count box filter — two 1-D
+      // RANGE windows, no neighbor self-join; edge boxes shrink to the
+      // cells that exist. Grid rationals keep every partial sum exact,
+      // so no rounding is needed for the cross-engine hash
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      operators.SpatialResample.focalMean(g, radius = 1)
+        .df.orderBy("time", "y", "x")
+    }),
+
+    "g43_polyfit_trend" -> ((s, _) => {
+      // xarray ds.polyfit(dim="time", deg=1): per-cell OLS trend in
+      // units/hour, regressor centered per cell so the normal-equation
+      // sums stay exactly representable — slope and intercept are
+      // exact until the final IEEE divisions (no rounding)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      TemporalResample.polyfitTrend(g).orderBy("y", "x")
+    }),
+
+    "g44_shift_diff_cumsum" -> ((s, _) => {
+      // the xarray along-time trio on one relation: shift(time=2),
+      // diff("time"), cumsum("time") — three cell-keyed window columns
+      // sharing ONE sort+exchange (same partition keys and order), no
+      // self-join; GridModelSpec proves the GridDataset.shiftTime/
+      // diffTime/cumsumTime methods equal these columns exactly
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      val w = Window.partitionBy(col("y"), col("x")).orderBy(col("time"))
+      g.df.select(col("time"), col("y"), col("x"),
+          lag(col("t2m"), 2).over(w).as("t2m_shift2"),
+          (col("t2m") - lag(col("t2m"), 1).over(w)).as("t2m_diff"),
+          sum(col("t2m")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("t2m_cumsum"))
+        .orderBy("time", "y", "x")
+    }),
+
     "g39_diurnal_cycle" -> ((s, _) => {
       // xarray ds.groupby("time.hour").mean() climatology: per-cell
       // diurnal cycle — one map-side-combinable agg on (hour, y, x)
@@ -3811,6 +3847,48 @@ object SparkEntry {
          | coalesce(CASE WHEN t2m >= 50.0 THEN t2m END, 0.0) AS t2m_filled,
          | least(greatest(t2m, 20.0), 80.0) AS t2m_clip
          |FROM grid ORDER BY time, y, x""".stripMargin,
+
+    "g42_focal_mean" -> // separable box filter replayed as two RANGE passes
+      s"""WITH $grid,
+         |ix AS (SELECT time, y, x, t2m,
+         |  CAST(floor((x - (-83.5)) / 0.25 + 0.5) AS BIGINT) AS jx,
+         |  CAST(floor((y - 41.25) / 0.25 + 0.5) AS BIGINT) AS jy
+         | FROM grid),
+         |p1 AS (SELECT time, y, x, jx, jy,
+         |  sum(t2m) OVER wx AS sx, count(t2m) OVER wx AS cx
+         | FROM ix WINDOW wx AS (PARTITION BY time, jy ORDER BY jx
+         |   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+         |SELECT time, y, x,
+         | sum(sx) OVER wy / sum(cx) OVER wy AS t2m
+         |FROM p1 WINDOW wy AS (PARTITION BY time, jx ORDER BY jy
+         |  RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         |ORDER BY time, y, x""".stripMargin,
+
+    "g43_polyfit_trend" -> // exact normal-equation sums, two IEEE divisions
+      s"""WITH $grid,
+         |h AS (SELECT y, x, t2m,
+         |  (epoch(time) - min(epoch(time)) OVER (PARTITION BY y, x))
+         |    / 3600.0 AS hx
+         | FROM grid),
+         |m AS (SELECT y, x, CAST(count(*) AS DOUBLE) AS n,
+         |  sum(hx) AS sx, sum(hx * hx) AS sxx,
+         |  sum(t2m) AS sy, sum(hx * t2m) AS sxy
+         | FROM h GROUP BY y, x)
+         |SELECT y, x,
+         | (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_t2m,
+         | (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         |   AS icept_t2m
+         |FROM m ORDER BY y, x""".stripMargin,
+
+    "g44_shift_diff_cumsum" ->
+      s"""WITH $grid
+         |SELECT time, y, x,
+         | lag(t2m, 2) OVER w AS t2m_shift2,
+         | t2m - lag(t2m, 1) OVER w AS t2m_diff,
+         | sum(t2m) OVER (PARTITION BY y, x ORDER BY time
+         |   ROWS UNBOUNDED PRECEDING) AS t2m_cumsum
+         |FROM grid WINDOW w AS (PARTITION BY y, x ORDER BY time)
+         |ORDER BY time, y, x""".stripMargin,
 
     "g39_diurnal_cycle" ->
       s"""WITH $grid

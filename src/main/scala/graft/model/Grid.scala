@@ -131,4 +131,41 @@ final case class GridDataset(df: DataFrame, meta: GridMeta) {
     copy(df = variables.foldLeft(df) { (d, v) =>
       d.withColumn(v, coalesce(col(v), lit(value)))
     })
+
+  private def timeWindow =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col(meta.yDim), col(meta.xDim)).orderBy(col(meta.timeDim))
+
+  /** xarray `ds.shift(time=n)`: variable values moved n steps forward
+    * along time per cell (NULL at the first n steps); coordinates stay
+    * put. One cell-keyed window, no shuffle beyond the cell keys.
+    */
+  def shiftTime(n: Int): GridDataset = {
+    require(n >= 1, s"shift must be >= 1 step, got $n")
+    copy(df = variables.foldLeft(df) { (d, v) =>
+      d.withColumn(v, lag(col(v), n).over(timeWindow))
+    })
+  }
+
+  /** xarray `ds.diff("time", n=1)`: n-step difference along time per
+    * cell. xarray drops the first n labels; the relational model keeps
+    * the rows with NULL values instead (rows are never dropped, the
+    * [[whereMask]] convention), so the time axis stays aligned.
+    */
+  def diffTime(n: Int = 1): GridDataset = {
+    require(n >= 1, s"diff must be >= 1 step, got $n")
+    copy(df = variables.foldLeft(df) { (d, v) =>
+      d.withColumn(v, col(v) - lag(col(v), n).over(timeWindow))
+    })
+  }
+
+  /** xarray `ds.cumsum("time")`: running sum along time per cell (NULL
+    * values contribute nothing, matching xarray's skipna default).
+    */
+  def cumsumTime: GridDataset =
+    copy(df = variables.foldLeft(df) { (d, v) =>
+      d.withColumn(v, sum(col(v)).over(timeWindow.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    })
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{AxisSpec, GridDataset, GridMeta}
@@ -387,5 +388,40 @@ object SpatialResample {
           round(avg(col(v)), 6).as(s"mean_$v"))
     }
     g.df.groupBy(g.time.as(g.meta.timeDim)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Focal (neighborhood) mean per timestep — raster "focal statistics"
+    * / the 2-D centered rolling mean (xarray
+    * `ds.rolling(y=2r+1, x=2r+1, center=True, min_periods=1).mean()`):
+    * each cell becomes the mean of the values in the (2r+1)^2 box
+    * around it, edge boxes shrinking to the cells that exist.
+    *
+    * Computed SEPARABLY: the box SUM is a sum over x-neighbors of sums
+    * over y-neighbors (and likewise the box COUNT), so two 1-D RANGE
+    * windows replace the O(r^2) neighbor self-join — per-row cost O(1)
+    * via sliding frames, two cell-key shuffles total, no join anywhere.
+    * Tracking sum and count separately (not mean-of-means) keeps edge
+    * boxes exact. Frames never cross the (time, row)-partition, so at
+    * scale each executor slides over its own rows.
+    */
+  def focalMean(g: GridDataset, radius: Int): GridDataset = {
+    require(radius >= 1, s"focal radius must be >= 1, got $radius")
+    val (xa, ya) = axes(g)
+    val d0 = withIndexes(g, xa, ya)
+    val wx = Window.partitionBy(g.time, col("jy")).orderBy(col("jx"))
+      .rangeBetween(-radius, radius)
+    val pass1 = g.variables.foldLeft(d0) { (d, v) =>
+      d.withColumn(s"_sx_$v", sum(col(v)).over(wx))
+        .withColumn(s"_cx_$v", count(col(v)).over(wx))
+    }
+    val wy = Window.partitionBy(g.time, col("jx")).orderBy(col("jy"))
+      .rangeBetween(-radius, radius)
+    val out = g.variables.foldLeft(pass1) { (d, v) =>
+      d.withColumn(v,
+        sum(col(s"_sx_$v")).over(wy) / sum(col(s"_cx_$v")).over(wy))
+    }
+    g.copy(df = out.select(
+      (Seq(g.meta.timeDim, g.meta.yDim, g.meta.xDim) ++ g.variables)
+        .map(col): _*))
   }
 }

@@ -266,6 +266,41 @@ object TemporalResample {
     * t_{i-1}) at interior points, one-sided differences at the two
     * edges, in value-units per second. Same single cell-key shuffle.
     */
+  /** Per-cell linear trend — xarray `ds.polyfit(dim="time", deg=1)`:
+    * ordinary least squares of each variable against time, regressor =
+    * hours since the CELL's first observation (centering per cell keeps
+    * the normal-equation sums small and exactly representable instead
+    * of epoch-sized). Emits `slope_v` (units/hour) and `icept_v`.
+    *
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2);
+    * intercept = (Sy - slope*Sx) / n.
+    * With grid rationals every sum/product above stays exact in IEEE
+    * doubles until the final divisions, so the result is
+    * cross-engine-deterministic without rounding. The per-cell origin
+    * window and the moment agg share the (y, x) keys — Catalyst reuses
+    * one exchange; the moments are map-side combinable.
+    */
+  def polyfitTrend(g: GridDataset): DataFrame = {
+    val w = Window.partitionBy(g.y, g.x)
+    val t = unix_timestamp(g.time).cast("double")
+    val base = g.df.withColumn("_hx", (t - min(t).over(w)) / lit(3600.0))
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("_n"),
+        sum(col("_hx")).as("_sx"),
+        sum(col("_hx") * col("_hx")).as("_sxx")) ++
+      g.variables.flatMap(v =>
+        Seq(sum(col(v)).as(s"_sy_$v"),
+          sum(col("_hx") * col(v)).as(s"_sxy_$v")))
+    val m = base.groupBy(g.meta.yDim, g.meta.xDim).agg(aggs.head, aggs.tail: _*)
+    val out = g.variables.flatMap { v =>
+      val slope = (col("_n") * col(s"_sxy_$v") - col("_sx") * col(s"_sy_$v")) /
+        (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      Seq(slope.as(s"slope_$v"),
+        ((col(s"_sy_$v") - slope * col("_sx")) / col("_n")).as(s"icept_$v"))
+    }
+    m.select((Seq(col(g.meta.yDim), col(g.meta.xDim)) ++ out): _*)
+  }
+
   def timeDerivative(g: GridDataset): GridDataset = {
     val w = Window.partitionBy(g.y, g.x).orderBy(g.time)
     val t = unix_timestamp(g.time).cast("double")

@@ -61,4 +61,30 @@ class GridModelSpec extends SparkSpec {
       Seq("time", "y", "x")).filter(col("t2m") === col("orig")).count() == interiorBefore)
     intercept[IllegalArgumentException](g.clip(5.0, 1.0))
   }
+
+  test("shiftTime/diffTime/cumsumTime: hand folds per cell, row retention, guards") {
+    import org.apache.spark.sql.functions._
+    val g = sources.SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    val n = g.df.count()
+    val cell = g.df.filter(col("y") === 41.25 && col("x") === -83.5)
+      .orderBy("time").select("t2m").collect().map(_.getDouble(0))
+    def cellOf(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("y") === 41.25 && col("x") === -83.5)
+        .orderBy("time").select("t2m").collect()
+    // shift(2): first two NULL, then the series two steps back
+    val sh = g.shiftTime(2)
+    assert(sh.df.count() == n)
+    val shc = cellOf(sh.df)
+    assert(shc(0).isNullAt(0) && shc(1).isNullAt(0))
+    for (i <- 2 until cell.length) assert(shc(i).getDouble(0) == cell(i - 2))
+    // diff: first NULL, then consecutive differences
+    val di = cellOf(g.diffTime().df)
+    assert(di(0).isNullAt(0))
+    for (i <- 1 until cell.length) assert(di(i).getDouble(0) == cell(i) - cell(i - 1))
+    // cumsum: running prefix sums (exact rationals — == not approx)
+    val cs = cellOf(g.cumsumTime.df)
+    for (i <- cell.indices) assert(cs(i).getDouble(0) == cell.take(i + 1).sum)
+    intercept[IllegalArgumentException](g.shiftTime(0))
+    intercept[IllegalArgumentException](g.diffTime(0))
+  }
 }

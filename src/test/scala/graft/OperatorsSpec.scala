@@ -295,6 +295,67 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got - wm) < 1e-6)
   }
 
+  test("focalMean: equals brute-force neighborhood mean; constant field; edges shrink") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    val out = SpatialResample.focalMean(g, radius = 1)
+    // brute force over one timestep: mean of the <=9 neighbors that exist
+    val t0 = g.df.orderBy("time").select("time").limit(1).collect()(0).getTimestamp(0)
+    val cells = g.df.filter(col("time") === t0)
+      .select("y", "x", "t2m").collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    val got = out.df.filter(col("time") === t0)
+      .select("y", "x", "t2m").collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(got.size == cells.size)
+    for (((y, x), _) <- cells) {
+      val nb = for {
+        dy <- -1 to 1; dx <- -1 to 1
+        v <- cells.get((y + dy * 0.25, x + dx * 0.25))
+      } yield v
+      assert(got((y, x)) == nb.sum / nb.size, s"cell ($y, $x)")
+    }
+    // corner cell averages exactly 4 values, interior exactly 9 — the
+    // brute force above proves it; spot-assert the shrink is real
+    val corner = (41.25, -83.5)
+    val nbCorner = for {
+      dy <- -1 to 1; dx <- -1 to 1
+      v <- cells.get((corner._1 + dy * 0.25, corner._2 + dx * 0.25))
+    } yield v
+    assert(nbCorner.size == 4)
+    // constant field: focal mean is the identity
+    val const = g.copy(df = g.df.withColumn("t2m", lit(3.25)))
+    assert(SpatialResample.focalMean(const, 1).df
+      .select("t2m").collect().forall(_.getDouble(0) == 3.25))
+    // no join in the plan: the separable form is window-only
+    val plan = out.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "separable focal mean must not join")
+  }
+
+  test("polyfitTrend: exact on a planted line; hand OLS check; intercept at cell origin") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    // planted exact line v = 2.5 + 0.125 * hours: slope/intercept recovered exactly
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("y"), col("x"))
+    val lineDf = g.df.withColumn("t2m",
+      lit(2.5) + (unix_timestamp(col("time")).cast("double") -
+        min(unix_timestamp(col("time")).cast("double")).over(w)) / 3600.0 * 0.125)
+    val line = TemporalResample.polyfitTrend(g.copy(df = lineDf)).collect()
+    assert(line.nonEmpty)
+    assert(line.forall(r => r.getDouble(2) == 0.125 && r.getDouble(3) == 2.5))
+    // hand OLS on one real cell
+    val vs = g.df.filter(col("y") === 41.25 && col("x") === -83.5)
+      .orderBy("time").select("t2m").collect().map(_.getDouble(0))
+    val xs = vs.indices.map(_.toDouble)
+    val n = vs.length.toDouble
+    val (sx, sy) = (xs.sum, vs.sum)
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(vs).map { case (a, b) => a * b }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val got = TemporalResample.polyfitTrend(g)
+      .filter(col("y") === 41.25 && col("x") === -83.5).collect()(0)
+    assert(got.getDouble(2) == slope && got.getDouble(3) == icept)
+  }
+
   test("scd2 builds half-open version intervals; asOf resolves point-in-time") {
     import spark.implicits._
     val events = Seq(
