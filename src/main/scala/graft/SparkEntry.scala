@@ -931,6 +931,44 @@ object SparkEntry {
               |ORDER BY variant""".stripMargin)
     }),
 
+    "q61_cohort_retention" -> ((s, dir) => {
+      // daily cohort retention matrix: cohort = day of the user's
+      // first event (the fixture splits 134/16 across two days); one
+      // user-keyed min-agg, one co-partitioned join, one distinct-agg,
+      // and the cohort size read off the offset-0 row via a
+      // cohort-keyed window — retention as integer fixed point
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+      val firsts = ev.groupBy("user_id").agg(min("ts").as("first_ts"))
+      val j = ev.join(firsts, "user_id").select(
+        col("user_id"),
+        date_trunc("day", col("first_ts")).as("cohort_day"),
+        datediff(date_trunc("day", col("ts")),
+          date_trunc("day", col("first_ts"))).cast("long").as("day_offset"))
+      val r = j.groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      r.withColumn("cohort_size", first(col("n_users")).over(w))
+        .withColumn("retention_x1e4", expr("n_users * 10000 div cohort_size"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    "q62_event_transitions" -> ((s, dir) => {
+      // Markov transition matrix over the per-user event stream: lead
+      // window on (ts, event_id) total order, then a pair-count agg;
+      // transition probability as integer fixed point over the
+      // from-type total (one window on the 25-row pair relation)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev.select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+      pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("p_x1e6", expr(
+          "cnt * 1000000 div sum(cnt) OVER (PARTITION BY event_type)"))
+        .orderBy("event_type", "next_type")
+    }),
+
     "q51_event_funnel" -> ((s, dir) => {
       // stepwise funnel (view -> click -> purchase, each within 24h of
       // the previous stage's earliest completion): three user-keyed
@@ -3268,6 +3306,19 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "n123_retrieval_metrics" -> ((s, dir) => {
+      // ranked-retrieval quality audit: recall@10 and MRR of the pure
+      // int8 code ranking (what a code-only deployment serves) against
+      // exact-cosine truth, per query, all-integer fixed point — the
+      // ann-benchmarks harness as a relational operator
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(emb, qs, 10)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+      val cand = Similarity.int8TopK(emb, qs, 10)
+      Similarity.retrievalMetrics(truth, cand, 10).orderBy("query_id")
+    }),
+
     "n46_knn_int8" -> ((s, dir) => {
       // int8 search path: integer-dot shortlist (4x over-retrieval)
       // over the quantized codes, exact float re-rank of the shortlist
@@ -3590,6 +3641,34 @@ object SparkEntry {
         |FROM nation WHERE NOT EXISTS (
         |  SELECT 1 FROM keys WHERE keys.k = nation.n_nationkey)
         |ORDER BY variant""".stripMargin,
+
+    "q61_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |j AS (SELECT e.user_id,
+        |  date_trunc('day', f.first_ts) AS cohort_day,
+        |  CAST(date_diff('day', date_trunc('day', f.first_ts),
+        |    date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+        | FROM events e JOIN f USING (user_id)),
+        |r AS (SELECT cohort_day, day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM j GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        | first_value(n_users) OVER w AS cohort_size,
+        | n_users * 10000 // first_value(n_users) OVER w AS retention_x1e4
+        |FROM r WINDOW w AS (PARTITION BY cohort_day ORDER BY day_offset)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q62_event_transitions" ->
+      """WITH p AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+        | FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, cnt,
+        | CAST(cnt * 1000000 //
+        |   sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS p_x1e6
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
 
     "q51_event_funnel" ->
       """WITH v1 AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -6286,6 +6365,42 @@ object SparkEntry {
          |JOIN cms cm ON cm.i = w.i AND cm.cell = w.cell
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
+
+    "n123_retrieval_metrics" ->
+      // truth = n08's exact-cosine replay; candidate = n46's quantizer
+      // + integer-dot ranking (NO re-rank); metrics are pure integer
+      // arithmetic over the two metadata-sized top-10 lists
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qe AS (SELECT vec_id AS query_id, v AS q_v FROM e WHERE vec_id < 5),
+        |tr AS (SELECT query_id, vec_id FROM (
+        |  SELECT qe.query_id, e.vec_id,
+        |   row_number() OVER (PARTITION BY qe.query_id
+        |     ORDER BY list_cosine_similarity(e.v, qe.q_v) DESC, e.vec_id) AS rnk
+        |  FROM e, qe WHERE e.vec_id <> qe.query_id) WHERE rnk <= 10),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id,
+        |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+        |       END AS codes FROM s),
+        |q AS (SELECT vec_id AS query_id, codes AS q_codes FROM c WHERE vec_id < 5),
+        |cd AS (SELECT query_id, vec_id, rnk AS crank FROM (
+        |  SELECT q.query_id, c.vec_id,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    CASE WHEN list_dot_product(c.codes, c.codes) = 0
+        |           OR list_dot_product(q.q_codes, q.q_codes) = 0 THEN 0.0
+        |    ELSE CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+        |      (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
+        |       sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE)))
+        |    END DESC, c.vec_id) AS rnk
+        |  FROM c, q WHERE c.vec_id <> q.query_id) WHERE rnk <= 10)
+        |SELECT tr.query_id,
+        | CAST(count(cd.vec_id) AS BIGINT) AS n_hits,
+        | CAST(count(cd.vec_id) * 10000 // 10 AS BIGINT) AS recall_x1e4,
+        | CAST(coalesce(1000000 // min(cd.crank), 0) AS BIGINT) AS mrr_x1e6
+        |FROM tr LEFT JOIN cd
+        |  ON tr.query_id = cd.query_id AND tr.vec_id = cd.vec_id
+        |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
 
     "n46_knn_int8" ->
       // full replay: n45's quantizer CTEs, integer-dot shortlist ranked

@@ -370,6 +370,55 @@ object Similarity {
       .withColumn("top1_same", (col("full_top1") === col("prefix_top1")).cast("long"))
   }
 
+  /** Pure int8 retrieval ranking — top-k by quantized-code cosine with
+    * NO exact re-rank: the ranking a code-only deployment serves, and
+    * the one [[retrievalMetrics]] audits against exact search. Integer
+    * code dots are exact in the codegen cosine kernel (every partial
+    * sum <= 64 * 127^2, far under 2^24 float), so the ranking replays
+    * cross-engine with the (score DESC, vec_id) tie-break.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val sq = scalarQuantize(corpus).select(col("vec_id"),
+      transform(col("codes"), _.cast("float")).as("codes_f"))
+    val qsq = scalarQuantize(queries).select(col("vec_id").as("query_id"),
+      transform(col("codes"), _.cast("float")).as("q_codes_f"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    sq.join(broadcast(qsq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("codes_f"), col("q_codes_f")).as("qcos"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Ranked-retrieval quality audit — recall@k and MRR of a candidate
+    * ranking against a truth ranking, per query, in integer fixed
+    * point: `recall_x1e4 = n_hits * 10000 div k`, `mrr_x1e6 = 1e6 div
+    * (candidate rank of the first truth item)` (0 when the candidate
+    * list misses the truth set entirely). "Relevant" = membership in
+    * the truth top-k, the standard ANN-benchmark convention
+    * (Aumüller et al., ann-benchmarks).
+    *
+    * Inputs are (query_id, vec_id, rank) relations, rank 1-based.
+    * 100 TB shape: both inputs are ALREADY top-k lists (queries x k
+    * rows, metadata-sized) — the corpus-scale work stayed in the
+    * upstream retrievers; this join never touches an embedding.
+    */
+  def retrievalMetrics(truth: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val tr = truth.filter(col("rank") <= k).select("query_id", "vec_id")
+    val cd = cand.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("crank"))
+    tr.join(cd, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("crank")).as("n_hits"), min(col("crank")).as("first_hit"))
+      .select(col("query_id"), col("n_hits"),
+        expr(s"n_hits * 10000 div $k").as("recall_x1e4"),
+        coalesce(expr("1000000 div first_hit"), lit(0L)).as("mrr_x1e6"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
     * buckets across `tables` tables, exact cosine re-rank.
     */

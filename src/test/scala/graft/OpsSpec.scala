@@ -2708,6 +2708,36 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("retrievalMetrics: identity law, hand case, zero-overlap floor") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+    val truth = Similarity.bruteForceTopK(emb, qs, 5)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+    // identity: a retriever audited against itself is perfect
+    val ident = Similarity.retrievalMetrics(truth, truth, 5).collect()
+    assert(ident.length == 3)
+    assert(ident.forall(r => r.getLong(1) == 5L &&
+      r.getLong(2) == 10000L && r.getLong(3) == 1000000L))
+    // hand case: truth {1,2,3}, candidate hits {3 at rank 2, 1 at rank 5}
+    val tr = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "vec_id", "rank")
+    val cd = Seq((0L, 9L, 1L), (0L, 3L, 2L), (0L, 8L, 3L), (0L, 7L, 4L),
+      (0L, 1L, 5L)).toDF("query_id", "vec_id", "rank")
+    val h = Similarity.retrievalMetrics(tr, cd, 5).collect()(0)
+    assert(h.getLong(1) == 2L)               // hits: vec 3 and vec 1
+    assert(h.getLong(2) == 2L * 10000 / 5)   // recall@5 = 0.4
+    assert(h.getLong(3) == 1000000L / 2)     // first hit at candidate rank 2
+    // zero overlap: metrics floor at 0, the query still appears
+    val none = Seq((0L, 100L, 1L)).toDF("query_id", "vec_id", "rank")
+    val z = Similarity.retrievalMetrics(tr, none, 5).collect()(0)
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L && z.getLong(3) == 0L)
+    // int8TopK emits a dense 1..k ranking per query
+    val i8 = Similarity.int8TopK(emb, qs, 5)
+    assert(i8.groupBy("query_id").agg(countDistinct("rank").as("n"), max("rank").as("m"))
+      .collect().forall(r => r.getLong(1) == 5L && r.getLong(2) == 5L))
+  }
+
   test("poissonBootstrap: weights match the scalar formula; replicate means bracket the truth") {
     import spark.implicits._
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
