@@ -620,6 +620,39 @@ object SparkEntry {
          | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
          |FROM r$iters ORDER BY rank DESC, word LIMIT $topK""".stripMargin)
 
+  /** Unrolled synchronous label-propagation replay over the n97 word
+    * co-occurrence graph: `rounds` argmax rounds (count DESC, label
+    * ASC — counts are integers, so the per-round argmax is
+    * deterministic in any engine), initial label = the node itself.
+    */
+  private def lpaOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""v$k AS (SELECT s.src, l.label
+         |  FROM sym s JOIN l${k - 1} l ON s.dst = l.node
+         |  UNION ALL SELECT node, label FROM l${k - 1}),
+         |l$k AS (SELECT src AS node, label FROM (
+         |  SELECT src, label, count(*) AS cnt,
+         |   row_number() OVER (PARTITION BY src
+         |     ORDER BY count(*) DESC, label) AS rn
+         |  FROM v$k GROUP BY src, label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT text FROM documents
+       |     UNION ALL SELECT 'zza0 zza1 zza2 zza0'
+       |     UNION ALL SELECT 'zzb0 zzb1 zzb2 zzb0'),
+       |w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |           FROM d),
+       |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+       |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+       |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+       |      WHERE ws[i] <> ws[i+1]),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM p),
+       |sym AS (SELECT u AS src, v AS dst FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+       |$steps
+       |SELECT node AS word, label FROM l$rounds ORDER BY word""".stripMargin
+  }
+
   /** Exact word-trigram Jaccard pairs as the NAIVE all-shared-gram
     * join — n72's oracle (proves the prefix filter lossless) and the
     * truth side of n84's recall audit.
@@ -2192,6 +2225,41 @@ object SparkEntry {
       // cumulative window runs over distinct lengths only
       graft.ops.Profile.ksDrift(t(s, dir, "documents"),
         groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
+    }),
+
+    "n124_lpa_communities" -> ((s, dir) => {
+      // community detection on the word co-occurrence graph (n97's
+      // graph): 3 rounds of deterministic synchronous label
+      // propagation — argmax of neighbor+self label counts with the
+      // smallest-label tie-break, so every round replays as an
+      // unrolled CTE (float modularity methods never could). The
+      // fixture's 31-word blob is one dense community (it collapses to
+      // a single label — itself a real finding); two PLANTED
+      // disconnected word triangles prove multi-community output is
+      // value-bearing, each converging to its own min label
+      import s.implicits._
+      val ws = t(s, dir, "documents").select(col("text"))
+        .unionAll(Seq("zza0 zza1 zza2 zza0", "zzb0 zzb1 zzb2 zzb0")
+          .toDF("text"))
+        .select(filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Graph.labelPropagation(pairs, rounds = 3)
+        .select(col("node").as("word"), col("label"))
+        .orderBy("word")
+    }),
+
+    "n125_kneser_ney" -> ((s, dir) => {
+      // interpolated Kneser–Ney bigram model with D = 3/4 exact: the
+      // n-gram-LM smoothing standard, every term in x1e9 integer
+      // fixed point so discount, backoff weight, and continuation
+      // probability all replay
+      TextAnalysis.kneserNey(t(s, dir, "documents"))
+        .orderBy("w1", "w2")
     }),
 
     "n120_good_turing" -> ((s, dir) => {
@@ -5191,6 +5259,33 @@ object SparkEntry {
         | CAST((1000000 * d) // (na * nb) AS BIGINT) AS ks_x1e6,
         | v AS at_value
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
+
+    "n124_lpa_communities" -> lpaOracleSql(rounds = 3),
+
+    "n125_kneser_ney" ->
+      // same bigram counting, then the three x1e9 ratio terms with
+      // truncating // division; c1 cast back from DuckDB's HUGEINT sum
+      """WITH ws AS (SELECT list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |      FROM ws WHERE len(ws) >= 2),
+        |b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM g),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM b GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS nfollow FROM c12 GROUP BY 1),
+        |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nprec
+        |        FROM c12 GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c12),
+        |t AS (SELECT w1, w2, c12,
+        |  (1000000000 * (4 * c12 - 3)) // (4 * c1) AS t1_x1e9,
+        |  (3000000000 * nfollow) // (4 * c1) AS lambda_x1e9,
+        |  (1000000000 * nprec) // ntypes AS pcont_x1e9
+        | FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN ty)
+        |SELECT w1, w2, c12, t1_x1e9, lambda_x1e9, pcont_x1e9,
+        | t1_x1e9 + (lambda_x1e9 * pcont_x1e9) // 1000000000 AS pkn_x1e9
+        |FROM t ORDER BY w1, w2""".stripMargin,
 
     "n120_good_turing" ->
       """WITH ws AS (SELECT list_filter(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed graph ranking in integer fixed point.
@@ -102,6 +103,51 @@ object Graph {
     }
     cur.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) over an undirected graph given as a directed pair
+    * relation (self-loops / duplicate / reverse pairs normalized
+    * away). Every node starts labeled with itself; each round every
+    * node adopts the most frequent label among its neighbors' CURRENT
+    * labels PLUS its own (the self-vote variant — without it sync LPA
+    * two-cycles on bipartite/star structure; with it, ties break to
+    * the SMALLEST label and propagation is stable), deterministically
+    * replayable where vanilla random-tie LPA is not. Fixed `rounds`
+    * is still the contract (the n107 kCore fixed-round convention).
+    * Returns (node, label).
+    *
+    * Each round is one edges-bounded join-agg plus a per-node argmax
+    * under WindowGroupLimit — never a neighborhood collection; the
+    * symmetrized edge relation is the round's only corpus-scale input,
+    * built once by the caller's lineage. `rounds <= 6` is the same
+    * lineage bound as [[kCore]].
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 6,
+      "rounds outside [1,6]: deeper propagation needs checkpointing")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src"), col("label"))
+        .unionAll(labels.select(col("node").as("src"), col("label")))
+      labels = votes
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    labels
   }
 
   /** Per-node triangle counts over an undirected graph given as a

@@ -1274,6 +1274,51 @@ object TextAnalysis {
       .select(col("r"), col("n_r"), col("r_star_x1e6"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form) for every OBSERVED
+    * bigram, with the standard discount D = 0.75 kept exact as the
+    * rational 3/4:
+    *
+    *   P(w2|w1) = (c12 - D)/c1  +  D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    *
+    * Every intermediate is a LONG — counts are scaled by 4 so the
+    * discount subtraction stays integral (4·c12 − 3), and the three
+    * ratio terms are truncating divisions in x1e9 fixed point with the
+    * interpolation product divided back down once. Observed bigrams
+    * have c12 ≥ 1, so the max(·,0) clamp never binds and the term
+    * structure replays exactly in any engine. Overflow bound:
+    * 1e9 · 4 · c12 must stay under 2^63 — fine to c12 ~ 2.3e8 bigram
+    * tokens per type; shard the corpus or drop to x1e6 beyond (the
+    * integerPageRank Scale convention).
+    *
+    * Corpus-sized work: ONE bigram explode + counting agg; everything
+    * downstream (unigram totals, continuation counts, the type count)
+    * aggregates the bigram-TYPE relation, which is vocabulary², not
+    * corpus-sized. Joins are keyed by w1/w2; the type count broadcasts.
+    */
+  def kneserNey(docs: DataFrame): DataFrame = {
+    val ws = docs.select(
+      filter(split(trim(col("text")), "\\s+"), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = ws.select(explode(expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+      .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nfollow"))
+    val right = c12.groupBy("w2").agg(count(lit(1)).as("nprec"))
+    val types = c12.agg(count(lit(1)).as("ntypes"))
+    c12.join(left, "w1").join(right, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(1000000000 * (4 * c12 - 3)) div (4 * c1)").as("t1_x1e9"),
+        expr("(3000000000 * nfollow) div (4 * c1)").as("lambda_x1e9"),
+        expr("(1000000000 * nprec) div ntypes").as("pcont_x1e9"))
+      .withColumn("pkn_x1e9",
+        expr("t1_x1e9 + (lambda_x1e9 * pcont_x1e9) div 1000000000"))
+  }
+
   /** Integer Flesch-style readability over `text`: whitespace words
     * (the n03 convention), sentence count = terminator groups
     * `[.!?]+` floored at 1, syllable proxy = lowercase vowel-cluster

@@ -2708,6 +2708,60 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("labelPropagation: components get distinct labels; self-vote is stable; bridge communities") {
+    import spark.implicits._
+    def edges(ps: (Long, Long)*) = ps.toDF("src", "dst")
+    // two disconnected triangles -> two communities at their min labels
+    val tri = edges((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val got = Graph.labelPropagation(tri, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // star: the self-vote makes round 1 a fixpoint (no two-cycling)
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L))
+    val r1 = Graph.labelPropagation(star, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r3 = Graph.labelPropagation(star, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r3 && r1.values.toSet == Set(1L))
+    // two K4s joined by one bridge: communities survive the bridge
+    val k4s = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (4L, 10L))
+    val kb = Graph.labelPropagation(k4s, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(kb(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(kb(_) == 10L))
+    // partition invariance
+    val p1 = Graph.labelPropagation(k4s.repartition(1), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p16 = Graph.labelPropagation(k4s.repartition(16), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == p16)
+    intercept[IllegalArgumentException](Graph.labelPropagation(tri, 0))
+  }
+
+  test("kneserNey: hand-computed tiny corpus; per-history mass stays under 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNey(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // c12(a,b)=2, c1(a)=2, nfollow(a)=1, nprec(b)=1, ntypes=2:
+    // t1 = 1e9*(8-3)//8, lambda = 3e9//8, pcont = 1e9//2
+    val t1 = 1000000000L * 5 / 8
+    val lam = 3000000000L / 8
+    val pc = 500000000L
+    val pkn = t1 + lam * pc / 1000000000L
+    assert(got(("a", "b")) == ((2L, t1, lam, pc, pkn)))
+    assert(got(("b", "a")) == ((2L, t1, lam, pc, pkn)))
+    // real corpus: observed-bigram mass per history can never exceed 1
+    val corpus = TextAnalysis.kneserNey(spark.read.parquet(s"$sf/documents.parquet"))
+    val mass = corpus.groupBy("w1").agg(sum("pkn_x1e9").as("m")).collect()
+    assert(mass.nonEmpty)
+    assert(mass.forall(r => r.getLong(1) <= 1000000000L && r.getLong(1) > 0L))
+  }
+
   test("retrievalMetrics: identity law, hand case, zero-overlap floor") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
