@@ -653,6 +653,48 @@ object SparkEntry {
        |SELECT node AS word, label FROM l$rounds ORDER BY word""".stripMargin
   }
 
+  /** Unrolled integer-Lloyd replay: the n45 quantizer CTEs, then per
+    * round an argmin assignment (squared-L2 in BIGINT, (dist, cluster)
+    * tie-break) and a truncating-division centroid update with the
+    * empty-cluster carry-over, closing with the final assignment.
+    */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    def assign(out: String, cin: String): String =
+      s"""$out AS (SELECT vec_id, codes, cluster, dist FROM (
+         |  SELECT vec_id, codes, cluster, dist,
+         |   row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY dist, cluster) AS rn
+         |  FROM (SELECT t.vec_id, t.codes, $cin.cluster,
+         |   CAST(list_sum(list_transform(generate_series(1, len(t.codes)),
+         |     i -> CAST((t.codes[i] - $cin.cent[i]) *
+         |       (t.codes[i] - $cin.cent[i]) AS BIGINT))) AS BIGINT) AS dist
+         |   FROM c t, $cin)) WHERE rn = 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""${assign(s"a$r", s"c${r - 1}")},
+         |u$r AS (SELECT cluster, i AS pos,
+         |   CAST(sum(codes[i]) AS BIGINT) AS s2, CAST(count(*) AS BIGINT) AS cn
+         | FROM a$r, unnest(generate_series(1, len(codes))) t(i) GROUP BY 1, 2),
+         |m$r AS (SELECT cluster, list(CAST(s2 // cn AS INT) ORDER BY pos) AS cent
+         |        FROM u$r GROUP BY 1),
+         |c$r AS (SELECT * FROM m$r UNION ALL
+         |        SELECT cluster, cent FROM c${r - 1}
+         |        WHERE cluster NOT IN (SELECT cluster FROM m$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       |c AS (SELECT vec_id,
+       |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+       |       END AS codes FROM s),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, codes AS cent FROM c
+       |       WHERE vec_id < $k),
+       |$steps,
+       |${assign("af", s"c$rounds")}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist
+       |FROM af ORDER BY vec_id""".stripMargin
+  }
+
   /** Exact word-trigram Jaccard pairs as the NAIVE all-shared-gram
     * join — n72's oracle (proves the prefix filter lossless) and the
     * truth side of n84's recall audit.
@@ -2225,6 +2267,27 @@ object SparkEntry {
       // cumulative window runs over distinct lengths only
       graft.ops.Profile.ksDrift(t(s, dir, "documents"),
         groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
+    }),
+
+    "n127_dp_counts" -> ((s, dir) => {
+      // Laplace-mechanism noisy per-source counts (sensitivity 1,
+      // scale b = 2 i.e. epsilon = 0.5) with the seeded-hash noise
+      // stream, so the whole release replays: fnv64+fmix64 uniform,
+      // inverse-CDF Laplace, 1e-6 rounding absorbing ln() ulps
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      graft.ops.Profile.dpNoisyCounts(t(s, dir, "documents"),
+          "source", b = 2.0, seed = 42L)
+        .orderBy("source")
+    }),
+
+    "n126_kmeans" -> ((s, dir) => {
+      // distributed fixed-round Lloyd k-means over int8 codes, every
+      // step integer-exact: init from the k smallest vec_ids, squared-
+      // L2 argmin assignment, truncating-division centroid update —
+      // the oracle replays both full rounds plus the final assignment
+      // as unrolled CTEs (float k-means could never hash-match)
+      graft.ops.Clustering.kMeans(t(s, dir, "embeddings"), k = 4, rounds = 2)
+        .orderBy("vec_id")
     }),
 
     "n124_lpa_communities" -> ((s, dir) => {
@@ -5259,6 +5322,32 @@ object SparkEntry {
         | CAST((1000000 * d) // (na * nb) AS BIGINT) AS ks_x1e6,
         | v AS at_value
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
+
+    "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n127_dp_counts" ->
+      // seeded Laplace replay: FNV + fmix64 chain in HUGEINT mod 2^64,
+      // 53-bit uniform, inverse CDF, 1e-6 rounding; released adds the
+      // truncating-division integral part
+      s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM documents GROUP BY 1),
+         |h0 AS (SELECT source, n,
+         |        (${fnvSql("source")} + 42) & $M64 AS x FROM g),
+         |f1 AS (SELECT source, n, xor(x, x >> 33) AS v1 FROM h0),
+         |f2 AS (SELECT source, n, xor(v2, v2 >> 33) AS v3
+         |       FROM (SELECT source, n, ${mulC("v1", c1, c1lo)} AS v2 FROM f1)),
+         |f3 AS (SELECT source, n, xor(v4, v4 >> 33) AS wu
+         |       FROM (SELECT source, n, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
+         |t AS (SELECT source, n,
+         |       CAST(CAST(wu >> 11 AS BIGINT) AS DOUBLE)
+         |         / 9007199254740992.0 AS u FROM f3),
+         |no AS (SELECT source, n,
+         |       CAST(round((-2.0 * sign(u - 0.5) *
+         |         ln(1.0 - 2.0 * abs(u - 0.5))) * 1000000.0) AS BIGINT)
+         |         AS noise_x1e6 FROM t)
+         |SELECT source, n, noise_x1e6,
+         | n + noise_x1e6 // 1000000 AS released
+         |FROM no ORDER BY source""".stripMargin,
 
     "n124_lpa_communities" -> lpaOracleSql(rounds = 3),
 

@@ -179,4 +179,37 @@ object Profile {
           .as("psi_term_x1e6"))
       .orderBy("bin")
   }
+
+  /** Laplace-mechanism noisy count release per group (Dwork et al.
+    * 2006): `released = n + Laplace(Δ/ε)` with sensitivity Δ = 1 for
+    * counting queries — the standard mechanism for publishing
+    * per-group statistics of a private corpus.
+    *
+    * The noise draw here is DERIVED, not random: a seeded hash of the
+    * group key (`fmix64(fnv64(group) + seed)` → 53-bit uniform →
+    * inverse-CDF Laplace), so the release replays bit-for-bit for the
+    * oracle and for reproducible pipeline tests. A REAL privacy
+    * release must swap this stream for a CSPRNG draw — the mechanism,
+    * sensitivity, and scale calculus are unchanged (same honesty
+    * convention as the multimodal decode stubs). `noise_x1e6` is
+    * rounded at 1e-6, which absorbs sub-ulp `ln` differences between
+    * engines (the n122 convention); the released count adds the
+    * integral part (truncating division, both engines).
+    *
+    * One map-side-combinable counting agg; the noise is a per-GROUP
+    * column expression on the groups-sized aggregate — nothing
+    * corpus-scale happens after the count.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, b: Double,
+                    seed: Long): DataFrame = {
+    require(b > 0, s"Laplace scale must be positive, got $b")
+    import org.apache.spark.sql.graft.GraftFunctions.{fmix64, fnv64}
+    val u = shiftrightunsigned(fmix64(fnv64(col(groupCol)) + lit(seed)), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+    val noise = -lit(b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .withColumn("noise_x1e6", round(noise * lit(1000000.0)).cast("long"))
+      .withColumn("released", col("n") + expr("noise_x1e6 div 1000000"))
+  }
 }

@@ -2708,6 +2708,77 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("dpNoisyCounts: scalar noise formula replayed; seeds decorrelate; guards") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Profile.dpNoisyCounts(docs, "source", b = 2.0, seed = 42L)
+      .orderBy("source").collect()
+    assert(out.nonEmpty)
+    // scalar cross-check of one group's entire noise derivation
+    val r0 = out.head
+    val src = r0.getString(0)
+    val u = java.lang.Long.toUnsignedString(
+      graft.functions.Hashing.fmix64(
+        graft.functions.Hashing.fnv1a64(src) + 42L) >>> 11).toDouble /
+      9007199254740992.0
+    val noise = -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    assert(r0.getLong(2) == math.round(noise * 1000000.0))
+    assert(r0.getLong(3) == r0.getLong(1) + r0.getLong(2) / 1000000L)
+    // the release is noisy (some group moved) but determinstic per seed
+    assert(out.exists(r => r.getLong(3) != r.getLong(1)))
+    val again = Profile.dpNoisyCounts(docs, "source", 2.0, 42L)
+      .orderBy("source").collect()
+    assert(out.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
+    // a different seed draws a different noise stream
+    val other = Profile.dpNoisyCounts(docs, "source", 2.0, 43L)
+      .orderBy("source").collect()
+    assert(out.map(_.getLong(2)).toSeq != other.map(_.getLong(2)).toSeq)
+    intercept[IllegalArgumentException](
+      Profile.dpNoisyCounts(docs, "source", 0.0, 1L))
+  }
+
+  test("kMeans: planted separation recovered; duplicate-init empty cluster; partition invariance") {
+    import spark.implicits._
+    def embDf(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    // two well-separated groups: ids 0,2,3 near (10,0); ids 1,4,5 near (0,10)
+    val sep = embDf(
+      0L -> Seq(10f, 0f), 1L -> Seq(0f, 10f),
+      2L -> Seq(9f, 1f), 3L -> Seq(10f, 0.5f),
+      4L -> Seq(1f, 9f), 5L -> Seq(0.2f, 10f))
+    val got = graft.ops.Clustering.kMeans(sep, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == got(2L) && got(0L) == got(3L))
+    assert(got(1L) == got(4L) && got(1L) == got(5L))
+    assert(got(0L) != got(1L))
+    // easy case converges: one round gives the same partition as two
+    val one = graft.ops.Clustering.kMeans(sep, 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == got)
+    // duplicate init points: round 1's (dist, cluster) tie-break sends
+    // EVERY row to cluster 0 (the two centroids are identical), so
+    // cluster 1 goes empty — the carry-over keeps its centroid alive,
+    // and in round 2 it wins the near-(10,0) group back from the
+    // mixed round-1 mean. Without the carry-over branch this collapses
+    // to one cluster.
+    val dup = embDf(
+      0L -> Seq(10f, 0f), 1L -> Seq(10f, 0f),
+      2L -> Seq(9f, 1f), 3L -> Seq(0f, 10f), 4L -> Seq(1f, 9f))
+    val d = graft.ops.Clustering.kMeans(dup, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d.size == 5)
+    assert(d(0L) == d(1L) && d(0L) == d(2L))  // the (10,0) group together
+    assert(d(3L) == d(4L) && d(3L) != d(0L))  // split from the (0,10) group
+    // partition invariance on the real fixture
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = graft.ops.Clustering.kMeans(emb.repartition(1), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.ops.Clustering.kMeans(emb.repartition(16), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](graft.ops.Clustering.kMeans(sep, 1, 2))
+    intercept[IllegalArgumentException](graft.ops.Clustering.kMeans(sep, 2, 9))
+  }
+
   test("labelPropagation: components get distinct labels; self-vote is stable; bridge communities") {
     import spark.implicits._
     def edges(ps: (Long, Long)*) = ps.toDF("src", "dst")
