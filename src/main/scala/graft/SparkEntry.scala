@@ -1512,6 +1512,14 @@ object SparkEntry {
         .orderBy("time", "y", "x")
     }),
 
+    "g45_seasonal_mase" -> ((s, _) => {
+      // diurnal predictability audit: seasonal-naive (lag 24h) vs
+      // one-step-naive error per cell over the same evaluation rows;
+      // both sums exact, the MASE ratio one deterministic division
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      TemporalResample.seasonalMase(g, season = 24).orderBy("y", "x")
+    }),
+
     "g42_focal_mean" -> ((s, _) => {
       // 2-D focal mean (raster focal statistics / centered 3x3 rolling
       // window): SEPARABLE two-pass sum+count box filter — two 1-D
@@ -2267,6 +2275,21 @@ object SparkEntry {
       // cumulative window runs over distinct lengths only
       graft.ops.Profile.ksDrift(t(s, dir, "documents"),
         groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
+    }),
+
+    "n128_mad_outliers" -> ((s, dir) => {
+      // robust outliers by the median/MAD rule over per-type event
+      // values (x1024 longs, the n116 scaling): the fixture has no
+      // 3.5-robust-z tail, so one literal outlier is PLANTED on each
+      // side of 'click' — both flags fire, proving the cross-
+      // multiplied test on both tails; the DEFINITIONAL oracle
+      // restates median and MAD as rank-window order statistics
+      import s.implicits._
+      val sv = t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 1024).cast("long").as("v"))
+        .unionAll(Seq(("click", 9000000L), ("click", -9000000L))
+          .toDF("event_type", "v"))
+      graft.ops.Sketch.madOutliers(sv, "event_type", "v").orderBy("event_type")
     }),
 
     "n127_dp_counts" -> ((s, dir) => {
@@ -4058,6 +4081,16 @@ object SparkEntry {
          | least(greatest(t2m, 20.0), 80.0) AS t2m_clip
          |FROM grid ORDER BY time, y, x""".stripMargin,
 
+    "g45_seasonal_mase" ->
+      s"""WITH $grid,
+         |m AS (SELECT y, x,
+         |  abs(t2m - lag(t2m, 24) OVER w) AS se,
+         |  abs(t2m - lag(t2m, 1) OVER w) AS ne
+         | FROM grid WINDOW w AS (PARTITION BY y, x ORDER BY time))
+         |SELECT y, x, sum(se) AS sae_t2m, sum(ne) AS sne_t2m,
+         | sum(se) / sum(ne) AS mase_t2m, CAST(count(*) AS BIGINT) AS n_eval
+         |FROM m WHERE se IS NOT NULL GROUP BY y, x ORDER BY y, x""".stripMargin,
+
     "g42_focal_mean" -> // separable box filter replayed as two RANGE passes
       s"""WITH $grid,
          |ix AS (SELECT time, y, x, t2m,
@@ -5324,6 +5357,36 @@ object SparkEntry {
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n128_mad_outliers" ->
+      // definitional: rank windows state what median and MAD are; the
+      // cross-multiplied flag counts replay in pure integers
+      """WITH s AS (SELECT event_type AS grp,
+        |  CAST(floor(value * 1024) AS BIGINT) AS v FROM events
+        |  UNION ALL VALUES ('click', 9000000), ('click', -9000000)),
+        |n AS (SELECT grp, count(*) AS n FROM s GROUP BY grp),
+        |r AS (SELECT grp, v,
+        |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn FROM s),
+        |q AS (SELECT r.grp,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN v END) AS med
+        | FROM r JOIN n ON r.grp = n.grp GROUP BY r.grp),
+        |d AS (SELECT s.grp, s.v, q.med, abs(s.v - q.med) AS adev
+        |      FROM s JOIN q ON s.grp = q.grp),
+        |r2 AS (SELECT grp, adev,
+        |  row_number() OVER (PARTITION BY grp ORDER BY adev) AS rn FROM d),
+        |m AS (SELECT r2.grp,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN adev END) AS mad
+        | FROM r2 JOIN n ON r2.grp = n.grp GROUP BY r2.grp)
+        |SELECT d.grp AS event_type, d.med, m.mad,
+        | CAST(sum(CASE WHEN 6745 * (d.med - d.v) > 35000 * m.mad
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | CAST(sum(CASE WHEN 6745 * (d.v - d.med) > 35000 * m.mad
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM d JOIN m ON d.grp = m.grp
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "n127_dp_counts" ->
       // seeded Laplace replay: FNV + fmix64 chain in HUGEINT mod 2^64,

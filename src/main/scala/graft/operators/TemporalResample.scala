@@ -301,6 +301,38 @@ object TemporalResample {
     m.select((Seq(col(g.meta.yDim), col(g.meta.xDim)) ++ out): _*)
   }
 
+  /** Seasonal-naive forecast audit per cell — the forecasting-eval
+    * shape behind MASE (Hyndman & Koehler 2006): over every timestep
+    * with a full season of history, accumulate the seasonal-naive
+    * absolute error |v_t − v_{t−season}| and the one-step-naive
+    * absolute error |v_t − v_{t−1}|; `mase_v` = their ratio (< 1
+    * means the seasonal forecast beats the random-walk baseline —
+    * the go/no-go answer for "is this field diurnally predictable").
+    * Both error sums are exact for grid rationals and restricted to
+    * the SAME evaluation rows, so the ratio is one deterministic IEEE
+    * division. Two lags on one cell-keyed window feeding a combinable
+    * agg on the same keys — a single shuffle.
+    */
+  def seasonalMase(g: GridDataset, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2 steps, got $season")
+    val w = Window.partitionBy(g.y, g.x).orderBy(g.time)
+    val terms = g.df.select(
+      (Seq(g.y.as(g.meta.yDim), g.x.as(g.meta.xDim)) ++
+        g.variables.flatMap { v =>
+          Seq(abs(col(v) - lag(col(v), season).over(w)).as(s"_se_$v"),
+            abs(col(v) - lag(col(v), 1).over(w)).as(s"_ne_$v"))
+        }): _*)
+      .filter(g.variables.map(v => col(s"_se_$v").isNotNull).reduce(_ && _))
+    val aggs = g.variables.flatMap(v =>
+      Seq(sum(col(s"_se_$v")).as(s"sae_$v"), sum(col(s"_ne_$v")).as(s"sne_$v"))) :+
+      count(lit(1)).as("n_eval")
+    terms.groupBy(g.meta.yDim, g.meta.xDim).agg(aggs.head, aggs.tail: _*)
+      .select((Seq(col(g.meta.yDim), col(g.meta.xDim)) ++
+        g.variables.flatMap(v => Seq(col(s"sae_$v"), col(s"sne_$v"),
+          (col(s"sae_$v") / col(s"sne_$v")).as(s"mase_$v"))) :+
+        col("n_eval")): _*)
+  }
+
   def timeDerivative(g: GridDataset): GridDataset = {
     val w = Window.partitionBy(g.y, g.x).orderBy(g.time)
     val t = unix_timestamp(g.time).cast("double")

@@ -723,6 +723,45 @@ object Sketch {
     * counts + one broadcast fence join + one counting agg. Nothing
     * corpus-sized is ever collected or sorted.
     */
+  /** Robust per-group outlier detection by the median/MAD rule
+    * (Iglewicz & Hoaglin 1993): modified z = 0.6745·(x − med)/MAD,
+    * flag |z| > 3.5 — the robust complement to [[outlierFences]]'
+    * Tukey fences (the median/MAD pair has a 50% breakdown point
+    * where mean/stddev break at one bad row). Input `valueCol` must
+    * already be integral (cast/scale upstream, the n116 convention).
+    *
+    * Two lock-step exact-quantile bisections (the group median, then
+    * the median of absolute deviations) and one counting pass — a
+    * log(range) number of combinable aggs, never a global sort. The
+    * outlier test is CROSS-MULTIPLIED (6745·|x−med| > 35000·MAD), so
+    * no division happens anywhere: all-integer and exactly
+    * replayable, and for MAD = 0 it degenerates to flagging every
+    * non-median value — the textbook behavior of the rule on
+    * constant-majority data, pinned rather than special-cased.
+    * Returns per-group (med, mad, n_low, n_high, n).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol).cast("string").as("grp"),
+      col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val med = exactQuantilesByGroup(vals, "grp", "v", Seq(0.5))
+      .select(col("grp"), col("exact_value").as("med"))
+    val dev = vals.join(broadcast(med), "grp")
+      .select(col("grp"), col("v"), col("med"),
+        abs(col("v") - col("med")).as("adev"))
+    val mad = exactQuantilesByGroup(dev, "grp", "adev", Seq(0.5))
+      .select(col("grp"), col("exact_value").as("mad"))
+    dev.join(broadcast(mad), "grp")
+      .groupBy("grp", "med", "mad")
+      .agg(
+        sum(when(lit(6745L) * (col("med") - col("v")) >
+          lit(35000L) * col("mad"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(lit(6745L) * (col("v") - col("med")) >
+          lit(35000L) * col("mad"), 1L).otherwise(0L)).as("n_high"),
+        count(lit(1)).as("n"))
+      .select(col("grp").as(groupCol), col("med"), col("mad"),
+        col("n_low"), col("n_high"), col("n"))
+  }
+
   def outlierFences(df: DataFrame, groupCol: String, valueCol: String,
                     scaleBits: Int = 10): DataFrame = {
     val scaled = df.select(col(groupCol).cast("string").as(groupCol),

@@ -295,6 +295,30 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got - wm) < 1e-6)
   }
 
+  test("seasonalMase: ramp and periodic laws; evaluation-window count") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    // linear ramp v = hour index: |seasonal err| = 24, |naive err| = 1
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("y"), col("x"))
+    val ramp = g.copy(df = g.df.withColumn("t2m",
+      (unix_timestamp(col("time")).cast("double") -
+        min(unix_timestamp(col("time")).cast("double")).over(w)) / 3600.0))
+    val r = TemporalResample.seasonalMase(ramp, season = 24).collect()
+    assert(r.nonEmpty)
+    val nEval = SyntheticGrid.NT - 24
+    for (row <- r) {
+      assert(row.getLong(5) == nEval.toLong)
+      assert(row.getDouble(2) == 24.0 * nEval)   // sae
+      assert(row.getDouble(3) == 1.0 * nEval)    // sne
+      assert(row.getDouble(4) == 24.0)           // mase
+    }
+    // perfectly diurnal field: the seasonal forecast is exact, mase = 0
+    val per = g.copy(df = g.df.withColumn("t2m",
+      (hour(col("time")) % 24).cast("double")))
+    val p = TemporalResample.seasonalMase(per, 24).collect()
+    assert(p.forall(row => row.getDouble(2) == 0.0 && row.getDouble(4) == 0.0))
+    intercept[IllegalArgumentException](TemporalResample.seasonalMase(g, 1))
+  }
+
   test("focalMean: equals brute-force neighborhood mean; constant field; edges shrink") {
     val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
     val out = SpatialResample.focalMean(g, radius = 1)

@@ -2708,6 +2708,37 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("madOutliers: brute-force agreement, MAD-zero degeneracy, two-sided plants") {
+    import spark.implicits._
+    // hand case: med of [0,0,0,100] is 0, MAD is 0 -> the degenerate
+    // convention flags every non-median value
+    val degen = Seq(("a", 0L), ("a", 0L), ("a", 0L), ("a", 100L))
+      .toDF("g", "v")
+    val d = Sketch.madOutliers(degen, "g", "v").collect()(0)
+    assert(d.getLong(1) == 0L && d.getLong(2) == 0L)
+    assert(d.getLong(3) == 0L && d.getLong(4) == 1L && d.getLong(5) == 4L)
+    // brute force on the real fixture plus two-sided plants
+    val sv = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), floor(col("value") * 1024).cast("long").as("v"))
+      .unionAll(Seq(("click", 9000000L), ("click", -9000000L)).toDF("event_type", "v"))
+    val got = Sketch.madOutliers(sv, "event_type", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = sv.collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((g, vals) <- rows.groupBy(_._1)) {
+      val vs = vals.map(_._2).sorted
+      def rank(q: Double, xs: Array[Long]) =
+        xs(math.max(1, math.ceil(q * xs.length).toInt) - 1)
+      val med = rank(0.5, vs)
+      val mad = rank(0.5, vs.map(v => math.abs(v - med)).sorted)
+      val lo = vs.count(v => 6745L * (med - v) > 35000L * mad)
+      val hi = vs.count(v => 6745L * (v - med) > 35000L * mad)
+      assert(got(g) == ((med, mad, lo.toLong, hi.toLong, vs.length.toLong)), g)
+    }
+    // the plants fire on both sides of 'click'
+    assert(got("click")._3 >= 1 && got("click")._4 >= 1)
+  }
+
   test("dpNoisyCounts: scalar noise formula replayed; seeds decorrelate; guards") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Profile.dpNoisyCounts(docs, "source", b = 2.0, seed = 42L)
