@@ -2277,6 +2277,42 @@ object SparkEntry {
         groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
     }),
 
+    "n129_entity_resolution" -> ((s, dir) => {
+      // multi-evidence entity resolution: URL-exact blocks contribute
+      // STAR edges (hub = min doc_id per canonical URL — linear in
+      // block size, never the within-block clique), fuzzy-title
+      // matches contribute pair edges, and the n28 min-label
+      // components resolve transitively ACROSS evidence kinds: the
+      // planted exact copies (title dist 0) bridge their own URL block
+      // into the originals' block, so one entity spans both. Docs with
+      // no evidence stay their own entity
+      val d = plantedDocs(s, dir)
+      val base = d.select(col("doc_id"),
+        expr("doc_id DIV 5").cast("string").as("gs"), (col("doc_id") % 5).as("m"))
+      val url = when(col("m") === 0,
+          concat(lit("https://example"), col("gs"), lit(".com/p"), col("gs"), lit("?a=1&b=2")))
+        .when(col("m") === 1,
+          concat(lit("HTTPS://EXAMPLE"), col("gs"), lit(".COM:443/p"), col("gs"), lit("?b=2&a=1")))
+        .when(col("m") === 2,
+          concat(lit("https://example"), col("gs"), lit(".com/p"), col("gs"), lit("?a=1&utm_source=feed&b=2")))
+        .when(col("m") === 3,
+          concat(lit("https://example"), col("gs"), lit(".com/p"), col("gs"), lit("?a=1&b=2#section")))
+        .otherwise(
+          concat(lit("https://example"), col("gs"), lit(".com:8080/p"), col("gs"), lit("?a=1&b=2")))
+      val canon = base.select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(url).as("cu"))
+      val hub = canon.groupBy("cu").agg(min("doc_id").as("hub"))
+      val urlEdges = canon.join(hub, "cu").filter(col("doc_id") =!= col("hub"))
+        .select(col("hub").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+      val titleEdges = Dedup.fuzzyTitlePairs(d, keyLen = 32)
+        .select("doc_id_a", "doc_id_b")
+      val comps = Dedup.dupClusters(urlEdges.unionAll(titleEdges))
+      d.select("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
+        .orderBy("doc_id")
+    }),
+
     "n128_mad_outliers" -> ((s, dir) => {
       // robust outliers by the median/MAD rule over per-type event
       // values (x1024 longs, the n116 scaling): the fixture has no
@@ -5357,6 +5393,38 @@ object SparkEntry {
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n129_entity_resolution" ->
+      // the canonical URL forms are PINNED BY n96 (cross-engine
+      // canonicalizer agreement), so this oracle constructs them
+      // directly; star edges + levenshtein pairs + transitive closure
+      s"""WITH RECURSIVE $plantedDocsCte,
+         |u AS (SELECT doc_id, CAST(doc_id // 5 AS VARCHAR) AS gs,
+         |       doc_id % 5 AS m FROM pd),
+         |cu AS (SELECT doc_id,
+         |  'https://example' || gs || '.com' ||
+         |  CASE WHEN m = 4 THEN ':8080' ELSE '' END ||
+         |  '/p' || gs || '?a=1&b=2' AS cu FROM u),
+         |hub AS (SELECT cu, min(doc_id) AS hub FROM cu GROUP BY cu),
+         |ue AS (SELECT h.hub AS u, c.doc_id AS v
+         |       FROM cu c JOIN hub h ON c.cu = h.cu
+         |       WHERE c.doc_id <> h.hub),
+         |k AS (SELECT doc_id, substr(text, 1, 32) AS key FROM pd),
+         |te AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |       FROM k a JOIN k b ON a.doc_id < b.doc_id
+         |       WHERE levenshtein(a.key, b.key) <= 1),
+         |e AS (SELECT u, v FROM ue UNION SELECT v, u FROM ue
+         |      UNION SELECT u, v FROM te UNION SELECT v, u FROM te),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |ent AS (SELECT u AS doc_id, least(u, min(v)) AS ent
+         |        FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         | CAST(coalesce(ent.ent, d.doc_id) AS BIGINT) AS entity_id
+         |FROM pd d LEFT JOIN ent ON d.doc_id = ent.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "n128_mad_outliers" ->
       // definitional: rank windows state what median and MAD are; the

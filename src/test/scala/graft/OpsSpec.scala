@@ -2708,6 +2708,21 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("entity resolution composition: evidence kinds bridge transitively") {
+    // run the registered query and assert the semantic content the
+    // hash cannot show: the planted copies' URL block {1000000..2}
+    // merges into the originals' block {0..3} through title evidence
+    val out = SparkEntry.queries("n129_entity_resolution")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L, 1000000L, 1000001L, 1000002L)
+      .forall(out(_) == 0L))
+    // representative closure: the entity of a representative is itself,
+    // so lookup is idempotent (a broken union would chain)
+    assert(out.values.toSet.forall(e => out(e) == e))
+    // every doc resolves (singletons map to themselves)
+    assert(out.size == 503)
+  }
+
   test("madOutliers: brute-force agreement, MAD-zero degeneracy, two-sided plants") {
     import spark.implicits._
     // hand case: med of [0,0,0,100] is 0, MAD is 0 -> the degenerate
