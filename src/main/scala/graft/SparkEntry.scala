@@ -1006,6 +1006,24 @@ object SparkEntry {
               |ORDER BY variant""".stripMargin)
     }),
 
+    "q63_grouping_id" -> ((s, dir) => {
+      // the GROUPING() disambiguation surface: nullif plants REAL NULL
+      // group values, so without the flags a rollup subtotal row and a
+      // null-valued data row are indistinguishable — gid composes the
+      // flags portably (2*g_rf + g_ls)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT nullif(l_returnflag, 'N') AS rf, l_linestatus AS ls,
+              | CAST(grouping(nullif(l_returnflag, 'N')) AS BIGINT) AS g_rf,
+              | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+              | CAST(grouping(nullif(l_returnflag, 'N')) * 2
+              |   + grouping(l_linestatus) AS BIGINT) AS gid,
+              | CAST(count(*) AS BIGINT) AS n,
+              | round(sum(l_quantity), 2) AS sum_qty
+              |FROM lineitem
+              |GROUP BY ROLLUP(nullif(l_returnflag, 'N'), l_linestatus)
+              |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin)
+    }),
+
     "q61_cohort_retention" -> ((s, dir) => {
       // daily cohort retention matrix: cohort = day of the user's
       // first event (the fixture splits 134/16 across two days); one
@@ -1510,6 +1528,20 @@ object SparkEntry {
         .select(col("time"), col("y"), col("x"),
           col("t2m_masked"), col("t2m_filled"), col("t2m_clip"))
         .orderBy("time", "y", "x")
+    }),
+
+    "g46_bilinear_points" -> ((s, _) => {
+      // xarray ds.interp(method="linear") at scattered station points:
+      // driver-side stencil/weight arithmetic (closed form from the
+      // axis, no scan), one pruned conditional-agg pass, fixed-order
+      // weighted sum — pC sits exactly on grid lines so the degenerate
+      // fx=fy=0 path is value-bearing too
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      operators.PointExtract.bilinearPoints(g, Seq(
+          ("pA", -83.1234, 41.4567),
+          ("pB", -80.001, 42.70),
+          ("pC", -82.0, 42.0)), "t2m")
+        .orderBy("time", "point_id")
     }),
 
     "g45_seasonal_mase" -> ((s, _) => {
@@ -3832,6 +3864,18 @@ object SparkEntry {
         |  SELECT 1 FROM keys WHERE keys.k = nation.n_nationkey)
         |ORDER BY variant""".stripMargin,
 
+    "q63_grouping_id" ->
+      """SELECT nullif(l_returnflag, 'N') AS rf, l_linestatus AS ls,
+        | CAST(grouping(nullif(l_returnflag, 'N')) AS BIGINT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        | CAST(grouping(nullif(l_returnflag, 'N')) * 2
+        |   + grouping(l_linestatus) AS BIGINT) AS gid,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(nullif(l_returnflag, 'N'), l_linestatus)
+        |ORDER BY gid, rf NULLS FIRST, ls NULLS FIRST""".stripMargin,
+
     "q61_cohort_retention" ->
       """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
         |j AS (SELECT e.user_id,
@@ -4116,6 +4160,37 @@ object SparkEntry {
          | coalesce(CASE WHEN t2m >= 50.0 THEN t2m END, 0.0) AS t2m_filled,
          | least(greatest(t2m, 20.0), 80.0) AS t2m_clip
          |FROM grid ORDER BY time, y, x""".stripMargin,
+
+    "g46_bilinear_points" ->
+      s"""WITH $grid,
+         |p AS (SELECT pid, CAST(lon AS DOUBLE) AS lon,
+         |        CAST(lat AS DOUBLE) AS lat FROM (VALUES
+         |  ('pA', -83.1234, 41.4567),
+         |  ('pB', -80.001, 42.70),
+         |  ('pC', -82.0, 42.0)) t(pid, lon, lat)),
+         |st AS (SELECT pid, lon, lat,
+         |  least(greatest(CAST(floor((lon - (-83.5)) / 0.25) AS BIGINT), 0), 17) AS i0,
+         |  least(greatest(CAST(floor((lat - 41.25) / 0.25) AS BIGINT), 0), 5) AS j0
+         | FROM p),
+         |w AS (SELECT pid,
+         |  (-83.5) + i0 * 0.25 AS x0, (-83.5) + (i0 + 1) * 0.25 AS x1,
+         |  41.25 + j0 * 0.25 AS y0, 41.25 + (j0 + 1) * 0.25 AS y1,
+         |  (lon - ((-83.5) + i0 * 0.25)) / 0.25 AS fx,
+         |  (lat - (41.25 + j0 * 0.25)) / 0.25 AS fy
+         | FROM st),
+         |j AS (SELECT g.time, w.pid,
+         |  sum(CASE WHEN g.x = w.x0 AND g.y = w.y0 THEN t2m END) AS v00,
+         |  sum(CASE WHEN g.x = w.x1 AND g.y = w.y0 THEN t2m END) AS v10,
+         |  sum(CASE WHEN g.x = w.x0 AND g.y = w.y1 THEN t2m END) AS v01,
+         |  sum(CASE WHEN g.x = w.x1 AND g.y = w.y1 THEN t2m END) AS v11
+         | FROM grid g JOIN w ON (g.x = w.x0 OR g.x = w.x1)
+         |   AND (g.y = w.y0 OR g.y = w.y1)
+         | GROUP BY 1, 2)
+         |SELECT j.time, j.pid AS point_id,
+         | j.v00 * ((1 - w.fx) * (1 - w.fy)) + j.v10 * (w.fx * (1 - w.fy)) +
+         | j.v01 * ((1 - w.fx) * w.fy) + j.v11 * (w.fx * w.fy) AS t2m
+         |FROM j JOIN w ON j.pid = w.pid
+         |ORDER BY time, point_id""".stripMargin,
 
     "g45_seasonal_mase" ->
       s"""WITH $grid,

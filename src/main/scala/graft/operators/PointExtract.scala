@@ -60,4 +60,64 @@ object PointExtract {
       .agg(first(col(variable)))
       .orderBy(g.time)
   }
+
+  /** Bilinear interpolation of a variable at scattered points, per
+    * timestep — the xarray `ds.interp(x=..., y=..., method="linear")`
+    * surface (J2's nearest-cell match is the method="nearest" analog).
+    *
+    * For each point: enclosing-cell lower indices i0/j0 (clamped to
+    * keep the 2x2 stencil in-grid), fractional offsets fx/fy, and the
+    * four corner weights (1−fx)(1−fy), fx(1−fy), (1−fx)fy, fx·fy —
+    * all computed DRIVER-SIDE in plain IEEE doubles from the axis
+    * metadata (closed form, no axis scan), then applied as literal
+    * coefficients in ONE conditional-aggregation pass over the grid
+    * rows of the (points × 4) stencil cells: the scan is pruned to
+    * stencil cells by a pushed filter, each corner value lands in its
+    * own agg slot, and the weighted sum is a FIXED-ORDER expression —
+    * no group-order float hazard anywhere. One shuffle keyed by time,
+    * rows bounded by timesteps × points.
+    */
+  def bilinearPoints(g: GridDataset, points: Seq[(String, Double, Double)],
+                     variable: String): DataFrame = {
+    require(points.nonEmpty, "need at least one point")
+    val xa = g.meta.xAxis.getOrElse(throw new IllegalArgumentException(
+      "bilinear interp needs xAxis metadata"))
+    val ya = g.meta.yAxis.getOrElse(throw new IllegalArgumentException(
+      "bilinear interp needs yAxis metadata"))
+    final case class Stencil(id: String, xs: Array[Double], ys: Array[Double],
+                             w: Array[Double])
+    val stencils = points.map { case (id, lon, lat) =>
+      def locate(v: Double, ax: graft.model.AxisSpec): (Int, Double) = {
+        val raw = math.floor((v - ax.origin) / ax.step).toInt
+        val i0 = math.max(0, math.min(ax.n - 2, raw))
+        (i0, (v - ax.valueAt(i0)) / ax.step)
+      }
+      val (i0, fx) = locate(lon, xa)
+      val (j0, fy) = locate(lat, ya)
+      Stencil(id,
+        Array(xa.valueAt(i0), xa.valueAt(i0 + 1)),
+        Array(ya.valueAt(j0), ya.valueAt(j0 + 1)),
+        Array((1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy))
+    }
+    val cellFilter = stencils.flatMap(st =>
+      for (cx <- st.xs.toSeq; cy <- st.ys.toSeq)
+        yield g.x === cx && g.y === cy)
+      .reduce(_ || _)
+    // one agg slot per (point, corner): sum(when(cell)) isolates the
+    // corner value; corners are distinct cells so each slot sees one row
+    val slots = stencils.flatMap { st =>
+      for ((cx, ci) <- st.xs.toSeq.zipWithIndex; (cy, cj) <- st.ys.toSeq.zipWithIndex)
+        yield sum(when(g.x === cx && g.y === cy, col(variable)))
+          .as(s"_${st.id}_${ci}_$cj")
+    }
+    val agg = g.df.filter(cellFilter).groupBy(g.time)
+      .agg(slots.head, slots.tail: _*)
+    val perPoint = stencils.map { st =>
+      val v = col(s"_${st.id}_0_0") * st.w(0) + col(s"_${st.id}_1_0") * st.w(1) +
+        col(s"_${st.id}_0_1") * st.w(2) + col(s"_${st.id}_1_1") * st.w(3)
+      agg.select(g.time.as(g.meta.timeDim), lit(st.id).as("point_id"),
+        v.as(variable))
+    }
+    perPoint.reduce(_ unionAll _)
+  }
 }

@@ -80,6 +80,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: catch-up run drains everything then STOPS on its own") {
+    // the production batch-catchup pattern: run the stream as a
+    // self-terminating job (cron-scheduled incremental processing with
+    // streaming-exactly-once bookkeeping, no always-on cluster). The
+    // contract proven: all data available at start is processed, the
+    // query terminates WITHOUT stop(), and a restart from the same
+    // checkpoint processes nothing new (the offsets log binds).
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("avnow-src").toString
+    val ckpt = Files.createTempDirectory("avnow-ck").toString
+    val batch = Tables(spark, sf, "events").select("ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(name: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .groupBy("event_type").count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // self-termination is the point: awaitTermination, not stop()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    run("avnow1")
+    val got = spark.sql("SELECT event_type, count FROM avnow1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = batch.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // second run from the same checkpoint: the offsets log binds, so
+    // with nothing new to process ZERO micro-batches fire — the sink
+    // receives nothing (incremental exactly-once, no reprocessing)
+    run("avnow2")
+    assert(spark.sql("SELECT * FROM avnow2").collect().isEmpty)
+  }
+
   test("streaming curation: stateless text gates match the batch pipeline") {
     // the curation gates (langId / tokenCount / repetitionRatio) are
     // pure column expressions, so the SAME code runs on a stream with

@@ -295,6 +295,36 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got - wm) < 1e-6)
   }
 
+  test("bilinearPoints: on-grid identity, hand-computed stencil, convexity") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    val out = PointExtract.bilinearPoints(g, Seq(
+        ("on", -82.0, 42.0), ("off", -83.1234, 41.4567)), "t2m")
+      .orderBy("time", "point_id").collect()
+    assert(out.length == 2 * SyntheticGrid.NT)
+    // on-grid point: interpolation is the identity (fx = fy = 0)
+    val cell = g.df.filter(col("x") === -82.0 && col("y") === 42.0)
+      .orderBy("time").select("t2m").collect().map(_.getDouble(0))
+    val onVals = out.filter(_.getString(1) == "on").map(_.getDouble(2))
+    assert(onVals.toSeq == cell.toSeq)
+    // hand-computed stencil at the first timestep for the off-grid point
+    def t2m0(jy: Int, jx: Int): Double =
+      ((0L * 7 + jy * 13 + jx * 29 + 1) * 2654435761L % 104729) / 1024.0
+    val (fx, fy) = ((-83.1234 - -83.25) / 0.25, (41.4567 - 41.25) / 0.25)
+    val expect = t2m0(0, 1) * ((1 - fx) * (1 - fy)) +
+      t2m0(0, 2) * (fx * (1 - fy)) +
+      t2m0(1, 1) * ((1 - fx) * fy) + t2m0(1, 2) * (fx * fy)
+    val got = out.filter(_.getString(1) == "off").head.getDouble(2)
+    assert(got == expect)
+    // convexity: every interpolated value inside the corner hull
+    val corners = Seq(t2m0(0, 1), t2m0(0, 2), t2m0(1, 1), t2m0(1, 2))
+    assert(got >= corners.min && got <= corners.max)
+    val noMeta = g.copy(meta = g.meta.copy(xAxis = None))
+    intercept[IllegalArgumentException](
+      PointExtract.bilinearPoints(noMeta, Seq(("p", -82.0, 42.0)), "t2m"))
+    intercept[IllegalArgumentException](
+      PointExtract.bilinearPoints(g, Seq.empty, "t2m"))
+  }
+
   test("seasonalMase: ramp and periodic laws; evaluation-window count") {
     val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
     // linear ramp v = hour index: |seasonal err| = 24, |naive err| = 1
