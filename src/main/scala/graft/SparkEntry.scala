@@ -1530,6 +1530,22 @@ object SparkEntry {
         .orderBy("time", "y", "x")
     }),
 
+    "g47_spatial_gradient" -> ((s, _) => {
+      // spatial differentiate: central differences over x and y per
+      // timestep (one-sided at edges) + the gradient magnitude — the
+      // same two window partitionings as the focal mean, no join
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      operators.SpatialResample.spatialGradient(g, "t2m")
+        .orderBy("time", "y", "x")
+    }),
+
+    "n130_zipf_fit" -> ((s, dir) => {
+      // corpus-health one-liner: OLS of ln(freq) on ln(rank) over the
+      // top 25 ranks (the 31-word vocabulary caps the fit window), all
+      // sums exact integers after x1e3 log rounding
+      TextAnalysis.zipfFit(t(s, dir, "documents"), topR = 25)
+    }),
+
     "g46_bilinear_points" -> ((s, _) => {
       // xarray ds.interp(method="linear") at scattered station points:
       // driver-side stencil/weight arithmetic (closed form from the
@@ -4160,6 +4176,50 @@ object SparkEntry {
          | coalesce(CASE WHEN t2m >= 50.0 THEN t2m END, 0.0) AS t2m_filled,
          | least(greatest(t2m, 20.0), 80.0) AS t2m_clip
          |FROM grid ORDER BY time, y, x""".stripMargin,
+
+    "g47_spatial_gradient" ->
+      s"""WITH $grid,
+         |m AS (SELECT time, y, x, t2m,
+         |  lag(t2m) OVER wx AS vxp, lead(t2m) OVER wx AS vxn,
+         |  lag(x) OVER wx AS cxp, lead(x) OVER wx AS cxn,
+         |  lag(t2m) OVER wy AS vyp, lead(t2m) OVER wy AS vyn,
+         |  lag(y) OVER wy AS cyp, lead(y) OVER wy AS cyn
+         | FROM grid
+         | WINDOW wx AS (PARTITION BY time, y ORDER BY x),
+         |        wy AS (PARTITION BY time, x ORDER BY y)),
+         |d AS (SELECT time, y, x,
+         |  CASE WHEN cxp IS NULL AND cxn IS NULL THEN NULL
+         |       WHEN cxp IS NULL THEN (vxn - t2m) / (cxn - x)
+         |       WHEN cxn IS NULL THEN (t2m - vxp) / (x - cxp)
+         |       ELSE (vxn - vxp) / (cxn - cxp) END AS ddx,
+         |  CASE WHEN cyp IS NULL AND cyn IS NULL THEN NULL
+         |       WHEN cyp IS NULL THEN (vyn - t2m) / (cyn - y)
+         |       WHEN cyn IS NULL THEN (t2m - vyp) / (y - cyp)
+         |       ELSE (vyn - vyp) / (cyn - cyp) END AS ddy
+         | FROM m)
+         |SELECT time, y, x, ddx, ddy,
+         | sqrt(ddx * ddx + ddy * ddy) AS grad_mag
+         |FROM d ORDER BY time, y, x""".stripMargin,
+
+    "n130_zipf_fit" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |      FROM c QUALIFY rank <= 25),
+        |t AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS lr,
+        |       CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS lf FROM r),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |  CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lr * lr) AS BIGINT) AS sxx,
+        |  CAST(sum(lf) AS BIGINT) AS sy, CAST(sum(lr * lf) AS BIGINT) AS sxy
+        | FROM t),
+        |f AS (SELECT n_ranks, sx, sy,
+        |  (1000000 * (n_ranks * sxy - sx * sy)) // (n_ranks * sxx - sx * sx)
+        |    AS slope_x1e6 FROM m)
+        |SELECT n_ranks, slope_x1e6,
+        | (sy - (slope_x1e6 * sx) // 1000000) // n_ranks AS icept_x1e3
+        |FROM f""".stripMargin,
 
     "g46_bilinear_points" ->
       s"""WITH $grid,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -388,6 +388,35 @@ object SpatialResample {
           round(avg(col(v)), 6).as(s"mean_$v"))
     }
     g.df.groupBy(g.time.as(g.meta.timeDim)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Spatial gradient per timestep — the spatial analog of xarray
+    * `ds.differentiate("x")` / `("y")`: central differences at
+    * interior cells, one-sided at the grid edges, in value-units per
+    * coordinate-unit (degrees here, matching the time derivative's
+    * value-per-second convention), plus the gradient magnitude
+    * `sqrt(ddx² + ddy²)` (one correctly-rounded IEEE sqrt —
+    * deterministic). Two windows — x-ordered within (time, y) and
+    * y-ordered within (time, x) — the same two partitionings as
+    * [[focalMean]]; no join.
+    */
+  def spatialGradient(g: GridDataset, variable: String): DataFrame = {
+    val wx = Window.partitionBy(g.time, g.y).orderBy(g.x)
+    val wy = Window.partitionBy(g.time, g.x).orderBy(g.y)
+    def deriv(v: Column, c: Column, w: org.apache.spark.sql.expressions.WindowSpec) = {
+      val (vp, vn) = (lag(v, 1).over(w), lead(v, 1).over(w))
+      val (cp, cn) = (lag(c, 1).over(w), lead(c, 1).over(w))
+      when(cp.isNull && cn.isNull, lit(null))
+        .when(cp.isNull, (vn - v) / (cn - c))
+        .when(cn.isNull, (v - vp) / (c - cp))
+        .otherwise((vn - vp) / (cn - cp))
+    }
+    g.df.select(g.time.as(g.meta.timeDim), g.y.as(g.meta.yDim),
+        g.x.as(g.meta.xDim),
+        deriv(col(variable), g.x, wx).as("ddx"),
+        deriv(col(variable), g.y, wy).as("ddy"))
+      .withColumn("grad_mag",
+        sqrt(col("ddx") * col("ddx") + col("ddy") * col("ddy")))
   }
 
   /** Focal (neighborhood) mean per timestep — raster "focal statistics"

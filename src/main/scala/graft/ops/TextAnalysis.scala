@@ -1274,6 +1274,44 @@ object TextAnalysis {
       .select(col("r"), col("n_r"), col("r_star_x1e6"))
   }
 
+  /** Zipf-law fit of the corpus rank–frequency distribution (Zipf
+    * 1949): OLS slope of ln(freq) on ln(rank) over the top `topR`
+    * word ranks — the one-number corpus-health check (natural text
+    * fits slope ≈ −1; synthetic/templated corpora flatten it).
+    *
+    * Both logs are ROUNDED to x1e3 integers FIRST (absorbing sub-ulp
+    * libm differences, the n122 convention — and keeping every
+    * normal-equation product under 2^63), so the fit sums are exact
+    * integers and slope/intercept are truncating divisions: fully
+    * replayable. Corpus-sized work is ONE word-count agg; the ranking
+    * window and the fit run on the vocabulary-sized relation (the
+    * global window is topR-bounded after the rank filter — metadata-
+    * sized at any corpus scale). Returns one row
+    * (n_ranks, slope_x1e6, icept_x1e3).
+    */
+  def zipfFit(docs: DataFrame, topR: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topR >= 3, s"need at least 3 ranks to fit, got $topR")
+    val words = docs.select(explode(
+      filter(split(trim(col("text")), "\\s+"), w => w =!= "")).as("w"))
+    val counts = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .filter(col("rank") <= topR)
+    val t = ranked.select(
+      round(log(col("rank").cast("double")) * 1000).cast("long").as("lr"),
+      round(log(col("c").cast("double")) * 1000).cast("long").as("lf"))
+    t.agg(count(lit(1)).as("n_ranks"), sum(col("lr")).as("sx"),
+        sum(col("lr") * col("lr")).as("sxx"), sum(col("lf")).as("sy"),
+        sum(col("lr") * col("lf")).as("sxy"))
+      .select(col("n_ranks"), col("sx"), col("sy"),
+        expr("(1000000 * (n_ranks * sxy - sx * sy)) div (n_ranks * sxx - sx * sx)")
+          .as("slope_x1e6"))
+      .withColumn("icept_x1e3", expr(
+        "(sy - (slope_x1e6 * sx) div 1000000) div n_ranks"))
+      .select("n_ranks", "slope_x1e6", "icept_x1e3")
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1998's interpolated form) for every OBSERVED
     * bigram, with the standard discount D = 0.75 kept exact as the

@@ -295,6 +295,35 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(got - wm) < 1e-6)
   }
 
+  test("spatialGradient: linear field exact, constant zero, one-sided edges") {
+    val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
+    // planted plane v = 3x - 2y: ddx = 3, ddy = -2 everywhere (central
+    // AND one-sided differences are exact on a linear field)
+    val plane = g.copy(df = g.df.withColumn("t2m",
+      col("x") * 3.0 - col("y") * 2.0))
+    val p = SpatialResample.spatialGradient(plane, "t2m").collect()
+    assert(p.nonEmpty)
+    for (r <- p) {
+      assert(r.getDouble(3) == 3.0 && r.getDouble(4) == -2.0)
+      assert(r.getDouble(5) == math.sqrt(3.0 * 3.0 + 2.0 * 2.0))
+    }
+    // constant field: zero gradient
+    val const = g.copy(df = g.df.withColumn("t2m", lit(5.5)))
+    assert(SpatialResample.spatialGradient(const, "t2m").collect()
+      .forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0 &&
+        r.getDouble(5) == 0.0))
+    // hand-check a west-edge cell on the real field (one-sided in x)
+    val t0 = g.df.orderBy("time").select("time").limit(1).collect()(0).getTimestamp(0)
+    val row = g.df.filter(col("time") === t0)
+      .select("y", "x", "t2m").collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    val expectEdge = (row((41.25, -83.25)) - row((41.25, -83.5))) / 0.25
+    val gotEdge = SpatialResample.spatialGradient(g, "t2m")
+      .filter(col("time") === t0 && col("y") === 41.25 && col("x") === -83.5)
+      .collect()(0).getDouble(3)
+    assert(gotEdge == expectEdge)
+  }
+
   test("bilinearPoints: on-grid identity, hand-computed stencil, convexity") {
     val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
     val out = PointExtract.bilinearPoints(g, Seq(

@@ -2708,6 +2708,34 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("zipfFit: exact power law fits slope ~ -1; scalar cross-check; guard") {
+    import spark.implicits._
+    // corpus with freq(rank r) = round(512 / r): an exact-ish Zipf law
+    val docs = (1 to 12).flatMap { r =>
+      val f = math.round(512.0 / r).toInt
+      Seq.fill(f)(s"w$r")
+    }.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, topR = 12).collect()(0)
+    assert(got.getLong(0) == 12L)
+    assert(math.abs(got.getLong(1) + 1000000L) < 30000L,
+      s"slope ${got.getLong(1)} not ~ -1e6")
+    // scalar OLS cross-check with the same x1e3 rounding
+    val pts = (1 to 12).map { r =>
+      (math.round(math.log(r) * 1000),
+        math.round(math.log(math.round(512.0 / r).toDouble) * 1000))
+    }
+    val n = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = 1000000L * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got.getLong(1) == slope)
+    assert(got.getLong(2) == (sy - slope * sx / 1000000L) / n)
+    intercept[IllegalArgumentException](TextAnalysis.zipfFit(docs, 2))
+  }
+
   test("entity resolution composition: evidence kinds bridge transitively") {
     // run the registered query and assert the semantic content the
     // hash cannot show: the planted copies' URL block {1000000..2}
