@@ -225,6 +225,80 @@ object EventStreams {
     }
   }
 
+  /** Closed session emitted by [[sessionizeWithTimers]]: half-open
+    * [start, last + gap), the q48 session_window convention.
+    */
+  final case class SessionRow(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long)
+
+  private final case class SessSt(start: Long, last: Long, n: Long)
+
+  /** Per-user sessionization as an explicit state machine with
+    * EVENT-TIME TIMERS — the transformWithState mechanism neither
+    * state TTL (processing-time) nor the q48 engine session_window
+    * (no custom emit logic) covers: every arrival extends the open
+    * session and (re)arms a timer at `last + gap`; when the WATERMARK
+    * passes a timer, `handleExpiredTimer` emits the closed session
+    * exactly once and clears the state. Stale timers (superseded by a
+    * newer event that extended the session) no-op on the
+    * `expiry >= last + gap` check instead of needing deleteTimer
+    * bookkeeping. State per key is O(1) (three longs), bounded by the
+    * watermark like every streaming state here.
+    */
+  private final class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionRow] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[SessSt] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessSt]("sess",
+        org.apache.spark.sql.Encoders.product[SessSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionRow] = {
+      var cur = if (st.exists()) st.get() else SessSt(Long.MaxValue, Long.MinValue, 0L)
+      rows.foreach { e =>
+        val ms = e.ts.getTime
+        cur = SessSt(math.min(cur.start, ms), math.max(cur.last, ms), cur.n + 1)
+      }
+      st.update(cur)
+      getHandle.registerTimer(cur.last + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionRow] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val cur = st.get()
+        if (expiredTimerInfo.getExpiryTimeInMs() >= cur.last + gapMs) {
+          st.clear()
+          Iterator.single(SessionRow(key, new Timestamp(cur.start),
+            new Timestamp(cur.last + gapMs), cur.n))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Event-time-timer sessionization: closed sessions stream out as
+    * the watermark passes each session's gap timer. Requires the
+    * RocksDB state store provider (the transformWithState backing
+    * store). `delay` is the watermark lateness bound on `ts`.
+    */
+  def sessionizeWithTimers(events: Dataset[Ev], gap: java.time.Duration,
+                           delay: String = "0 seconds"): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gap.toMillis),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Suppression-window dedup on (user_id, event_type): at most one
     * emitted row per key per `ttl` of processing time. Requires the
     * RocksDB state store provider (transformWithState's backing

@@ -485,6 +485,65 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timer sessionization: sessions close exactly once as the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs = mem.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      val out = EventStreams.sessionizeWithTimers(evs,
+        java.time.Duration.ofMinutes(10))
+      val q = out.writeStream.format("memory").queryName("timersess")
+        .outputMode("append").start()
+      def sessions() = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM timersess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      try {
+        // user 1: two events (one session); user 2: one event
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0),
+                    (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 2.0),
+                    (Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 3.0))
+        q.processAllAvailable()
+        assert(sessions().isEmpty, "nothing closes before the watermark moves")
+        // watermark carrier batches: wm lags one batch, so push twice
+        mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), 99L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 03:00:00"), 98L, "view", 0.0))
+        q.processAllAvailable()
+        val afterFirst = sessions()
+        assert(afterFirst.contains(
+          (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", 2L)),
+          s"user1 session wrong: $afterFirst")
+        assert(afterFirst.contains(
+          (2L, "2024-01-01 00:01:00.0", "2024-01-01 00:11:00.0", 1L)))
+        assert(!afterFirst.exists(_._1 == 98L), "open session must not emit")
+        // a new user-1 event after the close starts a SECOND session
+        mem.addData((Timestamp.valueOf("2024-01-01 06:00:00"), 1L, "view", 4.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 09:00:00"), 97L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 96L, "view", 0.0))
+        q.processAllAvailable()
+        val fin = sessions()
+        assert(fin.contains(
+          (1L, "2024-01-01 06:00:00.0", "2024-01-01 06:10:00.0", 1L)),
+          s"second user1 session missing: $fin")
+        // exactly-once: no user closed more sessions than it had
+        assert(fin.toSeq.map(_._1).count(_ == 1L) == 2)
+        assert(fin.toSeq.map(_._1).count(_ == 2L) == 1)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState TTL dedup: in-window duplicates drop, key re-admits after expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
