@@ -1530,6 +1530,19 @@ object SparkEntry {
         .orderBy("time", "y", "x")
     }),
 
+    "g48_spatial_sum_acf" -> ((s, _) => {
+      // periodicity audit of the domain-total series: spatial SUM per
+      // timestep in exact x1024 longs, then integer-moment
+      // autocorrelation at lags 1..30 (the lag-24 peak is the diurnal
+      // detector; this hash-based field shows none — the flat ACF IS
+      // the finding, like n130's flat Zipf slope)
+      val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
+      val series = g.df.groupBy(col("time"))
+        .agg(sum((col("t2m") * 1024).cast("long")).as("ksum"))
+      graft.ops.TimeSeries.integerAcf(series, "time", "ksum", maxLag = 30)
+        .orderBy("lag")
+    }),
+
     "g47_spatial_gradient" -> ((s, _) => {
       // spatial differentiate: central differences over x and y per
       // timestep (one-sided at edges) + the gradient magnitude — the
@@ -4176,6 +4189,25 @@ object SparkEntry {
          | coalesce(CASE WHEN t2m >= 50.0 THEN t2m END, 0.0) AS t2m_filled,
          | least(greatest(t2m, 20.0), 80.0) AS t2m_clip
          |FROM grid ORDER BY time, y, x""".stripMargin,
+
+    "g48_spatial_sum_acf" ->
+      s"""WITH $grid,
+         |s0 AS (SELECT time, CAST(sum(CAST(t2m * 1024 AS BIGINT)) AS BIGINT) AS v
+         |       FROM grid GROUP BY time),
+         |s AS (SELECT v, row_number() OVER (ORDER BY time) AS rn FROM s0),
+         |lg AS (SELECT unnest(generate_series(1, 30)) AS lag),
+         |p AS (SELECT lg.lag, a.v AS x, b.v AS y
+         |      FROM s a CROSS JOIN lg JOIN s b ON a.rn + lg.lag = b.rn),
+         |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy
+         | FROM p GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         | CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+         |  (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+         |   sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r
+         |FROM m ORDER BY lag""".stripMargin,
 
     "g47_spatial_gradient" ->
       s"""WITH $grid,

@@ -2708,6 +2708,33 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("integerAcf: periodic signal peaks at its period; ramp near 1; hand moments") {
+    import spark.implicits._
+    // exact period-6 signal over 60 steps: r(6) = r(12) = 1 exactly
+    val per = (1 to 60).map(i => (i.toLong, (100 + (i % 6) * 10).toLong))
+      .toDF("t", "v")
+    val r = graft.ops.TimeSeries.integerAcf(per, "t", "v", maxLag = 12)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    // mathematically exactly 1; the sqrt(d)*sqrt(d) product may sit
+    // 1 ulp under d, so assert to IEEE slack rather than equality
+    assert(math.abs(r(6L) - 1.0) < 1e-12 && math.abs(r(12L) - 1.0) < 1e-12)
+    assert(r(3L) < 0.0, "half-period must anticorrelate")
+    // hand-computed moments at lag 1 of a tiny series
+    val tiny = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 5L)).toDF("t", "v")
+    val g1 = graft.ops.TimeSeries.integerAcf(tiny, "t", "v", 1).collect()(0)
+    val xs = Seq(1L, 3L, 2L); val ys = Seq(3L, 2L, 5L)
+    val n = 3L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val expect = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(g1.getLong(1) == 3L && g1.getDouble(2) == expect)
+    intercept[IllegalArgumentException](
+      graft.ops.TimeSeries.integerAcf(tiny, "t", "v", 0))
+  }
+
   test("zipfFit: exact power law fits slope ~ -1; scalar cross-check; guard") {
     import spark.implicits._
     // corpus with freq(rank r) = round(512 / r): an exact-ish Zipf law
