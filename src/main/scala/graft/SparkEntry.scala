@@ -699,20 +699,28 @@ object SparkEntry {
     * join — n72's oracle (proves the prefix filter lossless) and the
     * truth side of n84's recall audit.
     */
+  /** The naive shared-gram pair CTEs ending in
+    * `v(doc_id_a, doc_id_b, inter, la, lb)`, parameterized over the
+    * source relation so n72 (documents) and n131 (planted docs) share
+    * one replay.
+    */
+  private def jaccardPairsCte(src: String): String =
+    s"""base AS (SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+       |    j -> ${fnvSql("array_to_string(ws[j:j+2], ' ')")})) AS hs
+       | FROM (SELECT doc_id,
+       |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM $src)),
+       |g AS (SELECT doc_id, len(hs) AS sz, hs FROM base),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM g),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |v AS (SELECT da AS doc_id_a, db AS doc_id_b,
+       |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la, gb.sz AS lb
+       | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)""".stripMargin
+
   private val jaccardExactPairsSql: String =
-    s"""WITH base AS (SELECT doc_id,
-         |  list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
-         |    j -> ${fnvSql("array_to_string(ws[j:j+2], ' ')")})) AS hs
-         | FROM (SELECT doc_id,
-         |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
-         |  FROM documents)),
-         |g AS (SELECT doc_id, len(hs) AS sz, hs FROM base),
-         |ex AS (SELECT doc_id, unnest(hs) AS h FROM g),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |v AS (SELECT da AS doc_id_a, db AS doc_id_b,
-         |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la, gb.sz AS lb
-         | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)
+    s"""WITH ${jaccardPairsCte("documents")}
          |SELECT doc_id_a, doc_id_b,
          | round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
          |FROM v WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
@@ -1004,6 +1012,21 @@ object SparkEntry {
               |FROM nation WHERE NOT EXISTS (
               |  SELECT 1 FROM keys WHERE keys.k = nation.n_nationkey)
               |ORDER BY variant""".stripMargin)
+    }),
+
+    "q64_union_by_name" -> ((s, dir) => {
+      // name-based union: position-independent column matching — the
+      // schema-drift-safe union. Spark's surface is the DataFrame
+      // unionByName API (OSS Spark SQL has no BY NAME clause; DuckDB
+      // does, and the oracle uses it — cross-engine agreement on the
+      // SEMANTICS). The branches deliberately swap column order, so a
+      // positional union would be wrong, not just reordered: the
+      // swapped columns have different types and values
+      val a = t(s, dir, "nation").select(col("n_name").as("name"),
+        lit("nation").as("kind"), col("n_nationkey").cast("long").as("key"))
+      val b = t(s, dir, "region").select(col("r_regionkey").cast("long").as("key"),
+        lit("region").as("kind"), col("r_name").as("name"))
+      a.unionByName(b).orderBy("kind", "key")
     }),
 
     "q63_grouping_id" -> ((s, dir) => {
@@ -2336,6 +2359,16 @@ object SparkEntry {
       // cumulative window runs over distinct lengths only
       graft.ops.Profile.ksDrift(t(s, dir, "documents"),
         groupCol = "source", valueCol = "n_chars", ga = "src0", gb = "src1")
+    }),
+
+    "n131_threshold_curve" -> ((s, dir) => {
+      // the dedup-threshold decision table: pair/doc yield at each
+      // candidate Jaccard bar over the planted corpus (the exact
+      // copies keep the t=100 row non-zero), every comparison a
+      // cross-multiplied integer
+      Dedup.thresholdCurve(plantedDocs(s, dir), n = 3,
+          thresholds = (1 to 10).map(_ * 10))
+        .orderBy("threshold_x100")
     }),
 
     "n129_entity_resolution" -> ((s, dir) => {
@@ -3892,6 +3925,15 @@ object SparkEntry {
         |FROM nation WHERE NOT EXISTS (
         |  SELECT 1 FROM keys WHERE keys.k = nation.n_nationkey)
         |ORDER BY variant""".stripMargin,
+
+    "q64_union_by_name" ->
+      """SELECT name, kind, key FROM (
+        |  SELECT n_name AS name, 'nation' AS kind,
+        |   CAST(n_nationkey AS BIGINT) AS key FROM nation
+        |  UNION ALL BY NAME
+        |  SELECT CAST(r_regionkey AS BIGINT) AS key, 'region' AS kind,
+        |   r_name AS name FROM region)
+        |ORDER BY kind, key""".stripMargin,
 
     "q63_grouping_id" ->
       """SELECT nullif(l_returnflag, 'N') AS rf, l_linestatus AS ls,
@@ -5560,6 +5602,23 @@ object SparkEntry {
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n131_threshold_curve" ->
+      s"""WITH $plantedDocsCte,
+         |${jaccardPairsCte("pd")},
+         |th AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90, 100]) AS t),
+         |h AS (SELECT th.t, v.doc_id_a, v.doc_id_b
+         |      FROM v CROSS JOIN th
+         |      WHERE inter * 100 >= t * (la + lb - inter)),
+         |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM h GROUP BY t),
+         |nd AS (SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |       FROM (SELECT t, doc_id_a AS d FROM h
+         |             UNION ALL SELECT t, doc_id_b FROM h) GROUP BY t)
+         |SELECT CAST(th.t AS BIGINT) AS threshold_x100,
+         | coalesce(np.n_pairs, 0) AS n_pairs,
+         | coalesce(nd.n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN np ON th.t = np.t LEFT JOIN nd ON th.t = nd.t
+         |ORDER BY threshold_x100""".stripMargin,
 
     "n129_entity_resolution" ->
       // the canonical URL forms are PINNED BY n96 (cross-engine

@@ -799,4 +799,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
+
+  /** Dedup threshold tuning curve: for each candidate Jaccard
+    * threshold (x100), the number of word-n-gram near-dup pairs and
+    * of documents involved in at least one such pair — the yield
+    * curve a pipeline owner reads before committing to a threshold
+    * (too low: false merges; too high: surviving duplicates; the
+    * knee is the answer). Comparisons are CROSS-MULTIPLIED integers
+    * (inter·100 ≥ t·union), so the curve replays exactly with no
+    * float boundary.
+    *
+    * Pairs come from the any-shared-gram relation (the n72 oracle's
+    * naive join, exact by construction): candidate-bounded on a
+    * corpus whose grams discriminate, quadratic in the worst case —
+    * at 100 TB run the curve on a SAMPLE (the threshold decision only
+    * needs sampled yields) or feed `jaccardPrefixJoin(minThreshold)`
+    * pairs instead.
+    */
+  def thresholdCurve(docs: DataFrame, n: Int = 3,
+                     thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      "thresholds are x100 integers in [1, 100]")
+    import docs.sparkSession.implicits._
+    val grams = docs.select(col("doc_id"),
+        word_shingle_set(col("text"), n).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+    val ex = grams.select(col("doc_id"), explode(col("hs")).as("h"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val ga = grams.select(col("doc_id").as("da"), col("hs").as("hsa"),
+      col("sz").as("la"))
+    val gb = grams.select(col("doc_id").as("db"), col("hs").as("hsb"),
+      col("sz").as("lb"))
+    val pairs = cand.join(ga, Seq("da")).join(gb, Seq("db"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .select(col("da"), col("db"), col("inter"),
+        (col("la") + col("lb") - col("inter")).as("uni"))
+    val th = thresholds.toDF("t")
+    val hit = pairs.crossJoin(broadcast(th))
+      .filter(col("inter") * 100 >= col("t") * col("uni"))
+    val np = hit.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nd = hit.select(col("t"), col("da").as("d"))
+      .unionAll(hit.select(col("t"), col("db")))
+      .groupBy("t").agg(countDistinct(col("d")).as("n_docs"))
+    th.join(np, Seq("t"), "left").join(nd, Seq("t"), "left")
+      .select(col("t").cast("long").as("threshold_x100"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
 }

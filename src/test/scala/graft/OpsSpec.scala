@@ -2708,6 +2708,29 @@ class OpsSpec extends SparkSpec {
     assert(trunc.forall(r => r.getLong(2) != r.getLong(0) && r.getLong(3) != r.getLong(0)))
   }
 
+  test("thresholdCurve: monotone yield, hand jaccard boundary, exact-copy tail") {
+    import spark.implicits._
+    // docs: a/b share 3 of 5 union grams? build texts with known
+    // word-trigram overlap: x = "w1..w5" (3 grams), y = "w1..w4 z"
+    // (grams: w1w2w3, w2w3w4, w3w4z) -> inter 2, union 4, J = 0.5
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 z"),
+      (3L, "a b c d e"), (4L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.thresholdCurve(docs, 3, Seq(40, 50, 60, 100))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(40L) == ((2L, 4L)))   // both pairs
+    assert(got(50L) == ((2L, 4L)))   // J = 0.5 sits ON the bar: included
+    assert(got(60L) == ((1L, 2L)))   // only the exact copy survives
+    assert(got(100L) == ((1L, 2L)))
+    // monotone non-increasing on the real corpus
+    val curve = Dedup.thresholdCurve(
+        spark.read.parquet(s"$sf/documents.parquet"), 3, (1 to 10).map(_ * 10))
+      .orderBy("threshold_x100").collect().map(_.getLong(1))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+    intercept[IllegalArgumentException](Dedup.thresholdCurve(docs, 3, Seq()))
+    intercept[IllegalArgumentException](Dedup.thresholdCurve(docs, 3, Seq(0)))
+  }
+
   test("integerAcf: periodic signal peaks at its period; ramp near 1; hand moments") {
     import spark.implicits._
     // exact period-6 signal over 60 steps: r(6) = r(12) = 1 exactly
