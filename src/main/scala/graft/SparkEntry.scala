@@ -695,11 +695,7 @@ object SparkEntry {
        |FROM af ORDER BY vec_id""".stripMargin
   }
 
-  /** Exact word-trigram Jaccard pairs as the NAIVE all-shared-gram
-    * join — n72's oracle (proves the prefix filter lossless) and the
-    * truth side of n84's recall audit.
-    */
-  /** The naive shared-gram pair CTEs ending in
+  /** The naive all-shared-gram exact-pair CTEs ending in
     * `v(doc_id_a, doc_id_b, inter, la, lb)`, parameterized over the
     * source relation so n72 (documents) and n131 (planted docs) share
     * one replay.
@@ -719,6 +715,10 @@ object SparkEntry {
        |  len(list_intersect(ga.hs, gb.hs)) AS inter, ga.sz AS la, gb.sz AS lb
        | FROM cand JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db)""".stripMargin
 
+  /** Exact word-trigram Jaccard pairs at threshold 0.5 — n72's oracle
+    * (proves the prefix filter lossless) and the truth side of n84's
+    * recall audit.
+    */
   private val jaccardExactPairsSql: String =
     s"""WITH ${jaccardPairsCte("documents")}
          |SELECT doc_id_a, doc_id_b,
@@ -5696,7 +5696,7 @@ object SparkEntry {
          |f3 AS (SELECT source, n, xor(v4, v4 >> 33) AS wu
          |       FROM (SELECT source, n, ${mulC("v3", c2, c2lo)} AS v4 FROM f2)),
          |t AS (SELECT source, n,
-         |       CAST(CAST(wu >> 11 AS BIGINT) AS DOUBLE)
+         |       CAST(greatest(CAST(wu >> 11 AS BIGINT), 1) AS DOUBLE)
          |         / 9007199254740992.0 AS u FROM f3),
          |no AS (SELECT source, n,
          |       CAST(round((-2.0 * sign(u - 0.5) *

@@ -147,16 +147,21 @@ final case class GridDataset(df: DataFrame, meta: GridMeta) {
     })
   }
 
-  /** xarray `ds.diff("time", n=1)`: n-step difference along time per
-    * cell. xarray drops the first n labels; the relational model keeps
-    * the rows with NULL values instead (rows are never dropped, the
-    * [[whereMask]] convention), so the time axis stays aligned.
+  /** xarray `ds.diff("time", n=1)`: the n-th ORDER difference along
+    * time per cell — the single-step difference iterated n times
+    * (xarray's semantics; the span difference v_t − v_{t−n} is a
+    * different operator). xarray drops the first n labels; the
+    * relational model keeps the rows with NULL values instead (rows
+    * are never dropped, the [[whereMask]] convention), so the time
+    * axis stays aligned.
     */
   def diffTime(n: Int = 1): GridDataset = {
     require(n >= 1, s"diff must be >= 1 step, got $n")
-    copy(df = variables.foldLeft(df) { (d, v) =>
-      d.withColumn(v, col(v) - lag(col(v), n).over(timeWindow))
-    })
+    (1 to n).foldLeft(this) { (g, _) =>
+      g.copy(df = g.variables.foldLeft(g.df) { (d, v) =>
+        d.withColumn(v, col(v) - lag(col(v), 1).over(timeWindow))
+      })
+    }
   }
 
   /** xarray `ds.cumsum("time")`: running sum along time per cell (NULL

@@ -84,6 +84,17 @@ object PointExtract {
       "bilinear interp needs xAxis metadata"))
     val ya = g.meta.yAxis.getOrElse(throw new IllegalArgumentException(
       "bilinear interp needs yAxis metadata"))
+    require(xa.n >= 2 && ya.n >= 2,
+      "bilinear interp needs at least a 2x2 grid")
+    // no silent extrapolation: the index clamp alone would leave fx/fy
+    // unbounded and produce weights far outside [0,1] for out-of-domain
+    // points (xarray interp yields NaN there; this engine fails fast)
+    points.foreach { case (id, lon, lat) =>
+      require(lon >= xa.origin && lon <= xa.last &&
+        lat >= ya.origin && lat <= ya.last,
+        s"point $id ($lon, $lat) is outside the grid domain " +
+          s"[${xa.origin}, ${xa.last}] x [${ya.origin}, ${ya.last}]")
+    }
     final case class Stencil(id: String, xs: Array[Double], ys: Array[Double],
                              w: Array[Double])
     val stencils = points.map { case (id, lon, lat) =>

@@ -62,8 +62,15 @@ object Clustering {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("codes"), col("cluster"), col("dist"))
     }
-    var cents = sq.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cluster"), col("codes").as("cent"))
+    // init really takes the k smallest vec_ids (not "ids < k", which
+    // silently under-seeds on non-0-based id spaces); cluster ids are
+    // their ranks, so 0-based fixtures keep cluster == vec_id
+    var cents = sq.orderBy("vec_id").limit(k)
+      .withColumn("cluster",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cluster"), col("codes").as("cent"))
+    require(cents.count() == k,
+      s"need at least $k vectors to seed $k clusters")
     for (_ <- 1 to rounds) {
       val assigned = assign(cents)
       val upd = assigned

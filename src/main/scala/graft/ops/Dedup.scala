@@ -816,11 +816,13 @@ object Dedup {
     * needs sampled yields) or feed `jaccardPrefixJoin(minThreshold)`
     * pairs instead.
     */
-  def thresholdCurve(docs: DataFrame, n: Int = 3,
-                     thresholds: Seq[Int]): DataFrame = {
-    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
-      "thresholds are x100 integers in [1, 100]")
-    import docs.sparkSession.implicits._
+  /** The NAIVE any-shared-gram exact pair relation
+    * `(da, db, inter, uni)` over word n-grams — quadratic in the worst
+    * case (it deliberately lacks [[jaccardPrefixJoin]]'s prefix
+    * filter: this is the truth/audit side, not the scale path). The
+    * Spark twin of SparkEntry's `jaccardPairsCte` oracle template.
+    */
+  private def naiveJaccardPairs(docs: DataFrame, n: Int): DataFrame = {
     val grams = docs.select(col("doc_id"),
         word_shingle_set(col("text"), n).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
@@ -832,10 +834,18 @@ object Dedup {
       col("sz").as("la"))
     val gb = grams.select(col("doc_id").as("db"), col("hs").as("hsb"),
       col("sz").as("lb"))
-    val pairs = cand.join(ga, Seq("da")).join(gb, Seq("db"))
+    cand.join(ga, Seq("da")).join(gb, Seq("db"))
       .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
       .select(col("da"), col("db"), col("inter"),
         (col("la") + col("lb") - col("inter")).as("uni"))
+  }
+
+  def thresholdCurve(docs: DataFrame, n: Int = 3,
+                     thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      "thresholds are x100 integers in [1, 100]")
+    import docs.sparkSession.implicits._
+    val pairs = naiveJaccardPairs(docs, n)
     val th = thresholds.toDF("t")
     val hit = pairs.crossJoin(broadcast(th))
       .filter(col("inter") * 100 >= col("t") * col("uni"))

@@ -204,7 +204,11 @@ object Profile {
                     seed: Long): DataFrame = {
     require(b > 0, s"Laplace scale must be positive, got $b")
     import org.apache.spark.sql.graft.GraftFunctions.{fmix64, fnv64}
-    val u = shiftrightunsigned(fmix64(fnv64(col(groupCol)) + lit(seed)), 11)
+    // bits clamped to >= 1: a key whose 53-bit draw lands exactly on 0
+    // would put log(0) = -Inf through the inverse CDF (a deterministic
+    // seed-dependent landmine); u = 2^-53 caps |noise| at ~36.7b
+    val u = greatest(
+      shiftrightunsigned(fmix64(fnv64(col(groupCol)) + lit(seed)), 11), lit(1L))
       .cast("double") / lit(9007199254740992.0) // 2^53
     val noise = -lit(b) * signum(u - lit(0.5)) *
       log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))

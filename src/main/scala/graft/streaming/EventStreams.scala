@@ -258,14 +258,30 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionRow] = {
+      // the gap must be enforced on the DATA path too: a later event
+      // can arrive before the watermark passes the open session's
+      // close timer, and folding it in blindly would merge sessions
+      // separated by more than the gap (arrival-timing-dependent
+      // output). Batch rows are sorted by event time (a micro-batch
+      // gives no per-key order), each gap jump closes the session
+      // inline, and the timer remains responsible only for the FINAL
+      // session of a quiet key.
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      var out = List.empty[SessionRow]
       var cur = if (st.exists()) st.get() else SessSt(Long.MaxValue, Long.MinValue, 0L)
-      rows.foreach { e =>
+      sorted.foreach { e =>
         val ms = e.ts.getTime
-        cur = SessSt(math.min(cur.start, ms), math.max(cur.last, ms), cur.n + 1)
+        if (cur.n > 0 && ms > cur.last + gapMs) {
+          out ::= SessionRow(key, new Timestamp(cur.start),
+            new Timestamp(cur.last + gapMs), cur.n)
+          cur = SessSt(ms, ms, 1L)
+        } else {
+          cur = SessSt(math.min(cur.start, ms), math.max(cur.last, ms), cur.n + 1)
+        }
       }
       st.update(cur)
       getHandle.registerTimer(cur.last + gapMs)
-      Iterator.empty
+      out.reverse.iterator
     }
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,

@@ -537,6 +537,16 @@ class EventStreamsSpec extends SparkSpec {
         // exactly-once: no user closed more sessions than it had
         assert(fin.toSeq.map(_._1).count(_ == 1L) == 2)
         assert(fin.toSeq.map(_._1).count(_ == 2L) == 1)
+        // the gap binds on the DATA path too: two user-50 events more
+        // than a gap apart land in ONE batch (watermark far behind) —
+        // the first session must close inline, not merge
+        mem.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 50L, "view", 1.0),
+                    (Timestamp.valueOf("2024-01-01 23:00:00"), 50L, "view", 2.0))
+        q.processAllAvailable()
+        val inline = sessions().filter(_._1 == 50L)
+        assert(inline == Set(
+          (50L, "2024-01-01 20:00:00.0", "2024-01-01 20:10:00.0", 1L)),
+          s"in-batch gap jump must close the first session inline: $inline")
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)

@@ -84,6 +84,12 @@ class GridModelSpec extends SparkSpec {
     // cumsum: running prefix sums (exact rationals — == not approx)
     val cs = cellOf(g.cumsumTime.df)
     for (i <- cell.indices) assert(cs(i).getDouble(0) == cell.take(i + 1).sum)
+    // diff(n=2) is the ITERATED (second-order) difference, xarray's
+    // semantics — not the span difference v_t - v_{t-2}
+    val d2 = cellOf(g.diffTime(2).df)
+    assert(d2(0).isNullAt(0) && d2(1).isNullAt(0))
+    for (i <- 2 until cell.length)
+      assert(d2(i).getDouble(0) == (cell(i) - cell(i - 1)) - (cell(i - 1) - cell(i - 2)))
     intercept[IllegalArgumentException](g.shiftTime(0))
     intercept[IllegalArgumentException](g.diffTime(0))
   }

@@ -352,6 +352,12 @@ class OperatorsSpec extends SparkSpec {
       PointExtract.bilinearPoints(noMeta, Seq(("p", -82.0, 42.0)), "t2m"))
     intercept[IllegalArgumentException](
       PointExtract.bilinearPoints(g, Seq.empty, "t2m"))
+    // no silent extrapolation: out-of-domain points fail fast (the
+    // index clamp alone would yield weights far outside [0,1])
+    intercept[IllegalArgumentException](
+      PointExtract.bilinearPoints(g, Seq(("p", -100.0, 42.0)), "t2m"))
+    intercept[IllegalArgumentException](
+      PointExtract.bilinearPoints(g, Seq(("p", -82.0, 49.0)), "t2m"))
   }
 
   test("seasonalMase: ramp and periodic laws; evaluation-window count") {

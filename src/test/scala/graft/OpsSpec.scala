@@ -2901,6 +2901,16 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
     intercept[IllegalArgumentException](graft.ops.Clustering.kMeans(sep, 1, 2))
     intercept[IllegalArgumentException](graft.ops.Clustering.kMeans(sep, 2, 9))
+    // init takes the k SMALLEST ids, not ids < k: a shifted id space
+    // clusters identically (and must not silently return empty)
+    val shifted = sep.withColumn("vec_id", col("vec_id") + 1000L)
+    val sh = graft.ops.Clustering.kMeans(shifted, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.size == 6)
+    assert(sh(1000L) == sh(1002L) && sh(1001L) == sh(1004L) &&
+      sh(1000L) != sh(1001L))
+    intercept[IllegalArgumentException](
+      graft.ops.Clustering.kMeans(sep.limit(1), 2, 1))
   }
 
   test("labelPropagation: components get distinct labels; self-vote is stable; bridge communities") {
