@@ -658,7 +658,9 @@ object SparkEntry {
     * tie-break) and a truncating-division centroid update with the
     * empty-cluster carry-over, closing with the final assignment.
     */
-  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+  private def kmeansOracleSql(k: Int, rounds: Int,
+      finalSelect: String = """SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist
+        |FROM af ORDER BY vec_id""".stripMargin): String = {
     def assign(out: String, cin: String): String =
       s"""$out AS (SELECT vec_id, codes, cluster, dist FROM (
          |  SELECT vec_id, codes, cluster, dist,
@@ -691,8 +693,7 @@ object SparkEntry {
        |       WHERE vec_id < $k),
        |$steps,
        |${assign("af", s"c$rounds")}
-       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist
-       |FROM af ORDER BY vec_id""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** The naive all-shared-gram exact-pair CTEs ending in
@@ -2431,6 +2432,16 @@ object SparkEntry {
       graft.ops.Profile.dpNoisyCounts(t(s, dir, "documents"),
           "source", b = 2.0, seed = 42L)
         .orderBy("source")
+    }),
+
+    "n132_cluster_profile" -> ((s, dir) => {
+      // cluster cartography: size, representative (nearest-to-centroid
+      // medoid proxy, the SemDeDup keep policy), and integer mean
+      // squared distance per k-means cluster — the oracle extends the
+      // n126 unrolled replay with an argmin + agg final stage
+      graft.ops.Clustering.clusterProfile(t(s, dir, "embeddings"),
+          k = 4, rounds = 2)
+        .orderBy("cluster")
     }),
 
     "n126_kmeans" -> ((s, dir) => {
@@ -5602,6 +5613,20 @@ object SparkEntry {
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n132_cluster_profile" -> kmeansOracleSql(k = 4, rounds = 2,
+      finalSelect =
+        """,
+          |r AS (SELECT cluster, vec_id, dist,
+          |  row_number() OVER (PARTITION BY cluster
+          |    ORDER BY dist, vec_id) AS rn FROM af),
+          |st AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(dist) AS BIGINT) AS sdist FROM af GROUP BY cluster)
+          |SELECT CAST(st.cluster AS BIGINT) AS cluster, st.n,
+          | r.vec_id AS rep_id, r.dist AS rep_dist,
+          | st.sdist // st.n AS mean_dist
+          |FROM st JOIN r ON st.cluster = r.cluster AND r.rn = 1
+          |ORDER BY cluster""".stripMargin),
 
     "n131_threshold_curve" ->
       s"""WITH $plantedDocsCte,

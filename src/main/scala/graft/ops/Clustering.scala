@@ -88,4 +88,28 @@ object Clustering {
     assign(cents).select(col("vec_id"), col("cluster").cast("long").as("cluster"),
       col("dist"))
   }
+
+  /** Cluster cartography over [[kMeans]]'s assignment: per cluster the
+    * member count, the REPRESENTATIVE (member nearest its centroid,
+    * ties to the lowest vec_id — the medoid-proxy SemDeDup keeps when
+    * a cluster is collapsed), its distance, and the mean squared
+    * distance (truncating integer division — a cluster-tightness
+    * signal). The representative argmin runs under WindowGroupLimit
+    * on the ids-only assignment; nothing here touches an embedding
+    * again.
+    */
+  def clusterProfile(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val assigned = kMeans(emb, k, rounds)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val reps = assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("rep_id"),
+        col("dist").as("rep_dist"))
+    val stats = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sdist"))
+    stats.join(reps, "cluster")
+      .select(col("cluster"), col("n"), col("rep_id"), col("rep_dist"),
+        expr("sdist div n").as("mean_dist"))
+  }
 }

@@ -2913,6 +2913,25 @@ class OpsSpec extends SparkSpec {
       graft.ops.Clustering.kMeans(sep.limit(1), 2, 1))
   }
 
+  test("clusterProfile: sizes sum to corpus, representative is the argmin member") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prof = graft.ops.Clustering.clusterProfile(emb, k = 4, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val assigned = graft.ops.Clustering.kMeans(emb, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(prof.values.map(_._1).sum == assigned.length.toLong)
+    for ((c, members) <- assigned.groupBy(_._2)) {
+      val (n, repId, repDist, meanDist) = prof(c)
+      assert(n == members.length.toLong)
+      val best = members.minBy(m => (m._3, m._1))
+      assert(repId == best._1 && repDist == best._3)
+      assert(meanDist == members.map(_._3).sum / members.length)
+      // the representative really is a member of its own cluster
+      assert(members.exists(_._1 == repId))
+    }
+  }
+
   test("labelPropagation: components get distinct labels; self-vote is stable; bridge communities") {
     import spark.implicits._
     def edges(ps: (Long, Long)*) = ps.toDF("src", "dst")
