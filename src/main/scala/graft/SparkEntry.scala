@@ -2434,6 +2434,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "n133_jump_hash" -> ((s, dir) => {
+      // jump consistent hashing (Lamping–Veach, integer-division
+      // variant) vs n119's rendezvous: the same only-moves-to-the-new-
+      // shard resharding contract with O(1) memory and an O(ln n) loop
+      // instead of an O(n) scoring pass — the (shard-at-8, shard-at-9)
+      // contingency table IS the proof (off-diagonal mass only in
+      // column 8), replayed by the oracle as a recursive-CTE jump walk
+      import org.apache.spark.sql.graft.GraftFunctions.jump_hash
+      t(s, dir, "documents").select(
+          jump_hash(col("doc_id"), 8).as("shard8"),
+          jump_hash(col("doc_id"), 9).as("shard9"))
+        .groupBy("shard8", "shard9").agg(count(lit(1)).as("n"))
+        .orderBy("shard8", "shard9")
+    }),
+
     "n132_cluster_profile" -> ((s, dir) => {
       // cluster cartography: size, representative (nearest-to-centroid
       // medoid proxy, the SemDeDup keep policy), and integer mean
@@ -5613,6 +5628,27 @@ object SparkEntry {
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n133_jump_hash" ->
+      // the jump walk in HUGEINT mod 2^64: strictly ascending b's, so
+      // shard_n = max b below n; both shards read off ONE walk to n=9
+      s"""WITH RECURSIVE it AS (
+         |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS key,
+         |         CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, k2, j,
+         |    ((j + 1) * 2147483648) // (CAST(k2 >> 33 AS BIGINT) + 1)
+         |  FROM (SELECT doc_id,
+         |          ((${mulC("key", "2862933555777941757", "2276503805")}) + 1)
+         |            & $M64 AS k2, j
+         |        FROM it WHERE j < 9)),
+         |a AS (SELECT doc_id,
+         |   max(CASE WHEN b < 8 THEN b END) AS shard8,
+         |   max(b) AS shard9
+         |  FROM it WHERE b >= 0 GROUP BY doc_id)
+         |SELECT shard8, shard9, CAST(count(*) AS BIGINT) AS n
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "n132_cluster_profile" -> kmeansOracleSql(k = 4, rounds = 2,
       finalSelect =

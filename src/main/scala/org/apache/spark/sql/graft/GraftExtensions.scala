@@ -47,6 +47,7 @@ object GraftExtensions {
     "fnv64" -> (args => Fnv64(args(0))),
     "fnv_mix64" -> (args => FnvMix64(args(0))),
     "fmix64" -> (args => Fmix64(args(0))),
+    "jump_hash" -> (args => JumpHash(args(0), intArg(args(1), "shards"))),
     "shingle_set" -> (args =>
       ShingleSet(args(0), if (args.length > 1) intArg(args(1), "k") else 5)),
     "minhash_signature" -> (args => MinHashSignature(args(0),

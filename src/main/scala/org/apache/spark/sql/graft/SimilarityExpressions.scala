@@ -227,6 +227,27 @@ object SimilarityKernels {
     */
   def mix64(v: Long): Long = Hashing.fmix64(v)
 
+  /** Jump consistent hash (Lamping & Veach 2014) in its
+    * INTEGER-DIVISION variant: `j = ((b+1) << 31) / ((key >>> 33) + 1)`
+    * replaces the paper's double arithmetic, which is not
+    * cross-engine-replayable. The per-key jump sequence is independent
+    * of `shards`, so the defining resharding law — growing n to n+1
+    * moves a key ONLY to the new shard — holds exactly. O(1) memory
+    * and an expected O(ln shards) loop vs rendezvous's O(shards)
+    * scoring pass per key.
+    */
+  def jumpHash(key0: Long, shards: Int): Long = {
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < shards) {
+      b = j
+      key = key * 2862933555777941757L + 1L
+      j = ((b + 1L) << 31) / ((key >>> 33) + 1L)
+    }
+    b
+  }
+
   /** Polynomial rolling hash (Rabin-Karp style) of the text, mod 2^61-1 —
     * the document-fingerprint primitive.
     */
@@ -480,6 +501,19 @@ case class Fmix64(child: Expression) extends UnaryExpression with ExpectsInputTy
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class JumpHash(child: Expression, shards: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(shards >= 1, s"jump_hash needs shards >= 1, got $shards")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jump_hash"
+  override protected def nullSafeEval(t: Any): Any =
+    SimilarityKernels.jumpHash(t.asInstanceOf[Long], shards)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.jumpHash($t, $shards)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ShingleSet(child: Expression, k: Int) extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -539,6 +573,8 @@ object GraftFunctions {
     column(CdcBoundaries(expression(text), w, modulus))
   def fnv_mix64(text: Column): Column = column(FnvMix64(expression(text)))
   def fmix64(v: Column): Column = column(Fmix64(expression(v)))
+  def jump_hash(key: Column, shards: Int): Column =
+    column(JumpHash(expression(key), shards))
   def shingle_set(text: Column, k: Int = 5): Column = column(ShingleSet(expression(text), k))
   def minhash_words(text: Column, n: Int = 3, numHashes: Int = 64,
                     seed: Long = 42L): Column =

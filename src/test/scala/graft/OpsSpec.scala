@@ -2913,6 +2913,29 @@ class OpsSpec extends SparkSpec {
       graft.ops.Clustering.kMeans(sep.limit(1), 2, 1))
   }
 
+  test("jumpHash: range, only-moves-to-new-shard law, stability, spread") {
+    import org.apache.spark.sql.graft.SimilarityKernels.jumpHash
+    val keys = (0L until 2000L) ++ Seq(Long.MaxValue - 5, 1L << 62)
+    for (n <- 1 to 12; k <- keys.take(200)) {
+      val s = jumpHash(k, n)
+      assert(s >= 0 && s < n, s"key $k shards $n -> $s out of range")
+    }
+    // the defining law: growing n -> n+1 moves a key ONLY to shard n
+    for (n <- 1 until 16; k <- keys) {
+      val a = jumpHash(k, n); val b = jumpHash(k, n + 1)
+      assert(b == a || b == n, s"key $k moved $a -> $b at n=${n + 1}")
+    }
+    // ~1/(n+1) of keys move at each growth step (jump hash's balance)
+    val moved = keys.count(k => jumpHash(k, 8) != jumpHash(k, 9))
+    assert(moved > keys.size / 18 && moved < keys.size / 5, s"moved $moved")
+    // deterministic and spread: all 8 shards populated
+    assert(keys.map(jumpHash(_, 8)).toSet.size == 8)
+    // the SQL surface resolves through the extension registry
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT jump_hash(CAST(7 AS BIGINT), 8)").collect()(0).getLong(0)
+    assert(viaSql == jumpHash(7L, 8))
+  }
+
   test("clusterProfile: sizes sum to corpus, representative is the argmin member") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val prof = graft.ops.Clustering.clusterProfile(emb, k = 4, rounds = 2)
