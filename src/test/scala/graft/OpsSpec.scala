@@ -2911,6 +2911,14 @@ class OpsSpec extends SparkSpec {
       sh(1000L) != sh(1001L))
     intercept[IllegalArgumentException](
       graft.ops.Clustering.kMeans(sep.limit(1), 2, 1))
+    // scale shape: the assignment broadcasts the centroid table (never
+    // a shuffled or cartesian corpus join) and the argmin rank filter
+    // runs under WindowGroupLimit
+    val plan = graft.ops.Clustering.kMeans(emb, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "centroids must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("WindowGroupLimit"), "argmin must prune per task")
   }
 
   test("jumpHash: range, only-moves-to-new-shard law, stability, spread") {
