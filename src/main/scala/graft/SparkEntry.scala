@@ -2434,6 +2434,27 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "n134_dq_report" -> ((s, dir) => {
+      // declarative data-quality gate (the Deequ/expectations shape):
+      // row rules in ONE documents scan, key uniqueness without a
+      // self-join, and referential integrity as an anti-join — with a
+      // planted orphan lineitem and the planted duplicate doc_ids so
+      // the violation columns are value-bearing, not all-zero
+      import s.implicits._
+      val docs = plantedDocs(s, dir)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").cast("long"))
+        .unionAll(Seq(-999L).toDF("l_orderkey"))
+      val rows = graft.ops.Profile.dqColumnRules(docs, Seq(
+          "text_complete" -> (col("text").isNull || col("text") === ""),
+          "n_chars_consistent" -> (col("n_chars") =!= length(col("text")))))
+        .unionAll(graft.ops.Profile.dqUnique(docs, Seq("doc_id"), "doc_id_unique"))
+        .unionAll(graft.ops.Profile.dqUnique(docs, Seq("text"), "text_unique"))
+        .unionAll(graft.ops.Profile.dqReferential(li, "l_orderkey",
+          t(s, dir, "orders").select(col("o_orderkey").cast("long").as("l_orderkey")),
+          "l_orderkey", "orderkey_referential"))
+      rows.orderBy("rule")
+    }),
+
     "n133_jump_hash" -> ((s, dir) => {
       // jump consistent hashing (Lamping–Veach, integer-division
       // variant) vs n119's rendezvous: the same only-moves-to-the-new-
@@ -5628,6 +5649,39 @@ object SparkEntry {
         |FROM d ORDER BY d DESC, v LIMIT 1""".stripMargin,
 
     "n126_kmeans" -> kmeansOracleSql(k = 4, rounds = 2),
+
+    "n134_dq_report" ->
+      s"""WITH $plantedDocsCte,
+         |li AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+         |       UNION ALL SELECT -999),
+         |ok AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+         |SELECT 'text_complete' AS rule,
+         | CAST(count(*) AS BIGINT) AS n_checked,
+         | CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_violations,
+         | sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) = 0 AS pass
+         |FROM pd
+         |UNION ALL
+         |SELECT 'n_chars_consistent', CAST(count(*) AS BIGINT),
+         | CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+         | sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+         |FROM pd
+         |UNION ALL
+         |SELECT 'doc_id_unique', CAST(count(*) AS BIGINT),
+         | CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+         | count(*) = count(DISTINCT doc_id)
+         |FROM pd
+         |UNION ALL
+         |SELECT 'text_unique', CAST(count(*) AS BIGINT),
+         | CAST(count(*) - count(DISTINCT text) AS BIGINT),
+         | count(*) = count(DISTINCT text)
+         |FROM pd
+         |UNION ALL
+         |SELECT 'orderkey_referential', CAST(count(*) AS BIGINT),
+         | CAST(sum(CASE WHEN ok.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         | sum(CASE WHEN ok.k IS NULL THEN 1 ELSE 0 END) = 0
+         |FROM li LEFT JOIN ok ON li.k = ok.k
+         |ORDER BY rule""".stripMargin,
 
     "n133_jump_hash" ->
       // the jump walk in HUGEINT mod 2^64: strictly ascending b's, so

@@ -200,6 +200,55 @@ object Profile {
     * column expression on the groups-sized aggregate — nothing
     * corpus-scale happens after the count.
     */
+  /** Declarative data-quality report — the Deequ/expectations pattern
+    * as three composable relational shapes, each emitting
+    * `(rule, n_checked, n_violations, pass)`:
+    *
+    *   - [[dqColumnRules]]: ALL row-level predicates in ONE scan via
+    *     conditional aggregation (never a pass per rule);
+    *   - [[dqUnique]]: key uniqueness as `rows − distinct keys`
+    *     (two combinable aggs, no self-join);
+    *   - [[dqReferential]]: orphan detection as a LEFT ANTI join
+    *     count (broadcast when the parent key set is small).
+    *
+    * Union the rows into one report (the n134 query does); `pass` is
+    * `n_violations == 0`, so the report doubles as a circuit-breaker
+    * relation a pipeline can crash on.
+    */
+  def dqColumnRules(df: DataFrame,
+                    rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("_n") +:
+      rules.map { case (name, violated) =>
+        sum(when(violated, 1L).otherwise(0L)).as(s"_v_$name")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    rules.map { case (name, _) =>
+      one.select(lit(name).as("rule"), col("_n").as("n_checked"),
+        col(s"_v_$name").as("n_violations"),
+        (col(s"_v_$name") === 0L).as("pass"))
+    }.reduce(_ unionAll _)
+  }
+
+  def dqUnique(df: DataFrame, cols: Seq[String], rule: String): DataFrame =
+    df.agg(count(lit(1)).as("_n"),
+        count_distinct(struct(cols.map(col): _*)).as("_d"))
+      .select(lit(rule).as("rule"), col("_n").as("n_checked"),
+        (col("_n") - col("_d")).as("n_violations"),
+        (col("_n") === col("_d")).as("pass"))
+
+  def dqReferential(child: DataFrame, childCol: String,
+                    parent: DataFrame, parentCol: String,
+                    rule: String): DataFrame = {
+    val orphans = child.join(
+        parent.select(col(parentCol).as(childCol)).distinct(),
+        Seq(childCol), "left_anti")
+      .agg(count(lit(1)).as("_v"))
+    child.agg(count(lit(1)).as("_n")).crossJoin(orphans)
+      .select(lit(rule).as("rule"), col("_n").as("n_checked"),
+        col("_v").as("n_violations"), (col("_v") === 0L).as("pass"))
+  }
+
   def dpNoisyCounts(df: DataFrame, groupCol: String, b: Double,
                     seed: Long): DataFrame = {
     require(b > 0, s"Laplace scale must be positive, got $b")

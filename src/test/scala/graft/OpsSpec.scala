@@ -2921,6 +2921,30 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "argmin must prune per task")
   }
 
+  test("dq rules: hand-counted violations, uniqueness without self-join, orphan detection") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 1L), (2L, "", 0L), (3L, null.asInstanceOf[String], 9L),
+      (4L, "bb", 7L), (5L, "bb", 2L)).toDF("id", "t", "len")
+    val rows = Profile.dqColumnRules(d, Seq(
+        "complete" -> (col("t").isNull || col("t") === ""),
+        "len_ok" -> (col("t").isNotNull && col("len") =!= length(col("t")))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows("complete") == ((5L, 2L, false)))
+    assert(rows("len_ok") == ((5L, 1L, false)))   // id=4 (7 vs 2); null row skipped
+    val u = Profile.dqUnique(d, Seq("t"), "t_unique").collect()(0)
+    // distinct t values: a, '', NULL, bb -> 4; violations = 5 - 4 = 1
+    assert(u.getLong(1) == 5L && u.getLong(2) == 1L && !u.getBoolean(3))
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val refc = Profile.dqReferential(d, "id", parent, "id", "ref").collect()(0)
+    assert(refc.getLong(1) == 5L && refc.getLong(2) == 2L && !refc.getBoolean(3))
+    // a fully-clean relation passes everything
+    val clean = Profile.dqColumnRules(parent,
+      Seq("pos" -> (col("id") <= 0))).collect()(0)
+    assert(clean.getLong(2) == 0L && clean.getBoolean(3))
+    intercept[IllegalArgumentException](Profile.dqColumnRules(d, Seq.empty))
+  }
+
   test("jumpHash: range, only-moves-to-new-shard law, stability, spread") {
     import org.apache.spark.sql.graft.SimilarityKernels.jumpHash
     val keys = (0L until 2000L) ++ Seq(Long.MaxValue - 5, 1L << 62)
