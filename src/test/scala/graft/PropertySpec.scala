@@ -328,7 +328,11 @@ class PropertySpec extends SparkSpec {
         Seq((1L, t)).toDF("doc_id", "text")).collect()(0)
       val h = r.getAs[Double]("entropy_nats")
       val d = r.getAs[Long]("distinct_chars")
-      h >= -1e-9 && h <= math.log(d.toDouble) + 1e-9
+      // entropy_nats is rounded to 6 dp (oracle convention), so a
+      // maximal-entropy text can round UP past ln(d) by up to half an
+      // ulp of 1e-6 — e.g. uniform 5-symbol text: ln(5) = 1.6094379
+      // rounds to 1.609438. The bound tolerance must cover that.
+      h >= -1e-9 && h <= math.log(d.toDouble) + 5e-7
     }))
   }
 
