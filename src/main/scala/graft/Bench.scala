@@ -27,12 +27,18 @@ object Bench {
     // driver's full sweep
     EnvFilter.validate(SparkEntry.queries.keySet)
     val selected = SparkEntry.queries.filter { case (n, _) => EnvFilter.selected(n) }
-    // Each query runs twice and the MIN is recorded: on a shared box
-    // run-to-run spread is ±30-40% (PLANS.md's bracketing runs), which
-    // polluted two rounds of adjudication with false regressions. The
-    // min of two runs is a far better estimator of plan cost than a
-    // single sample, and both runs do full work (noop sink, no result
-    // caching between runs — only OS page cache, which a warm cluster
+    // Each query is timed as the MIN over TWO FULL INTERLEAVED SWEEPS:
+    // on a shared box run-to-run spread is ±30-40% (PLANS.md's
+    // bracketing runs), which polluted two rounds of adjudication with
+    // false regressions — and r7 showed the residual noise is
+    // SWEEP-POSITION dependent (JVM/GC aging over 246 queries inflated
+    // early-alphabet queries 3-4x vs a fresh JVM), which back-to-back
+    // min-of-two cannot cancel because both samples sit at the same
+    // position. Running the whole sweep twice and min-merging per query
+    // decorrelates the sample positions (a query early in the aged pass
+    // is late in the other), and a periodic System.gc() keeps heap aging
+    // itself bounded. Both runs do full work (noop sink, cache cleared
+    // between runs — only OS page cache persists, which a warm cluster
     // has too).
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -42,15 +48,24 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators that persist() intermediates register them in the
-      // CacheManager keyed by canonicalized plan — run 2 of the same
-      // query would silently reuse run 1's cache and underreport; it
-      // also stops cached relations accumulating across the sweep
+      // CacheManager keyed by canonicalized plan — the second sweep's
+      // run of the same query would silently reuse the cache and
+      // underreport; it also stops cached relations accumulating
       spark.catalog.clearCache()
       dt
     }
-    val results = selected.map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
+    def sweep(): Map[String, Double] = {
+      var i = 0
+      selected.map { case (name, fn) =>
+        i += 1
+        if (i % 32 == 0) System.gc() // bound heap aging across the sweep
+        name -> once(name, fn)
+      }
     }
+    val s1 = sweep()
+    System.gc()
+    val s2 = sweep()
+    val results = s1.map { case (name, t1) => name -> math.min(t1, s2(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

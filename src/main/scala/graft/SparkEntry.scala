@@ -657,6 +657,9 @@ object SparkEntry {
     * round an argmin assignment (squared-L2 in BIGINT, (dist, cluster)
     * tie-break) and a truncating-division centroid update with the
     * empty-cluster carry-over, closing with the final assignment.
+    * Seeding replays the engine's contract exactly: the k SMALLEST
+    * vec_ids via row_number with rank-1 as the cluster id — not
+    * `vec_id < k`, which only coincides on 0-based contiguous ids.
     */
   private def kmeansOracleSql(k: Int, rounds: Int,
       finalSelect: String = """SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist
@@ -689,8 +692,10 @@ object SparkEntry {
        |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
        |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
        |       END AS codes FROM s),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, codes AS cent FROM c
-       |       WHERE vec_id < $k),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cluster, codes AS cent
+       |       FROM (SELECT codes, row_number() OVER (ORDER BY vec_id) AS rn
+       |             FROM c)
+       |       WHERE rn <= $k),
        |$steps,
        |${assign("af", s"c$rounds")}
        |$finalSelect""".stripMargin

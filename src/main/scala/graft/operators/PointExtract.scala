@@ -123,12 +123,17 @@ object PointExtract {
     }
     val agg = g.df.filter(cellFilter).groupBy(g.time)
       .agg(slots.head, slots.tail: _*)
-    val perPoint = stencils.map { st =>
+    // all points read off ONE select over the aggregate — an array of
+    // (point_id, value) structs exploded to rows. A per-point select
+    // union would make Catalyst duplicate the aggregate subtree per
+    // branch and re-run the scan+agg once per point.
+    val entries = stencils.map { st =>
       val v = col(s"_${st.id}_0_0") * st.w(0) + col(s"_${st.id}_1_0") * st.w(1) +
         col(s"_${st.id}_0_1") * st.w(2) + col(s"_${st.id}_1_1") * st.w(3)
-      agg.select(g.time.as(g.meta.timeDim), lit(st.id).as("point_id"),
-        v.as(variable))
+      struct(lit(st.id).as("point_id"), v.as("v"))
     }
-    perPoint.reduce(_ unionAll _)
+    agg.select(g.time.as(g.meta.timeDim), explode(array(entries: _*)).as("e"))
+      .select(col(g.meta.timeDim), col("e.point_id").as("point_id"),
+        col("e.v").as(variable))
   }
 }

@@ -561,16 +561,9 @@ object Dedup {
     // iteration N does not carry N levels of join lineage (a growing
     // plan OOMs the driver long before the data would), and makes each
     // join read a materialized relation instead of re-deriving
-    // same-lineage branches. Checkpoint flavor is a reliability choice:
-    // localCheckpoint stores blocks on executors AND cuts lineage, so
-    // on a real cluster one lost executor kills the whole iteration —
-    // use the reliable (HDFS/object-store) checkpoint whenever the
-    // session has a checkpoint dir configured, and fall back to
-    // localCheckpoint only without one (single-JVM local runs).
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // same-lineage branches. Flavor choice lives in Iterate.checkpointed
+    // (reliable checkpoint when a dir is configured, local otherwise).
+    def ckpt(df: DataFrame): DataFrame = Iterate.checkpointed(df)
     val edges = ckpt(pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct())
@@ -688,33 +681,6 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("dist"))
   }
 
-  /** EXACT set-similarity self-join with prefix filtering — the
-    * AllPairs/PPJoin family (Bayardo, Ma & Srikant 2007 "Scaling up
-    * all pairs similarity search"; Xiao et al. 2008 PPJoin). Returns
-    * every pair (doc_id_a < doc_id_b) whose word n-gram sets have
-    * Jaccard >= threshold, with the exact similarity. Unlike
-    * [[minhashNearDups]] there is no signature approximation: recall
-    * is 1.0 by construction, because the prefix filter only prunes
-    * pairs that provably cannot reach the threshold — if
-    * J(A,B) >= t then under ANY total order on grams the first
-    * |A| - ceil(t*|A|) + 1 grams of A and the first
-    * |B| - ceil(t*|B|) + 1 of B share an element (otherwise the
-    * intersection is at most min(|A|,|B|) - prefixLen < t*|union|).
-    *
-    * 100 TB shape: the gram-frequency pass and the per-doc prefix
-    * window shuffle 8-byte gram hashes, never text. Grams are ordered
-    * rarest-first by global document frequency, the order that makes
-    * prefixes maximally selective: a high-df boilerplate gram enters a
-    * doc's prefix only when the doc has almost no rarer grams, so the
-    * candidate join on prefix grams stays near-duplicate-sized where a
-    * join on ALL shared grams would go quadratic on stopword grams.
-    * The per-doc prefix window partitions by doc_id (partition-local
-    * sort, no global window). Both threshold guards run in scaled-LONG
-    * arithmetic — floor(t * 2^20) conservatively rounded so float
-    * rounding can widen but never narrow the candidate set — and the
-    * one floating-point comparison is the final exact-Jaccard verify,
-    * computed identically by the DuckDB oracle.
-    */
   /** Near-SUPERSET pairs: containment C(A→B) = |A∩B| / |A| >= t over
     * word n-gram sets — the asymmetric relative of Jaccard that
     * catches wrapper pages, quoted fragments, and boilerplate-padded
@@ -761,10 +727,19 @@ object Dedup {
       .select(col("doc_id_contained"), col("doc_id_container"), col("containment"))
   }
 
-  def jaccardPrefixJoin(docs: DataFrame, n: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
-    val tScaled = math.floor(threshold * (1L << 20)).toLong // <= t * 2^20
+  /** Prefix-filtered candidate pairs at scaled threshold `tScaled`
+    * (= floor(t·2^20)) with their EXACT intersection and set sizes —
+    * the shared relation behind [[jaccardPrefixJoin]] (which verifies
+    * at its own threshold) and [[thresholdCurve]] (which prices a
+    * whole threshold grid off ONE run at the grid minimum: the prefix
+    * filter is lossless for every J >= tScaled/2^20, so each curve
+    * point at or above that bar reads exact counts from this
+    * relation). Returns (doc_id_a, doc_id_b, inter, la, lb) with
+    * a < b, complete for all pairs with J >= tScaled/2^20; pairs
+    * below the bar may or may not appear — callers must filter.
+    */
+  private def prefixFilteredPairs(docs: DataFrame, n: Int,
+                                  tScaled: Long): DataFrame = {
     val grams = docs.select(col("doc_id"),
         word_shingle_set(col("text"), n).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
@@ -794,35 +769,56 @@ object Dedup {
       col("sz").as("lb"))
     cand.join(ga, Seq("doc_id_a")).join(gb, Seq("doc_id_b"))
       .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("inter"), col("la"), col("lb"))
+  }
+
+  /** EXACT set-similarity self-join with prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant 2007 "Scaling up
+    * all pairs similarity search"; Xiao et al. 2008 PPJoin). Returns
+    * every pair (doc_id_a < doc_id_b) whose word n-gram sets have
+    * Jaccard >= threshold, with the exact similarity. Unlike
+    * [[minhashNearDups]] there is no signature approximation: recall
+    * is 1.0 by construction, because the prefix filter only prunes
+    * pairs that provably cannot reach the threshold — if
+    * J(A,B) >= t then under ANY total order on grams the first
+    * |A| - ceil(t*|A|) + 1 grams of A and the first
+    * |B| - ceil(t*|B|) + 1 of B share an element (otherwise the
+    * intersection is at most min(|A|,|B|) - prefixLen < t*|union|).
+    *
+    * 100 TB shape: the gram-frequency pass and the per-doc prefix
+    * window shuffle 8-byte gram hashes, never text. Grams are ordered
+    * rarest-first by global document frequency, the order that makes
+    * prefixes maximally selective: a high-df boilerplate gram enters a
+    * doc's prefix only when the doc has almost no rarer grams, so the
+    * candidate join on prefix grams stays near-duplicate-sized where a
+    * join on ALL shared grams would go quadratic on stopword grams.
+    * The per-doc prefix window partitions by doc_id (partition-local
+    * sort, no global window). Both threshold guards run in scaled-LONG
+    * arithmetic — floor(t * 2^20) conservatively rounded so float
+    * rounding can widen but never narrow the candidate set — and the
+    * one floating-point comparison is the final exact-Jaccard verify,
+    * computed identically by the DuckDB oracle.
+    */
+  def jaccardPrefixJoin(docs: DataFrame, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val tScaled = math.floor(threshold * (1L << 20)).toLong // <= t * 2^20
+    prefixFilteredPairs(docs, n, tScaled)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
-  /** Dedup threshold tuning curve: for each candidate Jaccard
-    * threshold (x100), the number of word-n-gram near-dup pairs and
-    * of documents involved in at least one such pair — the yield
-    * curve a pipeline owner reads before committing to a threshold
-    * (too low: false merges; too high: surviving duplicates; the
-    * knee is the answer). Comparisons are CROSS-MULTIPLIED integers
-    * (inter·100 ≥ t·union), so the curve replays exactly with no
-    * float boundary.
-    *
-    * Pairs come from the any-shared-gram relation (the n72 oracle's
-    * naive join, exact by construction): candidate-bounded on a
-    * corpus whose grams discriminate, quadratic in the worst case —
-    * at 100 TB run the curve on a SAMPLE (the threshold decision only
-    * needs sampled yields) or feed `jaccardPrefixJoin(minThreshold)`
-    * pairs instead.
-    */
   /** The NAIVE any-shared-gram exact pair relation
     * `(da, db, inter, uni)` over word n-grams — quadratic in the worst
     * case (it deliberately lacks [[jaccardPrefixJoin]]'s prefix
-    * filter: this is the truth/audit side, not the scale path). The
-    * Spark twin of SparkEntry's `jaccardPairsCte` oracle template.
+    * filter: this is the truth/audit side, not the scale path — the
+    * spec cross-checks [[thresholdCurve]]'s prefix-filtered pairs
+    * against it). The Spark twin of SparkEntry's `jaccardPairsCte`
+    * oracle template.
     */
-  private def naiveJaccardPairs(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def naiveJaccardPairs(docs: DataFrame, n: Int): DataFrame = {
     val grams = docs.select(col("doc_id"),
         word_shingle_set(col("text"), n).as("hs"))
       .withColumn("sz", size(col("hs")).cast("long"))
@@ -840,12 +836,34 @@ object Dedup {
         (col("la") + col("lb") - col("inter")).as("uni"))
   }
 
+  /** Dedup threshold tuning curve: for each candidate Jaccard
+    * threshold (x100), the number of word-n-gram near-dup pairs and
+    * of documents involved in at least one such pair — the yield
+    * curve a pipeline owner reads before committing to a threshold
+    * (too low: false merges; too high: surviving duplicates; the
+    * knee is the answer). Comparisons are CROSS-MULTIPLIED integers
+    * (inter·100 ≥ t·union), so the curve replays exactly with no
+    * float boundary.
+    *
+    * Pairs come from ONE [[prefixFilteredPairs]] run at the grid
+    * minimum — the scale path itself: the prefix filter is provably
+    * lossless for every J >= min(thresholds)/100 (the theorem n72's
+    * oracle verifies against the unfiltered join), and every curve
+    * point sits at or above that bar, so each per-threshold count is
+    * exact. Candidates below the bar that survive the filter are
+    * removed by the same cross-multiplied comparison that defines
+    * the curve. The spec cross-checks the whole curve against the
+    * naive any-shared-gram relation.
+    */
   def thresholdCurve(docs: DataFrame, n: Int = 3,
                      thresholds: Seq[Int]): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
       "thresholds are x100 integers in [1, 100]")
     import docs.sparkSession.implicits._
-    val pairs = naiveJaccardPairs(docs, n)
+    val tScaled = math.floor(thresholds.min.toDouble / 100.0 * (1L << 20)).toLong
+    val pairs = prefixFilteredPairs(docs, n, tScaled)
+      .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"), col("inter"),
+        (col("la") + col("lb") - col("inter")).as("uni"))
     val th = thresholds.toDF("t")
     val hit = pairs.crossJoin(broadcast(th))
       .filter(col("inter") * 100 >= col("t") * col("uni"))

@@ -26,10 +26,16 @@ object Graph {
     * `(src, dst, wt)` — to rank an undirected graph, pass both edge
     * directions (as the callers here do). Returns `(node, rank)`.
     *
-    * Preconditions: every node must have out-degree >= 1 (true by
-    * construction for symmetrized graphs; a node with no OUTBOUND
-    * edges would need the dangling-mass redistribution term this
-    * kernel deliberately omits). Nodes with no INBOUND edges are
+    * The node universe is src ∪ dst, and DANGLING nodes (no outbound
+    * edges) redistribute their rank mass uniformly each round — the
+    * standard correction (Page et al. 1999 §2.6): without it a
+    * directed graph leaks mass through every sink and the ranks drift
+    * toward zero. The dangling sum is one extra node-bounded agg per
+    * round, its per-node share an integer `div n` folded into the
+    * same damped update. On symmetrized graphs (every node out-degree
+    * >= 1, the n76/n89 callers) the dangling relation is EMPTY and
+    * the term contributes exactly 0 — those results are bit-identical
+    * with or without it. Nodes with no INBOUND edges are equally
     * fine: the per-round left join keeps them at their teleport rank
     * instead of silently dropping them.
     *
@@ -37,19 +43,23 @@ object Graph {
     * persisted ONCE and is the sole ancestor of the node list and
     * node count, so whatever pipeline built the edges runs exactly
     * once into the cache; each of the `iters` rounds is one
-    * edges-bounded join-agg shuffle. `rank * wt` must stay under
-    * 2^63: per-edge weights up to ~9e6 at full scale — lower Scale
-    * beyond (documented, the n76 convention). Caller-owned cache
-    * lifecycle (repo convention).
+    * edges-bounded join-agg shuffle plus the nodes-bounded dangling
+    * agg. `rank * wt` must stay under 2^63: per-edge weights up to
+    * ~9e6 at full scale — lower Scale beyond (documented, the n76
+    * convention). Caller-owned cache lifecycle (repo convention).
     */
   def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 8,
       "iters outside [1,8]: deeper power iterations need checkpointing " +
-        "(see Dedup.dupClusters) before the lineage is safe")
+        "(see pageRankConverged) before the lineage is safe")
     val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
     val ed = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = ed.select(col("src").as("node")).distinct()
+    val nodes = ed.select(col("src").as("node"))
+      .unionAll(ed.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes.join(ed.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti")
     val n = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(n)
       .select(col("node"), expr(s"$Scale div n").as("rank"))
@@ -57,13 +67,17 @@ object Graph {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
+      // dangling nodes spread their whole rank uniformly: dsum div n
+      // joins every node's inbound sum before damping
+      val dsum = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
       // LEFT join from the node list: a node with no inbound edges
       // keeps its teleport rank instead of vanishing from the result
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(n)
+        .crossJoin(n).crossJoin(dsum)
         .select(nodes("node"),
           (expr(s"(15 * $Scale div 100) div n") +
-            expr("(85 * coalesce(csum, 0)) div 100")).as("rank"))
+            expr("(85 * (coalesce(csum, 0) + dsum div n)) div 100")).as("rank"))
     }
     ranks
   }
@@ -103,6 +117,86 @@ object Graph {
     }
     cur.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
+  }
+
+  /** [[kCore]] run to the TRUE fixpoint — peel until a round removes
+    * nothing — with an eager checkpoint per round ([[Iterate]]), so
+    * the lineage stays O(1) at any peel depth: the production shape
+    * for a real cluster, where the cascade depth is data-dependent
+    * and a fixed `rounds` bound either wastes rounds or stops early.
+    * Convergence witness: the peeled edge count, which strictly
+    * decreases until the fixpoint (peeling only removes). Returns the
+    * same (node, degree) relation as a converged [[kCore]] — the spec
+    * proves equality beyond kCore's round bound.
+    */
+  def kCoreConverged(edges: DataFrame, k: Int, maxIter: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val init = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val (core, _) = Iterate.toFixpoint(init, maxIter) { cur =>
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      cur.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst"))
+    }(_.count())
+    core.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
+
+  /** [[integerPageRank]] run to convergence: iterate the same damped
+    * integer update (dangling-mass term included) until the largest
+    * per-node rank change is <= `tol` (in 1e-12 rank units) or
+    * `maxIter` rounds pass, checkpointing each rank vector
+    * ([[Iterate.checkpointed]]) so the lineage never grows — the
+    * production variant of the fixed-`iters` kernel, whose [1,8]
+    * bound exists only because unchecked lineage is driver-fatal.
+    * The convergence test is one nodes-bounded self-join + agg per
+    * round. Returns (node, rank).
+    */
+  def pageRankConverged(edges: DataFrame, tol: Long = 1000L,
+                        maxIter: Int = 100): DataFrame = {
+    require(tol >= 0L, "tol must be >= 0")
+    require(maxIter >= 1, "maxIter must be >= 1")
+    val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
+    val ed = Iterate.checkpointed(edges.join(deg, "src"))
+    val nodes = Iterate.checkpointed(
+      ed.select(col("src").as("node"))
+        .unionAll(ed.select(col("dst").as("node"))).distinct())
+    val dangling = Iterate.checkpointed(
+      nodes.join(ed.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti"))
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = Iterate.checkpointed(nodes.crossJoin(n)
+      .select(col("node"), expr(s"$Scale div n").as("rank")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("csum"))
+      val dsum = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+      val next = Iterate.checkpointed(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(n).crossJoin(dsum)
+          .select(nodes("node"),
+            (expr(s"(15 * $Scale div 100) div n") +
+              expr("(85 * (coalesce(csum, 0) + dsum div n)) div 100")).as("rank")))
+      val maxDelta = next.withColumnRenamed("rank", "r2")
+        .join(ranks, "node")
+        .agg(coalesce(max(abs(col("r2") - col("rank"))), lit(0L)))
+        .head().getLong(0)
+      ranks = next
+      converged = maxDelta <= tol
+      iter += 1
+    }
+    ranks
   }
 
   /** Synchronous label-propagation community detection (Raghavan et

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared iteration machinery for the unbounded-rounds graph/dedup
+  * kernels. The fixed-round operators ([[Graph.kCore]],
+  * [[Graph.integerPageRank]], [[Graph.labelPropagation]]) carry honest
+  * lineage bounds (`rounds <= 6/8`) because each DataFrame round
+  * stacks join lineage — a growing logical plan OOMs the DRIVER long
+  * before the data would. A real 100 TB run needs run-to-convergence,
+  * and the safe shape for that is an eager checkpoint per round: the
+  * plan is truncated to a materialized relation, so round N+1 never
+  * re-derives rounds 1..N. [[Dedup.dupClusters]] pioneered the
+  * pattern; this helper is that pattern lifted out so
+  * [[Graph.kCoreConverged]] / [[Graph.pageRankConverged]] and any
+  * future fixpoint loop share one implementation.
+  */
+object Iterate {
+
+  /** Eagerly checkpoint `df`, truncating its lineage. Checkpoint
+    * flavor is a reliability choice: localCheckpoint stores blocks on
+    * executors AND cuts lineage, so on a real cluster one lost
+    * executor kills the whole iteration — use the reliable
+    * (HDFS/object-store) checkpoint whenever the session has a
+    * checkpoint dir configured, and fall back to localCheckpoint only
+    * without one (single-JVM local runs).
+    */
+  def checkpointed(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Run `step` from `init` until `measure` stops changing or
+    * `maxIter` rounds pass, checkpointing every state so lineage
+    * stays O(1) regardless of round count. `measure` is the
+    * convergence witness — a cheap scalar of the state (count, label
+    * sum) whose fixpoint implies the state's fixpoint for the
+    * monotone iterations used here. Returns (state, rounds run).
+    */
+  def toFixpoint(init: DataFrame, maxIter: Int)(step: DataFrame => DataFrame)(
+      measure: DataFrame => Long): (DataFrame, Int) = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    var state = checkpointed(init)
+    var prev = measure(state)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      state = checkpointed(step(state))
+      val cur = measure(state)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    (state, iter)
+  }
+}

@@ -180,26 +180,6 @@ object Profile {
       .orderBy("bin")
   }
 
-  /** Laplace-mechanism noisy count release per group (Dwork et al.
-    * 2006): `released = n + Laplace(Δ/ε)` with sensitivity Δ = 1 for
-    * counting queries — the standard mechanism for publishing
-    * per-group statistics of a private corpus.
-    *
-    * The noise draw here is DERIVED, not random: a seeded hash of the
-    * group key (`fmix64(fnv64(group) + seed)` → 53-bit uniform →
-    * inverse-CDF Laplace), so the release replays bit-for-bit for the
-    * oracle and for reproducible pipeline tests. A REAL privacy
-    * release must swap this stream for a CSPRNG draw — the mechanism,
-    * sensitivity, and scale calculus are unchanged (same honesty
-    * convention as the multimodal decode stubs). `noise_x1e6` is
-    * rounded at 1e-6, which absorbs sub-ulp `ln` differences between
-    * engines (the n122 convention); the released count adds the
-    * integral part (truncating division, both engines).
-    *
-    * One map-side-combinable counting agg; the noise is a per-GROUP
-    * column expression on the groups-sized aggregate — nothing
-    * corpus-scale happens after the count.
-    */
   /** Declarative data-quality report — the Deequ/expectations pattern
     * as three composable relational shapes, each emitting
     * `(rule, n_checked, n_violations, pass)`:
@@ -230,12 +210,20 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
-  def dqUnique(df: DataFrame, cols: Seq[String], rule: String): DataFrame =
-    df.agg(count(lit(1)).as("_n"),
-        count_distinct(struct(cols.map(col): _*)).as("_d"))
+  def dqUnique(df: DataFrame, cols: Seq[String], rule: String): DataFrame = {
+    // NULL-key convention pinned to SQL COUNT(DISTINCT): a key with any
+    // NULL component never counts as a distinct value (count_distinct
+    // over a bare struct would — struct(NULL) is itself non-null), so a
+    // NULL-keyed row is a uniqueness VIOLATION, exactly as the oracle's
+    // count(*) - count(DISTINCT key) scores it. One semantics, both
+    // engines, NULL fixtures included.
+    val key = when(cols.map(col(_).isNotNull).reduce(_ && _),
+      struct(cols.map(col): _*))
+    df.agg(count(lit(1)).as("_n"), count_distinct(key).as("_d"))
       .select(lit(rule).as("rule"), col("_n").as("n_checked"),
         (col("_n") - col("_d")).as("n_violations"),
         (col("_n") === col("_d")).as("pass"))
+  }
 
   def dqReferential(child: DataFrame, childCol: String,
                     parent: DataFrame, parentCol: String,
@@ -249,6 +237,26 @@ object Profile {
         col("_v").as("n_violations"), (col("_v") === 0L).as("pass"))
   }
 
+  /** Laplace-mechanism noisy count release per group (Dwork et al.
+    * 2006): `released = n + Laplace(Δ/ε)` with sensitivity Δ = 1 for
+    * counting queries — the standard mechanism for publishing
+    * per-group statistics of a private corpus.
+    *
+    * The noise draw here is DERIVED, not random: a seeded hash of the
+    * group key (`fmix64(fnv64(group) + seed)` → 53-bit uniform →
+    * inverse-CDF Laplace), so the release replays bit-for-bit for the
+    * oracle and for reproducible pipeline tests. A REAL privacy
+    * release must swap this stream for a CSPRNG draw — the mechanism,
+    * sensitivity, and scale calculus are unchanged (same honesty
+    * convention as the multimodal decode stubs). `noise_x1e6` is
+    * rounded at 1e-6, which absorbs sub-ulp `ln` differences between
+    * engines (the n122 convention); the released count adds the
+    * integral part (truncating division, both engines).
+    *
+    * One map-side-combinable counting agg; the noise is a per-GROUP
+    * column expression on the groups-sized aggregate — nothing
+    * corpus-scale happens after the count.
+    */
   def dpNoisyCounts(df: DataFrame, groupCol: String, b: Double,
                     seed: Long): DataFrame = {
     require(b > 0, s"Laplace scale must be positive, got $b")

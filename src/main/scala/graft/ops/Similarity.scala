@@ -49,10 +49,20 @@ object Similarity {
         posexplode(sign_buckets(col(embedCol), planes, tables)).as(Seq("table", "bucket"))): _*)
 
   /** Exact brute-force top-k by cosine. `queries` must be small enough
-    * to broadcast (driver enforces nothing; Spark's AQE would demote if
-    * not). Returns (query_id, vec_id, cos, rank).
+    * to broadcast — and the [[allPairsExact]] guardrail convention
+    * enforces it: the query side rides a broadcast AND every corpus
+    * row is scored against every query, so an oversized query set is
+    * an O(n·q) scan nobody declared. Refuse rather than degrade; a
+    * real large-query workload is an ANN problem ([[Ivf]], sign-LSH).
+    * Returns (query_id, vec_id, cos, rank).
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     maxQueries: Long = 10000L): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"bruteForceTopK broadcasts and cross-scores the query side: got $nq " +
+      s"queries (cap $maxQueries). Sample the queries or use the ANN path " +
+      "(Ivf.probe / Dedup.embeddingNearDups) for large query sets.")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -723,6 +723,25 @@ object Sketch {
     * counts + one broadcast fence join + one counting agg. Nothing
     * corpus-sized is ever collected or sorted.
     */
+  def outlierFences(df: DataFrame, groupCol: String, valueCol: String,
+                    scaleBits: Int = 10): DataFrame = {
+    val scaled = df.select(col(groupCol).cast("string").as(groupCol),
+      floor(col(valueCol) * (1L << scaleBits)).cast("long").as("v_scaled"))
+    val qdf = exactQuantilesByGroup(scaled, groupCol, "v_scaled", Seq(0.25, 0.75))
+    val fences = qdf.groupBy(col(groupCol))
+      .agg(max(when(col("q") === 0.25, col("exact_value"))).as("q1"),
+           max(when(col("q") === 0.75, col("exact_value"))).as("q3"))
+      .withColumn("lo", expr("q1 - (3 * (q3 - q1)) div 2"))
+      .withColumn("hi", expr("q3 + (3 * (q3 - q1)) div 2"))
+    scaled.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(max("q1").as("q1"), max("q3").as("q3"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        sum(when(col("v_scaled") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v_scaled") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Robust per-group outlier detection by the median/MAD rule
     * (Iglewicz & Hoaglin 1993): modified z = 0.6745·(x − med)/MAD,
     * flag |z| > 3.5 — the robust complement to [[outlierFences]]'
@@ -760,24 +779,5 @@ object Sketch {
         count(lit(1)).as("n"))
       .select(col("grp").as(groupCol), col("med"), col("mad"),
         col("n_low"), col("n_high"), col("n"))
-  }
-
-  def outlierFences(df: DataFrame, groupCol: String, valueCol: String,
-                    scaleBits: Int = 10): DataFrame = {
-    val scaled = df.select(col(groupCol).cast("string").as(groupCol),
-      floor(col(valueCol) * (1L << scaleBits)).cast("long").as("v_scaled"))
-    val qdf = exactQuantilesByGroup(scaled, groupCol, "v_scaled", Seq(0.25, 0.75))
-    val fences = qdf.groupBy(col(groupCol))
-      .agg(max(when(col("q") === 0.25, col("exact_value"))).as("q1"),
-           max(when(col("q") === 0.75, col("exact_value"))).as("q3"))
-      .withColumn("lo", expr("q1 - (3 * (q3 - q1)) div 2"))
-      .withColumn("hi", expr("q3 + (3 * (q3 - q1)) div 2"))
-    scaled.join(broadcast(fences), groupCol)
-      .groupBy(col(groupCol))
-      .agg(max("q1").as("q1"), max("q3").as("q3"),
-        max("lo").as("lo"), max("hi").as("hi"),
-        sum(when(col("v_scaled") < col("lo"), 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("v_scaled") > col("hi"), 1L).otherwise(0L)).as("n_high"),
-        count(lit(1)).as("n_total"))
   }
 }

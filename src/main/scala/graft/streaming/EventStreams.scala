@@ -258,30 +258,41 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionRow] = {
-      // the gap must be enforced on the DATA path too: a later event
-      // can arrive before the watermark passes the open session's
-      // close timer, and folding it in blindly would merge sessions
-      // separated by more than the gap (arrival-timing-dependent
-      // output). Batch rows are sorted by event time (a micro-batch
-      // gives no per-key order), each gap jump closes the session
-      // inline, and the timer remains responsible only for the FINAL
-      // session of a quiet key.
-      val sorted = rows.toArray.sortBy(_.ts.getTime)
-      var out = List.empty[SessionRow]
-      var cur = if (st.exists()) st.get() else SessSt(Long.MaxValue, Long.MinValue, 0L)
-      sorted.foreach { e =>
-        val ms = e.ts.getTime
-        if (cur.n > 0 && ms > cur.last + gapMs) {
-          out ::= SessionRow(key, new Timestamp(cur.start),
-            new Timestamp(cur.last + gapMs), cur.n)
-          cur = SessSt(ms, ms, 1L)
-        } else {
-          cur = SessSt(math.min(cur.start, ms), math.max(cur.last, ms), cur.n + 1)
+      // the gap must be enforced on the DATA path too, in BOTH
+      // directions: a micro-batch gives no per-key order, and with a
+      // watermark delay > 0 an event may even PREDATE the open session
+      // by more than the gap (out-of-order cross-batch arrival) —
+      // folding it in via min/max would merge two true sessions
+      // separated by more than the gap. So the open session and the
+      // batch's events merge as INTERVALS sorted by start (events are
+      // points, the state is [start, last]); every gap jump closes the
+      // earlier interval inline, and the timer remains responsible
+      // only for the FINAL open session of a quiet key. Under extreme
+      // lateness a session already emitted can reappear SPLIT (its
+      // straggler forms its own session) — but never merged; with the
+      // default delay of 0 neither occurs (the watermark drops
+      // stragglers first).
+      val items = rows.map { e =>
+        val ms = e.ts.getTime; SessSt(ms, ms, 1L)
+      }.toArray ++ (if (st.exists()) Array(st.get()) else Array.empty[SessSt])
+      if (items.isEmpty) Iterator.empty
+      else {
+        val sorted = items.sortBy(s => (s.start, s.last))
+        var out = List.empty[SessionRow]
+        var cur = sorted.head
+        sorted.tail.foreach { s =>
+          if (s.start > cur.last + gapMs) {
+            out ::= SessionRow(key, new Timestamp(cur.start),
+              new Timestamp(cur.last + gapMs), cur.n)
+            cur = s
+          } else {
+            cur = SessSt(cur.start, math.max(cur.last, s.last), cur.n + s.n)
+          }
         }
+        st.update(cur)
+        getHandle.registerTimer(cur.last + gapMs)
+        out.reverse.iterator
       }
-      st.update(cur)
-      getHandle.registerTimer(cur.last + gapMs)
-      out.reverse.iterator
     }
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
@@ -326,6 +337,137 @@ object EventStreams {
     import spark.implicits._
     events.groupByKey(e => e.user_id + "/" + e.event_type)
       .transformWithState(new TtlDedupProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** Document row for [[streamingMinhashDedup]]. */
+  final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  /** One (band key, doc) presentation — stage-1 state rows. */
+  final case class BandRow(band_key: String, ts: Timestamp, doc_id: Long)
+  /** Stage-1 verdict: was this doc the first to present this band? */
+  final case class BandVerdict(doc_id: Long, ts: Timestamp, fresh: Boolean)
+  private final case class BandTally(seen: Int, collided: Boolean)
+
+  /** Stage 1 of streaming near-dup dedup, keyed by MINHASH BAND KEY:
+    * the first document to present a band claims it (ValueState =
+    * owning doc_id, TTL-bounded); every later presenter gets
+    * `fresh = false`. Within a micro-batch rows process in
+    * (ts, doc_id) order, so the earliest/lowest doc claims — the
+    * streaming analog of batch minhashDedup's drop-the-higher-id
+    * rule. Suppressed docs still HOLD their fresh bands, which makes
+    * suppression transitive the way LSH banding is in batch: a doc
+    * colliding with an already-suppressed doc is still a near-dup of
+    * record.
+    */
+  private final class BandClaimProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BandRow, BandVerdict] {
+    @transient private var owner:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[BandVerdict] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+      sorted.iterator.map { r =>
+        if (!owner.exists()) {
+          owner.update(r.doc_id)
+          BandVerdict(r.doc_id, r.ts, fresh = true)
+        } else BandVerdict(r.doc_id, r.ts, fresh = owner.get() == r.doc_id)
+      }
+    }
+  }
+
+  /** Stage 2, keyed by doc_id: tally the `nBands` per-band verdicts
+    * (all arrive in the doc's own micro-batch — the band explode and
+    * the claim stage never split a doc across batches) and emit the
+    * doc_id once iff EVERY band was fresh. State clears on the final
+    * verdict; the TTL only reaps docs truncated mid-flight by a
+    * failure.
+    */
+  private final class AllBandsFreshProcessor(nBands: Int,
+      ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BandVerdict, Long] {
+    @transient private var tally:
+      org.apache.spark.sql.streaming.ValueState[BandTally] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tally = getHandle.getValueState[BandTally]("tally",
+        org.apache.spark.sql.Encoders.product[BandTally],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[BandVerdict],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Long] = {
+      var t = if (tally.exists()) tally.get() else BandTally(0, false)
+      rows.foreach(r => t = BandTally(t.seen + 1, t.collided || !r.fresh))
+      if (t.seen >= nBands) {
+        tally.clear()
+        if (!t.collided) Iterator.single(key) else Iterator.empty
+      } else {
+        tally.update(t)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming NEAR-duplicate dedup — the unbounded-source variant of
+    * [[graft.ops.Dedup.minhashDedup]], completing the dedup ladder
+    * ([[streamingDedup]] exact / incremental-digest / this): emit the
+    * doc_ids of documents none of whose minhash LSH bands was claimed
+    * by an earlier document within the `ttl` horizon. Two chained
+    * `transformWithState` stages, both keyed SMALL:
+    *
+    *   1. explode each doc into its `bands` band keys (band index +
+    *      the signature slice — slice equality is the exact batch
+    *      collision condition, replayed from minhashNearDups) and let
+    *      the FIRST presenter claim each band ([[BandClaimProcessor]]);
+    *   2. regroup the per-band verdicts by doc_id and keep the doc
+    *      iff every band was fresh ([[AllBandsFreshProcessor]]).
+    *
+    * 100 TB shape: text never enters a shuffle — stage 1 carries
+    * (band key, ts, id), stage 2 (id, ts, bool); state is one long
+    * per live band and one (int, bool) per in-flight doc, both
+    * TTL-bounded, the processing-time analog of the exact-dedup
+    * watermark horizon. No verification pass: like any pure-LSH
+    * gate this over-suppresses band collisions below the Jaccard
+    * threshold (the spec's law pins equality with batch
+    * `minhashDedup` on fixtures where bands discriminate — the
+    * word-gram regime minhashNearDups documents); route kept ids
+    * through the batch verify path where precision matters.
+    * Degenerate docs (< k words — empty signature) share one empty
+    * band key and would all collide: pre-filter them upstream.
+    * Requires the RocksDB state store provider.
+    */
+  def streamingMinhashDedup(docs: Dataset[Doc], k: Int = 5,
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[Long] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.minhash_words
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      concat_ws(":", lit(b),
+        array_join(transform(slice(col("sig"), b * r + 1, r),
+          _.cast("string")), ","))
+    }
+    docs.select(col("ts"), col("doc_id"),
+        minhash_words(col("text"), k, numHashes, seed).as("sig"))
+      .select(col("ts"), col("doc_id"),
+        explode(array(bandCols: _*)).as("band_key"))
+      .as[BandRow]
+      .groupByKey(_.band_key)
+      .transformWithState(new BandClaimProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(new AllBandsFreshProcessor(bands, ttl),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

@@ -554,6 +554,130 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization: out-of-order cross-batch arrival must not merge distant sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs = mem.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      // a 2-hour lateness bound: the 01:00-batch watermark sits at
+      // 23:00 the previous day, so a later 00:00 arrival is NOT late —
+      // it must open its own session, one hour BEFORE the open one
+      val out = EventStreams.sessionizeWithTimers(evs,
+        java.time.Duration.ofMinutes(10), delay = "2 hours")
+      val q = out.writeStream.format("memory").queryName("oosess")
+        .outputMode("append").start()
+      try {
+        mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "view", 1.0))
+        q.processAllAvailable()
+        // out-of-order: an event a full hour BEFORE the open session's
+        // start (and > gap away). min/max folding would merge them
+        // into one 70-minute pseudo-session.
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 2.0))
+        q.processAllAvailable()
+        // watermark carriers close the remaining open session
+        mem.addData((Timestamp.valueOf("2024-01-01 06:00:00"), 99L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 98L, "view", 0.0))
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT session_start, session_end, n_events FROM oosess WHERE user_id = 1")
+          .collect().map(r => (r.getTimestamp(0).toString,
+            r.getTimestamp(1).toString, r.getLong(2))).toSet
+        assert(got == Set(
+          ("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 1L),
+          ("2024-01-01 01:00:00.0", "2024-01-01 01:10:00.0", 1L)),
+          s"distant sessions must stay separate: $got")
+        // and an out-of-order arrival WITHIN the gap does merge
+        mem.addData((Timestamp.valueOf("2024-01-01 20:00:05"), 2L, "view", 1.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 2L, "view", 2.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-02 03:00:00"), 97L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-02 09:00:00"), 96L, "view", 0.0))
+        q.processAllAvailable()
+        val u2 = spark.sql(
+          "SELECT session_start, session_end, n_events FROM oosess WHERE user_id = 2")
+          .collect().map(r => (r.getTimestamp(0).toString,
+            r.getTimestamp(1).toString, r.getLong(2))).toSet
+        assert(u2 == Set(("2024-01-01 20:00:00.0", "2024-01-01 20:10:05.0", 2L)),
+          s"in-gap out-of-order arrival must extend the session: $u2")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming minhash near-dup dedup equals batch minhashDedup on the drained input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // fixture in the regime the operator documents: word grams
+      // discriminate (unrelated docs share NO gram, so no band), and
+      // near-dups share enough grams that 32 two-row bands collide
+      // with certainty (J ≈ 0.71 ⇒ per-band miss 0.49, 32 bands)
+      val a1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val a2 = a1.replace("upsilon", "psi") // 1 of 20 words changed
+      val b1 = "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"
+      val c1 = "red orange yellow green blue indigo violet magenta cyan " +
+        "teal maroon olive navy coral amber jade"
+      val rows = Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, a1),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, a2),
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, b1),
+        (Timestamp.valueOf("2024-01-01 00:00:04"), 4L, a1), // exact copy, later batch
+        (Timestamp.valueOf("2024-01-01 00:00:05"), 5L, c1))
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val docs = mem.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3))
+      val kept = EventStreams.streamingMinhashDedup(docs, k = 3,
+        numHashes = 64, bands = 32, ttl = java.time.Duration.ofMinutes(10))
+      val q = kept.writeStream.format("memory").queryName("mhdedup")
+        .outputMode("append").start()
+      try {
+        mem.addData(rows.take(3).map(r => (r._1, r._2, r._3)): _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(3).map(r => (r._1, r._2, r._3)): _*)
+        q.processAllAvailable()
+        val streamed = spark.sql("SELECT value FROM mhdedup")
+          .collect().map(_.getLong(0)).toSet
+        // the law: equal to batch minhashDedup (drop near-dups of a
+        // lower id) over the drained input, same banding parameters
+        val batch = rows.map(r => (r._2, r._3)).toDF("doc_id", "text")
+        val batchKept = graft.ops.Dedup.minhashDedup(batch, k = 3,
+            numHashes = 64, bands = 32, threshold = 0.5, wordGrams = true)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(batchKept == Set(1L, 3L, 5L), s"fixture sanity: $batchKept")
+        assert(streamed == batchKept,
+          s"streaming $streamed must equal batch $batchKept")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("transformWithState TTL dedup: in-window duplicates drop, key re-admits after expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

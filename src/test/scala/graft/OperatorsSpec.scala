@@ -326,9 +326,14 @@ class OperatorsSpec extends SparkSpec {
 
   test("bilinearPoints: on-grid identity, hand-computed stencil, convexity") {
     val g = SyntheticGrid.grid(spark).selectVariables(Seq("t2m"))
-    val out = PointExtract.bilinearPoints(g, Seq(
+    val plan = PointExtract.bilinearPoints(g, Seq(
         ("on", -82.0, 42.0), ("off", -83.1234, 41.4567)), "t2m")
-      .orderBy("time", "point_id").collect()
+      .orderBy("time", "point_id")
+    // ONE aggregate pass for all points: a per-point select union would
+    // duplicate the scan+agg subtree per branch
+    assert(!plan.queryExecution.optimizedPlan.toString.contains("Union"),
+      "all points must read off a single aggregate, not a per-point union")
+    val out = plan.collect()
     assert(out.length == 2 * SyntheticGrid.NT)
     // on-grid point: interpolation is the identity (fx = fy = 0)
     val cell = g.df.filter(col("x") === -82.0 && col("y") === 42.0)

@@ -2192,6 +2192,89 @@ class OpsSpec extends SparkSpec {
     assert(total <= Graph.Scale && total >= Graph.Scale - 1000L)
   }
 
+  test("integerPageRank: dangling node conserves mass on a directed graph") {
+    import spark.implicits._
+    // a -> b with b a pure sink: b must appear in the node universe
+    // (dst-only) and its mass must redistribute, not leak. One round,
+    // hand-computed: init r = Scale/2 each; contrib(b) = 5e11;
+    // dsum = b's 5e11, share 2.5e11 each; teleport = 7.5e10.
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "wt")
+    val r1 = Graph.integerPageRank(edges, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1.keySet == Set("a", "b"))
+    assert(r1("a") == 287500000000L, s"a got ${r1("a")}")
+    assert(r1("b") == 712500000000L, s"b got ${r1("b")}")
+    assert(r1.values.sum == Graph.Scale) // exact conservation this round
+    // deeper run: mass stays within truncation loss of Scale
+    val r3 = Graph.integerPageRank(edges, iters = 3).collect()
+      .map(x => x.getLong(1)).sum
+    assert(r3 <= Graph.Scale && r3 >= Graph.Scale - 1000L)
+    // symmetrized graphs are bit-identical with the dangling term
+    // (empty dangling relation contributes exactly 0): the star spec
+    // above and the n76/n89 oracles hold unchanged
+  }
+
+  test("pageRankConverged: approaches the analytic fixpoint past the iters<=8 bound") {
+    import spark.implicits._
+    val leaves = Seq("l1", "l2", "l3", "l4")
+    val star = (leaves.map(l => ("c", l, 1L)) ++ leaves.map(l => (l, "c", 1L)))
+      .toDF("src", "dst", "wt")
+    // analytic fixpoint of the damped system on the 4-leaf star:
+    // c = 0.03 + 0.85·4·l, l = 0.03 + 0.2125·c  ⇒  c = 0.132/0.2775,
+    // l = (c − 0.03)/3.4 — in 1e-12 units c ≈ 475_675_675_675,
+    // l ≈ 131_081_081_081. The oscillation decays at 0.85/round, so
+    // iters = 8 still sits ~2.7e10 away — run-to-convergence is the
+    // only way to land near the fixpoint, which is the point of the
+    // checkpointed variant. Stopping at round-delta <= tol leaves at
+    // most ~tol·0.85/0.15 ≈ 5.7·tol of residual.
+    val conv = Graph.pageRankConverged(star, tol = 2000000000L, maxIter = 40)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(conv.keySet == (leaves.toSet + "c"))
+    assert(math.abs(conv("c") - 475675675675L) <= 25000000000L,
+      s"center ${conv("c")} too far from the analytic fixpoint")
+    leaves.foreach(l => assert(math.abs(conv(l) - 131081081081L) <= 25000000000L))
+    assert(leaves.map(conv).distinct.size == 1) // symmetry: leaves tie exactly
+    // tighter tol must land strictly closer than the iters=8 fixed run
+    val fixed8 = Graph.integerPageRank(star, iters = 8).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(math.abs(conv("c") - 475675675675L) <
+      math.abs(fixed8("c") - 475675675675L),
+      "convergence must beat the lineage-bounded fixed run")
+    // directed chain with a sink: converges with the dangling term,
+    // mass conserved up to truncation
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "wt")
+    val rc = Graph.pageRankConverged(chain, tol = 2000000000L, maxIter = 40)
+      .collect().map(x => x.getLong(1)).sum
+    assert(rc <= Graph.Scale && rc >= Graph.Scale - 3000L)
+  }
+
+  test("kCoreConverged: peels past the fixed-round bound to the true fixpoint") {
+    import spark.implicits._
+    // a 20-node path at k=2 peels from both ends — needs 10 rounds,
+    // beyond kCore's rounds<=6 lineage bound
+    val path = (0 until 19).map(i => (s"p$i", s"p${i + 1}"))
+    val after6 = Graph.kCore(path.toDF("src", "dst"), 2, 6)
+    assert(after6.count() > 0, "6 rounds must NOT finish a 20-node path")
+    val conv = Graph.kCoreConverged(path.toDF("src", "dst"), 2)
+    assert(conv.count() == 0, "no 2-core exists in a path")
+    // fixpoint equality vs kCore where kCore already converges
+    val k4 = for (x <- Seq("p", "q", "r", "s"); y <- Seq("p", "q", "r", "s"); if x < y) yield (x, y)
+    val g = (k4 :+ (("p", "tail"))).toDF("src", "dst")
+    val a = Graph.kCoreConverged(g, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Graph.kCore(g, 3, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("bruteForceTopK: refuses an oversized query side (allPairsExact convention)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(emb, emb, 5, maxQueries = 10L))
+    assert(e.getMessage.contains("bruteForceTopK"))
+  }
+
   test("applyChangeset: upsert replaces, insert appends, delete drops, absent delete no-ops") {
     import spark.implicits._
     val base = Seq((1L, "one", "en", "web", 3L), (2L, "two", "en", "web", 3L),
@@ -2727,6 +2810,23 @@ class OpsSpec extends SparkSpec {
         spark.read.parquet(s"$sf/documents.parquet"), 3, (1 to 10).map(_ * 10))
       .orderBy("threshold_x100").collect().map(_.getLong(1))
     assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
+    // scale-path = truth-path law: the curve now reads from ONE
+    // prefix-filtered run at min(thresholds) — cross-check every point
+    // against the naive any-shared-gram relation (quadratic, audit-only)
+    val slice = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").limit(150)
+    val naive = Dedup.naiveJaccardPairs(slice, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ths = Seq(30, 50, 80, 100)
+    val naiveCurve = ths.map { t =>
+      val hit = naive.filter { case (_, _, inter, uni) => inter * 100 >= t * uni }
+      t.toLong -> ((hit.length.toLong,
+        hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.toMap
+    val gotCurve = Dedup.thresholdCurve(slice, 3, ths)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotCurve == naiveCurve,
+      s"prefix-filtered curve must equal the naive curve: $gotCurve vs $naiveCurve")
     intercept[IllegalArgumentException](Dedup.thresholdCurve(docs, 3, Seq()))
     intercept[IllegalArgumentException](Dedup.thresholdCurve(docs, 3, Seq(0)))
   }
@@ -2933,8 +3033,17 @@ class OpsSpec extends SparkSpec {
     assert(rows("complete") == ((5L, 2L, false)))
     assert(rows("len_ok") == ((5L, 1L, false)))   // id=4 (7 vs 2); null row skipped
     val u = Profile.dqUnique(d, Seq("t"), "t_unique").collect()(0)
-    // distinct t values: a, '', NULL, bb -> 4; violations = 5 - 4 = 1
-    assert(u.getLong(1) == 5L && u.getLong(2) == 1L && !u.getBoolean(3))
+    // NULL-key convention = SQL COUNT(DISTINCT): NULL is never a
+    // distinct value, so distinct t: a, '', bb -> 3; violations = 5 - 3
+    // (the NULL-keyed row counts as a violation, matching the oracle's
+    // count(*) - count(DISTINCT t))
+    assert(u.getLong(1) == 5L && u.getLong(2) == 2L && !u.getBoolean(3))
+    // all-non-null keys: unchanged semantics, truly unique passes
+    val u2 = Profile.dqUnique(d, Seq("id"), "id_unique").collect()(0)
+    assert(u2.getLong(1) == 5L && u2.getLong(2) == 0L && u2.getBoolean(3))
+    // multi-column key with a NULL component: same convention
+    val u3 = Profile.dqUnique(d, Seq("t", "len"), "tl_unique").collect()(0)
+    assert(u3.getLong(1) == 5L && u3.getLong(2) == 1L && !u3.getBoolean(3))
     val parent = Seq(1L, 2L, 3L).toDF("id")
     val refc = Profile.dqReferential(d, "id", parent, "id", "ref").collect()(0)
     assert(refc.getLong(1) == 5L && refc.getLong(2) == 2L && !refc.getBoolean(3))

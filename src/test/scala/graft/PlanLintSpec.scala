@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalTableScanExec, RangeExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+/** Plan-lint regression gate over EVERY SparkEntry query (VERDICT r7
+  * top item): the per-round manual plan audits, turned into a spec
+  * that fails the build if a future query ships a scale-killer plan.
+  *
+  * Lints, on the pre-AQE physical plan (subqueries included):
+  *   - `CartesianProductExec` — never acceptable outside the declared
+  *     audit allowlist;
+  *   - `BroadcastNestedLoopJoinExec` whose build side is NOT provably
+  *     tiny — acceptable only when the broadcast side is a scalar
+  *     (no-grouping) aggregate, a small limit, a literal local
+  *     relation, or a small range (the "scalar crossJoin" pattern the
+  *     repo uses for totals/bounds), or when the query is on the
+  *     allowlist.
+  *
+  * The allowlist entries are the AUDIT-PRICED queries whose quadratic
+  * or broadcast construction is their documented contract (see
+  * PLANS.md "plan-lint allowlist"): exactness baselines and
+  * recall-audit truth sides that exist to price the scale path, plus
+  * guarded brute-force kernels whose inputs carry an explicit
+  * `require(n <= cap)` instead of a plan-level bound.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Build side of a BNLJ that is provably metadata-sized. */
+  private def tiny(p: SparkPlan): Boolean = p.exists {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty // scalar agg: 1 row
+    case l: LocalTableScanExec => l.rows.size <= 256 // literal relation
+    case g: GlobalLimitExec => g.limit <= 256
+    case t: TakeOrderedAndProjectExec => t.limit <= 256
+    case r: RangeExec => r.numElements <= BigInt(256)
+    case _ => false
+  }
+
+  private def violations(plan: SparkPlan): Seq[String] =
+    plan.collectWithSubqueries {
+      case c: CartesianProductExec => Seq(s"CartesianProduct")
+      case b: BroadcastNestedLoopJoinExec =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        if (tiny(build)) Seq.empty
+        else Seq(s"BroadcastNestedLoopJoin(non-tiny build, ${b.joinType})")
+    }.flatten
+
+  /** Audit-priced / guarded queries allowed to plan a non-tiny BNLJ
+    * or cartesian construction — each with the in-code guard or
+    * pricing convention that sanctions it (PLANS.md).
+    */
+  private val allow: Map[String, String] = Map(
+    "n20_embedding_allpairs" ->
+      "allPairsExact: O(n^2) exactness baseline, require(n <= 200k) guard",
+    "n08_knn_bruteforce" ->
+      "bruteForceTopK: exact baseline, require(queries <= maxQueries) guard",
+    "n45_knn_quantized" ->
+      "int8 rerank over bruteForceTopK truth: same guarded baseline",
+    "n46_matryoshka_audit" ->
+      "prefix-dim audit vs full-dim truth: guarded brute-force both sides",
+    "n123_retrieval_metrics" ->
+      "recall@k needs the guarded brute-force truth ranking",
+    "n84_lsh_recall" ->
+      "recall audit: banded minhash vs exact truth, audit-priced",
+    "n16_knn_ivf" ->
+      "IVF probe scores queries x probed lists via guarded broadcast",
+    "n21_knn_ivfpq" ->
+      "IVF-PQ ADC probe: same guarded broadcast shape as n16",
+    "n117_ann_recall_curve" ->
+      "ANN recall curve vs guarded brute-force truth")
+
+  test("no scale-killer plans outside the documented audit allowlist") {
+    val bad = scala.collection.mutable.ListBuffer.empty[String]
+    val stale = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val vs =
+        try violations(fn(spark, sf).queryExecution.sparkPlan)
+        catch { case e: Throwable =>
+          bad += s"$name: failed to plan: ${e.getMessage}"; Seq.empty
+        }
+      if (vs.nonEmpty && !allow.contains(name))
+        bad += s"$name: ${vs.mkString(", ")}"
+      if (vs.isEmpty && allow.contains(name)) stale += name
+    }
+    assert(bad.isEmpty,
+      s"\nscale-killer plans detected (extend the PLANS.md allowlist ONLY " +
+      s"for documented audit pricing):\n  ${bad.mkString("\n  ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (query plans clean now — " +
+      s"remove them): ${stale.mkString(", ")}")
+  }
+}
