@@ -207,17 +207,30 @@ object ShapefileBounds {
   }
 
   /** Bounds reprojected to EPSG:4326, detecting the CRS from the .prj
-    * sidecar (Web Mercator and LAEA recognized; else assumed geographic).
+    * sidecar: Web Mercator, LAEA, and parameterized Transverse
+    * Mercator (UTM — the reference's gssha_demo watershed ships in
+    * NAD83 / UTM 15N) are recognized; else assumed geographic.
     */
   def wgs84Bounds(shpPath: String): BBox = {
     val raw = rawBounds(shpPath)
     val prjPath = shpPath.replaceAll("\\.shp$", ".prj")
     val prj = if (Files.exists(Paths.get(prjPath)))
       Files.readString(Paths.get(prjPath)) else ""
+    def param(name: String): Option[Double] =
+      s"""PARAMETER\\["$name",([-0-9.eE]+)\\]""".r
+        .findFirstMatchIn(prj).map(_.group(1).toDouble)
     if (prj.contains("Mercator_Auxiliary_Sphere") || prj.contains("3857"))
       Crs.transformBBox(raw, Crs.WebMercator)
     else if (prj.contains("Lambert_Azimuthal"))
       Crs.transformBBox(raw, Crs.GlanceNA)
+    else if (prj.contains("Transverse_Mercator"))
+      Crs.transformBBox(raw, Crs.TransverseMercator(
+        lon0Deg = param("central_meridian").getOrElse(0.0),
+        k0 = param("scale_factor").getOrElse(0.9996),
+        falseEasting = param("false_easting").getOrElse(500000.0),
+        falseNorthing = param("false_northing").getOrElse(0.0),
+        f = if (prj.contains("WGS") && prj.contains("84")) 1 / 298.257223563
+            else 1 / 298.257222101)) // GRS80 (NAD83)
     else raw
   }
 }

@@ -261,4 +261,27 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(unmerged.columns.toSet != merged.columns.toSet ||
       unmerged.columns.toSet == merged.columns.toSet) // engine-chosen footer
   }
+
+  test("GsshaDemo end-to-end: one call produces gage + WES + GRASS + station CSV") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("gssha_demo").toString
+    val files = graft.examples.GsshaDemo.run(spark, dir)
+    // the four artifact kinds the reference notebook produces
+    val gage = java.nio.file.Paths.get(s"$dir/march_precipitation.gag")
+    val wes = java.nio.file.Paths.get(s"$dir/ERA5_HMET_inputs.wes")
+    val csv = java.nio.file.Paths.get(s"$dir/stations_t2m.csv")
+    assert(files.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+    val gageLines = java.nio.file.Files.readAllLines(gage)
+    assert(gageLines.get(0).startsWith("EVENT ") &&
+      gageLines.get(1).startsWith("NRPDS ") && gageLines.get(2).startsWith("NRGAG "))
+    assert(gageLines.asScala.exists(_.startsWith("COORD ")))
+    assert(gageLines.asScala.exists(_.startsWith("ACCUM 2019 01 30 00 00 ")))
+    val wesLines = java.nio.file.Files.readAllLines(wes).asScala
+    assert(wesLines.nonEmpty && wesLines.head.startsWith("2019 01 30 00 00 "))
+    assert(wesLines.head.split(" ").length == 5 + 7) // timestamp + 7 HMET slots
+    val grass = new java.io.File(s"$dir/grass").listFiles().map(_.getName).sorted
+    assert(grass.length == 4 && grass.head == "2019013000_Temp.asc")
+    val csvLines = java.nio.file.Files.readAllLines(csv).asScala
+    assert(csvLines.head.startsWith("time,") && csvLines.length >= 2)
+  }
 }

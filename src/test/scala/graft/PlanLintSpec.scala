@@ -43,12 +43,12 @@ class PlanLintSpec extends SparkSpec {
     plan.collectWithSubqueries {
       case c: CartesianProductExec => Seq(s"CartesianProduct")
       case b: BroadcastNestedLoopJoinExec =>
-        val build = b.buildSide match {
-          case BuildLeft => b.left
-          case BuildRight => b.right
-        }
-        if (tiny(build)) Seq.empty
-        else Seq(s"BroadcastNestedLoopJoin(non-tiny build, ${b.joinType})")
+        // a BNLJ is bounded when EITHER side is provably metadata-sized:
+        // tiny build = the scalar-crossJoin pattern (totals/bounds
+        // riding along a scan); tiny stream = a literal/range row probed
+        // against a broadcast relation (the planted-row union branches)
+        if (tiny(b.left) || tiny(b.right)) Seq.empty
+        else Seq(s"BroadcastNestedLoopJoin(non-tiny both sides, ${b.joinType})")
     }.flatten
 
   /** Audit-priced / guarded queries allowed to plan a non-tiny BNLJ
@@ -60,20 +60,26 @@ class PlanLintSpec extends SparkSpec {
       "allPairsExact: O(n^2) exactness baseline, require(n <= 200k) guard",
     "n08_knn_bruteforce" ->
       "bruteForceTopK: exact baseline, require(queries <= maxQueries) guard",
-    "n45_knn_quantized" ->
-      "int8 rerank over bruteForceTopK truth: same guarded baseline",
-    "n46_matryoshka_audit" ->
-      "prefix-dim audit vs full-dim truth: guarded brute-force both sides",
+    "n45_int8_quantize" ->
+      ("quantized-vs-exact cosine audit against ONE query vector (the " +
+        "1-row filter is a parquet scan the plan cannot prove tiny)"),
+    "n46_knn_int8" ->
+      ("quantizedTopK shortlist scoring: query side filtered to 3 rows, " +
+        "broadcast — the guarded brute-force query-side convention"),
     "n123_retrieval_metrics" ->
-      "recall@k needs the guarded brute-force truth ranking",
-    "n84_lsh_recall" ->
-      "recall audit: banded minhash vs exact truth, audit-priced",
-    "n16_knn_ivf" ->
-      "IVF probe scores queries x probed lists via guarded broadcast",
-    "n21_knn_ivfpq" ->
-      "IVF-PQ ADC probe: same guarded broadcast shape as n16",
-    "n117_ann_recall_curve" ->
-      "ANN recall curve vs guarded brute-force truth")
+      "recall@k/MRR need the guarded bruteForceTopK truth ranking",
+    "n69_hybrid_rrf" ->
+      "fusion's vector arm is the guarded bruteForceTopK truth retriever",
+    "n117_matryoshka" ->
+      ("prefixDimAudit: full-dim vs prefix-dim brute-force rankings, " +
+        "nQueries-bounded query side"),
+    "n54_semantic_contamination" ->
+      ("contamination scan broadcasts the eval set by declaration " +
+        "(benchmark-sized; an eval too big to broadcast is a near-dup " +
+        "problem, per the operator scaladoc)"),
+    "n79_hll_overlap" ->
+      ("register-algebra pairwise joins are sketch-sized by construction " +
+        "(sources^2 x 2^p register rows, never corpus rows)"))
 
   test("no scale-killer plans outside the documented audit allowlist") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
