@@ -836,12 +836,18 @@ object SparkEntry {
   /** Unrolled replay of [[graft.ops.Graph.kCore]]: each round is a
     * degree agg, a >= k filter, and an endpoint semi-filter.
     */
-  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+  private def kCoreOracleSql(k: Int, rounds: Int,
+                             materialized: Boolean = false): String = {
+    // deep unrolls need MATERIALIZED round CTEs: each e_i references
+    // e_{i-1} three times (directly + via both k_i joins), so DuckDB's
+    // default CTE inlining expands 3^rounds scans — fine at 4 rounds,
+    // fd-exhausting at 10 (the n135 fixpoint oracle)
+    val mat = if (materialized) "MATERIALIZED " else ""
     val roundCtes = (1 to rounds).map { i =>
       val pe = s"e${i - 1}"
-      s"""k$i AS (SELECT src FROM (SELECT src, count(*) AS d FROM $pe GROUP BY 1)
+      s"""k$i AS $mat(SELECT src FROM (SELECT src, count(*) AS d FROM $pe GROUP BY 1)
          |        WHERE d >= $k),
-         |e$i AS (SELECT e.src, e.dst FROM $pe e
+         |e$i AS $mat(SELECT e.src, e.dst FROM $pe e
          |        JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst),""".stripMargin
     }.mkString("\n")
     s"""WITH d AS (SELECT text FROM documents
@@ -2443,10 +2449,17 @@ object SparkEntry {
       // declarative data-quality gate (the Deequ/expectations shape):
       // row rules in ONE documents scan, key uniqueness without a
       // self-join, and referential integrity as an anti-join — with a
-      // planted orphan lineitem and the planted duplicate doc_ids so
-      // the violation columns are value-bearing, not all-zero
+      // planted orphan lineitem, the planted duplicate doc_ids, AND a
+      // planted NULL-text row so every violation column — including
+      // the NULL-key uniqueness convention (NULL is never a distinct
+      // value, so a NULL key is a violation, the SQL COUNT(DISTINCT)
+      // semantics dqUnique pins) — is value-bearing, not all-zero
       import s.implicits._
       val docs = plantedDocs(s, dir)
+        .select(col("doc_id").cast("long"), col("text"),
+          col("n_chars").cast("long"))
+        .unionAll(s.range(1).select(lit(-1L).as("doc_id"),
+          lit(null).cast("string").as("text"), lit(0L).as("n_chars")))
       val li = t(s, dir, "lineitem").select(col("l_orderkey").cast("long"))
         .unionAll(Seq(-999L).toDF("l_orderkey"))
       val rows = graft.ops.Profile.dqColumnRules(docs, Seq(
@@ -2815,6 +2828,59 @@ object SparkEntry {
       graft.ops.Graph.kCore(pairs, k = 29, rounds = 4)
         .select(col("node").as("word"), col("degree"))
         .orderBy(col("degree").desc, col("word"))
+    }),
+
+    "n135_kcore_converged" -> ((s, dir) => {
+      // run-to-FIXPOINT k-core (checkpoint per round via
+      // Iterate.toFixpoint, no lineage bound): the n107 fixture again,
+      // so this green row proves the converged variant returns the
+      // true core through the driver gate (the oracle unrolls peel
+      // rounds well past convergence — peeling is idempotent at the
+      // fixpoint, so extra rounds are no-ops); the spec separately
+      // proves convergence beyond kCore's rounds<=6 bound
+      import s.implicits._
+      val planted = Seq(
+        (9700001L, kcoreHubText, "en", "planted", 0L),
+        (9700002L, "spoke hub", "en", "planted", 0L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ws = t(s, dir, "documents").unionByName(planted).select(
+          filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Graph.kCoreConverged(pairs, k = 29)
+        .select(col("node").as("word"), col("degree"))
+        .orderBy(col("degree").desc, col("word"))
+    }),
+
+    "n136_pagerank_dangling" -> ((s, dir) => {
+      // DIRECTED successor-word graph, deliberately UNsymmetrized:
+      // sink words (never followed — the planted zzdangletail
+      // guarantees at least one) hold rank that must redistribute
+      // uniformly, exercising the dangling-mass term end to end in
+      // integer fixed point; the oracle replays the rounds with the
+      // same dsum div n redistribution
+      import s.implicits._
+      val planted = Seq((9990001L, "zzdanglehead zzdangletail", "en",
+        "planted", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ws = t(s, dir, "documents").unionByName(planted).select(
+          filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      graft.ops.Graph.integerPageRank(edges, iters = 3)
+        .select(col("node").as("word"), col("rank"))
+        .orderBy(col("rank").desc, col("word")).limit(25)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("word"))).cast("long"))
     }),
 
     "n106_containment" -> ((s, dir) => {
@@ -5657,6 +5723,8 @@ object SparkEntry {
 
     "n134_dq_report" ->
       s"""WITH $plantedDocsCte,
+         |pdx AS (SELECT * FROM pd
+         |        UNION ALL SELECT -1, NULL, 0),
          |li AS (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
          |       UNION ALL SELECT -999),
          |ok AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders)
@@ -5665,22 +5733,22 @@ object SparkEntry {
          | CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
          |   AS BIGINT) AS n_violations,
          | sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) = 0 AS pass
-         |FROM pd
+         |FROM pdx
          |UNION ALL
          |SELECT 'n_chars_consistent', CAST(count(*) AS BIGINT),
          | CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
          | sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
-         |FROM pd
+         |FROM pdx
          |UNION ALL
          |SELECT 'doc_id_unique', CAST(count(*) AS BIGINT),
          | CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
          | count(*) = count(DISTINCT doc_id)
-         |FROM pd
+         |FROM pdx
          |UNION ALL
          |SELECT 'text_unique', CAST(count(*) AS BIGINT),
          | CAST(count(*) - count(DISTINCT text) AS BIGINT),
          | count(*) = count(DISTINCT text)
-         |FROM pd
+         |FROM pdx
          |UNION ALL
          |SELECT 'orderkey_referential', CAST(count(*) AS BIGINT),
          | CAST(sum(CASE WHEN ok.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
@@ -6168,6 +6236,48 @@ object SparkEntry {
         |ORDER BY p_partkey""".stripMargin,
 
     "n107_kcore" -> kCoreOracleSql(k = 29, rounds = 4),
+
+    // fixpoint oracle: 10 unrolled rounds — peeling is idempotent at
+    // the fixpoint, so any round count >= convergence depth replays
+    // the converged core exactly
+    "n135_kcore_converged" -> kCoreOracleSql(k = 29, rounds = 10, materialized = true),
+
+    "n136_pagerank_dangling" -> {
+      val S = graft.ops.Graph.Scale
+      val steps = (1 to 3).map { k =>
+        s"""dx$k AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dsum
+           | FROM dang JOIN r${k - 1} r USING (word)),
+           |c$k AS (SELECT ed.dst AS word,
+           |  CAST(sum((r${k - 1}.rank * ed.wt) // ed.wdeg) AS BIGINT) AS csum
+           | FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.word GROUP BY 1),
+           |r$k AS (SELECT nodes.word,
+           |  ((15 * $S) // 100) // n +
+           |    (85 * (coalesce(c$k.csum, 0) + dsum // n)) // 100 AS rank
+           | FROM nodes LEFT JOIN c$k USING (word)
+           | CROSS JOIN nn CROSS JOIN dx$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT text FROM documents
+         | UNION ALL SELECT 'zzdanglehead zzdangletail'),
+         |w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |      FROM d),
+         |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+         |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+         |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+         |      WHERE ws[i] <> ws[i+1]),
+         |e AS (SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS wt
+         |      FROM p GROUP BY 1, 2),
+         |deg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, e.wt, deg.wdeg FROM e JOIN deg USING (src)),
+         |nodes AS (SELECT src AS word FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |dang AS (SELECT word FROM nodes
+         |         WHERE word NOT IN (SELECT src FROM e)),
+         |r0 AS (SELECT word, $S // n AS rank FROM nodes CROSS JOIN nn),
+         |$steps
+         |SELECT word, CAST(rank AS BIGINT) AS rank,
+         | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
+         |FROM r3 ORDER BY rank DESC, word LIMIT 25""".stripMargin
+    },
 
     "n106_containment" -> // definitional: exact containment over any-shared-gram pairs
       s"""WITH d0 AS (SELECT doc_id, text FROM documents),
