@@ -48,36 +48,67 @@ object Graph {
     * ~9e6 at full scale — lower Scale beyond (documented, the n76
     * convention). Caller-owned cache lifecycle (repo convention).
     */
-  def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def integerPageRank(edges: DataFrame, iters: Int,
+                      symmetrized: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 8,
       "iters outside [1,8]: deeper power iterations need checkpointing " +
         "(see pageRankConverged) before the lineage is safe")
     val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
     val ed = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = ed.select(col("src").as("node"))
-      .unionAll(ed.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dangling = nodes.join(ed.select(col("src").as("node")).distinct(),
-      Seq("node"), "left_anti")
+    val srcNodes = ed.select(col("src").as("node")).distinct()
+    // `symmetrized = true` is the caller's declaration that every edge
+    // was emitted in both directions (out-degree >= 1 by construction,
+    // so node universe = src set and dangling mass = 0): the TextRank /
+    // co-citation callers pass it and skip both the dst-distinct node
+    // union and the dangling probe — their plans and costs are exactly
+    // the pre-dangling kernel's. Directed callers keep the safe
+    // default: one nodes-bounded probe decides the dangling branch,
+    // because a second LAZY reference to `ranks` per round would
+    // double the un-persisted lineage each iteration (2^iters
+    // recompute — a measured 2x on the TextRank bench line) for a
+    // provably-zero term on symmetric graphs.
+    val dstOnly =
+      if (symmetrized) None
+      else Some(ed.select(col("dst").as("node")).distinct()
+        .join(srcNodes, Seq("node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hasDangling = dstOnly.exists(_.limit(1).count() > 0)
+    val nodes =
+      if (hasDangling) srcNodes.unionAll(dstOnly.get)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else srcNodes
+    val dangling = dstOnly.getOrElse(nodes.limit(0))
     val n = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(n)
       .select(col("node"), expr(s"$Scale div n").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+      // with dangling mass in play each round materializes (persist +
+      // one scalar action): dsum becomes a LITERAL, so the next round
+      // still references `ranks` once and reads it from cache
+      val cur =
+        if (hasDangling)
+          ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else ranks
+      val dsumLit: Long =
+        if (hasDangling)
+          dangling.join(cur, Seq("node"))
+            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+        else 0L
+      val contrib = ed.join(cur, ed("src") === cur("node"))
         .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))
-      // dangling nodes spread their whole rank uniformly: dsum div n
-      // joins every node's inbound sum before damping
-      val dsum = dangling.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
-      // LEFT join from the node list: a node with no inbound edges
-      // keeps its teleport rank instead of vanishing from the result
+      // dangling nodes spread their whole rank uniformly (dsum div n
+      // joins every node's inbound sum before damping); LEFT join from
+      // the node list: a node with no inbound edges keeps its teleport
+      // rank instead of vanishing from the result
+      val spread =
+        if (dsumLit == 0L) expr("(85 * coalesce(csum, 0)) div 100")
+        else expr(s"(85 * (coalesce(csum, 0) + $dsumLit div n)) div 100")
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(n).crossJoin(dsum)
+        .crossJoin(n)
         .select(nodes("node"),
-          (expr(s"(15 * $Scale div 100) div n") +
-            expr("(85 * (coalesce(csum, 0) + dsum div n)) div 100")).as("rank"))
+          (expr(s"(15 * $Scale div 100) div n") + spread).as("rank"))
     }
     ranks
   }

@@ -887,7 +887,8 @@ object TextAnalysis {
     val und = dirPairs.unionAll(dirPairs.select(col("b").as("a"), col("a").as("b")))
     val edges = und.groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(count(lit(1)).as("wt"))
-    Graph.integerPageRank(edges, iters)
+    // und emits both directions above: symmetrized by construction
+    Graph.integerPageRank(edges, iters, symmetrized = true)
       .select(col("node").as("word"), col("rank"))
       .orderBy(col("rank").desc, col("word")).limit(topK)
       .withColumn("rk", row_number()
