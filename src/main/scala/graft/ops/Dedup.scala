@@ -845,24 +845,37 @@ object Dedup {
     * (inter·100 ≥ t·union), so the curve replays exactly with no
     * float boundary.
     *
-    * Pairs come from ONE [[prefixFilteredPairs]] run at the grid
-    * minimum — the scale path itself: the prefix filter is provably
-    * lossless for every J >= min(thresholds)/100 (the theorem n72's
-    * oracle verifies against the unfiltered join), and every curve
-    * point sits at or above that bar, so each per-threshold count is
-    * exact. Candidates below the bar that survive the filter are
-    * removed by the same cross-multiplied comparison that defines
-    * the curve. The spec cross-checks the whole curve against the
-    * naive any-shared-gram relation.
+    * Pair intersections come from ONE count-aggregated posting-list
+    * self-join: `hs` is already a SET, so the number of join matches
+    * per (a, b) IS |A∩B| — no gram ARRAY ever rides a shuffle and no
+    * per-pair array_intersect runs (the r7 implementation carried
+    * both and measured 2x slower; a prefix filter cannot help here
+    * because a curve floor of 0.1 admits ~all of every posting
+    * list). Work is bounded by total gram co-occurrence — near-pair-
+    * sized when grams discriminate (word n-grams, the n72 regime),
+    * quadratic on degenerate corpora — so at 100 TB run the curve on
+    * a sample, or raise min(thresholds) and feed
+    * [[jaccardPrefixJoin]] pairs instead (lossless above its bar).
+    * The spec cross-checks the whole curve against the naive
+    * array-carrying relation.
     */
   def thresholdCurve(docs: DataFrame, n: Int = 3,
                      thresholds: Seq[Int]): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
       "thresholds are x100 integers in [1, 100]")
     import docs.sparkSession.implicits._
-    val tScaled = math.floor(thresholds.min.toDouble / 100.0 * (1L << 20)).toLong
-    val pairs = prefixFilteredPairs(docs, n, tScaled)
-      .select(col("doc_id_a").as("da"), col("doc_id_b").as("db"), col("inter"),
+    val grams = docs.select(col("doc_id"),
+        word_shingle_set(col("text"), n).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+    val ex = grams.select(col("doc_id"), explode(col("hs")).as("h"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sa = grams.select(col("doc_id").as("da"), col("sz").as("la"))
+    val sb = grams.select(col("doc_id").as("db"), col("sz").as("lb"))
+    val pairs = inter.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"), col("inter"),
         (col("la") + col("lb") - col("inter")).as("uni"))
     val th = thresholds.toDF("t")
     val hit = pairs.crossJoin(broadcast(th))
