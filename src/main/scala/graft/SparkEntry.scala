@@ -2057,6 +2057,22 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n137_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: top-5 nearest neighbors per
+      // query EXCLUDING self and the declared positive (the q -> q+1
+      // pairing fixture) — ranks renumber after the exclusions, so a
+      // positive inside the true top-5 shifts every rank below it
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      val positives = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+        .toDF("query_id", "pos_id")
+      Similarity.hardNegatives(emb, queries, positives, k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n09_knn_lsh" -> ((s, dir) => {
       // oracled: the sign-LSH buckets are deterministic (splitmix-derived
       // hyperplanes, sequential double dot), so DuckDB replays bucketing,
@@ -5119,6 +5135,19 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n137_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q
+        | WHERE e.vec_id <> q.query_id AND e.vec_id <> q.query_id + 1)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "n22_contamination" -> {
       val thr = graft.ops.Sampling.hexThreshold(0.1)

@@ -71,6 +71,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive retrieval training (the
+    * DPR / bi-encoder data-prep pass, Karpukhin et al. 2020): for
+    * each query vector, the top-k most-similar corpus vectors
+    * EXCLUDING the query itself and its declared positives — exactly
+    * the near-miss negatives that make a contrastive batch
+    * informative. `positives` is a (query_id, pos_id) relation;
+    * query and positive sets are training-pair-sized, so both ride
+    * broadcasts and the corpus is scanned once. Ranks are
+    * re-numbered AFTER the exclusions (rank 1..k contiguous per
+    * query). Scoring is the same guarded brute-force scan as
+    * [[bruteForceTopK]] — swap in the IVF probe for the shortlist at
+    * full scale, the downstream shape is identical. Returns
+    * (query_id, vec_id, cos, rank).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int,
+                    maxQueries: Long = 10000L): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"hardNegatives broadcasts and cross-scores the query side: got $nq " +
+      s"queries (cap $maxQueries) — sample queries or use the ANN shortlist.")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+      .join(broadcast(positives.select(col("query_id"),
+        col("pos_id").as("vec_id"))), Seq("query_id", "vec_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge a lexical (BM25) and a vector (ANN) ranking into one hybrid
     * result: `rrf = Σ_systems 1/(rrfK + rank)`, documents missing from

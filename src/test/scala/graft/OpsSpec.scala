@@ -2275,6 +2275,31 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("bruteForceTopK"))
   }
 
+  test("hardNegatives: excludes self + positives, renumbers ranks, degenerates to topK") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+    val top = Similarity.bruteForceTopK(emb, queries, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // positives = each query's OWN top-1, so the mined negatives must
+    // be exactly ranks 2..6 of the unfiltered ranking, renumbered 1..5
+    val pos = top.filter(_._3 == 1).map(p => (p._1, p._2)).toDF("query_id", "pos_id")
+    val got = Similarity.hardNegatives(emb, queries, pos, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val want = top.filter(_._3 >= 2).map(t => (t._1, t._2, t._3 - 1))
+    assert(got.sorted == want.sorted)
+    // ranks contiguous 1..5 per query
+    assert(got.groupBy(_._1).values.forall(_.map(_._3).sorted == (1 to 5)))
+    // with no positives the miner IS bruteForceTopK
+    val none = Seq.empty[(Long, Long)].toDF("query_id", "pos_id")
+    val free = Similarity.hardNegatives(emb, queries, none, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(free.sorted == top.sorted)
+    // guard mirrors the brute-force convention
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(emb, emb, none, 5, maxQueries = 10L))
+  }
+
   test("applyChangeset: upsert replaces, insert appends, delete drops, absent delete no-ops") {
     import spark.implicits._
     val base = Seq((1L, "one", "en", "web", 3L), (2L, "two", "en", "web", 3L),

@@ -60,6 +60,9 @@ class PlanLintSpec extends SparkSpec {
       "allPairsExact: O(n^2) exactness baseline, require(n <= 200k) guard",
     "n08_knn_bruteforce" ->
       "bruteForceTopK: exact baseline, require(queries <= maxQueries) guard",
+    "n137_hard_negatives" ->
+      ("hardNegatives: guarded brute-force scorer (same shape as n08); " +
+        "positives/queries broadcast by declared contract"),
     "n45_int8_quantize" ->
       ("quantized-vs-exact cosine audit against ONE query vector (the " +
         "1-row filter is a parquet scan the plan cannot prove tiny)"),
