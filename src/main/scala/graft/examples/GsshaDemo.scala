@@ -124,8 +124,8 @@ object GsshaDemo {
       .timeRange("2019-01-30 00:00:00", "2019-01-31 23:00:00")
       .load()
     val hmet = GridDataset(hmetRaw.g.df
-      .withColumn("t2m", lit(1.8) * (col("t2m") - 273.0) + 32.0) // cell 36
-      .withColumn("u100", col("u100") * 1.943844),               // cell 32
+      .withColumn("t2m", lit(1.8) * (col("t2m") - 273.15) + 32.0) // cell 36, K→°F
+      .withColumn("u100", col("u100") * 1.943844),                // cell 32, m/s→kts
       hmetRaw.g.meta)
 
     // ---- cells 42–43: make_gssha_hmet_wes ---------------------------

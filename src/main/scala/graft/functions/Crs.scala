@@ -206,31 +206,53 @@ object ShapefileBounds {
     BBox(bb.getDouble, bb.getDouble, bb.getDouble, bb.getDouble)
   }
 
+  /** Parse a .prj WKT into one of the supported projections (None =
+    * geographic / unrecognized). Transverse Mercator is fully
+    * parameterized: central meridian, scale factor, false easting /
+    * northing, AND latitude_of_origin — a nonzero lat_0 (state-plane
+    * zones; UTM has lat_0 = 0) shifts the northing datum by the
+    * scaled meridian arc at lat_0, folded into an effective false
+    * northing FN' = FN − k0·arc(lat_0) so the Krüger inverse (which
+    * measures from the equator) recovers the right latitudes.
+    */
+  def projectionFromPrj(prj: String): Option[Crs.Projection] = {
+    def param(name: String): Option[Double] =
+      s"""PARAMETER\\["$name",([-0-9.eE]+)\\]""".r
+        .findFirstMatchIn(prj).map(_.group(1).toDouble)
+    if (prj.contains("Mercator_Auxiliary_Sphere") || prj.contains("3857"))
+      Some(Crs.WebMercator)
+    else if (prj.contains("Lambert_Azimuthal"))
+      Some(Crs.GlanceNA)
+    else if (prj.contains("Transverse_Mercator")) {
+      val lon0 = param("central_meridian").getOrElse(0.0)
+      val tm0 = Crs.TransverseMercator(
+        lon0Deg = lon0,
+        k0 = param("scale_factor").getOrElse(0.9996),
+        falseEasting = param("false_easting").getOrElse(500000.0),
+        falseNorthing = 0.0,
+        f = if (prj.contains("WGS") && prj.contains("84")) 1 / 298.257223563
+            else 1 / 298.257222101) // GRS80 (NAD83)
+      val lat0 = param("latitude_of_origin").getOrElse(0.0)
+      val arc0 = if (lat0 == 0.0) 0.0 else tm0.forward(lon0, lat0)._2
+      Some(tm0.copy(falseNorthing =
+        param("false_northing").getOrElse(0.0) - arc0))
+    } else None
+  }
+
   /** Bounds reprojected to EPSG:4326, detecting the CRS from the .prj
     * sidecar: Web Mercator, LAEA, and parameterized Transverse
-    * Mercator (UTM — the reference's gssha_demo watershed ships in
-    * NAD83 / UTM 15N) are recognized; else assumed geographic.
+    * Mercator (UTM and state-plane TM — the reference's gssha_demo
+    * watershed ships in NAD83 / UTM 15N) are recognized; else assumed
+    * geographic.
     */
   def wgs84Bounds(shpPath: String): BBox = {
     val raw = rawBounds(shpPath)
     val prjPath = shpPath.replaceAll("\\.shp$", ".prj")
     val prj = if (Files.exists(Paths.get(prjPath)))
       Files.readString(Paths.get(prjPath)) else ""
-    def param(name: String): Option[Double] =
-      s"""PARAMETER\\["$name",([-0-9.eE]+)\\]""".r
-        .findFirstMatchIn(prj).map(_.group(1).toDouble)
-    if (prj.contains("Mercator_Auxiliary_Sphere") || prj.contains("3857"))
-      Crs.transformBBox(raw, Crs.WebMercator)
-    else if (prj.contains("Lambert_Azimuthal"))
-      Crs.transformBBox(raw, Crs.GlanceNA)
-    else if (prj.contains("Transverse_Mercator"))
-      Crs.transformBBox(raw, Crs.TransverseMercator(
-        lon0Deg = param("central_meridian").getOrElse(0.0),
-        k0 = param("scale_factor").getOrElse(0.9996),
-        falseEasting = param("false_easting").getOrElse(500000.0),
-        falseNorthing = param("false_northing").getOrElse(0.0),
-        f = if (prj.contains("WGS") && prj.contains("84")) 1 / 298.257223563
-            else 1 / 298.257222101)) // GRS80 (NAD83)
-    else raw
+    projectionFromPrj(prj) match {
+      case Some(p) => Crs.transformBBox(raw, p)
+      case None => raw
+    }
   }
 }

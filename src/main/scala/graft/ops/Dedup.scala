@@ -729,14 +729,15 @@ object Dedup {
 
   /** Prefix-filtered candidate pairs at scaled threshold `tScaled`
     * (= floor(t·2^20)) with their EXACT intersection and set sizes —
-    * the shared relation behind [[jaccardPrefixJoin]] (which verifies
-    * at its own threshold) and [[thresholdCurve]] (which prices a
-    * whole threshold grid off ONE run at the grid minimum: the prefix
-    * filter is lossless for every J >= tScaled/2^20, so each curve
-    * point at or above that bar reads exact counts from this
-    * relation). Returns (doc_id_a, doc_id_b, inter, la, lb) with
-    * a < b, complete for all pairs with J >= tScaled/2^20; pairs
-    * below the bar may or may not appear — callers must filter.
+    * [[jaccardPrefixJoin]]'s candidate+verify stage, split out so the
+    * completeness contract is stated once: the prefix filter is
+    * lossless for every J >= tScaled/2^20, so any consumer whose
+    * floor sits at or above that bar reads exact pairs here
+    * ([[thresholdCurve]] deliberately does NOT — its 0.1 floor makes
+    * the prefix useless, see its scaladoc). Returns
+    * (doc_id_a, doc_id_b, inter, la, lb) with a < b, complete for all
+    * pairs with J >= tScaled/2^20; pairs below the bar may or may not
+    * appear — callers must filter.
     */
   private def prefixFilteredPairs(docs: DataFrame, n: Int,
                                   tScaled: Long): DataFrame = {

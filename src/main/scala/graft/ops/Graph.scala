@@ -74,6 +74,7 @@ object Graph {
         .join(srcNodes, Seq("node"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hasDangling = dstOnly.exists(_.limit(1).count() > 0)
+    if (!hasDangling) dstOnly.foreach(_.unpersist()) // probe-only, unused below
     val nodes =
       if (hasDangling) srcNodes.unionAll(dstOnly.get)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -82,10 +83,14 @@ object Graph {
     val n = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(n)
       .select(col("node"), expr(s"$Scale div n").as("rank"))
+    // NOTE on evaluation semantics: with dangling nodes present this
+    // kernel is EAGER — the probe and one scalar action per round run
+    // at CALL time, and each round's dsum is snapshotted into the plan
+    // as a literal (sound here: inputs are immutable lake reads; a
+    // mutating source would need the checkpointing converged variant).
+    // Symmetrized / dangling-free graphs keep the fully lazy plan.
+    var prevCached: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      // with dangling mass in play each round materializes (persist +
-      // one scalar action): dsum becomes a LITERAL, so the next round
-      // still references `ranks` once and reads it from cache
       val cur =
         if (hasDangling)
           ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -95,6 +100,9 @@ object Graph {
           dangling.join(cur, Seq("node"))
             .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
         else 0L
+      // the previous round's cached rank vector is no longer referenced
+      // once this round's dsum action has materialized `cur`
+      if (hasDangling) { prevCached.foreach(_.unpersist()); prevCached = Some(cur) }
       val contrib = ed.join(cur, ed("src") === cur("node"))
         .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("csum"))

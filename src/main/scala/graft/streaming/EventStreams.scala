@@ -351,8 +351,11 @@ object EventStreams {
 
   /** Stage 1 of streaming near-dup dedup, keyed by MINHASH BAND KEY:
     * the first document to present a band claims it (ValueState =
-    * owning doc_id, TTL-bounded); every later presenter gets
-    * `fresh = false`. Within a micro-batch rows process in
+    * TTL-bounded flag); every later presentation — including a REPLAY
+    * of the claiming doc itself — gets `fresh = false`, so an
+    * at-least-once source re-delivering a document within the TTL
+    * horizon cannot emit it twice (each kept id is emitted exactly
+    * once per horizon). Within a micro-batch rows process in
     * (ts, doc_id) order, so the earliest/lowest doc claims — the
     * streaming analog of batch minhashDedup's drop-the-higher-id
     * rule. Suppressed docs still HOLD their fresh bands, which makes
@@ -364,11 +367,11 @@ object EventStreams {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, BandRow, BandVerdict] {
     @transient private var owner:
-      org.apache.spark.sql.streaming.ValueState[Long] = _
+      org.apache.spark.sql.streaming.ValueState[Boolean] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      owner = getHandle.getValueState[Long]("owner",
-        org.apache.spark.sql.Encoders.scalaLong,
+      owner = getHandle.getValueState[Boolean]("owner",
+        org.apache.spark.sql.Encoders.scalaBoolean,
         org.apache.spark.sql.streaming.TTLConfig(ttl))
     override def handleInputRows(key: String, rows: Iterator[BandRow],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
@@ -376,9 +379,9 @@ object EventStreams {
       val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
       sorted.iterator.map { r =>
         if (!owner.exists()) {
-          owner.update(r.doc_id)
+          owner.update(true)
           BandVerdict(r.doc_id, r.ts, fresh = true)
-        } else BandVerdict(r.doc_id, r.ts, fresh = owner.get() == r.doc_id)
+        } else BandVerdict(r.doc_id, r.ts, fresh = false)
       }
     }
   }
@@ -431,7 +434,7 @@ object EventStreams {
     *      iff every band was fresh ([[AllBandsFreshProcessor]]).
     *
     * 100 TB shape: text never enters a shuffle — stage 1 carries
-    * (band key, ts, id), stage 2 (id, ts, bool); state is one long
+    * (band key, ts, id), stage 2 (id, ts, bool); state is one flag
     * per live band and one (int, bool) per in-flight doc, both
     * TTL-bounded, the processing-time analog of the exact-dedup
     * watermark horizon. No verification pass: like any pure-LSH

@@ -18,6 +18,44 @@ class CrsSpec extends SparkSpec {
     assert(math.abs(b.north - 42.90550) < 1e-4, s"north ${b.north}")
   }
 
+  test("prj Transverse_Mercator honors latitude_of_origin (state-plane, not just UTM)") {
+    // a state-plane-style TM with lat_0 = 29.5: northings are measured
+    // from lat_0, so the parser must fold the scaled meridian arc at
+    // lat_0 into the effective false northing — ignoring it would
+    // misplace latitudes by thousands of km while still looking like
+    // plausible lon/lat
+    val prj = """PROJCS["MS East",GEOGCS["NAD83",DATUM["NAD83",
+      |SPHEROID["GRS 1980",6378137,298.257222101]]],
+      |PROJECTION["Transverse_Mercator"],
+      |PARAMETER["latitude_of_origin",29.5],
+      |PARAMETER["central_meridian",-88.83333333333333],
+      |PARAMETER["scale_factor",0.99995],
+      |PARAMETER["false_easting",300000],
+      |PARAMETER["false_northing",0],UNIT["Meter",1]]""".stripMargin
+    val p = ShapefileBounds.projectionFromPrj(prj).get
+    // ground truth: project a known point with the SAME Krüger kernel
+    // measured from the equator, shifted by the arc at lat_0
+    val base = Crs.TransverseMercator(lon0Deg = -88.83333333333333,
+      k0 = 0.99995, falseEasting = 300000.0, falseNorthing = 0.0)
+    val (lon, lat) = (-88.5, 32.3)
+    val (xe, ye) = base.forward(lon, lat)
+    val yStatePlane = ye - base.forward(-88.83333333333333, 29.5)._2
+    val (lonBack, latBack) = p.inverse(xe, yStatePlane)
+    assert(math.abs(lonBack - lon) < 1e-9 && math.abs(latBack - lat) < 1e-9,
+      s"state-plane inverse off: ($lonBack, $latBack)")
+    // UTM-style prj (lat_0 = 0) is unchanged by the correction
+    val utm = ShapefileBounds.projectionFromPrj(
+      """PROJECTION["Transverse_Mercator"],
+        |PARAMETER["latitude_of_origin",0],
+        |PARAMETER["central_meridian",-93],
+        |PARAMETER["scale_factor",0.9996],
+        |PARAMETER["false_easting",500000],
+        |PARAMETER["false_northing",0]""".stripMargin).get
+    val (ux, uy) = Crs.TransverseMercator(lon0Deg = -93.0).forward(-90.0, 38.75)
+    val (ulon, ulat) = utm.inverse(ux, uy)
+    assert(math.abs(ulon - -90.0) < 1e-9 && math.abs(ulat - 38.75) < 1e-9)
+  }
+
   test("web mercator round-trips and matches the spherical formula") {
     val (x, y) = Crs.WebMercator.forward(-83.0, 41.5)
     val (lon, lat) = Crs.WebMercator.inverse(x, y)

@@ -665,6 +665,14 @@ class EventStreamsSpec extends SparkSpec {
         assert(batchKept == Set(1L, 3L, 5L), s"fixture sanity: $batchKept")
         assert(streamed == batchKept,
           s"streaming $streamed must equal batch $batchKept")
+        // at-least-once replay: re-delivering a kept doc within the TTL
+        // horizon must NOT emit it twice (its own bands are claimed)
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:06"), 1L, a1))
+        q.processAllAvailable()
+        val replayed = spark.sql("SELECT value FROM mhdedup")
+          .collect().map(_.getLong(0)).toSeq
+        assert(replayed.count(_ == 1L) == 1,
+          s"replayed doc must stay emitted-once: $replayed")
       } finally q.stop()
     } finally {
       prev match {

@@ -2835,9 +2835,9 @@ class OpsSpec extends SparkSpec {
         spark.read.parquet(s"$sf/documents.parquet"), 3, (1 to 10).map(_ * 10))
       .orderBy("threshold_x100").collect().map(_.getLong(1))
     assert(curve.zip(curve.tail).forall { case (a, b) => a >= b })
-    // scale-path = truth-path law: the curve now reads from ONE
-    // prefix-filtered run at min(thresholds) — cross-check every point
-    // against the naive any-shared-gram relation (quadratic, audit-only)
+    // array-free = array-carrying law: the curve computes |A∩B| as a
+    // count-aggregated posting join — cross-check every point against
+    // the naive array_intersect relation (quadratic, audit-only)
     val slice = spark.read.parquet(s"$sf/documents.parquet")
       .orderBy("doc_id").limit(150)
     val naive = Dedup.naiveJaccardPairs(slice, 3)
@@ -2851,7 +2851,7 @@ class OpsSpec extends SparkSpec {
     val gotCurve = Dedup.thresholdCurve(slice, 3, ths)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotCurve == naiveCurve,
-      s"prefix-filtered curve must equal the naive curve: $gotCurve vs $naiveCurve")
+      s"count-join curve must equal the naive curve: $gotCurve vs $naiveCurve")
     intercept[IllegalArgumentException](Dedup.thresholdCurve(docs, 3, Seq()))
     intercept[IllegalArgumentException](Dedup.thresholdCurve(docs, 3, Seq(0)))
   }

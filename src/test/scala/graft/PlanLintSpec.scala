@@ -29,9 +29,30 @@ import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
   */
 class PlanLintSpec extends SparkSpec {
 
-  /** Build side of a BNLJ that is provably metadata-sized. */
-  private def tiny(p: SparkPlan): Boolean = p.exists {
-    case a: BaseAggregateExec => a.groupingExpressions.isEmpty // scalar agg: 1 row
+  /** A BNLJ side that is provably metadata-sized: strip row-preserving
+    * (or row-reducing) unary wrappers — project/filter/exchange/sort —
+    * then demand the node itself bounds its output (scalar agg, small
+    * literal relation, small limit, small range). Deliberately NOT a
+    * subtree exists(): a corpus-sized join that merely CONTAINS a
+    * scalar aggregate somewhere below (documents.crossJoin(total).join
+    * ...) must not pass; any node that can multiply rows (join,
+    * generate, union, grouped agg) stops the walk and fails the check.
+    */
+  private def tiny(p: SparkPlan): Boolean = p match {
+    case w: org.apache.spark.sql.execution.ProjectExec => tiny(w.child)
+    case w: org.apache.spark.sql.execution.FilterExec => tiny(w.child)
+    case w: org.apache.spark.sql.execution.SortExec => tiny(w.child)
+    case w: org.apache.spark.sql.execution.CoalesceExec => tiny(w.child)
+    case w: org.apache.spark.sql.execution.exchange.Exchange => tiny(w.child)
+    case w: org.apache.spark.sql.execution.LocalLimitExec => tiny(w.child)
+    case w: org.apache.spark.sql.execution.window.WindowExec => tiny(w.child)
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || tiny(a.child) // scalar agg: 1 row
+    // a generate over a tiny child explodes ONE row's arrays — the
+    // engine's axis-generation idiom (sequence over a scalar bounds
+    // row, E4), bounded by the axis length, never by the corpus
+    case g: org.apache.spark.sql.execution.GenerateExec => tiny(g.child)
+    case u: org.apache.spark.sql.execution.UnionExec => u.children.forall(tiny)
     case l: LocalTableScanExec => l.rows.size <= 256 // literal relation
     case g: GlobalLimitExec => g.limit <= 256
     case t: TakeOrderedAndProjectExec => t.limit <= 256
@@ -82,7 +103,12 @@ class PlanLintSpec extends SparkSpec {
         "problem, per the operator scaladoc)"),
     "n79_hll_overlap" ->
       ("register-algebra pairwise joins are sketch-sized by construction " +
-        "(sources^2 x 2^p register rows, never corpus rows)"))
+        "(sources^2 x 2^p register rows, never corpus rows)"),
+    "n126_kmeans" ->
+      ("broadcast centroid table is k-bounded (grouped agg keyed by " +
+        "cluster, k=4) — a bound a static plan walk cannot see"),
+    "n132_cluster_profile" ->
+      "same k-bounded centroid broadcasts as n126 (shared kernel)")
 
   test("no scale-killer plans outside the documented audit allowlist") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
