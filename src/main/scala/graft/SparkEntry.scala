@@ -919,6 +919,7 @@ object SparkEntry {
 
     // ================= relational core (driver tables) ================
     "q01_pricing_summary" -> ((s, dir) => {
+      // TPC-H Q1-shape pricing summary: pushed date filter -> partial agg
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -933,6 +934,7 @@ object SparkEntry {
     }),
 
     "q02_revenue_filter" -> ((s, dir) => {
+      // selective revenue filter scan (predicate pushdown)
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
                 col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
@@ -942,6 +944,7 @@ object SparkEntry {
     }),
 
     "q03_revenue_by_nation" -> ((s, dir) => {
+      // star join revenue rollup, all dimensions broadcast
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
       val nation = t(s, dir, "nation")
@@ -956,6 +959,7 @@ object SparkEntry {
     }),
 
     "q04_order_rank_window" -> ((s, dir) => {
+      // per-customer order ranking window
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
@@ -966,6 +970,7 @@ object SparkEntry {
     }),
 
     "q05_top10_orders" -> ((s, dir) => {
+      // top-10 orders via distributed partial top-k (TakeOrderedAndProject)
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
@@ -1322,6 +1327,7 @@ object SparkEntry {
     }),
 
     "q07_big_orders_semi" -> ((s, dir) => {
+      // customers with big orders via left-semi join
       val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
       t(s, dir, "orders")
         .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
@@ -1341,6 +1347,7 @@ object SparkEntry {
     }),
 
     "q09_status_pivot" -> ((s, dir) => {
+      // order-status pivot with known width (no distinct-values job)
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -1350,6 +1357,7 @@ object SparkEntry {
     }),
 
     "q10_part_type_stats" -> ((s, dir) => {
+      // per-type part statistics aggregate
       t(s, dir, "part")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_parts"),
@@ -1362,6 +1370,7 @@ object SparkEntry {
     }),
 
     "q20_range_join" -> ((s, dir) => {
+      // banded proximity join through the BandedIntervalJoin rule
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
@@ -1374,6 +1383,7 @@ object SparkEntry {
     }),
 
     "q21_percentiles" -> ((s, dir) => {
+      // exact percentile aggregates per group
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
@@ -1384,6 +1394,7 @@ object SparkEntry {
     }),
 
     "q22_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS rollup of order statistics
       Seq("orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql("""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
               |       coalesce(o_orderstatus, 'ALL') AS status,
@@ -1395,6 +1406,7 @@ object SparkEntry {
     }),
 
     "q17_distinct_agg" -> ((s, dir) => {
+      // multi-column distinct aggregation
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
@@ -1491,6 +1503,7 @@ object SparkEntry {
     }),
 
     "q18_running_totals" -> ((s, dir) => {
+      // running totals window (unbounded preceding frame)
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
@@ -1502,6 +1515,7 @@ object SparkEntry {
     }),
 
     "q19_json_extract" -> ((s, dir) => {
+      // distributed JSON field extraction over event payloads
       t(s, dir, "events")
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1525,17 +1539,20 @@ object SparkEntry {
 
     // ============ streaming-shaped windows (batch = same plan) ========
     "q11_events_tumbling" -> ((s, dir) => {
+      // tumbling event-time window counts (batch twin of the streaming A1)
       EventStreams.tumblingCounts(t(s, dir, "events"), "1 hour")
         .withColumn("sum_value", round(col("sum_value"), 4))
         .orderBy("window_start", "event_type")
     }),
 
     "q12_events_sliding" -> ((s, dir) => {
+      // sliding window counts (1h window, 30m hop)
       EventStreams.slidingCounts(t(s, dir, "events"), "1 hour", "30 minutes")
         .orderBy("window_start", "event_type")
     }),
 
     "q13_events_sessions" -> ((s, dir) => {
+      // gap-based session windows over events
       EventStreams.sessionCounts(t(s, dir, "events"), "30 minutes")
         .withColumn("sum_value", round(col("sum_value"), 4))
         .orderBy("user_id", "session_start")
@@ -1543,6 +1560,7 @@ object SparkEntry {
 
     // ================= grid operators (SyntheticGrid) =================
     "g01_crop" -> ((s, _) => {
+      // snapped bbox crop + inclusive-both-ends time crop (P2+P3)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
       Crop.time(Crop.bbox(g, cropBox), "2019-01-30 12:00:00", "2019-01-31 06:00:00")
         .df.orderBy("time", "y", "x")
@@ -1704,11 +1722,13 @@ object SparkEntry {
     }),
 
     "g02_downsample_6h_mean" -> ((s, _) => {
+      // 6-hourly mean temporal downsample (A1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m", "u100"))
       TemporalResample.downsample(g, "6 hours", "mean").df.orderBy("time", "y", "x")
     }),
 
     "g03_daily_stats" -> ((s, _) => {
+      // daily multi-aggregate temporal downsample (A1)
       val g = SyntheticGrid.grid(s)
       g.df.groupBy(date_trunc("day", col("time")).as("day"), col("y"), col("x"))
         .agg(median(col("t2m")).as("med_t2m"), min("t2m").as("min_t2m"),
@@ -1717,6 +1737,7 @@ object SparkEntry {
     }),
 
     "g04_spatial_stats" -> ((s, _) => {
+      // per-timestep spatial aggregate over the grid (A3)
       val g = SyntheticGrid.grid(s)
       g.df.groupBy(col("time"))
         .agg(avg("t2m").as("mean_t2m"), round(stddev("t2m"), 6).as("std_t2m"),
@@ -1725,11 +1746,13 @@ object SparkEntry {
     }),
 
     "g05_points_table" -> ((s, _) => {
+      // nearest-cell point extraction pivoted to a time x station table (J2+R1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       PointExtract.pointsToTable(g, points, "t2m")
     }),
 
     "g06_var_merge" -> ((s, _) => {
+      // coordinate equi-join merge of two variables (J1)
       val g = SyntheticGrid.grid(s)
       val a = Crop.bbox(g.selectVariables(Seq("t2m")), BBox(-83.5, 41.25, -81.0, 42.75))
       val b = Crop.bbox(g.selectVariables(Seq("u100")), BBox(-82.0, 41.25, -79.0, 42.75))
@@ -1737,11 +1760,13 @@ object SparkEntry {
     }),
 
     "g07_upsample_linear" -> ((s, _) => {
+      // hourly -> 3-hourly-grid linear interpolation upsample (W3)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
       TemporalResample.upsample(g, 1800, "linear").df.orderBy("time", "y", "x")
     }),
 
     "g08_upsample_ffill" -> ((s, _) => {
+      // forward-fill upsample onto a denser time grid (W1)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
       TemporalResample.upsample(g, 1800, "ffill").df.orderBy("time", "y", "x")
     }),
@@ -1790,11 +1815,13 @@ object SparkEntry {
     }),
 
     "g09_spatial_nearest_x2" -> ((s, _) => {
+      // 2x nearest-neighbor spatial regrid (X1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.nearest(g, fy = 2.0, fx = 2.0).df.orderBy("time", "y", "x")
     }),
 
     "g10_spatial_bilinear_x2" -> ((s, _) => {
+      // 2x bilinear spatial regrid via generated-mapping join (X1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.bilinear(g, fy = 2.0, fx = 2.0).df
         .withColumn("t2m", round(col("t2m"), 6))
@@ -1802,6 +1829,7 @@ object SparkEntry {
     }),
 
     "g21_spatial_cubic_x2" -> ((s, _) => {
+      // 2x cubic-convolution (4x4-tap) spatial regrid (X1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.cubic(g, fy = 2.0, fx = 2.0).df
         .withColumn("t2m", round(col("t2m"), 6))
@@ -1847,6 +1875,7 @@ object SparkEntry {
     }),
 
     "g26_spatial_gauss_half" -> ((s, _) => {
+      // half-resolution Gaussian-kernel downsample (X1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.blockGauss(g, fy = 0.5, fx = 0.5).df
         .withColumn("t2m", round(col("t2m"), 6))
@@ -1854,6 +1883,7 @@ object SparkEntry {
     }),
 
     "g27_spatial_lanczos_x2" -> ((s, _) => {
+      // 2x Lanczos (6x6-tap) spatial regrid (X1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       SpatialResample.lanczos(g, fy = 2.0, fx = 2.0).df
         .withColumn("t2m", round(col("t2m"), 6))
@@ -1861,18 +1891,21 @@ object SparkEntry {
     }),
 
     "g11_tz_subset" -> ((s, _) => {
+      // timezone-aware bounds-only time subset (P4)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       Crop.timeByZone(g, tzStart, tzEnd, "America/New_York")
         .df.orderBy("time", "y", "x")
     }),
 
     "g12_bbox_extremes" -> ((s, _) => {
+      // per-variable extremes inside a bbox (A4)
       SyntheticGrid.grid(s).df
         .agg(min("x").as("west"), max("x").as("east"),
              min("y").as("south"), max("y").as("north"))
     }),
 
     "g13_downsample_first_last" -> ((s, _) => {
+      // first/last temporal downsample aggregates (A1)
       val g = SyntheticGrid.grid(s).selectVariables(Seq("t2m"))
       g.df.groupBy(window(col("time"), "1 day").getField("start").as("time"),
           col("y"), col("x"))
@@ -1882,6 +1915,7 @@ object SparkEntry {
     }),
 
     "g14_upsample_nearest" -> ((s, _) => {
+      // nearest-in-time upsample (W3)
       val g = Crop.bbox(SyntheticGrid.grid(s).selectVariables(Seq("t2m")), upBox)
       TemporalResample.upsample(g, 1800, "nearest").df.orderBy("time", "y", "x")
     }),
@@ -1954,6 +1988,7 @@ object SparkEntry {
 
     // ============== more relational: subquery / rollup / as-of =========
     "q14_above_avg_orders" -> ((s, dir) => {
+      // orders above the average total (scalar subquery)
       val w = Window.partitionBy("o_custkey")
       // cust_avg itself is excluded from the output: a windowed double
       // average is order-dependent in its last bits, which the exact
@@ -1986,6 +2021,7 @@ object SparkEntry {
     }),
 
     "q16_asof_click_before_purchase" -> ((s, dir) => {
+      // as-of join: last click before each purchase (union-tag + window, no inequality-join blowup)
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
@@ -2014,6 +2050,7 @@ object SparkEntry {
     }),
 
     "n03_token_counts" -> ((s, dir) => {
+      // whitespace + BPE-ish regex token counts per doc
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -2022,6 +2059,7 @@ object SparkEntry {
     }),
 
     "n04_quality" -> ((s, dir) => {
+      // length/punctuation/stopword-ratio quality features
       TextAnalysis.qualityFeatures(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"),
           round(col("alpha_ratio"), 6).as("alpha_ratio"),
@@ -2032,12 +2070,14 @@ object SparkEntry {
     }),
 
     "n05_langid" -> ((s, dir) => {
+      // character-n-gram heuristic language identification
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")
     }),
 
     "n06_fingerprints" -> ((s, dir) => {
+      // rolling-hash document fingerprints (codegen expression)
       TextAnalysis.fingerprints(t(s, dir, "documents"))
         .select("doc_id", "md5_fingerprint").orderBy("doc_id")
     }),
@@ -2050,6 +2090,7 @@ object SparkEntry {
     }),
 
     "n08_knn_bruteforce" -> ((s, dir) => {
+      // exact brute-force cosine top-k (guarded audit baseline)
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .select(col("query_id"), col("vec_id"),
@@ -3883,6 +3924,7 @@ object SparkEntry {
     }),
 
     "n19_deterministic_sample" -> ((s, dir) => {
+      // seeded-hash deterministic sample (replayable, no RNG)
       graft.ops.Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.3)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
@@ -3972,6 +4014,7 @@ object SparkEntry {
     }),
 
     "n18_profile" -> ((s, dir) => {
+      // one-pass per-column null/distinct profile
       graft.ops.Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),

@@ -154,7 +154,8 @@ object GsshaDemo {
       if (candidates.nonEmpty) candidates
       else Seq(("p0", xa.origin, ya.origin))
     val csvPath = s"$outDir/stations_t2m.csv"
-    val table = precip.pointsToTable(stations, "t2m")
+    val table = graft.operators.PointExtract.pointsToTable(
+      precipMm, stations, "t2m") // the mm-converted grid, like the gage file
     val csv = (table.columns.mkString(",") +:
       table.collect().map(_.toSeq.mkString(",")).toSeq).mkString("", "\n", "\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(csvPath), csv)

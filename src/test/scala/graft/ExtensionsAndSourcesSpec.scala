@@ -283,5 +283,14 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(grass.length == 4 && grass.head == "2019013000_Temp.asc")
     val csvLines = java.nio.file.Files.readAllLines(csv).asScala
     assert(csvLines.head.startsWith("time,") && csvLines.length >= 2)
+    // VALUE check (not just structure): station p0 (-82.98, 41.63)
+    // snaps to cell (jx=2, jy=2) = (-83.0, 41.75); the CSV carries the
+    // m->mm-converted value, so row 1 must be the SyntheticGrid formula
+    // at t=0 times 1000 exactly
+    val p0Col = csvLines.head.split(",").indexOf("p0")
+    assert(p0Col > 0, s"p0 column missing: ${csvLines.head}")
+    val got = csvLines(1).split(",")(p0Col).toDouble
+    val expect = ((2L * 13 + 2L * 29 + 1) * 2654435761L % 104729) / 1024.0 * 1000.0
+    assert(got == expect, s"station value $got != grid-formula $expect")
   }
 }
