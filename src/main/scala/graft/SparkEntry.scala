@@ -2098,6 +2098,19 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n138_mmr_select" -> ((s, dir) => {
+      // greedy maximal-marginal-relevance pick of 5 diverse neighbors
+      // for query 0 at λ=0.75 (complement 0.25 is binary-exact — the
+      // cross-engine IEEE caveat on the operator): each step's argmax
+      // replays in the oracle as an unrolled CTE chain over the same
+      // cosine kernel
+      Similarity.mmrSelect(t(s, dir, "embeddings"), queryId = 0L,
+          k = 5, lambda = 0.75)
+        .select(col("rank"), col("vec_id"),
+          round(col("simq"), 6).as("simq"), round(col("score"), 6).as("score"))
+        .orderBy("rank")
+    }),
+
     "n137_hard_negatives" -> ((s, dir) => {
       // contrastive-training data prep: top-5 nearest neighbors per
       // query EXCLUDING self and the declared positive (the q -> q+1
@@ -5178,6 +5191,40 @@ object SparkEntry {
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n138_mmr_select" -> {
+      // unrolled greedy replay: step j scores the remainder with
+      // 0.75·simq − 0.25·greatest(cos to each prior pick) and takes
+      // the (score DESC, vec_id) argmax — identical IEEE expressions,
+      // identical argmax
+      val steps = (1 to 5).map { j =>
+        val prior = (1 until j).map(i => s"s$i")
+        val penalty =
+          if (prior.isEmpty) "0.0"
+          else if (prior.size == 1)
+            s"list_cosine_similarity(s.v, s1.v)"
+          else prior.map(p => s"list_cosine_similarity(s.v, $p.v)")
+            .mkString("greatest(", ", ", ")")
+        val from = ("s" +: prior).mkString(", ")
+        val excl = if (prior.isEmpty) ""
+          else prior.map(p => s"s.vec_id <> $p.vec_id").mkString(" WHERE ", " AND ", "")
+        s"""p$j AS (SELECT s.vec_id, s.v, s.simq,
+           |  0.75 * s.simq - 0.25 * ($penalty) AS score
+           | FROM $from$excl),
+           |s$j AS (SELECT * FROM p$j ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 5).map(j =>
+        s"""SELECT CAST($j AS BIGINT) AS rank, vec_id,
+           | round(simq, 6) AS simq, round(score, 6) AS score FROM s$j""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS simq
+         |      FROM e, q WHERE e.vec_id <> 0),
+         |$steps
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
 
     "n137_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -102,6 +102,68 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Greedy maximal-marginal-relevance selection (Carbonell &
+    * Goldstein 1998): pick `k` corpus vectors for query `queryId`,
+    * each step taking argmax of
+    * `λ·cos(d, q) − (1−λ)·max over selected s of cos(d, s)` —
+    * relevance tempered by redundancy, the standard diversity-aware
+    * pass for retrieval results and for picking training examples
+    * that aren't near-copies of each other. Ties break to the lowest
+    * vec_id. Returns (rank, vec_id, simq, score).
+    *
+    * Execution shape: greedy MMR is inherently sequential in k, so
+    * this runs k DRIVER-STEPPED jobs — each one broadcast-scored
+    * corpus scan (query-sim column persisted once; the per-step
+    * penalty is a `greatest` over cosines against at most k-1
+    * LITERAL vectors, a codegen expression, never a join) ending in
+    * a distributed top-1. k is a user-facing handful; the corpus
+    * scan per step is the unavoidable cost of exact greedy MMR (an
+    * ANN shortlist upstream bounds it at scale).
+    *
+    * Cross-engine replay caveat (the n138 oracle): the score is IEEE
+    * double arithmetic, so pick a λ whose complement 1−λ is exact in
+    * binary (0.5, 0.25, 0.75 — NOT 0.7, whose complement is
+    * 0.30000000000000004) or the engines' literals diverge.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1,100]: greedy MMR is O(k) scans, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), col("embedding"),
+        cosine_similarity(col("embedding"), col("q_emb")).as("simq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = Vector.empty[(Long, Array[Float], Double, Double)]
+    for (_ <- 1 to k) {
+      val remaining =
+        if (selected.isEmpty) scored
+        else scored.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val penalty =
+        if (selected.isEmpty) lit(0.0)
+        else if (selected.size == 1)
+          cosine_similarity(col("embedding"), lit(selected.head._2))
+        else greatest(selected.map(s =>
+          cosine_similarity(col("embedding"), lit(s._2))): _*)
+      val top = remaining
+        .withColumn("score",
+          lit(lambda) * col("simq") - lit(1.0 - lambda) * penalty)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("embedding"), col("simq"), col("score"))
+        .head()
+      selected :+= ((top.getLong(0),
+        top.getSeq[Float](1).toArray, top.getDouble(2), top.getDouble(3)))
+    }
+    scored.unpersist()
+    selected.zipWithIndex
+      .map { case ((id, _, simq, score), i) => (i + 1L, id, simq, score) }
+      .toDF("rank", "vec_id", "simq", "score")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge a lexical (BM25) and a vector (ANN) ranking into one hybrid
     * result: `rrf = Σ_systems 1/(rrfK + rank)`, documents missing from

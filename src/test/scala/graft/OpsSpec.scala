@@ -2300,6 +2300,42 @@ class OpsSpec extends SparkSpec {
       Similarity.hardNegatives(emb, emb, none, 5, maxQueries = 10L))
   }
 
+  test("mmrSelect: exact greedy replay with the engine kernel; λ=1 degenerates to topK") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.graft.SimilarityKernels
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      SimilarityKernels.cosine(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+    // driver-side replay of the greedy recurrence with IDENTICAL
+    // double arithmetic (same kernel, same 0.75/0.25 literals, max =
+    // greatest on non-NaN doubles, ties to lowest vec_id)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = all(0L)
+    val simq = (all - 0L).map { case (id, v) => id -> cos(v, qv) }
+    var sel = Vector.empty[Long]
+    for (_ <- 1 to 4) {
+      val pick = (simq.keySet -- sel).map { id =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(all(id), all(s))).max
+        (id, 0.75 * simq(id) - 0.25 * pen)
+      }.toSeq.sortBy { case (id, sc) => (-sc, id) }.head
+      sel :+= pick._1
+    }
+    val got = Similarity.mmrSelect(emb, 0L, 4, 0.75).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == sel.zipWithIndex.map { case (id, i) => (i + 1L, id) },
+      s"engine picks $got != replay $sel")
+    // λ=1: no penalty — greedy MMR IS the plain cosine top-k
+    val free = Similarity.mmrSelect(emb, 0L, 5, 1.0).collect()
+      .map(_.getLong(1)).toSeq
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(free == topk)
+    // guards
+    intercept[IllegalArgumentException](Similarity.mmrSelect(emb, 0L, 0, 0.5))
+    intercept[IllegalArgumentException](Similarity.mmrSelect(emb, 0L, 3, 1.5))
+  }
+
   test("applyChangeset: upsert replaces, insert appends, delete drops, absent delete no-ops") {
     import spark.implicits._
     val base = Seq((1L, "one", "en", "web", 3L), (2L, "two", "en", "web", 3L),
