@@ -19,7 +19,24 @@ import scala.jdk.CollectionConverters._
   */
 object OperatorIndex {
 
-  private val SparkEntryPath = "src/main/scala/graft/SparkEntry.scala"
+  /** Repo root found by walking up from the CWD to `build.sbt`, so
+    * generate() (and the EngineSpec drift gate) work no matter which
+    * directory sbt or a test runner launched from — CWD-relative
+    * paths failed with "layout changed" from anywhere but the root.
+    */
+  private def repoRoot: java.nio.file.Path = {
+    var d = Paths.get("").toAbsolutePath
+    while (d != null && !Files.exists(d.resolve("build.sbt"))) d = d.getParent
+    require(d != null, "repo root not found: no build.sbt above " +
+      Paths.get("").toAbsolutePath)
+    d
+  }
+
+  private lazy val SparkEntryPath =
+    repoRoot.resolve("src/main/scala/graft/SparkEntry.scala")
+
+  /** Where the generated index lives (root-anchored, for the drift gate). */
+  lazy val docsPath: java.nio.file.Path = repoRoot.resolve("docs/OPERATORS.md")
 
   /** Operator-bearing objects worth naming in the index. */
   private val Objects = Set(
@@ -42,7 +59,7 @@ object OperatorIndex {
 
   /** Parse the queries map region of SparkEntry.scala into entries. */
   private def parseEntries(): Map[String, Entry] = {
-    val lines = Files.readAllLines(Paths.get(SparkEntryPath)).asScala.toVector
+    val lines = Files.readAllLines(SparkEntryPath).asScala.toVector
     val from = lines.indexWhere(_.contains("def queries"))
     val until = lines.indexWhere(_.contains("def oracleSql"), from)
     require(from >= 0 && until > from, "SparkEntry.scala layout changed")
@@ -112,7 +129,7 @@ object OperatorIndex {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = Paths.get("docs/OPERATORS.md")
+    val out = docsPath
     Files.createDirectories(out.getParent)
     Files.writeString(out, generate())
     println(s"wrote $out")

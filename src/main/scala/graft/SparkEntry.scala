@@ -915,6 +915,55 @@ object SparkEntry {
        |FROM cand WHERE bit_count(xor(sha, shb)) <= 2
        |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
+  /** Unrolled greedy-MMR replay shared by n138 (full corpus) and n139
+    * (exact top-`shortlist` candidates): step j scores candidate CTE
+    * `s` with 0.75·simq − 0.25·greatest(cos to each prior pick) and
+    * takes the (score DESC, vec_id) argmax — identical IEEE
+    * expressions to the engine's greedy loop, so the argmax replays
+    * step by step. The shortlist variant narrows `s` to the
+    * (simq DESC, vec_id) top-m first, exactly the candidate relation
+    * `mmrSelectShortlist` is handed.
+    */
+  private def mmrOracleSql(shortlist: Option[Int]): String = {
+    val steps = (1 to 5).map { j =>
+      val prior = (1 until j).map(i => s"s$i")
+      val penalty =
+        if (prior.isEmpty) "0.0"
+        else if (prior.size == 1)
+          s"list_cosine_similarity(s.v, s1.v)"
+        else prior.map(p => s"list_cosine_similarity(s.v, $p.v)")
+          .mkString("greatest(", ", ", ")")
+      val from = ("s" +: prior).mkString(", ")
+      val excl = if (prior.isEmpty) ""
+        else prior.map(p => s"s.vec_id <> $p.vec_id").mkString(" WHERE ", " AND ", "")
+      s"""p$j AS (SELECT s.vec_id, s.v, s.simq,
+         |  0.75 * s.simq - 0.25 * ($penalty) AS score
+         | FROM $from$excl),
+         |s$j AS (SELECT * FROM p$j ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(j =>
+      s"""SELECT CAST($j AS BIGINT) AS rank, vec_id,
+         | round(simq, 6) AS simq, round(score, 6) AS score FROM s$j""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    val cand = shortlist match {
+      case None =>
+        """s AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS simq
+          |      FROM e, q WHERE e.vec_id <> 0)""".stripMargin
+      case Some(m) =>
+        s"""s0 AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS simq
+           |       FROM e, q WHERE e.vec_id <> 0),
+           |s AS (SELECT vec_id, v, simq FROM (
+           |       SELECT s0.*, row_number() OVER (ORDER BY simq DESC, vec_id) AS rnk
+           |       FROM s0) WHERE rnk <= $m)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |$cand,
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
 
     // ================= relational core (driver tables) ================
@@ -2105,6 +2154,23 @@ object SparkEntry {
       // replays in the oracle as an unrolled CTE chain over the same
       // cosine kernel
       Similarity.mmrSelect(t(s, dir, "embeddings"), queryId = 0L,
+          k = 5, lambda = 0.75)
+        .select(col("rank"), col("vec_id"),
+          round(col("simq"), 6).as("simq"), round(col("score"), 6).as("score"))
+        .orderBy("rank")
+    }),
+
+    "n139_mmr_shortlist" -> ((s, dir) => {
+      // scale-bounded MMR: the same greedy λ-tempered loop as n138,
+      // but each of the 5 steps scans a 20-candidate exact-cosine
+      // shortlist instead of the corpus (the ANN-shortlist
+      // composition made concrete); the oracle rebuilds the
+      // (simq DESC, vec_id) top-20 and replays the identical
+      // unrolled steps over it
+      val emb = t(s, dir, "embeddings")
+      val short = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0L), 20)
+      Similarity.mmrSelectShortlist(emb, short, queryId = 0L,
           k = 5, lambda = 0.75)
         .select(col("rank"), col("vec_id"),
           round(col("simq"), 6).as("simq"), round(col("score"), 6).as("score"))
@@ -5192,39 +5258,11 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
-    "n138_mmr_select" -> {
-      // unrolled greedy replay: step j scores the remainder with
-      // 0.75·simq − 0.25·greatest(cos to each prior pick) and takes
-      // the (score DESC, vec_id) argmax — identical IEEE expressions,
-      // identical argmax
-      val steps = (1 to 5).map { j =>
-        val prior = (1 until j).map(i => s"s$i")
-        val penalty =
-          if (prior.isEmpty) "0.0"
-          else if (prior.size == 1)
-            s"list_cosine_similarity(s.v, s1.v)"
-          else prior.map(p => s"list_cosine_similarity(s.v, $p.v)")
-            .mkString("greatest(", ", ", ")")
-        val from = ("s" +: prior).mkString(", ")
-        val excl = if (prior.isEmpty) ""
-          else prior.map(p => s"s.vec_id <> $p.vec_id").mkString(" WHERE ", " AND ", "")
-        s"""p$j AS (SELECT s.vec_id, s.v, s.simq,
-           |  0.75 * s.simq - 0.25 * ($penalty) AS score
-           | FROM $from$excl),
-           |s$j AS (SELECT * FROM p$j ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to 5).map(j =>
-        s"""SELECT CAST($j AS BIGINT) AS rank, vec_id,
-           | round(simq, 6) AS simq, round(score, 6) AS score FROM s$j""".stripMargin)
-        .mkString("\nUNION ALL\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         |s AS (SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS simq
-         |      FROM e, q WHERE e.vec_id <> 0),
-         |$steps
-         |$out
-         |ORDER BY rank""".stripMargin
-    },
+    // unrolled greedy replay (shared builder): identical IEEE
+    // expressions, identical argmax; n139 narrows the candidate CTE
+    // to the exact top-20 shortlist first
+    "n138_mmr_select" -> mmrOracleSql(None),
+    "n139_mmr_shortlist" -> mmrOracleSql(Some(20)),
 
     "n137_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

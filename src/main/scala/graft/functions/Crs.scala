@@ -216,26 +216,36 @@ object ShapefileBounds {
     * measures from the equator) recovers the right latitudes.
     */
   def projectionFromPrj(prj: String): Option[Crs.Projection] = {
+    // (?i): WKT parameter names are written lowercase by some stacks
+    // ("central_meridian", proj/GDAL) and Capitalized by ESRI
+    // ("Central_Meridian" — ArcGIS-exported .prj sidecars); the ESRI
+    // spelling MUST match or a state-plane file silently projects
+    // with lon0=0 / FE=500000 and lands an ocean away
     def param(name: String): Option[Double] =
-      s"""PARAMETER\\["$name",([-0-9.eE]+)\\]""".r
+      s"""(?i)PARAMETER\\["$name",\\s*([-0-9.eE]+)\\]""".r
         .findFirstMatchIn(prj).map(_.group(1).toDouble)
     if (prj.contains("Mercator_Auxiliary_Sphere") || prj.contains("3857"))
       Some(Crs.WebMercator)
     else if (prj.contains("Lambert_Azimuthal"))
       Some(Crs.GlanceNA)
     else if (prj.contains("Transverse_Mercator")) {
-      val lon0 = param("central_meridian").getOrElse(0.0)
-      val tm0 = Crs.TransverseMercator(
-        lon0Deg = lon0,
-        k0 = param("scale_factor").getOrElse(0.9996),
-        falseEasting = param("false_easting").getOrElse(500000.0),
-        falseNorthing = 0.0,
-        f = if (prj.contains("WGS") && prj.contains("84")) 1 / 298.257223563
-            else 1 / 298.257222101) // GRS80 (NAD83)
-      val lat0 = param("latitude_of_origin").getOrElse(0.0)
-      val arc0 = if (lat0 == 0.0) 0.0 else tm0.forward(lon0, lat0)._2
-      Some(tm0.copy(falseNorthing =
-        param("false_northing").getOrElse(0.0) - arc0))
+      // refuse rather than default: a TM zone without its central
+      // meridian is unusable — lon0=0 would yield plausible-looking
+      // but wildly wrong coordinates, where None lets the caller keep
+      // the raw (unprojected) bounds it can at least recognize
+      param("central_meridian").map { lon0 =>
+        val tm0 = Crs.TransverseMercator(
+          lon0Deg = lon0,
+          k0 = param("scale_factor").getOrElse(0.9996),
+          falseEasting = param("false_easting").getOrElse(500000.0),
+          falseNorthing = 0.0,
+          f = if (prj.contains("WGS") && prj.contains("84")) 1 / 298.257223563
+              else 1 / 298.257222101) // GRS80 (NAD83)
+        val lat0 = param("latitude_of_origin").getOrElse(0.0)
+        val arc0 = if (lat0 == 0.0) 0.0 else tm0.forward(lon0, lat0)._2
+        tm0.copy(falseNorthing =
+          param("false_northing").getOrElse(0.0) - arc0)
+      }
     } else None
   }
 

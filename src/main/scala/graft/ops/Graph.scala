@@ -46,7 +46,28 @@ object Graph {
     * edges-bounded join-agg shuffle plus the nodes-bounded dangling
     * agg. `rank * wt` must stay under 2^63: per-edge weights up to
     * ~9e6 at full scale — lower Scale beyond (documented, the n76
-    * convention). Caller-owned cache lifecycle (repo convention).
+    * convention).
+    *
+    * Evaluation semantics: on symmetrized / dangling-free graphs the
+    * result is FULLY LAZY (caller-owned cache lifecycle for `ed`, the
+    * repo convention). Directed graphs pay ONE probe at call time — a
+    * single-shuffle node universe tagged `has_out` (src ∪ dst in one
+    * groupBy, replacing the old distinct + anti-join + union triple) —
+    * and, when dangling nodes exist, the kernel is EAGER AT CALL TIME:
+    * the `has_out` flag rides inside each round's persisted rank
+    * vector, so the round's dangling mass is a filter + scalar agg on
+    * the cached vector (no join), snapshotted into the next round's
+    * plan as a literal; the final vector is materialized through one
+    * checkpointed action ([[Iterate.checkpointed]]), after which every
+    * internal cache (round vectors, universe, edges) is released and
+    * the returned relation has O(1) lineage. The per-round scalar
+    * action is a MEASURED choice, not an oversight: the lazy
+    * alternative (dsum as a 1-row crossJoin, the [[pageRankConverged]]
+    * shape) A/B'd 20-30% SLOWER here — without per-round plan
+    * truncation the doubled `cur` reference nests broadcast subtrees
+    * and doubles plan size per round (PLANS.md "n136 dangling A/B").
+    * Snapshotting is sound because inputs are immutable lake reads; a
+    * mutating source needs the checkpointing converged variant.
     */
   def integerPageRank(edges: DataFrame, iters: Int,
                       symmetrized: Boolean = false): DataFrame = {
@@ -56,69 +77,80 @@ object Graph {
     val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
     val ed = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val srcNodes = ed.select(col("src").as("node")).distinct()
     // `symmetrized = true` is the caller's declaration that every edge
     // was emitted in both directions (out-degree >= 1 by construction,
     // so node universe = src set and dangling mass = 0): the TextRank /
-    // co-citation callers pass it and skip both the dst-distinct node
-    // union and the dangling probe — their plans and costs are exactly
-    // the pre-dangling kernel's. Directed callers keep the safe
-    // default: one nodes-bounded probe decides the dangling branch,
-    // because a second LAZY reference to `ranks` per round would
-    // double the un-persisted lineage each iteration (2^iters
-    // recompute — a measured 2x on the TextRank bench line) for a
-    // provably-zero term on symmetric graphs.
-    val dstOnly =
+    // co-citation callers pass it and skip the universe probe — their
+    // plans and costs are exactly the pre-dangling kernel's. Directed
+    // callers pay one single-shuffle probe: src ∪ dst grouped by node
+    // with a max(has_out) flag gives the universe AND the dangling set
+    // in one cached relation.
+    val univ =
       if (symmetrized) None
-      else Some(ed.select(col("dst").as("node")).distinct()
-        .join(srcNodes, Seq("node"), "left_anti")
+      else Some(ed.select(col("src").as("node"), lit(1).as("has_out"))
+        .unionAll(ed.select(col("dst").as("node"), lit(0).as("has_out")))
+        .groupBy("node").agg(max(col("has_out")).as("has_out"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hasDangling = dstOnly.exists(_.limit(1).count() > 0)
-    if (!hasDangling) dstOnly.foreach(_.unpersist()) // probe-only, unused below
-    val nodes =
-      if (hasDangling) srcNodes.unionAll(dstOnly.get)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else srcNodes
-    val dangling = dstOnly.getOrElse(nodes.limit(0))
-    val n = nodes.agg(count(lit(1)).as("n"))
-    var ranks = nodes.crossJoin(n)
-      .select(col("node"), expr(s"$Scale div n").as("rank"))
-    // NOTE on evaluation semantics: with dangling nodes present this
-    // kernel is EAGER — the probe and one scalar action per round run
-    // at CALL time, and each round's dsum is snapshotted into the plan
-    // as a literal (sound here: inputs are immutable lake reads; a
-    // mutating source would need the checkpointing converged variant).
-    // Symmetrized / dangling-free graphs keep the fully lazy plan.
-    var prevCached: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
-      val cur =
-        if (hasDangling)
-          ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else ranks
-      val dsumLit: Long =
-        if (hasDangling)
-          dangling.join(cur, Seq("node"))
-            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-        else 0L
-      // the previous round's cached rank vector is no longer referenced
-      // once this round's dsum action has materialized `cur`
-      if (hasDangling) { prevCached.foreach(_.unpersist()); prevCached = Some(cur) }
-      val contrib = ed.join(cur, ed("src") === cur("node"))
-        .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("csum"))
-      // dangling nodes spread their whole rank uniformly (dsum div n
-      // joins every node's inbound sum before damping); LEFT join from
-      // the node list: a node with no inbound edges keeps its teleport
-      // rank instead of vanishing from the result
-      val spread =
-        if (dsumLit == 0L) expr("(85 * coalesce(csum, 0)) div 100")
-        else expr(s"(85 * (coalesce(csum, 0) + $dsumLit div n)) div 100")
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(n)
-        .select(nodes("node"),
-          (expr(s"(15 * $Scale div 100) div n") + spread).as("rank"))
+    val hasDangling = univ.exists(_.filter(col("has_out") === 0)
+      .limit(1).count() > 0)
+    if (!hasDangling) {
+      // dangling-free (symmetrized or probed): dst ⊆ src, so the node
+      // universe is the src set and the plan stays fully lazy — the
+      // probe relation (if any) was probe-only, release it
+      univ.foreach(_.unpersist())
+      val nodes = ed.select(col("src").as("node")).distinct()
+      val n = nodes.agg(count(lit(1)).as("n"))
+      var ranks = nodes.crossJoin(n)
+        .select(col("node"), expr(s"$Scale div n").as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("csum"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(n)
+          .select(nodes("node"),
+            (expr(s"(15 * $Scale div 100) div n") +
+              expr("(85 * coalesce(csum, 0)) div 100")).as("rank"))
+      }
+      ranks
+    } else {
+      val nodes = univ.get
+      val n = nodes.agg(count(lit(1)).as("n"))
+      // the has_out flag rides inside the rank vector, so each round's
+      // dangling mass is a filter + scalar agg over the round's OWN
+      // cache — never a join against a separate dangling relation
+      var ranks = nodes.crossJoin(n)
+        .select(col("node"), col("has_out"), expr(s"$Scale div n").as("rank"))
+      val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (_ <- 1 to iters) {
+        val cur = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        roundCaches += cur
+        val dsumLit: Long = cur.filter(col("has_out") === 0)
+          .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+        val contrib = ed.join(cur, ed("src") === cur("node"))
+          .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("csum"))
+        // dangling nodes spread their whole rank uniformly (dsum div n
+        // joins every node's inbound sum before damping); LEFT join
+        // from the node list: a node with no inbound edges keeps its
+        // teleport rank instead of vanishing from the result
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(n)
+          .select(nodes("node"), nodes("has_out"),
+            (expr(s"(15 * $Scale div 100) div n") +
+              expr(s"(85 * (coalesce(csum, 0) + $dsumLit div n)) div 100")).as("rank"))
+      }
+      // one checkpointed action materializes the final vector (each
+      // round's cache filled exactly when its scalar probe ran), then
+      // every internal cache is released — the caller gets an
+      // O(1)-lineage relation and no leaked persisted state (the r8
+      // ADVICE item)
+      val out = Iterate.checkpointed(ranks.select(col("node"), col("rank")))
+      roundCaches.foreach(_.unpersist())
+      univ.foreach(_.unpersist())
+      ed.unpersist()
+      out
     }
-    ranks
   }
 
   /** Fixed-round k-core peeling over an undirected graph given as a

@@ -48,28 +48,45 @@ object Similarity {
       .select((emb.columns.toIndexedSeq.map(col) :+
         posexplode(sign_buckets(col(embedCol), planes, tables)).as(Seq("table", "bucket"))): _*)
 
-  /** Exact brute-force top-k by cosine. `queries` must be small enough
-    * to broadcast — and the [[allPairsExact]] guardrail convention
-    * enforces it: the query side rides a broadcast AND every corpus
-    * row is scored against every query, so an oversized query set is
-    * an O(n·q) scan nobody declared. Refuse rather than degrade; a
-    * real large-query workload is an ANN problem ([[Ivf]], sign-LSH).
-    * Returns (query_id, vec_id, cos, rank).
+  /** The ONE guarded brute-force scoring kernel shared by
+    * [[bruteForceTopK]], [[hardNegatives]] and [[quantizedTopK]]'s
+    * exact re-rank: broadcast the (guard-capped) query side, scan the
+    * corpus once, emit (query_id, vec_id, cos). The cap is the
+    * [[allPairsExact]] guardrail convention — the query side rides a
+    * broadcast AND every corpus row is scored against every query, so
+    * an oversized query set is an O(n·q) scan nobody declared; refuse
+    * rather than degrade.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     maxQueries: Long = 10000L): DataFrame = {
+  private def bruteScores(corpus: DataFrame, queries: DataFrame,
+                          maxQueries: Long, op: String): DataFrame = {
     val nq = queries.count()
     require(nq <= maxQueries,
-      s"bruteForceTopK broadcasts and cross-scores the query side: got $nq " +
+      s"$op broadcasts and cross-scores the query side: got $nq " +
       s"queries (cap $maxQueries). Sample the queries or use the ANN path " +
       "(Ivf.probe / Dedup.embeddingNearDups) for large query sets.")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+  }
+
+  /** Per-query (cos DESC, vec_id) top-k over a (query_id, vec_id, cos)
+    * relation — the rank-filter sits directly on row_number so
+    * WindowGroupLimit prunes per map task.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Exact brute-force top-k by cosine. `queries` must be small enough
+    * to broadcast ([[bruteScores]] refuses above `maxQueries`); a real
+    * large-query workload is an ANN problem ([[Ivf]], sign-LSH).
+    * Returns (query_id, vec_id, cos, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     maxQueries: Long = 10000L): DataFrame =
+    rankTopK(bruteScores(corpus, queries, maxQueries, "bruteForceTopK"), k)
 
   /** Hard-negative mining for contrastive retrieval training (the
     * DPR / bi-encoder data-prep pass, Karpukhin et al. 2020): for
@@ -87,20 +104,10 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
                     positives: DataFrame, k: Int,
-                    maxQueries: Long = 10000L): DataFrame = {
-    val nq = queries.count()
-    require(nq <= maxQueries,
-      s"hardNegatives broadcasts and cross-scores the query side: got $nq " +
-      s"queries (cap $maxQueries) — sample queries or use the ANN shortlist.")
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+                    maxQueries: Long = 10000L): DataFrame =
+    rankTopK(bruteScores(corpus, queries, maxQueries, "hardNegatives")
       .join(broadcast(positives.select(col("query_id"),
-        col("pos_id").as("vec_id"))), Seq("query_id", "vec_id"), "left_anti")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+        col("pos_id").as("vec_id"))), Seq("query_id", "vec_id"), "left_anti"), k)
 
   /** Greedy maximal-marginal-relevance selection (Carbonell &
     * Goldstein 1998): pick `k` corpus vectors for query `queryId`,
@@ -117,8 +124,9 @@ object Similarity {
     * penalty is a `greatest` over cosines against at most k-1
     * LITERAL vectors, a codegen expression, never a join) ending in
     * a distributed top-1. k is a user-facing handful; the corpus
-    * scan per step is the unavoidable cost of exact greedy MMR (an
-    * ANN shortlist upstream bounds it at scale).
+    * scan per step is the unavoidable cost of exact greedy MMR —
+    * [[mmrSelectShortlist]] is the scale composition that bounds each
+    * step's scan by an upstream ANN shortlist instead.
     *
     * Cross-engine replay caveat (the n138 oracle): the score is IEEE
     * double arithmetic, so pick a λ whose complement 1−λ is exact in
@@ -126,39 +134,78 @@ object Similarity {
     * 0.30000000000000004) or the engines' literals diverge.
     */
   def mmrSelect(emb: DataFrame, queryId: Long, k: Int,
-                lambda: Double): DataFrame = {
+                lambda: Double): DataFrame =
+    mmrGreedy(emb, emb, queryId, k, lambda)
+
+  /** [[mmrSelect]] with the per-step scan bounded by an ANN shortlist —
+    * the scale composition the exact kernel's scaladoc promises: run
+    * the SAME greedy λ-tempered loop, but only over the candidate ids
+    * in `shortlist` (a (vec_id, ...) relation from an upstream
+    * retriever — [[Ivf.probe]], [[lshTopK]], [[bruteForceTopK]]), so
+    * each of the k steps scans |shortlist| rows instead of the corpus.
+    * The shortlist is retrieval-sized by construction and rides a
+    * broadcast semi-join against the corpus — the full embedding
+    * relation is scanned exactly once to project the candidates.
+    *
+    * Exactness law (proved in the spec): if the shortlist contains
+    * every id the full-corpus [[mmrSelect]] would pick, the results
+    * are IDENTICAL — each step's full-corpus argmax is in the
+    * candidate set, beats everything in it (it beat the whole corpus),
+    * and wins the same lowest-vec_id tie-break, so restriction
+    * preserves the argmax step by step.
+    */
+  def mmrSelectShortlist(emb: DataFrame, shortlist: DataFrame, queryId: Long,
+                         k: Int, lambda: Double): DataFrame = {
+    val cand = emb.join(
+      broadcast(shortlist.select(col("vec_id")).distinct()), Seq("vec_id"))
+    mmrGreedy(cand, emb, queryId, k, lambda)
+  }
+
+  /** Shared greedy loop for [[mmrSelect]] / [[mmrSelectShortlist]]:
+    * candidates come from `candidates`, the query vector from `emb`
+    * (a shortlist need not contain the query row). If the candidate
+    * pool runs dry before k picks (queryId absent, or k exceeding the
+    * pool), the selection so far is returned instead of throwing
+    * mid-loop; the cached scan is released in a finally either way.
+    */
+  private def mmrGreedy(candidates: DataFrame, emb: DataFrame, queryId: Long,
+                        k: Int, lambda: Double): DataFrame = {
     require(k >= 1 && k <= 100, s"k in [1,100]: greedy MMR is O(k) scans, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
     val spark = emb.sparkSession
     import spark.implicits._
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val scored = candidates.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("vec_id"), col("embedding"),
         cosine_similarity(col("embedding"), col("q_emb")).as("simq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var selected = Vector.empty[(Long, Array[Float], Double, Double)]
-    for (_ <- 1 to k) {
-      val remaining =
-        if (selected.isEmpty) scored
-        else scored.filter(!col("vec_id").isin(selected.map(_._1): _*))
-      val penalty =
-        if (selected.isEmpty) lit(0.0)
-        else if (selected.size == 1)
-          cosine_similarity(col("embedding"), lit(selected.head._2))
-        else greatest(selected.map(s =>
-          cosine_similarity(col("embedding"), lit(s._2))): _*)
-      val top = remaining
-        .withColumn("score",
-          lit(lambda) * col("simq") - lit(1.0 - lambda) * penalty)
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(1)
-        .select(col("vec_id"), col("embedding"), col("simq"), col("score"))
-        .head()
-      selected :+= ((top.getLong(0),
-        top.getSeq[Float](1).toArray, top.getDouble(2), top.getDouble(3)))
-    }
-    scored.unpersist()
+    try {
+      var exhausted = false
+      while (!exhausted && selected.size < k) {
+        val remaining =
+          if (selected.isEmpty) scored
+          else scored.filter(!col("vec_id").isin(selected.map(_._1): _*))
+        val penalty =
+          if (selected.isEmpty) lit(0.0)
+          else if (selected.size == 1)
+            cosine_similarity(col("embedding"), lit(selected.head._2))
+          else greatest(selected.map(s =>
+            cosine_similarity(col("embedding"), lit(s._2))): _*)
+        remaining
+          .withColumn("score",
+            lit(lambda) * col("simq") - lit(1.0 - lambda) * penalty)
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(1)
+          .select(col("vec_id"), col("embedding"), col("simq"), col("score"))
+          .collect().headOption match {
+          case Some(top) => selected :+= ((top.getLong(0),
+            top.getSeq[Float](1).toArray, top.getDouble(2), top.getDouble(3)))
+          case None => exhausted = true
+        }
+      }
+    } finally scored.unpersist()
     selected.zipWithIndex
       .map { case ((id, _, simq, score), i) => (i + 1L, id, simq, score) }
       .toDF("rank", "vec_id", "simq", "score")
@@ -419,14 +466,10 @@ object Similarity {
       .select("query_id", "vec_id")
     val qEmb = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val we = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(short), Seq("vec_id"))
+    rankTopK(corpus.join(broadcast(short), Seq("vec_id"))
       .join(broadcast(qEmb), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
-      .withColumn("rank", row_number().over(we))
-      .filter(col("rank") <= k)
+        cosine_similarity(col("embedding"), col("q_emb")).as("cos")), k)
   }
 
   /** Matryoshka prefix-dimension retrieval audit: rank the corpus for
@@ -536,10 +579,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = cands.select(col("query_id"), col("vec_id"),
-      cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(cands.select(col("query_id"), col("vec_id"),
+      cosine_similarity(col("embedding"), col("q_emb")).as("cos")), k)
   }
 
   /** Intra-group embedding diversity — the curation signal behind

@@ -56,6 +56,39 @@ class CrsSpec extends SparkSpec {
     assert(math.abs(ulon - -90.0) < 1e-9 && math.abs(ulat - 38.75) < 1e-9)
   }
 
+  test("prj parameter names match case-insensitively; TM without a central meridian is refused") {
+    // ESRI-written .prj files Capitalize parameter names
+    // ("Central_Meridian", "False_Easting"); proj/GDAL write them
+    // lowercase — both spellings must parse to the SAME projection,
+    // or a capitalized state-plane file silently projects with
+    // lon0=0 / FE=500000 and lands an ocean away (the r8 ADVICE item)
+    val esri = """PROJCS["NAD_1983_UTM_Zone_15N",GEOGCS["GCS_North_American_1983",
+      |DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]]],
+      |PROJECTION["Transverse_Mercator"],
+      |PARAMETER["False_Easting",500000.0],
+      |PARAMETER["False_Northing",0.0],
+      |PARAMETER["Central_Meridian",-93.0],
+      |PARAMETER["Scale_Factor",0.9996],
+      |PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]""".stripMargin
+    val lower = esri.toLowerCase.replace("projection[\"transverse_mercator\"]",
+      "PROJECTION[\"Transverse_Mercator\"]").replace("parameter", "PARAMETER")
+    val pe = ShapefileBounds.projectionFromPrj(esri).get
+    val pl = ShapefileBounds.projectionFromPrj(lower).get
+    val (xe, ye) = pe.inverse(432972.0, 4898851.0)
+    val (xl, yl) = pl.inverse(432972.0, 4898851.0)
+    assert(math.abs(xe - xl) < 1e-12 && math.abs(ye - yl) < 1e-12,
+      s"ESRI vs lowercase .prj diverge: ($xe,$ye) vs ($xl,$yl)")
+    // sanity: the parsed zone really is UTM 15N (lon near -93)
+    assert(math.abs(xe - -93.0) < 3.0, s"not zone 15N: lon=$xe")
+    // a TM .prj with NO central meridian is unusable: refuse (None →
+    // the caller keeps raw bounds) instead of defaulting lon0 = 0 and
+    // producing plausible-looking but wildly wrong WGS84 bounds
+    val broken = """PROJECTION["Transverse_Mercator"],
+      |PARAMETER["Scale_Factor",0.9996],
+      |PARAMETER["False_Easting",500000.0]""".stripMargin
+    assert(ShapefileBounds.projectionFromPrj(broken).isEmpty)
+  }
+
   test("web mercator round-trips and matches the spherical formula") {
     val (x, y) = Crs.WebMercator.forward(-83.0, 41.5)
     val (lon, lat) = Crs.WebMercator.inverse(x, y)

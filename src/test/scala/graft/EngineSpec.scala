@@ -56,8 +56,7 @@ class EngineSpec extends SparkSpec {
     // the generated operator index must track SparkEntry exactly —
     // a drifted file means a query was added/renamed without rerunning
     // the generator (the CI-check half of the VERDICT r7 ask)
-    val onDisk = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("docs/OPERATORS.md"))
+    val onDisk = java.nio.file.Files.readString(OperatorIndex.docsPath)
     assert(onDisk == OperatorIndex.generate(),
       "docs/OPERATORS.md drifted from SparkEntry — run " +
         "`sbt \"runMain graft.OperatorIndex\"` and commit the result")

@@ -2267,6 +2267,46 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Iterate.checkpointed: reliable branch with a checkpoint dir set, files written, cleaned up") {
+    import spark.implicits._
+    // every other run in the suite takes the localCheckpoint fallback
+    // (no dir configured); this is the ONE place the reliable branch —
+    // the production path, where a lost executor cannot kill the
+    // iteration — is exercised end to end (VERDICT r8 #5)
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      assert(sc.getCheckpointDir.isDefined)
+      // both converged kernels, green through the reliable path, same
+      // fixpoints the localCheckpoint specs prove
+      val path = (0 until 19).map(i => (s"p$i", s"p${i + 1}"))
+      assert(Graph.kCoreConverged(path.toDF("src", "dst"), 2).count() == 0L)
+      val leaves = Seq("l1", "l2", "l3", "l4")
+      val star = (leaves.map(l => ("c", l, 1L)) ++ leaves.map(l => (l, "c", 1L)))
+        .toDF("src", "dst", "wt")
+      val conv = Graph.pageRankConverged(star, tol = 2000000000L, maxIter = 40)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(conv.keySet == (leaves.toSet + "c"))
+      assert(math.abs(conv("c") - 475675675675L) <= 25000000000L)
+      // proof the RELIABLE branch ran: checkpoint part-files exist
+      // under the configured dir (localCheckpoint writes nothing here)
+      val written = java.nio.file.Files.walk(dir).filter(p =>
+        p.getFileName.toString.startsWith("part-")).count()
+      assert(written > 0, "no reliable-checkpoint files written")
+    } finally {
+      // restore whatever was configured before (Option(null) = unset)
+      // and remove the temp dir — the spec must not leak checkpoint
+      // state or files into the rest of the suite
+      sc.setCheckpointDir(prev.orNull)
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    assert(sc.getCheckpointDir == prev)
+    assert(!java.nio.file.Files.exists(dir))
+  }
+
   test("bruteForceTopK: refuses an oversized query side (allPairsExact convention)") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -2334,6 +2374,39 @@ class OpsSpec extends SparkSpec {
     // guards
     intercept[IllegalArgumentException](Similarity.mmrSelect(emb, 0L, 0, 0.5))
     intercept[IllegalArgumentException](Similarity.mmrSelect(emb, 0L, 3, 1.5))
+  }
+
+  test("mmrSelectShortlist: covering shortlist replays mmrSelect exactly; dry pool returns partial") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val full = Similarity.mmrSelect(emb, 0L, 4, 0.75).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // the exactness law's premise, asserted explicitly: the cosine
+    // top-20 shortlist CONTAINS every id the full-corpus greedy picked
+    // (if data ever changes, this fails loudly instead of the law
+    // silently testing a weaker claim)
+    val short = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), 20)
+    val shortIds = short.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full.map(_._2).forall(shortIds), s"premise broken: top-20 misses a pick")
+    // shortlist ⊇ full picks ⇒ each step's full-corpus argmax is in
+    // the candidate set and still wins there ⇒ IDENTICAL result,
+    // scores included
+    val viaShort = Similarity.mmrSelectShortlist(emb, short, 0L, 4, 0.75).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(viaShort == full, s"shortlist replay diverged: $viaShort != $full")
+    // restriction is real: a shortlist missing the top pick must
+    // select something else in step 1
+    val withoutTop = short.filter(col("vec_id") =!= full.head._2)
+    val diverged = Similarity.mmrSelectShortlist(emb, withoutTop, 0L, 1, 0.75)
+      .collect().map(_.getLong(1)).toSeq
+    assert(diverged.nonEmpty && diverged.head != full.head._2)
+    // dry pool: k beyond the candidate count returns the partial
+    // selection instead of throwing mid-loop (r8 ADVICE item), and an
+    // absent queryId yields an empty selection, cache released either way
+    val two = short.limit(2)
+    val partial = Similarity.mmrSelectShortlist(emb, two, 0L, 5, 0.75).collect()
+    assert(partial.length == 2, s"expected 2 partial picks, got ${partial.length}")
+    assert(Similarity.mmrSelectShortlist(emb, short, 999999L, 3, 0.75).count() == 0L)
   }
 
   test("applyChangeset: upsert replaces, insert appends, delete drops, absent delete no-ops") {
