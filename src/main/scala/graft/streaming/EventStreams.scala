@@ -236,63 +236,62 @@ object EventStreams {
   /** Per-user sessionization as an explicit state machine with
     * EVENT-TIME TIMERS — the transformWithState mechanism neither
     * state TTL (processing-time) nor the q48 engine session_window
-    * (no custom emit logic) covers: every arrival extends the open
-    * session and (re)arms a timer at `last + gap`; when the WATERMARK
-    * passes a timer, `handleExpiredTimer` emits the closed session
-    * exactly once and clears the state. Stale timers (superseded by a
-    * newer event that extended the session) no-op on the
-    * `expiry >= last + gap` check instead of needing deleteTimer
-    * bookkeeping. State per key is O(1) (three longs), bounded by the
-    * watermark like every streaming state here.
+    * (no custom emit logic) covers. The gap is enforced on the DATA
+    * path, in BOTH directions: a micro-batch gives no per-key order,
+    * and with a watermark delay > 0 an event may even PREDATE a
+    * pending session by more than the gap (out-of-order cross-batch
+    * arrival) — folding it in via min/max would merge two true
+    * sessions separated by more than the gap. So the pending state
+    * and the batch's events merge as INTERVALS sorted by start
+    * (events are points, each pending session is [start, last]).
+    *
+    * Sessions emit ONLY from `handleExpiredTimer`, when the watermark
+    * passes `last + gap` — never early from the data path. Emitting a
+    * gap-closed interval inline (the pre-r9 behavior) is wrong under
+    * delay > 0: a within-bound straggler arriving after the inline
+    * emit would open a second session OVERLAPPING the emitted one.
+    * Keeping every not-yet-finalized interval in state instead makes
+    * the guarantees unconditional for within-bound arrivals — emitted
+    * sessions per key are pairwise disjoint AND separated by more
+    * than the gap, and every event lands in exactly one session
+    * (spec-pinned: EventStreamsSpec "delayed-watermark session
+    * laws"). State per key is the pending-interval list — bounded by
+    * lateness window / gap intervals of three longs each (exactly one
+    * with the default delay of 0), watermark-bounded like every
+    * streaming state here. Stale timers no-op on the
+    * `close <= expiry` check instead of needing deleteTimer
+    * bookkeeping; each fire re-arms for the earliest interval still
+    * pending.
     */
   private final class SessionTimerProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Ev, SessionRow] {
     @transient private var st:
-      org.apache.spark.sql.streaming.ValueState[SessSt] = _
+      org.apache.spark.sql.streaming.ListState[SessSt] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[SessSt]("sess",
+      st = getHandle.getListState[SessSt]("sess",
         org.apache.spark.sql.Encoders.product[SessSt],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Ev],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionRow] = {
-      // the gap must be enforced on the DATA path too, in BOTH
-      // directions: a micro-batch gives no per-key order, and with a
-      // watermark delay > 0 an event may even PREDATE the open session
-      // by more than the gap (out-of-order cross-batch arrival) —
-      // folding it in via min/max would merge two true sessions
-      // separated by more than the gap. So the open session and the
-      // batch's events merge as INTERVALS sorted by start (events are
-      // points, the state is [start, last]); every gap jump closes the
-      // earlier interval inline, and the timer remains responsible
-      // only for the FINAL open session of a quiet key. Under extreme
-      // lateness a session already emitted can reappear SPLIT (its
-      // straggler forms its own session) — but never merged; with the
-      // default delay of 0 neither occurs (the watermark drops
-      // stragglers first).
       val items = rows.map { e =>
         val ms = e.ts.getTime; SessSt(ms, ms, 1L)
-      }.toArray ++ (if (st.exists()) Array(st.get()) else Array.empty[SessSt])
-      if (items.isEmpty) Iterator.empty
-      else {
+      }.toArray ++ (if (st.exists()) st.get().toArray else Array.empty[SessSt])
+      if (items.nonEmpty) {
         val sorted = items.sortBy(s => (s.start, s.last))
-        var out = List.empty[SessionRow]
-        var cur = sorted.head
+        val merged = scala.collection.mutable.ArrayBuffer(sorted.head)
         sorted.tail.foreach { s =>
-          if (s.start > cur.last + gapMs) {
-            out ::= SessionRow(key, new Timestamp(cur.start),
-              new Timestamp(cur.last + gapMs), cur.n)
-            cur = s
-          } else {
-            cur = SessSt(cur.start, math.max(cur.last, s.last), cur.n + s.n)
-          }
+          val cur = merged.last
+          if (s.start > cur.last + gapMs) merged += s
+          else merged(merged.length - 1) =
+            SessSt(cur.start, math.max(cur.last, s.last), cur.n + s.n)
         }
-        st.update(cur)
-        getHandle.registerTimer(cur.last + gapMs)
-        out.reverse.iterator
+        st.put(merged.toArray)
+        getHandle.registerTimer(merged.head.last + gapMs)
       }
+      Iterator.empty
     }
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
@@ -300,12 +299,22 @@ object EventStreams {
         : Iterator[SessionRow] = {
       if (!st.exists()) Iterator.empty
       else {
-        val cur = st.get()
-        if (expiredTimerInfo.getExpiryTimeInMs() >= cur.last + gapMs) {
-          st.clear()
-          Iterator.single(SessionRow(key, new Timestamp(cur.start),
-            new Timestamp(cur.last + gapMs), cur.n))
-        } else Iterator.empty
+        // an interval is FINAL once the watermark passed its close —
+        // any event that could still extend it would be below the
+        // watermark and dropped. Drain by the CURRENT watermark, not
+        // just the registered expiry: one fire finalizes every
+        // interval the watermark has passed, so emission never stalls
+        // a batch behind a stale early timer
+        val horizon = math.max(expiredTimerInfo.getExpiryTimeInMs(),
+          timerValues.getCurrentWatermarkInMs())
+        val (closed, open) = st.get().toArray.partition(_.last + gapMs <= horizon)
+        if (open.isEmpty) st.clear()
+        else {
+          st.put(open)
+          getHandle.registerTimer(open.head.last + gapMs)
+        }
+        closed.iterator.map(c => SessionRow(key, new Timestamp(c.start),
+          new Timestamp(c.last + gapMs), c.n))
       }
     }
   }

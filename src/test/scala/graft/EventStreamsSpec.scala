@@ -538,15 +538,28 @@ class EventStreamsSpec extends SparkSpec {
         assert(fin.toSeq.map(_._1).count(_ == 1L) == 2)
         assert(fin.toSeq.map(_._1).count(_ == 2L) == 1)
         // the gap binds on the DATA path too: two user-50 events more
-        // than a gap apart land in ONE batch (watermark far behind) —
-        // the first session must close inline, not merge
+        // than a gap apart land in ONE batch — they must stay two
+        // separate pending sessions (not min/max-merge), neither
+        // emitted before the watermark passes (early emission is the
+        // overlap bug the delayed-watermark law spec pins)
         mem.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 50L, "view", 1.0),
                     (Timestamp.valueOf("2024-01-01 23:00:00"), 50L, "view", 2.0))
         q.processAllAvailable()
-        val inline = sessions().filter(_._1 == 50L)
-        assert(inline == Set(
+        // the batch itself advances the watermark to 23:00 (delay 0),
+        // so the follow-up timer batch already finalizes the FIRST
+        // session; the second (close 23:10) must still be pending
+        assert(sessions().filter(_._1 == 50L) == Set(
           (50L, "2024-01-01 20:00:00.0", "2024-01-01 20:10:00.0", 1L)),
-          s"in-batch gap jump must close the first session inline: $inline")
+          "only the watermark-passed session may emit")
+        mem.addData((Timestamp.valueOf("2024-01-02 02:00:00"), 95L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-02 05:00:00"), 94L, "view", 0.0))
+        q.processAllAvailable()
+        val fifty = sessions().filter(_._1 == 50L)
+        assert(fifty == Set(
+          (50L, "2024-01-01 20:00:00.0", "2024-01-01 20:10:00.0", 1L),
+          (50L, "2024-01-01 23:00:00.0", "2024-01-01 23:10:00.0", 1L)),
+          s"in-batch gap jump must keep two sessions, never merge: $fifty")
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -608,6 +621,80 @@ class EventStreamsSpec extends SparkSpec {
             r.getTimestamp(1).toString, r.getLong(2))).toSet
         assert(u2 == Set(("2024-01-01 20:00:00.0", "2024-01-01 20:10:05.0", 2L)),
           s"in-gap out-of-order arrival must extend the session: $u2")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("delayed-watermark session laws: gap-separated disjoint sessions, every event accounted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // VERDICT r8 #4: the interval-merge fix claims split-never-merge
+    // under delay > 0 — pin the LAWS, not just one example: with a
+    // 2-hour lateness bound and out-of-order CROSS-BATCH arrivals
+    // (all within the bound, so none are dropped),
+    //   (a) emitted sessions per key are pairwise disjoint and
+    //       separated by MORE than the gap (no two could have merged);
+    //   (b) every event lands in exactly one emitted session — the
+    //       per-session counts sum to the events sent and each ts
+    //       falls inside exactly one [start, end) interval.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs = mem.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      val out = EventStreams.sessionizeWithTimers(evs,
+        java.time.Duration.ofMinutes(10), delay = "2 hours")
+      val q = out.writeStream.format("memory").queryName("lawsess")
+        .outputMode("append").start()
+      try {
+        val sent = scala.collection.mutable.ListBuffer.empty[String]
+        def push(batch: String*): Unit = {
+          batch.foreach { ts =>
+            sent += ts
+            mem.addData((Timestamp.valueOf(ts), 1L, "view", 1.0))
+          }
+          q.processAllAvailable()
+        }
+        // batch-per-line; arrivals hop backward and forward across
+        // batches, always within the 2h bound of the running max
+        push("2024-01-01 10:00:00")
+        push("2024-01-01 09:55:00", "2024-01-01 10:30:00") // back within gap + far forward
+        push("2024-01-01 09:30:00", "2024-01-01 10:04:00") // far back (> gap before A) + in-gap extend
+        push("2024-01-01 10:29:00")                        // in-gap BEFORE the 10:30 session's start
+        // watermark carriers (wm lags one batch) close everything open
+        mem.addData((Timestamp.valueOf("2024-01-01 16:00:00"), 99L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 22:00:00"), 98L, "view", 0.0))
+        q.processAllAvailable()
+        val rows = spark.sql(
+          "SELECT session_start, session_end, n_events FROM lawsess WHERE user_id = 1")
+          .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+          .sortBy(_._1.getTime).toSeq
+        // the concrete expectation first (fails with readable output)
+        assert(rows.map(r => (r._1.toString, r._2.toString, r._3)) == Seq(
+          ("2024-01-01 09:30:00.0", "2024-01-01 09:40:00.0", 1L),
+          ("2024-01-01 09:55:00.0", "2024-01-01 10:14:00.0", 3L),
+          ("2024-01-01 10:29:00.0", "2024-01-01 10:40:00.0", 2L)), s"sessions: $rows")
+        // law (a): disjoint AND gap-separated — since end = last + gap,
+        // "next could not have merged" is exactly next.start > prev.end
+        rows.sliding(2).foreach {
+          case Seq(p, n) => assert(n._1.getTime > p._2.getTime,
+            s"sessions overlap within gap: $p then $n")
+          case _ =>
+        }
+        // law (b): every event in exactly one session, none dropped
+        assert(rows.map(_._3).sum == sent.size.toLong)
+        sent.foreach { ts =>
+          val t = Timestamp.valueOf(ts).getTime
+          val covering = rows.count(r => t >= r._1.getTime && t < r._2.getTime)
+          assert(covering == 1, s"event $ts covered by $covering sessions")
+        }
       } finally q.stop()
     } finally prev match {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)

@@ -70,6 +70,15 @@ class PlanLintSpec extends SparkSpec {
         // against a broadcast relation (the planted-row union branches)
         if (tiny(b.left) || tiny(b.right)) Seq.empty
         else Seq(s"BroadcastNestedLoopJoin(non-tiny both sides, ${b.joinType})")
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        // an empty-partition window moves ALL rows to one task — fine
+        // as a final presentation over an already-bounded relation
+        // (top-k/limit/scalar subtree), a corpus-killer anywhere else
+        // (the "WindowExec: No Partition Defined" warnings the bench
+        // log shows must all be of the bounded kind)
+        if (tiny(w.child)) Seq.empty
+        else Seq("GlobalWindow(non-tiny child)")
     }.flatten
 
   /** Audit-priced / guarded queries allowed to plan a non-tiny BNLJ
@@ -108,7 +117,32 @@ class PlanLintSpec extends SparkSpec {
       ("broadcast centroid table is k-bounded (grouped agg keyed by " +
         "cluster, k=4) — a bound a static plan walk cannot see"),
     "n132_cluster_profile" ->
-      "same k-bounded centroid broadcasts as n126 (shared kernel)")
+      "same k-bounded centroid broadcasts as n126 (shared kernel)",
+    // global-window (empty partitionSpec) entries: every one is a
+    // window over a relation a grouped aggregation already reduced to
+    // metadata size — a cardinality bound the static walk cannot see
+    // (the n126 class). The corpus-sized input is consumed by the agg
+    // BELOW the window in each of these plans.
+    "g48_spatial_sum_acf" ->
+      ("ACF lag windows run over the per-timestep domain-total series " +
+        "(time-axis-bounded groupBy(time) agg), not grid cells"),
+    "n120_good_turing" ->
+      ("Good-Turing lead window over the count-of-counts relation " +
+        "(<= maxR rows after the frequency-of-frequencies agg)"),
+    "n121_ks_drift" ->
+      ("KS cumulative window over DISTINCT values of the drift column " +
+        "(grouped agg below the window), not corpus rows"),
+    "n43_hist_quantiles" ->
+      ("quantile-bracket windows over the bins-bounded histogram " +
+        "relation (64 bins), exact-audit side included"),
+    "n59_budget_select" ->
+      ("greedy-prefix window over the score-histogram level relation " +
+        "(histogram-threshold decomposition — the operator exists to " +
+        "avoid the corpus-wide ORDER BY)"),
+    "q53_skyline" ->
+      ("running max over the distinct-price LEVEL relation; the " +
+        "Skyline scaladoc documents the range-partitioned two-phase " +
+        "fallback if levels ever outgrow one task"))
 
   test("no scale-killer plans outside the documented audit allowlist") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
@@ -129,5 +163,23 @@ class PlanLintSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"allowlist entries no longer needed (query plans clean now — " +
       s"remove them): ${stale.mkString(", ")}")
+  }
+
+  test("the lint itself catches a corpus-sized global window (negative control)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // a window with no partition over a raw table scan — the exact
+    // shape the GlobalWindow lint exists to reject
+    val bad = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(violations(bad.queryExecution.sparkPlan)
+      .exists(_.startsWith("GlobalWindow")),
+      "corpus-sized global window not flagged")
+    // and the bounded presentation idiom stays clean: the same window
+    // above a small limit
+    val ok = spark.read.parquet(s"$sf/documents.parquet").limit(25)
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+    assert(violations(ok.queryExecution.sparkPlan).isEmpty,
+      "limit-bounded global window wrongly flagged")
   }
 }
