@@ -910,12 +910,17 @@ class OpsSpec extends SparkSpec {
     val c = Dedup.dupClusters(chain).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 5L).forall(c(_) == 0L))
     // reliable-checkpoint path (the cluster-reliability flavor): same
-    // fixpoint when a checkpoint dir is configured
+    // fixpoint when a checkpoint dir is configured — UNSET afterwards
+    // (setCheckpointDir(null) = None) so the rest of the suite keeps
+    // exercising the localCheckpoint fallback instead of silently
+    // inheriting this dir
     val ckptDir = java.nio.file.Files.createTempDirectory("dupc-ckpt").toString
-    spark.sparkContext.setCheckpointDir(ckptDir)
-    val r = Dedup.dupClusters(pairs).collect()
-      .map(x => x.getLong(0) -> x.getLong(1)).toMap
-    assert(r == got)
+    try {
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      val r = Dedup.dupClusters(pairs).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r == got)
+    } finally spark.sparkContext.setCheckpointDir(null)
   }
 
   test("profile: exact counts hand-checked, HLL path within sketch error") {
@@ -2296,14 +2301,16 @@ class OpsSpec extends SparkSpec {
         p.getFileName.toString.startsWith("part-")).count()
       assert(written > 0, "no reliable-checkpoint files written")
     } finally {
-      // restore whatever was configured before (Option(null) = unset)
-      // and remove the temp dir — the spec must not leak checkpoint
-      // state or files into the rest of the suite
+      // restore whatever was configured before (Option(null) = unset;
+      // an exact path cannot be restored — setCheckpointDir nests a
+      // fresh UUID subdir — so definedness is the restorable part) and
+      // remove the temp dir: the spec must not leak checkpoint state
+      // or files into the rest of the suite
       sc.setCheckpointDir(prev.orNull)
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    assert(sc.getCheckpointDir == prev)
+    assert(sc.getCheckpointDir.isDefined == prev.isDefined)
     assert(!java.nio.file.Files.exists(dir))
   }
 
