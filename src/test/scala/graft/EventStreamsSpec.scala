@@ -702,6 +702,72 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("timer sessionization survives a restart: state, timers and exactly-once recover from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production story behind transformWithState: a stopped query
+    // restarted from its checkpoint must (a) recover the OPEN session
+    // and its gap timer, (b) keep counting into it, and (c) never
+    // re-emit a session that closed before the stop
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val base = java.nio.file.Files.createTempDirectory("sess-restart")
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/out"
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs = mem.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      val out = EventStreams.sessionizeWithTimers(evs,
+        java.time.Duration.ofMinutes(10))
+      // the memory sink refuses checkpoint recovery — the FILE sink is
+      // the recoverable one, and reading its root respects the
+      // _spark_metadata log, so the read-back is the exactly-once view
+      // ACROSS both runs
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      def userRows() = spark.read.parquet(outDir).filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getTimestamp(1).toString, r.getLong(2))).sortBy(_._1).toSeq
+      val q1 = start()
+      try {
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0))
+        q1.processAllAvailable()
+        // closes session A via the watermark AND leaves session B open
+        mem.addData((Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "view", 2.0))
+        q1.processAllAvailable()
+        assert(userRows() == Seq(
+          ("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 1L)),
+          s"run 1 must close exactly session A: ${userRows()}")
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // extends the RECOVERED open session (02:00 + 5min < gap) —
+        // only works if the ListState round-tripped the stop
+        mem.addData((Timestamp.valueOf("2024-01-01 02:05:00"), 1L, "view", 3.0))
+        q2.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 05:00:00"), 99L, "view", 0.0))
+        q2.processAllAvailable()
+        val got = userRows()
+        assert(got == Seq(
+          ("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 1L),
+          ("2024-01-01 02:00:00.0", "2024-01-01 02:15:00.0", 2L)),
+          s"exactly-once across restart broken: $got")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming minhash near-dup dedup equals batch minhashDedup on the drained input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

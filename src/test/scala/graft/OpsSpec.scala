@@ -2272,6 +2272,24 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mmrSelectShortlist composes with the IVF retriever (the 100 TB path end to end)") {
+    // the scale composition the operator exists for: an ANN retriever
+    // bounds the greedy scan. With an exhaustive probe (nProbe =
+    // nLists) IVF's top-20 IS the exact top-20 (the n16 identity), so
+    // the covering-shortlist law applies and the composed result must
+    // equal full-corpus mmrSelect exactly — swap in a partial probe at
+    // scale and the same plumbing degrades recall, never correctness
+    // of the greedy replay over what was retrieved
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Ivf.build(emb, nLists = 8, nRows = emb.count())
+    val short = Ivf.search(idx, emb.filter(col("vec_id") === 0L), 20, nProbe = 8)
+    val viaIvf = Similarity.mmrSelectShortlist(emb, short, 0L, 4, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val full = Similarity.mmrSelect(emb, 0L, 4, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(viaIvf == full, s"IVF-shortlisted MMR diverged: $viaIvf != $full")
+  }
+
   test("Iterate.checkpointed: reliable branch with a checkpoint dir set, files written, cleaned up") {
     import spark.implicits._
     // every other run in the suite takes the localCheckpoint fallback
