@@ -2160,6 +2160,23 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "n140_margin_mining" -> ((s, dir) => {
+      // bitext-style pair mining: a 200-vector mining batch (even ids
+      // < 400) scored against the odd-id side by the Artetxe-Schwenk
+      // RATIO margin — cosine normalized by both endpoints' top-4
+      // neighborhood density, so hub vectors stop winning every
+      // pairing; neighborhood sums fold in rank order, so the oracle
+      // replays margins bit-for-bit
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400),
+          emb.filter(col("vec_id") % 2 === 1), k = 4)
+        .select(col("src_id"), col("dst_id"),
+          round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"),
+          col("mrank").cast("long").as("mrank"))
+        .orderBy("src_id", "mrank")
+    }),
+
     "n139_mmr_shortlist" -> ((s, dir) => {
       // scale-bounded MMR: the same greedy λ-tempered loop as n138,
       // but each of the 5 steps scans a 20-candidate exact-cosine
@@ -5263,6 +5280,37 @@ object SparkEntry {
     // to the exact top-20 shortlist first
     "n138_mmr_select" -> mmrOracleSql(None),
     "n139_mmr_shortlist" -> mmrOracleSql(Some(20)),
+
+    // margins replay exactly: the neighborhood sums fold in rank order
+    // (list(cos ORDER BY rank) reduced sequentially = Spark's sorted
+    // collect_list fold) and the margin is one pinned expression
+    "n140_margin_mining" ->
+      """WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE vec_id % 2 = 0 AND vec_id < 400),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |      WHERE vec_id % 2 = 1),
+        |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+        |       list_cosine_similarity(a.v, b.v) AS cos FROM a, b),
+        |r AS (SELECT *,
+        |      row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rkx,
+        |      row_number() OVER (PARTITION BY dst_id ORDER BY cos DESC, src_id) AS rky
+        |      FROM s),
+        |sx AS (SELECT src_id,
+        |        list_reduce(list_prepend(0.0, list(cos ORDER BY rkx)),
+        |          (acc, c) -> acc + c) AS sumx
+        |       FROM r WHERE rkx <= 4 GROUP BY src_id),
+        |sy AS (SELECT dst_id,
+        |        list_reduce(list_prepend(0.0, list(cos ORDER BY rky)),
+        |          (acc, c) -> acc + c) AS sumy
+        |       FROM r WHERE rky <= 4 GROUP BY dst_id),
+        |m AS (SELECT r.src_id, r.dst_id, r.cos,
+        |       8.0 * r.cos / (sx.sumx + sy.sumy) AS margin
+        |      FROM r JOIN sx USING (src_id) JOIN sy USING (dst_id)
+        |      WHERE r.rkx <= 4)
+        |SELECT src_id, dst_id, round(cos, 6) AS cos, round(margin, 6) AS margin,
+        | CAST(row_number() OVER (PARTITION BY src_id
+        |   ORDER BY margin DESC, dst_id) AS BIGINT) AS mrank
+        |FROM m ORDER BY src_id, mrank""".stripMargin,
 
     "n137_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -211,6 +211,66 @@ object Similarity {
       .toDF("rank", "vec_id", "simq", "score")
   }
 
+  /** Margin-based cross-corpus pair mining (Artetxe & Schwenk 2019 —
+    * the standard bitext-mining scorer behind CCMatrix/LASER-style
+    * translation-pair harvesting): for each vector x in side A, its
+    * forward top-k candidates y from side B, scored by the RATIO
+    * margin `2k·cos(x,y) / (Σ top-k cos(x,·→B) + Σ top-k cos(y,·→A))`
+    * — absolute cosine is miscalibrated across languages/hubs, so the
+    * score normalizes by BOTH endpoints' neighborhood density and
+    * hub vectors stop winning every pairing. Returns
+    * (src_id, dst_id, cos, margin, mrank) with mrank the per-src
+    * (margin DESC, dst_id) rank.
+    *
+    * Exact-replay detail: the two neighborhood sums fold in RANK
+    * order (collect → sort by rank → sequential fold), so an oracle
+    * replays them bit-for-bit where a plain float SUM would be
+    * partition-order-dependent; the margin itself is one pinned
+    * expression `(2k·cos) / (sumx + sumy)`.
+    *
+    * Scale shape: side A rides a broadcast under the [[bruteScores]]
+    * guard convention (`require(|A| <= maxSide)`) and side B is
+    * scanned once; both rank windows shuffle (src, dst, cos) rows
+    * only — embeddings never ride a shuffle. At 100 TB both
+    * neighborhoods come from ANN retrievers ([[Ivf.probe]], sign-LSH)
+    * and the margin arithmetic downstream is IDENTICAL — this kernel
+    * is the exactness baseline those shortlists degrade gracefully
+    * from (the mmrSelectShortlist convention).
+    */
+  def marginMine(a: DataFrame, b: DataFrame, k: Int,
+                 maxSide: Long = 10000L): DataFrame = {
+    require(k >= 1)
+    val na = a.count()
+    require(na <= maxSide,
+      s"marginMine broadcasts and cross-scores side A: got $na rows " +
+      s"(cap $maxSide). Mine from ANN shortlists (Ivf.probe / lshTopK) " +
+      "for corpus-scale sides.")
+    val qa = a.select(col("vec_id").as("src_id"), col("embedding").as("a_emb"))
+    val scored = b.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb"))
+      .join(broadcast(qa))
+      .select(col("src_id"), col("dst_id"),
+        cosine_similarity(col("a_emb"), col("b_emb")).as("cos"))
+    val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))
+    val wy = Window.partitionBy(col("dst_id")).orderBy(col("cos").desc, col("src_id"))
+    val ranked = scored.withColumn("rkx", row_number().over(wx))
+      .withColumn("rky", row_number().over(wy))
+    def pinnedSum(rankCol: String) = aggregate(
+      transform(array_sort(collect_list(struct(col(rankCol), col("cos")))),
+        t => t.getField("cos")),
+      lit(0.0), (acc, x) => acc + x)
+    val sx = ranked.filter(col("rkx") <= k).groupBy("src_id")
+      .agg(pinnedSum("rkx").as("sumx"))
+    val sy = ranked.filter(col("rky") <= k).groupBy("dst_id")
+      .agg(pinnedSum("rky").as("sumy"))
+    val wm = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("dst_id"))
+    ranked.filter(col("rkx") <= k)
+      .join(sx, "src_id").join(sy, "dst_id")
+      .select(col("src_id"), col("dst_id"), col("cos"),
+        (lit(2.0 * k) * col("cos") / (col("sumx") + col("sumy"))).as("margin"))
+      .withColumn("mrank", row_number().over(wm))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
     * merge a lexical (BM25) and a vector (ANN) ranking into one hybrid
     * result: `rrf = Σ_systems 1/(rrfK + rank)`, documents missing from

@@ -2272,6 +2272,31 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("marginMine: ratio margin matches hand math, ranks by margin, refuses oversized A") {
+    import spark.implicits._
+    // 2-D fixture with hand-computable cosines: A = axes, B = axes +
+    // one diagonal. k=2 neighborhood sums (rank-ordered):
+    //   sumx(a0)=1+0.6, sumx(a2)=1+0.8; sumy(b1)=1, sumy(b3)=0.8+0.6,
+    //   sumy(b5)=1 — margins 2k·cos/(sumx+sumy) follow
+    val A = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val B = Seq((1L, Array(1f, 0f)), (3L, Array(0.6f, 0.8f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginMine(A, B, k = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getInt(4)))).toMap
+    def close(x: Double, y: Double) = math.abs(x - y) < 1e-5
+    assert(got.size == 4) // two forward candidates per A vector
+    assert(close(got((0L, 1L))._1, 4.0 / 2.6) && got((0L, 1L))._2 == 1)
+    assert(close(got((0L, 3L))._1, 0.8) && got((0L, 3L))._2 == 2)
+    assert(close(got((2L, 5L))._1, 4.0 / 2.8) && got((2L, 5L))._2 == 1)
+    // the diagonal pairs BOTH axes but its dense neighborhood divides
+    // it down — the hub-normalization property the margin exists for
+    assert(close(got((2L, 3L))._1, 1.0) && got((2L, 3L))._2 == 2)
+    val e = intercept[IllegalArgumentException](
+      Similarity.marginMine(A, B, 2, maxSide = 1L))
+    assert(e.getMessage.contains("marginMine"))
+  }
+
   test("mmrSelectShortlist composes with the IVF retriever (the 100 TB path end to end)") {
     // the scale composition the operator exists for: an ANN retriever
     // bounds the greedy scan. With an exhaustive probe (nProbe =

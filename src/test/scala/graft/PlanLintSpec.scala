@@ -106,6 +106,10 @@ class PlanLintSpec extends SparkSpec {
     "n117_matryoshka" ->
       ("prefixDimAudit: full-dim vs prefix-dim brute-force rankings, " +
         "nQueries-bounded query side"),
+    "n140_margin_mining" ->
+      ("marginMine: guarded brute-force cross-scoring (require(|A| <= " +
+        "cap)) — the exactness baseline the ANN-shortlist mining path " +
+        "degrades gracefully from"),
     "n54_semantic_contamination" ->
       ("contamination scan broadcasts the eval set by declaration " +
         "(benchmark-sized; an eval too big to broadcast is a near-dup " +
