@@ -66,13 +66,20 @@ object Bench {
     // box-level I/O contention; both flat certifies the sweep.
     val calib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def calibrate(pos: Int): Unit = {
-      val t0 = System.nanoTime()
-      spark.range(20000000L).selectExpr("sum(id * 7)").collect()
-      calib += (s"pos$pos" -> (System.nanoTime() - t0) / 1e9)
-      val t1 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .selectExpr("sum(length(text))").collect()
-      calib += (s"io$pos" -> (System.nanoTime() - t1) / 1e9)
+      // a probe failure must degrade the CALIBRATION map, never abort
+      // the sweep (queries already get that treatment in once()); a
+      // -1 sentinel marks the failed position for adjudicators
+      def probe(key: String)(job: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        try { job; calib += (key -> (System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] probe $key failed: ${e.getMessage}")
+          calib += (key -> -1.0)
+        }
+      }
+      probe(s"pos$pos")(spark.range(20000000L).selectExpr("sum(id * 7)").collect())
+      probe(s"io$pos")(spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("sum(length(text))").collect())
     }
     var i = 0
     val results = selected.map { case (name, fn) =>

@@ -224,11 +224,16 @@ object ShapefileBounds {
     def param(name: String): Option[Double] =
       s"""(?i)PARAMETER\\["$name",\\s*([-0-9.eE]+)\\]""".r
         .findFirstMatchIn(prj).map(_.group(1).toDouble)
-    if (prj.contains("Mercator_Auxiliary_Sphere") || prj.contains("3857"))
+    // projection-NAME detection must be as case-tolerant as the
+    // parameter regex: a fully lowercased .prj that still said
+    // transverse_mercator would otherwise fall through to None and
+    // return raw projected meters as if they were degrees
+    val p = prj.toLowerCase(java.util.Locale.ROOT)
+    if (p.contains("mercator_auxiliary_sphere") || p.contains("3857"))
       Some(Crs.WebMercator)
-    else if (prj.contains("Lambert_Azimuthal"))
+    else if (p.contains("lambert_azimuthal"))
       Some(Crs.GlanceNA)
-    else if (prj.contains("Transverse_Mercator")) {
+    else if (p.contains("transverse_mercator")) {
       // refuse rather than default: a TM zone without its central
       // meridian is unusable — lon0=0 would yield plausible-looking
       // but wildly wrong coordinates, where None lets the caller keep
@@ -239,7 +244,7 @@ object ShapefileBounds {
           k0 = param("scale_factor").getOrElse(0.9996),
           falseEasting = param("false_easting").getOrElse(500000.0),
           falseNorthing = 0.0,
-          f = if (prj.contains("WGS") && prj.contains("84")) 1 / 298.257223563
+          f = if (p.contains("wgs") && p.contains("84")) 1 / 298.257223563
               else 1 / 298.257222101) // GRS80 (NAD83)
         val lat0 = param("latitude_of_origin").getOrElse(0.0)
         val arc0 = if (lat0 == 0.0) 0.0 else tm0.forward(lon0, lat0)._2

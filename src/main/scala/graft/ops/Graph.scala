@@ -57,10 +57,12 @@ object Graph {
     * the `has_out` flag rides inside each round's persisted rank
     * vector, so the round's dangling mass is a filter + scalar agg on
     * the cached vector (no join), snapshotted into the next round's
-    * plan as a literal; the final vector is materialized through one
-    * checkpointed action ([[Iterate.checkpointed]]), after which every
-    * internal cache (round vectors, universe, edges) is released and
-    * the returned relation has O(1) lineage. The per-round scalar
+    * plan as a literal; round r's probe materializes round r's cache,
+    * at which point round r-1's is released (at most TWO rank vectors
+    * cached, at any iters). The final vector is materialized through
+    * one checkpointed action ([[Iterate.checkpointed]]), after which
+    * every remaining internal cache (last vector, universe, edges) is
+    * released and the returned relation has O(1) lineage. The per-round scalar
     * action is a MEASURED choice, not an oversight: the lazy
     * alternative (dsum as a 1-row crossJoin, the [[pageRankConverged]]
     * shape) A/B'd 20-30% SLOWER here — without per-round plan
@@ -121,12 +123,16 @@ object Graph {
       // cache — never a join against a separate dangling relation
       var ranks = nodes.crossJoin(n)
         .select(col("node"), col("has_out"), expr(s"$Scale div n").as("rank"))
-      val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      // rolling release: round r's scalar probe fully materializes
+      // round r's cache, after which round r-1's vector is dead — at
+      // most two rank vectors are ever cached, not iters of them
+      var prevCache: Option[DataFrame] = None
       for (_ <- 1 to iters) {
         val cur = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        roundCaches += cur
         val dsumLit: Long = cur.filter(col("has_out") === 0)
           .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+        prevCache.foreach(_.unpersist())
+        prevCache = Some(cur)
         val contrib = ed.join(cur, ed("src") === cur("node"))
           .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("csum"))
@@ -140,13 +146,13 @@ object Graph {
             (expr(s"(15 * $Scale div 100) div n") +
               expr(s"(85 * (coalesce(csum, 0) + $dsumLit div n)) div 100")).as("rank"))
       }
-      // one checkpointed action materializes the final vector (each
-      // round's cache filled exactly when its scalar probe ran), then
-      // every internal cache is released — the caller gets an
+      // one checkpointed action materializes the final vector (the
+      // last round's cache was filled by its scalar probe), then the
+      // remaining internal caches are released — the caller gets an
       // O(1)-lineage relation and no leaked persisted state (the r8
       // ADVICE item)
       val out = Iterate.checkpointed(ranks.select(col("node"), col("rank")))
-      roundCaches.foreach(_.unpersist())
+      prevCache.foreach(_.unpersist())
       univ.foreach(_.unpersist())
       ed.unpersist()
       out

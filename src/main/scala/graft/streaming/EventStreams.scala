@@ -299,19 +299,30 @@ object EventStreams {
         : Iterator[SessionRow] = {
       if (!st.exists()) Iterator.empty
       else {
-        // an interval is FINAL once the watermark passed its close —
-        // any event that could still extend it would be below the
-        // watermark and dropped. Drain by the CURRENT watermark, not
-        // just the registered expiry: one fire finalizes every
-        // interval the watermark has passed, so emission never stalls
-        // a batch behind a stale early timer
+        // an interval is FINAL only once the watermark is STRICTLY
+        // past its close: the data path merges an event at exactly
+        // last + gap (the batchSessions strict-gap convention — a new
+        // session needs a gap STRICTLY greater), so emitting while
+        // close == watermark would be claiming final what a boundary
+        // event could still extend. The engine's late filter happens
+        // to drop ts == watermark (spec-pinned), making that orphan
+        // unreachable TODAY — the strict check keeps the processor's
+        // semantics self-consistent rather than leaning on the
+        // engine's filter-equality convention.
+        // Drain by the CURRENT watermark, not just the registered
+        // expiry: one fire finalizes every interval the watermark has
+        // passed, so emission never stalls a batch behind a stale
+        // early timer (a not-yet-final interval just re-arms below).
         val horizon = math.max(expiredTimerInfo.getExpiryTimeInMs(),
           timerValues.getCurrentWatermarkInMs())
-        val (closed, open) = st.get().toArray.partition(_.last + gapMs <= horizon)
+        val (closed, open) = st.get().toArray.partition(_.last + gapMs < horizon)
         if (open.isEmpty) st.clear()
         else {
           st.put(open)
-          getHandle.registerTimer(open.head.last + gapMs)
+          // re-arm past the horizon when the earliest close sits ON it
+          // (the boundary no-op case): the next fire must see a
+          // strictly later watermark or it would no-op forever
+          getHandle.registerTimer(math.max(open.head.last + gapMs, horizon + 1L))
         }
         closed.iterator.map(c => SessionRow(key, new Timestamp(c.start),
           new Timestamp(c.last + gapMs), c.n))

@@ -70,8 +70,9 @@ class CrsSpec extends SparkSpec {
       |PARAMETER["Central_Meridian",-93.0],
       |PARAMETER["Scale_Factor",0.9996],
       |PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]""".stripMargin
-    val lower = esri.toLowerCase.replace("projection[\"transverse_mercator\"]",
-      "PROJECTION[\"Transverse_Mercator\"]").replace("parameter", "PARAMETER")
+    // FULLY lowercased — projection names and parameters both: the
+    // detection path must be as case-tolerant as the parameter regex
+    val lower = esri.toLowerCase
     val pe = ShapefileBounds.projectionFromPrj(esri).get
     val pl = ShapefileBounds.projectionFromPrj(lower).get
     val (xe, ye) = pe.inverse(432972.0, 4898851.0)

@@ -702,6 +702,63 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("gap-boundary event at the watermark: one session, never an adjacent overlap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the data path merges an event at EXACTLY last + gap (the
+    // batchSessions strict-gap convention), so finalization waits for
+    // the watermark to pass the close STRICTLY; with wm parked ON the
+    // close nothing may emit. A boundary event at ts == wm == close
+    // turns out to be dropped by the engine's late filter (pinned
+    // here), so the one-session outcome holds either way — what this
+    // test forbids is the third outcome, an adjacent second session
+    // overlapping the first within the gap
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String, Double)]
+      val evs = mem.toDS().map(t => EventStreams.Ev(t._1, t._2, t._3, t._4))
+      val out = EventStreams.sessionizeWithTimers(evs,
+        java.time.Duration.ofMinutes(10), delay = "1 hour")
+      val q = out.writeStream.format("memory").queryName("boundarysess")
+        .outputMode("append").start()
+      try {
+        mem.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "view", 1.0))
+        q.processAllAvailable()
+        // carrier parks the watermark EXACTLY on the close (11:10 - 1h)
+        mem.addData((Timestamp.valueOf("2024-01-01 11:10:00"), 99L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 11:10:00"), 98L, "view", 0.0))
+        q.processAllAvailable()
+        val early = spark.sql("SELECT * FROM boundarysess WHERE user_id = 3")
+        assert(early.count() == 0L,
+          "session emitted with the watermark ON its close, not past it")
+        // boundary event: ts == watermark == pending close — the
+        // engine's late filter drops it (ts must be strictly above
+        // the watermark to be admitted)
+        mem.addData((Timestamp.valueOf("2024-01-01 10:10:00"), 3L, "view", 2.0))
+        q.processAllAvailable()
+        // carriers push the watermark strictly past every close
+        mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 97L, "view", 0.0))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 96L, "view", 0.0))
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT session_start, session_end, n_events FROM boundarysess WHERE user_id = 3")
+          .collect().map(r => (r.getTimestamp(0).toString,
+            r.getTimestamp(1).toString, r.getLong(2))).toSeq
+        assert(got == Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 1L)),
+          s"boundary event must be dropped or merged, never an adjacent session: $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("timer sessionization survives a restart: state, timers and exactly-once recover from the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
