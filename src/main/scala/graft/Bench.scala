@@ -82,11 +82,20 @@ object Bench {
         .selectExpr("sum(length(text))").collect())
     }
     var i = 0
+    // both raw samples ride into BENCH_FULL alongside the min: a
+    // query whose two back-to-back runs diverge wildly was hit by
+    // transient contention at that sweep position — per-query
+    // adjudication data the min alone erases (the r8 sweep-inflation
+    // postmortem would have been one jq away instead of a re-run)
+    val runPairs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = selected.map { case (name, fn) =>
       if (i % 16 == 0) calibrate(i)
       if (i % 32 == 16) System.gc()
       i += 1
-      name -> math.min(once(name, fn), once(name, fn))
+      val r1 = once(name, fn)
+      val r2 = once(name, fn)
+      runPairs += (name -> (r1, r2))
+      name -> math.min(r1, r2)
     }
     calibrate(i)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -94,8 +103,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val cal = calib.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runs = runPairs.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calibration":$cal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration":$cal,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of output and parses the
     // final JSON line it finds there. With 120+ queries the full map blows
     // that budget (every prior round recorded parsed:null), so: dump the
