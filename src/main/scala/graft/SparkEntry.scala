@@ -3036,6 +3036,57 @@ object SparkEntry {
             .orderBy(col("rank").desc, col("word"))).cast("long"))
     }),
 
+    "n141_cc_pointer_jump" -> ((s, dir) => {
+      // connected components via POINTER-JUMPING min-label (the
+      // Shiloach-Vishkin shortcut): the simhash near-dup graph WELDED
+      // to a planted diameter-249 chain over doc_ids 0..249 — the
+      // high-diameter shape (chained edits, re-crawls of re-crawls)
+      // where plain min-label propagation needs O(diameter) rounds and
+      // the shortcut needs O(log diameter). The oracle replays the
+      // COMPONENT STRUCTURE, not the rounds — a recursive-CTE
+      // transitive closure is algorithm-independent, and the shortcut
+      // provably shares dupClusters' fixpoint
+      val docs = t(s, dir, "documents")
+      val chain = docs.filter(col("doc_id") < 249)
+        .select(col("doc_id").as("doc_id_a"),
+          (col("doc_id") + 1).as("doc_id_b"))
+      val pairs = Dedup.simhashNearDups(docs, maxDistance = 6)
+        .select("doc_id_a", "doc_id_b").unionAll(chain)
+      Dedup.dupClustersFast(pairs).orderBy("doc_id")
+    }),
+
+    "n142_trustrank" -> ((s, dir) => {
+      // seed-biased PageRank (TrustRank / topic-sensitive PageRank)
+      // over the n136 DIRECTED successor-word graph incl. its planted
+      // sink: teleport + dangling mass land only on the 5
+      // lexicographically-smallest words (a deterministic, corpus-
+      // derived seed set both engines construct identically), so
+      // authority decays with distance from the seeds; the oracle
+      // replays every round's seed-conditional teleport and dsum div
+      // ns redistribution in the same integer fixed point
+      import s.implicits._
+      val planted = Seq((9990001L, "zzdanglehead zzdangletail", "en",
+        "planted", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ws = t(s, dir, "documents").unionByName(planted).select(
+          filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      val seeds = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+        .orderBy("node").limit(5)
+      graft.ops.Graph.trustRank(edges, seeds, iters = 3)
+        .select(col("node").as("word"), col("rank"))
+        .orderBy(col("rank").desc, col("word")).limit(25)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("word"))).cast("long"))
+    }),
+
     "n106_containment" -> ((s, dir) => {
       // near-SUPERSET detection: containment |A∩B|/|A| over word
       // trigrams — the asymmetric case Jaccard misses (wrapper pages,
@@ -6481,6 +6532,71 @@ object SparkEntry {
          |dang AS (SELECT word FROM nodes
          |         WHERE word NOT IN (SELECT src FROM e)),
          |r0 AS (SELECT word, $S // n AS rank FROM nodes CROSS JOIN nn),
+         |$steps
+         |SELECT word, CAST(rank AS BIGINT) AS rank,
+         | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
+         |FROM r3 ORDER BY rank DESC, word LIMIT 25""".stripMargin
+    },
+
+    "n141_cc_pointer_jump" ->
+      // the n28 recursive-CTE transitive closure — algorithm-
+      // independent, so it gates the pointer-jumping variant against
+      // the same component-min definition — over the simhash edge set
+      // UNION a planted doc_id chain (the high-diameter fixture)
+      s"""WITH RECURSIVE $simhashCte,
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM shs a, shs b
+         |      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6),
+         |ch AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+         |       WHERE doc_id < 249),
+         |pp AS (SELECT u, v FROM p UNION SELECT u, v FROM ch),
+         |e AS (SELECT u, v FROM pp UNION SELECT v, u FROM pp),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "n142_trustrank" -> {
+      // n136's round replay with the seed-conditional teleport: rank
+      // mass enters only at the 5 lexicographically-smallest words
+      // (CASE == the engine's is_seed 0/1 multiply), and the dangling
+      // sum re-enters at the seeds (dsum // ns), not uniformly
+      val S = graft.ops.Graph.Scale
+      val steps = (1 to 3).map { k =>
+        s"""dx$k AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dsum
+           | FROM dang JOIN r${k - 1} r USING (word)),
+           |c$k AS (SELECT ed.dst AS word,
+           |  CAST(sum((r${k - 1}.rank * ed.wt) // ed.wdeg) AS BIGINT) AS csum
+           | FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.word GROUP BY 1),
+           |r$k AS (SELECT nf.word,
+           |  nf.is_seed * (((15 * $S) // 100) // ns) +
+           |    (85 * (coalesce(c$k.csum, 0) + nf.is_seed * (dsum // ns))) // 100 AS rank
+           | FROM nf LEFT JOIN c$k USING (word)
+           | CROSS JOIN nn CROSS JOIN dx$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT text FROM documents
+         | UNION ALL SELECT 'zzdanglehead zzdangletail'),
+         |w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |      FROM d),
+         |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+         |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+         |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+         |      WHERE ws[i] <> ws[i+1]),
+         |e AS (SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS wt
+         |      FROM p GROUP BY 1, 2),
+         |deg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, e.wt, deg.wdeg FROM e JOIN deg USING (src)),
+         |nodes AS (SELECT src AS word FROM e UNION SELECT dst FROM e),
+         |seeds AS (SELECT word FROM nodes ORDER BY word LIMIT 5),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+         |nf AS (SELECT nodes.word,
+         |  CASE WHEN s.word IS NULL THEN 0 ELSE 1 END AS is_seed
+         | FROM nodes LEFT JOIN seeds s USING (word)),
+         |dang AS (SELECT word FROM nodes
+         |         WHERE word NOT IN (SELECT src FROM e)),
+         |r0 AS (SELECT word, is_seed * ($S // ns) AS rank
+         |       FROM nf CROSS JOIN nn),
          |$steps
          |SELECT word, CAST(rank AS BIGINT) AS rank,
          | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk

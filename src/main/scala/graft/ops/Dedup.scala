@@ -592,6 +592,65 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** [[dupClusters]] with POINTER JUMPING: each round does the same
+    * neighbor-min hook, then additionally shortcuts every label to its
+    * label's label (`label(v) <- label(label(v))`, the Shiloach–Vishkin
+    * 1982 shortcut; cf. Kiveris et al. 2014 for the MapReduce CC
+    * family). Plain min-label propagation moves a component's minimum
+    * one hop per round — O(diameter) shuffles, which on a chain-shaped
+    * component (chained edits, re-crawls of re-crawls, citation chains)
+    * means thousands of rounds at corpus scale. The shortcut roughly
+    * doubles the distance a label has travelled every round, so
+    * convergence drops to O(log diameter) rounds for one extra
+    * nodes-bounded self-join per round — the edges-bounded hook join
+    * still dominates each round's cost, so rounds shrink log-fold at
+    * ~the same per-round price.
+    *
+    * Fixpoint and output are IDENTICAL to [[dupClusters]] (labels only
+    * ever decrease, floor = component minimum; the shortcut never
+    * changes the fixpoint, only the path there) — the spec proves
+    * equality, plus a diameter-250 chain that converges here in <= 12
+    * rounds where min-label propagation at the same bound is still
+    * mid-chain. Same convergence witness (strictly decreasing label
+    * sum), same per-round eager checkpoint, same (doc_id, cluster_id)
+    * schema.
+    */
+  def dupClustersFast(pairs: DataFrame, idA: String = "doc_id_a",
+                      idB: String = "doc_id_b", maxIter: Int = 50): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = Iterate.checkpointed(df)
+    val edges = ckpt(pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct())
+    var labels = ckpt(edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")))
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val incoming = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("lu")).as("cand"))
+      val hooked = labels.join(incoming, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+      // shortcut: a label is always a node id (self-initialized, only
+      // ever replaced by another node's label), so label(label) is a
+      // nodes-bounded self-join; left + coalesce keeps the row if the
+      // label's own row is somehow absent rather than dropping it
+      val jump = hooked.withColumnsRenamed(Map("id" -> "jid", "label" -> "jl"))
+      labels = ckpt(hooked.join(jump, hooked("label") === jump("jid"), "left")
+        .select(hooked("id"),
+          least(hooked("label"), coalesce(col("jl"), hooked("label"))).as("label")))
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Cluster-aware dedup that keeps the BEST-scored member of every
     * duplicate cluster (ties break to the lowest id) and every
     * unclustered document — the production dedup policy: min-id-wins

@@ -276,6 +276,117 @@ object Graph {
     ranks
   }
 
+  /** Seed-biased PageRank — TrustRank (Gyöngyi, Garcia-Molina &
+    * Pedersen 2004) / topic-sensitive PageRank (Haveliwala 2002): the
+    * teleport mass lands ONLY on a trusted `seeds` set instead of
+    * uniformly, so authority flows outward from vetted nodes and decays
+    * with link distance — the standard device for propagating domain
+    * trust over a crawl graph (or topic affinity over a term graph)
+    * when curating training data. Same 1e-12 integer fixed point and
+    * damping 85/100 as [[integerPageRank]], so an oracle replays every
+    * round bit-exactly: with d the uniform-on-seeds teleport vector,
+    * r0 = d and each round computes
+    * `rank' = is_seed * ((15*Scale div 100) div ns)
+    *          + (85 * (csum + is_seed * (dsum div ns))) div 100`
+    * — dangling mass follows the TELEPORT distribution (the TrustRank
+    * convention), i.e. it re-enters at the seeds, not uniformly.
+    *
+    * `seeds` is a single-column `node` relation and is intersected
+    * with the graph's node universe; `ns` is the count of seeds
+    * actually present (must be >= 1 — validated by the one scalar
+    * probe this operator always pays, which also snapshots `ns`;
+    * sound for immutable lake reads, the [[integerPageRank]] snapshot
+    * argument, and a seed list is tiny and vetted by definition).
+    *
+    * `symmetrized = true` is the same caller declaration as
+    * [[integerPageRank]]'s (every edge emitted both ways, so dst ⊆ src
+    * and no dangling nodes): the plan stays fully lazy with the
+    * caller-owned `ed` cache. Directed callers get the src ∪ dst
+    * universe probe; when dangling nodes exist each round pays the
+    * same cached-vector dsum probe as [[integerPageRank]] (rolling
+    * two-vector cache), and either way the directed path returns a
+    * checkpointed O(1)-lineage relation with every internal cache
+    * released. 100 TB shape: identical to [[integerPageRank]] — one
+    * persisted edges-with-degrees relation, one edges-bounded
+    * join-agg shuffle per round; the spec pins both branches and the
+    * branch-equality law on a dangling-free graph.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                symmetrized: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      "iters outside [1,8]: deeper power iterations need checkpointing " +
+        "(see pageRankConverged) before the lineage is safe")
+    val deg = edges.groupBy("src").agg(sum(col("wt")).as("wdeg"))
+    val ed = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+    if (symmetrized) {
+      val nodes = ed.select(col("src").as("node")).distinct()
+        .join(seedIds, Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      val nsLit: Long = nodes.agg(coalesce(sum(col("is_seed")), lit(0L)))
+        .head().getLong(0)
+      require(nsLit >= 1L, "no seed node present in the graph")
+      var ranks = nodes
+        .select(col("node"), col("is_seed"),
+          expr(s"is_seed * ($Scale div $nsLit)").as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("csum"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"), nodes("is_seed"),
+            (expr(s"is_seed * ((15 * $Scale div 100) div $nsLit)") +
+              expr("(85 * coalesce(csum, 0)) div 100")).as("rank"))
+      }
+      ranks.select(col("node"), col("rank"))
+    } else {
+      val univ = ed.select(col("src").as("node"), lit(1).as("has_out"))
+        .unionAll(ed.select(col("dst").as("node"), lit(0).as("has_out")))
+        .groupBy("node").agg(max(col("has_out")).as("has_out"))
+        .join(seedIds, Seq("node"), "left")
+        .select(col("node"), col("has_out"),
+          coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probe = univ.agg(
+        coalesce(sum(col("is_seed")), lit(0L)).as("ns"),
+        coalesce(max(when(col("has_out") === 0, 1).otherwise(0)), lit(0)).as("dang"))
+        .head()
+      val nsLit: Long = probe.getLong(0)
+      val hasDangling = probe.getInt(1) == 1
+      require(nsLit >= 1L, "no seed node present in the graph")
+      var ranks = univ
+        .select(col("node"), col("has_out"), col("is_seed"),
+          expr(s"is_seed * ($Scale div $nsLit)").as("rank"))
+      var prevCache: Option[DataFrame] = None
+      for (_ <- 1 to iters) {
+        val dsumLit: Long = if (!hasDangling) 0L else {
+          val cur = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val d = cur.filter(col("has_out") === 0)
+            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+          prevCache.foreach(_.unpersist())
+          prevCache = Some(cur)
+          d
+        }
+        val cur = prevCache.getOrElse(ranks)
+        val contrib = ed.join(cur, ed("src") === cur("node"))
+          .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("csum"))
+        ranks = univ.join(contrib, univ("node") === contrib("dst"), "left")
+          .select(univ("node"), univ("has_out"), univ("is_seed"),
+            (expr(s"is_seed * ((15 * $Scale div 100) div $nsLit)") +
+              expr(s"(85 * (coalesce(csum, 0) + is_seed * ($dsumLit div $nsLit))) div 100"))
+              .as("rank"))
+      }
+      val out = Iterate.checkpointed(ranks.select(col("node"), col("rank")))
+      prevCache.foreach(_.unpersist())
+      univ.unpersist()
+      ed.unpersist()
+      out
+    }
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007) over an undirected graph given as a directed pair
     * relation (self-loops / duplicate / reverse pairs normalized

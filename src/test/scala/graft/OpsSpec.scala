@@ -923,6 +923,41 @@ class OpsSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("dupClustersFast: same fixpoint as dupClusters; log-round chain convergence") {
+    import spark.implicits._
+    // equality law on the mixed fixture (chain + isolated pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_id_a", "doc_id_b")
+    val slow = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.dupClustersFast(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow, "shortcutting must not change the fixpoint")
+    // the O(log d) claim, pinned: a diameter-249 chain converges under
+    // 12 rounds with pointer jumping (distance covered doubles per
+    // round: 2, 6, 14, ... 2^(k+1)-2 ≥ 249 at k = 7), while plain
+    // min-label propagation at the SAME round budget is still
+    // mid-chain — the label walks one hop per round
+    val chain = (0 until 249).map(i => (i.toLong, i + 1L))
+      .toDF("doc_id_a", "doc_id_b")
+    val fastChain = Dedup.dupClustersFast(chain, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastChain.size == 250)
+    assert(fastChain.values.forall(_ == 0L),
+      "pointer jumping must collapse the 250-node chain within 12 rounds")
+    val slowChain = Dedup.dupClusters(chain, maxIter = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slowChain.values.exists(_ != 0L),
+      "min-label propagation cannot finish a 250-chain in 12 rounds " +
+        "(if it could, the fast variant would be pointless)")
+    // cross-component isolation: two disjoint chains never merge
+    val two = ((0 until 9).map(i => (i.toLong, i + 1L)) ++
+      (100 until 109).map(i => (i.toLong, i + 1L))).toDF("doc_id_a", "doc_id_b")
+    val t2 = Dedup.dupClustersFast(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(t2(_) == 0L))
+    assert((100L to 109L).forall(t2(_) == 100L))
+  }
+
   test("profile: exact counts hand-checked, HLL path within sketch error") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "a"))
@@ -2217,6 +2252,55 @@ class OpsSpec extends SparkSpec {
     // symmetrized graphs are bit-identical with the dangling term
     // (empty dangling relation contributes exactly 0): the star spec
     // above and the n76/n89 oracles hold unchanged
+  }
+
+  test("trustRank: hand-computed seeded rounds, degeneracy and branch-equality laws") {
+    import spark.implicits._
+    // a -> b with b a pure sink, seed = {a}, ns = 1: every division is
+    // by 1, so rounds are EXACT. r0 = (S, 0).
+    // Round 1: dsum = r0(b) = 0; csum(b) = S;
+    //   a = 0.15S + 0.85*0 = 150e9; b = 0 + 0.85S = 850e9. Sum = S.
+    // Round 2: dsum = 850e9 (b is dangling, mass re-enters at the seed);
+    //   csum(b) = 150e9;
+    //   a = 150e9 + (85*850e9)/100 = 872_500_000_000;
+    //   b = 0 + (85*150e9)/100   = 127_500_000_000. Sum = S.
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "wt")
+    val seedA = Seq("a").toDF("node")
+    val r1 = Graph.trustRank(edges, seedA, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1 == Map("a" -> 150000000000L, "b" -> 850000000000L))
+    val r2 = Graph.trustRank(edges, seedA, iters = 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == Map("a" -> 872500000000L, "b" -> 127500000000L))
+    assert(r2.values.sum == Graph.Scale) // exact: all shares divide by ns=1
+    // degeneracy law: seeds = the whole node universe makes the
+    // teleport uniform and the dangling share dsum div n — bit-exactly
+    // integerPageRank's update, so the results must be IDENTICAL
+    val allSeeds = Seq("a", "b").toDF("node")
+    val tr = Graph.trustRank(edges, allSeeds, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val pr = Graph.integerPageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tr == pr, "all-nodes seed set must degenerate to integerPageRank")
+    // branch-equality law: on a symmetrized (dangling-free) graph the
+    // declared-symmetrized lazy path and the probed directed path give
+    // bit-identical ranks
+    val leaves = Seq("l1", "l2", "l3", "l4")
+    val star = (leaves.map(l => ("c", l, 1L)) ++ leaves.map(l => (l, "c", 1L)))
+      .toDF("src", "dst", "wt")
+    val seedC = Seq("c").toDF("node")
+    val sym = Graph.trustRank(star, seedC, iters = 3, symmetrized = true)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val dir = Graph.trustRank(star, seedC, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(sym == dir, "probe path must equal the declared-symmetrized path")
+    // authority decays with distance from the seed on the star
+    assert(sym("c") > sym("l1") && sym("l1") == sym("l4"))
+    // a seed absent from the graph is a misuse, not a silent zero-rank
+    val ghost = Seq("zz-not-in-graph").toDF("node")
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, ghost, iters = 1)
+    }
   }
 
   test("pageRankConverged: approaches the analytic fixpoint past the iters<=8 bound") {
