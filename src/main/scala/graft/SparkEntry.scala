@@ -3087,6 +3087,111 @@ object SparkEntry {
             .orderBy(col("rank").desc, col("word"))).cast("long"))
     }),
 
+    "n143_hits" -> ((s, dir) => {
+      // HITS hubs-and-authorities (Kleinberg 1999) over the directed
+      // successor-word graph incl. the planted sink: the link-analysis
+      // complement to PageRank — a word scores as a HUB by preceding
+      // authoritative words and as an AUTHORITY by following strong
+      // hubs. Two I/O rounds in L1-normalized integer fixed point; the
+      // oracle replays each half-round's raw sums and HUGEINT-scaled
+      // normalization bit-exactly
+      import s.implicits._
+      val planted = Seq((9990001L, "zzdanglehead zzdangletail", "en",
+        "planted", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ws = t(s, dir, "documents").unionByName(planted).select(
+          filter(split(col("text"), " "), w => w =!= lit("")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val pairs = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("src"), col("p.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = pairs.groupBy("src", "dst").agg(count(lit(1)).as("wt"))
+      graft.ops.Graph.hits(edges, iters = 2)
+        .select(col("node").as("word"), col("hub"), col("auth"))
+        .orderBy(col("auth").desc, col("word")).limit(25)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("auth").desc, col("word"))).cast("long"))
+    }),
+
+    "n144_gopher_rules" -> ((s, dir) => {
+      // the published Gopher quality gate (Rae et al. 2021 App. A1),
+      // every rule exercised by deterministic decorations both engines
+      // build identically: '#' runs (symbol ratio), '42' runs (alpha
+      // fraction + mean word length), mod-3 stopword padding (the
+      // required-words rule), mod-17 bullet-wall docs (>90% bullet
+      // lines), mod-5 ellipsis-line trailers; all thresholds compare
+      // in cross-multiplied integer form, so the flags hash-replay
+      val g = t(s, dir, "documents").select(col("doc_id"), concat(
+          when(col("doc_id") % 17 === 0, lit("tiny start")).otherwise(col("text")),
+          expr("repeat(' #', CAST(doc_id % 9 AS INT))"),
+          expr("repeat(' 42', CAST(doc_id % 23 AS INT))"),
+          when(col("doc_id") % 3 === 0, lit(" and the of")).otherwise(lit(" the")),
+          when(col("doc_id") % 17 === 0,
+            repeat(lit("\n- b"), 10)).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nit goes on...\nmore soon...\nfin")).otherwise(lit("")))
+        .as("text"))
+      TextAnalysis.gopherRules(g)
+        .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+          col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+          col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stopword_kinds"),
+          col("ok_word_count").cast("long").as("ok_word_count"),
+          col("ok_mean_word_len").cast("long").as("ok_mean_word_len"),
+          col("ok_symbol_ratio").cast("long").as("ok_symbol_ratio"),
+          col("ok_bullet_lines").cast("long").as("ok_bullet_lines"),
+          col("ok_ellipsis_lines").cast("long").as("ok_ellipsis_lines"),
+          col("ok_alpha_words").cast("long").as("ok_alpha_words"),
+          col("ok_stopwords").cast("long").as("ok_stopwords"),
+          col("gopher_pass").cast("long").as("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
+    "n145_c4_clean" -> ((s, dir) => {
+      // the C4 cleaning pass (Raffel et al. 2020 §2.2) over planted
+      // multi-line pages: a universal opener sentence, the corpus text
+      // terminal-punctuated only on even doc_ids (line rule: terminal
+      // punct + >= 5 words), a too-short sentence, a mod-7 javascript
+      // line (line-dropped, page kept), mod-11 lorem ipsum and mod-13
+      // curly-brace pages (page-dropped), and an ORGANIC blocklist hit
+      // ('vector' appears in corpus text); sentence count = terminal
+      // punctuation marks, >= 3 to keep the page
+      val deco = t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("A fine opening statement stands here today."),
+          lit("\n"), col("text"),
+          when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+          lit("\nshort line."),
+          when(col("doc_id") % 7 === 0,
+            lit("\nthis page needs javascript to render.")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nlorem ipsum dolor sit amet today.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")))
+        .as("text"))
+      TextAnalysis.c4Clean(deco, blocklist = Seq("vector", "laser"))
+        .select(col("doc_id"), col("kept").cast("long").as("kept"),
+          col("n_sentences"), col("n_lines_kept"),
+          length(col("text_clean")).cast("long").as("n_chars_clean"),
+          md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "n146_weighted_quantiles" -> ((s, dir) => {
+      // token-MASS quantiles of document length — the curation budget
+      // question ("what length cutoff keeps 90% of the TOKEN mass",
+      // where the per-DOC p90 answers the wrong thing): exact weighted
+      // range bisection, never a global sort. The oracle states the
+      // DEFINITION (smallest v with cumulative weight >= ceil(q*totalW)
+      // via one window over value-grouped sums), so green proves the
+      // weighted bisection finds the true weighted order statistic
+      val d = t(s, dir, "documents").select(col("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= lit("")))
+          .cast("long").as("n_tokens"))
+      graft.ops.Sketch.weightedQuantiles(d, "n_chars", "n_tokens",
+          qs = Seq(0.25, 0.5, 0.9, 0.99), bins = 16)
+        .select("q", "total_w", "r", "exact_value").orderBy("q")
+    }),
+
     "n106_containment" -> ((s, dir) => {
       // near-SUPERSET detection: containment |A∩B|/|A| over word
       // trigrams — the asymmetric case Jaccard misses (wrapper pages,
@@ -6602,6 +6707,172 @@ object SparkEntry {
          | CAST(row_number() OVER (ORDER BY rank DESC, word) AS BIGINT) AS rk
          |FROM r3 ORDER BY rank DESC, word LIMIT 25""".stripMargin
     },
+
+    "n143_hits" -> {
+      // replay of both I/O half-rounds per iteration: raw sums in
+      // BIGINT, the one overflow-prone normalization multiply in
+      // HUGEINT (the engine uses DECIMAL(38,0) for the same step),
+      // cast back to BIGINT; vector CTEs MATERIALIZED (the n135
+      // lesson: DuckDB inlines chained CTEs exponentially otherwise)
+      val S = graft.ops.Graph.Scale
+      val rounds = (1 to 2).map { k =>
+        s"""a${k}r AS (SELECT e.dst AS word,
+           |  CAST(sum(h${k - 1}.hub * e.wt) AS BIGINT) AS araw
+           | FROM e JOIN h${k - 1} ON e.src = h${k - 1}.word GROUP BY 1),
+           |as$k AS (SELECT CAST(sum(araw) AS BIGINT) AS asum FROM a${k}r),
+           |a$k AS MATERIALIZED (SELECT nodes.word,
+           |  CAST((CAST(coalesce(araw, 0) AS HUGEINT) * $S) // asum AS BIGINT) AS auth
+           | FROM nodes LEFT JOIN a${k}r USING (word) CROSS JOIN as$k),
+           |h${k}r AS (SELECT e.src AS word,
+           |  CAST(sum(a$k.auth * e.wt) AS BIGINT) AS hraw
+           | FROM e JOIN a$k ON e.dst = a$k.word GROUP BY 1),
+           |hs$k AS (SELECT CAST(sum(hraw) AS BIGINT) AS hsum FROM h${k}r),
+           |h$k AS MATERIALIZED (SELECT nodes.word,
+           |  CAST((CAST(coalesce(hraw, 0) AS HUGEINT) * $S) // hsum AS BIGINT) AS hub
+           | FROM nodes LEFT JOIN h${k}r USING (word) CROSS JOIN hs$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT text FROM documents
+         | UNION ALL SELECT 'zzdanglehead zzdangletail'),
+         |w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |      FROM d),
+         |w2 AS (SELECT ws FROM w WHERE len(ws) >= 2),
+         |p AS (SELECT ws[i] AS a, ws[i+1] AS b
+         |      FROM w2, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+         |      WHERE ws[i] <> ws[i+1]),
+         |e AS (SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS wt
+         |      FROM p GROUP BY 1, 2),
+         |nodes AS (SELECT src AS word FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS (SELECT word, $S // n AS hub FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT word, hub, auth,
+         | CAST(row_number() OVER (ORDER BY auth DESC, word) AS BIGINT) AS rk
+         |FROM h2 JOIN a2 USING (word)
+         |ORDER BY auth DESC, word LIMIT 25""".stripMargin
+    },
+
+    "n144_gopher_rules" ->
+      // decoration replay + the same cross-multiplied integer
+      // thresholds; words = regex whitespace split, lines = chr(10)
+      // split, '…' counted via length() (characters, not strlen bytes)
+      """WITH g AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 17 = 0 THEN 'tiny start' ELSE text END)
+        |  || repeat(' #', CAST(doc_id % 9 AS INT))
+        |  || repeat(' 42', CAST(doc_id % 23 AS INT))
+        |  || (CASE WHEN doc_id % 3 = 0 THEN ' and the of' ELSE ' the' END)
+        |  || (CASE WHEN doc_id % 17 = 0 THEN repeat(chr(10) || '- b', 10) ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'it goes on...' ||
+        |        chr(10) || 'more soon...' || chr(10) || 'fin' ELSE '' END) AS text
+        | FROM documents),
+        |f AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
+        |  string_split(text, chr(10)) AS ls,
+        |  length(text) - length(replace(text, '#', '')) AS n_hash,
+        |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_dots,
+        |  length(text) - length(replace(text, '…', '')) AS n_uni
+        | FROM g),
+        |c AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+        |    AS n_word_chars,
+        |  CAST(n_hash + n_dots + n_uni AS BIGINT) AS n_symbols,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
+        |    OR starts_with(ltrim(x), '* ') OR starts_with(ltrim(x), '•')))
+        |    AS BIGINT) AS n_bullet_lines,
+        |  CAST(len(list_filter(ls, x -> ends_with(rtrim(x), '...')
+        |    OR ends_with(rtrim(x), '…'))) AS BIGINT) AS n_ellipsis_lines,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+        |    AS BIGINT) AS n_alpha_words,
+        |  CAST((CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'be') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stopword_kinds
+        | FROM f)
+        |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopword_kinds,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
+        |  CAST(CASE WHEN 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_word_len,
+        |  CAST(CASE WHEN 10 * n_symbols <= n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol_ratio,
+        |  CAST(CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS ok_bullet_lines,
+        |  CAST(CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis_lines,
+        |  CAST(CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha_words,
+        |  CAST(CASE WHEN n_stopword_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stopword_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "n145_c4_clean" ->
+      // decoration replay; line filter = terminal punct + >= 5 regex-
+      // split words + no 'javascript'; page gates on the ORIGINAL
+      // decorated text; reassembly via string_agg ORDER BY line_idx
+      // (the n50 convention)
+      """WITH deco AS (SELECT doc_id,
+        |  'A fine opening statement stands here today.' || chr(10) || text ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
+        |  chr(10) || 'short line.' ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'this page needs javascript to render.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet today.' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END) AS text
+        | FROM documents),
+        |pages AS (SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, '.', '')))
+        |     + (length(text) - length(replace(text, '!', '')))
+        |     + (length(text) - length(replace(text, '?', ''))) AS BIGINT) AS n_sentences,
+        |  (NOT (contains(text, '{') OR contains(lower(text), 'lorem ipsum')
+        |    OR len(list_filter(regexp_split_to_array(text, '\s+'),
+        |         x -> lower(x) IN ('vector', 'laser'))) > 0)) AS page_ok
+        | FROM deco),
+        |lns AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(string_split(text, chr(10))))) AS line_idx,
+        |  string_split(text, chr(10)) AS ls
+        | FROM deco),
+        |lines AS (SELECT doc_id, line_idx, ls[line_idx] AS line FROM lns),
+        |kept AS (SELECT doc_id, line_idx, line FROM lines
+        | WHERE (ends_with(rtrim(line), '.') OR ends_with(rtrim(line), '!')
+        |     OR ends_with(rtrim(line), '?') OR ends_with(rtrim(line), '"'))
+        |   AND len(list_filter(regexp_split_to_array(line, '\s+'), x -> x <> '')) >= 5
+        |   AND NOT contains(lower(line), 'javascript')),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+        |  string_agg(line, chr(10) ORDER BY line_idx) AS text_clean
+        | FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CAST(CASE WHEN p.page_ok AND p.n_sentences >= 3 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        |  p.n_sentences,
+        |  CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(length(coalesce(a.text_clean, '')) AS BIGINT) AS n_chars_clean,
+        |  md5(coalesce(a.text_clean, '')) AS text_md5
+        |FROM pages p LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "n146_weighted_quantiles" ->
+      // the n86 definitional stance, weighted: smallest v whose
+      // cumulative TOKEN mass reaches ceil(q * totalW) — one window
+      // over value-grouped weight sums; ceil(q * w) is the same single
+      // IEEE multiply on both engines
+      """WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+        | FROM documents),
+        |tp AS (SELECT v, w FROM t WHERE v IS NOT NULL AND w > 0),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM tp),
+        |probes(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+        |r AS (SELECT CAST(q AS DOUBLE) AS q, total_w,
+        |       greatest(CAST(ceil(q * total_w) AS BIGINT), 1) AS r
+        |      FROM probes CROSS JOIN tot),
+        |cum AS (SELECT v, CAST(sum(sum(w)) OVER (ORDER BY v) AS BIGINT) AS vcum
+        |        FROM tp GROUP BY v)
+        |SELECT r.q, r.total_w, r.r, CAST(min(cum.v) AS BIGINT) AS exact_value
+        |FROM r JOIN cum ON cum.vcum >= r.r
+        |GROUP BY 1, 2, 3 ORDER BY q""".stripMargin,
 
     "n106_containment" -> // definitional: exact containment over any-shared-gram pairs
       s"""WITH d0 AS (SELECT doc_id, text FROM documents),

@@ -387,6 +387,101 @@ object Graph {
     }
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a weighted
+    * directed edge relation `(src, dst, wt)` — the OTHER classic link
+    * analysis: where PageRank models a random surfer, HITS splits
+    * every node into a HUB score (how well it points at authorities)
+    * and an AUTHORITY score (how well hubs point at it). The natural
+    * fit in a data pipeline is the crawl outlink graph: pages that
+    * link to many high-quality documents (hub = link directory /
+    * index page) versus documents many good indexes point at
+    * (authority = canonical source) — complementary quality signals
+    * PageRank's single score conflates. Returns `(node, hub, auth)`.
+    *
+    * Integer fixed point, oracle-replayable: per Kleinberg's I/O
+    * operations each round computes `araw(v) = Σ_{u→v} hub(u)·wt`
+    * then normalizes `auth = araw·Scale div Σ araw`, then
+    * `hraw(u) = Σ_{u→v} auth(v)·wt` from the NEW auth vector and
+    * normalizes the same way. Normalization is L1 (sum), not
+    * Kleinberg's L2: the ranking is invariant to the norm chosen and
+    * L1 keeps every step in truncating integer arithmetic (each
+    * vector re-sums to ~Scale, minus one unit of floor loss per
+    * scored node). The `raw·Scale` product would overflow a long
+    * (raw can approach Scale·totalWeight), so that one multiply runs
+    * in DECIMAL(38,0) and the integral division lands back in a
+    * long — the oracle does the same in HUGEINT and casts. `auth·wt`
+    * and the raw sums must stay under 2^63: per-edge weights up to
+    * ~9e6 at full scale — lower Scale beyond (the [[integerPageRank]]
+    * convention).
+    *
+    * Evaluation semantics: EAGER AT CALL TIME — each round pays two
+    * scalar normalization probes (asum, hsum), each doubling as the
+    * fill of that vector's cache, with rolling release (at most the
+    * current hub and auth vectors cached). This is the [[integerPageRank]]
+    * dangling-path shape, chosen on its MEASURED A/B: the lazy 1-row
+    * crossJoin alternative doubles the analyzed plan every half-round
+    * (PLANS.md "n136 dangling A/B") and HITS has TWO such scalars per
+    * round. The result is checkpointed ([[Iterate.checkpointed]]) and
+    * every internal cache released — O(1) lineage, no leaked persisted
+    * state. 100 TB shape: edges persisted once; each half-round is one
+    * edges-bounded join-agg shuffle plus a nodes-bounded scalar agg.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      "iters outside [1,8]: deeper power iterations need per-round " +
+        "checkpointing before the lineage is safe")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ed = edges.persist(lvl)
+    val nodes = ed.select(col("src").as("node"))
+      .unionAll(ed.select(col("dst").as("node")))
+      .distinct().persist(lvl)
+    val n: Long = nodes.count()
+    require(n >= 1, "edges relation is empty")
+    var hubs = nodes.select(col("node"), lit(Scale / n).as("hub"))
+    var auths: DataFrame = hubs.select(col("node"), lit(0L).as("auth"))
+    var hubCache: Option[DataFrame] = None
+    var authCache: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val hv = hubs.persist(lvl)
+      val araw = ed.join(hv, ed("src") === hv("node"))
+        .select(col("dst"), expr("hub * wt").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("araw"))
+      // the scalar probe fills hv's cache (araw is its only consumer
+      // this half-round), after which the previous hub vector is dead
+      val asum: Long = araw.agg(coalesce(sum(col("araw")), lit(0L)))
+        .head().getLong(0)
+      require(asum > 0, "hub mass vanished: graph has no followable edge")
+      hubCache.foreach(_.unpersist())
+      hubCache = Some(hv)
+      auths = nodes.join(araw, nodes("node") === araw("dst"), "left")
+        .select(nodes("node"),
+          expr(s"(CAST(coalesce(araw, 0) AS DECIMAL(38,0)) * $Scale) div $asum")
+            .as("auth"))
+      val av = auths.persist(lvl)
+      val hraw = ed.join(av, ed("dst") === av("node"))
+        .select(col("src"), expr("auth * wt").as("c"))
+        .groupBy("src").agg(sum(col("c")).as("hraw"))
+      val hsum: Long = hraw.agg(coalesce(sum(col("hraw")), lit(0L)))
+        .head().getLong(0)
+      require(hsum > 0, "authority mass vanished: graph has no followable edge")
+      authCache.foreach(_.unpersist())
+      authCache = Some(av)
+      hubs = nodes.join(hraw, nodes("node") === hraw("src"), "left")
+        .select(nodes("node"),
+          expr(s"(CAST(coalesce(hraw, 0) AS DECIMAL(38,0)) * $Scale) div $hsum")
+            .as("hub"))
+    }
+    val out = Iterate.checkpointed(
+      hubs.join(auths.withColumnsRenamed(Map("node" -> "anode")),
+          hubs("node") === col("anode"))
+        .select(col("node"), col("hub"), col("auth")))
+    hubCache.foreach(_.unpersist())
+    authCache.foreach(_.unpersist())
+    nodes.unpersist()
+    ed.unpersist()
+    out
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007) over an undirected graph given as a directed pair
     * relation (self-loops / duplicate / reverse pairs normalized

@@ -348,6 +348,87 @@ object Sketch {
     results.toDF("q", "n", "r", "exact_value", "agg_passes")
   }
 
+  /** WEIGHTED [[exactQuantiles]] — exact quantiles of `valueCol` under
+    * a `weightCol` mass instead of row count: the q-quantile is the
+    * smallest value whose cumulative WEIGHT reaches ceil(q·totalWeight).
+    * This is the curation pipeline's budget question — "what length /
+    * quality cutoff keeps 90% of the TOKEN MASS" — where the unweighted
+    * quantile answers the wrong thing (documents are not equal-sized:
+    * a p50 over docs can sit far from the p50 over tokens).
+    *
+    * Same distributed-selection shape as [[exactQuantiles]] (range
+    * bisection, log_bins(range) combinable aggregation passes, never a
+    * global sort): each round bins the candidate range and sums
+    * WEIGHTS per bin, the driver walks the bins-bounded result to find
+    * the bin holding the target mass, and the final per-value pass
+    * reads the answer off cumulative weights. Rows with null or
+    * non-positive weight carry no mass and are dropped up front
+    * (weights are counts — token counts, byte sizes; fractional mass
+    * belongs upstream as a scaled integer). The oracle states the
+    * DEFINITION (smallest v with cumulative weight >= r via one
+    * window over value-grouped sums), so a green row proves the
+    * weighted bisection finds the true weighted order statistic.
+    * `cum + c` sums stay exact in LONG for total weight < 2^63.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+                        qs: Seq[Double] = Seq(0.5, 0.99),
+                        bins: Int = 256): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b0 = vals.agg(min("v").as("lo"), max("v").as("hi"),
+      coalesce(sum("w"), lit(0L)).as("tw")).collect()(0)
+    val tw = b0.getAs[Long]("tw")
+    require(tw > 0, "no positive-weight values")
+    require(BigInt(b0.getAs[Long]("hi")) - BigInt(b0.getAs[Long]("lo"))
+      < Long.MaxValue, "value range exceeds 2^63 - shift/scale values first")
+    val results = qs.map { q =>
+      val target = math.max(1L, math.ceil(q * tw).toLong)
+      var lo = b0.getAs[Long]("lo")
+      var hi = b0.getAs[Long]("hi")
+      var below = 0L // weight on values < lo already accounted for
+      var passes = 0
+      while (hi - lo + 1 > bins) {
+        passes += 1
+        val width = (hi - lo + bins) / bins // ceil: width >= 1
+        val counts = vals.filter(col("v") >= lo && col("v") <= hi)
+          .withColumn("bin", expr(s"(v - ${lo}L) div ${width}L"))
+          .groupBy("bin").agg(sum(col("w")).as("cnt"))
+          .orderBy("bin").collect() // bins-bounded by construction
+        var cum = below
+        var found = false
+        for (r <- counts if !found) {
+          val bin = r.getAs[Long]("bin"); val c = r.getAs[Long]("cnt")
+          if (cum + c >= target) {
+            lo = lo + bin * width
+            hi = math.min(hi, lo + width - 1)
+            below = cum
+            found = true
+          } else cum += c
+        }
+        assert(found, "target mass not covered — inconsistent weight sums")
+      }
+      passes += 1
+      val finals = vals.filter(col("v") >= lo && col("v") <= hi)
+        .groupBy("v").agg(sum(col("w")).as("cnt"))
+        .orderBy("v").collect() // <= bins distinct values
+      var cum = below
+      val value = finals.collectFirst {
+        case r if { cum += r.getAs[Long]("cnt"); cum >= target } =>
+          r.getAs[Long]("v")
+      }.getOrElse(throw new IllegalStateException("mass not reached"))
+      (q, tw, target, value, passes.toLong)
+    }
+    vals.unpersist()
+    results.toDF("q", "total_w", "r", "exact_value", "agg_passes")
+  }
+
   /** Group-wise [[exactQuantiles]] — per-domain exact p50/p99 without
     * sorting anything: every (group, quantile) pair bisects its OWN
     * candidate range, but all pairs advance in LOCK-STEP — each round

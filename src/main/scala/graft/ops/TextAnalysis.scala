@@ -1382,6 +1382,140 @@ object TextAnalysis {
             floor(lit(84600L) * col("n_syllables") / col("n_words")).cast("long")))
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1) — the published heuristic gate most later corpora
+    * (MassiveText, RefinedWeb, Dolma) start from, as one flag column
+    * per rule plus the conjunction:
+    *
+    *  - `ok_word_count`: 50 <= words <= 100,000
+    *  - `ok_mean_word_len`: mean word length in [3, 10] characters
+    *  - `ok_symbol_ratio`: (# '#' chars + '...' runs + '…' chars) <=
+    *    0.1 x words
+    *  - `ok_bullet_lines`: <= 90% of lines start with a bullet
+    *    ('- ', '* ', or '•')
+    *  - `ok_ellipsis_lines`: <= 30% of lines end with '...' or '…'
+    *  - `ok_alpha_words`: >= 80% of words contain >= 1 alphabetic char
+    *  - `ok_stopwords`: >= 2 distinct hits among {the, be, to, of,
+    *    and, that, have, with} (Gopher's required-word list)
+    *
+    * Every threshold compares in INTEGER cross-multiplied form
+    * (`10*symbols <= words`, never a float ratio), so the flags are
+    * bit-replayable by any engine. Words are whitespace runs; lines
+    * are newline splits; both conventions shared with [[tokenCount]] /
+    * [[lineDedup]]. Pure column expressions — one scan, whole-stage
+    * codegen, zero shuffle at any corpus size.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val words = filter(split(text, "\\s+"), w => w =!= lit(""))
+    val lns = split(text, "\n")
+    def occ(ch: String): Column =
+      (length(text) - length(regexp_replace(text,
+        java.util.regex.Pattern.quote(ch), ""))).cast("long")
+    val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_word_chars"),
+        (occ("#") + (occ("...") / 3).cast("long") + occ("…")).as("n_symbols"),
+        size(lns).cast("long").as("n_lines"),
+        size(filter(lns, l => startswith(ltrim(l), lit("- ")) ||
+          startswith(ltrim(l), lit("* ")) || startswith(ltrim(l), lit("•"))))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(lns, l => endswith(rtrim(l), lit("...")) ||
+          endswith(rtrim(l), lit("…")))).cast("long").as("n_ellipsis_lines"),
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        gopherStop.map(sw =>
+          array_contains(transform(words, lower(_)), sw).cast("long"))
+          .reduce(_ + _).as("n_stopword_kinds"))
+      .withColumn("ok_word_count", col("n_words").between(50L, 100000L))
+      .withColumn("ok_mean_word_len",
+        lit(3L) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("ok_symbol_ratio",
+        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_bullet_lines",
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+      .withColumn("ok_ellipsis_lines",
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("ok_alpha_words",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("ok_stopwords", col("n_stopword_kinds") >= 2L)
+      .withColumn("gopher_pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
+  }
+
+  /** The C4 cleaning pass (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2) — line filtering plus page gates, returning one row per
+    * input document:
+    *
+    * Line level (a line survives iff ALL hold):
+    *  - ends (after right-trim) in terminal punctuation: . ! ? "
+    *  - has >= 5 whitespace words
+    *  - does not mention 'javascript' (case-insensitive — C4 drops
+    *    the line, not the page)
+    *
+    * Page level (`kept` is false iff ANY holds):
+    *  - fewer than 3 sentences, counted as terminal-punctuation
+    *    characters in the ORIGINAL text (the deterministic stand-in
+    *    for C4's sentence splitter — segmentation beyond terminal
+    *    punctuation is out of scope and any monotone sentence counter
+    *    slots in here)
+    *  - contains a curly brace '{' (code leakage)
+    *  - contains 'lorem ipsum' (case-insensitive placeholder text)
+    *  - contains any `blocklist` word as a whole lowercase token
+    *    (C4 uses the public "bad words" list; the list is the
+    *    caller's contract)
+    *
+    * Output: (doc_id, kept, n_sentences, n_lines_kept, text_clean)
+    * with `text_clean` the surviving lines newline-joined in original
+    * order (empty when none survive). Dropped pages keep their rows —
+    * the caller filters on `kept`, so the audit side (what was
+    * dropped and why) stays queryable. One scan + one doc-keyed
+    * reassembly agg; the line explode is text-sized, never joined.
+    */
+  def c4Clean(docs: DataFrame, blocklist: Seq[String] = Nil): DataFrame = {
+    val text = col("text")
+    val wordsLower = transform(
+      filter(split(text, "\\s+"), w => w =!= lit("")), lower(_))
+    val blocked =
+      if (blocklist.isEmpty) lit(false)
+      else blocklist.map(b => array_contains(wordsLower, b.toLowerCase))
+        .reduce(_ || _)
+    def occ(ch: String): Column =
+      (length(text) - length(regexp_replace(text,
+        java.util.regex.Pattern.quote(ch), ""))).cast("long")
+    val pages = docs.select(col("doc_id"),
+      (occ(".") + occ("!") + occ("?")).as("n_sentences"),
+      (!(text.contains("{") || lower(text).contains("lorem ipsum") ||
+        blocked)).as("page_ok"))
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("line_idx", "line")))
+      .filter(
+        (endswith(rtrim(col("line")), lit(".")) ||
+          endswith(rtrim(col("line")), lit("!")) ||
+          endswith(rtrim(col("line")), lit("?")) ||
+          endswith(rtrim(col("line")), lit("\""))) &&
+        size(filter(split(col("line"), "\\s+"), w => w =!= lit(""))) >= 5 &&
+        !lower(col("line")).contains("javascript"))
+    val kept = lines.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s("line")), "\n").as("text_clean"))
+    pages.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("page_ok") && col("n_sentences") >= 3L).as("kept"),
+        col("n_sentences"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Encoding-damage signals — the mojibake/corruption gate a crawl
     * pipeline runs before any text op trusts the bytes: counts of
     * U+FFFD replacement characters (decoder already gave up), C1

@@ -494,4 +494,99 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
+
+  /** One observed (group, item) occurrence for [[streamingHeavyHitters]]. */
+  final case class GroupItem(group: String, item: String)
+  /** Summary row: `est` is the SpaceSaving estimate (always >= the true
+    * count), `err` its overestimation bound (true >= est - err), and
+    * `n_seen` the group's total occurrences when the row was emitted —
+    * a monotone emission stamp, so the rows at max `n_seen` per group
+    * ARE the final summary under an Append sink.
+    */
+  final case class HhRow(group: String, item: String, est: Long, err: Long,
+                         n_seen: Long)
+  private final case class HhSlot(item: String, cnt: Long, err: Long)
+
+  /** SpaceSaving (Metwally, Agrawal & El Abbadi 2005) over a stream,
+    * keyed by group: k counter slots per group; a known item
+    * increments, a new item fills a free slot at (1, 0), and once the
+    * slots are full a new item EVICTS the minimum-count slot (ties to
+    * the lexicographically smallest item, for determinism),
+    * inheriting its count + 1 with `err` = the evicted count. The
+    * classic guarantees hold per group, all order-robust and
+    * spec-pinned: `est >= true >= est - err` for every summarized
+    * item, every item with true count > n_seen/k IS in the summary
+    * (min slot count <= n_seen/k), and with <= k distinct items the
+    * summary is EXACT (err = 0) — the regime where this doubles as
+    * exact streaming per-group top-k.
+    */
+  private final class SpaceSavingProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, GroupItem, HhRow] {
+    @transient private var slots:
+      org.apache.spark.sql.streaming.ListState[HhSlot] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      slots = getHandle.getListState[HhSlot]("slots",
+        org.apache.spark.sql.Encoders.product[HhSlot],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[GroupItem],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HhRow] = {
+      val m = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      if (slots.exists()) slots.get().foreach(s => m(s.item) = (s.cnt, s.err))
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.foreach { r =>
+        n += 1
+        m.get(r.item) match {
+          case Some((c, e)) => m(r.item) = (c + 1, e)
+          case None if m.size < k => m(r.item) = (1L, 0L)
+          case None =>
+            val (evict, (mc, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+            m.remove(evict)
+            m(r.item) = (mc + 1, mc)
+        }
+      }
+      seen.update(n)
+      val arr = m.toArray.map { case (it, (c, e)) => HhSlot(it, c, e) }
+        .sortBy(s => (-s.cnt, s.item))
+      slots.put(arr)
+      arr.iterator.map(s => HhRow(key, s.item, s.cnt, s.err, n))
+    }
+  }
+
+  /** Streaming per-group heavy hitters / top-k — the identity-carrying
+    * complement to the streaming CMS (counts without identities) and
+    * the unbounded-source variant of the batch Misra-Gries summary:
+    * "which tokens / domains / URL patterns are flooding each source
+    * RIGHT NOW" without ever holding a per-item map. Emits the
+    * group's full k-slot summary after every batch that touches it
+    * (Append; monotone `n_seen` stamps which emission is final).
+    *
+    * 100 TB shape: state is EXACTLY k slots per live group, whatever
+    * the item cardinality — the item universe never enters state, a
+    * shuffle, or the driver; each batch is one pass over its rows
+    * grouped by `group`. Guarantees and eviction rule in
+    * [[SpaceSavingProcessor]]. Like ANY SpaceSaving summary the exact
+    * `est`/`err` values depend on arrival order (a micro-batch gives
+    * no per-key order) — what the spec pins are the order-INVARIANT
+    * guarantees above, which is the contract this sketch family
+    * offers. Requires the RocksDB state store provider
+    * (transformWithState's backing store).
+    */
+  def streamingHeavyHitters(items: Dataset[GroupItem], k: Int): Dataset[HhRow] = {
+    require(k >= 1 && k <= 4096, "k slots per group must lie in [1, 4096]")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.groupByKey(_.group)
+      .transformWithState(new SpaceSavingProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

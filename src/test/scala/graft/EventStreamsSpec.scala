@@ -959,4 +959,75 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming SpaceSaving heavy hitters: order-invariant guarantees hold across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // g1: 5 distinct items into k = 3 slots (lossy regime) with true
+      // counts a=7 b=5 c=3 d=1 e=1 (N = 17); g2: 2 distinct into 3
+      // slots (exact regime) with x=4 y=2
+      val g1 = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+        Seq("d", "e")
+      val g2 = Seq.fill(4)("x") ++ Seq.fill(2)("y")
+      val all = g1.map(("g1", _)) ++ g2.map(("g2", _))
+      // splits g1 mid-flight (state must carry across batches); g2
+      // arrives whole in batch 2
+      val (batch1, batch2) = all.splitAt(11)
+      val mem = MemoryStream[(String, String)]
+      val items = mem.toDS().map(t => EventStreams.GroupItem(t._1, t._2))
+      val out = EventStreams.streamingHeavyHitters(items, k = 3)
+      val q = out.writeStream.format("memory").queryName("sshh")
+        .outputMode("append").start()
+      try {
+        mem.addData(batch1: _*)
+        q.processAllAvailable()
+        mem.addData(batch2: _*)
+        q.processAllAvailable()
+        // the final summary per group = the emission at max n_seen
+        // (the Append sink keeps every per-batch snapshot)
+        val rows = spark.sql("SELECT * FROM sshh").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        def finalOf(g: String) = {
+          val mine = rows.filter(_._1 == g)
+          val last = mine.map(_._5).max
+          mine.filter(_._5 == last)
+        }
+        val f1 = finalOf("g1")
+        val truth1 = g1.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+        assert(f1.map(_._5).toSet == Set(17L), "n_seen must reach N")
+        assert(f1.length == 3, s"k slots stay full in the lossy regime: $f1")
+        // SpaceSaving guarantees, all arrival-order-invariant:
+        // est >= true >= est - err for every summarized item
+        f1.foreach { case (_, item, est, err, _) =>
+          val t = truth1.getOrElse(item, 0L)
+          assert(est >= t && t >= est - err, s"$item est=$est err=$err true=$t")
+        }
+        // every item with true count > N/k (= 5.67) is summarized
+        assert(f1.exists(_._2 == "a"), s"a (7 > 17/3) must be present: $f1")
+        // exact regime: <= k distinct => est == true, err == 0
+        val f2 = finalOf("g2")
+        assert(f2.map(_._5).toSet == Set(6L))
+        assert(f2.map(r => r._2 -> r._3).toMap == Map("x" -> 4L, "y" -> 2L))
+        assert(f2.forall(_._4 == 0L), "under-k groups must be error-free")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }

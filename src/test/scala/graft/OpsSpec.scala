@@ -1776,6 +1776,47 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedQuantiles: bisection == expanded-multiset order statistic; unit-weight degeneracy") {
+    import spark.implicits._
+    // duplicates, skewed weights, a wide range — the reference expands
+    // every (v, w) into w copies and reads the rank off the sort
+    val rows = Seq((7L, 50L), (100000L, 2L)) ++ (1L to 200L).map(v => (v, v % 5 + 1))
+    val df = rows.toDF("x", "w")
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    val tw = expanded.size.toLong
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def reference(q: Double): Long =
+      expanded(math.max(1L, math.ceil(q * tw).toLong).toInt - 1)
+    for (bins <- Seq(2, 16, 256)) {
+      val got = Sketch.weightedQuantiles(df, "x", "w", qs, bins).collect()
+        .map(r => r.getAs[Double]("q") ->
+          (r.getAs[Long]("total_w"), r.getAs[Long]("exact_value"))).toMap
+      qs.foreach { q =>
+        assert(got(q) == (tw, reference(q)), s"q=$q bins=$bins")
+      }
+    }
+    // unit-weight degeneracy: weight 1 everywhere IS exactQuantiles
+    val base = Seq.fill(50)(7L) ++ (1L to 200L)
+    val wq = Sketch.weightedQuantiles(base.map((_, 1L)).toDF("x", "w"),
+        "x", "w", qs, 16)
+      .select("q", "exact_value").orderBy("q").collect().toSeq
+    val uq = Sketch.exactQuantiles(base.toDF("x"), "x", qs, 16)
+      .select("q", "exact_value").orderBy("q").collect().toSeq
+    assert(wq == uq, "unit weights must reduce to the unweighted op")
+    // null / zero / negative weights carry no mass
+    val wz = Sketch.weightedQuantiles(
+      Seq((1L, Some(0L)), (5L, Some(3L)), (9L, Some(-2L)), (11L, None))
+        .toDF("x", "w"), "x", "w", Seq(1.0), 4).head()
+    assert(wz.getAs[Long]("total_w") == 3L &&
+      wz.getAs[Long]("exact_value") == 5L)
+    // partition invariance of the whole loop
+    val a = Sketch.weightedQuantiles(df.repartition(13), "x", "w", qs, 16)
+      .orderBy("q").collect().toSeq
+    val b = Sketch.weightedQuantiles(df.repartition(1), "x", "w", qs, 16)
+      .orderBy("q").collect().toSeq
+    assert(a == b)
+  }
+
   test("hll register publishing: merged slice registers == whole corpus, bit-exact") {
     import spark.implicits._
     val rows = (1 to 3000).map(i => (s"g${i % 3}", s"v$i"))
@@ -2301,6 +2342,129 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.trustRank(edges, ghost, iters = 1)
     }
+  }
+
+  test("hits: hand-computed rounds, cycle/star/weight laws, mass conservation") {
+    import spark.implicits._
+    val S = Graph.Scale
+    // a -> b, n = 2, h0 = S/2 each. Round 1: araw(b) = S/2, asum = S/2
+    // -> auth(b) = S, auth(a) = 0; hraw(a) = auth(b) = S, hsum = S ->
+    // hub(a) = S, hub(b) = 0. This IS the fixpoint: iters = 3 agrees.
+    val ab = Seq(("a", "b", 1L)).toDF("src", "dst", "wt")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h1 = asMap(Graph.hits(ab, iters = 1))
+    assert(h1 == Map("a" -> (S, 0L), "b" -> (0L, S)))
+    assert(asMap(Graph.hits(ab, iters = 3)) == h1, "a->b fixpoint is immediate")
+    // 4-cycle symmetrized (2-regular): uniform is the fixpoint and the
+    // integer arithmetic holds it exactly (S divisible by 4)
+    val ring = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    val cyc = (ring ++ ring.map(_.swap)).map { case (u, v) => (u, v, 1L) }
+      .toDF("src", "dst", "wt")
+    val hc = asMap(Graph.hits(cyc, iters = 2))
+    assert(hc.values.toSet == Set((S / 4, S / 4)),
+      "regular symmetric graph: hubs == auths == uniform, exactly")
+    // bipartite star u1,u2,u3 -> v: authority concentrates on v (= S),
+    // hub mass splits S div 3 across the pointers, cross terms 0
+    val star = Seq(("u1", "v", 1L), ("u2", "v", 1L), ("u3", "v", 1L))
+      .toDF("src", "dst", "wt")
+    val hs = asMap(Graph.hits(star, iters = 2))
+    assert(hs("v") == (0L, S))
+    assert(hs("u1") == (S / 3, 0L) && hs("u2") == hs("u1") && hs("u3") == hs("u1"))
+    // weights steer authority: a->b at wt 3 vs a->c at wt 1 splits
+    // auth 75/25 (exact: the h0 factor cancels in the normalization)
+    val w = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "wt")
+    val hw = asMap(Graph.hits(w, iters = 1))
+    assert(hw("b")._2 == 750000000000L && hw("c")._2 == 250000000000L)
+    // L1 mass conservation: each vector re-sums to S minus < 1 unit of
+    // floor loss per node
+    val sums = Graph.hits(cyc.unionAll(star), iters = 2)
+      .agg(sum(col("hub")), sum(col("auth"))).head()
+    val n = 9L
+    assert(sums.getLong(0) > S - n && sums.getLong(0) <= S)
+    assert(sums.getLong(1) > S - n && sums.getLong(1) <= S)
+    intercept[IllegalArgumentException] { Graph.hits(ab, iters = 0) }
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq.empty[(String, String, Long)].toDF("src", "dst", "wt"),
+        iters = 1)
+    }
+  }
+
+  test("gopherRules: each rule pinned by a constructed violator") {
+    import spark.implicits._
+    def doc(id: Long, text: String) = (id, text)
+    val good = (Seq.fill(60)("word") ++ Seq("the", "and")).mkString(" ")
+    val docs = Seq(
+      doc(1L, good),                                     // passes all 7
+      doc(2L, "the and word word word"),                 // word count 5 < 50
+      doc(3L, (Seq.fill(60)("a") ++ Seq("the", "and")).mkString(" ")), // mean len < 3
+      doc(4L, good + " # # # # # # #"),                  // 7 symbols, 10*7 > 69 words
+      doc(5L, good + "\n" + Seq.fill(10)("- x").mkString("\n")), // 10/11 bullet lines
+      doc(6L, good + "\n" + Seq.fill(2)("so on...").mkString("\n")), // 2/3 ellipsis
+      doc(7L, (Seq.fill(50)("word") ++ Seq.fill(20)("42") ++
+        Seq("the", "and")).mkString(" ")),               // 52/72 alpha < 80%
+      doc(8L, Seq.fill(60)("word").mkString(" ") + " the") // 1 stopword kind
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("gopher_pass"))
+    assert(!r(2L).getAs[Boolean]("ok_word_count") &&
+      r(2L).getAs[Boolean]("ok_stopwords"))
+    assert(!r(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!r(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(r(4L).getAs[Boolean]("ok_alpha_words"),
+      "7 '#' tokens out of 69 words stays above the 80% alpha bar")
+    assert(!r(5L).getAs[Boolean]("ok_bullet_lines"))
+    assert(!r(6L).getAs[Boolean]("ok_ellipsis_lines"))
+    assert(!r(7L).getAs[Boolean]("ok_alpha_words"))
+    assert(!r(8L).getAs[Boolean]("ok_stopwords"))
+    Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).foreach(id =>
+      assert(!r(id).getAs[Boolean]("gopher_pass"), s"doc $id must fail the gate"))
+    // the '…' single-char ellipsis counts like '...' does
+    val uni = TextAnalysis.gopherRules(
+      Seq((9L, "first line here\nsecond goes on…\nthird goes on…"))
+        .toDF("doc_id", "text")).head()
+    assert(uni.getAs[Long]("n_ellipsis_lines") == 2L &&
+      !uni.getAs[Boolean]("ok_ellipsis_lines"))
+  }
+
+  test("c4Clean: line rules, page gates, order-preserving reassembly") {
+    import spark.implicits._
+    val keepA = "alpha beta gamma delta epsilon."
+    val keepB = "one two three four five six!"
+    val docs = Seq(
+      // 3 sentences, two surviving lines in order, two line-rule drops
+      (1L, s"$keepA\nshort line.\nno terminal punct at all here\n$keepB"),
+      // javascript drops the LINE, not the page
+      (2L, s"$keepA\nthis page needs JavaScript to render properly.\n$keepB"),
+      // curly brace drops the PAGE; lines still reported for audit
+      (3L, s"$keepA\n$keepB\nvar x = { a: 1 }."),
+      // lorem ipsum placeholder drops the page
+      (4L, s"$keepA\nLorem Ipsum dolor sit amet forever.\n$keepB"),
+      // under 3 sentences drops the page even with a surviving line
+      (5L, s"$keepA\nwords without any stops"),
+      // blocklisted token drops the page (case-insensitive whole word)
+      (6L, s"$keepA\nthe Forbidden word appears here today.\n$keepB")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(docs, blocklist = Seq("forbidden")).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x)).toMap
+    assert(r(1L).getAs[Boolean]("kept") && r(1L).getAs[Long]("n_lines_kept") == 2L)
+    assert(r(1L).getAs[String]("text_clean") == s"$keepA\n$keepB",
+      "surviving lines keep their original order")
+    assert(r(2L).getAs[Boolean]("kept") && r(2L).getAs[Long]("n_lines_kept") == 2L,
+      "javascript is a line rule, not a page rule")
+    assert(!r(3L).getAs[Boolean]("kept") && r(3L).getAs[Long]("n_lines_kept") >= 2L)
+    assert(!r(4L).getAs[Boolean]("kept"))
+    assert(!r(5L).getAs[Boolean]("kept") &&
+      r(5L).getAs[Long]("n_sentences") == 1L)
+    assert(!r(6L).getAs[Boolean]("kept"),
+      "blocklist matches whole lowercase tokens")
+    // empty-survivor docs keep their row with an empty clean text
+    val none = TextAnalysis.c4Clean(
+      Seq((7L, "no punct here\nalso none")).toDF("doc_id", "text")).head()
+    assert(none.getAs[Long]("n_lines_kept") == 0L &&
+      none.getAs[String]("text_clean") == "" &&
+      !none.getAs[Boolean]("kept"))
   }
 
   test("pageRankConverged: approaches the analytic fixpoint past the iters<=8 bound") {
