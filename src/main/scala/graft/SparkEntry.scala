@@ -3192,6 +3192,37 @@ object SparkEntry {
         .select("q", "total_w", "r", "exact_value").orderBy("q")
     }),
 
+    "n147_rbo" -> ((s, dir) => {
+      // rank-biased overlap between exact-cosine truth and the pure
+      // int8 code ranking (n123's retriever pair): recall@k scores the
+      // top-k as a SET, RBO weights agreement by depth (geometric
+      // decay p = 0.9) — the "is the cheap retriever serving the same
+      // experience" audit. Weights are driver-computed literals (no
+      // libm pow on either engine) and the per-query sum folds
+      // d-ascending on both
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(emb, qs, 10)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"))
+      val cand = Similarity.int8TopK(emb, qs, 10)
+      Similarity.rankBiasedOverlap(truth, cand, k = 10, p = 0.9)
+        .orderBy("query_id")
+    }),
+
+    "n148_weak_label" -> ((s, dir) => {
+      // Snorkel-style keyword-rule weak labeling (Ratner et al. 2017)
+      // over the corpus vocabulary: three topic rule sets vote per
+      // document, argmax label with the alphabetic tie-break, zero
+      // fires -> abstain; the oracle replays the votes via
+      // list_contains and the tie-break as a CASE chain in label order
+      val rules = Seq(
+        ("table", "sql"), ("query", "sql"), ("join", "sql"), ("row", "sql"),
+        ("stream", "stream"), ("window", "stream"), ("batch", "stream"),
+        ("vector", "vec"), ("group", "vec"), ("hash", "vec"))
+      TextAnalysis.keywordVoteLabel(t(s, dir, "documents"), rules)
+        .orderBy("doc_id")
+    }),
+
     "n106_containment" -> ((s, dir) => {
       // near-SUPERSET detection: containment |A∩B|/|A| over word
       // trigrams — the asymmetric case Jaccard misses (wrapper pages,
@@ -6873,6 +6904,95 @@ object SparkEntry {
         |SELECT r.q, r.total_w, r.r, CAST(min(cum.v) AS BIGINT) AS exact_value
         |FROM r JOIN cum ON cum.vcum >= r.r
         |GROUP BY 1, 2, 3 ORDER BY q""".stripMargin,
+
+    "n147_rbo" -> {
+      // n123's two ranking CTEs (ranks kept), then the RBO fold: the
+      // same driver-computed weight literals (shortest-round-trip
+      // doubles re-parse to identical bits), zero-overlap depths kept
+      // as 0.0 terms so both engines fold exactly k terms d-ascending
+      // (list_reduce's first element == Spark's 0.0 + t1)
+      val k = 10; val p = 0.9
+      val w = Array.iterate(1.0, k + 1)(_ * p)
+      val wvals = (1 to k).map(d => s"($d, ${w(d - 1)})").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qe AS (SELECT vec_id AS query_id, v AS q_v FROM e WHERE vec_id < 5),
+         |tr AS (SELECT query_id, vec_id, rnk AS ra FROM (
+         |  SELECT qe.query_id, e.vec_id,
+         |   row_number() OVER (PARTITION BY qe.query_id
+         |     ORDER BY list_cosine_similarity(e.v, qe.q_v) DESC, e.vec_id) AS rnk
+         |  FROM e, qe WHERE e.vec_id <> qe.query_id) WHERE rnk <= $k),
+         |s AS (SELECT vec_id, v,
+         |       list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         |c AS (SELECT vec_id,
+         |       CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+         |            ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+         |       END AS codes FROM s),
+         |q AS (SELECT vec_id AS query_id, codes AS q_codes FROM c WHERE vec_id < 5),
+         |cd AS (SELECT query_id, vec_id, rnk AS rb FROM (
+         |  SELECT q.query_id, c.vec_id,
+         |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    CASE WHEN list_dot_product(c.codes, c.codes) = 0
+         |           OR list_dot_product(q.q_codes, q.q_codes) = 0 THEN 0.0
+         |    ELSE CAST(list_dot_product(c.codes, q.q_codes) AS DOUBLE) /
+         |      (sqrt(CAST(list_dot_product(c.codes, c.codes) AS DOUBLE)) *
+         |       sqrt(CAST(list_dot_product(q.q_codes, q.q_codes) AS DOUBLE)))
+         |    END DESC, c.vec_id) AS rnk
+         |  FROM c, q WHERE c.vec_id <> q.query_id) WHERE rnk <= $k),
+         |wts(d, w) AS (VALUES $wvals),
+         |qs2 AS (SELECT DISTINCT query_id FROM tr
+         |        UNION SELECT DISTINCT query_id FROM cd),
+         |m AS (SELECT tr.query_id, greatest(tr.ra, cd.rb) AS m
+         |      FROM tr JOIN cd
+         |        ON tr.query_id = cd.query_id AND tr.vec_id = cd.vec_id),
+         |ag AS (SELECT q2.query_id, w.d, w.w,
+         |        CAST(coalesce(sum(CASE WHEN m.m <= w.d THEN 1 ELSE 0 END), 0)
+         |          AS BIGINT) AS cdd
+         |       FROM qs2 q2 CROSS JOIN wts w
+         |       LEFT JOIN m ON m.query_id = q2.query_id
+         |       GROUP BY 1, 2, 3),
+         |fold AS (SELECT query_id,
+         |          list_reduce(list(w * (cdd / CAST(d AS DOUBLE)) ORDER BY d),
+         |            (a, b) -> a + b) AS sm,
+         |          max(CASE WHEN d = $k THEN cdd END) AS cdk
+         |         FROM ag GROUP BY query_id)
+         |SELECT query_id, CAST(cdk AS BIGINT) AS n_overlap_k,
+         | ${1.0 - p} * sm AS rbo_base,
+         | ${1.0 - p} * sm + ${w(k)} * (cdk / CAST($k AS DOUBLE)) AS rbo_ext
+         |FROM fold ORDER BY query_id""".stripMargin
+    },
+
+    "n148_weak_label" ->
+      // vote replay via list_contains over the lowercased token list;
+      // the argmax tie-break is a CASE chain in alphabetic label order
+      // (sql, stream, vec) — exactly the engine's (votes, -rank)
+      // greatest-struct device
+      """WITH ws AS (SELECT doc_id,
+        |  list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> ''), x -> lower(x)) AS ws
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        |  CAST((CASE WHEN list_contains(ws, 'table') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'query') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'join') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'row') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS votes_sql,
+        |  CAST((CASE WHEN list_contains(ws, 'stream') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'window') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'batch') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS votes_stream,
+        |  CAST((CASE WHEN list_contains(ws, 'vector') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'group') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(ws, 'hash') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS votes_vec
+        | FROM ws)
+        |SELECT doc_id, votes_sql, votes_stream, votes_vec,
+        | CAST(votes_sql + votes_stream + votes_vec AS BIGINT) AS n_fired,
+        | CASE WHEN votes_sql + votes_stream + votes_vec = 0 THEN 'abstain'
+        |      WHEN votes_sql >= votes_stream AND votes_sql >= votes_vec THEN 'sql'
+        |      WHEN votes_stream >= votes_vec THEN 'stream'
+        |      ELSE 'vec' END AS label,
+        | CAST(greatest(votes_sql, votes_stream, votes_vec) AS BIGINT) AS n_votes
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "n106_containment" -> // definitional: exact containment over any-shared-gram pairs
       s"""WITH d0 AS (SELECT doc_id, text FROM documents),

@@ -634,6 +634,68 @@ object Similarity {
         coalesce(expr("1000000 div first_hit"), lit(0L)).as("mrr_x1e6"))
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * top-k rankings, per query — the ranking-similarity audit
+    * [[retrievalMetrics]] does not cover: recall@k treats the top-k as
+    * a SET, while RBO weights agreement by depth (geometric decay p),
+    * so two retrievers that agree on the head score high even when
+    * their tails scramble — the right lens for "is the cheap retriever
+    * serving the same experience", not just "does it find the truth
+    * set". Both inputs are (query_id, vec_id, rank) relations, rank
+    * 1-based (the [[retrievalMetrics]] convention).
+    *
+    * Per query with overlap counts c_d = |A_d ∩ B_d| at depth d:
+    * `rbo_base = (1-p) · Σ_{d=1..k} p^(d-1) · c_d/d` (prefix-truncated
+    * base) and `rbo_ext = rbo_base + p^k · c_k/k` (the paper's §4.5
+    * extrapolation of the final agreement to unseen depths). Both in
+    * [0, 1]; a query present in either input but with NO overlapping
+    * items scores 0.
+    *
+    * Cross-engine float exactness without trusting any libm pow: the
+    * weights p^(d-1) are PARAMETERS, not data — computed once on the
+    * driver by sequential multiplication and embedded as literals (the
+    * oracle interpolates the same shortest-round-trip doubles), and
+    * the per-query sum folds over d ASCENDING via `aggregate(sequence)`
+    * (the repo's ordered-fold convention; c_d is an integer count, so
+    * the inner sum commutes). 100 TB shape: inputs are already top-k
+    * lists (queries × k rows, metadata-sized) — one equi-join, one
+    * (query, m)-sized agg, then a k-bounded in-row fold; the corpus
+    * stayed in the upstream retrievers.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 64, "k outside [1, 64]: the in-row fold is k-bounded")
+    require(p > 0.0 && p < 1.0, "p must lie strictly in (0, 1)")
+    val w = Array.iterate(1.0, k + 1)(_ * p) // w(i) = p^i, i = 0..k
+    val wlit = array(w.map(lit).toIndexedSeq: _*)
+    val ar = a.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("ra"))
+    val br = b.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rb"))
+    val qids = ar.select("query_id").unionAll(br.select("query_id")).distinct()
+    val ms = ar.join(br, Seq("query_id", "vec_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+      .groupBy("query_id", "m").agg(count(lit(1)).as("cnt"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("m"), col("cnt"))).as("ms"))
+    def cd(d: Column, msCol: Column): Column =
+      aggregate(msCol, lit(0L),
+        (acc, x) => acc + when(x("m") <= d, x("cnt")).otherwise(lit(0L)))
+    val withMs = qids.join(ms, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("ms"),
+          array().cast("array<struct<m:bigint,cnt:bigint>>")).as("ms"))
+    withMs.select(col("query_id"),
+        cd(lit(k.toLong), col("ms")).as("n_overlap_k"),
+        (lit(1.0 - p) * aggregate(sequence(lit(1), lit(k)), lit(0.0),
+          (acc, d) => acc + element_at(wlit, d) *
+            (cd(d.cast("long"), col("ms")).cast("double") / d.cast("double"))))
+          .as("rbo_base"))
+      .withColumn("rbo_ext",
+        col("rbo_base") + lit(w(k)) *
+          (col("n_overlap_k").cast("double") / lit(k.toDouble)))
+  }
+
   /** LSH-bucketed approximate top-k: candidates from shared sign-LSH
     * buckets across `tables` tables, exact cosine re-rank.
     */

@@ -1516,6 +1516,47 @@ object TextAnalysis {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Keyword-rule weak labeling with majority vote — the data-
+    * programming shape (Ratner et al. 2017, Snorkel) a pipeline uses
+    * to bootstrap domain/topic tags before any trained classifier
+    * exists: each rule `(keyword, label)` FIRES iff its keyword
+    * appears as a whole lowercase token, a document's votes per label
+    * are its fired-rule counts, and the emitted label is the argmax
+    * (ties to the alphabetically-first label — deterministic, the
+    * [[langId]] convention), or 'abstain' when nothing fires. The
+    * per-label vote columns ride along so a downstream label model
+    * can reweight rules without re-scanning text.
+    *
+    * One codegen scan, zero shuffle at any corpus size: the rule set
+    * compiles into per-label `array_contains` sums over the token
+    * array — rules are parameters, never a joined relation.
+    */
+  def keywordVoteLabel(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one (keyword, label) rule")
+    val words = transform(
+      filter(split(col("text"), "\\s+"), w => w =!= lit("")), lower(_))
+    val labels = rules.map(_._2).distinct.sorted
+    val voteCols = labels.map { lab =>
+      val kws = rules.filter(_._2 == lab).map(_._1.toLowerCase).distinct
+      kws.map(kw => array_contains(words, kw).cast("long"))
+        .reduce(_ + _).as(s"votes_$lab")
+    }
+    val withVotes = docs.select(col("doc_id") +: voteCols: _*)
+    // max over structs = lexicographic (votes, -rank): highest vote
+    // count, alphabetically-first label on ties
+    val entries = labels.zipWithIndex.map { case (lab, i) =>
+      struct(col(s"votes_$lab").as("v"), lit(-i).as("neg_rank"),
+        lit(lab).as("lab"))
+    }
+    // greatest() needs two args — a single-label rule set is its own max
+    val best = if (entries.size >= 2) greatest(entries: _*) else entries.head
+    withVotes
+      .withColumn("n_fired", labels.map(l => col(s"votes_$l")).reduce(_ + _))
+      .withColumn("label", when(best.getField("v") === 0L, lit("abstain"))
+        .otherwise(best.getField("lab")))
+      .withColumn("n_votes", best.getField("v"))
+  }
+
   /** Encoding-damage signals — the mojibake/corruption gate a crawl
     * pipeline runs before any text op trusts the bytes: counts of
     * U+FFFD replacement characters (decoder already gave up), C1

@@ -262,6 +262,33 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       unmerged.columns.toSet == merged.columns.toSet) // engine-chosen footer
   }
 
+  test("CurationDemo end-to-end: gate -> dedup -> quality -> pack -> card, deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("curation_demo").toString
+    val s1 = graft.examples.CurationDemo.run(spark, "/root/testdata/sf0.001", dir)
+    // the funnel only narrows: every stage is a filter or dedup
+    assert(s1("n_raw") == 500L)
+    assert(s1("n_raw") >= s1("n_structural_gated"))
+    assert(s1("n_structural_gated") >= s1("n_exact_deduped"))
+    assert(s1("n_exact_deduped") >= s1("n_neardup_deduped"))
+    assert(s1("n_neardup_deduped") >= s1("n_quality_kept"))
+    assert(s1("n_quality_kept") > 0L, "the demo must keep a real corpus")
+    // the quality gate keeps ~90% by construction, never 100%
+    assert(s1("n_quality_kept") < s1("n_neardup_deduped"))
+    // packing accounts every kept token exactly once
+    assert(s1("n_packed_docs") == s1("n_quality_kept"))
+    assert(s1("n_sequences") >= s1("n_packed_tokens") / 256L)
+    // artifacts are real parquet with the expected cardinalities
+    val curated = spark.read.parquet(s"$dir/curated.parquet")
+    assert(curated.count() == s1("n_quality_kept"))
+    assert(curated.columns.contains("lang_id"))
+    assert(spark.read.parquet(s"$dir/packed.parquet").count() == s1("n_packed_docs"))
+    assert(spark.read.parquet(s"$dir/data_card.parquet").count() == s1("n_card_rows"))
+    // end-to-end determinism: a second run reproduces every count
+    val dir2 = java.nio.file.Files.createTempDirectory("curation_demo2").toString
+    val s2 = graft.examples.CurationDemo.run(spark, "/root/testdata/sf0.001", dir2)
+    assert(s2 == s1, "the pipeline must be bit-deterministic")
+  }
+
   test("GsshaDemo end-to-end: one call produces gage + WES + GRASS + station CSV") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("gssha_demo").toString

@@ -2428,6 +2428,70 @@ class OpsSpec extends SparkSpec {
       !uni.getAs[Boolean]("ok_ellipsis_lines"))
   }
 
+  test("rankBiasedOverlap: hand-computed depths, identity/disjoint laws, no-overlap queries") {
+    import spark.implicits._
+    def rel(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("query_id", "vec_id", "rank")
+    // q1: A = x(1) y(2) z(3); B = x(1) z(2) w(3) -> m(x)=1, m(z)=3:
+    // c_1=1, c_2=1, c_3=2; with p=0.5 the fold replays exactly
+    val a = rel(Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)))
+    val b = rel(Seq((1L, 10L, 1L), (1L, 12L, 2L), (1L, 13L, 3L)))
+    val r = Similarity.rankBiasedOverlap(a, b, k = 3, p = 0.5).head()
+    val expBase = 0.5 * (((0.0 + 1.0 * (1.0 / 1.0)) + 0.5 * (1.0 / 2.0)) +
+      0.25 * (2.0 / 3.0)) // the engine's exact left-to-right fold
+    assert(r.getAs[Long]("n_overlap_k") == 2L)
+    assert(r.getAs[Double]("rbo_base") == expBase)
+    assert(r.getAs[Double]("rbo_ext") == expBase + 0.125 * (2.0 / 3.0))
+    // identity law at p=0.5: base = 1 - p^k and ext = 1.0, EXACTLY
+    // (powers of two are exact in binary floating point)
+    val same = Similarity.rankBiasedOverlap(a, a, k = 3, p = 0.5).head()
+    assert(same.getAs[Double]("rbo_base") == 0.875 &&
+      same.getAs[Double]("rbo_ext") == 1.0)
+    // disjoint rankings score 0 but the query stays present; so does a
+    // query only one side ranked
+    val c = rel(Seq((1L, 20L, 1L), (1L, 21L, 2L), (1L, 22L, 3L),
+      (2L, 30L, 1L)))
+    val dj = Similarity.rankBiasedOverlap(a, c, k = 3, p = 0.5)
+      .collect().map(x => x.getAs[Long]("query_id") ->
+        (x.getAs[Long]("n_overlap_k"), x.getAs[Double]("rbo_ext"))).toMap
+    assert(dj == Map(1L -> (0L, 0.0), 2L -> (0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.rankBiasedOverlap(a, b, k = 100)
+    }
+  }
+
+  test("keywordVoteLabel: majority vote, deterministic ties, abstain, case folding") {
+    import spark.implicits._
+    val rules = Seq(("apple", "fruit"), ("banana", "fruit"), ("date", "fruit"),
+      ("carrot", "veg"))
+    val docs = Seq(
+      (1L, "apple banana carrot"), // fruit 2, veg 1 -> fruit
+      (2L, "apple carrot"),        // 1-1 tie -> alphabetically first: fruit
+      (3L, "carrot soup today"),   // veg only
+      (4L, "nothing matches here"),// abstain
+      (5L, "APPLE pie")            // tokens lowercase before matching
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.keywordVoteLabel(docs, rules).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("label"), x.getAs[Long]("n_votes"),
+          x.getAs[Long]("n_fired"))).toMap
+    assert(r(1L) == ("fruit", 2L, 3L))
+    assert(r(2L) == ("fruit", 1L, 2L), "ties break to the first label")
+    assert(r(3L) == ("veg", 1L, 1L))
+    assert(r(4L) == ("abstain", 0L, 0L))
+    assert(r(5L) == ("fruit", 1L, 1L))
+    // a rule fires on whole tokens, not substrings
+    val sub = TextAnalysis.keywordVoteLabel(
+      Seq((6L, "pineapple only")).toDF("doc_id", "text"), rules).head()
+    assert(sub.getAs[String]("label") == "abstain")
+    // single-label rule sets take the no-greatest path
+    val one = TextAnalysis.keywordVoteLabel(
+      Seq((7L, "apple apple")).toDF("doc_id", "text"),
+      Seq(("apple", "fruit"))).head()
+    assert(one.getAs[String]("label") == "fruit" &&
+      one.getAs[Long]("n_votes") == 1L)
+  }
+
   test("c4Clean: line rules, page gates, order-preserving reassembly") {
     import spark.implicits._
     val keepA = "alpha beta gamma delta epsilon."

@@ -101,6 +101,10 @@ class PlanLintSpec extends SparkSpec {
         "broadcast — the guarded brute-force query-side convention"),
     "n123_retrieval_metrics" ->
       "recall@k/MRR need the guarded bruteForceTopK truth ranking",
+    "n147_rbo" ->
+      ("RBO audits the SAME retriever pair as n123 (guarded " +
+        "bruteForceTopK truth + int8TopK candidate, both query-side " +
+        "bounded); the RBO fold itself is top-k-list-sized"),
     "n69_hybrid_rrf" ->
       "fusion's vector arm is the guarded bruteForceTopK truth retriever",
     "n117_matryoshka" ->
