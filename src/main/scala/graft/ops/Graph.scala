@@ -416,8 +416,15 @@ object Graph {
     *
     * Evaluation semantics: EAGER AT CALL TIME — each round pays two
     * scalar normalization probes (asum, hsum), each doubling as the
-    * fill of that vector's cache, with rolling release (at most the
-    * current hub and auth vectors cached). This is the [[integerPageRank]]
+    * cache fill of its RAW join-agg relation (the raw relation, not
+    * the derived vector, is what persists: it is the round's dominant
+    * edges-bounded cost and has two consumers — its probe and the next
+    * half-round's join — while the vector is a cheap nodes-bounded
+    * derivation; caching the vector instead re-ran every join-agg
+    * twice, and the A/B normalized against the co-measured n142 put
+    * the vector-cached shape ~30% slower — PLANS.md "n143 raw-cache
+    * A/B"). Rolling release keeps at
+    * most one round's raw pair cached. This is the [[integerPageRank]]
     * dangling-path shape, chosen on its MEASURED A/B: the lazy 1-row
     * crossJoin alternative doubles the analyzed plan every half-round
     * (PLANS.md "n136 dangling A/B") and HITS has TWO such scalars per
@@ -439,33 +446,41 @@ object Graph {
     require(n >= 1, "edges relation is empty")
     var hubs = nodes.select(col("node"), lit(Scale / n).as("hub"))
     var auths: DataFrame = hubs.select(col("node"), lit(0L).as("auth"))
-    var hubCache: Option[DataFrame] = None
-    var authCache: Option[DataFrame] = None
+    // the RAW join-agg relations are what gets cached, not the derived
+    // vectors: each half-round's edges-bounded join-agg is the dominant
+    // cost and has TWO consumers (its normalization probe and the next
+    // half-round's join) — caching the vector instead would recompute
+    // the join-agg once per consumer (measured ~2x the round price).
+    // The scalar probe doubles as the cache fill (the n136 shape);
+    // rolling release keeps at most the two live raw relations.
+    // liveness: round r's araw probe is the LAST evaluation that reads
+    // round r-1's lineage (hubs_{r-1} = f(hraw_{r-1}), and araw_{r-1}
+    // only feeds the auths that round r reassigns), so both prior raw
+    // caches release right after it; round r's own pair must survive
+    // the loop when r == iters (the final checkpoint re-evaluates
+    // auths = f(araw) and hubs = f(hraw))
+    var prevRound: List[DataFrame] = Nil
     for (_ <- 1 to iters) {
-      val hv = hubs.persist(lvl)
-      val araw = ed.join(hv, ed("src") === hv("node"))
+      val araw = ed.join(hubs, ed("src") === hubs("node"))
         .select(col("dst"), expr("hub * wt").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("araw"))
-      // the scalar probe fills hv's cache (araw is its only consumer
-      // this half-round), after which the previous hub vector is dead
+        .persist(lvl)
       val asum: Long = araw.agg(coalesce(sum(col("araw")), lit(0L)))
         .head().getLong(0)
       require(asum > 0, "hub mass vanished: graph has no followable edge")
-      hubCache.foreach(_.unpersist())
-      hubCache = Some(hv)
+      prevRound.foreach(_.unpersist())
       auths = nodes.join(araw, nodes("node") === araw("dst"), "left")
         .select(nodes("node"),
           expr(s"(CAST(coalesce(araw, 0) AS DECIMAL(38,0)) * $Scale) div $asum")
             .as("auth"))
-      val av = auths.persist(lvl)
-      val hraw = ed.join(av, ed("dst") === av("node"))
+      val hraw = ed.join(auths, ed("dst") === auths("node"))
         .select(col("src"), expr("auth * wt").as("c"))
         .groupBy("src").agg(sum(col("c")).as("hraw"))
+        .persist(lvl)
       val hsum: Long = hraw.agg(coalesce(sum(col("hraw")), lit(0L)))
         .head().getLong(0)
       require(hsum > 0, "authority mass vanished: graph has no followable edge")
-      authCache.foreach(_.unpersist())
-      authCache = Some(av)
+      prevRound = List(araw, hraw)
       hubs = nodes.join(hraw, nodes("node") === hraw("src"), "left")
         .select(nodes("node"),
           expr(s"(CAST(coalesce(hraw, 0) AS DECIMAL(38,0)) * $Scale) div $hsum")
@@ -475,8 +490,7 @@ object Graph {
       hubs.join(auths.withColumnsRenamed(Map("node" -> "anode")),
           hubs("node") === col("anode"))
         .select(col("node"), col("hub"), col("auth")))
-    hubCache.foreach(_.unpersist())
-    authCache.foreach(_.unpersist())
+    prevRound.foreach(_.unpersist())
     nodes.unpersist()
     ed.unpersist()
     out
