@@ -3192,6 +3192,20 @@ object SparkEntry {
         .select("q", "total_w", "r", "exact_value").orderBy("q")
     }),
 
+    "n149_weighted_quantiles_by_source" -> ((s, dir) => {
+      // per-SOURCE token-mass length quantiles — "what length cutoff
+      // keeps 90% of THIS source's token mass": the n91 lock-step
+      // bisection summing weights instead of counting rows; the oracle
+      // is the per-group definitional window over value-grouped weight
+      // sums
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"),
+        size(filter(split(col("text"), " "), w => w =!= lit("")))
+          .cast("long").as("n_tokens"))
+      graft.ops.Sketch.weightedQuantilesByGroup(d, "source", "n_chars",
+          "n_tokens", qs = Seq(0.5, 0.9), bins = 16)
+        .orderBy("source", "q")
+    }),
+
     "n147_rbo" -> ((s, dir) => {
       // rank-biased overlap between exact-cosine truth and the pure
       // int8 code ranking (n123's retriever pair): recall@k scores the
@@ -6904,6 +6918,26 @@ object SparkEntry {
         |SELECT r.q, r.total_w, r.r, CAST(min(cum.v) AS BIGINT) AS exact_value
         |FROM r JOIN cum ON cum.vcum >= r.r
         |GROUP BY 1, 2, 3 ORDER BY q""".stripMargin,
+
+    "n149_weighted_quantiles_by_source" ->
+      // the n91 definitional stance, weighted: per group, smallest v
+      // whose cumulative TOKEN mass reaches ceil(q * group total)
+      """WITH t AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+        | FROM documents),
+        |tp AS (SELECT grp, v, w FROM t WHERE v IS NOT NULL AND w > 0),
+        |tw AS (SELECT grp, CAST(sum(w) AS BIGINT) AS total_w FROM tp GROUP BY 1),
+        |probes(q) AS (VALUES (0.5), (0.9)),
+        |r AS (SELECT grp, CAST(q AS DOUBLE) AS q, total_w,
+        |       greatest(CAST(ceil(q * total_w) AS BIGINT), 1) AS r
+        |      FROM tw CROSS JOIN probes),
+        |cum AS (SELECT grp, v,
+        |  CAST(sum(sum(w)) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS vcum
+        | FROM tp GROUP BY grp, v)
+        |SELECT r.grp AS source, r.q, r.total_w, r.r,
+        | CAST(min(cum.v) AS BIGINT) AS exact_value
+        |FROM r JOIN cum ON cum.grp = r.grp AND cum.vcum >= r.r
+        |GROUP BY 1, 2, 3, 4 ORDER BY source, q""".stripMargin,
 
     "n147_rbo" -> {
       // n123's two ranking CTEs (ranks kept), then the RBO fold: the

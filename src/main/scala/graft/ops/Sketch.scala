@@ -345,6 +345,9 @@ object Sketch {
       }.getOrElse(throw new IllegalStateException("rank not reached"))
       (q, n, target, value, passes.toLong)
     }
+    // the results are driver rows by now — the working-set cache must
+    // not outlive the call (the weightedQuantiles/Graph.hits hygiene)
+    vals.unpersist()
     results.toDF("q", "n", "r", "exact_value", "agg_passes")
   }
 
@@ -512,7 +515,103 @@ object Sketch {
         }.getOrElse(throw new IllegalStateException(s"rank not reached: $key"))
         (key._1, key._2, s.n, s.target, v)
     }.toSeq
+    // driver rows from here on — release the lock-step working set
+    vals.unpersist()
     out.toDF(groupCol, "q", "n", "r", "exact_value")
+  }
+
+  /** Group-wise [[weightedQuantiles]] — per-language / per-source
+    * token-MASS order statistics ("what length cutoff keeps 90% of
+    * THIS language's token mass"), the question per-group curation
+    * budgets actually pose: [[exactQuantilesByGroup]] weights every
+    * document equally, which misprices any group whose documents skew
+    * long or short. Same lock-step bisection — every (group, quantile)
+    * pair bisects its own range but all pairs advance together, one
+    * broadcast-range-joined corpus pass per round summing WEIGHTS per
+    * bin, `groups × qs × bins`-bounded collects — and the same
+    * definitional-oracle stance: the gate replays a per-group window
+    * over value-grouped weight sums, so green proves the bisection
+    * finds every group's true weighted order statistic. Rows with
+    * null or non-positive weight carry no mass (the
+    * [[weightedQuantiles]] convention); the working-set cache releases
+    * before return.
+    */
+  def weightedQuantilesByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               qs: Seq[Double] = Seq(0.5, 0.99),
+                               bins: Int = 256): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = vals.groupBy("grp").agg(min("v").as("lo"), max("v").as("hi"),
+      sum("w").as("tw")).collect()
+    final case class St(var lo: Long, var hi: Long, var below: Long,
+                        target: Long, tw: Long)
+    val state = scala.collection.mutable.LinkedHashMap[(String, Double), St]()
+    bounds.foreach { r =>
+      val (g, lo, hi, tw) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      require(BigInt(hi) - BigInt(lo) < Long.MaxValue,
+        s"value range of group $g exceeds 2^63 - shift/scale values first")
+      qs.foreach { q =>
+        state((g, q)) = St(lo, hi, 0L, math.max(1L, math.ceil(q * tw).toLong), tw)
+      }
+    }
+    def active = state.filter { case (_, s) => s.hi - s.lo + 1 > bins }
+    while (active.nonEmpty) {
+      val ranges = active.toSeq.map { case ((g, q), s) =>
+        (g, q, s.lo, s.hi, (s.hi - s.lo + bins) / bins)
+      }.toDF("grp", "q", "lo", "hi", "w_")
+      val counts = vals.join(broadcast(ranges), Seq("grp"))
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .withColumn("bin", expr("(v - lo) div w_"))
+        .groupBy("grp", "q", "bin").agg(sum(col("w")).as("cnt"))
+        .collect() // groups × qs × bins bounded by construction
+      counts.groupBy(r => (r.getString(0), r.getDouble(1))).foreach {
+        case (key, rows) =>
+          val s = state(key)
+          val w = (s.hi - s.lo + bins) / bins
+          var cum = s.below
+          var done = false
+          rows.sortBy(_.getLong(2)).foreach { r =>
+            if (!done) {
+              val c = r.getLong(3)
+              if (cum + c >= s.target) {
+                val newLo = s.lo + r.getLong(2) * w
+                s.hi = math.min(s.hi, newLo + w - 1)
+                s.lo = newLo
+                s.below = cum
+                done = true
+              } else cum += c
+            }
+          }
+          assert(done, s"target mass not covered for $key")
+      }
+    }
+    val ranges = state.toSeq.map { case ((g, q), s) => (g, q, s.lo, s.hi) }
+      .toDF("grp", "q", "lo", "hi")
+    val finals = vals.join(broadcast(ranges), Seq("grp"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy("grp", "q", "v").agg(sum(col("w")).as("cnt"))
+      .collect()
+    val out = finals.groupBy(r => (r.getString(0), r.getDouble(1))).map {
+      case (key, rows) =>
+        val s = state(key)
+        var cum = s.below
+        val v = rows.sortBy(_.getLong(2)).collectFirst {
+          case r if { cum += r.getLong(3); cum >= s.target } => r.getLong(2)
+        }.getOrElse(throw new IllegalStateException(s"mass not reached: $key"))
+        (key._1, key._2, s.tw, s.target, v)
+    }.toSeq
+    vals.unpersist()
+    out.toDF(groupCol, "q", "total_w", "r", "exact_value")
   }
 
   /** Group-wise [[histQuantiles]] — per-source/per-language value

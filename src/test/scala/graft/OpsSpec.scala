@@ -1817,6 +1817,42 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedQuantilesByGroup: lock-step bisection == per-group expanded reference") {
+    import spark.implicits._
+    // groups with different ranges and skewed weights
+    val rows = Seq(("a", 7L, 50L), ("a", 100000L, 2L), ("b", 3L, 9L)) ++
+      (1L to 200L).map(v => ("a", v, v % 5 + 1)) ++
+      (10L to 40L).map(v => ("b", v, 3L))
+    val df = rows.toDF("grp", "x", "w")
+    val qs = Seq(0.25, 0.5, 0.99)
+    def reference(g: String, q: Double): Long = {
+      val exp = rows.filter(_._1 == g)
+        .flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      exp(math.max(1L, math.ceil(q * exp.size).toLong).toInt - 1)
+    }
+    for (bins <- Seq(2, 16, 256)) {
+      val got = Sketch.weightedQuantilesByGroup(df, "grp", "x", "w", qs, bins)
+        .collect().map(r => (r.getString(0), r.getAs[Double]("q")) ->
+          r.getAs[Long]("exact_value")).toMap
+      for (g <- Seq("a", "b"); q <- qs)
+        assert(got((g, q)) == reference(g, q), s"g=$g q=$q bins=$bins")
+    }
+    // unit-weight degeneracy: reduces to exactQuantilesByGroup
+    val ones = rows.map { case (g, v, _) => (g, v, 1L) }.toDF("grp", "x", "w")
+    val wq = Sketch.weightedQuantilesByGroup(ones, "grp", "x", "w", qs, 16)
+      .select("grp", "q", "exact_value").orderBy("grp", "q").collect().toSeq
+    val uq = Sketch.exactQuantilesByGroup(
+        rows.map(t => (t._1, t._2)).toDF("grp", "x"), "grp", "x", qs, 16)
+      .select("grp", "q", "exact_value").orderBy("grp", "q").collect().toSeq
+    assert(wq == uq, "unit weights must reduce to the unweighted op")
+    // zero/negative-weight rows carry no mass; all-zero groups vanish
+    val wz = Sketch.weightedQuantilesByGroup(
+      Seq(("a", 1L, 0L), ("a", 5L, 3L), ("z", 9L, 0L)).toDF("grp", "x", "w"),
+      "grp", "x", "w", Seq(1.0), 4).collect()
+    assert(wz.length == 1 && wz.head.getString(0) == "a" &&
+      wz.head.getAs[Long]("exact_value") == 5L)
+  }
+
   test("hll register publishing: merged slice registers == whole corpus, bit-exact") {
     import spark.implicits._
     val rows = (1 to 3000).map(i => (s"g${i % 3}", s"v$i"))
