@@ -365,4 +365,26 @@ class PropertySpec extends SparkSpec {
       a == b && a.sorted == a
     }))
   }
+
+  test("weightedQuantiles laws: monotone in q, bins-invariant, weight-scale-invariant") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(1L, 9L)))
+    assert(passes(Prop.forAll(gen, Gen.oneOf(2L, 7L, 100L)) { (vw, c) =>
+      val df = vw.toDF("x", "w")
+      val qs = Seq(0.1, 0.5, 0.9)
+      val a = graft.ops.Sketch.weightedQuantiles(df, "x", "w", qs, bins = 4)
+        .orderBy("q").collect().map(_.getAs[Long]("exact_value")).toSeq
+      val b = graft.ops.Sketch.weightedQuantiles(df, "x", "w", qs, bins = 64)
+        .orderBy("q").collect().map(_.getAs[Long]("exact_value")).toSeq
+      // uniform INTEGER weight scaling never moves a weighted quantile:
+      // c*cum >= ceil(c*q*tw) iff cum >= ceil(q*tw) because c*cum only
+      // takes multiples of c — the law that makes "weights in tokens"
+      // vs "weights in bytes-per-token-scale" choices immaterial
+      val s = graft.ops.Sketch.weightedQuantiles(
+          vw.map { case (v, w) => (v, w * c) }.toDF("x", "w"),
+          "x", "w", qs, bins = 4)
+        .orderBy("q").collect().map(_.getAs[Long]("exact_value")).toSeq
+      a == b && a == s && a.sorted == a
+    }))
+  }
 }
