@@ -3118,11 +3118,13 @@ object SparkEntry {
     "n144_gopher_rules" -> ((s, dir) => {
       // the published Gopher quality gate (Rae et al. 2021 App. A1),
       // every rule exercised by deterministic decorations both engines
-      // build identically: '#' runs (symbol ratio), '42' runs (alpha
-      // fraction + mean word length), mod-3 stopword padding (the
-      // required-words rule), mod-17 bullet-wall docs (>90% bullet
-      // lines), mod-5 ellipsis-line trailers; all thresholds compare
-      // in cross-multiplied integer form, so the flags hash-replay
+      // build identically: '#' runs (hash ratio — gated SEPARATELY
+      // from the ellipsis ratio, per the paper's "either"), '42' runs
+      // (alpha fraction + mean word length), mod-3 stopword padding
+      // (the required-words rule), mod-17 bullet-wall docs (>90%
+      // bullet lines), mod-5 ellipsis-line trailers (which also feed
+      // the ellipsis-ratio count); all thresholds compare in
+      // cross-multiplied integer form, so the flags hash-replay
       val g = t(s, dir, "documents").select(col("doc_id"), concat(
           when(col("doc_id") % 17 === 0, lit("tiny start")).otherwise(col("text")),
           expr("repeat(' #', CAST(doc_id % 9 AS INT))"),
@@ -3135,11 +3137,12 @@ object SparkEntry {
         .as("text"))
       TextAnalysis.gopherRules(g)
         .select(col("doc_id"), col("n_words"), col("n_word_chars"),
-          col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+          col("n_hash"), col("n_ellipsis"), col("n_lines"), col("n_bullet_lines"),
           col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stopword_kinds"),
           col("ok_word_count").cast("long").as("ok_word_count"),
           col("ok_mean_word_len").cast("long").as("ok_mean_word_len"),
-          col("ok_symbol_ratio").cast("long").as("ok_symbol_ratio"),
+          col("ok_hash_ratio").cast("long").as("ok_hash_ratio"),
+          col("ok_ellipsis_ratio").cast("long").as("ok_ellipsis_ratio"),
           col("ok_bullet_lines").cast("long").as("ok_bullet_lines"),
           col("ok_ellipsis_lines").cast("long").as("ok_ellipsis_lines"),
           col("ok_alpha_words").cast("long").as("ok_alpha_words"),
@@ -6820,7 +6823,8 @@ object SparkEntry {
         |  CAST(len(ws) AS BIGINT) AS n_words,
         |  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
         |    AS n_word_chars,
-        |  CAST(n_hash + n_dots + n_uni AS BIGINT) AS n_symbols,
+        |  CAST(n_hash AS BIGINT) AS n_hash,
+        |  CAST(n_dots + n_uni AS BIGINT) AS n_ellipsis,
         |  CAST(len(ls) AS BIGINT) AS n_lines,
         |  CAST(len(list_filter(ls, x -> starts_with(ltrim(x), '- ')
         |    OR starts_with(ltrim(x), '* ') OR starts_with(ltrim(x), '•')))
@@ -6839,18 +6843,20 @@ object SparkEntry {
         |     + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)), 'with') THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_stopword_kinds
         | FROM f)
-        |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+        |SELECT doc_id, n_words, n_word_chars, n_hash, n_ellipsis, n_lines,
         |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopword_kinds,
         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
         |  CAST(CASE WHEN 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_word_len,
-        |  CAST(CASE WHEN 10 * n_symbols <= n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol_ratio,
+        |  CAST(CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_hash_ratio,
+        |  CAST(CASE WHEN 10 * n_ellipsis <= n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis_ratio,
         |  CAST(CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS ok_bullet_lines,
         |  CAST(CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis_lines,
         |  CAST(CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha_words,
         |  CAST(CASE WHEN n_stopword_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
         |    AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
-        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_hash <= n_words
+        |    AND 10 * n_ellipsis <= n_words
         |    AND 10 * n_bullet_lines <= 9 * n_lines
         |    AND 10 * n_ellipsis_lines <= 3 * n_lines
         |    AND 5 * n_alpha_words >= 4 * n_words

@@ -68,7 +68,8 @@ object CurationDemo {
     val nFullPass = flags.filter(col("gopher_pass")).count()
     val gated = raw.join(
       flags.filter(col("ok_word_count") && col("ok_mean_word_len") &&
-          col("ok_symbol_ratio") && col("ok_alpha_words"))
+          col("ok_hash_ratio") && col("ok_ellipsis_ratio") &&
+          col("ok_alpha_words"))
         .select("doc_id"),
       Seq("doc_id"))
     val nGated = gated.count()

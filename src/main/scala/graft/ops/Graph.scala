@@ -93,6 +93,15 @@ object Graph {
         .unionAll(ed.select(col("dst").as("node"), lit(0).as("has_out")))
         .groupBy("node").agg(max(col("has_out")).as("has_out"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // rolling two-vector cache of the dangling path, hoisted so the
+    // failure handler below can release it: any job failure inside the
+    // probes or the checkpoint must not leak persisted state (the r9
+    // ADVICE item — the success path releases these deliberately late,
+    // so a blanket finally would break the lazy dangling-free return).
+    // A LIST, not an Option: the current round's vector is pushed
+    // BEFORE its probe runs, so a probe failure still finds it here
+    var prevCache: List[DataFrame] = Nil
+    try {
     val hasDangling = univ.exists(_.filter(col("has_out") === 0)
       .limit(1).count() > 0)
     if (!hasDangling) {
@@ -126,13 +135,13 @@ object Graph {
       // rolling release: round r's scalar probe fully materializes
       // round r's cache, after which round r-1's vector is dead — at
       // most two rank vectors are ever cached, not iters of them
-      var prevCache: Option[DataFrame] = None
       for (_ <- 1 to iters) {
         val cur = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prevCache = cur :: prevCache
         val dsumLit: Long = cur.filter(col("has_out") === 0)
           .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-        prevCache.foreach(_.unpersist())
-        prevCache = Some(cur)
+        prevCache.tail.foreach(_.unpersist())
+        prevCache = List(cur)
         val contrib = ed.join(cur, ed("src") === cur("node"))
           .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("csum"))
@@ -156,6 +165,14 @@ object Graph {
       univ.foreach(_.unpersist())
       ed.unpersist()
       out
+    }
+    } catch { case t: Throwable =>
+      // no leaked persisted state on ANY exit path: a mid-loop job
+      // failure releases everything the success path would have
+      prevCache.foreach(_.unpersist())
+      univ.foreach(_.unpersist())
+      ed.unpersist()
+      throw t
     }
   }
 
@@ -321,6 +338,13 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedIds = seeds.select(col("node")).distinct()
       .withColumn("is_seed", lit(1L))
+    // hoisted so the failure handler can release them: the ns probe,
+    // the require(ns >= 1), and every per-round scalar can throw with
+    // ed/univ/prevCache persisted (the r9 ADVICE leak); prevCache is a
+    // list so the current round's vector is tracked BEFORE its probe
+    var univP: Option[DataFrame] = None
+    var prevCache: List[DataFrame] = Nil
+    try {
     if (symmetrized) {
       val nodes = ed.select(col("src").as("node")).distinct()
         .join(seedIds, Seq("node"), "left")
@@ -349,6 +373,7 @@ object Graph {
         .select(col("node"), col("has_out"),
           coalesce(col("is_seed"), lit(0L)).as("is_seed"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      univP = Some(univ)
       val probe = univ.agg(
         coalesce(sum(col("is_seed")), lit(0L)).as("ns"),
         coalesce(max(when(col("has_out") === 0, 1).otherwise(0)), lit(0)).as("dang"))
@@ -359,17 +384,17 @@ object Graph {
       var ranks = univ
         .select(col("node"), col("has_out"), col("is_seed"),
           expr(s"is_seed * ($Scale div $nsLit)").as("rank"))
-      var prevCache: Option[DataFrame] = None
       for (_ <- 1 to iters) {
         val dsumLit: Long = if (!hasDangling) 0L else {
           val cur = ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prevCache = cur :: prevCache
           val d = cur.filter(col("has_out") === 0)
             .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-          prevCache.foreach(_.unpersist())
-          prevCache = Some(cur)
+          prevCache.tail.foreach(_.unpersist())
+          prevCache = List(cur)
           d
         }
-        val cur = prevCache.getOrElse(ranks)
+        val cur = prevCache.headOption.getOrElse(ranks)
         val contrib = ed.join(cur, ed("src") === cur("node"))
           .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("csum"))
@@ -384,6 +409,12 @@ object Graph {
       univ.unpersist()
       ed.unpersist()
       out
+    }
+    } catch { case t: Throwable =>
+      prevCache.foreach(_.unpersist())
+      univP.foreach(_.unpersist())
+      ed.unpersist()
+      throw t
     }
   }
 
@@ -442,6 +473,12 @@ object Graph {
     val nodes = ed.select(col("src").as("node"))
       .unionAll(ed.select(col("dst").as("node")))
       .distinct().persist(lvl)
+    // raw-pair rolling cache hoisted above the try so the failure
+    // handler can release it: the mass-vanished requires and every
+    // normalization probe can throw mid-loop with ed/nodes/the raw
+    // pair persisted (the r9 ADVICE leak)
+    var prevRound: List[DataFrame] = Nil
+    try {
     val n: Long = nodes.count()
     require(n >= 1, "edges relation is empty")
     var hubs = nodes.select(col("node"), lit(Scale / n).as("hub"))
@@ -459,16 +496,20 @@ object Graph {
     // caches release right after it; round r's own pair must survive
     // the loop when r == iters (the final checkpoint re-evaluates
     // auths = f(araw) and hubs = f(hraw))
-    var prevRound: List[DataFrame] = Nil
     for (_ <- 1 to iters) {
       val araw = ed.join(hubs, ed("src") === hubs("node"))
         .select(col("dst"), expr("hub * wt").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("araw"))
         .persist(lvl)
+      prevRound = araw :: prevRound
       val asum: Long = araw.agg(coalesce(sum(col("araw")), lit(0L)))
         .head().getLong(0)
       require(asum > 0, "hub mass vanished: graph has no followable edge")
-      prevRound.foreach(_.unpersist())
+      // rolling release: the current round's araw is fully probed, so
+      // the previous round's raw pair (everything in the list but the
+      // head) is dead
+      prevRound.tail.foreach(_.unpersist())
+      prevRound = List(prevRound.head)
       auths = nodes.join(araw, nodes("node") === araw("dst"), "left")
         .select(nodes("node"),
           expr(s"(CAST(coalesce(araw, 0) AS DECIMAL(38,0)) * $Scale) div $asum")
@@ -477,10 +518,10 @@ object Graph {
         .select(col("src"), expr("auth * wt").as("c"))
         .groupBy("src").agg(sum(col("c")).as("hraw"))
         .persist(lvl)
+      prevRound = hraw :: prevRound
       val hsum: Long = hraw.agg(coalesce(sum(col("hraw")), lit(0L)))
         .head().getLong(0)
       require(hsum > 0, "authority mass vanished: graph has no followable edge")
-      prevRound = List(araw, hraw)
       hubs = nodes.join(hraw, nodes("node") === hraw("src"), "left")
         .select(nodes("node"),
           expr(s"(CAST(coalesce(hraw, 0) AS DECIMAL(38,0)) * $Scale) div $hsum")
@@ -494,6 +535,16 @@ object Graph {
     nodes.unpersist()
     ed.unpersist()
     out
+    } catch { case t: Throwable =>
+      // no leaked persisted state on ANY exit path: prevRound tracks
+      // every currently-persisted raw relation (the current round's
+      // entries are pushed BEFORE their probes run), so a mid-loop
+      // failure releases exactly what is live
+      prevRound.foreach(_.unpersist())
+      nodes.unpersist()
+      ed.unpersist()
+      throw t
+    }
   }
 
   /** Synchronous label-propagation community detection (Raghavan et

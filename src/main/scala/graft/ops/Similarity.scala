@@ -245,9 +245,15 @@ object Similarity {
       s"marginMine broadcasts and cross-scores side A: got $na rows " +
       s"(cap $maxSide). Mine from ANN shortlists (Ivf.probe / lshTopK) " +
       "for corpus-scale sides.")
+    // self-pairs are excluded (the bruteScores convention): when the
+    // sides share ids — a corpus mined against itself, overlapping
+    // shards — a vector's self-pair scores cos = 1.0, occupies a
+    // forward top-k slot and inflates BOTH neighborhood sums, silently
+    // distorting every margin; on id-disjoint sides the predicate
+    // matches nothing and the result is unchanged
     val qa = a.select(col("vec_id").as("src_id"), col("embedding").as("a_emb"))
     val scored = b.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb"))
-      .join(broadcast(qa))
+      .join(broadcast(qa), col("src_id") =!= col("dst_id"))
       .select(col("src_id"), col("dst_id"),
         cosine_similarity(col("a_emb"), col("b_emb")).as("cos"))
     val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))

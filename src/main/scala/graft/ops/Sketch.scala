@@ -305,9 +305,12 @@ object Sketch {
     val n = b0.getAs[Long]("n")
     require(n > 0, "no non-null values")
     // fail fast instead of silently wrapping: hi - lo overflow would
-    // skip bisection and collect every distinct value to the driver
+    // skip bisection and collect every distinct value to the driver;
+    // the bound leaves `bins` of headroom because the per-round ceil
+    // width (hi - lo + bins) / bins must itself not wrap
     require(BigInt(b0.getAs[Long]("hi")) - BigInt(b0.getAs[Long]("lo"))
-      < Long.MaxValue, "value range exceeds 2^63 - shift/scale values first")
+      < BigInt(Long.MaxValue) - bins,
+      "value range exceeds 2^63 - bins - shift/scale values first")
     val results = qs.map { q =>
       val target = math.max(1L, math.ceil(q * n).toLong)
       var lo = b0.getAs[Long]("lo")
@@ -389,8 +392,12 @@ object Sketch {
       coalesce(sum("w"), lit(0L)).as("tw")).collect()(0)
     val tw = b0.getAs[Long]("tw")
     require(tw > 0, "no positive-weight values")
+    // bins of headroom: the ceil width (hi - lo + bins) / bins must not
+    // wrap either — a range within `bins` of 2^63 would produce a
+    // negative width and a corrupt bisection instead of a clear error
     require(BigInt(b0.getAs[Long]("hi")) - BigInt(b0.getAs[Long]("lo"))
-      < Long.MaxValue, "value range exceeds 2^63 - shift/scale values first")
+      < BigInt(Long.MaxValue) - bins,
+      "value range exceeds 2^63 - bins - shift/scale values first")
     val results = qs.map { q =>
       val target = math.max(1L, math.ceil(q * tw).toLong)
       var lo = b0.getAs[Long]("lo")
@@ -443,19 +450,43 @@ object Sketch {
     * like the n59 bins walk. Same definitional-oracle stance as n86:
     * the oracle is the per-group rank window, so green proves the
     * lock-step bisection finds every group's true order statistic.
+    *
+    * The driver state and each round's collect are `groups`-bounded,
+    * so the group column must be LOW-CARDINALITY by declaration
+    * (language, source, license — not URL or domain): `maxGroups`
+    * refuses an unbounded group column (the bruteScores guard
+    * convention) rather than OOMing the driver mid-bisection. For
+    * unbounded group counts use [[histQuantilesByGroup]] — its bins
+    * and windows stay fully distributed at any group cardinality.
     */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
                             qs: Seq[Double] = Seq(0.5, 0.99),
-                            bins: Int = 256): DataFrame = {
+                            bins: Int = 256,
+                            maxGroups: Int = 10000): DataFrame = {
     require(bins >= 2, "need at least two bins")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must lie in (0, 1]")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(groupCol).cast("string").as("grp"),
         col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cap-before-collect: count the groups in one scalar agg BEFORE
+    // materializing per-group bounds on the driver — refusing here is
+    // what keeps a per-URL group column from OOMing the driver. The
+    // working-set cache releases on the refusal path too (no leaked
+    // persisted state on any exit, the Graph.hits hygiene).
+    val nGroups = vals.select(col("grp")).distinct().count()
+    if (nGroups > maxGroups) {
+      vals.unpersist()
+      throw new IllegalArgumentException(
+        s"exactQuantilesByGroup holds groups x qs driver state and collects " +
+        s"groups x qs x bins rows per round: got $nGroups groups " +
+        s"(cap $maxGroups). Use histQuantilesByGroup for unbounded group " +
+        "counts - its bracketed quantiles stay fully distributed.")
+    }
     val bounds = vals.groupBy("grp").agg(min("v").as("lo"), max("v").as("hi"),
       count(lit(1)).as("n")).collect()
     final case class St(var lo: Long, var hi: Long, var below: Long,
@@ -463,8 +494,8 @@ object Sketch {
     val state = scala.collection.mutable.LinkedHashMap[(String, Double), St]()
     bounds.foreach { r =>
       val (g, lo, hi, n) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
-      require(BigInt(hi) - BigInt(lo) < Long.MaxValue,
-        s"value range of group $g exceeds 2^63 - shift/scale values first")
+      require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue) - bins,
+        s"value range of group $g exceeds 2^63 - bins - shift/scale values first")
       qs.foreach { q =>
         state((g, q)) = St(lo, hi, 0L, math.max(1L, math.ceil(q * n).toLong), n)
       }
@@ -535,14 +566,22 @@ object Sketch {
     * null or non-positive weight carry no mass (the
     * [[weightedQuantiles]] convention); the working-set cache releases
     * before return.
+    *
+    * Same `maxGroups` refusal as [[exactQuantilesByGroup]]: the driver
+    * state and per-round collects are groups-bounded, so an unbounded
+    * group column (per-URL, per-domain) is refused up front —
+    * [[histQuantilesByGroup]] is the fully-distributed alternative
+    * (weight its input rows upstream or accept per-document brackets).
     */
   def weightedQuantilesByGroup(df: DataFrame, groupCol: String,
                                valueCol: String, weightCol: String,
                                qs: Seq[Double] = Seq(0.5, 0.99),
-                               bins: Int = 256): DataFrame = {
+                               bins: Int = 256,
+                               maxGroups: Int = 10000): DataFrame = {
     require(bins >= 2, "need at least two bins")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must lie in (0, 1]")
+    require(maxGroups >= 1, "maxGroups must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(groupCol).cast("string").as("grp"),
@@ -550,6 +589,17 @@ object Sketch {
         col(weightCol).cast("long").as("w"))
       .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cap-before-collect with cache release on refusal, as
+    // exactQuantilesByGroup
+    val nGroups = vals.select(col("grp")).distinct().count()
+    if (nGroups > maxGroups) {
+      vals.unpersist()
+      throw new IllegalArgumentException(
+        s"weightedQuantilesByGroup holds groups x qs driver state and collects " +
+        s"groups x qs x bins rows per round: got $nGroups groups " +
+        s"(cap $maxGroups). Use histQuantilesByGroup for unbounded group " +
+        "counts - its bracketed quantiles stay fully distributed.")
+    }
     val bounds = vals.groupBy("grp").agg(min("v").as("lo"), max("v").as("hi"),
       sum("w").as("tw")).collect()
     final case class St(var lo: Long, var hi: Long, var below: Long,
@@ -558,8 +608,8 @@ object Sketch {
     bounds.foreach { r =>
       val (g, lo, hi, tw) = (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))
-      require(BigInt(hi) - BigInt(lo) < Long.MaxValue,
-        s"value range of group $g exceeds 2^63 - shift/scale values first")
+      require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue) - bins,
+        s"value range of group $g exceeds 2^63 - bins - shift/scale values first")
       qs.foreach { q =>
         state((g, q)) = St(lo, hi, 0L, math.max(1L, math.ceil(q * tw).toLong), tw)
       }

@@ -1390,8 +1390,12 @@ object TextAnalysis {
     *
     *  - `ok_word_count`: 50 <= words <= 100,000
     *  - `ok_mean_word_len`: mean word length in [3, 10] characters
-    *  - `ok_symbol_ratio`: (# '#' chars + '...' runs + '…' chars) <=
-    *    0.1 x words
+    *  - `ok_hash_ratio`: '#' chars <= 0.1 x words
+    *  - `ok_ellipsis_ratio`: ('...' runs + '…' chars) <= 0.1 x words
+    *    — the paper gates the hash ratio and the ellipsis ratio
+    *    SEPARATELY ("either"), so the two flags are independent: a doc
+    *    at 0.06 hash + 0.06 ellipsis passes both, as Gopher does
+    *    (summing them into one count, the pre-r10 behavior, failed it)
     *  - `ok_bullet_lines`: <= 90% of lines start with a bullet
     *    ('- ', '* ', or '•')
     *  - `ok_ellipsis_lines`: <= 30% of lines end with '...' or '…'
@@ -1417,7 +1421,8 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         size(words).cast("long").as("n_words"),
         aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_word_chars"),
-        (occ("#") + (occ("...") / 3).cast("long") + occ("…")).as("n_symbols"),
+        occ("#").as("n_hash"),
+        ((occ("...") / 3).cast("long") + occ("…")).as("n_ellipsis"),
         size(lns).cast("long").as("n_lines"),
         size(filter(lns, l => startswith(ltrim(l), lit("- ")) ||
           startswith(ltrim(l), lit("* ")) || startswith(ltrim(l), lit("•"))))
@@ -1433,8 +1438,10 @@ object TextAnalysis {
       .withColumn("ok_mean_word_len",
         lit(3L) * col("n_words") <= col("n_word_chars") &&
           col("n_word_chars") <= lit(10L) * col("n_words"))
-      .withColumn("ok_symbol_ratio",
-        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_hash_ratio",
+        lit(10L) * col("n_hash") <= col("n_words"))
+      .withColumn("ok_ellipsis_ratio",
+        lit(10L) * col("n_ellipsis") <= col("n_words"))
       .withColumn("ok_bullet_lines",
         lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
       .withColumn("ok_ellipsis_lines",
@@ -1444,9 +1451,9 @@ object TextAnalysis {
       .withColumn("ok_stopwords", col("n_stopword_kinds") >= 2L)
       .withColumn("gopher_pass",
         col("ok_word_count") && col("ok_mean_word_len") &&
-          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
-          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
-          col("ok_stopwords"))
+          col("ok_hash_ratio") && col("ok_ellipsis_ratio") &&
+          col("ok_bullet_lines") && col("ok_ellipsis_lines") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
   }
 
   /** The C4 cleaning pass (Raffel et al. 2020, "Exploring the Limits

@@ -1899,6 +1899,34 @@ class OpsSpec extends SparkSpec {
     qs.foreach(q => assert(single(q) == got(("wide", q))))
   }
 
+  test("group-wise quantile bisection refuses unbounded group columns") {
+    import spark.implicits._
+    // the guard is cap-BEFORE-collect: an over-cardinal group column
+    // (per-URL, per-domain) must refuse with the distributed
+    // alternative named, never OOM the driver holding groups x qs
+    // state — the bruteScores/allPairsExact guard convention
+    val manyGroups = (1L to 50L).map(i => (s"url$i", i)).toDF("grp", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      Sketch.exactQuantilesByGroup(manyGroups, "grp", "x",
+        Seq(0.5), bins = 8, maxGroups = 10)
+    }
+    assert(e1.getMessage.contains("histQuantilesByGroup") &&
+      e1.getMessage.contains("50 groups"),
+      "refusal must name the unbounded-groups alternative and the count")
+    val wManyGroups = (1L to 50L).map(i => (s"url$i", i, 2L)).toDF("grp", "x", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketch.weightedQuantilesByGroup(wManyGroups, "grp", "x", "w",
+        Seq(0.5), bins = 8, maxGroups = 10)
+    }
+    assert(e2.getMessage.contains("histQuantilesByGroup"))
+    // at the cap exactly, the operator still runs (closed bound)
+    val atCap = Sketch.exactQuantilesByGroup(
+      (1L to 10L).map(i => (s"g$i", i)).toDF("grp", "x"),
+      "grp", "x", Seq(1.0), bins = 8, maxGroups = 10).collect()
+    assert(atCap.length == 10 &&
+      atCap.forall(r => r.getAs[Long]("exact_value") == r.getString(0).drop(1).toLong))
+  }
+
   test("hllOverlapByGroup: inclusion-exclusion tracks the planted overlap") {
     import spark.implicits._
     // a: 1..2000, b: 1001..3000 (overlap 1000), c: disjoint 5001..5500
@@ -2431,15 +2459,22 @@ class OpsSpec extends SparkSpec {
     def doc(id: Long, text: String) = (id, text)
     val good = (Seq.fill(60)("word") ++ Seq("the", "and")).mkString(" ")
     val docs = Seq(
-      doc(1L, good),                                     // passes all 7
+      doc(1L, good),                                     // passes all 8
       doc(2L, "the and word word word"),                 // word count 5 < 50
       doc(3L, (Seq.fill(60)("a") ++ Seq("the", "and")).mkString(" ")), // mean len < 3
-      doc(4L, good + " # # # # # # #"),                  // 7 symbols, 10*7 > 69 words
+      doc(4L, good + " # # # # # # #"),                  // 7 hashes, 10*7 > 69 words
       doc(5L, good + "\n" + Seq.fill(10)("- x").mkString("\n")), // 10/11 bullet lines
       doc(6L, good + "\n" + Seq.fill(2)("so on...").mkString("\n")), // 2/3 ellipsis
       doc(7L, (Seq.fill(50)("word") ++ Seq.fill(20)("42") ++
         Seq("the", "and")).mkString(" ")),               // 52/72 alpha < 80%
-      doc(8L, Seq.fill(60)("word").mkString(" ") + " the") // 1 stopword kind
+      doc(8L, Seq.fill(60)("word").mkString(" ") + " the"), // 1 stopword kind
+      // Rae et al. gate the hash ratio and ellipsis ratio SEPARATELY
+      // ("either"): 4 hashes + 4 ellipses over 70 words is ~0.057 each
+      // — both under 0.1 so both flags pass, while the pre-r10 summed
+      // count (8, 10*8 > 70) wrongly failed the doc; doc 10 crosses
+      // the bar on ellipses alone
+      doc(9L, good + " # # # # … … … …"),               // 4+4 over 70 words
+      doc(10L, good + " … … … … … … … …")               // 8 ellipses, 10*8 > 70
     ).toDF("doc_id", "text")
     val r = TextAnalysis.gopherRules(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
@@ -2447,14 +2482,21 @@ class OpsSpec extends SparkSpec {
     assert(!r(2L).getAs[Boolean]("ok_word_count") &&
       r(2L).getAs[Boolean]("ok_stopwords"))
     assert(!r(3L).getAs[Boolean]("ok_mean_word_len"))
-    assert(!r(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!r(4L).getAs[Boolean]("ok_hash_ratio"))
+    assert(r(4L).getAs[Boolean]("ok_ellipsis_ratio"),
+      "hash spam must not fail the ellipsis flag — the ratios are separate")
     assert(r(4L).getAs[Boolean]("ok_alpha_words"),
       "7 '#' tokens out of 69 words stays above the 80% alpha bar")
     assert(!r(5L).getAs[Boolean]("ok_bullet_lines"))
     assert(!r(6L).getAs[Boolean]("ok_ellipsis_lines"))
     assert(!r(7L).getAs[Boolean]("ok_alpha_words"))
     assert(!r(8L).getAs[Boolean]("ok_stopwords"))
-    Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).foreach(id =>
+    assert(r(9L).getAs[Boolean]("ok_hash_ratio") &&
+      r(9L).getAs[Boolean]("ok_ellipsis_ratio"),
+      "0.06 hash + 0.06 ellipsis passes Gopher (the paper's 'either')")
+    assert(!r(10L).getAs[Boolean]("ok_ellipsis_ratio") &&
+      r(10L).getAs[Boolean]("ok_hash_ratio"))
+    Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 10L).foreach(id =>
       assert(!r(id).getAs[Boolean]("gopher_pass"), s"doc $id must fail the gate"))
     // the '…' single-char ellipsis counts like '...' does
     val uni = TextAnalysis.gopherRules(

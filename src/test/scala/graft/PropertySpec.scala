@@ -387,4 +387,93 @@ class PropertySpec extends SparkSpec {
       a == b && a == s && a.sorted == a
     }))
   }
+
+  // token pool for the published-gate laws: words (some stopwords, some
+  // non-alpha), symbol spam, and line-structure fragments, so every
+  // Gopher/C4 rule is exercised by the generated corpora
+  private val gateTok = Gen.frequency(
+    10 -> Gen.oneOf("word", "data", "the", "and", "of", "that", "alpha",
+      "vector", "quantum", "42", "#", "…"),
+    1 -> Gen.const("\n- bullet item line"),
+    1 -> Gen.const("\nit continues on..."),
+    1 -> Gen.const("\nThis sentence ends properly with many words here."))
+  private val gateCorpus: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.choose(30, 130)
+      .flatMap(n => Gen.listOfN(n, gateTok).map(_.mkString(" "))))
+
+  test("gopherRules laws: flags = published thresholds over counts; tightening only removes; repartition-deterministic") {
+    import spark.implicits._
+    assert(passes(Prop.forAll(gateCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.ops.TextAnalysis.gopherRules(docs).collect()
+      val flagsFromCounts = rows.forall { r =>
+        val (nw, nc) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_word_chars"))
+        val (nh, ne) = (r.getAs[Long]("n_hash"), r.getAs[Long]("n_ellipsis"))
+        val (nl, nb, nel) = (r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_bullet_lines"), r.getAs[Long]("n_ellipsis_lines"))
+        val (na, ns) = (r.getAs[Long]("n_alpha_words"),
+          r.getAs[Long]("n_stopword_kinds"))
+        r.getAs[Boolean]("ok_word_count") == (nw >= 50L && nw <= 100000L) &&
+        r.getAs[Boolean]("ok_mean_word_len") == (3 * nw <= nc && nc <= 10 * nw) &&
+        r.getAs[Boolean]("ok_hash_ratio") == (10 * nh <= nw) &&
+        r.getAs[Boolean]("ok_ellipsis_ratio") == (10 * ne <= nw) &&
+        r.getAs[Boolean]("ok_bullet_lines") == (10 * nb <= 9 * nl) &&
+        r.getAs[Boolean]("ok_ellipsis_lines") == (10 * nel <= 3 * nl) &&
+        r.getAs[Boolean]("ok_alpha_words") == (5 * na >= 4 * nw) &&
+        r.getAs[Boolean]("ok_stopwords") == (ns >= 2L) &&
+        r.getAs[Boolean]("gopher_pass") == (
+          r.getAs[Boolean]("ok_word_count") && r.getAs[Boolean]("ok_mean_word_len") &&
+          r.getAs[Boolean]("ok_hash_ratio") && r.getAs[Boolean]("ok_ellipsis_ratio") &&
+          r.getAs[Boolean]("ok_bullet_lines") && r.getAs[Boolean]("ok_ellipsis_lines") &&
+          r.getAs[Boolean]("ok_alpha_words") && r.getAs[Boolean]("ok_stopwords"))
+      }
+      // tightening EVERY threshold (counts are in the output, so the
+      // tightened gate is pure arithmetic over the same rows): a doc
+      // passing the tight gate must pass the published one
+      val monotone = rows.forall { r =>
+        val (nw, nc) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_word_chars"))
+        val tight =
+          nw >= 60L && nw <= 90000L &&
+          4 * nw <= nc && nc <= 9 * nw &&
+          20 * r.getAs[Long]("n_hash") <= nw &&
+          20 * r.getAs[Long]("n_ellipsis") <= nw &&
+          10 * r.getAs[Long]("n_bullet_lines") <= 8 * r.getAs[Long]("n_lines") &&
+          10 * r.getAs[Long]("n_ellipsis_lines") <= 2 * r.getAs[Long]("n_lines") &&
+          10 * r.getAs[Long]("n_alpha_words") >= 9 * nw &&
+          r.getAs[Long]("n_stopword_kinds") >= 3L
+        !tight || r.getAs[Boolean]("gopher_pass")
+      }
+      // pure column expressions: the flags must not depend on layout
+      val rep = graft.ops.TextAnalysis.gopherRules(docs.repartition(7))
+        .collect().map(_.toSeq).toSet
+      flagsFromCounts && monotone && rep == rows.map(_.toSeq).toSet
+    }))
+  }
+
+  test("c4Clean laws: blocklist growth only removes pages; kept set shrinks monotonically; repartition-deterministic") {
+    import spark.implicits._
+    assert(passes(Prop.forAll(gateCorpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def keptIds(bl: Seq[String]): Set[Long] =
+        graft.ops.TextAnalysis.c4Clean(docs, bl).filter(col("kept"))
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+      val k0 = keptIds(Nil)
+      val k1 = keptIds(Seq("vector"))
+      val k2 = keptIds(Seq("vector", "quantum"))
+      // adding a blocklist term can only remove pages, never add or
+      // change a surviving page's cleaned text
+      val nested = k2.subsetOf(k1) && k1.subsetOf(k0)
+      val full = graft.ops.TextAnalysis.c4Clean(docs, Seq("vector"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("kept"), r.getAs[String]("text_clean"))).toMap
+      val rep = graft.ops.TextAnalysis.c4Clean(docs.repartition(5), Seq("vector"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("kept"), r.getAs[String]("text_clean"))).toMap
+      // line reassembly is order-pinned (array_sort over (idx, line)),
+      // so the cleaned text — not just the verdict — is layout-invariant
+      nested && rep == full
+    }))
+  }
 }
