@@ -8,6 +8,59 @@ import org.apache.spark.sql.SparkSession
   * is not billed to the first query.
   */
 object Bench {
+
+  /** Self-adjudication of a sweep (VERDICT r9 #6): name the queries
+    * whose timings should be DISCOUNTED as box contamination, from
+    * evidence the sweep already carries. A query is suspect iff
+    *
+    *   1. its two back-to-back runs diverge more than 1.5x (plan cost
+    *      cannot do that — the second run is the same plan JIT-hot;
+    *      only transient contention at that sweep position can), AND
+    *   2. a NEIGHBORING calibration probe (the batch boundary at or
+    *      before the query, or the one after) drifted more than 3x
+    *      above its own family's sweep median — independent evidence
+    *      that the box, not the query, was sick right there.
+    *
+    * Both signals existed in the r9 driver artifact (io256 at 7.21 s
+    * vs a 0.15 s typical, beside run pairs like 37/64 s) but a human
+    * had to connect them; this emits the connection into
+    * BENCH_FULL.json as `"suspect"` so the artifact adjudicates
+    * itself. Probe failures (-1 sentinels) are excluded from medians
+    * and never count as drift; the family median uses the upper-middle
+    * element (deterministic, no interpolation).
+    *
+    * The divergence bar is 1.5x, NOT the 3x the r9 verdict sketched:
+    * the r9 contaminated pairs themselves diverge 1.7x (37/64 s) and
+    * 2.6x (17/45 s) — a 3x bar misses the very queries the rule was
+    * written for. Specificity comes from the CONJUNCTION, not the
+    * bar: a clean sweep has no drifted probes, so its JIT pairs (n06's
+    * 8x first-run regex warmup) never flag; near a sick probe, every
+    * materially-divergent pair is exactly the evidence to discount.
+    */
+  private[graft] def suspectQueries(
+      runPairs: Seq[(String, (Double, Double))],
+      calib: Seq[(String, Double)]): Seq[String] = {
+    val probe = "^(pos|io)(\\d+)$".r
+    val parsed = calib.collect {
+      case (probe(fam, p), v) if v >= 0.0 => (fam, p.toInt, v)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
+    val med = parsed.groupBy(_._1).map { case (f, xs) => f -> median(xs.map(_._3)) }
+    val drifted: Set[Int] = parsed.collect {
+      case (f, p, v) if med(f) > 0.0 && v > 3.0 * med(f) => p
+    }.toSet
+    val positions = parsed.map(_._2).distinct.sorted
+    runPairs.zipWithIndex.collect {
+      case ((name, (a, b)), i)
+          if math.min(a, b) > 0.0 && math.max(a, b) > 1.5 * math.min(a, b) &&
+            (positions.filter(_ <= i).lastOption.exists(drifted) ||
+              positions.find(_ > i).exists(drifted)) => name
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,8 +158,13 @@ object Bench {
       .mkString("{", ",", "}")
     val runs = runPairs.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
       .mkString("{", ",", "}")
+    // the sweep adjudicates itself: positions where pair divergence and
+    // probe drift coincide are named, so a reader discounts them
+    // without reconstructing the r9 postmortem by hand
+    val suspect = suspectQueries(runPairs.toSeq, calib.toSeq)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration":$cal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration":$cal,"suspect":$suspect,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of output and parses the
     // final JSON line it finds there. With 120+ queries the full map blows
     // that budget (every prior round recorded parsed:null), so: dump the
