@@ -391,11 +391,14 @@ object SparkEntry {
   // verification mirror Dedup.minhashNearDups step for step.
   private def minhashOracleSql(k: Int, numHashes: Int, bands: Int,
                                threshold: Double, seed: Long = 42L,
-                               wordGrams: Boolean = false): String = {
+                               wordGrams: Boolean = false,
+                               src: String = "documents"): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     // shingle hash list per doc: character k-shingles, or word n-grams
-    // rebuilt as the exact joined-with-space strings the kernel hashes
+    // rebuilt as the exact joined-with-space strings the kernel hashes.
+    // `src` lets a caller band a CTE instead of the raw table (n150's
+    // old-corpus ∪ planted-slice union)
     val baseCte =
       if (wordGrams)
         s"""base AS (SELECT doc_id,
@@ -403,12 +406,12 @@ object SparkEntry {
            |    j -> ${fnvSql(s"array_to_string(ws[j:j+${k - 1}], ' ')")})) AS hs
            | FROM (SELECT doc_id,
            |   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
-           |  FROM documents))""".stripMargin
+           |  FROM $src))""".stripMargin
       else
         s"""base AS (SELECT doc_id,
            |  list_distinct(list_transform(generate_series(1, greatest(len(text) - ${k - 1}, 1)),
            |    j -> ${fnvSql(s"substr(text, j, $k)")})) AS hs
-           | FROM documents)""".stripMargin
+           | FROM $src)""".stripMargin
     def u(l: Long): java.math.BigInteger =
       if (l >= 0) java.math.BigInteger.valueOf(l)
       else java.math.BigInteger.valueOf(l).add(java.math.BigInteger.ONE.shiftLeft(64))
@@ -2368,6 +2371,36 @@ object SparkEntry {
           .withColumn("doc_id", lit(2000007L)))
       Dedup.incrementalDedup(existing, incoming)
         .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
+    "n150_incremental_neardup" -> ((s, dir) => {
+      // the weekly re-crawl, NEAR-dup edition: a slice deduped against
+      // the published corpus's minhash BAND INDEX — old signatures read
+      // from the index relation, never recomputed. Planted MUTATED
+      // copies (short appended tails: high Jaccard, different digest,
+      // so n49's exact path cannot catch them) of existing docs 0/2/4
+      // must drop via the index join, a mutated copy of slice mate 251
+      // via the within-slice banding; genuinely new docs survive. Ids
+      // keep the ingest-order invariant (old < 250 <= new), so the
+      // oracle replays batch banding over the union and drops doc_id_b
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") < 250)
+      val incoming = base.filter(col("doc_id") >= 250)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", concat(col("text"), lit(" tail bit"))))
+        // doc_id stays a COLUMN (251 + 2999756 = 3000007): a lit() id
+        // would fold the semi-join keys on this branch into constants
+        // and degrade every downstream id join to a nested loop —
+        // PlanLintSpec caught exactly that
+        .unionAll(base.filter(col("doc_id") === 251L)
+          .withColumn("doc_id", col("doc_id") + 2999756L)
+          .withColumn("text", concat(col("text"), lit(" x"))))
+      val index = Dedup.minhashBandIndex(existing, k = 5, numHashes = 64,
+        bands = 16)
+      Dedup.incrementalMinhashDedup(index, existing, incoming,
+          k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
     }),
 
     "n50_line_dedup" -> ((s, dir) => {
@@ -5919,6 +5952,24 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM deduped
         |WHERE text NOT IN (SELECT text FROM existing)
         |ORDER BY doc_id""".stripMargin,
+
+    // batch minhash banding replayed over the old∪new union (the
+    // spec-pinned law: under the ingest-order id invariant the
+    // incremental result equals batch minhashDedup restricted to
+    // incoming rows, so the oracle IS the batch replay — every victim
+    // is a doc_id_b of some banded+verified pair)
+    "n150_incremental_neardup" ->
+      s"""WITH u AS (
+         | SELECT doc_id, text, n_chars FROM documents
+         | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars
+         |   FROM documents WHERE doc_id IN (0, 2, 4)
+         | UNION ALL SELECT 3000007, text || ' x', n_chars
+         |   FROM documents WHERE doc_id = 251),
+         |p AS (SELECT doc_id_b FROM (${minhashOracleSql(k = 5, numHashes = 64,
+               bands = 16, threshold = 0.5, src = "u")}))
+         |SELECT doc_id, n_chars FROM u
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM p)
+         |ORDER BY doc_id""".stripMargin,
 
     "n50_line_dedup" ->
       // string-equality replay of the hash-keyed frequent-line set

@@ -294,21 +294,12 @@ object Dedup {
                       maxBucket: Int = 1000, seed: Long = 42L,
                       wordGrams: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    def sigOf(c: org.apache.spark.sql.Column) =
-      if (wordGrams) minhash_words(c, k, numHashes, seed)
-      else minhash_signature(c, k, numHashes, seed)
     def shOf(c: org.apache.spark.sql.Column) =
       if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
-    val sigs = docs.select(col("doc_id"), sigOf(col("text")).as("sig"))
     // band key: (band index, the signature slice itself) — slice
     // equality is the exact collision condition, so no hash-bucket
     // false positives, and the banding is replayable by the oracle
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), slice(col("sig"), b * r + 1, r).as("bucket")))
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandRows(docs, k, numHashes, bands, seed, wordGrams)
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -356,6 +347,137 @@ object Dedup {
         wordGrams = wordGrams)
       .select(col("doc_id_b").as("doc_id")).distinct()
     docs.join(dups, Seq("doc_id"), "left_anti")
+  }
+
+  /** One (doc_id, band, bucket) row per LSH band presentation — the
+    * banding stage of [[minhashNearDups]], factored so the batch
+    * operator and the persisted band index ([[minhashBandIndex]]) are
+    * the same construction by definition, not by convention.
+    */
+  private def bandRows(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
+                       seed: Long, wordGrams: Boolean): DataFrame = {
+    val r = numHashes / bands
+    def sigOf(c: org.apache.spark.sql.Column) =
+      if (wordGrams) minhash_words(c, k, numHashes, seed)
+      else minhash_signature(c, k, numHashes, seed)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), slice(col("sig"), b * r + 1, r).as("bucket")))
+    docs.select(col("doc_id"), sigOf(col("text")).as("sig"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** The persisted minhash BAND INDEX of a corpus: one row per
+    * (doc_id, band, bucket), where bucket is the signature slice
+    * itself (the exact [[minhashNearDups]] collision key). Written
+    * once at corpus-build time — parquet alongside the corpus, the
+    * [[writeCorpusSnapshot]] convention — and read by every future
+    * crawl slice ([[incrementalMinhashDedup]]), so the corpus TEXT is
+    * never re-shingled and its signatures are never recomputed: at
+    * 100 TB the index is `bands` skinny rows per document (~3 orders
+    * smaller than the text), and maintaining it after a slice is one
+    * append of the SURVIVORS' index rows (`minhashBandIndex(survivors)`
+    * — the index delta; per-doc rows make the delta a pure append).
+    * In a production lake, write it hive-partitioned or bucketed by
+    * `band` so a slice's per-band probes prune to matching files.
+    */
+  def minhashBandIndex(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
+                       bands: Int = 16, seed: Long = 42L,
+                       wordGrams: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    bandRows(docs, k, numHashes, bands, seed, wordGrams)
+  }
+
+  /** Incremental NEAR-dup dedup of a crawl slice against a persisted
+    * band index — the weekly re-crawl shape at 100 TB, and the
+    * near-dup completion of the incremental ladder ([[incrementalDedup]]
+    * is exact-digest-only): admit the incoming documents that
+    * near-duplicate neither the existing corpus nor a lower-id slice
+    * mate, WITHOUT recomputing anything over the old corpus. `index`
+    * is the published [[minhashBandIndex]] relation; `corpus` is the
+    * existing documents relation, read ONLY to fetch the text of
+    * old-side candidate pairs for exact-Jaccard verification (a
+    * candidate-sized semi-join — point lookups, never a scan-and-
+    * reshingle of the corpus). Id spaces must be disjoint (the corpus
+    * is immutable; a slice reusing an existing id is an upstream bug).
+    *
+    * Semantics: an incoming doc drops iff a verified pair (exact
+    * Jaccard >= threshold, shared band bucket of size <= maxBucket in
+    * the old∪new banding) connects it to ANY existing doc — regardless
+    * of id order, the corpus wins — or to a LOWER-id incoming doc (the
+    * [[minhashDedup]] rule within the slice). The spec-pinned law:
+    * when every existing id precedes every incoming id (the ingest-
+    * order invariant), the survivors EQUAL batch [[minhashDedup]] over
+    * existing-then-incoming restricted to incoming rows — with the old
+    * side's signatures READ from the index, not recomputed.
+    *
+    * 100 TB shape: the slice's band rows are computed once (persisted
+    * — two consumers: the key probe and the bucket union); the index
+    * enters through one (band, bucket)-keyed semi-join — the
+    * bloom-prunable shape, and partition-prunable when the index is
+    * laid out by band — so index rows in buckets no incoming doc
+    * touches are never read twice. Bucket membership then replays the
+    * batch construction exactly: every old member of any bucket an
+    * incoming doc presents is present, so bucket sizes (and the
+    * maxBucket drop) match the batch run on old∪new. Candidate pairs
+    * keep only new-involving combinations; texts are fetched back
+    * candidate-sized from each side. The pair relation persists under
+    * the [[minhashNearDups]] caller-owned-cache convention.
+    */
+  def incrementalMinhashDedup(index: DataFrame, corpus: DataFrame,
+                              incoming: DataFrame, k: Int = 5,
+                              numHashes: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.8, maxBucket: Int = 1000,
+                              seed: Long = 42L,
+                              wordGrams: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def shOf(c: org.apache.spark.sql.Column) =
+      if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
+    val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only index rows in buckets the slice actually presents matter:
+    // old docs confined to untouched buckets cannot pair with the
+    // slice, and old-old pairs never drop an incoming doc
+    val keys = newBands.select(col("band"), col("bucket")).distinct()
+    val oldRelevant = index.join(keys, Seq("band", "bucket"), "left_semi")
+    val tagged = newBands.withColumn("is_new", lit(true))
+      .unionByName(oldRelevant.select(col("doc_id"), col("band"), col("bucket"))
+        .withColumn("is_new", lit(false)))
+    val buckets = tagged.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .filter(col("ia.doc_id") < col("ib.doc_id") &&
+        (col("ia.is_new") || col("ib.is_new")))
+      .select(col("ia.doc_id").as("a"), col("ia.is_new").as("a_new"),
+        col("ib.doc_id").as("b"), col("ib.is_new").as("b_new"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verification, candidate-sized on BOTH sides: old texts come
+    // from the corpus via semi-join (point reads), new from the slice
+    val oldIds = pairs.filter(!col("a_new")).select(col("a").as("doc_id"))
+      .union(pairs.filter(!col("b_new")).select(col("b").as("doc_id"))).distinct()
+    val newIds = pairs.filter(col("a_new")).select(col("a").as("doc_id"))
+      .union(pairs.filter(col("b_new")).select(col("b").as("doc_id"))).distinct()
+    val sh = corpus.join(oldIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shOf(col("text")).as("sh"))
+      .unionByName(incoming.join(newIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shOf(col("text")).as("sh")))
+    val verified = pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+    // the victim is the NEW side of a cross pair (the corpus is
+    // immutable, whatever the ids say) and the higher id of a
+    // within-slice pair (the minhashDedup rule)
+    val victims = verified.select(
+      when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
+        .as("doc_id")).distinct()
+    incoming.join(victims, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash near-duplicate pairs at Hamming distance <= maxDistance.

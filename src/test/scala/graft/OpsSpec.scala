@@ -625,6 +625,65 @@ class OpsSpec extends SparkSpec {
     assert(!deduped.select("doc_id").collect().map(_.getLong(0)).contains(2L))
   }
 
+  test("incrementalMinhashDedup: equals batch on the union; the index, not the corpus text, is the old side's authority") {
+    import spark.implicits._
+    // four unrelated sentence families (cross-family char-5-gram
+    // Jaccard ~ 0), near-dup variants made by short appended tails
+    val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
+    val b = "quantum solvers iterate over sparse matrices until the residual drops below machine epsilon thresholds"
+    val c = "fermented tea leaves steep slowly in copper kettles as the market vendors argue about prices"
+    val d = "distributed shuffle services spill partitioned buffers to local disks when executors exceed memory fractions"
+    val old = Seq((1L, a), (2L, a + " v2"), (3L, b), (4L, c))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, a + " tail"), // drops: near-dups old 1/2 via the index
+      (102L, d),           // survives: genuinely new
+      (103L, d + " x"),    // drops: within-slice near-dup of 102
+      (104L, c + " y"),    // drops: near-dups old 4
+      (105L, "totally different short text about engines here")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(old, k = 5, numHashes = 64, bands = 16)
+    val inc = Dedup.incrementalMinhashDedup(index, old, incoming,
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == Seq(102L, 105L))
+    // THE law: under the ingest-order id invariant (all old ids < all
+    // incoming ids) the survivors equal batch minhashDedup over the
+    // union restricted to incoming rows
+    val batch = Dedup.minhashDedup(old.unionAll(incoming), k = 5,
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .filter(col("doc_id") >= 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc == batch, "incremental must equal batch minhashDedup on the union")
+    // signatures are READ, not recomputed: holing doc 4 out of the
+    // index lets its mutated copy 104 through even though the corpus
+    // relation still carries doc 4's text
+    val holed = index.filter(col("doc_id") =!= 4L)
+    val leaked = Dedup.incrementalMinhashDedup(holed, old, incoming,
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(leaked == Seq(102L, 104L, 105L),
+      "a doc absent from the index must suppress nothing — the index is the authority")
+    // empty index degenerates to within-slice minhashDedup
+    val solo = Dedup.incrementalMinhashDedup(index.filter(lit(false)),
+        old.filter(lit(false)), incoming,
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val soloBatch = Dedup.minhashDedup(incoming, k = 5, numHashes = 64,
+        bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(solo == soloBatch)
+    // the index delta is a pure append: index ∪ delta(survivors)
+    // equals the index rebuilt over old ∪ survivors
+    val survivors = incoming.filter(col("doc_id").isin(inc: _*))
+    val delta = Dedup.minhashBandIndex(survivors, k = 5, numHashes = 64,
+      bands = 16)
+    val appended = index.unionByName(delta).collect().map(_.toSeq).toSet
+    val rebuilt = Dedup.minhashBandIndex(old.unionAll(survivors), k = 5,
+      numHashes = 64, bands = 16).collect().map(_.toSeq).toSet
+    assert(appended == rebuilt, "maintaining the index is a pure append of the delta")
+  }
+
   test("word-trigram jaccard finds near-dups, threshold binds exactly") {
     // docs 1 vs 3 differ in one word of nine: 4 of 10 distinct word
     // trigrams shared -> jaccard exactly 0.4, so the pair appears at
