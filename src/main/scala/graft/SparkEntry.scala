@@ -382,6 +382,33 @@ object SparkEntry {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // Sign-LSH bucketing replay: hyperplane components exactly as
+  // Similarity.planeComponent (splitmix64 -> [-1, 1) double -> FLOAT,
+  // emitted as the widened double so DuckDB's literal equals Spark's
+  // float bit-for-bit), dot products as sequential left-folds matching
+  // the kernel's loop. Emits the CTE chain `hp, e, bk` — bk is one
+  // (vec_id, t, bucket) row per table, the exact collision key — for
+  // the n09 rerank tail and the n151 candidate build to share.
+  private def signLshBkCtes(planes: Int, tables: Int, dim: Int): String = {
+    def comp(t: Int, p: Int, d: Int): Double = {
+      val h = graft.functions.Hashing.splitmix64(
+        t.toLong * 1000003L + p.toLong * 8191L + d)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
+    }
+    val hpRows = (for (t <- 0 until tables; p <- 0 until planes) yield {
+      val vec = (0 until dim).map(d => dlit(comp(t, p, d))).mkString(", ")
+      s"($t, $p, [$vec])"
+    }).mkString(",\n  ")
+    val dot = s"list_reduce(list_transform(generate_series(1, $dim), " +
+      "i -> emb[i] * v[i]), (acc, x) -> acc + x)"
+    s"""hp(t, p, v) AS (VALUES
+       |  $hpRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bk AS (SELECT vec_id, t,
+       |  CAST(sum(CASE WHEN $dot >= 0.0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       | FROM e, hp GROUP BY vec_id, t)""".stripMargin
+  }
+
   // Full MinHash-LSH choreography replay, parameterized over shingle
   // width / signature length / banding / Jaccard threshold so one
   // generator serves every minhash-family query (n10 and the n-gram-
@@ -2174,6 +2201,29 @@ object SparkEntry {
       Similarity.marginMine(
           emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400),
           emb.filter(col("vec_id") % 2 === 1), k = 4)
+        .select(col("src_id"), col("dst_id"),
+          round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"),
+          col("mrank").cast("long").as("mrank"))
+        .orderBy("src_id", "mrank")
+    }),
+
+    "n151_margin_shortlist" -> ((s, dir) => {
+      // the n140 miner composed with a REAL ANN retriever: candidates
+      // are sign-LSH bucket co-occurrences (the n09 bucketing, 10
+      // planes x 6 tables) between the even-id mining batch and the
+      // odd-id side; only candidate pairs are scored and ranked — no
+      // broadcast cross-scoring, no side-size guard needed — and the
+      // margin arithmetic downstream is marginMine's own code path
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+      val ca = Similarity.withSignBuckets(a, "embedding", 10, 6)
+        .select(col("table"), col("bucket"), col("vec_id").as("src_id"))
+      val cb = Similarity.withSignBuckets(b, "embedding", 10, 6)
+        .select(col("table"), col("bucket"), col("vec_id").as("dst_id"))
+      val cand = ca.join(cb, Seq("table", "bucket"))
+        .select("src_id", "dst_id")
+      Similarity.marginMineShortlist(a, b, cand, k = 4)
         .select(col("src_id"), col("dst_id"),
           round(col("cos"), 6).as("cos"), round(col("margin"), 6).as("margin"),
           col("mrank").cast("long").as("mrank"))
@@ -5549,6 +5599,41 @@ object SparkEntry {
         |   ORDER BY margin DESC, dst_id) AS BIGINT) AS mrank
         |FROM m ORDER BY src_id, mrank""".stripMargin,
 
+    // the n140 margin replay with the pair relation narrowed to the
+    // n09 sign-LSH bucket co-occurrences — the candidate CTE is the
+    // ONLY difference, proving the shortlist composition runs the
+    // identical downstream arithmetic
+    "n151_margin_shortlist" ->
+      s"""WITH ${signLshBkCtes(planes = 10, tables = 6, dim = 64)},
+         |cand AS (SELECT DISTINCT qa.vec_id AS src_id, qb.vec_id AS dst_id
+         | FROM bk qa JOIN bk qb ON qa.t = qb.t AND qa.bucket = qb.bucket
+         | WHERE qa.vec_id % 2 = 0 AND qa.vec_id < 400 AND qb.vec_id % 2 = 1
+         |   AND qa.vec_id <> qb.vec_id),
+         |s AS (SELECT cand.src_id, cand.dst_id,
+         |  list_cosine_similarity(ae.emb, be.emb) AS cos
+         | FROM cand JOIN e ae ON ae.vec_id = cand.src_id
+         |           JOIN e be ON be.vec_id = cand.dst_id),
+         |r AS (SELECT *,
+         |      row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id) AS rkx,
+         |      row_number() OVER (PARTITION BY dst_id ORDER BY cos DESC, src_id) AS rky
+         |      FROM s),
+         |sx AS (SELECT src_id,
+         |        list_reduce(list_prepend(0.0, list(cos ORDER BY rkx)),
+         |          (acc, c) -> acc + c) AS sumx
+         |       FROM r WHERE rkx <= 4 GROUP BY src_id),
+         |sy AS (SELECT dst_id,
+         |        list_reduce(list_prepend(0.0, list(cos ORDER BY rky)),
+         |          (acc, c) -> acc + c) AS sumy
+         |       FROM r WHERE rky <= 4 GROUP BY dst_id),
+         |m AS (SELECT r.src_id, r.dst_id, r.cos,
+         |       8.0 * r.cos / (sx.sumx + sy.sumy) AS margin
+         |      FROM r JOIN sx USING (src_id) JOIN sy USING (dst_id)
+         |      WHERE r.rkx <= 4)
+         |SELECT src_id, dst_id, round(cos, 6) AS cos, round(margin, 6) AS margin,
+         | CAST(row_number() OVER (PARTITION BY src_id
+         |   ORDER BY margin DESC, dst_id) AS BIGINT) AS mrank
+         |FROM m ORDER BY src_id, mrank""".stripMargin,
+
     "n137_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 3),
@@ -7364,29 +7449,8 @@ object SparkEntry {
          | sqrt(avg(t2m * t2m)) AS t2m
          |FROM grid GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
-    "n09_knn_lsh" -> {
-      // hyperplane components exactly as Similarity.planeComponent:
-      // splitmix64 -> [-1, 1) double -> FLOAT, emitted as the widened
-      // double so DuckDB's literal equals Spark's float bit-for-bit
-      def comp(t: Int, p: Int, d: Int): Double = {
-        val h = graft.functions.Hashing.splitmix64(
-          t.toLong * 1000003L + p.toLong * 8191L + d)
-        (h.toDouble / Long.MaxValue.toDouble).toFloat.toDouble
-      }
-      val (planes, tables, dim) = (10, 6, 64)
-      val hpRows = (for (t <- 0 until tables; p <- 0 until planes) yield {
-        val vec = (0 until dim).map(d => dlit(comp(t, p, d))).mkString(", ")
-        s"($t, $p, [$vec])"
-      }).mkString(",\n  ")
-      // sequential left-fold dot product, matching the kernel's loop
-      val dot = "list_reduce(list_transform(generate_series(1, 64), " +
-        "i -> emb[i] * v[i]), (acc, x) -> acc + x)"
-      s"""WITH hp(t, p, v) AS (VALUES
-         |  $hpRows),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |bk AS (SELECT vec_id, t,
-         |  CAST(sum(CASE WHEN $dot >= 0.0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-         | FROM e, hp GROUP BY vec_id, t),
+    "n09_knn_lsh" ->
+      s"""WITH ${signLshBkCtes(planes = 10, tables = 6, dim = 64)},
          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
          | FROM (SELECT * FROM bk WHERE vec_id < 5) q
          | JOIN bk c ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id),
@@ -7397,8 +7461,7 @@ object SparkEntry {
          | FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
          |           JOIN e qe ON qe.vec_id = cand.query_id)
          |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
-         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-    },
+         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "n10_minhash_neardups" -> minhashOracleSql(k = 5, numHashes = 64,
       bands = 16, threshold = 0.5),

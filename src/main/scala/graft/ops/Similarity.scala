@@ -243,8 +243,8 @@ object Similarity {
     val na = a.count()
     require(na <= maxSide,
       s"marginMine broadcasts and cross-scores side A: got $na rows " +
-      s"(cap $maxSide). Mine from ANN shortlists (Ivf.probe / lshTopK) " +
-      "for corpus-scale sides.")
+      s"(cap $maxSide). Mine from ANN shortlists (Ivf.probe / lshTopK / " +
+      "marginMineShortlist) for corpus-scale sides.")
     // self-pairs are excluded (the bruteScores convention): when the
     // sides share ids — a corpus mined against itself, overlapping
     // shards — a vector's self-pair scores cos = 1.0, occupies a
@@ -256,6 +256,59 @@ object Similarity {
       .join(broadcast(qa), col("src_id") =!= col("dst_id"))
       .select(col("src_id"), col("dst_id"),
         cosine_similarity(col("a_emb"), col("b_emb")).as("cos"))
+    marginArithmetic(scored, k)
+  }
+
+  /** [[marginMine]] with both neighborhoods bounded by a caller-provided
+    * CANDIDATE relation — the scale composition the exact kernel's
+    * scaladoc promises (the [[mmrSelectShortlist]] convention):
+    * `candidates` is a (src_id, dst_id) relation from an upstream ANN
+    * retriever (sign-LSH bucket co-occurrence, [[Ivf.probe]] pairs,
+    * [[lshTopK]] output), and ONLY those pairs are scored, ranked, and
+    * summed — no broadcast cross-scoring, no side-size guard needed,
+    * because the quadratic object is never built. The margin
+    * arithmetic downstream is the SAME code path as [[marginMine]]
+    * ([[marginArithmetic]]), so the two cannot drift.
+    *
+    * Degradation law (spec-pinned): if `candidates` contains every
+    * pair the full cross-scoring would put in a forward (per-src) or
+    * backward (per-dst) top-k, the output is IDENTICAL to
+    * [[marginMine]] — ranking a superset of the true top-k restricted
+    * to candidates preserves the top-k, both neighborhood sums, and
+    * every margin; shortlists below that bar degrade gracefully
+    * (missing candidates can only remove pairs from neighborhoods).
+    * A src with no candidate pairs emits nothing (there is no
+    * neighborhood to normalize by — the retriever owes it candidates).
+    *
+    * 100 TB shape: candidates are retrieval-sized by construction;
+    * embeddings are fetched back through two id-keyed joins
+    * (candidate-bounded, the [[Dedup.embeddingNearDups]] fetch-back
+    * convention) and never enter the rank windows, which shuffle
+    * (src, dst, cos) rows only.
+    */
+  def marginMineShortlist(a: DataFrame, b: DataFrame, candidates: DataFrame,
+                          k: Int): DataFrame = {
+    require(k >= 1)
+    val cand = candidates.select(col("src_id"), col("dst_id"))
+      .filter(col("src_id") =!= col("dst_id")) // the marginMine convention
+      .distinct()
+    val scored = cand
+      .join(a.select(col("vec_id").as("src_id"), col("embedding").as("a_emb")),
+        Seq("src_id"))
+      .join(b.select(col("vec_id").as("dst_id"), col("embedding").as("b_emb")),
+        Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        cosine_similarity(col("a_emb"), col("b_emb")).as("cos"))
+    marginArithmetic(scored, k)
+  }
+
+  /** The Artetxe-Schwenk margin arithmetic shared verbatim by
+    * [[marginMine]] (exact cross-scoring) and [[marginMineShortlist]]
+    * (ANN candidates): double rank over a (src_id, dst_id, cos)
+    * relation, rank-pinned neighborhood sums, one pinned margin
+    * expression, per-src margin rank.
+    */
+  private def marginArithmetic(scored: DataFrame, k: Int): DataFrame = {
     val wx = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))
     val wy = Window.partitionBy(col("dst_id")).orderBy(col("cos").desc, col("src_id"))
     // three consumers (both neighborhood aggs + the candidate filter)

@@ -2746,6 +2746,54 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("marginMine"))
   }
 
+  test("marginMineShortlist: covering shortlists reproduce marginMine exactly; holes degrade gracefully") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val A = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+    val B = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 200)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src_id", "dst_id", "cos", "margin", "mrank")
+        .collect().map(_.toSeq).toSet
+    val full = rows(Similarity.marginMine(A, B, k = 3))
+    // degradation law, strongest form: the COMPLETE bipartite candidate
+    // set contains every forward and backward top-k pair, so the
+    // shortlist path must be bit-identical to the guarded cross-scorer
+    val allPairs = A.select(col("vec_id").as("src_id"))
+      .crossJoin(B.select(col("vec_id").as("dst_id")))
+    assert(rows(Similarity.marginMineShortlist(A, B, allPairs, k = 3)) == full,
+      "complete candidates must reproduce marginMine bit-for-bit")
+    // covering-but-minimal: exactly the forward top-k per src and
+    // backward top-k per dst (built with the same kernel + tie-break)
+    val scored = A.select(col("vec_id").as("src_id"), col("embedding").as("ae"))
+      .crossJoin(B.select(col("vec_id").as("dst_id"), col("embedding").as("be")))
+      .select(col("src_id"), col("dst_id"),
+        cosine_similarity(col("ae"), col("be")).as("c"))
+    val wfx = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("c").desc, col("dst_id"))
+    val wfy = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst_id").orderBy(col("c").desc, col("src_id"))
+    val covering = scored.withColumn("rx", row_number().over(wfx))
+      .withColumn("ry", row_number().over(wfy))
+      .filter(col("rx") <= 3 || col("ry") <= 3)
+      .select("src_id", "dst_id")
+    assert(rows(Similarity.marginMineShortlist(A, B, covering, k = 3)) == full,
+      "a shortlist covering both top-k neighborhoods must be identical")
+    // below the bar the hypothesis is load-bearing: removing one src's
+    // best candidate changes that src's margins (and only degrades —
+    // row count per src never grows)
+    val bestPair = Similarity.marginMine(A, B, k = 3)
+      .filter(col("mrank") === 1).select("src_id", "dst_id").limit(1).head()
+    val holed = covering.filter(!(col("src_id") === bestPair.getLong(0) &&
+      col("dst_id") === bestPair.getLong(1)))
+    val degraded = rows(Similarity.marginMineShortlist(A, B, holed, k = 3))
+    assert(degraded != full, "removing a top-k candidate must change the result")
+    // a src absent from the candidates emits nothing
+    val noSrc = covering.filter(col("src_id") =!= 0L)
+    val without = Similarity.marginMineShortlist(A, B, noSrc, k = 3)
+      .filter(col("src_id") === 0L).count()
+    assert(without == 0L)
+  }
+
   test("mmrSelectShortlist composes with the IVF retriever (the 100 TB path end to end)") {
     // the scale composition the operator exists for: an ANN retriever
     // bounds the greedy scan. With an exhaustive probe (nProbe =
