@@ -589,4 +589,116 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
+
+  /** One observed (group, value) for [[streamingQuantiles]]. */
+  final case class GroupValue(group: String, value: Long)
+  /** Bracketed quantile estimate: the true q-quantile of everything the
+    * group has seen lies in [bracket_lo, bracket_hi] (inclusive, the
+    * n43 histQuantiles bracket semantics); `n_seen` is the monotone
+    * emission stamp — rows at max n_seen per group ARE the final
+    * summary under an Append sink (the HhRow convention).
+    */
+  final case class QBracket(group: String, q: Double, n_seen: Long,
+                            bracket_lo: Long, bracket_hi: Long)
+  private final case class QHist(counts: Array[Long], n: Long,
+                                 mn: Long, mx: Long)
+
+  /** Fixed-bin integer histogram per group: counts are ADDITIVE, so the
+    * sketch is mergeable and every emitted bracket is invariant to
+    * arrival order and batch boundaries — the property the whole
+    * streaming sketch family trades on. Values outside the declared
+    * [lo, hi] range clamp into the edge bins, and the tracked per-group
+    * min/max widen exactly those edge bins' brackets, so containment
+    * holds UNCONDITIONALLY (no silent lying about outliers). After
+    * each batch that touches a group, one row per requested quantile
+    * is emitted from the updated histogram.
+    */
+  private final class HistQuantileProcessor(lo: Long, hi: Long, bins: Int,
+      qs: Seq[Double])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, GroupValue, QBracket] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[QHist] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[QHist]("hist",
+        org.apache.spark.sql.Encoders.product[QHist],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[GroupValue],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QBracket] = {
+      val w = (hi - lo + bins) / bins // ceil((range+1)/bins), the Sketch width
+      val h = if (st.exists()) st.get()
+        else QHist(new Array[Long](bins), 0L, Long.MaxValue, Long.MinValue)
+      val counts = h.counts.clone()
+      var n = h.n; var mn = h.mn; var mx = h.mx
+      rows.foreach { r =>
+        val v = r.value
+        val b =
+          if (v < lo) 0
+          else if (v > hi) bins - 1
+          else math.min(((v - lo) / w).toInt, bins - 1)
+        counts(b) += 1L
+        n += 1L
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      st.update(QHist(counts, n, mn, mx))
+      qs.iterator.map { q =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        var b = 0; var cum = counts(0)
+        while (cum < target && b < bins - 1) { b += 1; cum += counts(b) }
+        val binLo = lo + b.toLong * w
+        val binHi = math.min(binLo + w - 1L, hi)
+        // edge bins absorb the clamped outliers, so their brackets
+        // widen to the observed extremes — containment stays exact
+        val loB = if (b == 0) math.min(binLo, mn) else binLo
+        val hiB = if (b == bins - 1) math.max(binHi, mx) else binHi
+        QBracket(key, q, n, loB, hiB)
+      }
+    }
+  }
+
+  /** Streaming mergeable quantiles — the distribution member that
+    * completes the streaming sketch family (HLL = how many distinct,
+    * CMS = how often a known item, SpaceSaving = which items,
+    * quantiles = how the values are distributed): per-group bracketed
+    * p50/p99-style estimates over an unbounded stream, with the n43
+    * [[graft.ops.Sketch.histQuantiles]] bracket semantics — the true
+    * q-quantile of everything seen provably lies inside the emitted
+    * [bracket_lo, bracket_hi], brackets collapse to EXACT values when
+    * `bins` covers the declared value range at width 1, and the
+    * whole summary is arrival-order- and batch-boundary-invariant
+    * because histogram counts are additive (the mergeability that
+    * makes the sketch a sketch). `[lo, hi]` is the caller's declared
+    * value range (token counts, byte sizes — pipeline-known bounds);
+    * out-of-range values clamp into the edge bins and the tracked
+    * min/max widen those bins' brackets, so the guarantee survives
+    * outliers instead of quietly breaking.
+    *
+    * 100 TB shape: state is EXACTLY `bins` longs + 3 longs per live
+    * group, whatever the value cardinality or stream length; each
+    * batch is one in-memory pass over its rows grouped by `group`;
+    * nothing is ever sorted and no per-value state exists. Range
+    * guard: `hi - lo < 2^63 - bins`, the [[graft.ops.Sketch]]
+    * convention, so the ceil width can never wrap. Requires the
+    * RocksDB state store provider (transformWithState's backing
+    * store).
+    */
+  def streamingQuantiles(values: Dataset[GroupValue], lo: Long, hi: Long,
+                         bins: Int = 64,
+                         qs: Seq[Double] = Seq(0.5, 0.99)): Dataset[QBracket] = {
+    require(bins >= 2 && bins <= 65536, "bins outside [2, 65536]")
+    require(hi >= lo, "declared range is empty")
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue) - bins,
+      "value range exceeds 2^63 - bins - shift/scale values first")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.groupByKey(_.group)
+      .transformWithState(new HistQuantileProcessor(lo, hi, bins, qs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

@@ -1030,4 +1030,104 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming quantiles: brackets contain the truth, exact at fine bins, order/batch-invariant, outlier-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // the repo's quantile definition: smallest v with cum count >= ceil(q*n)
+    def truth(vs: Seq[Long], q: Double): Long = {
+      val s = vs.sorted
+      s(math.max(1L, math.ceil(q * s.size).toLong).toInt - 1)
+    }
+    val qs = Seq(0.1, 0.5, 0.99)
+    // coarse: 8 bins over [0, 1000] — lossy regime, brackets must
+    // contain; exact: 64 bins over [0, 63] at width 1 — brackets must
+    // COLLAPSE to the true value; outlier: values outside the declared
+    // range clamp into edge bins whose brackets widen to min/max seen
+    val coarse = Seq(3L, 7L, 100L, 101L, 250L, 251L, 252L, 500L, 900L, 1000L, 17L)
+    val exact = Seq(0L, 1L, 1L, 5L, 17L, 42L, 42L, 63L, 30L)
+    val outlier = Seq(-50L, 2L, 3L, 4L, 998L, 2000L)
+    def run(name: String, rows: Seq[(String, Long)],
+            split: Int): Map[(String, Double), (Long, Long, Long)] = {
+      val mem = MemoryStream[(String, Long)]
+      val vals = mem.toDS().map(t => EventStreams.GroupValue(t._1, t._2))
+      val out = EventStreams.streamingQuantiles(vals, lo = 0L, hi = 1000L,
+        bins = 8, qs = qs)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = rows.splitAt(split)
+        mem.addData(b1: _*); q.processAllAvailable()
+        if (b2.nonEmpty) { mem.addData(b2: _*); q.processAllAvailable() }
+        val all = spark.sql(s"SELECT * FROM $name").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        all.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+          val last = xs.maxBy(_._3)
+          k -> (last._3, last._4, last._5)
+        }
+      } finally q.stop()
+    }
+    try {
+      val rowsA = coarse.map(("c", _)) ++ outlier.map(("o", _))
+      val a = run("sq_a", rowsA, split = 9)
+      for (q <- qs) {
+        // containment in the lossy regime, state carried across batches
+        val (n, loB, hiB) = a(("c", q))
+        assert(n == coarse.size.toLong, "n_seen must reach the full count")
+        val t = truth(coarse, q)
+        assert(loB <= t && t <= hiB, s"q=$q bracket [$loB,$hiB] misses $t")
+        // outliers: brackets still contain, and the edge bins report
+        // the OBSERVED extremes, not the declared range
+        val (no, lo2, hi2) = a(("o", q))
+        assert(no == outlier.size.toLong)
+        val to = truth(outlier, q)
+        assert(lo2 <= to && to <= hi2, s"outlier q=$q [$lo2,$hi2] misses $to")
+      }
+      assert(a(("o", 0.1))._2 == -50L, "low edge bracket must widen to min seen")
+      assert(a(("o", 0.99))._3 == 2000L, "high edge bracket must widen to max seen")
+      // order/batch invariance: same multisets, reversed arrival, a
+      // different batch boundary — identical final summaries
+      val b = run("sq_b", (coarse.map(("c", _)) ++ outlier.map(("o", _))).reverse,
+        split = 3)
+      assert(a == b, "histogram counts are additive: order and batching must not matter")
+      // exactness law: bins at width 1 over the declared range collapse
+      // every bracket to the true order statistic
+      val mem = MemoryStream[(String, Long)]
+      val vals = mem.toDS().map(t => EventStreams.GroupValue(t._1, t._2))
+      val out = EventStreams.streamingQuantiles(vals, lo = 0L, hi = 63L,
+        bins = 64, qs = qs)
+      val q2 = out.writeStream.format("memory").queryName("sq_c")
+        .outputMode("append").start()
+      try {
+        mem.addData(exact.map(("e", _)).take(4): _*); q2.processAllAvailable()
+        mem.addData(exact.map(("e", _)).drop(4): _*); q2.processAllAvailable()
+        val fin = spark.sql("SELECT * FROM sq_c").collect()
+          .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val n = fin.map(_._2).max
+        for (q <- qs) {
+          val last = fin.filter(t => t._1 == q && t._2 == n).head
+          val t = truth(exact, q)
+          assert(last._3 == t && last._4 == t,
+            s"width-1 bins must be exact: q=$q got [${last._3},${last._4}] want $t")
+        }
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }
