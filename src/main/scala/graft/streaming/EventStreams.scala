@@ -495,6 +495,117 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  /** Vector row for [[streamingEmbeddingDedup]]. */
+  final case class Vec(ts: Timestamp, vec_id: Long, embedding: Array[Float])
+  /** One (bucket key, vector) presentation — embedding stage-1 rows. */
+  final case class EmbBandRow(band_key: String, ts: Timestamp, doc_id: Long,
+                              codes: Array[Int])
+  private final case class Codes(c: Array[Int])
+
+  /** Stage 1 of streaming embedding near-dup, keyed by SIGN-LSH BUCKET:
+    * the first vector to present a bucket claims it, storing its INT8
+    * CODES (the [[graft.ops.Similarity.scalarQuantize]] quantization —
+    * 4x smaller state than floats, and the cosine between code vectors
+    * equals the cosine between dequantized vectors because the
+    * per-vector scales cancel); every later presentation is verified
+    * against the claimer by quantized cosine — integer dots, one sqrt,
+    * deterministic per pair — and votes fresh iff it is NOT a near-dup
+    * of the claimer (below `threshold`). A replay of the claiming
+    * vector itself scores cos = 1 and votes unfresh, so an
+    * at-least-once source cannot emit a kept id twice within the TTL
+    * horizon (the [[BandClaimProcessor]] property, kept by
+    * construction). Unlike the minhash stage this is NOT pure
+    * collision: sign buckets at production `planes` are coarse enough
+    * that unrelated vectors do collide, so the verdict needs the
+    * cosine check the batch operator performs in its verification
+    * pass — performed here against the bucket's claimer.
+    */
+  private final class EmbClaimProcessor(threshold: Double,
+      ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, EmbBandRow, BandVerdict] {
+    @transient private var owner:
+      org.apache.spark.sql.streaming.ValueState[Codes] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      owner = getHandle.getValueState[Codes]("owner",
+        org.apache.spark.sql.Encoders.product[Codes],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    private def qcos(a: Array[Int], b: Array[Int]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toLong * b(i); na += a(i).toLong * a(i)
+        nb += b(i).toLong * b(i); i += 1
+      }
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    override def handleInputRows(key: String, rows: Iterator[EmbBandRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[BandVerdict] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+      sorted.iterator.map { r =>
+        if (!owner.exists()) {
+          owner.update(Codes(r.codes))
+          BandVerdict(r.doc_id, r.ts, fresh = true)
+        } else BandVerdict(r.doc_id, r.ts,
+          fresh = qcos(owner.get().c, r.codes) < threshold)
+      }
+    }
+  }
+
+  /** Streaming embedding near-dup dedup — the sign-LSH twin of
+    * [[streamingMinhashDedup]], completing the dedup family's
+    * streaming column (exact / minhash-text / embedding): emit the
+    * vec_ids of vectors that near-duplicate (quantized cosine >=
+    * `threshold`) no bucket claimer within the `ttl` horizon. Same
+    * two-stage transformWithState choreography: explode each vector
+    * into its `tables` sign-LSH bucket keys (the
+    * [[graft.ops.Similarity.withSignBuckets]] kernel — splitmix-derived
+    * hyperplanes, so batch and stream bucket identically), claim-and-
+    * verify per bucket ([[EmbClaimProcessor]]), then regroup verdicts
+    * by vec_id and keep iff EVERY bucket voted fresh
+    * ([[AllBandsFreshProcessor]], shared with the minhash path).
+    *
+    * 100 TB shape: raw float embeddings never enter a shuffle or
+    * state — stage 1 carries int8 codes (4x smaller; byte-packable in
+    * a production store) keyed by bucket, stage 2 (id, bool) rows;
+    * state is one code vector per live bucket and one (int, bool) per
+    * in-flight vector, TTL-bounded. Like the batch operator this
+    * verifies only against bucket CLAIMERS, not every suppressed
+    * mate, and scores quantized rather than float cosine — the
+    * spec-pinned law (equals batch [[graft.ops.Dedup.embeddingDedup]]
+    * on the drained input) holds when near-dup groups collide with
+    * their claimers and no pair sits within quantization error of the
+    * threshold, the regime the batch operator's own bucketing targets.
+    * Requires the RocksDB state store provider.
+    */
+  def streamingEmbeddingDedup(vecs: Dataset[Vec], threshold: Double = 0.95,
+      planes: Int = 12, tables: Int = 4,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[Long] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.GraftFunctions.sign_buckets
+    // quantization is the scalarQuantize column formula — codegen'd on
+    // the stream BEFORE any state boundary, one scan
+    graft.ops.Similarity.scalarQuantize(vecs.toDF())
+      .select(col("ts"), col("vec_id").as("doc_id"), col("codes"),
+        posexplode(sign_buckets(col("embedding"), planes, tables))
+          .as(Seq("t", "bucket")))
+      .select(concat_ws(":", col("t"), col("bucket")).as("band_key"),
+        col("ts"), col("doc_id"), col("codes"))
+      .as[EmbBandRow]
+      .groupByKey(_.band_key)
+      .transformWithState(new EmbClaimProcessor(threshold, ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .groupByKey(_.doc_id)
+      .transformWithState(new AllBandsFreshProcessor(tables, ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** One observed (group, item) occurrence for [[streamingHeavyHitters]]. */
   final case class GroupItem(group: String, item: String)
   /** Summary row: `est` is the SpaceSaving estimate (always >= the true

@@ -896,6 +896,89 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming embedding near-dup dedup equals batch embeddingDedup on the drained input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // three well-separated directions plus a tiny perturbation and an
+      // exact copy of the first — near-dup cosines sit at ~1.0 and
+      // cross-group cosines far below 0.95, so quantized and exact
+      // verification agree and claimer-compare equals all-pairs
+      val a = Array(1f, 0.1f, 0.2f, 0.3f, -0.5f, 0.7f, 0.05f, -0.2f)
+      val a2 = Array(1f, 0.1f, 0.2f, 0.3f, -0.5f, 0.7f, 0.05f, -0.21f)
+      val b = Array(-0.3f, 0.9f, -0.1f, 0.4f, 0.6f, -0.2f, 0.8f, 0.1f)
+      val c = Array(0.2f, -0.6f, 0.9f, -0.4f, 0.1f, 0.3f, -0.7f, 0.5f)
+      val rows = Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, a),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, a2), // near-dup of 1
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, b),
+        (Timestamp.valueOf("2024-01-01 00:00:04"), 4L, a),  // exact copy, later batch
+        (Timestamp.valueOf("2024-01-01 00:00:05"), 5L, c))
+      val mem = MemoryStream[(Timestamp, Long, Array[Float])]
+      val vecs = mem.toDS().map(t => EventStreams.Vec(t._1, t._2, t._3))
+      val kept = EventStreams.streamingEmbeddingDedup(vecs, threshold = 0.95,
+        planes = 12, tables = 4, ttl = java.time.Duration.ofMinutes(10))
+      val q = kept.writeStream.format("memory").queryName("embdedup")
+        .outputMode("append").start()
+      try {
+        mem.addData(rows.take(3): _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(3): _*)
+        q.processAllAvailable()
+        val streamed = spark.sql("SELECT value FROM embdedup")
+          .collect().map(_.getLong(0)).toSet
+        // the law: equal to batch embeddingDedup (drop near-dups of a
+        // lower id, sign-LSH buckets + cosine verify) on the same input
+        val batch = rows.map(r => (r._2, r._3)).toDF("vec_id", "embedding")
+        val batchKept = graft.ops.Dedup.embeddingDedup(batch,
+            threshold = 0.95, planes = 12, tables = 4)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(batchKept == Set(1L, 3L, 5L), s"fixture sanity: $batchKept")
+        assert(streamed == batchKept,
+          s"streaming $streamed must equal batch $batchKept")
+        // at-least-once replay: a kept vector re-delivered within the
+        // TTL horizon scores qcos = 1 against its own claimed buckets
+        // and must NOT emit twice
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:06"), 1L, a))
+        q.processAllAvailable()
+        val replayed = spark.sql("SELECT value FROM embdedup")
+          .collect().map(_.getLong(0)).toSeq
+        assert(replayed.count(_ == 1L) == 1,
+          s"replayed vector must stay emitted-once: $replayed")
+        // a sub-threshold bucket collision must NOT suppress: vector 6
+        // points near b's direction (cos ~ 0.9 < 0.95) — even where it
+        // shares buckets with 3, the quantized-cosine verdict keeps it
+        val bNear = Array(-0.25f, 0.95f, -0.15f, 0.3f, 0.7f, -0.1f, 0.7f, 0.25f)
+        mem.addData((Timestamp.valueOf("2024-01-01 00:00:07"), 6L, bNear))
+        q.processAllAvailable()
+        val afterSix = spark.sql("SELECT value FROM embdedup")
+          .collect().map(_.getLong(0)).toSet
+        val batchSix = graft.ops.Dedup.embeddingDedup(
+            (rows.map(r => (r._2, r._3)) :+ (6L, bNear))
+              .toDF("vec_id", "embedding"),
+            threshold = 0.95, planes = 12, tables = 4)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(afterSix == batchSix, s"$afterSix vs batch $batchSix")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("transformWithState TTL dedup: in-window duplicates drop, key re-admits after expiry") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
