@@ -2648,7 +2648,12 @@ object SparkEntry {
         .select(col("hub").as("doc_id_a"), col("doc_id").as("doc_id_b"))
       val titleEdges = Dedup.fuzzyTitlePairs(d, keyLen = 32)
         .select("doc_id_a", "doc_id_b")
-      val comps = Dedup.dupClusters(urlEdges.unionAll(titleEdges))
+      // pointer-jumping CC (identical fixpoint — the n141 law):
+      // the r10 stage profile put the CC rounds at ~60% of this
+      // query's cost, and the shortcut cuts the round count below the
+      // star+bridge graph's propagation depth (PLANS.md "n129 stage
+      // profile": 6.3 -> 5.7 s measured, hashes unchanged)
+      val comps = Dedup.dupClustersFast(urlEdges.unionAll(titleEdges))
       d.select("doc_id").join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
