@@ -389,7 +389,8 @@ object SparkEntry {
   // the kernel's loop. Emits the CTE chain `hp, e, bk` — bk is one
   // (vec_id, t, bucket) row per table, the exact collision key — for
   // the n09 rerank tail and the n151 candidate build to share.
-  private def signLshBkCtes(planes: Int, tables: Int, dim: Int): String = {
+  private def signLshBkCtes(planes: Int, tables: Int, dim: Int,
+                            src: String = "embeddings"): String = {
     def comp(t: Int, p: Int, d: Int): Double = {
       val h = graft.functions.Hashing.splitmix64(
         t.toLong * 1000003L + p.toLong * 8191L + d)
@@ -403,7 +404,7 @@ object SparkEntry {
       "i -> emb[i] * v[i]), (acc, x) -> acc + x)"
     s"""hp(t, p, v) AS (VALUES
        |  $hpRows),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM $src),
        |bk AS (SELECT vec_id, t,
        |  CAST(sum(CASE WHEN $dot >= 0.0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
        | FROM e, hp GROUP BY vec_id, t)""".stripMargin
@@ -2451,6 +2452,30 @@ object SparkEntry {
       Dedup.incrementalMinhashDedup(index, existing, incoming,
           k = 5, numHashes = 64, bands = 16, threshold = 0.5)
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
+    "n152_incremental_embdedup" -> ((s, dir) => {
+      // the embedding-lake member of the incremental ladder: a vector
+      // slice deduped against the published sign-LSH bucket index —
+      // old embeddings never re-bucketed. Planted scaled copies
+      // (x(1 + 1e-6·(id+1)), cos ~ 1: the n14 planting) of existing
+      // vecs 0/1/2 must drop via the index join, a scaled copy of
+      // slice mate 251 via within-slice bucketing; plant ids stay
+      // COLUMNS (the n150 lit() lesson)
+      val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+      def scaled(src: org.apache.spark.sql.DataFrame, offset: Long) = src
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * (lit(1.0) + lit(1e-6) * (col("vec_id") + 1))).cast("float"))
+            .as("embedding"))
+      val existing = base.filter(col("vec_id") < 250)
+      val incoming = base.filter(col("vec_id") >= 250)
+        .unionAll(scaled(base.filter(col("vec_id") < 3), 3000000L))
+        .unionAll(scaled(base.filter(col("vec_id") === 251L), 2999756L))
+      val index = Dedup.signBucketIndex(existing, planes = 12, tables = 4)
+      Dedup.incrementalEmbeddingDedup(index, existing, incoming,
+          threshold = 0.95, planes = 12, tables = 4)
+        .select(col("vec_id")).orderBy("vec_id")
     }),
 
     "n50_line_dedup" -> ((s, dir) => {
@@ -6060,6 +6085,35 @@ object SparkEntry {
          |SELECT doc_id, n_chars FROM u
          |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM p)
          |ORDER BY doc_id""".stripMargin,
+
+    // sign-LSH bucket replay over the old∪planted-slice union (the
+    // n150 stance for embeddings): under the ingest-order id invariant
+    // every victim is the higher side of a bucket-shared pair whose
+    // exact cosine reaches the threshold, so survivors are one NOT IN
+    "n152_incremental_embdedup" -> {
+      val uCte =
+        """uemb AS (
+          | SELECT vec_id, embedding FROM embeddings
+          | UNION ALL SELECT vec_id + 3000000,
+          |   list_transform(embedding,
+          |     x -> CAST(x * (1e0 + 1e-6 * (vec_id + 1)) AS FLOAT))
+          |   FROM embeddings WHERE vec_id < 3
+          | UNION ALL SELECT vec_id + 2999756,
+          |   list_transform(embedding,
+          |     x -> CAST(x * (1e0 + 1e-6 * (vec_id + 1)) AS FLOAT))
+          |   FROM embeddings WHERE vec_id = 251)""".stripMargin
+      s"""WITH $uCte,
+         |${signLshBkCtes(planes = 12, tables = 4, dim = 64, src = "uemb")},
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         | FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id),
+         |v AS (SELECT vb FROM cand
+         | JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb
+         | WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.95)
+         |SELECT vec_id FROM uemb
+         |WHERE vec_id >= 250 AND vec_id NOT IN (SELECT vb FROM v)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "n50_line_dedup" ->
       // string-equality replay of the hash-keyed frequent-line set

@@ -434,27 +434,7 @@ object Dedup {
     def shOf(c: org.apache.spark.sql.Column) =
       if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
     val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // only index rows in buckets the slice actually presents matter:
-    // old docs confined to untouched buckets cannot pair with the
-    // slice, and old-old pairs never drop an incoming doc
-    val keys = newBands.select(col("band"), col("bucket")).distinct()
-    val oldRelevant = index.join(keys, Seq("band", "bucket"), "left_semi")
-    val tagged = newBands.withColumn("is_new", lit(true))
-      .unionByName(oldRelevant.select(col("doc_id"), col("band"), col("bucket"))
-        .withColumn("is_new", lit(false)))
-    val buckets = tagged.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("items"))
-      .filter(size(col("items")).between(2, maxBucket))
-    val pairs = buckets
-      .select(explode(col("items")).as("ia"), col("items"))
-      .select(col("ia"), explode(col("items")).as("ib"))
-      .filter(col("ia.doc_id") < col("ib.doc_id") &&
-        (col("ia.is_new") || col("ib.is_new")))
-      .select(col("ia.doc_id").as("a"), col("ia.is_new").as("a_new"),
-        col("ib.doc_id").as("b"), col("ib.is_new").as("b_new"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
     // exact verification, candidate-sized on BOTH sides: old texts come
     // from the corpus via semi-join (point reads), new from the slice
     val oldIds = pairs.filter(!col("a_new")).select(col("a").as("doc_id"))
@@ -478,6 +458,103 @@ object Dedup {
       when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
         .as("doc_id")).distinct()
     incoming.join(victims, Seq("doc_id"), "left_anti")
+  }
+
+  /** The index-vs-slice candidate stage shared by
+    * [[incrementalMinhashDedup]] and [[incrementalEmbeddingDedup]]:
+    * `index` and `newBands` are (doc_id, band, bucket) relations (the
+    * published corpus index and the slice's freshly-banded rows); the
+    * result is the distinct new-involving candidate pairs
+    * (a, a_new, b, b_new) with a < b, built from exactly the union
+    * buckets a slice row touches. The slice bands persist (two
+    * consumers: the key probe and the bucket union); the pair relation
+    * persists under the [[minhashNearDups]] caller-owned convention.
+    */
+  private def incrementalCandidatePairs(index: DataFrame, newBands: DataFrame,
+                                        maxBucket: Int): DataFrame = {
+    val nb = newBands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only index rows in buckets the slice actually presents matter:
+    // old docs confined to untouched buckets cannot pair with the
+    // slice, and old-old pairs never drop an incoming doc
+    val keys = nb.select(col("band"), col("bucket")).distinct()
+    val oldRelevant = index.join(keys, Seq("band", "bucket"), "left_semi")
+    val tagged = nb.withColumn("is_new", lit(true))
+      .unionByName(oldRelevant.select(col("doc_id"), col("band"), col("bucket"))
+        .withColumn("is_new", lit(false)))
+    val buckets = tagged.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+    buckets
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .filter(col("ia.doc_id") < col("ib.doc_id") &&
+        (col("ia.is_new") || col("ib.is_new")))
+      .select(col("ia.doc_id").as("a"), col("ia.is_new").as("a_new"),
+        col("ib.doc_id").as("b"), col("ib.is_new").as("b_new"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The persisted sign-LSH BUCKET INDEX of an embedding corpus: one
+    * row per (vec_id, band, bucket) — band is the hash-table index,
+    * bucket the hyperplane sign key (the exact
+    * [[Similarity.withSignBuckets]] collision condition). The
+    * embedding-lake twin of [[minhashBandIndex]]: written once at
+    * corpus-build time, read by every future slice
+    * ([[incrementalEmbeddingDedup]]), so corpus embeddings are never
+    * re-bucketed; the index is `tables` skinny rows per vector, and
+    * the delta after a slice is `signBucketIndex(survivors)` — a pure
+    * append. Lay it out by `band` for per-table pruning.
+    */
+  def signBucketIndex(emb: DataFrame, planes: Int = 12, tables: Int = 4,
+                      dim: Int = -1): DataFrame =
+    Similarity.withSignBuckets(emb, "embedding", planes, tables, dim)
+      .select(col("vec_id").as("doc_id"), col("table").as("band"), col("bucket"))
+
+  /** Incremental embedding near-dup dedup of a vector slice against a
+    * persisted [[signBucketIndex]] — the embedding-lake member of the
+    * incremental ladder ([[incrementalDedup]] exact /
+    * [[incrementalMinhashDedup]] text / this), and the batch twin of
+    * the streaming sign-LSH processor: admit the incoming vectors
+    * whose cosine reaches `threshold` against neither the existing
+    * corpus nor a lower-id slice mate, WITHOUT re-bucketing the old
+    * corpus. `corpus` is read only to fetch candidate old-side
+    * embeddings (point semi-joins, the [[incrementalMinhashDedup]]
+    * convention); id spaces must be disjoint.
+    *
+    * Same candidate stage as the minhash path
+    * ([[incrementalCandidatePairs]] — the two cannot drift), same
+    * victim rule (the new side of a cross pair, the higher id within
+    * the slice), exact-cosine verification on the candidate-sized
+    * fetch-back. Spec law: under the ingest-order id invariant the
+    * survivors EQUAL batch [[embeddingDedup]] on the union restricted
+    * to incoming rows, with the old side's buckets READ, not
+    * recomputed.
+    */
+  def incrementalEmbeddingDedup(index: DataFrame, corpus: DataFrame,
+                                incoming: DataFrame, threshold: Double = 0.95,
+                                planes: Int = 12, tables: Int = 4,
+                                maxBucket: Int = 2000,
+                                dim: Int = -1): DataFrame = {
+    val newBands = signBucketIndex(incoming, planes, tables, dim)
+    val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
+    val oldIds = pairs.filter(!col("a_new")).select(col("a").as("vec_id"))
+      .union(pairs.filter(!col("b_new")).select(col("b").as("vec_id"))).distinct()
+    val newIds = pairs.filter(col("a_new")).select(col("a").as("vec_id"))
+      .union(pairs.filter(col("b_new")).select(col("b").as("vec_id"))).distinct()
+    val e = corpus.join(oldIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(incoming.join(newIds, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")))
+    val verified = pairs
+      .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
+      .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
+      .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= threshold)
+    val victims = verified.select(
+      when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
+        .as("vec_id")).distinct()
+    incoming.join(victims, Seq("vec_id"), "left_anti")
   }
 
   /** SimHash near-duplicate pairs at Hamming distance <= maxDistance.

@@ -684,6 +684,48 @@ class OpsSpec extends SparkSpec {
     assert(appended == rebuilt, "maintaining the index is a pure append of the delta")
   }
 
+  test("incrementalEmbeddingDedup: equals batch embeddingDedup on the union; index holing leaks") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def scaled(src: org.apache.spark.sql.DataFrame, offset: Long) = src
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * (lit(1.0) + lit(1e-6) * (col("vec_id") + 1))).cast("float"))
+          .as("embedding"))
+    val old = base.filter(col("vec_id") < 20)
+    val incoming = base.filter(col("vec_id") >= 20 && col("vec_id") < 60)
+      .unionAll(scaled(base.filter(col("vec_id") < 2), 1000L))   // near-dups of old 0/1
+      .unionAll(scaled(base.filter(col("vec_id") === 21L), 2000L)) // within-slice dup of 21
+    val index = Dedup.signBucketIndex(old, planes = 12, tables = 4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val inc = ids(Dedup.incrementalEmbeddingDedup(index, old, incoming,
+      threshold = 0.95, planes = 12, tables = 4))
+    // planted cross dups (1000, 1001) and the within-slice dup (2021)
+    // must be gone; the natural slice must be intact
+    assert(!inc.contains(1000L) && !inc.contains(1001L) && !inc.contains(2021L))
+    // THE law: equals batch embeddingDedup over the union restricted
+    // to incoming rows (ingest-order id invariant holds: old < 20)
+    val batch = ids(Dedup.embeddingDedup(old.unionAll(incoming),
+        threshold = 0.95, planes = 12, tables = 4)
+      .filter(col("vec_id") >= 20L))
+    assert(inc == batch, "incremental must equal batch embeddingDedup on the union")
+    // buckets are READ from the index: holing vec 1 out lets its
+    // scaled copy 1001 through despite the corpus still carrying it
+    val holed = index.filter(col("doc_id") =!= 1L)
+    val leaked = ids(Dedup.incrementalEmbeddingDedup(holed, old, incoming,
+      threshold = 0.95, planes = 12, tables = 4))
+    assert(leaked.contains(1001L) && !leaked.contains(1000L),
+      "a vector absent from the index must suppress nothing")
+    // empty index degenerates to within-slice embeddingDedup
+    val solo = ids(Dedup.incrementalEmbeddingDedup(index.filter(lit(false)),
+      old.filter(lit(false)), incoming, threshold = 0.95, planes = 12, tables = 4))
+    val soloBatch = ids(Dedup.embeddingDedup(incoming,
+      threshold = 0.95, planes = 12, tables = 4))
+    assert(solo == soloBatch)
+  }
+
   test("word-trigram jaccard finds near-dups, threshold binds exactly") {
     // docs 1 vs 3 differ in one word of nine: 4 of 10 distinct word
     // trigrams shared -> jaccard exactly 0.4, so the pair appears at
