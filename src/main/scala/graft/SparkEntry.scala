@@ -2478,6 +2478,30 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    "n153_neardup_slice_report" -> ((s, dir) => {
+      // crawl-yield observability for the n150 path (the n64 report's
+      // near-dup twin): per source, how much of the slice
+      // near-duplicates the corpus (cross — the authority, wins mixed
+      // evidence), a lower-id slice mate (within), or is new; the
+      // three buckets partition the slice and n_new matches the n150
+      // survivor counts (spec laws). Same planted fixture as n150
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") < 250)
+      val incoming = base.filter(col("doc_id") >= 250)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", concat(col("text"), lit(" tail bit"))))
+        .unionAll(base.filter(col("doc_id") === 251L)
+          .withColumn("doc_id", col("doc_id") + 2999756L)
+          .withColumn("text", concat(col("text"), lit(" x"))))
+      val index = Dedup.minhashBandIndex(existing, k = 5, numHashes = 64,
+        bands = 16)
+      Dedup.minhashSliceDiffReport(index, existing, incoming,
+          groupCol = "source", k = 5, numHashes = 64, bands = 16,
+          threshold = 0.5)
+        .orderBy("source")
+    }),
+
     "n50_line_dedup" -> ((s, dir) => {
       // C4-style boilerplate line removal over a planted multi-line
       // fixture (corpus texts are single-line): every doc gets a shared
@@ -6114,6 +6138,33 @@ object SparkEntry {
          |WHERE vec_id >= 250 AND vec_id NOT IN (SELECT vb FROM v)
          |ORDER BY vec_id""".stripMargin
     },
+
+    // the n150 pair replay classified per victim: cross evidence (the
+    // lower side is an old doc — ids < 250 under the invariant) wins
+    // over within evidence; the three buckets partition the slice
+    "n153_neardup_slice_report" ->
+      s"""WITH u AS (
+         | SELECT doc_id, text, source FROM documents
+         | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', source
+         |   FROM documents WHERE doc_id IN (0, 2, 4)
+         | UNION ALL SELECT doc_id + 2999756, text || ' x', source
+         |   FROM documents WHERE doc_id = 251),
+         |p AS (SELECT doc_id_a, doc_id_b FROM (${minhashOracleSql(k = 5,
+               numHashes = 64, bands = 16, threshold = 0.5, src = "u")})),
+         |ev AS (SELECT doc_id_b AS doc_id,
+         |        max(CASE WHEN doc_id_a < 250 THEN 1 ELSE 0 END) AS has_cross
+         |       FROM p WHERE doc_id_b >= 250 GROUP BY doc_id_b)
+         |SELECT source,
+         | CAST(count(*) AS BIGINT) AS n_incoming,
+         | CAST(sum(CASE WHEN ev.has_cross = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_cross_neardup,
+         | CAST(sum(CASE WHEN ev.has_cross = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_within_neardup,
+         | CAST(sum(CASE WHEN ev.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_new
+         |FROM (SELECT * FROM u WHERE doc_id >= 250) i
+         |LEFT JOIN ev ON ev.doc_id = i.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "n50_line_dedup" ->
       // string-equality replay of the hash-keyed frequent-line set

@@ -430,27 +430,8 @@ object Dedup {
                               threshold: Double = 0.8, maxBucket: Int = 1000,
                               seed: Long = 42L,
                               wordGrams: Boolean = false): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    def shOf(c: org.apache.spark.sql.Column) =
-      if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
-    val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
-    val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
-    // exact verification, candidate-sized on BOTH sides: old texts come
-    // from the corpus via semi-join (point reads), new from the slice
-    val oldIds = pairs.filter(!col("a_new")).select(col("a").as("doc_id"))
-      .union(pairs.filter(!col("b_new")).select(col("b").as("doc_id"))).distinct()
-    val newIds = pairs.filter(col("a_new")).select(col("a").as("doc_id"))
-      .union(pairs.filter(col("b_new")).select(col("b").as("doc_id"))).distinct()
-    val sh = corpus.join(oldIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shOf(col("text")).as("sh"))
-      .unionByName(incoming.join(newIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shOf(col("text")).as("sh")))
-    val verified = pairs
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("uni") >= threshold)
+    val verified = incrementalVerifiedPairs(index, corpus, incoming, k,
+      numHashes, bands, threshold, maxBucket, seed, wordGrams)
     // the victim is the NEW side of a cross pair (the corpus is
     // immutable, whatever the ids say) and the higher id of a
     // within-slice pair (the minhashDedup rule)
@@ -458,6 +439,97 @@ object Dedup {
       when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
         .as("doc_id")).distinct()
     incoming.join(victims, Seq("doc_id"), "left_anti")
+  }
+
+  /** The banded + verified pair stage shared by
+    * [[incrementalMinhashDedup]] and [[minhashSliceDiffReport]]:
+    * new-involving candidate pairs from the index join, exact-Jaccard
+    * verified on candidate-sized text fetch-back from both sides.
+    * Returns (a, a_new, b, b_new) with a < b, Jaccard >= threshold.
+    */
+  private def incrementalVerifiedPairs(index: DataFrame, corpus: DataFrame,
+                                       incoming: DataFrame, k: Int,
+                                       numHashes: Int, bands: Int,
+                                       threshold: Double, maxBucket: Int,
+                                       seed: Long,
+                                       wordGrams: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def shOf(c: org.apache.spark.sql.Column) =
+      if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
+    val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
+    val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
+    // exact verification, candidate-sized on BOTH sides: ONE flagged
+    // candidate-id relation (persisted — it prunes both fetch-back
+    // branches, and each branch is read by both verify join sides),
+    // one unioned text fetch, one shingle projection. The pre-r10
+    // shape built four filtered-union id branches and two separate
+    // semi-join trees, which compounded — through the doubled verify
+    // reference — into ~50 broadcast exchanges of the SAME tiny
+    // relations and a 140-stage orchestration bill (2.5x the batch
+    // operator on identical data); this tree runs the same candidate
+    // work in a fraction of the stages.
+    val candIds = pairs.select(explode(array(
+        struct(col("a").as("doc_id"), col("a_new").as("is_new")),
+        struct(col("b").as("doc_id"), col("b_new").as("is_new")))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.is_new").as("is_new"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // old texts come from the corpus via semi-join (point reads — the
+    // corpus is never re-shingled wholesale), new from the slice
+    val texts = corpus.join(candIds.filter(!col("is_new")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+      .unionByName(incoming.join(candIds.filter(col("is_new")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text")))
+    val sh = texts.select(col("doc_id"), shOf(col("text")).as("sh"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("a"), col("a_new"), col("b"), col("b_new"))
+  }
+
+  /** Per-source NEAR-dup diff report for a crawl slice against the
+    * published band index — the observability twin of
+    * [[sliceDiffReport]] for the [[incrementalMinhashDedup]] path:
+    * how many incoming docs near-duplicate the existing corpus
+    * (`n_cross_neardup`), how many near-duplicate a lower-id slice
+    * mate without touching the corpus (`n_within_neardup`), and how
+    * many are genuinely new. A doc with both kinds of evidence counts
+    * as CROSS (the corpus is the authority — it would be dropped
+    * whatever the slice contained); the three buckets partition the
+    * slice exactly, and `n_new` per source equals the
+    * [[incrementalMinhashDedup]] survivor count (both spec-asserted,
+    * the n64 laws). Runs the same banded + verified pair stage as the
+    * dedup itself, so the report can never disagree with the drop.
+    */
+  def minhashSliceDiffReport(index: DataFrame, corpus: DataFrame,
+                             incoming: DataFrame, groupCol: String = "source",
+                             k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.8, maxBucket: Int = 1000,
+                             seed: Long = 42L,
+                             wordGrams: Boolean = false): DataFrame = {
+    val verified = incrementalVerifiedPairs(index, corpus, incoming, k,
+      numHashes, bands, threshold, maxBucket, seed, wordGrams)
+    // per incoming victim, the evidence kind: the victim of a cross
+    // pair is its new side; of a within pair, the higher id
+    val evidence = verified.select(
+        when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
+          .as("doc_id"),
+        (!(col("a_new") && col("b_new"))).as("is_cross"))
+      .groupBy("doc_id")
+      .agg(max(col("is_cross")).as("has_cross"))
+    incoming.join(evidence, Seq("doc_id"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("has_cross") === true, 1L).otherwise(0L))
+          .as("n_cross_neardup"),
+        sum(when(col("has_cross") === false, 1L).otherwise(0L))
+          .as("n_within_neardup"),
+        sum(when(col("has_cross").isNull, 1L).otherwise(0L)).as("n_new"))
   }
 
   /** The index-vs-slice candidate stage shared by
@@ -472,6 +544,12 @@ object Dedup {
     */
   private def incrementalCandidatePairs(index: DataFrame, newBands: DataFrame,
                                         maxBucket: Int): DataFrame = {
+    // persisted: two consumers (the key probe and the bucket union)
+    // would otherwise band the slice twice. A/B'd at bench scale
+    // (PLANS.md "n150 orchestration"): FLAT — the cache fill's barrier
+    // cancels the saved recompute on a 5k-doc slice — kept because at
+    // a production slice size the second signature pass is the
+    // dominated cost, not the barrier
     val nb = newBands
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only index rows in buckets the slice actually presents matter:
@@ -539,13 +617,19 @@ object Dedup {
                                 dim: Int = -1): DataFrame = {
     val newBands = signBucketIndex(incoming, planes, tables, dim)
     val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
-    val oldIds = pairs.filter(!col("a_new")).select(col("a").as("vec_id"))
-      .union(pairs.filter(!col("b_new")).select(col("b").as("vec_id"))).distinct()
-    val newIds = pairs.filter(col("a_new")).select(col("a").as("vec_id"))
-      .union(pairs.filter(col("b_new")).select(col("b").as("vec_id"))).distinct()
-    val e = corpus.join(oldIds, Seq("vec_id"), "left_semi")
+    // one flagged candidate-id relation pruning both fetch-back
+    // branches (the incrementalVerifiedPairs stage-count lesson)
+    val candIds = pairs.select(explode(array(
+        struct(col("a").as("vec_id"), col("a_new").as("is_new")),
+        struct(col("b").as("vec_id"), col("b_new").as("is_new")))).as("s"))
+      .select(col("s.vec_id").as("vec_id"), col("s.is_new").as("is_new"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = corpus.join(candIds.filter(!col("is_new")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"))
-      .unionByName(incoming.join(newIds, Seq("vec_id"), "left_semi")
+      .unionByName(incoming.join(candIds.filter(col("is_new")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
         .select(col("vec_id"), col("embedding")))
     val verified = pairs
       .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))

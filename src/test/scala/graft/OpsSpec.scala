@@ -726,6 +726,51 @@ class OpsSpec extends SparkSpec {
     assert(solo == soloBatch)
   }
 
+  test("minhashSliceDiffReport: buckets partition the slice; n_new equals incremental survivors; cross wins mixed evidence") {
+    import spark.implicits._
+    val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
+    val b = "quantum solvers iterate over sparse matrices until the residual drops below machine epsilon thresholds"
+    val c = "fermented tea leaves steep slowly in copper kettles as the market vendors argue about prices"
+    val d = "distributed shuffle services spill partitioned buffers to local disks when executors exceed memory fractions"
+    val old = Seq((1L, a, "s1"), (2L, a + " v2", "s1"), (3L, b, "s2"),
+      (4L, c, "s2")).toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (101L, a + " tail", "s1"), // cross: near-dups old 1/2
+      (102L, d, "s1"),           // new
+      (103L, d + " x", "s2"),    // within: near-dups slice mate 102
+      (104L, c + " y", "s2"),    // cross: near-dups old 4
+      (105L, "totally different short text about engines here", "s2") // new
+    ).toDF("doc_id", "text", "source")
+    val index = Dedup.minhashBandIndex(old, k = 5, numHashes = 64, bands = 16)
+    val rep = Dedup.minhashSliceDiffReport(index, old, incoming,
+        groupCol = "source", k = 5, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep("s1") == ((2L, 1L, 0L, 1L)), s"s1: ${rep("s1")}")
+    assert(rep("s2") == ((3L, 1L, 1L, 1L)), s"s2: ${rep("s2")}")
+    // the three buckets partition the slice exactly, per source
+    rep.values.foreach { case (n, cr, wi, nw) => assert(n == cr + wi + nw) }
+    // n_new per source equals the incrementalMinhashDedup survivor
+    // count — the report can never disagree with the drop
+    val survivors = Dedup.incrementalMinhashDedup(index, old, incoming,
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.map { case (s, t) => s -> t._4 } == survivors)
+    // mixed evidence counts CROSS: a doc near-dupping both the corpus
+    // and a slice mate (106 = another copy of c, pairing old 4 AND
+    // slice 104) lands in n_cross_neardup, never double-counted
+    val withMixed = incoming.unionAll(
+      Seq((106L, c + " z", "s2")).toDF("doc_id", "text", "source"))
+    val rep2 = Dedup.minhashSliceDiffReport(index, old, withMixed,
+        groupCol = "source", k = 5, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep2("s2") == ((4L, 2L, 1L, 1L)), s"s2 with mixed: ${rep2("s2")}")
+  }
+
   test("word-trigram jaccard finds near-dups, threshold binds exactly") {
     // docs 1 vs 3 differ in one word of nine: 4 of 10 distinct word
     // trigrams shared -> jaccard exactly 0.4, so the pair appears at
