@@ -75,6 +75,13 @@ object Bench {
     // vectorized-reader classes are loaded before the first timed query
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm the io-probe path itself: the probes certify BOX health, so
+    // their own cold start must not read as drift — an unwarmed io0
+    // ran 3-4x the family median every sweep (cold file cache + footer
+    // parse) and false-flagged every early-position query whose first
+    // run carried JIT
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("sum(length(text))").collect()
     // SPARK_GRAFT_ONLY restricts the run (the EnvFilter contract
     // shared with Verify; unknown names fail fast); unset = the
     // driver's full sweep
