@@ -476,4 +476,47 @@ class PropertySpec extends SparkSpec {
       nested && rep == full
     }))
   }
+
+  test("incremental near-dup law holds on GENERATED corpora: any docs, any split point") {
+    import spark.implicits._
+    // random corpora of near-dup families: each family is a distinct
+    // word stream (seeded, so families never near-dup each other) with
+    // 1-3 members that append short tails (Jaccard stays high); ids
+    // assigned in generation order so ANY split point preserves the
+    // ingest-order invariant the law requires
+    val family = for {
+      seedWords <- Gen.listOfN(14, Gen.oneOf(
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango"))
+      salt <- Gen.choose(0, 999999)
+      nMembers <- Gen.choose(1, 3)
+      tails <- Gen.listOfN(nMembers - 1, Gen.oneOf(" x", " yy", " zzz"))
+    } yield {
+      val base = (seedWords :+ s"tag$salt").mkString(" ")
+      base :: tails.map(base + _)
+    }
+    val corpora = for {
+      fams <- Gen.nonEmptyListOf(family)
+      docs = fams.flatten.take(24)
+      split <- Gen.choose(0, docs.size)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, split)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    assert(SCTest.check(params, Prop.forAll(corpora) { case (docs, split) =>
+      val df = docs.toDF("doc_id", "text")
+      val old = df.filter(col("doc_id") < split)
+      val incoming = df.filter(col("doc_id") >= split)
+      val index = graft.ops.Dedup.minhashBandIndex(old, k = 5,
+        numHashes = 64, bands = 16)
+      val inc = graft.ops.Dedup.incrementalMinhashDedup(index, old, incoming,
+          k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Dedup.minhashDedup(df, k = 5, numHashes = 64,
+          bands = 16, threshold = 0.5)
+        .filter(col("doc_id") >= split)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache() // the operators persist internals per run
+      inc == batch
+    }).passed, "incremental == batch on the union, for every generated corpus and split")
+  }
 }
