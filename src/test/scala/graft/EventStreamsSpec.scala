@@ -825,6 +825,71 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantiles survive a restart: the histogram recovers from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the mergeability claim's production half: a stopped query
+    // restarted from its checkpoint must carry the per-group histogram
+    // forward, so post-restart brackets summarize EVERYTHING seen —
+    // exact-regime bins make the assertion crisp (width-1 brackets
+    // collapse to the true order statistic over both runs' values)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // ProcessingTime-mode TWS + a checkpointed file sink: no-data
+    // micro-batches would fire continuously (processing-time timers
+    // may always be due), each one paying the checkpoint's local-FS
+    // rename fork storm — the query livelocks. Every ProcessingTime
+    // streaming test here disables them; this one MUST too.
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val base = java.nio.file.Files.createTempDirectory("squant-restart")
+    val ckpt = s"$base/ckpt"
+    val outDir = s"$base/out"
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val vals = mem.toDS().map(t => EventStreams.GroupValue(t._1, t._2))
+      val out = EventStreams.streamingQuantiles(vals, lo = 0L, hi = 63L,
+        bins = 64, qs = Seq(0.5))
+      def start() = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      def finalRow() = {
+        val rows = spark.read.parquet(outDir)
+          .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+        rows.maxBy(_._1)
+      }
+      val run1 = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("g", 40L))
+      val run2 = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L))
+      val q1 = start()
+      try {
+        mem.addData(run1: _*); q1.processAllAvailable()
+        assert(finalRow() == ((4L, 20L, 20L)), s"run 1 p50: ${finalRow()}")
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        mem.addData(run2: _*); q2.processAllAvailable()
+        // p50 over ALL EIGHT values (1,2,3,4,10,20,30,40) = 4 — only
+        // reachable if the histogram state round-tripped the stop
+        assert(finalRow() == ((8L, 4L, 4L)),
+          s"restart must carry the histogram: ${finalRow()}")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+      java.nio.file.Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming minhash near-dup dedup equals batch minhashDedup on the drained input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
