@@ -363,35 +363,44 @@ object EventStreams {
 
   /** Document row for [[streamingMinhashDedup]]. */
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
-  /** One (band key, doc) presentation — stage-1 state rows. */
-  final case class BandRow(band_key: String, ts: Timestamp, doc_id: Long)
+  /** One (band key, doc, full signature) presentation — stage-1 rows. */
+  final case class BandRow(band_key: String, ts: Timestamp, doc_id: Long,
+                           sig: Array[Long])
   /** Stage-1 verdict: was this doc the first to present this band? */
   final case class BandVerdict(doc_id: Long, ts: Timestamp, fresh: Boolean)
   private final case class BandTally(seen: Int, collided: Boolean)
+  private final case class Sig(s: Array[Long])
 
   /** Stage 1 of streaming near-dup dedup, keyed by MINHASH BAND KEY:
-    * the first document to present a band claims it (ValueState =
-    * TTL-bounded flag); every later presentation — including a REPLAY
-    * of the claiming doc itself — gets `fresh = false`, so an
-    * at-least-once source re-delivering a document within the TTL
-    * horizon cannot emit it twice (each kept id is emitted exactly
-    * once per horizon). Within a micro-batch rows process in
-    * (ts, doc_id) order, so the earliest/lowest doc claims — the
-    * streaming analog of batch minhashDedup's drop-the-higher-id
-    * rule. Suppressed docs still HOLD their fresh bands, which makes
-    * suppression transitive the way LSH banding is in batch: a doc
-    * colliding with an already-suppressed doc is still a near-dup of
-    * record.
+    * the first document to present a band claims it, storing its FULL
+    * minhash signature (TTL-bounded ValueState); every later
+    * presentation is VERIFIED against the claimer by the
+    * matching-component fraction — Broder's unbiased Jaccard
+    * estimator, the verification a pure band-collision gate lacks
+    * (the batch operator's exact-Jaccard pass, re-expressed on the
+    * only evidence a stream can keep) — and votes fresh iff the
+    * estimate stays below `threshold`. A REPLAY of the claiming doc
+    * itself estimates J = 1 and votes unfresh, so an at-least-once
+    * source re-delivering a document within the TTL horizon cannot
+    * emit it twice (each kept id is emitted exactly once per
+    * horizon). Within a micro-batch rows process in (ts, doc_id)
+    * order, so the earliest/lowest doc claims — the streaming analog
+    * of batch minhashDedup's drop-the-higher-id rule. Suppressed docs
+    * still HOLD their fresh bands, which keeps suppression transitive
+    * the way batch banding is; like the batch verify, comparison is
+    * against the bucket's doc of record (the claimer), so state stays
+    * one signature per live band.
     */
-  private final class BandClaimProcessor(ttl: java.time.Duration)
+  private final class BandClaimProcessor(threshold: Double, numHashes: Int,
+      ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, BandRow, BandVerdict] {
     @transient private var owner:
-      org.apache.spark.sql.streaming.ValueState[Boolean] = _
+      org.apache.spark.sql.streaming.ValueState[Sig] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      owner = getHandle.getValueState[Boolean]("owner",
-        org.apache.spark.sql.Encoders.scalaBoolean,
+      owner = getHandle.getValueState[Sig]("owner",
+        org.apache.spark.sql.Encoders.product[Sig],
         org.apache.spark.sql.streaming.TTLConfig(ttl))
     override def handleInputRows(key: String, rows: Iterator[BandRow],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
@@ -399,9 +408,16 @@ object EventStreams {
       val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
       sorted.iterator.map { r =>
         if (!owner.exists()) {
-          owner.update(true)
+          owner.update(Sig(r.sig))
           BandVerdict(r.doc_id, r.ts, fresh = true)
-        } else BandVerdict(r.doc_id, r.ts, fresh = false)
+        } else {
+          val c = owner.get().s
+          var hits = 0; var i = 0
+          val n = math.min(c.length, r.sig.length)
+          while (i < n) { if (c(i) == r.sig(i)) hits += 1; i += 1 }
+          BandVerdict(r.doc_id, r.ts,
+            fresh = hits.toDouble < threshold * numHashes)
+        }
       }
     }
   }
@@ -454,23 +470,28 @@ object EventStreams {
     *      iff every band was fresh ([[AllBandsFreshProcessor]]).
     *
     * 100 TB shape: text never enters a shuffle — stage 1 carries
-    * (band key, ts, id), stage 2 (id, ts, bool); state is one flag
-    * per live band and one (int, bool) per in-flight doc, both
-    * TTL-bounded, the processing-time analog of the exact-dedup
-    * watermark horizon. No verification pass: like any pure-LSH
-    * gate this over-suppresses band collisions below the Jaccard
-    * threshold (the spec's law pins equality with batch
-    * `minhashDedup` on fixtures where bands discriminate — the
-    * word-gram regime minhashNearDups documents); route kept ids
-    * through the batch verify path where precision matters.
-    * Degenerate docs (< k words — empty signature) share one empty
-    * band key and would all collide: pre-filter them upstream.
-    * Requires the RocksDB state store provider.
+    * (band key, ts, id, signature), stage 2 (id, ts, bool); state is
+    * one signature per live band (`numHashes` longs — the price of
+    * verification; the pre-r10 flag-only stage suppressed EVERY band
+    * collision, so a sub-threshold collision in the coarse-band
+    * regime silently dropped a keeper) and one (int, bool) per
+    * in-flight doc, both TTL-bounded, the processing-time analog of
+    * the exact-dedup watermark horizon. The verdict is Broder's
+    * matching-fraction estimate against the band's CLAIMER (the
+    * streaming analog of the batch exact-Jaccard pass; `threshold`
+    * defaults to the batch operator's 0.5 convention); the spec pins
+    * equality with batch `minhashDedup` AND that a band-colliding
+    * sub-threshold pair now survives. Degenerate docs (< k words —
+    * empty signature) share every band key WITH identical signatures
+    * (est J = 1), so they still collapse to one survivor: pre-filter
+    * them upstream. Requires the RocksDB state store provider.
     */
   def streamingMinhashDedup(docs: Dataset[Doc], k: Int = 5,
-      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      seed: Long = 42L,
       ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[Long] = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.GraftFunctions.minhash_words
@@ -482,11 +503,11 @@ object EventStreams {
     }
     docs.select(col("ts"), col("doc_id"),
         minhash_words(col("text"), k, numHashes, seed).as("sig"))
-      .select(col("ts"), col("doc_id"),
+      .select(col("ts"), col("doc_id"), col("sig"),
         explode(array(bandCols: _*)).as("band_key"))
       .as[BandRow]
       .groupByKey(_.band_key)
-      .transformWithState(new BandClaimProcessor(ttl),
+      .transformWithState(new BandClaimProcessor(threshold, numHashes, ttl),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Append())
       .groupByKey(_.doc_id)

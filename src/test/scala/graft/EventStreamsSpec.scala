@@ -912,12 +912,35 @@ class EventStreamsSpec extends SparkSpec {
         "twelve thirteen fourteen fifteen sixteen"
       val c1 = "red orange yellow green blue indigo violet magenta cyan " +
         "teal maroon olive navy coral amber jade"
+      // a3 shares a1's first 10 words only: trigram Jaccard 8/28 ≈ 0.29
+      // — BELOW the 0.5 threshold yet almost certainly band-colliding
+      // at 32 two-row bands (1-(1-J²)³² ≈ 0.94). The signature check
+      // below asserts the collision actually happens on this seed, so
+      // the survival assertion is non-vacuous: the pre-r10 flag-only
+      // claim stage DROPPED this doc; the estimator verdict keeps it
+      val a3 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "solar lunar tidal crater basalt rille mare regolith dust vacuum"
       val rows = Seq(
         (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, a1),
         (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, a2),
         (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, b1),
         (Timestamp.valueOf("2024-01-01 00:00:04"), 4L, a1), // exact copy, later batch
-        (Timestamp.valueOf("2024-01-01 00:00:05"), 5L, c1))
+        (Timestamp.valueOf("2024-01-01 00:00:05"), 5L, c1),
+        (Timestamp.valueOf("2024-01-01 00:00:06"), 6L, a3))
+      // fixture sanity, deterministic on the fixed seed: a1 and a3
+      // share at least one 2-row band yet agree on < threshold of the
+      // 64 signature components
+      locally {
+        import org.apache.spark.sql.graft.GraftFunctions.minhash_words
+        val sigs = Seq(a1, a3).toDF("text")
+          .select(minhash_words(col("text"), 3, 64, 42L).as("sig"))
+          .collect().map(_.getSeq[Long](0).toArray)
+        val shared = (0 until 32).count(b =>
+          sigs(0).slice(b * 2, b * 2 + 2).sameElements(sigs(1).slice(b * 2, b * 2 + 2)))
+        val agree = (0 until 64).count(i => sigs(0)(i) == sigs(1)(i))
+        assert(shared >= 1, s"fixture must band-collide: $shared")
+        assert(agree < 32, s"fixture must estimate below threshold: $agree/64")
+      }
       val mem = MemoryStream[(Timestamp, Long, String)]
       val docs = mem.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3))
       val kept = EventStreams.streamingMinhashDedup(docs, k = 3,
@@ -937,7 +960,10 @@ class EventStreamsSpec extends SparkSpec {
         val batchKept = graft.ops.Dedup.minhashDedup(batch, k = 3,
             numHashes = 64, bands = 32, threshold = 0.5, wordGrams = true)
           .select("doc_id").collect().map(_.getLong(0)).toSet
-        assert(batchKept == Set(1L, 3L, 5L), s"fixture sanity: $batchKept")
+        // 6 survives: it band-collides with 1 (proved above) but the
+        // signature-agreement verdict estimates J below the threshold
+        // — the verification the flag-only claim stage lacked
+        assert(batchKept == Set(1L, 3L, 5L, 6L), s"fixture sanity: $batchKept")
         assert(streamed == batchKept,
           s"streaming $streamed must equal batch $batchKept")
         // at-least-once replay: re-delivering a kept doc within the TTL
