@@ -684,6 +684,55 @@ class OpsSpec extends SparkSpec {
     assert(appended == rebuilt, "maintaining the index is a pure append of the delta")
   }
 
+  test("two-generation chaining law: slice -> dedup -> append delta -> next slice equals one batch run") {
+    import spark.implicits._
+    // the full production loop, composed twice: generation 1 dedups
+    // against the corpus index and appends its survivors' delta;
+    // generation 2 dedups against the GROWN index — and the final
+    // survivor set must equal a single batch minhashDedup over all
+    // three generations. This is the law that makes weekly re-crawls
+    // sound: the index a pipeline maintains by pure appends never
+    // drifts from what a from-scratch rebuild would say. (The batch
+    // equality additionally needs dropped docs not to be the SOLE
+    // suppressor of a later doc — a batch rebuild keeps dropped docs'
+    // bands while the maintained index deliberately does not; at
+    // near-dup thresholds suppression is nearly transitive so the
+    // regimes coincide, and the fixture stays inside it.)
+    val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
+    val b = "quantum solvers iterate over sparse matrices until the residual drops below machine epsilon thresholds"
+    val c = "fermented tea leaves steep slowly in copper kettles as the market vendors argue about prices"
+    val d = "distributed shuffle services spill partitioned buffers to local disks when executors exceed memory fractions"
+    val g0 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val g1 = Seq(
+      (11L, a + " x"), // dup of gen-0 doc 1: dropped, never enters the index
+      (12L, c)         // new: survives, its bands append
+    ).toDF("doc_id", "text")
+    val g2 = Seq(
+      (21L, c + " y"), // dup of gen-1 SURVIVOR 12 — only caught if the delta appended
+      (22L, b + " z"), // dup of gen-0 doc 2 — the original index still binds
+      (23L, d)         // new
+    ).toDF("doc_id", "text")
+    def bi(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandIndex(df, k = 5, numHashes = 64, bands = 16)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val idx0 = bi(g0)
+    val s1 = Dedup.incrementalMinhashDedup(idx0, g0, g1,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(ids(s1) == Seq(12L))
+    val idx1 = idx0.unionByName(bi(s1))               // the delta append
+    val corpus1 = g0.unionByName(s1)                  // corpus grows by survivors
+    val s2 = Dedup.incrementalMinhashDedup(idx1, corpus1, g2,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(ids(s2) == Seq(23L),
+      "gen-2 must drop dups of BOTH the original corpus and gen-1 survivors")
+    // the one-shot truth: batch over all generations, restricted to g2
+    val batch = ids(Dedup.minhashDedup(g0.unionByName(g1).unionByName(g2),
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .filter(col("doc_id") >= 20L))
+    assert(ids(s2) == batch, "chained increments must equal the batch rebuild")
+  }
+
   test("the band index round-trips its production layout: partitioned parquet, band predicate prunes, dedup identical") {
     import spark.implicits._
     // the scaladoc's storage claim, proved: the index written
