@@ -2502,6 +2502,38 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "n154_index_retraction" -> ((s, dir) => {
+      // the takedown path — the index lifecycle's missing third (build
+      // n150 / append / RETRACT): docs 0 and 2 are purged from the
+      // corpus and retracted from the published band index BEFORE the
+      // slice lands, so their mutated copies (which n150 proves the
+      // intact index drops) must now be ADMITTED — a retracted doc may
+      // suppress nothing — while the mutated copy of surviving doc 4
+      // still drops via the index and the within-slice dup of 251
+      // still drops via slice banding. Oracle: batch banding replayed
+      // over corpus∖removed ∪ slice (retract-then-dedup ≡ rebuild
+      // from corpus-minus-removed, the OpsSpec lifecycle law).
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") < 250)
+      val removed = existing.filter(col("doc_id").isin(0L, 2L))
+        .select("doc_id")
+      val incoming = base.filter(col("doc_id") >= 250)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", concat(col("text"), lit(" tail bit"))))
+        .unionAll(base.filter(col("doc_id") === 251L)
+          .withColumn("doc_id", col("doc_id") + 2999756L)
+          .withColumn("text", concat(col("text"), lit(" x"))))
+      val index = Dedup.minhashBandIndex(existing, k = 5, numHashes = 64,
+        bands = 16)
+      val retracted = Dedup.retractFromIndex(index, removed)
+      // the corpus-side contract: the purge drops the payload too
+      val corpusAfter = existing.join(removed, Seq("doc_id"), "left_anti")
+      Dedup.incrementalMinhashDedup(retracted, corpusAfter, incoming,
+          k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
     "n50_line_dedup" -> ((s, dir) => {
       // C4-style boilerplate line removal over a planted multi-line
       // fixture (corpus texts are single-line): every doc gets a shared
@@ -6100,6 +6132,24 @@ object SparkEntry {
     "n150_incremental_neardup" ->
       s"""WITH u AS (
          | SELECT doc_id, text, n_chars FROM documents
+         | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars
+         |   FROM documents WHERE doc_id IN (0, 2, 4)
+         | UNION ALL SELECT 3000007, text || ' x', n_chars
+         |   FROM documents WHERE doc_id = 251),
+         |p AS (SELECT doc_id_b FROM (${minhashOracleSql(k = 5, numHashes = 64,
+               bands = 16, threshold = 0.5, src = "u")}))
+         |SELECT doc_id, n_chars FROM u
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM p)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the retraction law, replayed: banding over corpus∖removed ∪ slice
+    // (docs 0/2 purged — their planted near-copies are ADMITTED, doc
+    // 4's still drops). Identical construction to n150 with the two
+    // retracted docs cut from the union's corpus side.
+    "n154_index_retraction" ->
+      s"""WITH u AS (
+         | SELECT doc_id, text, n_chars FROM documents
+         |   WHERE doc_id NOT IN (0, 2)
          | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars
          |   FROM documents WHERE doc_id IN (0, 2, 4)
          | UNION ALL SELECT 3000007, text || ' x', n_chars

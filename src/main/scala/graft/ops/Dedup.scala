@@ -388,6 +388,83 @@ object Dedup {
     bandRows(docs, k, numHashes, bands, seed, wordGrams)
   }
 
+  /** Index RETRACTION — the lifecycle third the persisted indexes were
+    * missing (build / append / this): remove every index row belonging
+    * to `removedIds` (takedowns, license revocations, PII purges — a
+    * weekly event in a production corpus). Works on both index shapes
+    * ([[minhashBandIndex]] and [[signBucketIndex]] — each keys rows by
+    * `doc_id`). The semantics are DELIBERATE admission: after
+    * retraction a future slice near-dup of a removed doc is ADMITTED —
+    * the doc is gone, so nothing may cite it as a suppressor (the
+    * index-holing law, which characterized exactly this as the failure
+    * mode of an accidental hole, becomes the retraction's spec). Two
+    * laws pin the lifecycle (OpsSpec):
+    *
+    *  - retraction ≡ rebuild: `retractFromIndex(index, removed)` has
+    *    exactly the rows of `minhashBandIndex(corpus ∖ removed)` —
+    *    per-doc index rows make deletion as local as the append;
+    *  - retract-then-append ≡ rebuild from corpus∖removed ∪ survivors,
+    *    so a maintained index never drifts from a from-scratch rebuild
+    *    whatever order appends and retractions interleave in.
+    *
+    * CORPUS-SIDE CONTRACT: the caller must drop the removed docs from
+    * the corpus relation it passes to [[incrementalMinhashDedup]] /
+    * [[incrementalEmbeddingDedup]] too — the corpus is the text/vector
+    * fetch-back authority, and the purge is not done until both the
+    * index rows and the payload are gone. (The dedup itself only ever
+    * fetches ids the index produced, so a retracted doc is never
+    * requested — but a purge that leaves the payload readable has not
+    * purged anything.)
+    *
+    * 100 TB shape: `removedIds` is metadata-sized (a takedown list),
+    * so the anti-join broadcasts it and the index is re-written with
+    * zero shuffle; laid out `partitionBy(band)` (the spec-proven
+    * production layout) the rewrite preserves partition pruning. In a
+    * deletion-vector lake the same relation IS the tombstone set —
+    * anti-join at read time instead of rewrite time, identical
+    * semantics.
+    */
+  def retractFromIndex(index: DataFrame, removedIds: DataFrame,
+                       idCol: String = "doc_id"): DataFrame =
+    index.join(removedIds.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** The band index's BLOOM SIDECAR: a broadcastable binary sketch of
+    * the index's distinct (band, bucket) keys, built once at
+    * index-publish time (one aggregate — Spark's own
+    * `bloom_filter_agg`, the [[incrementalDedupBloom]] machinery) and
+    * persisted beside the index (a few MB per billion keys at the
+    * default fpp). A slice probe consults it BEFORE the (band, bucket)
+    * semi-join: keys the sidecar rejects provably have no old-side
+    * members (no false negatives), so they never enter the index join
+    * at all — on the production slice shape (slice ≪ corpus, most
+    * slice buckets genuinely new) the join input shrinks to the
+    * true-collision sliver plus fpp noise, and with the
+    * `partitionBy(band)` layout the surviving keys still prune to
+    * matching files. False positives cost one wasted lookup, never a
+    * wrong verdict — the semi-join re-checks every surviving key, so
+    * the bloom-pruned dedup EQUALS the unpruned one row-for-row (the
+    * spec law). An empty index serializes an empty sketch (every probe
+    * rejects — correct: there is nothing to collide with).
+    */
+  def indexBloom(index: DataFrame, expectedKeys: Long = -1L,
+                 fpp: Double = 0.01): Array[Byte] = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp in (0, 1)")
+    val keys = index.select(col("band"), col("bucket")).distinct()
+    val n = math.max(if (expectedKeys > 0) expectedKeys else keys.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    val row = keys
+      .agg(bloom_filter_agg(xxhash64(col("band"), col("bucket")), n, numBits)
+        .as("bf"))
+      .head()
+    if (row.isNullAt(0)) {
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, 64L)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    } else row.getAs[Array[Byte]](0)
+  }
+
   /** Incremental NEAR-dup dedup of a crawl slice against a persisted
     * band index — the weekly re-crawl shape at 100 TB, and the
     * near-dup completion of the incremental ladder ([[incrementalDedup]]
@@ -421,17 +498,27 @@ object Dedup {
     * incoming doc presents is present, so bucket sizes (and the
     * maxBucket drop) match the batch run on old∪new. Candidate pairs
     * keep only new-involving combinations; texts are fetched back
-    * candidate-sized from each side. The pair relation persists under
-    * the [[minhashNearDups]] caller-owned-cache convention.
+    * candidate-sized from each side. Internal persists (slice bands,
+    * candidate pairs, candidate ids) are RELEASED on any exit — the
+    * verified-pair relation is checkpoint-materialized first (eager;
+    * reliable checkpoint when the session has a checkpoint dir,
+    * localCheckpoint otherwise), so a slice run leaves nothing in the
+    * session CacheManager and the weekly re-crawl service loop
+    * accumulates zero cached state across slices (the Graph.scala
+    * track-and-release convention). Pass `bloom` (the published
+    * [[indexBloom]] sidecar) to pre-prune the index probe: identical
+    * result — the semi-join re-checks every surviving key — with the
+    * join input shrunk to the keys the sidecar admits.
     */
   def incrementalMinhashDedup(index: DataFrame, corpus: DataFrame,
                               incoming: DataFrame, k: Int = 5,
                               numHashes: Int = 64, bands: Int = 16,
                               threshold: Double = 0.8, maxBucket: Int = 1000,
                               seed: Long = 42L,
-                              wordGrams: Boolean = false): DataFrame = {
+                              wordGrams: Boolean = false,
+                              bloom: Option[Array[Byte]] = None): DataFrame = {
     val verified = incrementalVerifiedPairs(index, corpus, incoming, k,
-      numHashes, bands, threshold, maxBucket, seed, wordGrams)
+      numHashes, bands, threshold, maxBucket, seed, wordGrams, bloom)
     // the victim is the NEW side of a cross pair (the corpus is
     // immutable, whatever the ids say) and the higher id of a
     // within-slice pair (the minhashDedup rule)
@@ -452,44 +539,58 @@ object Dedup {
                                        numHashes: Int, bands: Int,
                                        threshold: Double, maxBucket: Int,
                                        seed: Long,
-                                       wordGrams: Boolean): DataFrame = {
+                                       wordGrams: Boolean,
+                                       bloom: Option[Array[Byte]] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     def shOf(c: org.apache.spark.sql.Column) =
       if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
     val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
-    val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
-    // exact verification, candidate-sized on BOTH sides: ONE flagged
-    // candidate-id relation (persisted — it prunes both fetch-back
-    // branches, and each branch is read by both verify join sides),
-    // one unioned text fetch, one shingle projection. The pre-r10
-    // shape built four filtered-union id branches and two separate
-    // semi-join trees, which compounded — through the doubled verify
-    // reference — into ~50 broadcast exchanges of the SAME tiny
-    // relations and a 140-stage orchestration bill (2.5x the batch
-    // operator on identical data); this tree runs the same candidate
-    // work in a fraction of the stages.
-    val candIds = pairs.select(explode(array(
-        struct(col("a").as("doc_id"), col("a_new").as("is_new")),
-        struct(col("b").as("doc_id"), col("b_new").as("is_new")))).as("s"))
-      .select(col("s.doc_id").as("doc_id"), col("s.is_new").as("is_new"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // old texts come from the corpus via semi-join (point reads — the
-    // corpus is never re-shingled wholesale), new from the slice
-    val texts = corpus.join(candIds.filter(!col("is_new")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"))
-      .unionByName(incoming.join(candIds.filter(col("is_new")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text")))
-    val sh = texts.select(col("doc_id"), shOf(col("text")).as("sh"))
-    pairs
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .filter(col("inter").cast("double") / col("uni") >= threshold)
-      .select(col("a"), col("a_new"), col("b"), col("b_new"))
+    val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
+      bloom)
+    val released = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    released ++= owned
+    try {
+      // exact verification, candidate-sized on BOTH sides: ONE flagged
+      // candidate-id relation (persisted — it prunes both fetch-back
+      // branches, and each branch is read by both verify join sides),
+      // one unioned text fetch, one shingle projection. The pre-r10
+      // shape built four filtered-union id branches and two separate
+      // semi-join trees, which compounded — through the doubled verify
+      // reference — into ~50 broadcast exchanges of the SAME tiny
+      // relations and a 140-stage orchestration bill (2.5x the batch
+      // operator on identical data); this tree runs the same candidate
+      // work in a fraction of the stages.
+      val candIds = pairs.select(explode(array(
+          struct(col("a").as("doc_id"), col("a_new").as("is_new")),
+          struct(col("b").as("doc_id"), col("b_new").as("is_new")))).as("s"))
+        .select(col("s.doc_id").as("doc_id"), col("s.is_new").as("is_new"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      released += candIds
+      // old texts come from the corpus via semi-join (point reads — the
+      // corpus is never re-shingled wholesale), new from the slice
+      val texts = corpus.join(candIds.filter(!col("is_new")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+        .unionByName(incoming.join(candIds.filter(col("is_new")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
+      val sh = texts.select(col("doc_id"), shOf(col("text")).as("sh"))
+      val verified = pairs
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
+        .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("uni") >= threshold)
+        .select(col("a"), col("a_new"), col("b"), col("b_new"))
+      // ONE eager materialization (checkpoint, lineage cut) is what
+      // makes the finally sound: after it the internals are never
+      // re-read, so releasing them cannot trigger recompute — and the
+      // caller receives a relation with zero CacheManager footprint
+      // (VERDICT r10 nit: the pre-r11 shape leaked three persisted
+      // relations per slice that no caller could unpersist)
+      Iterate.checkpointed(verified)
+    } finally released.foreach(_.unpersist(blocking = false))
   }
 
   /** Per-source NEAR-dup diff report for a crawl slice against the
@@ -511,9 +612,10 @@ object Dedup {
                              k: Int = 5, numHashes: Int = 64, bands: Int = 16,
                              threshold: Double = 0.8, maxBucket: Int = 1000,
                              seed: Long = 42L,
-                             wordGrams: Boolean = false): DataFrame = {
+                             wordGrams: Boolean = false,
+                             bloom: Option[Array[Byte]] = None): DataFrame = {
     val verified = incrementalVerifiedPairs(index, corpus, incoming, k,
-      numHashes, bands, threshold, maxBucket, seed, wordGrams)
+      numHashes, bands, threshold, maxBucket, seed, wordGrams, bloom)
     // per incoming victim, the evidence kind: the victim of a cross
     // pair is its new side; of a within pair, the higher id
     val evidence = verified.select(
@@ -538,12 +640,20 @@ object Dedup {
     * published corpus index and the slice's freshly-banded rows); the
     * result is the distinct new-involving candidate pairs
     * (a, a_new, b, b_new) with a < b, built from exactly the union
-    * buckets a slice row touches. The slice bands persist (two
-    * consumers: the key probe and the bucket union); the pair relation
-    * persists under the [[minhashNearDups]] caller-owned convention.
+    * buckets a slice row touches. The slice bands and the pair
+    * relation persist for the stage's own multi-consumer reads; both
+    * are returned to the caller for deterministic release after its
+    * one eager materialization (the Graph.scala convention — nothing
+    * survives the slice run in the CacheManager). `bloom` (the
+    * published [[indexBloom]] sidecar) pre-prunes the key probe only:
+    * the slice's OWN bucket union is never filtered (within-slice
+    * collisions owe nothing to the index), and no-false-negatives
+    * makes the pruned probe return exactly the unpruned old rows.
     */
   private def incrementalCandidatePairs(index: DataFrame, newBands: DataFrame,
-                                        maxBucket: Int): DataFrame = {
+                                        maxBucket: Int,
+                                        bloom: Option[Array[Byte]] = None)
+      : (DataFrame, Seq[DataFrame]) = {
     // persisted: two consumers (the key probe and the bucket union)
     // would otherwise band the slice twice. A/B'd at bench scale
     // (PLANS.md "n150 orchestration"): FLAT — the cache fill's barrier
@@ -554,8 +664,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only index rows in buckets the slice actually presents matter:
     // old docs confined to untouched buckets cannot pair with the
-    // slice, and old-old pairs never drop an incoming doc
-    val keys = nb.select(col("band"), col("bucket")).distinct()
+    // slice, and old-old pairs never drop an incoming doc. The bloom
+    // sidecar (when published) rejects provably-absent keys BEFORE the
+    // semi-join — the scan-side prune the index scaladoc promises.
+    val allKeys = nb.select(col("band"), col("bucket")).distinct()
+    val keys = bloom.fold(allKeys)(bf => allKeys.filter(
+      might_contain(lit(bf), xxhash64(col("band"), col("bucket")))))
     val oldRelevant = index.join(keys, Seq("band", "bucket"), "left_semi")
     val tagged = nb.withColumn("is_new", lit(true))
       .unionByName(oldRelevant.select(col("doc_id"), col("band"), col("bucket"))
@@ -563,7 +677,7 @@ object Dedup {
     val buckets = tagged.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new")))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
-    buckets
+    val pairs = buckets
       .select(explode(col("items")).as("ia"), col("items"))
       .select(col("ia"), explode(col("items")).as("ib"))
       .filter(col("ia.doc_id") < col("ib.doc_id") &&
@@ -572,6 +686,7 @@ object Dedup {
         col("ib.doc_id").as("b"), col("ib.is_new").as("b_new"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (pairs, Seq(nb, pairs))
   }
 
   /** The persisted sign-LSH BUCKET INDEX of an embedding corpus: one
@@ -614,27 +729,38 @@ object Dedup {
                                 incoming: DataFrame, threshold: Double = 0.95,
                                 planes: Int = 12, tables: Int = 4,
                                 maxBucket: Int = 2000,
-                                dim: Int = -1): DataFrame = {
+                                dim: Int = -1,
+                                bloom: Option[Array[Byte]] = None): DataFrame = {
     val newBands = signBucketIndex(incoming, planes, tables, dim)
-    val pairs = incrementalCandidatePairs(index, newBands, maxBucket)
-    // one flagged candidate-id relation pruning both fetch-back
-    // branches (the incrementalVerifiedPairs stage-count lesson)
-    val candIds = pairs.select(explode(array(
-        struct(col("a").as("vec_id"), col("a_new").as("is_new")),
-        struct(col("b").as("vec_id"), col("b_new").as("is_new")))).as("s"))
-      .select(col("s.vec_id").as("vec_id"), col("s.is_new").as("is_new"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val e = corpus.join(candIds.filter(!col("is_new")).select("vec_id"),
-        Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("embedding"))
-      .unionByName(incoming.join(candIds.filter(col("is_new")).select("vec_id"),
-        Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding")))
-    val verified = pairs
-      .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
-      .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
-      .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= threshold)
+    val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
+      bloom)
+    val released = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    released ++= owned
+    val verified = try {
+      // one flagged candidate-id relation pruning both fetch-back
+      // branches (the incrementalVerifiedPairs stage-count lesson)
+      val candIds = pairs.select(explode(array(
+          struct(col("a").as("vec_id"), col("a_new").as("is_new")),
+          struct(col("b").as("vec_id"), col("b_new").as("is_new")))).as("s"))
+        .select(col("s.vec_id").as("vec_id"), col("s.is_new").as("is_new"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      released += candIds
+      val e = corpus.join(candIds.filter(!col("is_new")).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(incoming.join(candIds.filter(col("is_new")).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding")))
+      // the minhash path's release discipline: one eager checkpoint of
+      // the verified pairs, then every internal persist is dropped —
+      // nothing from the slice run survives in the CacheManager
+      Iterate.checkpointed(pairs
+        .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
+        .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
+        .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= threshold)
+        .select(col("a"), col("a_new"), col("b"), col("b_new")))
+    } finally released.foreach(_.unpersist(blocking = false))
     val victims = verified.select(
       when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
         .as("vec_id")).distinct()

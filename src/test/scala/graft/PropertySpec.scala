@@ -508,15 +508,22 @@ class PropertySpec extends SparkSpec {
       val incoming = df.filter(col("doc_id") >= split)
       val index = graft.ops.Dedup.minhashBandIndex(old, k = 5,
         numHashes = 64, bands = 16)
+      spark.catalog.clearCache() // clean baseline for the no-leak law below
       val inc = graft.ops.Dedup.incrementalMinhashDedup(index, old, incoming,
           k = 5, numHashes = 64, bands = 16, threshold = 0.5)
         .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the incremental operator releases its own internals (r11): the
+      // CacheManager is as empty after the slice action as before it —
+      // the per-slice no-leak law, property-checked across every
+      // generated corpus; only batch minhashDedup still persists
+      // (caller-owned), cleared below
+      val noLeak = spark.sharedState.cacheManager.isEmpty
       val batch = graft.ops.Dedup.minhashDedup(df, k = 5, numHashes = 64,
           bands = 16, threshold = 0.5)
         .filter(col("doc_id") >= split)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      spark.catalog.clearCache() // the operators persist internals per run
-      inc == batch
+      spark.catalog.clearCache() // batch minhashDedup persists internals
+      inc == batch && noLeak
     }).passed, "incremental == batch on the union, for every generated corpus and split")
   }
 }
