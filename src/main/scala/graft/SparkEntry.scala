@@ -2534,6 +2534,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
     }),
 
+    "n155_exact_substr_dedup" -> ((s, dir) => {
+      // Lee et al. 2022 ExactSubstr at ARBITRARY boundaries — the
+      // removal n38's chunk grid cannot do: planted copies shifted by
+      // one token (a prefix word) or extended past the grid (a suffix
+      // tail) never line up with any 16-word chunk, but every interior
+      // word-8-gram is a duplicated anchor, so the whole copied span
+      // is excised from the LATER occurrence (keep-first; the
+      // originals 0/1 keep their text). Natural duplicated 8-grams in
+      // the corpus collapse identically in both engines. Plant ids
+      // stay COLUMNS (the n150 lit() lesson).
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val planted = base.filter(col("doc_id") === 0L)
+        .select((col("doc_id") + 4000001L).as("doc_id"),
+          concat(lit("zyxprefix "), col("text")).as("text"))
+        .unionAll(base.filter(col("doc_id") === 1L)
+          .select((col("doc_id") + 4000002L).as("doc_id"),
+            concat(col("text"), lit(" zyxsuffix trailing words appended"))
+              .as("text")))
+      TextAnalysis.exactSubstrDedup(base.unionAll(planted), n = 8)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_tokens_kept"), md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "n50_line_dedup" -> ((s, dir) => {
       // C4-style boilerplate line removal over a planted multi-line
       // fixture (corpus texts are single-line): every doc gets a shared
@@ -6215,6 +6239,44 @@ object SparkEntry {
          |FROM (SELECT * FROM u WHERE doc_id >= 250) i
          |LEFT JOIN ev ON ev.doc_id = i.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // anchor+extend replayed on gram STRINGS (string-equality replay
+    // of the hash-keyed construction — the n50 convention, fnv64's
+    // 2^-64 collision risk accepted); keep-first is the same
+    // (doc_id, pos) minimum on both engines, and 1-based DuckDB
+    // positions vs Spark's 0-based anchors induce identical covers
+    "n155_exact_substr_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 4000001, 'zyxprefix ' || text
+        |   FROM documents WHERE doc_id = 0
+        | UNION ALL SELECT doc_id + 4000002,
+        |   text || ' zyxsuffix trailing words appended'
+        |   FROM documents WHERE doc_id = 1),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        | FROM u),
+        |w AS (SELECT doc_id, len(ws) AS n_tokens, s.pos AS pos, s.word AS word
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(list_transform(generate_series(1, len(ws)),
+        |      j -> {'pos': j, 'word': ws[j]})) AS s
+        |   FROM toks WHERE len(ws) > 0)),
+        |occ AS (SELECT doc_id, o.pos AS pos, o.g AS g
+        |  FROM (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 7),
+        |      j -> {'pos': j, 'g': array_to_string(ws[j:j+7], ' ')})) AS o
+        |   FROM toks WHERE len(ws) >= 8)),
+        |ranked AS (SELECT doc_id, pos,
+        |   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |   count(*) OVER (PARTITION BY g) AS cnt FROM occ),
+        |dup AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn >= 2),
+        |taint AS (SELECT DISTINCT w.doc_id, w.pos FROM w
+        |  JOIN dup d ON w.doc_id = d.doc_id AND w.pos BETWEEN d.pos AND d.pos + 7),
+        |kept AS (SELECT w.* FROM w ANTI JOIN taint USING (doc_id, pos))
+        |SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_tokens_kept,
+        |  md5(string_agg(word, ' ' ORDER BY pos)) AS text_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "n50_line_dedup" ->
       // string-equality replay of the hash-keyed frequent-line set

@@ -462,6 +462,80 @@ object TextAnalysis {
             s => s("chunk")), " ").as("text_deduped"))
   }
 
+  /** Arbitrary-boundary exact-substring dedup, after Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): remove every duplicated token span of length >= `n`
+    * WHEREVER it starts — the guarantee [[chunkDedup]] cannot give,
+    * because its spans live on a fixed `chunkWords` grid and a
+    * duplicate shifted by a single token never lines up with any chunk
+    * (the spec plants exactly that defeat). The paper's construction
+    * is a corpus-wide suffix array — inherently a shared-memory scan;
+    * this is the distributed re-expression: ANCHOR on every word
+    * n-gram occurrence, mark the non-first occurrences of every gram
+    * that occurs more than once, and let their n-token covers union
+    * into maximal removed spans (a duplicated span of length L >= n
+    * contains L-n+1 duplicated anchors, so the cover is exactly the
+    * span — extension left/right is the overlap of consecutive
+    * anchors, no sequential pass needed). First occurrence KEEPS its
+    * copy (min (doc_id, pos) — Lee et al.'s keep-one policy with a
+    * deterministic winner); every other occurrence loses its covered
+    * tokens, and each document reassembles from its surviving tokens
+    * in order. Single pass, the paper's convention: removal can
+    * splice new adjacencies, which are not re-examined.
+    *
+    * Guarantee (spec law): the output contains no token span of
+    * length >= n shared by two documents — each duplicated gram
+    * survives in at most its one first position, and intra-document
+    * repeats collapse the same way.
+    *
+    * 100 TB shape: anchors shuffle as (8-byte gram hash, doc_id,
+    * position) rows keyed by the hash — never gram text (fnv64, the
+    * [[lineDedup]] convention and its accepted 2^-64 collision risk) —
+    * with map-side partial aggregation into (first occurrence, count)
+    * per gram; only grams with count >= 2 survive that reduction (the
+    * duplicated sliver, boilerplate-sized), join back hash-keyed (AQE
+    * broadcasts when small), and the taint explode is n x dup-sized,
+    * not corpus-sized. Reassembly shuffles surviving words keyed by
+    * doc_id — that movement is the output itself. No windows, no
+    * global sort, nothing quadratic. Documents shorter than n words
+    * anchor nothing and pass through whole; documents whose every
+    * token is covered disappear (the [[chunkDedup]] convention).
+    */
+  def exactSubstrDedup(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val toks = docs.select(col("doc_id"), ws.as("ws"))
+    // every word-n-gram occurrence, anchored at its 0-based start
+    val occ = toks.filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
+          i => fnv64(array_join(slice(col("ws"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "g")))
+    // duplicated grams, each with its global first occurrence — the
+    // one presentation that keeps its tokens
+    val dupG = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    // non-first occurrences taint their n-token cover; overlapping
+    // covers union into the maximal duplicated span
+    val tainted = occ.join(dupG, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val words = toks.select(col("doc_id"), size(col("ws")).as("n_tokens"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    words.join(tainted, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_tokens_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s("word")), " ").as("text_clean"))
+  }
+
   /** Line-level dedup (the C4 / CCNet boilerplate pass): remove every
     * line that occurs in at least `minDocs` DISTINCT documents —
     * headers, footers, navigation, cookie banners — and reassemble each

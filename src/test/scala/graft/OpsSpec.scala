@@ -880,6 +880,51 @@ class OpsSpec extends SparkSpec {
     assert(soloPruned == solo)
   }
 
+  test("exactSubstrDedup removes arbitrary-boundary spans that chunkDedup's grid provably misses; keep-first; no surviving inter-doc span") {
+    import spark.implicits._
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val rep = (1 to 12).map(i => s"m$i").mkString(" ")
+    val d = Seq(
+      (1L, span),          // the original: keeps everything
+      (2L, "pad " + span), // duplicated span shifted ONE token off the grid
+      // shares only a 7-gram with doc 1: below the n=8 bar, kept whole
+      (3L, "other words " + (1 to 7).map(i => s"w$i").mkString(" ") +
+        " differing tail entirely"),
+      // INTRA-doc repeat: the second occurrence excises, the first keeps
+      (4L, rep + " middle filler words here " + rep)
+    ).toDF("doc_id", "text")
+    // the defeat this operator exists for, pinned as a law: the
+    // shifted copy lines up with NO 16-word chunk, so n38's chunk
+    // dedup keeps doc 2 entirely — a one-token shift beats the grid
+    val chunks = TextAnalysis.chunkDedup(d, chunkWords = 16).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("kept_chunks"))).toMap
+    assert(chunks(2L)._1 == chunks(2L)._2,
+      "chunk-aligned dedup must MISS the shifted duplicate (Lee et al.'s case)")
+    val out = TextAnalysis.exactSubstrDedup(d, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_tokens_kept"))).toMap
+    assert(out(1L)._1 == span, "first occurrence keeps its copy")
+    assert(out(2L)._1 == "pad",
+      s"the shifted copy must be excised at its arbitrary boundary: ${out(2L)}")
+    assert(out(3L)._2 == 12L && out(3L)._1.startsWith("other words"),
+      "a shared 7-gram sits below the n=8 bar: kept whole")
+    assert(out(4L)._1 == rep + " middle filler words here",
+      s"intra-doc repeat: second occurrence excised: ${out(4L)}")
+    // THE guarantee (Lee et al.'s postcondition): the output contains
+    // no 8-token span shared by two documents — any duplicated span
+    // >= n contains a duplicated n-gram, so checking n-grams suffices
+    def grams(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    val byDoc = out.toSeq.map { case (id, (t, _)) => id -> grams(t) }
+    for {
+      (ida, ga) <- byDoc
+      (idb, gb) <- byDoc if ida < idb
+    } assert(ga.intersect(gb).isEmpty,
+      s"docs $ida/$idb still share an 8-gram: ${ga.intersect(gb).take(1)}")
+  }
+
   test("the band index round-trips its production layout: partitioned parquet, band predicate prunes, dedup identical") {
     import spark.implicits._
     // the scaladoc's storage claim, proved: the index written
