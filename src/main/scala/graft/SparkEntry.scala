@@ -3707,6 +3707,25 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n156_ivf_append" -> ((s, dir) => {
+      // incremental ANN maintenance (the dedup indexes' lifecycle,
+      // brought to the ANN column): the index is FIT on the even half
+      // only, the odd half appends against FROZEN centroids — no
+      // retrain, no re-read of the old corpus — and the full-probe
+      // search over the appended index must still equal brute force
+      // over the WHOLE table (the n16 exhaustive-probe convention:
+      // frozen assignment partitions the union, so nothing is lost,
+      // duplicated, or re-ranked by the append).
+      val emb = t(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val idx = Ivf.build(old, nLists = 8, nRows = old.count())
+      val appended = Ivf.append(idx, emb.filter(col("vec_id") % 2 === 1))
+      Ivf.search(appended, emb.filter(col("vec_id") < 5), 10, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n30_top_word_share" -> ((s, dir) => {
       // the shuffle-shaped repetition signal (explode + two partial
       // aggs), vs n27's in-row shape
@@ -7642,6 +7661,21 @@ object SparkEntry {
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
     "n21_knn_ivfpq" -> // full probe + wide rerank == brute force (see query)
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // append-then-full-probe == brute force over the union == the n16
+    // oracle verbatim (the even/odd split is invisible to exhaustive
+    // probing — that invisibility IS the law being checked)
+    "n156_ivf_append" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 5),
         |scored AS (

@@ -64,6 +64,79 @@ object Ivf {
     Index(assigned, cents)
   }
 
+  /** Assignment of vectors to FROZEN centroids — the maintenance half
+    * of [[build]]'s fit+transform, factored out so the index can GROW
+    * without retraining. Per row: argmin of squared Euclidean distance
+    * over the centroid table, ties to the lowest list id (the
+    * deterministic rule k-means transform induces). Arithmetic is all
+    * in double after a single widening cast (a float difference or
+    * product re-rounded in float would drift from the fit-time
+    * assignment), and the fold runs in component order, so the spec
+    * can pin `assignFrozen(corpus, index.centroids) == index.assigned`
+    * exactly.
+    *
+    * 100 TB shape: the centroids ride INSIDE the expression as
+    * literals (nLists x dim floats — kilobytes), so assignment is one
+    * narrow codegen'd map over the vectors: no join, no shuffle, no
+    * broadcast exchange. That is what makes weekly index maintenance
+    * a pure append ([[append]]).
+    */
+  def assignFrozen(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
+                   embedCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "no centroids to assign to")
+    val scored = centroids.sortBy(_._1).map { case (i, c) =>
+      val cl = typedLit(c.map(_.toDouble))
+      struct(
+        aggregate(
+          zip_with(col(embedCol).cast("array<double>"), cl,
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(i).as("list_id"))
+    }
+    vecs.withColumn("list_id",
+      array_min(array(scored: _*)).getField("list_id"))
+  }
+
+  /** Incremental IVF maintenance — the ANN column's member of the
+    * incremental ladder (exact digests / minhash text / sign-LSH
+    * embeddings / this): assign `newVecs` to the index's FROZEN
+    * centroids and append, never re-training and never re-reading the
+    * existing corpus. The spec laws mirror the dedup indexes':
+    * append-equals-rebuild-with-same-centroids (assignment is per-row
+    * deterministic, so the union assignment IS the row union), and the
+    * full-probe search over an appended index still equals brute force
+    * over the union (the n156 oracle — every vector lands in exactly
+    * one list, so exhaustive probing is exhaustive search). Centroid
+    * QUALITY for the new vectors is the one thing freezing gives up:
+    * a distribution shift crowds new vectors into few ill-fitting
+    * lists and partial-probe recall decays — [[recallAudit]] is the
+    * scheduled check that tells the pipeline when a retrain is due.
+    */
+  def append(index: Index, newVecs: DataFrame,
+             embedCol: String = "embedding"): Index =
+    Index(index.assigned.unionByName(assignFrozen(newVecs, index.centroids,
+      embedCol)), index.centroids)
+
+  /** Partial-probe recall of the index against exhaustive truth on a
+    * query sample — the retrain-due audit for [[append]]-maintained
+    * indexes, reusing the n84 recall kernel ([[Dedup.pairRecall]])
+    * over (query, retrieved) pairs. Healthy indexes hold recall near
+    * 1 at the operating nProbe; a drifted corpus (new vectors far
+    * from every frozen centroid) shows up as recall decay on queries
+    * from the drifted region, and the pipeline retrains when the
+    * number drops below its SLO. The truth side is the guarded
+    * brute-force scan over the assigned relation — audit-priced, run
+    * on a sample, never the serving path.
+    */
+  def recallAudit(index: Index, queries: DataFrame, k: Int = 10,
+                  nProbe: Int = 2): DataFrame = {
+    val got = search(index, queries, k, nProbe)
+      .select(col("query_id").as("doc_id_a"), col("vec_id").as("doc_id_b"))
+    val truth = search(index, queries, k, nProbe = index.centroids.length)
+      .select(col("query_id").as("doc_id_a"), col("vec_id").as("doc_id_b"))
+    Dedup.pairRecall(got, truth)
+  }
+
   /** IVF-PQ index (Jegou et al. 2011 §IV): on top of the coarse lists,
     * each vector's residual (vector − list centroid) is product-quantized
     * into `m` sub-codes from per-subspace codebooks. The encoded relation

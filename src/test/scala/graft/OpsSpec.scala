@@ -925,6 +925,68 @@ class OpsSpec extends SparkSpec {
       s"docs $ida/$idb still share an 8-gram: ${ga.intersect(gb).take(1)}")
   }
 
+  test("Ivf.append: frozen assignment replays the builder's; append equals rebuild-with-same-centroids; recall audit flags planted drift") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 200)
+    val idx = Ivf.build(old, nLists = 8, nRows = 200L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // (1) the frozen assignment IS the fit-time transform, row for row
+    // — the agreement that makes append-maintenance sound at all
+    assert(rows(Ivf.assignFrozen(old, idx.centroids)) == rows(idx.assigned),
+      "assignFrozen must replay KMeans.transform against the same centroids")
+    // (2) append ≡ rebuild with the same centroids over the union —
+    // the dedup indexes' append law, ANN edition
+    val newer = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+    val app = Ivf.append(idx, newer)
+    assert(rows(app.assigned) ==
+      rows(Ivf.assignFrozen(old.unionByName(newer), idx.centroids)),
+      "append must equal the rebuild against frozen centroids")
+    // (3) the retrain-due audit: the decision the weekly pipeline makes
+    // is "does a retrain recover materially more recall than the
+    // frozen-centroid append left on the table?". A planted
+    // distribution shift — a tight cluster straddling the Voronoi
+    // boundary of the two most separated frozen centroids, so its
+    // members split across lists no single probe covers — makes the
+    // retrain gain LARGE (the refit gives the cluster its own list and
+    // recall goes to 1); a natural slice's gain stays small (frozen
+    // centroids still fit data drawn from the same distribution).
+    def recall(ix: Ivf.Index, q: org.apache.spark.sql.DataFrame): Double =
+      Ivf.recallAudit(ix, q, k = 10, nProbe = 1).head().getAs[Double]("recall")
+    val natQ = newer.filter(col("vec_id") < 220)
+    val gainNat =
+      recall(Ivf.build(old.unionByName(newer), nLists = 8, nRows = 400L), natQ) -
+        recall(app, natQ)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val cs = idx.centroids
+    val (ca, cb) = (for (x <- cs; y <- cs if x._1 < y._1) yield (x, y))
+      .maxBy { case (x, y) => d2(x._2, y._2) }
+    val dim = ca._2.length
+    val planted = (0 until 20).map { t =>
+      val s = (if (t % 2 == 0) 1.0f else -1.0f) * (0.05f + 0.001f * t)
+      (10000L + t, Array.tabulate(dim) { u =>
+        (ca._2(u) + cb._2(u)) / 2 + s * (ca._2(u) - cb._2(u))
+      })
+    }.toDF("vec_id", "embedding")
+    // the planted cluster really does straddle: members land in >= 2
+    // frozen lists — the shape no single probe can cover
+    assert(Ivf.assignFrozen(planted, idx.centroids)
+      .select("list_id").distinct().count() >= 2L,
+      "drift fixture must split across frozen lists")
+    val rDrift = recall(Ivf.append(idx, planted), planted)
+    val rRetrain = recall(
+      Ivf.build(old.unionByName(planted), nLists = 8, nRows = 220L), planted)
+    assert(rRetrain == 1.0,
+      s"the refit must give the shifted cluster its own list: $rRetrain")
+    assert(rRetrain - rDrift > 2.0 * math.max(gainNat, 0.0),
+      s"the audit must separate drift (retrain gain ${rRetrain - rDrift}) " +
+        s"from a healthy slice (gain $gainNat)")
+  }
+
   test("the band index round-trips its production layout: partitioned parquet, band predicate prunes, dedup identical") {
     import spark.implicits._
     // the scaladoc's storage claim, proved: the index written
