@@ -37,6 +37,83 @@ object Bench {
     * 8x first-run regex warmup) never flag; near a sick probe, every
     * materially-divergent pair is exactly the evidence to discount.
     */
+  /** The SECOND adjudication rule (VERDICT r10 #3): the r10 driver
+    * sweep was 26% slow with `"suspect": []` because BOTH runs of each
+    * affected query were equally slow and the pos/io probes stayed
+    * flat — a STEADILY sick box, structurally invisible to the
+    * pair-divergence x probe-drift conjunction above. The evidence
+    * that does survive in such an artifact is the committed clean
+    * reference (BENCH_REF.json, the judge's clean sweep checked in
+    * beside the code): a query whose BOTH runs agree with each other
+    * (divergence <= 1.5x — steady, not a transient spike) yet sit
+    * far above the clean reference (min > 2.5x ref) was not slowed by
+    * plan cost (same code, same data) — the box was. Sub-second
+    * reference lines are skipped (run-to-run noise crosses 2.5x there)
+    * and the flag fires only when >= 3 queries carry the signature, so
+    * one legitimately-regressed query can never masquerade as
+    * contamination — a real regression shows up as a FEW slow lines
+    * (and lands in the per-query map for the judge to price), while a
+    * sick box inflates the whole cache/GC-heavy cohort. Replayed in
+    * EngineSpec against the literal r10 driver numbers: the old rule
+    * misses them, this one names them.
+    */
+  private[graft] def steadySlow(
+      runPairs: Seq[(String, (Double, Double))],
+      ref: Map[String, Double]): Seq[String] = {
+    val named = runPairs.collect {
+      case (name, (a, b))
+          if math.min(a, b) > 0.0 &&
+            math.max(a, b) <= 1.5 * math.min(a, b) &&
+            ref.get(name).exists(r => r >= 0.5 && math.min(a, b) > 2.5 * r) =>
+        name
+    }
+    if (named.size >= 3) named else Seq.empty
+  }
+
+  /** Probe-family drift vs the committed reference (VERDICT r10 #3's
+    * prescribed shape): for each calibration family, the sweep median
+    * against the same family's median in BENCH_REF.json. A family
+    * whose median exceeds 3x its reference flags the SWEEP (not a
+    * query): the gc/cache/bc families exercise exactly the pressure
+    * (heap walks, block-manager churn, broadcast build) that a
+    * steadily-sick box degrades while pure-compute and scan probes
+    * stay flat. Returns (family -> ratio) for every family present in
+    * both, so the artifact carries the full profile even when nothing
+    * flags. Failed probes (-1) are excluded on both sides.
+    */
+  private[graft] def probeFamilyDrift(
+      calib: Seq[(String, Double)],
+      refCalib: Seq[(String, Double)]): Map[String, Double] = {
+    val probe = "^(pos|io|gc|cache|bc)(\\d+)$".r
+    def medians(xs: Seq[(String, Double)]): Map[String, Double] =
+      xs.collect { case (probe(f, _), v) if v >= 0.0 => (f, v) }
+        .groupBy(_._1)
+        .map { case (f, vs) =>
+          val s = vs.map(_._2).sorted
+          f -> s(s.length / 2)
+        }
+    val cur = medians(calib)
+    val ref = medians(refCalib)
+    cur.flatMap { case (f, m) =>
+      ref.get(f).filter(_ > 0.0).map(r => f -> m / r)
+    }
+  }
+
+  /** Flat `"key": number` pairs of the object under `key` in a one-line
+    * JSON document (BENCH_REF.json's `queries` / `calibration` maps are
+    * flat by construction) — a 6-line extractor instead of a JSON
+    * dependency the build cannot take. Returns empty on any shape
+    * mismatch: a missing or malformed reference degrades the sweep
+    * flags to silence, never aborts a bench run.
+    */
+  private[graft] def jsonNumberMap(json: String, key: String): Map[String, Double] = {
+    val obj = ("\"" + key + "\":\\{([^}]*)\\}").r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(obj)
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+  }
+
   private[graft] def suspectQueries(
       runPairs: Seq[(String, (Double, Double))],
       calib: Seq[(String, Double)]): Seq[String] = {
@@ -140,6 +217,29 @@ object Bench {
       probe(s"pos$pos")(spark.range(20000000L).selectExpr("sum(id * 7)").collect())
       probe(s"io$pos")(spark.read.parquet(s"$sfDir/documents.parquet")
         .selectExpr("sum(length(text))").collect())
+      // the r10 lesson (VERDICT #3): a steadily-sick box degraded
+      // cache/GC-heavy queries 3-7x while pos/io stayed flat — nothing
+      // in the sweep exercised the pressure that was actually sick.
+      // Three more families do, at half the pos/io cadence: gc times a
+      // full collection (heap health), cache persists + reads back +
+      // drops a fixed mid-size relation (block-manager churn), bc runs
+      // a broadcast-join microbench (broadcast build + exchange). Their
+      // medians are compared against BENCH_REF.json by
+      // [[probeFamilyDrift]] — the sweep-level flag.
+      if (pos % 32 == 0) {
+        probe(s"gc$pos")(System.gc())
+        probe(s"cache$pos") {
+          val df = spark.range(2000000L)
+            .selectExpr("id", "cast(id % 997 as string) as s")
+            .persist()
+          try { df.count(); df.selectExpr("sum(length(s))").collect() }
+          finally df.unpersist(blocking = true)
+        }
+        probe(s"bc$pos")(spark.range(2000000L)
+          .join(org.apache.spark.sql.functions.broadcast(
+            spark.range(997L).selectExpr("id", "id * 3 as v")), "id")
+          .selectExpr("sum(v)").collect())
+      }
     }
     var i = 0
     // both raw samples ride into BENCH_FULL alongside the min: a
@@ -165,13 +265,40 @@ object Bench {
       .mkString("{", ",", "}")
     val runs = runPairs.map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
       .mkString("{", ",", "}")
-    // the sweep adjudicates itself: positions where pair divergence and
-    // probe drift coincide are named, so a reader discounts them
-    // without reconstructing the r9 postmortem by hand
-    val suspect = suspectQueries(runPairs.toSeq, calib.toSeq)
+    // the sweep adjudicates itself, two rules: (1) positions where pair
+    // divergence and probe drift coincide are named per query (the
+    // spike mode); (2) steady-slow queries vs the committed clean
+    // reference and probe-family drift flag the SWEEP (the r10 mode the
+    // spike rule is blind to). Both suppressed under SPARK_GRAFT_ONLY:
+    // a filtered run's probe spacing and reference coverage differ from
+    // the full sweep the rules were calibrated on (ADVICE r10 #4).
+    val restricted = EnvFilter.only.isDefined
+    val suspect = (if (restricted) Seq.empty
+      else suspectQueries(runPairs.toSeq, calib.toSeq))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refJson =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_REF.json")
+        if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+        else ""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_REF.json read failed: ${e.getMessage}")
+        ""
+      }
+    val steady = (if (restricted) Seq.empty
+      else steadySlow(runPairs.toSeq, jsonNumberMap(refJson, "queries")))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val drift = probeFamilyDrift(calib.toSeq,
+      jsonNumberMap(refJson, "calibration").toSeq)
+    val driftJson = drift.toSeq.sortBy(_._1)
+      .map { case (f, r) => "\"" + f + "\":" + "%.3f".format(r) }
+      .mkString("{", ",", "}")
+    val flaggedFams = drift.filter(_._2 > 3.0).keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sweepJson =
+      s"""{"steady_slow":$steady,"probe_drift":$driftJson,"flagged_families":$flaggedFams}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration":$cal,"suspect":$suspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"calibration":$cal,"suspect":$suspect,"sweep":$sweepJson,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of output and parses the
     // final JSON line it finds there. With 120+ queries the full map blows
     // that budget (every prior round recorded parsed:null), so: dump the

@@ -110,4 +110,79 @@ class EngineSpec extends SparkSpec {
     assert(!f2.contains("n34_line_dedup"),
       "io32 was n34's only sick neighbor; with io probes failed it must unflag")
   }
+
+  test("Bench.steadySlow + probeFamilyDrift: the r10 driver shape the spike rule is blind to") {
+    // THE LITERAL r10 ADJUDICATION, replayed: driver BENCH_r10 ran n150
+    // at [22.9, 25.5] s, n153 at [12.8, ~13.9], n57 at [8.6, 11.8] —
+    // both runs slow (steady, divergence <= 1.5x), pos/io probes FLAT,
+    // so suspectQueries said []. The judge's committed clean run is the
+    // reference: n150 6.97, n153 4.26, n57 1.17.
+    val calib = Seq(
+      "pos0" -> 0.52, "io0" -> 0.159,
+      "pos16" -> 0.50, "io16" -> 0.155,
+      "pos32" -> 0.53, "io32" -> 0.160,
+      "pos48" -> 0.51, "io48" -> 0.158)
+    def flat(i: Int) = s"q$i" -> (0.5, 0.55)
+    val runPairs: Seq[(String, (Double, Double))] =
+      (0 until 10).map(flat) ++
+      Seq("n150_incremental_neardup" -> (22.9, 25.5)) ++
+      (11 until 30).map(flat) ++
+      Seq("n153_neardup_slice_report" -> (12.8, 13.9)) ++
+      (31 until 50).map(flat) ++
+      Seq("n57_perplexity_gate" -> (8.6, 11.8)) ++
+      (51 until 60).map(flat)
+    val ref: Map[String, Double] =
+      (0 until 60).map(i => s"q$i" -> 0.5).toMap ++
+        Map("n150_incremental_neardup" -> 6.97,
+          "n153_neardup_slice_report" -> 4.26,
+          "n57_perplexity_gate" -> 1.17)
+    // the old rule is structurally blind to this shape (flat probes):
+    assert(graft.Bench.suspectQueries(runPairs, calib).isEmpty,
+      "precondition: the spike rule must miss the steady mode")
+    // the new rule names exactly the steady-slow cohort:
+    assert(graft.Bench.steadySlow(runPairs, ref).sorted == Seq(
+      "n150_incremental_neardup", "n153_neardup_slice_report",
+      "n57_perplexity_gate"),
+      "steadySlow must name the r10 driver cohort")
+    // specificity 1: a clean sweep (pairs at reference) flags nothing
+    val cleanPairs = runPairs.map { case (n, _) =>
+      n -> (ref(n) * 1.05, ref(n) * 1.1) }
+    assert(graft.Bench.steadySlow(cleanPairs, ref).isEmpty)
+    // specificity 2: SPIKE pairs (divergent runs — the r9 mode) do NOT
+    // steady-flag; that is the other rule's jurisdiction
+    val spiky = runPairs.map { case (n, (a, b)) =>
+      if (n.startsWith("n")) n -> (a, a * 4.0) else n -> (a, b) }
+    assert(graft.Bench.steadySlow(spiky, ref).isEmpty)
+    // specificity 3: fewer than 3 steady-slow lines is a regression to
+    // price, not contamination to discount — never flagged
+    val twoOnly = runPairs.filterNot(_._1 == "n57_perplexity_gate")
+    assert(graft.Bench.steadySlow(twoOnly, ref).isEmpty)
+    // specificity 4: sub-second reference lines never flag (noise
+    // crosses 2.5x there), even when many are slow
+    val subSec = (0 until 10).map(i => s"q$i" -> (0.45, 0.46))
+    assert(graft.Bench.steadySlow(subSec, (0 until 10)
+      .map(i => s"q$i" -> 0.1).toMap).isEmpty)
+    // the probe-family rule: gc/cache/bc medians 3x over the committed
+    // reference flag the sweep — the family a steadily-sick box
+    // degrades while pos/io stay flat
+    val refCalib = calib ++ Seq("gc0" -> 0.08, "gc32" -> 0.09,
+      "cache0" -> 0.40, "cache32" -> 0.42, "bc0" -> 0.30, "bc32" -> 0.31)
+    val sickCalib = calib ++ Seq("gc0" -> 0.30, "gc32" -> 0.35,
+      "cache0" -> 1.9, "cache32" -> 2.1, "bc0" -> 0.33, "bc32" -> 0.32)
+    val drift = graft.Bench.probeFamilyDrift(sickCalib, refCalib)
+    assert(drift("cache") > 3.0 && drift("gc") > 3.0,
+      s"sick cache/gc families must exceed the 3x bar: $drift")
+    assert(drift("bc") < 1.5 && drift("pos") < 1.5 && drift("io") < 1.5)
+    // failed probes (-1) excluded from both sides' medians
+    val withFailed = sickCalib :+ ("cache64" -> -1.0)
+    assert(graft.Bench.probeFamilyDrift(withFailed, refCalib)("cache") > 3.0)
+    // and the reference extractor reads the BENCH_FULL line shape
+    val json = """{"metric":"total","value":9.9,"unit":"sec","queries":{"q1_agg":1.25,"n150_incremental_neardup":6.97},"calibration":{"pos0":0.52,"io0":0.159,"gc0":-1.0},"sf":"x"}"""
+    assert(graft.Bench.jsonNumberMap(json, "queries") ==
+      Map("q1_agg" -> 1.25, "n150_incremental_neardup" -> 6.97))
+    assert(graft.Bench.jsonNumberMap(json, "calibration") ==
+      Map("pos0" -> 0.52, "io0" -> 0.159, "gc0" -> -1.0))
+    assert(graft.Bench.jsonNumberMap("", "queries").isEmpty,
+      "a missing reference degrades to silence, never throws")
+  }
 }
