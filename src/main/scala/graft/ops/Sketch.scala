@@ -521,7 +521,10 @@ object Sketch {
               val c = r.getLong(3)
               if (cum + c >= s.target) {
                 val newLo = s.lo + r.getLong(2) * w
-                s.hi = math.min(s.hi, newLo + w - 1)
+                // saturating edge (the streaming HistQuantile fix, ADVICE
+                // r10): newLo + w - 1 wraps when hi sits within one bin
+                // width of Long.MaxValue, and min() would keep the wrap
+                s.hi = if (newLo > s.hi - (w - 1)) s.hi else newLo + w - 1
                 s.lo = newLo
                 s.below = cum
                 done = true
@@ -635,7 +638,10 @@ object Sketch {
               val c = r.getLong(3)
               if (cum + c >= s.target) {
                 val newLo = s.lo + r.getLong(2) * w
-                s.hi = math.min(s.hi, newLo + w - 1)
+                // saturating edge (the streaming HistQuantile fix, ADVICE
+                // r10): newLo + w - 1 wraps when hi sits within one bin
+                // width of Long.MaxValue, and min() would keep the wrap
+                s.hi = if (newLo > s.hi - (w - 1)) s.hi else newLo + w - 1
                 s.lo = newLo
                 s.below = cum
                 done = true

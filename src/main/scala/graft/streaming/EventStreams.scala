@@ -366,10 +366,26 @@ object EventStreams {
   /** One (band key, doc, full signature) presentation — stage-1 rows. */
   final case class BandRow(band_key: String, ts: Timestamp, doc_id: Long,
                            sig: Array[Long])
-  /** Stage-1 verdict: was this doc the first to present this band? */
-  final case class BandVerdict(doc_id: Long, ts: Timestamp, fresh: Boolean)
-  private final case class BandTally(seen: Int, collided: Boolean)
+  /** Stage-1 verdict: was this doc the first to present this band?
+    * `prior` records WHOSE claim suppressed an unfresh presentation —
+    * true when the band's owner predates this micro-batch (the
+    * streaming analog of n153's cross-vs-within evidence: an earlier
+    * horizon is the corpus, the current batch is the slice); always
+    * false on fresh verdicts.
+    */
+  final case class BandVerdict(doc_id: Long, ts: Timestamp, fresh: Boolean,
+                               prior: Boolean)
+  private final case class BandTally(seen: Int, collided: Boolean,
+                                     cross: Boolean)
   private final case class Sig(s: Array[Long])
+  /** Per-document crawl-yield verdict ([[streamingMinhashYield]] /
+    * [[streamingEmbeddingYield]]): status is `admitted` (every band
+    * fresh — the doc the dedup stream emits), `cross` (suppressed by
+    * a claim from an EARLIER micro-batch — the existing-corpus analog;
+    * wins mixed evidence, the n153 rule), or `within` (suppressed only
+    * by claims made in the doc's own batch — a slice-mate dup).
+    */
+  final case class YieldVerdict(doc_id: Long, status: String)
 
   /** Stage 1 of streaming near-dup dedup, keyed by MINHASH BAND KEY:
     * the first document to present a band claims it, storing its FULL
@@ -405,18 +421,23 @@ object EventStreams {
     override def handleInputRows(key: String, rows: Iterator[BandRow],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[BandVerdict] = {
+      // read BEFORE processing: an owner that already exists here was
+      // claimed by an earlier micro-batch — the `prior` evidence the
+      // yield report classifies as cross-horizon suppression
+      val ownerAtStart = owner.exists()
       val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
       sorted.iterator.map { r =>
         if (!owner.exists()) {
           owner.update(Sig(r.sig))
-          BandVerdict(r.doc_id, r.ts, fresh = true)
+          BandVerdict(r.doc_id, r.ts, fresh = true, prior = false)
         } else {
           val c = owner.get().s
           var hits = 0; var i = 0
           val n = math.min(c.length, r.sig.length)
           while (i < n) { if (c(i) == r.sig(i)) hits += 1; i += 1 }
-          BandVerdict(r.doc_id, r.ts,
-            fresh = hits.toDouble < threshold * numHashes)
+          val fresh = hits.toDouble < threshold * numHashes
+          BandVerdict(r.doc_id, r.ts, fresh = fresh,
+            prior = !fresh && ownerAtStart)
         }
       }
     }
@@ -424,15 +445,20 @@ object EventStreams {
 
   /** Stage 2, keyed by doc_id: tally the `nBands` per-band verdicts
     * (all arrive in the doc's own micro-batch — the band explode and
-    * the claim stage never split a doc across batches) and emit the
-    * doc_id once iff EVERY band was fresh. State clears on the final
-    * verdict; the TTL only reaps docs truncated mid-flight by a
-    * failure.
+    * the claim stage never split a doc across batches) and emit ONE
+    * [[YieldVerdict]] per doc: `admitted` iff every band was fresh
+    * (the row the dedup streams keep), else `cross` when any
+    * suppressing claim predates the batch (cross wins mixed evidence,
+    * the n153 rule) or `within` otherwise. The dedup and the yield
+    * report are FILTERS over this one stream, so they can never
+    * disagree — no new state, just classification of evidence the
+    * claim stage already emits. State clears on the final verdict;
+    * the TTL only reaps docs truncated mid-flight by a failure.
     */
   private final class AllBandsFreshProcessor(nBands: Int,
       ttl: java.time.Duration)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, BandVerdict, Long] {
+        Long, BandVerdict, YieldVerdict] {
     @transient private var tally:
       org.apache.spark.sql.streaming.ValueState[BandTally] = _
     override def init(outputMode: OutputMode,
@@ -442,12 +468,15 @@ object EventStreams {
         org.apache.spark.sql.streaming.TTLConfig(ttl))
     override def handleInputRows(key: Long, rows: Iterator[BandVerdict],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[Long] = {
-      var t = if (tally.exists()) tally.get() else BandTally(0, false)
-      rows.foreach(r => t = BandTally(t.seen + 1, t.collided || !r.fresh))
+        : Iterator[YieldVerdict] = {
+      var t = if (tally.exists()) tally.get() else BandTally(0, false, false)
+      rows.foreach(r => t = BandTally(t.seen + 1, t.collided || !r.fresh,
+        t.cross || (!r.fresh && r.prior)))
       if (t.seen >= nBands) {
         tally.clear()
-        if (!t.collided) Iterator.single(key) else Iterator.empty
+        val status =
+          if (!t.collided) "admitted" else if (t.cross) "cross" else "within"
+        Iterator.single(YieldVerdict(key, status))
       } else {
         tally.update(t)
         Iterator.empty
@@ -478,18 +507,46 @@ object EventStreams {
     * in-flight doc, both TTL-bounded, the processing-time analog of
     * the exact-dedup watermark horizon. The verdict is Broder's
     * matching-fraction estimate against the band's CLAIMER (the
-    * streaming analog of the batch exact-Jaccard pass; `threshold`
-    * defaults to the batch operator's 0.5 convention); the spec pins
-    * equality with batch `minhashDedup` AND that a band-colliding
-    * sub-threshold pair now survives. Degenerate docs (< k words —
-    * empty signature) share every band key WITH identical signatures
-    * (est J = 1), so they still collapse to one survivor: pre-filter
-    * them upstream. Requires the RocksDB state store provider.
+    * streaming analog of the batch exact-Jaccard pass). `threshold`
+    * defaults to 0.5 — the BENCH-FIXTURE convention the streaming
+    * specs and oracles use, NOT the batch operator's default (batch
+    * `minhashDedup` defaults to 0.8); the spec-pinned
+    * equality-with-batch law holds when the thresholds are explicitly
+    * matched, as the spec does. The spec also pins that a
+    * band-colliding sub-threshold pair survives. Degenerate docs
+    * (< k words — empty signature) share every band key WITH identical
+    * signatures (est J = 1), so they still collapse to one survivor:
+    * pre-filter them upstream. Requires the RocksDB state store
+    * provider.
     */
   def streamingMinhashDedup(docs: Dataset[Doc], k: Int = 5,
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       seed: Long = 42L,
       ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    streamingMinhashYield(docs, k, numHashes, bands, threshold, seed, ttl)
+      .filter(_.status == "admitted").map(_.doc_id)
+  }
+
+  /** Streaming crawl-yield report — the n153 observability twin for
+    * the streaming dedup (VERDICT r10 #7): one [[YieldVerdict]] per
+    * input document, classifying it `admitted` / `cross` (suppressed
+    * by a claim from an earlier micro-batch — the existing-corpus
+    * analog, winning mixed evidence exactly as n153's report does) /
+    * `within` (suppressed only by its own batch). No new state: the
+    * claim stage already knows whether a suppressing owner predates
+    * the batch, and stage 2 classifies that evidence while tallying.
+    * [[streamingMinhashDedup]] IS this stream filtered to `admitted`,
+    * so report and drop can never disagree (the spec law: statuses
+    * partition the drained input; `admitted` equals the dedup
+    * stream's output). Downstream, per-horizon counts are one
+    * `groupBy(status)` away — the rows carry everything.
+    */
+  def streamingMinhashYield(docs: Dataset[Doc], k: Int = 5,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      seed: Long = 42L,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[YieldVerdict] = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val spark = docs.sparkSession
@@ -565,13 +622,19 @@ object EventStreams {
     override def handleInputRows(key: String, rows: Iterator[EmbBandRow],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[BandVerdict] = {
+      // the BandClaimProcessor convention: an owner existing here was
+      // claimed by an earlier micro-batch — cross-horizon evidence
+      val ownerAtStart = owner.exists()
       val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
       sorted.iterator.map { r =>
         if (!owner.exists()) {
           owner.update(Codes(r.codes))
-          BandVerdict(r.doc_id, r.ts, fresh = true)
-        } else BandVerdict(r.doc_id, r.ts,
-          fresh = qcos(owner.get().c, r.codes) < threshold)
+          BandVerdict(r.doc_id, r.ts, fresh = true, prior = false)
+        } else {
+          val fresh = qcos(owner.get().c, r.codes) < threshold
+          BandVerdict(r.doc_id, r.ts, fresh = fresh,
+            prior = !fresh && ownerAtStart)
+        }
       }
     }
   }
@@ -605,6 +668,22 @@ object EventStreams {
   def streamingEmbeddingDedup(vecs: Dataset[Vec], threshold: Double = 0.95,
       planes: Int = 12, tables: Int = 4,
       ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[Long] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    streamingEmbeddingYield(vecs, threshold, planes, tables, ttl)
+      .filter(_.status == "admitted").map(_.doc_id)
+  }
+
+  /** [[streamingMinhashYield]] for the embedding stream: one
+    * [[YieldVerdict]] per input vector, `admitted` / `cross` /
+    * `within` under the same classification (shared
+    * [[AllBandsFreshProcessor]] — literally the same stage 2, so the
+    * two modalities cannot drift). [[streamingEmbeddingDedup]] is this
+    * stream filtered to `admitted`.
+    */
+  def streamingEmbeddingYield(vecs: Dataset[Vec], threshold: Double = 0.95,
+      planes: Int = 12, tables: Int = 4,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[YieldVerdict] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.GraftFunctions.sign_buckets
@@ -781,7 +860,11 @@ object EventStreams {
         var b = 0; var cum = counts(0)
         while (cum < target && b < bins - 1) { b += 1; cum += counts(b) }
         val binLo = lo + b.toLong * w
-        val binHi = math.min(binLo + w - 1L, hi)
+        // saturating upper edge (ADVICE r10): binLo + w - 1 can wrap
+        // past Long.MaxValue when hi sits within one bin width of it
+        // (the range guard permits that), and a wrapped negative binHi
+        // would break the containment guarantee min() is meant to cap
+        val binHi = if (binLo > hi - (w - 1L)) hi else binLo + w - 1L
         // edge bins absorb the clamped outliers, so their brackets
         // widen to the observed extremes — containment stays exact
         val loB = if (b == 0) math.min(binLo, mn) else binLo

@@ -1304,4 +1304,150 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming quantiles: saturating bin edge at the top of the Long range never wraps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // ADVICE r10: lo within ~one bin width of Long.MaxValue passes
+      // the range guard, and the un-saturated binLo + w - 1 wrapped
+      // NEGATIVE there — a bracket violating containment instead of
+      // an honest edge. With the fix the top bracket caps at hi.
+      val lo = Long.MaxValue - 1000L
+      val vs = Seq(Long.MaxValue, Long.MaxValue - 1L, Long.MaxValue - 3L,
+        lo + 2L, lo + 500L)
+      val mem = MemoryStream[(String, Long)]
+      val vals = mem.toDS().map(t => EventStreams.GroupValue(t._1, t._2))
+      val out = EventStreams.streamingQuantiles(vals, lo = lo,
+        hi = Long.MaxValue, bins = 64, qs = Seq(0.5, 0.99))
+      val q = out.writeStream.format("memory").queryName("sq_sat")
+        .outputMode("append").start()
+      try {
+        mem.addData(vs.map(("g", _)): _*); q.processAllAvailable()
+        val rows = spark.sql("SELECT * FROM sq_sat").collect()
+          .map(r => (r.getDouble(1), r.getLong(3), r.getLong(4)))
+        def truth(q: Double): Long = {
+          val s = vs.sorted
+          s(math.max(1L, math.ceil(q * s.size).toLong).toInt - 1)
+        }
+        rows.foreach { case (qq, loB, hiB) =>
+          assert(loB >= lo && hiB >= loB,
+            s"q=$qq bracket [$loB,$hiB] wrapped past Long.MaxValue")
+          val t = truth(qq)
+          assert(loB <= t && t <= hiB, s"q=$qq bracket [$loB,$hiB] misses $t")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
+  test("streaming crawl-yield report: statuses partition the drained input, admitted equals the dedup stream, cross wins earlier-horizon evidence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // the minhash-dedup fixture family: a2 near-dups a1, c2 near-dups
+      // c1; b1 unrelated. Horizons: batch 1 = {1:a1, 3:b1}; batch 2 =
+      // {2:a2 (dup of the EARLIER horizon -> cross), 5:c1 (new),
+      // 6:c2 (dup of its OWN batch mate 5 -> within)}
+      val a1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val a2 = a1.replace("upsilon", "psi")
+      val b1 = "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"
+      val c1 = "red orange yellow green blue indigo violet magenta cyan " +
+        "teal maroon olive navy coral amber jade"
+      val c2 = c1.replace("jade", "pearl")
+      val batch1 = Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, a1),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 3L, b1))
+      val batch2 = Seq(
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 2L, a2),
+        (Timestamp.valueOf("2024-01-01 00:00:04"), 5L, c1),
+        (Timestamp.valueOf("2024-01-01 00:00:05"), 6L, c2))
+      def drive[T](name: String,
+                   mk: org.apache.spark.sql.Dataset[EventStreams.Doc] =>
+                     org.apache.spark.sql.Dataset[T]): Unit = {
+        val mem = MemoryStream[(Timestamp, Long, String)]
+        val q = mk(mem.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3)))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          mem.addData(batch1: _*); q.processAllAvailable()
+          mem.addData(batch2: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      drive("yield_rep", d => EventStreams.streamingMinhashYield(d, k = 3,
+        numHashes = 64, bands = 32, ttl = java.time.Duration.ofMinutes(10)))
+      drive("yield_dedup", d => EventStreams.streamingMinhashDedup(d, k = 3,
+        numHashes = 64, bands = 32, ttl = java.time.Duration.ofMinutes(10)))
+      val verdicts = spark.sql("SELECT doc_id, status FROM yield_rep")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      // partition law: EVERY drained doc gets exactly one verdict
+      assert(verdicts.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 5L, 6L),
+        s"statuses must partition the drained input: ${verdicts.toSeq}")
+      val byDoc = verdicts.toMap
+      assert(byDoc(1L) == "admitted" && byDoc(3L) == "admitted" &&
+        byDoc(5L) == "admitted")
+      assert(byDoc(2L) == "cross",
+        s"a dup of an EARLIER horizon classifies cross: ${byDoc(2L)}")
+      assert(byDoc(6L) == "within",
+        s"a dup of its own batch mate classifies within: ${byDoc(6L)}")
+      // the n153 law, streaming edition: the dedup stream IS the
+      // report's admitted slice — they can never disagree
+      val admitted = verdicts.collect { case (id, "admitted") => id }.toSet
+      val deduped = spark.sql("SELECT value FROM yield_dedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == deduped,
+        s"admitted $admitted must equal the dedup stream $deduped")
+      // replay of an already-claimed doc within the TTL horizon:
+      // suppressed by its own EARLIER presentation -> cross, and the
+      // dedup (by the same filter) never re-emits it
+      val mem2 = MemoryStream[(Timestamp, Long, String)]
+      val q2 = EventStreams.streamingMinhashYield(
+          mem2.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3)), k = 3,
+          numHashes = 64, bands = 32, ttl = java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("yield_replay")
+        .outputMode("append").start()
+      try {
+        mem2.addData(batch1: _*); q2.processAllAvailable()
+        mem2.addData(batch1.head); q2.processAllAvailable()
+        val rep = spark.sql("SELECT doc_id, status FROM yield_replay")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(rep.count(_ == (1L, "admitted")) == 1 &&
+          rep.contains((1L, "cross")),
+          s"an at-least-once replay classifies cross, never re-admits: $rep")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }
