@@ -173,6 +173,186 @@ class PlanLintSpec extends SparkSpec {
       s"remove them): ${stale.mkString(", ")}")
   }
 
+  test("streaming surfaces: one-micro-batch executed plans are scale-clean with exactly the declared state stores") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.graft.StreamingIntrospect
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val plans = scala.collection.mutable.LinkedHashMap.empty[String, SparkPlan]
+      def drive(name: String, out: org.apache.spark.sql.Dataset[_],
+                feed: () => Unit): Unit = {
+        val q = out.writeStream.format("memory").queryName(s"lint_$name")
+          .outputMode("append").start()
+        try {
+          feed(); q.processAllAvailable()
+          plans += name -> StreamingIntrospect.lastExecutedPlan(q)
+        } finally q.stop()
+      }
+      val ts = Timestamp.valueOf("2024-01-01 00:05:00")
+      val ts2 = Timestamp.valueOf("2024-01-01 00:06:00")
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String, Double)]
+        drive("dedup_watermark", EventStreams.streamingDedup(
+          m.toDF().toDF("ts", "user_id", "event_type", "value"),
+          Seq("user_id", "event_type")),
+          () => m.addData((ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String, Double)]
+        drive("tumbling", EventStreams.tumblingCounts(
+          m.toDF().toDF("ts", "user_id", "event_type", "value"), "1 hour"),
+          () => m.addData((ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String, Double)]
+        drive("sliding", EventStreams.slidingCounts(
+          m.toDF().toDF("ts", "user_id", "event_type", "value")),
+          () => m.addData((ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String, Double)]
+        drive("session_counts", EventStreams.sessionCounts(
+          m.toDF().toDF("ts", "user_id", "event_type", "value")),
+          () => m.addData((ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[(Long, Timestamp, Long, String)]
+        drive("ss_join", EventStreams.clicksBeforePurchases(
+          m.toDF().toDF("event_id", "ts", "user_id", "event_type")),
+          () => m.addData((1L, ts, 7L, "click"), (2L, ts2, 7L, "purchase")))
+      }
+      locally {
+        val m = MemoryStream[(Long, Timestamp, Long, String)]
+        drive("ss_left_join", EventStreams.purchasesWithOptionalClick(
+          m.toDF().toDF("event_id", "ts", "user_id", "event_type")),
+          () => m.addData((1L, ts, 7L, "click"), (2L, ts2, 7L, "purchase")))
+      }
+      locally {
+        val m = MemoryStream[EventStreams.Event]
+        drive("sessionize_fmgws",
+          EventStreams.sessionize(m.toDS(), gapMs = 60000L),
+          () => m.addData(EventStreams.Event(ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[EventStreams.Ev]
+        drive("sessionize_timers", EventStreams.sessionizeWithTimers(
+          m.toDS(), java.time.Duration.ofMinutes(5)),
+          () => m.addData(EventStreams.Ev(ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[EventStreams.Ev]
+        drive("dedup_ttl", EventStreams.dedupWithTtl(
+          m.toDS(), java.time.Duration.ofMinutes(5)),
+          () => m.addData(EventStreams.Ev(ts, 1L, "click", 1.0)))
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String)]
+        drive("minhash_yield", EventStreams.streamingMinhashYield(
+          m.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3)),
+          k = 3, numHashes = 64, bands = 32),
+          () => m.addData((ts, 1L, "alpha beta gamma delta epsilon")))
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, Array[Float])]
+        drive("embedding_yield", EventStreams.streamingEmbeddingYield(
+          m.toDS().map(t => EventStreams.Vec(t._1, t._2, t._3))),
+          () => m.addData((ts, 1L, Array.tabulate(16)(i => 0.1f * (i + 1)))))
+      }
+      locally {
+        val m = MemoryStream[EventStreams.GroupItem]
+        drive("heavy_hitters", EventStreams.streamingHeavyHitters(m.toDS(), k = 3),
+          () => m.addData(EventStreams.GroupItem("g", "x")))
+      }
+      locally {
+        val m = MemoryStream[EventStreams.GroupValue]
+        drive("quantiles", EventStreams.streamingQuantiles(
+          m.toDS(), lo = 0L, hi = 100L),
+          () => m.addData(EventStreams.GroupValue("g", 5L)))
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String, Double)]
+        val dim = Seq((1L, "gold")).toDF("user_id", "tier")
+        drive("enrich", EventStreams.enrich(
+          m.toDF().toDF("ts", "user_id", "event_type", "value"), dim, "user_id"),
+          () => m.addData((ts, 1L, "click", 1.0)))
+      }
+      // (a) the batch lint's scale-killer walk, applied to the EXECUTED
+      // micro-batch plans (VERDICT r10 #8: these 14 surfaces shipped
+      // unlinted)
+      val bad = plans.toSeq.flatMap { case (n, p) =>
+        // walk the outer tree AND every adaptive sub-plan: stateless
+        // micro-batch segments run under AQE, whose final plans a
+        // plain collect() never reaches
+        StreamingIntrospect.allPlanTrees(p)
+          .flatMap(violations).map(v => s"$n: $v")
+      }
+      assert(bad.isEmpty,
+        s"streaming scale-killer plans:\n  ${bad.mkString("\n  ")}")
+      // (b) state discipline: each surface grows EXACTLY its declared
+      // state stores — an accidental extra stateful operator (an
+      // unwatermarked agg, a plain stream join) is unbounded state at
+      // 100 TB and fails here. TimeMode.ProcessingTime stores are
+      // TTL'd inside their processors (pinned by the EventStreamsSpec
+      // state laws); HistQuantileProcessor's TTLConfig.NONE is the
+      // documented exception — bins+3 longs per GROUP, bounded by
+      // group cardinality, never per-value.
+      val declared: Map[String, Seq[String]] = Map(
+        "dedup_watermark" -> Seq("StreamingDeduplicateWithinWatermarkExec"),
+        "tumbling" -> Seq("StateStoreSaveExec"),
+        "sliding" -> Seq("StateStoreSaveExec"),
+        "session_counts" -> Seq("SessionWindowStateStoreSaveExec"),
+        "ss_join" -> Seq("StreamingSymmetricHashJoinExec"),
+        "ss_left_join" -> Seq("StreamingSymmetricHashJoinExec"),
+        "sessionize_fmgws" -> Seq("FlatMapGroupsWithStateExec"),
+        "sessionize_timers" -> Seq("TransformWithStateExec"),
+        "dedup_ttl" -> Seq("TransformWithStateExec"),
+        "minhash_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
+        "embedding_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
+        "heavy_hitters" -> Seq("TransformWithStateExec"),
+        "quantiles" -> Seq("TransformWithStateExec"),
+        "enrich" -> Seq.empty)
+      assert(plans.keySet == declared.keySet, "every declared surface driven")
+      plans.foreach { case (n, p) =>
+        val got = StreamingIntrospect.statefulStoreNames(p)
+        assert(got.sorted == declared(n).sorted,
+          s"$n state stores drifted from the declaration: got $got")
+      }
+      // (c) watermark-bounded stores carry their watermark node into
+      // the executed plan — the bound that reaps their state
+      Seq("dedup_watermark", "tumbling", "sliding", "session_counts",
+        "ss_join", "ss_left_join", "sessionize_fmgws", "sessionize_timers")
+        .foreach { n =>
+          assert(StreamingIntrospect.hasWatermarkNode(plans(n)),
+            s"$n must carry its watermark into the executed plan")
+        }
+      // (d) stream-static enrich joins by BROADCAST: a per-batch hash
+      // probe, never a stateful shuffle join
+      assert(StreamingIntrospect.allPlanTrees(plans("enrich")).exists(
+        _.collectFirst {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }.isDefined), "enrich must broadcast the dimension side")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("the lint itself catches a corpus-sized global window (negative control)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
