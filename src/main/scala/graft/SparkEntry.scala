@@ -2534,6 +2534,31 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
     }),
 
+    "n157_incremental_bloom" -> ((s, dir) => {
+      // the n150 path with the published bloom sidecar consulted
+      // before the index semi-join — same fixture, same oracle SQL as
+      // n150 BY DESIGN: bloom filters have no false negatives, so the
+      // pruned probe must return exactly the unpruned rows (the
+      // OpsSpec law), and this row makes the driver's DuckDB gate
+      // re-prove it at sf0.01 every round
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") < 250)
+      val incoming = base.filter(col("doc_id") >= 250)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", concat(col("text"), lit(" tail bit"))))
+        .unionAll(base.filter(col("doc_id") === 251L)
+          .withColumn("doc_id", col("doc_id") + 2999756L)
+          .withColumn("text", concat(col("text"), lit(" x"))))
+      val index = Dedup.minhashBandIndex(existing, k = 5, numHashes = 64,
+        bands = 16)
+      val bloom = Dedup.indexBloom(index)
+      Dedup.incrementalMinhashDedup(index, existing, incoming,
+          k = 5, numHashes = 64, bands = 16, threshold = 0.5,
+          bloom = Some(bloom))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
     "n155_exact_substr_dedup" -> ((s, dir) => {
       // Lee et al. 2022 ExactSubstr at ARBITRARY boundaries — the
       // removal n38's chunk grid cannot do: planted copies shifted by
@@ -6173,6 +6198,21 @@ object SparkEntry {
     // incoming rows, so the oracle IS the batch replay — every victim
     // is a doc_id_b of some banded+verified pair)
     "n150_incremental_neardup" ->
+      s"""WITH u AS (
+         | SELECT doc_id, text, n_chars FROM documents
+         | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars
+         |   FROM documents WHERE doc_id IN (0, 2, 4)
+         | UNION ALL SELECT 3000007, text || ' x', n_chars
+         |   FROM documents WHERE doc_id = 251),
+         |p AS (SELECT doc_id_b FROM (${minhashOracleSql(k = 5, numHashes = 64,
+               bands = 16, threshold = 0.5, src = "u")}))
+         |SELECT doc_id, n_chars FROM u
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM p)
+         |ORDER BY doc_id""".stripMargin,
+
+    // bloom-pruned ≡ unpruned (no false negatives), so the oracle IS
+    // n150's batch replay — the driver gate re-proves the sidecar law
+    "n157_incremental_bloom" ->
       s"""WITH u AS (
          | SELECT doc_id, text, n_chars FROM documents
          | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars
