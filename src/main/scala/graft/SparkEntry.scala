@@ -4460,6 +4460,27 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n158_ivfpq_append" -> ((s, dir) => {
+      // IVF-PQ maintenance, the n156 stance for the encoded flavor:
+      // coarse centroids AND codebooks fit on the even half only, the
+      // odd half appends frozen-encoded — and full probing + the wide
+      // rerank window still reproduces brute force over the union
+      // (the n21 convention), which holds iff the append partitioned
+      // the union and the frozen shortlist kept the true top-k inside
+      // the rerank window
+      val emb = t(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val nOld = old.count()
+      val idx = Ivf.build(old, nLists = 8, nRows = nOld)
+      val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = nOld)
+      val appended = Ivf.appendPq(pq, emb.filter(col("vec_id") % 2 === 1))
+      Ivf.searchPq(appended, emb, emb.filter(col("vec_id") < 5), 10,
+          nProbe = 8, rerank = Ivf.rerankFor(nOld * 2))
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n19_deterministic_sample" -> ((s, dir) => {
       // seeded-hash deterministic sample (replayable, no RNG)
       graft.ops.Sampling.deterministicSample(t(s, dir, "documents"), "doc_id", 0.3)
@@ -7701,6 +7722,21 @@ object SparkEntry {
         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
     "n21_knn_ivfpq" -> // full probe + wide rerank == brute force (see query)
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // PQ append: frozen codebooks + full probe + wide rerank == brute
+    // force over the union (the n21 oracle verbatim — the split must
+    // be invisible to exhaustive search)
+    "n158_ivfpq_append" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 5),
         |scored AS (

@@ -233,9 +233,25 @@ object Ivf {
       val sub = train.map(v => java.util.Arrays.copyOfRange(v, mi * dsub, (mi + 1) * dsub))
       lloyd(sub, codebookSize, iters = 10, seed = seed + mi)
     }
+    PqIndex(encodeResiduals(residuals, books, index.centroids, idCol),
+      index.centroids, books)
+  }
+
+  /** PQ-encode a (id, list_id, residual) relation against FIXED
+    * codebooks — the one imperative hot loop, shared verbatim by
+    * [[buildPq]] and [[appendPq]] so a maintained encoded relation can
+    * never drift from a rebuild's.
+    */
+  private def encodeResiduals(residuals: DataFrame,
+      books: Array[Array[Array[Float]]],
+      centroids: Array[(Int, Array[Float])],
+      idCol: String): DataFrame = {
+    val spark = residuals.sparkSession
+    import spark.implicits._
+    val dsub = centroids.head._2.length / books.length
     val bcBooks = spark.sparkContext.broadcast(books)
-    val bcCents = spark.sparkContext.broadcast(index.centroids.toMap)
-    val encoded = residuals.as[(Long, Int, Array[Float])]
+    val bcCents = spark.sparkContext.broadcast(centroids.toMap)
+    residuals.as[(Long, Int, Array[Float])]
       .mapPartitions { it =>
         val bk = bcBooks.value; val cents = bcCents.value
         it.map { case (id, list, res) =>
@@ -259,7 +275,33 @@ object Ivf {
         }
       }
       .toDF(idCol, "list_id", "codes", "vnorm")
-    PqIndex(encoded, index.centroids, books)
+  }
+
+  /** Incremental IVF-PQ maintenance — [[append]] for the PQ-encoded
+    * flavor: assign `newVecs` to the FROZEN coarse centroids, encode
+    * their residuals against the FROZEN codebooks (the exact
+    * [[buildPq]] kernel, shared via [[encodeResiduals]]), and append
+    * the m-byte codes. Nothing retrains and the old corpus is never
+    * re-read or re-encoded; the spec law is the dedup indexes':
+    * append ≡ rebuild-with-same-centroids-and-codebooks. Quantization
+    * QUALITY for shifted data is what freezing gives up — codebooks
+    * trained on the old residual distribution quantize a drifted
+    * slice coarsely — and the same [[recallAudit]] decision applies
+    * (searchPq recall vs exhaustive truth on a sample).
+    */
+  def appendPq(pq: PqIndex, newVecs: DataFrame,
+               embedCol: String = "embedding",
+               idCol: String = "vec_id"): PqIndex = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val centDf = pq.centroids.toSeq.toDF("list_id", "centroid")
+    val residuals = assignFrozen(newVecs, pq.centroids, embedCol)
+      .join(broadcast(centDf), Seq("list_id"))
+      .select(col(idCol), col("list_id"),
+        zip_with(col(embedCol), col("centroid"), (a, b) => a - b).as("residual"))
+    PqIndex(pq.encoded.unionByName(
+      encodeResiduals(residuals, pq.codebooks, pq.centroids, idCol)),
+      pq.centroids, pq.codebooks)
   }
 
   /** Rerank window for an exhaustive-intent search over an n-vector

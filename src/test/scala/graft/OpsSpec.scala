@@ -733,6 +733,50 @@ class OpsSpec extends SparkSpec {
     assert(ids(s2) == batch, "chained increments must equal the batch rebuild")
   }
 
+  test("lifecycle chaining law: build -> append -> RETRACT -> next slice equals the batch rebuild on corpus minus removed") {
+    import spark.implicits._
+    // the two-generation chaining law with a takedown in the middle —
+    // the full production loop including the lifecycle's third verb:
+    // gen-1 dedups and appends its delta, THEN doc 2 is purged
+    // (retracted from the grown index, dropped from the corpus), and
+    // gen-2 must (a) still drop dups of gen-1 SURVIVORS, (b) ADMIT the
+    // dup of the purged doc, (c) equal the from-scratch batch run over
+    // corpus-minus-removed — the maintained index never drifts from a
+    // rebuild, whatever order appends and retractions interleave in
+    val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
+    val b = "quantum solvers iterate over sparse matrices until the residual drops below machine epsilon thresholds"
+    val c = "fermented tea leaves steep slowly in copper kettles as the market vendors argue about prices"
+    val d = "distributed shuffle services spill partitioned buffers to local disks when executors exceed memory fractions"
+    val g0 = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val g1 = Seq((11L, a + " x"), (12L, c)).toDF("doc_id", "text")
+    val g2 = Seq(
+      (21L, c + " y"), // dup of gen-1 survivor 12: still drops
+      (22L, b + " z"), // dup of PURGED doc 2: now admitted
+      (23L, d)         // new
+    ).toDF("doc_id", "text")
+    def bi(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandIndex(df, k = 5, numHashes = 64, bands = 16)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val idx0 = bi(g0)
+    val s1 = Dedup.incrementalMinhashDedup(idx0, g0, g1,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(ids(s1) == Seq(12L))
+    val removed = Seq(2L).toDF("doc_id")
+    val idx1 = Dedup.retractFromIndex(idx0.unionByName(bi(s1)), removed)
+    val corpus1 = g0.unionByName(s1).join(removed, Seq("doc_id"), "left_anti")
+    val s2 = Dedup.incrementalMinhashDedup(idx1, corpus1, g2,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(ids(s2) == Seq(22L, 23L),
+      "gen-2 must drop the survivor's dup and ADMIT the purged doc's dup")
+    // from-scratch truth: batch over corpus-minus-removed ∪ gen-2
+    val batch = ids(Dedup.minhashDedup(corpus1.unionByName(g2),
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5)
+      .filter(col("doc_id") >= 20L))
+    assert(ids(s2) == batch,
+      "append-retract-append chains must equal the batch rebuild")
+  }
+
   test("retractFromIndex: a retracted doc suppresses nothing; retract-then-append equals rebuild from corpus minus removed") {
     import spark.implicits._
     val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
@@ -985,6 +1029,57 @@ class OpsSpec extends SparkSpec {
     assert(rRetrain - rDrift > 2.0 * math.max(gainNat, 0.0),
       s"the audit must separate drift (retrain gain ${rRetrain - rDrift}) " +
         s"from a healthy slice (gain $gainNat)")
+  }
+
+  test("Ivf.appendPq: frozen-codebook encode is slice-order invariant and exhaustive search stays exact") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 200)
+    val idx = Ivf.build(old, nLists = 8, nRows = 200L)
+    val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = 200L)
+    val s1 = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val s2 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    def rows(p: Ivf.PqIndex) = p.encoded.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList,
+        r.getDouble(3))).toSet
+    // per-row deterministic frozen encode => appending in two slices
+    // equals appending once (the chaining shape of the dedup indexes)
+    val once = Ivf.appendPq(pq, s1.unionByName(s2))
+    val twice = Ivf.appendPq(Ivf.appendPq(pq, s1), s2)
+    assert(rows(once) == rows(twice),
+      "slice boundaries must be invisible to the encoded relation")
+    // the appended relation partitions: every new id exactly once, old
+    // rows untouched, and the coarse list agrees with assignFrozen
+    assert(once.encoded.groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty, "every vector encoded once")
+    assert(rows(once).size == 400)
+    val lists = Ivf.assignFrozen(s1.unionByName(s2), idx.centroids)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows(once).filter(_._1 >= 200).foreach { case (id, list, _, _) =>
+      assert(lists(id) == list, s"coarse list drifted for $id")
+    }
+    // exhaustive-intent search over the appended index reproduces the
+    // exact top-k on the union (the n158 oracle's law, spot-checked):
+    // codebooks never saw the new residual distribution, but the wide
+    // rerank window re-ranks exactly
+    val union = old.unionByName(s1).unionByName(s2)
+    val q = emb.filter(col("vec_id") === 250L)
+    val got = Ivf.searchPq(once, union, q, 5, nProbe = 8,
+        rerank = Ivf.rerankFor(400L))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftFunctions.cosine_similarity
+    val truth = union.filter(col("vec_id") =!= 250L)
+      .crossJoin(broadcast(q.select(col("embedding").as("q_emb"))))
+      .select(col("vec_id"),
+        cosine_similarity(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= 5).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == truth, s"appended PQ search $got must equal exact $truth")
   }
 
   test("the band index round-trips its production layout: partitioned parquet, band predicate prunes, dedup identical") {
