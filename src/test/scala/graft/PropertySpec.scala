@@ -526,4 +526,59 @@ class PropertySpec extends SparkSpec {
       inc == batch && noLeak
     }).passed, "incremental == batch on the union, for every generated corpus and split")
   }
+
+  test("exactSubstrDedup equals the sequential reference on GENERATED corpora (tiny vocab, natural collisions)") {
+    import spark.implicits._
+    // an independent sequential implementation of the same semantics
+    // (string-keyed — also witnesses that the distributed fnv64
+    // hash-keying changes nothing): every n-gram occurrence, keep the
+    // global (doc_id, pos)-first of each gram seen >= 2 times, taint
+    // the rest's covers, reassemble survivors
+    def reference(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Int)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val occ = for {
+        (id, ws) <- toks
+        p <- 0 to ws.length - n
+      } yield (ws.slice(p, p + n).mkString(" "), id, p)
+      val tainted: Set[(Long, Int)] = occ.groupBy(_._1).values
+        .filter(_.size >= 2)
+        .flatMap { os =>
+          val first = os.minBy(o => (o._2, o._3))
+          os.filterNot(o => o._2 == first._2 && o._3 == first._3)
+        }
+        .flatMap { case (_, id, p) => (p until p + n).map(id -> _) }
+        .toSet
+      toks.map { case (id, ws) =>
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !tainted((id, i)) => w
+        }
+        id -> (kept.mkString(" "), kept.length)
+      }.toMap
+    }
+    // tiny vocabulary + short grams: natural duplicated 4-grams are
+    // frequent, so keep-first, overlapping covers, and intra-doc
+    // repeats all get exercised without planting
+    val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val doc = Gen.choose(2, 18).flatMap(len => Gen.listOfN(len, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.choose(4, 12)
+      .flatMap(k => Gen.listOfN(k, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(10)
+    assert(SCTest.check(params, Prop.forAll(corpus) { docs =>
+      val got = graft.ops.TextAnalysis
+        .exactSubstrDedup(docs.toDF("doc_id", "text"), n = 4)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text_clean"), r.getAs[Long]("n_tokens_kept").toInt))
+        .toMap
+      val want = reference(docs, n = 4)
+      // fully-excised docs disappear from the distributed output (the
+      // chunkDedup convention); the reference reports them as empty
+      docs.forall { case (id, _) =>
+        got.getOrElse(id, ("", 0)) == want(id)
+      }
+    }).passed, "distributed anchor+extend must equal the sequential reference")
+  }
 }
