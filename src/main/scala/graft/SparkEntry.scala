@@ -2502,6 +2502,32 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "n159_exact_retraction" -> ((s, dir) => {
+      // takedown for the EXACT-dedup ladder, where the bare digest set
+      // cannot retract (dropping a purged doc's digest would re-admit
+      // copies a surviving doc still holds): the corpus carries a
+      // SHARED text (doc 0's, also held by planted 2000100), docs 0
+      // and 4 are purged, and the refcounted digest relation must keep
+      // suppressing doc 0's text (one live holder remains) while
+      // freeing doc 4's (last holder gone) — so the slice's planted
+      // re-crawl of text 0 drops and of text 4 is admitted. Plant ids
+      // stay COLUMNS (the n150 lit() lesson).
+      val base = t(s, dir, "documents")
+      val corpus = base.filter(col("doc_id") % 2 === 0)
+        .unionAll(base.filter(col("doc_id") === 0L)
+          .withColumn("doc_id", col("doc_id") + 2000100L))
+      val removed = corpus.filter(col("doc_id").isin(0L, 4L))
+      val counts = Dedup.retractFromDigestCounts(
+        Dedup.digestCounts(corpus), removed)
+      val slice = base.filter(col("doc_id") % 2 === 1)
+        .unionAll(base.filter(col("doc_id").isin(0L, 4L))
+          .withColumn("doc_id", col("doc_id") + 3000001L))
+        .unionAll(base.filter(col("doc_id") === 1L)
+          .withColumn("doc_id", col("doc_id") + 3000006L))
+      Dedup.incrementalDedupByDigests(counts.select("__digest"), slice)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     "n154_index_retraction" -> ((s, dir) => {
       // the takedown path — the index lifecycle's missing third (build
       // n150 / append / RETRACT): docs 0 and 2 are purged from the
@@ -6245,6 +6271,27 @@ object SparkEntry {
          |SELECT doc_id, n_chars FROM u
          |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM p)
          |ORDER BY doc_id""".stripMargin,
+
+    // refcounted retraction replayed on text equality: live = corpus
+    // texts of UNPURGED holders (string semantics — the refcount is
+    // the digest-space implementation of exactly this set), slice
+    // deduped within (lowest id per text) then anti-joined on live
+    "n159_exact_retraction" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL SELECT doc_id + 2000100, text FROM documents WHERE doc_id = 0),
+        |live AS (SELECT text FROM corpus WHERE doc_id NOT IN (0, 4)),
+        |slice AS (
+        | SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL SELECT doc_id + 3000001, text, n_chars
+        |   FROM documents WHERE doc_id IN (0, 4)
+        | UNION ALL SELECT doc_id + 3000006, text, n_chars
+        |   FROM documents WHERE doc_id = 1),
+        |dd AS (SELECT * FROM slice
+        |       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT doc_id, n_chars FROM dd
+        |WHERE text NOT IN (SELECT text FROM live)
+        |ORDER BY doc_id""".stripMargin,
 
     // the retraction law, replayed: banding over corpus∖removed ∪ slice
     // (docs 0/2 purged — their planted near-copies are ADMITTED, doc

@@ -136,6 +136,49 @@ object Dedup {
     definitelyNew.unionByName(rechecked)
   }
 
+  /** REFCOUNTED digest relation — the exact-dedup ladder's index shape
+    * that makes retraction safe: `(__digest, n_refs)` with one row per
+    * distinct text and the count of corpus documents holding it. The
+    * bare digest set ([[writeCorpusSnapshot]]'s relation) cannot
+    * retract: dropping a purged doc's digest would re-admit copies of
+    * a text ANOTHER live document still holds, and keeping it would
+    * block re-crawls of genuinely purged content forever. With
+    * refcounts both takedown semantics come out right (the spec law):
+    * purging ONE holder of a shared text leaves the digest live (its
+    * other holders still bind), purging the LAST holder frees it.
+    * Maintenance is algebraic — counts are additive, so append and
+    * retract are a groupBy-sum away and commute — and the lifecycle
+    * law is the band index's: any interleaving of appends and
+    * retractions equals [[digestCounts]] rebuilt on the surviving
+    * corpus. At 100 TB the relation is the digest set plus one long.
+    */
+  def digestCounts(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("__digest"))
+      .agg(count(lit(1)).as("n_refs"))
+
+  /** Grow the refcounted digest relation by an admitted slice: counts
+    * add (one shuffle on the 16-byte digest, map-side combinable).
+    */
+  def appendDigestCounts(counts: DataFrame, admitted: DataFrame): DataFrame =
+    counts.unionByName(digestCounts(admitted))
+      .groupBy("__digest").agg(sum(col("n_refs")).as("n_refs"))
+
+  /** Retract purged documents from the refcounted digest relation:
+    * subtract their digest multiplicities, drop digests whose count
+    * reaches zero. `removedDocs` carries the purged rows (doc_id,
+    * text — the payload being deleted is in hand at purge time, so
+    * hashing it costs nothing extra). A digest still held by a
+    * surviving document keeps a positive count and keeps suppressing;
+    * the last holder's retraction frees it for re-admission.
+    */
+  def retractFromDigestCounts(counts: DataFrame,
+                              removedDocs: DataFrame): DataFrame =
+    counts.unionByName(
+        removedDocs.groupBy(md5(col("text")).as("__digest"))
+          .agg((-count(lit(1))).as("n_refs")))
+      .groupBy("__digest").agg(sum(col("n_refs")).as("n_refs"))
+      .filter(col("n_refs") > 0)
+
   /** Per-source diff report for a crawl slice against the published
     * corpus — the observability side of [[incrementalDedup]]: how many
     * incoming docs are new, how many duplicate the existing corpus,

@@ -777,6 +777,55 @@ class OpsSpec extends SparkSpec {
       "append-retract-append chains must equal the batch rebuild")
   }
 
+  test("refcounted digest lifecycle: shared texts survive partial purges, last-holder purges free them, interleavings equal the rebuild") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"), // shared
+      (4L, "gamma text")
+    ).toDF("doc_id", "text")
+    def countsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Dedup.digestCounts(corpus)
+    // purge doc 1: "alpha text" still held by doc 3 -> count drops to
+    // 1, digest stays live; purge doc 4: last holder -> digest freed
+    val afterPurge = Dedup.retractFromDigestCounts(base,
+      corpus.filter(col("doc_id").isin(1L, 4L)))
+    val survivors = corpus.filter(!col("doc_id").isin(1L, 4L))
+    assert(countsOf(afterPurge) == countsOf(Dedup.digestCounts(survivors)),
+      "retraction must equal the rebuild on the surviving corpus")
+    // takedown semantics through the dedup itself: a re-crawl of the
+    // shared text still drops (a live holder remains); the freed text
+    // is admitted
+    val slice = Seq((11L, "alpha text"), (12L, "gamma text"))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDedupByDigests(
+        afterPurge.select("__digest"), slice)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(12L),
+      s"shared text must still suppress, freed text must admit: $admitted")
+    // the bare digest set CANNOT do this — both failure modes, pinned:
+    // dropping the purged docs' digests re-admits the shared text...
+    val naiveDrop = base.join(
+      corpus.filter(col("doc_id").isin(1L, 4L))
+        .select(md5(col("text")).as("__digest")),
+      Seq("__digest"), "left_anti")
+    assert(Dedup.incrementalDedupByDigests(naiveDrop.select("__digest"), slice)
+      .count() == 2L, "naive digest drop re-admits a text a live doc holds")
+    // ...and keeping them blocks the genuinely purged text forever
+    assert(Dedup.incrementalDedupByDigests(base.select("__digest"), slice)
+      .count() == 0L, "no retraction blocks re-crawls of purged content")
+    // counts are additive: append/retract interleavings equal the
+    // rebuild on whatever corpus results
+    val g1 = Seq((21L, "delta text"), (22L, "alpha text")).toDF("doc_id", "text")
+    val maintained = Dedup.retractFromDigestCounts(
+      Dedup.appendDigestCounts(afterPurge, g1),
+      corpus.filter(col("doc_id") === 3L))
+    val rebuilt = Dedup.digestCounts(
+      survivors.unionByName(g1).filter(col("doc_id") =!= 3L))
+    assert(countsOf(maintained) == countsOf(rebuilt),
+      "append-retract interleavings must equal the from-scratch rebuild")
+  }
+
   test("retractFromIndex: a retracted doc suppresses nothing; retract-then-append equals rebuild from corpus minus removed") {
     import spark.implicits._
     val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
