@@ -928,10 +928,17 @@ class OpsSpec extends SparkSpec {
     val eOld = emb.filter(col("vec_id") < 20)
     val eInc = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
     val eIndex = Dedup.signBucketIndex(eOld, planes = 12, tables = 4)
-    Dedup.incrementalEmbeddingDedup(eIndex, eOld, eInc,
-      threshold = 0.95, planes = 12, tables = 4).count()
+    val eUnpruned = ids(Dedup.incrementalEmbeddingDedup(eIndex, eOld, eInc,
+      threshold = 0.95, planes = 12, tables = 4))
     assert(spark.sharedState.cacheManager.isEmpty,
       "incrementalEmbeddingDedup must release every internal persist")
+    // the sidecar serves the embedding index too (long buckets hash the
+    // same way through xxhash64(band, bucket)): pruned ≡ unpruned
+    val ePruned = ids(Dedup.incrementalEmbeddingDedup(eIndex, eOld, eInc,
+      threshold = 0.95, planes = 12, tables = 4,
+      bloom = Some(Dedup.indexBloom(eIndex))))
+    assert(ePruned == eUnpruned,
+      "bloom-pruned embedding dedup must equal the unpruned result")
     Dedup.minhashSliceDiffReport(index,
       old.withColumn("source", lit("s")),
       incoming.withColumn("source", lit("s")),
