@@ -1,0 +1,149 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.sources.Tables
+
+/** End-to-end TAKEDOWN demo — the purge path a production corpus runs
+  * weekly (DMCA, license revocation, PII erasure), composed from the
+  * engine's retraction operators across every published index family,
+  * then proved safe by running the next crawl slice against the purged
+  * state:
+  *
+  *   1. publish  — corpus + refcounted digests ([[Dedup.digestCounts]])
+  *                 + minhash band index ([[Dedup.minhashBandIndex]],
+  *                 written partitionBy(band)) + bloom sidecar
+  *                 ([[Dedup.indexBloom]]) + sign-LSH bucket index over
+  *                 the embeddings ([[Dedup.signBucketIndex]]);
+  *   2. purge    — drop the payload rows, retract the digests with
+  *                 refcount semantics ([[Dedup.retractFromDigestCounts]]
+  *                 — a text another live doc holds keeps suppressing),
+  *                 retract both band indexes ([[Dedup.retractFromIndex]]),
+  *                 and REBUILD the bloom sidecar from the retracted
+  *                 index — blooms cannot delete, so the sidecar refresh
+  *                 rides the retraction rewrite (it is one aggregate
+  *                 over the rows being rewritten anyway);
+  *   3. re-crawl — the next slice dedups against the purged state:
+  *                 near-dups and exact copies of PURGED docs are
+  *                 ADMITTED (nothing may cite a purged doc), dups of
+  *                 surviving docs still drop, within-slice dups still
+  *                 drop — each through the same incremental operators
+  *                 the driver gate hash-matches (n49/n150/n152/n154/
+  *                 n157/n159).
+  *
+  * The spec asserts the maintained state equals a from-scratch rebuild
+  * on corpus-minus-removed at every step (the lifecycle laws), and
+  * that the demo is deterministic across runs.
+  *
+  * Run: sbt "runMain graft.examples.TakedownDemo /root/testdata/sf0.001 /tmp/takedown_demo"
+  */
+object TakedownDemo {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/takedown_demo")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val summary = run(spark, sfDir, outDir)
+    println(s"\ntakedown summary ($sfDir -> $outDir):")
+    summary.toSeq.sortBy(_._1).foreach { case (k, v) => println(f"  $k%-26s $v") }
+    spark.stop()
+  }
+
+  /** The purge as one function (spec-driven too). Returns stage counts;
+    * writes the purged corpus, both retracted indexes (band index
+    * partitionBy(band) — the spec-proven pruning layout), and the
+    * refreshed sidecar under `outDir`.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    // ---- 1. the published state ------------------------------------
+    val corpus = Tables(spark, sfDir, "documents").filter(col("doc_id") < 250)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 250)
+    val nCorpus = corpus.count()
+    val digests = Dedup.digestCounts(corpus)
+    val bandIndex = Dedup.minhashBandIndex(corpus, k = 5, numHashes = 64,
+      bands = 16)
+    val signIndex = Dedup.signBucketIndex(emb, planes = 12, tables = 4)
+
+    // ---- 2. the takedown request: docs 1 and 2, vectors 1 and 2 -----
+    // (docs chosen without NATURAL near-dup partners at this SF — the
+    // synthetic corpus plants near-dup families, and a purged doc whose
+    // family survives is correctly still suppressed by its live kin;
+    // the demo isolates the purge effect itself)
+    val removedIds = Seq(1L, 2L)
+    val removedDocs = corpus.filter(col("doc_id").isin(removedIds: _*))
+    val removed = removedDocs.select("doc_id")
+    val corpusAfter = corpus.join(removed, Seq("doc_id"), "left_anti")
+    val embAfter = emb.filter(!col("vec_id").isin(removedIds: _*))
+    val digestsAfter = Dedup.retractFromDigestCounts(digests, removedDocs)
+    val bandAfter = Dedup.retractFromIndex(bandIndex, removed)
+    val signAfter = Dedup.retractFromIndex(signIndex, removed)
+    // the sidecar is rebuilt, not edited: blooms cannot delete
+    val bloomAfter = Dedup.indexBloom(bandAfter)
+
+    // the purged state persists in the production layout
+    corpusAfter.write.mode("overwrite").parquet(s"$outDir/corpus")
+    bandAfter.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/band_index")
+    signAfter.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/sign_index")
+    digestsAfter.write.mode("overwrite").parquet(s"$outDir/digests")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/band_index.bloom"), bloomAfter)
+
+    // ---- 3. the next crawl slice against the purged state -----------
+    // planted rows: an exact copy and a near-dup of PURGED doc 1 (both
+    // must be ADMITTED), a near-dup of surviving doc 4 (must drop), a
+    // within-slice dup pair (higher id must drop)
+    val slice = corpus.filter(col("doc_id").isin(1L, 4L))
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+      .withColumn("text", concat(col("text"), lit(" tail bit")))
+      .unionAll(corpus.filter(col("doc_id") === 1L)
+        .withColumn("doc_id", col("doc_id") + 3100000L))
+      .unionAll(corpus.filter(col("doc_id") === 1L)
+        .withColumn("doc_id", col("doc_id") + 3100001L))
+    val bandRead = spark.read.parquet(s"$outDir/band_index")
+      .select("doc_id", "band", "bucket")
+    val exactAdmitted = Dedup.incrementalDedupByDigests(
+      spark.read.parquet(s"$outDir/digests").select("__digest"), slice)
+    val nearAdmitted = Dedup.incrementalMinhashDedup(bandRead,
+      spark.read.parquet(s"$outDir/corpus"), exactAdmitted,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5,
+      bloom = Some(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$outDir/band_index.bloom"))))
+    val nNear = nearAdmitted.count()
+
+    // embeddings ride the same flow: a scaled copy of purged vec 1 is
+    // admitted, of surviving vec 4 drops
+    val eSlice = emb.filter(col("vec_id").isin(1L, 4L))
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.000001f)).cast("float"))
+          .as("embedding"))
+    val eAdmitted = Dedup.incrementalEmbeddingDedup(
+      spark.read.parquet(s"$outDir/sign_index")
+        .select("doc_id", "band", "bucket"),
+      embAfter, eSlice, threshold = 0.95, planes = 12, tables = 4)
+
+    Map(
+      "n_corpus" -> nCorpus,
+      "n_removed" -> removed.count(),
+      "n_corpus_after" -> corpusAfter.count(),
+      "n_digests_after" -> digestsAfter.count(),
+      "n_band_rows_after" -> bandAfter.count(),
+      "n_slice" -> slice.count(),
+      "n_exact_admitted" -> exactAdmitted.count(),
+      "n_near_admitted" -> nNear,
+      "n_emb_slice" -> eSlice.count(),
+      "n_emb_admitted" -> eAdmitted.count())
+  }
+}

@@ -289,6 +289,43 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(s2 == s1, "the pipeline must be bit-deterministic")
   }
 
+  test("TakedownDemo end-to-end: purge every index family, re-crawl against the purged state, laws hold") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("takedown_demo").toString
+    val s1 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir)
+    assert(s1("n_removed") == 2L &&
+      s1("n_corpus_after") == s1("n_corpus") - 2L)
+    // the purged state on disk equals a from-scratch publish of
+    // corpus-minus-removed — the lifecycle law, per index family
+    val corpusAfter = spark.read.parquet(s"$dir/corpus")
+    val rebuiltBand = graft.ops.Dedup.minhashBandIndex(corpusAfter,
+      k = 5, numHashes = 64, bands = 16)
+    val diskBand = spark.read.parquet(s"$dir/band_index")
+      .select("doc_id", "band", "bucket")
+    assert(diskBand.exceptAll(rebuiltBand).isEmpty &&
+      rebuiltBand.exceptAll(diskBand).isEmpty,
+      "retracted band index must equal the rebuild on corpus minus removed")
+    val rebuiltDigests = graft.ops.Dedup.digestCounts(corpusAfter)
+    val diskDigests = spark.read.parquet(s"$dir/digests")
+    assert(diskDigests.exceptAll(rebuiltDigests).isEmpty &&
+      rebuiltDigests.exceptAll(diskDigests).isEmpty,
+      "retracted refcounted digests must equal the rebuild")
+    // the re-crawl admits the purged doc's copies (exact AND near-dup)
+    // while dups of surviving docs and within-slice dups still drop
+    assert(s1("n_slice") == 4L)
+    assert(s1("n_exact_admitted") == 3L,
+      "the within-slice exact dup drops; the purged doc's exact copy is admitted")
+    assert(s1("n_near_admitted") == 1L,
+      "only the purged doc's near-dup survives (surviving doc 4's dup and " +
+        "the within-slice near-dup both drop)")
+    assert(s1("n_emb_admitted") == 1L,
+      "the purged vector's scaled copy is admitted, the surviving one's drops")
+    // determinism: a second run reproduces every count
+    val dir2 = java.nio.file.Files.createTempDirectory("takedown_demo2").toString
+    val s2 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir2)
+    assert(s2 == s1, "the purge must be bit-deterministic")
+  }
+
   test("GsshaDemo end-to-end: one call produces gage + WES + GRASS + station CSV") {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("gssha_demo").toString
