@@ -47,8 +47,8 @@ object Bench {
     * beside the code): a query whose BOTH runs agree with each other
     * (divergence <= 1.5x — steady, not a transient spike) yet sit
     * far above the clean reference (min > 2.5x ref) was not slowed by
-    * plan cost (same code, same data) — the box was. Sub-second
-    * reference lines are skipped (run-to-run noise crosses 2.5x there)
+    * plan cost (same code, same data) — the box was. Reference lines
+    * below 0.5 s are skipped (run-to-run noise crosses 2.5x there)
     * and the flag fires only when >= 3 queries carry the signature, so
     * one legitimately-regressed query can never masquerade as
     * contamination — a real regression shows up as a FEW slow lines
@@ -288,10 +288,22 @@ object Bench {
     val steady = (if (restricted) Seq.empty
       else steadySlow(runPairs.toSeq, jsonNumberMap(refJson, "queries")))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val drift = probeFamilyDrift(calib.toSeq,
-      jsonNumberMap(refJson, "calibration").toSeq)
+    // drift is gated like the other rules: a filtered run executes the
+    // gc/cache/bc probes at one cold position only, so its single-sample
+    // medians against full-sweep reference medians would emit exactly
+    // the false contamination miscue the gating exists to prevent
+    val drift =
+      if (restricted) Map.empty[String, Double]
+      else probeFamilyDrift(calib.toSeq,
+        jsonNumberMap(refJson, "calibration").toSeq)
+    // Locale.ROOT: default-locale format writes comma decimals (invalid
+    // JSON) on non-US JVMs; every other number in the line interpolates
+    // locale-independently
     val driftJson = drift.toSeq.sortBy(_._1)
-      .map { case (f, r) => "\"" + f + "\":" + "%.3f".format(r) }
+      .map { case (f, r) =>
+        "\"" + f + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(r))
+      }
       .mkString("{", ",", "}")
     val flaggedFams = drift.filter(_._2 > 3.0).keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -170,6 +170,17 @@ object Dedup {
     * hashing it costs nothing extra). A digest still held by a
     * surviving document keeps a positive count and keeps suppressing;
     * the last holder's retraction frees it for re-admission.
+    *
+    * REPLAY CONTRACT: `removedDocs` must be derived from the LIVE
+    * corpus (`corpus.filter(ids)` / `corpus.join(ids, semi)` — the
+    * [[graft.examples.TakedownDemo]] shape), never from a standalone
+    * takedown payload. Then a RETRIED purge is naturally idempotent:
+    * the re-run recomputes removedDocs against the already-purged
+    * corpus, finds nothing, and subtracts nothing (the spec law).
+    * Subtracting a raw payload twice would double-decrement and free a
+    * digest a surviving holder still owns — the exact bare-digest-set
+    * failure this relation exists to prevent, reintroduced at the
+    * call site.
     */
   def retractFromDigestCounts(counts: DataFrame,
                               removedDocs: DataFrame): DataFrame =
@@ -475,8 +486,10 @@ object Dedup {
     * the index's distinct (band, bucket) keys, built once at
     * index-publish time (one aggregate — Spark's own
     * `bloom_filter_agg`, the [[incrementalDedupBloom]] machinery) and
-    * persisted beside the index (a few MB per billion keys at the
-    * default fpp). A slice probe consults it BEFORE the (band, bucket)
+    * persisted beside the index (~1.2 bytes per key at the default
+    * fpp — a few MB at the aggregate's default 4M-item cap; larger
+    * indexes shard the sidecar per band or raise the caps, see the
+    * size guard below). A slice probe consults it BEFORE the (band, bucket)
     * semi-join: keys the sidecar rejects provably have no old-side
     * members (no false negatives), so they never enter the index join
     * at all — on the production slice shape (slice ≪ corpus, most
@@ -492,20 +505,44 @@ object Dedup {
   def indexBloom(index: DataFrame, expectedKeys: Long = -1L,
                  fpp: Double = 0.01): Array[Byte] = {
     require(fpp > 0.0 && fpp < 1.0, "fpp in (0, 1)")
+    // persisted: ONE distinct pass serves both actions (count +
+    // aggregate), not two full key shuffles per publish
     val keys = index.select(col("band"), col("bucket")).distinct()
-    val n = math.max(if (expectedKeys > 0) expectedKeys else keys.count(), 1L)
-    val numBits = math.max(64L,
-      math.ceil(-n.toDouble * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
-    val row = keys
-      .agg(bloom_filter_agg(xxhash64(col("band"), col("bucket")), n, numBits)
-        .as("bf"))
-      .head()
-    if (row.isNullAt(0)) {
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, 64L)
-      val bos = new java.io.ByteArrayOutputStream()
-      empty.writeTo(bos)
-      bos.toByteArray
-    } else row.getAs[Array[Byte]](0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(if (expectedKeys > 0) expectedKeys else keys.count(), 1L)
+      val numBits = math.max(64L,
+        math.ceil(-n.toDouble * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+      // SIZE GUARD: Spark's BloomFilterAggregate silently Math.min-caps
+      // the requested items/bits against the runtime-filter confs
+      // (defaults 4M items / 64M bits ~ 8 MB) — a capped sketch keeps
+      // the requested fpp in name only and saturates toward fpp ~ 1,
+      // pruning nothing while still charging build + probe. Fail fast
+      // instead (the maxGroups convention): raise both confs for a
+      // bigger index, or publish one sidecar PER BAND (each 1/bands of
+      // the keys; the partitionBy(band) layout already isolates probes
+      // per band).
+      val conf = index.sparkSession.conf
+      val maxItems = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      require(n <= maxItems && numBits <= maxBits,
+        s"sidecar for $n keys wants $numBits bits but the aggregate caps at " +
+          s"$maxItems items / $maxBits bits (a capped sketch silently " +
+          "saturates toward fpp 1) — raise spark.sql.optimizer.runtime." +
+          "bloomFilter.maxNumItems/maxNumBits or publish one indexBloom per band")
+      val row = keys
+        .agg(bloom_filter_agg(xxhash64(col("band"), col("bucket")), n, numBits)
+          .as("bf"))
+        .head()
+      if (row.isNullAt(0)) {
+        val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, 64L)
+        val bos = new java.io.ByteArrayOutputStream()
+        empty.writeTo(bos)
+        bos.toByteArray
+      } else row.getAs[Array[Byte]](0)
+    } finally keys.unpersist(blocking = false)
   }
 
   /** Incremental NEAR-dup dedup of a crawl slice against a persisted
@@ -590,9 +627,7 @@ object Dedup {
     val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
     val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
       bloom)
-    val released = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    released ++= owned
-    try {
+    withReleased(owned) { released =>
       // exact verification, candidate-sized on BOTH sides: ONE flagged
       // candidate-id relation (persisted — it prunes both fetch-back
       // branches, and each branch is read by both verify join sides),
@@ -626,14 +661,30 @@ object Dedup {
         .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
         .filter(col("inter").cast("double") / col("uni") >= threshold)
         .select(col("a"), col("a_new"), col("b"), col("b_new"))
-      // ONE eager materialization (checkpoint, lineage cut) is what
-      // makes the finally sound: after it the internals are never
-      // re-read, so releasing them cannot trigger recompute — and the
-      // caller receives a relation with zero CacheManager footprint
-      // (VERDICT r10 nit: the pre-r11 shape leaked three persisted
-      // relations per slice that no caller could unpersist)
-      Iterate.checkpointed(verified)
-    } finally released.foreach(_.unpersist(blocking = false))
+      verified
+    }
+  }
+
+  /** The incremental family's release discipline, in ONE place so the
+    * minhash and embedding paths cannot drift (the cross-modality
+    * principle of [[incrementalCandidatePairs]]): `build` constructs
+    * the verified-pair relation over persisted internals — `owned` plus
+    * whatever it appends to the tracked list — and its result is
+    * eagerly checkpoint-materialized (lineage cut) BEFORE the finally
+    * releases every internal persist. After the checkpoint the
+    * internals are never re-read, so releasing them cannot trigger
+    * recompute, and the caller receives a relation with zero
+    * CacheManager footprint (VERDICT r10 nit: the pre-r11 shape leaked
+    * three persisted relations per slice that no caller could
+    * unpersist).
+    */
+  private def withReleased(owned: Seq[DataFrame])(
+      build: scala.collection.mutable.ListBuffer[DataFrame] => DataFrame)
+      : DataFrame = {
+    val released = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    released ++= owned
+    try Iterate.checkpointed(build(released))
+    finally released.foreach(_.unpersist(blocking = false))
   }
 
   /** Per-source NEAR-dup diff report for a crawl slice against the
@@ -777,9 +828,10 @@ object Dedup {
     val newBands = signBucketIndex(incoming, planes, tables, dim)
     val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
       bloom)
-    val released = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    released ++= owned
-    val verified = try {
+    // the minhash path's release discipline, through the SAME helper:
+    // verified pairs checkpoint-materialize, every internal persist is
+    // dropped — nothing from the slice run survives in the CacheManager
+    val verified = withReleased(owned) { released =>
       // one flagged candidate-id relation pruning both fetch-back
       // branches (the incrementalVerifiedPairs stage-count lesson)
       val candIds = pairs.select(explode(array(
@@ -795,15 +847,12 @@ object Dedup {
         .unionByName(incoming.join(candIds.filter(col("is_new")).select("vec_id"),
           Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("embedding")))
-      // the minhash path's release discipline: one eager checkpoint of
-      // the verified pairs, then every internal persist is dropped —
-      // nothing from the slice run survives in the CacheManager
-      Iterate.checkpointed(pairs
+      pairs
         .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
         .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
         .filter(cosine_similarity(col("emb_a"), col("emb_b")) >= threshold)
-        .select(col("a"), col("a_new"), col("b"), col("b_new")))
-    } finally released.foreach(_.unpersist(blocking = false))
+        .select(col("a"), col("a_new"), col("b"), col("b_new"))
+    }
     val victims = verified.select(
       when(col("a_new") && !col("b_new"), col("a")).otherwise(col("b"))
         .as("vec_id")).distinct()

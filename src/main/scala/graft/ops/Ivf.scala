@@ -67,13 +67,21 @@ object Ivf {
   /** Assignment of vectors to FROZEN centroids — the maintenance half
     * of [[build]]'s fit+transform, factored out so the index can GROW
     * without retraining. Per row: argmin of squared Euclidean distance
-    * over the centroid table, ties to the lowest list id (the
-    * deterministic rule k-means transform induces). Arithmetic is all
-    * in double after a single widening cast (a float difference or
-    * product re-rounded in float would drift from the fit-time
-    * assignment), and the fold runs in component order, so the spec
-    * can pin `assignFrozen(corpus, index.centroids) == index.assigned`
-    * exactly.
+    * over the PUBLISHED centroid table (ties to the lowest list id),
+    * all-double arithmetic in component order after one widening cast.
+    *
+    * Agreement with the builder: [[build]] publishes centroids rounded
+    * to float while `KMeansModel.transform` predicted with its
+    * unrounded double centers (plus MLlib's norm-accelerated
+    * distance), so for a vector within float-rounding distance of a
+    * Voronoi boundary the two argmins can in principle differ — the
+    * spec pins `assignFrozen(corpus, index.centroids) == index.assigned`
+    * on the driver corpus (deterministic there; real embedding data
+    * puts nothing on a boundary at float precision), NOT as a
+    * universal identity. Nothing correctness-bearing rides on the
+    * agreement: the published float centroids are the index's source
+    * of truth from the first append on, and full-probe search is
+    * exhaustive under ANY deterministic single-assignment.
     *
     * 100 TB shape: the centroids ride INSIDE the expression as
     * literals (nLists x dim floats — kilobytes), so assignment is one

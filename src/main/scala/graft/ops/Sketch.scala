@@ -38,6 +38,17 @@ import org.apache.spark.sql.graft.GraftFunctions._
   */
 object Sketch {
 
+  /** Saturating upper bin edge shared by every quantile bracket
+    * (batch bisection x2 + the streaming histogram): `binLo + w - 1`
+    * wraps past Long.MaxValue when `hi` sits within one bin width of
+    * it — a range the `hi - lo < 2^63 - bins` guard permits — and a
+    * wrapped negative edge breaks containment where a plain min()
+    * would keep the wrap. `hi - (w - 1)` cannot underflow: with
+    * bins >= 2, w - 1 <= (hi - lo) / 2.
+    */
+  private[graft] def saturatedHi(binLo: Long, w: Long, hi: Long): Long =
+    if (binLo > hi - (w - 1L)) hi else binLo + w - 1L
+
   def hllDistinct(df: DataFrame, cols: Seq[String], p: Int = 8): DataFrame = {
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("cv"))
@@ -521,10 +532,7 @@ object Sketch {
               val c = r.getLong(3)
               if (cum + c >= s.target) {
                 val newLo = s.lo + r.getLong(2) * w
-                // saturating edge (the streaming HistQuantile fix, ADVICE
-                // r10): newLo + w - 1 wraps when hi sits within one bin
-                // width of Long.MaxValue, and min() would keep the wrap
-                s.hi = if (newLo > s.hi - (w - 1)) s.hi else newLo + w - 1
+                s.hi = saturatedHi(newLo, w, s.hi)
                 s.lo = newLo
                 s.below = cum
                 done = true
@@ -638,10 +646,7 @@ object Sketch {
               val c = r.getLong(3)
               if (cum + c >= s.target) {
                 val newLo = s.lo + r.getLong(2) * w
-                // saturating edge (the streaming HistQuantile fix, ADVICE
-                // r10): newLo + w - 1 wraps when hi sits within one bin
-                // width of Long.MaxValue, and min() would keep the wrap
-                s.hi = if (newLo > s.hi - (w - 1)) s.hi else newLo + w - 1
+                s.hi = saturatedHi(newLo, w, s.hi)
                 s.lo = newLo
                 s.below = cum
                 done = true

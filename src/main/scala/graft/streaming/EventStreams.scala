@@ -860,11 +860,9 @@ object EventStreams {
         var b = 0; var cum = counts(0)
         while (cum < target && b < bins - 1) { b += 1; cum += counts(b) }
         val binLo = lo + b.toLong * w
-        // saturating upper edge (ADVICE r10): binLo + w - 1 can wrap
-        // past Long.MaxValue when hi sits within one bin width of it
-        // (the range guard permits that), and a wrapped negative binHi
-        // would break the containment guarantee min() is meant to cap
-        val binHi = if (binLo > hi - (w - 1L)) hi else binLo + w - 1L
+        // saturating upper edge (ADVICE r10), shared with the batch
+        // bisections so the bracket arithmetic cannot drift
+        val binHi = graft.ops.Sketch.saturatedHi(binLo, w, hi)
         // edge bins absorb the clamped outliers, so their brackets
         // widen to the observed extremes — containment stays exact
         val loB = if (b == 0) math.min(binLo, mn) else binLo

@@ -814,6 +814,14 @@ class OpsSpec extends SparkSpec {
     // ...and keeping them blocks the genuinely purged text forever
     assert(Dedup.incrementalDedupByDigests(base.select("__digest"), slice)
       .count() == 0L, "no retraction blocks re-crawls of purged content")
+    // the replay contract: a RETRIED purge derives its removal set from
+    // the already-purged corpus, finds nothing, and subtracts nothing —
+    // deriving removedDocs from the live corpus (not a standalone
+    // payload) is what makes whole-purge retries idempotent
+    val replay = Dedup.retractFromDigestCounts(afterPurge,
+      survivors.filter(col("doc_id").isin(1L, 4L)))
+    assert(countsOf(replay) == countsOf(afterPurge),
+      "a retried purge must be a no-op against the purged corpus")
     // counts are additive: append/retract interleavings equal the
     // rebuild on whatever corpus results
     val g1 = Seq((21L, "delta text"), (22L, "alpha text")).toDF("doc_id", "text")
