@@ -3777,6 +3777,49 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n160_ivf_retract" -> ((s, dir) => {
+      // ANN retraction (the n154 lifecycle, ANN edition — VERDICT r11
+      // #1): build on the whole table, retract a planted takedown
+      // list, and the full-probe search over the retracted index must
+      // equal brute force over the SURVIVORS — a removed vector is
+      // never returned, nothing else moves (per-row assignment makes
+      // deletion as local as the append), and the oracle's
+      // survivor-side WHERE is the whole law
+      val emb = t(s, dir, "embeddings")
+      val idx = Ivf.build(emb, nLists = 8, nRows = emb.count())
+      val removed = emb
+        .filter(col("vec_id") >= 5 && col("vec_id") % 7 === 3)
+        .select("vec_id")
+      val retracted = Ivf.retract(idx, removed)
+      Ivf.search(retracted, emb.filter(col("vec_id") < 5), 10, nProbe = 8)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "n161_ivfpq_retract" -> ((s, dir) => {
+      // the PQ flavor of n160: codes retract through the same
+      // broadcast anti-join, coarse centroids and codebooks stay
+      // frozen, and exhaustive-intent searchPq (full probe + wide
+      // rerank, the n21 convention) over the retracted index equals
+      // brute force over the survivors. The rerank fetch-back reads
+      // the SURVIVOR corpus — the corpus-side purge contract
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val idx = Ivf.build(emb, nLists = 8, nRows = n)
+      val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = n)
+      val removed = emb
+        .filter(col("vec_id") >= 5 && col("vec_id") % 7 === 3)
+        .select("vec_id")
+      val rPq = Ivf.retractPq(pq, removed)
+      val corpusAfter = emb.join(removed, Seq("vec_id"), "left_anti")
+      Ivf.searchPq(rPq, corpusAfter, emb.filter(col("vec_id") < 5), 10,
+          nProbe = 8, rerank = Ivf.rerankFor(n))
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "n30_top_word_share" -> ((s, dir) => {
       // the shuffle-shaped repetition signal (explode + two partial
       // aggs), vs n27's in-row shape
@@ -7807,6 +7850,38 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q.query_id
         |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
         | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // retraction ≡ rebuild on survivors: brute force with the takedown
+    // list's WHERE — a removed vector never returned IS the oracle
+    "n160_ivf_retract" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |surv AS (SELECT * FROM embeddings
+        |         WHERE NOT (vec_id >= 5 AND vec_id % 7 = 3)),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM surv e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // the PQ flavor shares the survivor oracle (full probe + wide
+    // rerank reproduces brute force, the n21/n158 law)
+    "n161_ivfpq_retract" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |surv AS (SELECT * FROM embeddings
+        |         WHERE NOT (vec_id >= 5 AND vec_id % 7 = 3)),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS cos_raw,
+        |  row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id) AS rnk
+        | FROM surv e, q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, vec_id, round(cos_raw, 6) AS cos, rnk
         |FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 

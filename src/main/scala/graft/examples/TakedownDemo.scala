@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Ivf}
 import graft.sources.Tables
 
 /** End-to-end TAKEDOWN demo — the purge path a production corpus runs
@@ -16,22 +16,29 @@ import graft.sources.Tables
   *                 + minhash band index ([[Dedup.minhashBandIndex]],
   *                 written partitionBy(band)) + bloom sidecar
   *                 ([[Dedup.indexBloom]]) + sign-LSH bucket index over
-  *                 the embeddings ([[Dedup.signBucketIndex]]);
+  *                 the embeddings ([[Dedup.signBucketIndex]]) + the ANN
+  *                 serving indexes ([[Ivf.build]] / [[Ivf.buildPq]]) —
+  *                 all FIVE index families a production corpus serves;
   *   2. purge    — drop the payload rows, retract the digests with
   *                 refcount semantics ([[Dedup.retractFromDigestCounts]]
   *                 — a text another live doc holds keeps suppressing),
   *                 retract both band indexes ([[Dedup.retractFromIndex]]),
-  *                 and REBUILD the bloom sidecar from the retracted
-  *                 index — blooms cannot delete, so the sidecar refresh
-  *                 rides the retraction rewrite (it is one aggregate
-  *                 over the rows being rewritten anyway);
+  *                 retract BOTH ANN indexes ([[Ivf.retract]] /
+  *                 [[Ivf.retractPq]] — before r12 a purged document's
+  *                 EMBEDDING stayed searchable here, so the purge story
+  *                 was complete for only 3 of 5 families), and REBUILD
+  *                 the bloom sidecar from the retracted index — blooms
+  *                 cannot delete, so the sidecar refresh rides the
+  *                 retraction rewrite (it is one aggregate over the
+  *                 rows being rewritten anyway);
   *   3. re-crawl — the next slice dedups against the purged state:
   *                 near-dups and exact copies of PURGED docs are
   *                 ADMITTED (nothing may cite a purged doc), dups of
   *                 surviving docs still drop, within-slice dups still
   *                 drop — each through the same incremental operators
   *                 the driver gate hash-matches (n49/n150/n152/n154/
-  *                 n157/n159).
+  *                 n157/n159) — and an ANN probe AT the purged vector
+  *                 returns only survivors (n160/n161's law, live).
   *
   * The spec asserts the maintained state equals a from-scratch rebuild
   * on corpus-minus-removed at every step (the lifecycle laws), and
@@ -74,6 +81,10 @@ object TakedownDemo {
     val bandIndex = Dedup.minhashBandIndex(corpus, k = 5, numHashes = 64,
       bands = 16)
     val signIndex = Dedup.signBucketIndex(emb, planes = 12, tables = 4)
+    val nEmb = emb.count()
+    val ivfIndex = Ivf.build(emb, nLists = 8, nRows = nEmb)
+    val pqIndex = Ivf.buildPq(ivfIndex, m = 16, codebookSize = 32,
+      nRows = nEmb)
 
     // ---- 2. the takedown request: docs 1 and 2, vectors 1 and 2 -----
     // (docs chosen without NATURAL near-dup partners at this SF — the
@@ -88,6 +99,10 @@ object TakedownDemo {
     val digestsAfter = Dedup.retractFromDigestCounts(digests, removedDocs)
     val bandAfter = Dedup.retractFromIndex(bandIndex, removed)
     val signAfter = Dedup.retractFromIndex(signIndex, removed)
+    val ivfAfter = Ivf.retract(ivfIndex, removed.select(
+      col("doc_id").as("vec_id")))
+    val pqAfter = Ivf.retractPq(pqIndex, removed.select(
+      col("doc_id").as("vec_id")))
     // the sidecar is rebuilt, not edited: blooms cannot delete
     val bloomAfter = Dedup.indexBloom(bandAfter)
 
@@ -100,6 +115,16 @@ object TakedownDemo {
     digestsAfter.write.mode("overwrite").parquet(s"$outDir/digests")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$outDir/band_index.bloom"), bloomAfter)
+    // the ANN serving state: assigned rows laid out by list (the
+    // partition-pruning layout), codes beside them, and the frozen
+    // centroids as a metadata-sized sidecar — enough for the spec to
+    // replay the frozen rebuild from disk
+    ivfAfter.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$outDir/ivf_assigned")
+    pqAfter.encoded.write.mode("overwrite").parquet(s"$outDir/pq_encoded")
+    import spark.implicits._
+    ivfAfter.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ivf_centroids")
 
     // ---- 3. the next crawl slice against the purged state -----------
     // planted rows: an exact copy and a near-dup of PURGED doc 1 (both
@@ -134,6 +159,19 @@ object TakedownDemo {
         .select("doc_id", "band", "bucket"),
       embAfter, eSlice, threshold = 0.95, planes = 12, tables = 4)
 
+    // the ANN half of the purge proof: probe BOTH serving indexes AT
+    // (a scaled copy of) the purged vector — the strongest query for
+    // leaking it — at full probe; a removed id in either result set
+    // means the purge did not happen (n160/n161's law, live). The PQ
+    // rerank fetch-back reads the SURVIVOR corpus — the corpus-side
+    // contract
+    val annProbe = eSlice.filter(col("vec_id") === 3000001L)
+    val nIvfLeaked = Ivf.search(ivfAfter, annProbe, 5, nProbe = 8)
+      .filter(col("vec_id").isin(removedIds: _*)).count()
+    val nPqLeaked = Ivf.searchPq(pqAfter, embAfter, annProbe, 5,
+        nProbe = 8, rerank = 100)
+      .filter(col("vec_id").isin(removedIds: _*)).count()
+
     Map(
       "n_corpus" -> nCorpus,
       "n_removed" -> removed.count(),
@@ -144,6 +182,10 @@ object TakedownDemo {
       "n_exact_admitted" -> exactAdmitted.count(),
       "n_near_admitted" -> nNear,
       "n_emb_slice" -> eSlice.count(),
-      "n_emb_admitted" -> eAdmitted.count())
+      "n_emb_admitted" -> eAdmitted.count(),
+      "n_ivf_rows_after" -> ivfAfter.assigned.count(),
+      "n_pq_rows_after" -> pqAfter.encoded.count(),
+      "n_ivf_leaked" -> nIvfLeaked,
+      "n_pq_leaked" -> nPqLeaked)
   }
 }

@@ -125,6 +125,49 @@ object Ivf {
     Index(index.assigned.unionByName(assignFrozen(newVecs, index.centroids,
       embedCol)), index.centroids)
 
+  /** ANN index RETRACTION — the lifecycle third ([[build]] / [[append]]
+    * / this) that completes the purge story for the embedding column
+    * (the dedup indexes retract via [[Dedup.retractFromIndex]]; before
+    * this, a taken-down document's EMBEDDING stayed searchable after
+    * every other index family forgot it — for a PII purge that means
+    * the purge did not happen). Drops every assigned row belonging to
+    * `removedIds`; centroids are untouched — they are statistics of
+    * the historical distribution, not per-document state, exactly as
+    * frozen-centroid [[append]] treats them.
+    *
+    * Laws (OpsSpec): per-row assignment makes deletion as local as the
+    * append, so retract ≡ rebuild-against-frozen-centroids on
+    * corpus∖removed ([[assignFrozen]] over the survivors); search at
+    * ANY nProbe never returns a removed id; and retract-then-append ≡
+    * rebuild from survivors ∪ appended (the n154 chaining law, ANN
+    * edition). The n160 oracle drives the full-probe search over a
+    * retracted index through brute force over the survivors.
+    *
+    * 100 TB shape: `removedIds` is metadata-sized (a takedown list), so
+    * this is [[Dedup.retractFromIndex]]'s broadcast anti-join verbatim
+    * — zero shuffle, and an assigned relation laid out by `list_id`
+    * keeps its partition pruning through the rewrite. CORPUS-SIDE
+    * CONTRACT (the retractFromIndex one): the caller must also drop the
+    * removed rows from the corpus relation it passes to [[search]]Pq's
+    * rerank fetch-back — the purge is not done until the payload
+    * (here, the float vectors) is gone too.
+    */
+  def retract(index: Index, removedIds: DataFrame,
+              idCol: String = "vec_id"): Index =
+    Index(Dedup.retractFromIndex(index.assigned, removedIds, idCol),
+      index.centroids)
+
+  /** [[retract]] for the PQ-encoded flavor: drops the removed vectors'
+    * code rows; coarse centroids AND codebooks stay frozen (both are
+    * distribution statistics, the [[appendPq]] stance). Same laws, same
+    * broadcast anti-join, proved by the n161 oracle (exhaustive-intent
+    * search over the retracted index ≡ brute force over survivors).
+    */
+  def retractPq(pq: PqIndex, removedIds: DataFrame,
+                idCol: String = "vec_id"): PqIndex =
+    PqIndex(Dedup.retractFromIndex(pq.encoded, removedIds, idCol),
+      pq.centroids, pq.codebooks)
+
   /** Partial-probe recall of the index against exhaustive truth on a
     * query sample — the retrain-due audit for [[append]]-maintained
     * indexes, reusing the n84 recall kernel ([[Dedup.pairRecall]])
@@ -310,6 +353,35 @@ object Ivf {
     PqIndex(pq.encoded.unionByName(
       encodeResiduals(residuals, pq.codebooks, pq.centroids, idCol)),
       pq.centroids, pq.codebooks)
+  }
+
+  /** [[recallAudit]] for the PQ flavor — the retrain gauge [[appendPq]]
+    * shipped without (VERDICT r11 #4): partial-probe, operating-window
+    * [[searchPq]] recall against exhaustive truth on a query sample.
+    * The PQ path is where drift hurts TWICE — ill-fitting frozen coarse
+    * lists (the [[recallAudit]] failure mode) AND residual codebooks
+    * trained on the old distribution quantizing a shifted slice
+    * coarsely — so the audited search is the served one (`nProbe`,
+    * `rerank` at their operating values), and the truth side is
+    * [[searchPq]] at full probe with the [[rerankFor]]-guarded window,
+    * which reproduces brute force (the n21/n158 law). Healthy appends
+    * hold recall near 1; a drifted slice decays it and the pipeline
+    * retrains below its SLO (the [[recallAudit]] decision, spec-pinned
+    * on the same planted boundary-straddling fixture). Pass `nRows`
+    * when the corpus size is already known — the default counts the
+    * encoded relation (m-byte rows, the cheap one), never the corpus.
+    * Audit-priced: run on a sample, never the serving path.
+    */
+  def recallAuditPq(pq: PqIndex, corpus: DataFrame, queries: DataFrame,
+                    k: Int = 10, nProbe: Int = 2, rerank: Int = 100,
+                    nRows: Long = -1L): DataFrame = {
+    val got = searchPq(pq, corpus, queries, k, nProbe, rerank)
+      .select(col("query_id").as("doc_id_a"), col("vec_id").as("doc_id_b"))
+    val n = if (nRows >= 0L) nRows else pq.encoded.count()
+    val truth = searchPq(pq, corpus, queries, k,
+        nProbe = pq.centroids.length, rerank = math.max(rerank, rerankFor(n)))
+      .select(col("query_id").as("doc_id_a"), col("vec_id").as("doc_id_b"))
+    Dedup.pairRecall(got, truth)
   }
 
   /** Rerank window for an exhaustive-intent search over an n-vector

@@ -320,6 +320,29 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
         "the within-slice near-dup both drop)")
     assert(s1("n_emb_admitted") == 1L,
       "the purged vector's scaled copy is admitted, the surviving one's drops")
+    // the ANN families (r12): retracted row counts partition, a probe
+    // AT the purged vector leaks no removed id from either index, and
+    // the on-disk assigned relation equals the frozen-centroid rebuild
+    // on the survivor embeddings (retract ≡ rebuild, replayed from the
+    // persisted centroids — the disk state is self-sufficient)
+    assert(s1("n_ivf_rows_after") == s1("n_corpus") - 2L &&
+      s1("n_pq_rows_after") == s1("n_corpus") - 2L,
+      "both ANN indexes must drop exactly the removed vectors")
+    assert(s1("n_ivf_leaked") == 0L && s1("n_pq_leaked") == 0L,
+      "a purged embedding must not be retrievable through any ANN index")
+    val cents = spark.read.parquet(s"$dir/ivf_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val embAfter = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .filter(col("vec_id") < 250 && !col("vec_id").isin(1L, 2L))
+    val rebuiltAssigned = graft.ops.Ivf.assignFrozen(embAfter, cents)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val diskAssigned = spark.read.parquet(s"$dir/ivf_assigned")
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(diskAssigned == rebuiltAssigned,
+      "retracted IVF index must equal the frozen rebuild on survivors")
     // determinism: a second run reproduces every count
     val dir2 = java.nio.file.Files.createTempDirectory("takedown_demo2").toString
     val s2 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir2)

@@ -1146,6 +1146,116 @@ class OpsSpec extends SparkSpec {
     assert(got == truth, s"appended PQ search $got must equal exact $truth")
   }
 
+  test("Ivf.retract/retractPq: retraction equals rebuild on survivors, search never returns a removed id, lifecycle chains commute") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 200)
+    val idx = Ivf.build(old, nLists = 8, nRows = 200L)
+    val removed = old.filter(col("vec_id") >= 5 && col("vec_id") % 5 === 2)
+      .select("vec_id")
+    val removedIds = removed.collect().map(_.getLong(0)).toSet
+    val survivors = old.join(removed, Seq("vec_id"), "left_anti")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val r = Ivf.retract(idx, removed)
+    // (1) retract ≡ rebuild against frozen centroids on the survivors
+    // — per-row assignment makes deletion as local as the append
+    assert(rows(r.assigned) == rows(Ivf.assignFrozen(survivors, idx.centroids)),
+      "retract must equal the frozen-centroid rebuild on corpus minus removed")
+    // (2) search never returns a removed id — at the operating partial
+    // probe AND at full probe (the n160 oracle checks full only)
+    val q = old.filter(col("vec_id") < 5)
+    Seq(1, 8).foreach { np =>
+      val got = Ivf.search(r, q, 10, nProbe = np)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(got.forall(!removedIds.contains(_)),
+        s"retracted ids leaked from search at nProbe=$np")
+    }
+    // (3) retract-then-append ≡ rebuild from survivors ∪ appended, and
+    // the two maintenance ops commute on disjoint ids — a maintained
+    // index never drifts from a from-scratch frozen rebuild whatever
+    // order takedowns and slices interleave in (the n154 chaining law)
+    val slice = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val thenAppend = Ivf.append(r, slice)
+    assert(rows(thenAppend.assigned) ==
+      rows(Ivf.assignFrozen(survivors.unionByName(slice), idx.centroids)),
+      "retract-then-append must equal the rebuild from survivors plus slice")
+    assert(rows(Ivf.retract(Ivf.append(idx, slice), removed).assigned) ==
+      rows(thenAppend.assigned), "append and retract must commute")
+    // the PQ flavor: same laws over the encoded relation — frozen
+    // codebooks make the encode per-row, so deletion is just as local
+    val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = 200L)
+    def prows(p: Ivf.PqIndex) = p.encoded.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList,
+        r.getDouble(3))).toSet
+    val rp = Ivf.retractPq(pq, removed)
+    assert(prows(rp) == prows(pq).filter(t => !removedIds.contains(t._1)),
+      "retractPq must drop exactly the removed vectors' code rows")
+    assert(prows(Ivf.retractPq(Ivf.appendPq(pq, slice), removed)) ==
+      prows(Ivf.appendPq(rp, slice)),
+      "appendPq and retractPq must commute")
+    // searchPq over the retracted index, rerank fetch-back from the
+    // SURVIVOR corpus (the purge contract): no removed id, ever
+    val sGot = Ivf.searchPq(rp, survivors, q, 10, nProbe = 2, rerank = 50)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(sGot.nonEmpty && sGot.forall(!removedIds.contains(_)),
+      "retracted ids leaked from searchPq")
+  }
+
+  test("Ivf.recallAuditPq: the PQ retrain gauge separates planted drift from a healthy slice") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 200)
+    val idx = Ivf.build(old, nLists = 8, nRows = 200L)
+    val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = 200L)
+    def recall(p: Ivf.PqIndex, corpus: org.apache.spark.sql.DataFrame,
+               q: org.apache.spark.sql.DataFrame, n: Long): Double =
+      Ivf.recallAuditPq(p, corpus, q, k = 10, nProbe = 1, nRows = n)
+        .head().getAs[Double]("recall")
+    // healthy slice: frozen centroids + codebooks still fit data drawn
+    // from the same distribution, so the retrain gain stays small
+    val nat = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val natQ = nat.filter(col("vec_id") < 220)
+    val natCorpus = old.unionByName(nat)
+    val natIdx = Ivf.build(natCorpus, nLists = 8, nRows = 300L)
+    val gainNat =
+      recall(Ivf.buildPq(natIdx, m = 16, codebookSize = 32, nRows = 300L),
+        natCorpus, natQ, 300L) -
+        recall(Ivf.appendPq(pq, nat), natCorpus, natQ, 300L)
+    // planted drift: the n156 boundary-straddling cluster — members
+    // split across frozen lists no single probe covers, AND their
+    // residuals come from a region the codebooks never saw
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val cs = idx.centroids
+    val (ca, cb) = (for (x <- cs; y <- cs if x._1 < y._1) yield (x, y))
+      .maxBy { case (x, y) => d2(x._2, y._2) }
+    val dim = ca._2.length
+    val planted = (0 until 20).map { t =>
+      val s = (if (t % 2 == 0) 1.0f else -1.0f) * (0.05f + 0.001f * t)
+      (10000L + t, Array.tabulate(dim) { u =>
+        (ca._2(u) + cb._2(u)) / 2 + s * (ca._2(u) - cb._2(u))
+      })
+    }.toDF("vec_id", "embedding")
+    assert(Ivf.assignFrozen(planted, idx.centroids)
+      .select("list_id").distinct().count() >= 2L,
+      "drift fixture must split across frozen lists")
+    val driftCorpus = old.unionByName(planted)
+    val rDrift = recall(Ivf.appendPq(pq, planted), driftCorpus, planted, 220L)
+    val retrainIdx = Ivf.build(driftCorpus, nLists = 8, nRows = 220L)
+    val rRetrain = recall(
+      Ivf.buildPq(retrainIdx, m = 16, codebookSize = 32, nRows = 220L),
+      driftCorpus, planted, 220L)
+    assert(rRetrain == 1.0,
+      s"the refit must give the shifted cluster its own list: $rRetrain")
+    assert(rRetrain - rDrift > 2.0 * math.max(gainNat, 0.0),
+      s"the audit must separate drift (retrain gain ${rRetrain - rDrift}) " +
+        s"from a healthy slice (gain $gainNat)")
+  }
+
   test("the band index round-trips its production layout: partitioned parquet, band predicate prunes, dedup identical") {
     import spark.implicits._
     // the scaladoc's storage claim, proved: the index written
