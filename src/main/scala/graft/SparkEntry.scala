@@ -2585,6 +2585,31 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
     }),
 
+    "n162_incremental_bloom_perband" -> ((s, dir) => {
+      // n157 with the SHARDED sidecar (indexBloomPerBand — the scale
+      // path beyond the aggregate caps, VERDICT r11 #2): same fixture,
+      // same oracle as n150/n157 BY DESIGN — per-shard blooms have no
+      // false negatives either, so the sharded-pruned dedup must
+      // return exactly the unpruned rows, and this row makes the
+      // driver's gate re-prove the sharding law at sf0.01 every round
+      val base = t(s, dir, "documents")
+      val existing = base.filter(col("doc_id") < 250)
+      val incoming = base.filter(col("doc_id") >= 250)
+        .unionAll(base.filter(col("doc_id").isin(0L, 2L, 4L))
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", concat(col("text"), lit(" tail bit"))))
+        .unionAll(base.filter(col("doc_id") === 251L)
+          .withColumn("doc_id", col("doc_id") + 2999756L)
+          .withColumn("text", concat(col("text"), lit(" x"))))
+      val index = Dedup.minhashBandIndex(existing, k = 5, numHashes = 64,
+        bands = 16)
+      val shards = Dedup.indexBloomPerBand(index)
+      Dedup.incrementalMinhashDedup(index, existing, incoming,
+          k = 5, numHashes = 64, bands = 16, threshold = 0.5,
+          bloomPerBand = Some(shards))
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id")
+    }),
+
     "n155_exact_substr_dedup" -> ((s, dir) => {
       // Lee et al. 2022 ExactSubstr at ARBITRARY boundaries — the
       // removal n38's chunk grid cannot do: planted copies shifted by
@@ -6303,6 +6328,21 @@ object SparkEntry {
     // bloom-pruned ≡ unpruned (no false negatives), so the oracle IS
     // n150's batch replay — the driver gate re-proves the sidecar law
     "n157_incremental_bloom" ->
+      s"""WITH u AS (
+         | SELECT doc_id, text, n_chars FROM documents
+         | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars
+         |   FROM documents WHERE doc_id IN (0, 2, 4)
+         | UNION ALL SELECT 3000007, text || ' x', n_chars
+         |   FROM documents WHERE doc_id = 251),
+         |p AS (SELECT doc_id_b FROM (${minhashOracleSql(k = 5, numHashes = 64,
+               bands = 16, threshold = 0.5, src = "u")}))
+         |SELECT doc_id, n_chars FROM u
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM p)
+         |ORDER BY doc_id""".stripMargin,
+
+    // sharded blooms have no false negatives either: sharded-pruned ≡
+    // unpruned ≡ n150's batch replay — same oracle by design
+    "n162_incremental_bloom_perband" ->
       s"""WITH u AS (
          | SELECT doc_id, text, n_chars FROM documents
          | UNION ALL SELECT doc_id + 3000000, text || ' tail bit', n_chars

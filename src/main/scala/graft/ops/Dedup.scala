@@ -531,7 +531,8 @@ object Dedup {
         s"sidecar for $n keys wants $numBits bits but the aggregate caps at " +
           s"$maxItems items / $maxBits bits (a capped sketch silently " +
           "saturates toward fpp 1) — raise spark.sql.optimizer.runtime." +
-          "bloomFilter.maxNumItems/maxNumBits or publish one indexBloom per band")
+          "bloomFilter.maxNumItems/maxNumBits or publish the sharded " +
+          "sidecar (one indexBloom per band: indexBloomPerBand)")
       val row = keys
         .agg(bloom_filter_agg(xxhash64(col("band"), col("bucket")), n, numBits)
           .as("bf"))
@@ -544,6 +545,89 @@ object Dedup {
       } else row.getAs[Array[Byte]](0)
     } finally keys.unpersist(blocking = false)
   }
+
+  /** The SHARDED bloom sidecar — one sketch per band — the scale path
+    * [[indexBloom]]'s size guard names (VERDICT r11 #2: beyond the
+    * aggregate caps the single sidecar was refuse-only, at exactly the
+    * index sizes it was designed for). Each shard holds 1/bands of the
+    * distinct (band, bucket) keys (bucket values are hash-uniform, so
+    * bands split keys evenly), lifting capacity to bands x the
+    * per-aggregate cap — 64M keys at the default confs with 16 bands —
+    * before the confs need raising at all; the shards align with the
+    * spec-proven `partitionBy(band)` index layout, so at publish time
+    * each shard is an aggregate over one partition directory's keys.
+    *
+    * Hashing is [[indexBloom]]'s `xxhash64(band, bucket)` UNCHANGED —
+    * the probe expression is identical, only dispatched to the key's
+    * band's shard — so a single-sidecar deployment upgrades without
+    * re-deriving anything. A band absent from the map has NO published
+    * keys, so the probe rejects its slice keys outright (correct, and
+    * exactly what the empty-index sketch does for the single sidecar).
+    * Same laws as the single sidecar, spec-pinned: no false negatives
+    * (pruned ≡ unpruned row-for-row), false positives cost one wasted
+    * semi-join lookup, never a verdict.
+    *
+    * Sizing: every shard gets the same bit width, computed from the
+    * LARGEST band's key count (one `bloom_filter_agg` groupBy serves
+    * all bands, and its sizing arguments are per-aggregate constants);
+    * the size guard applies per shard, so it trips at bands x the
+    * single sidecar's limit. Two actions over one persisted distinct
+    * pass (the [[indexBloom]] discipline): per-band counts, then the
+    * grouped aggregate.
+    */
+  def indexBloomPerBand(index: DataFrame,
+                        fpp: Double = 0.01): Map[Int, Array[Byte]] = {
+    require(fpp > 0.0 && fpp < 1.0, "fpp in (0, 1)")
+    val keys = index.select(col("band"), col("bucket")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = keys.groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0).toString.toInt, r.getLong(1))).toMap
+      if (counts.isEmpty) Map.empty
+      else {
+        val nMax = math.max(counts.values.max, 1L)
+        val numBits = math.max(64L,
+          math.ceil(-nMax.toDouble * math.log(fpp) /
+            (math.log(2.0) * math.log(2.0))).toLong)
+        // the indexBloom size guard, per shard: a capped shard would
+        // silently saturate toward fpp ~ 1 — fail fast instead. The
+        // per-band split IS the first escape hatch, so tripping here
+        // means the confs themselves must rise.
+        val conf = index.sparkSession.conf
+        val maxItems = conf.get(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+        val maxBits = conf.get(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+        require(nMax <= maxItems && numBits <= maxBits,
+          s"largest band shard holds $nMax keys wanting $numBits bits but " +
+            s"the aggregate caps at $maxItems items / $maxBits bits — raise " +
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+            "(the per-band split already divided the keys)")
+        keys.groupBy(col("band"))
+          .agg(bloom_filter_agg(xxhash64(col("band"), col("bucket")),
+            nMax, numBits).as("bf"))
+          .collect()
+          .filterNot(_.isNullAt(1))
+          .map(r => (r.get(0).toString.toInt, r.getAs[Array[Byte]](1)))
+          .toMap
+      }
+    } finally keys.unpersist(blocking = false)
+  }
+
+  /** The probe predicate for a sharded sidecar ([[indexBloomPerBand]]):
+    * dispatch each (band, bucket) key to its band's shard — same
+    * `xxhash64(band, bucket)` the single sidecar probes — rejecting
+    * keys of bands with no shard (no published keys). A bands-sized
+    * CASE chain: the shards ride the plan as literals, exactly like
+    * the single sidecar's one-literal `might_contain`.
+    */
+  private def perBandContains(shards: Map[Int, Array[Byte]])
+      : org.apache.spark.sql.Column =
+    shards.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (b, bf)) =>
+      when(col("band") === b,
+        might_contain(lit(bf), xxhash64(col("band"), col("bucket"))))
+        .otherwise(acc)
+    }
 
   /** Incremental NEAR-dup dedup of a crawl slice against a persisted
     * band index — the weekly re-crawl shape at 100 TB, and the
@@ -588,7 +672,10 @@ object Dedup {
     * track-and-release convention). Pass `bloom` (the published
     * [[indexBloom]] sidecar) to pre-prune the index probe: identical
     * result — the semi-join re-checks every surviving key — with the
-    * join input shrunk to the keys the sidecar admits.
+    * join input shrunk to the keys the sidecar admits. Beyond the
+    * aggregate caps, publish the SHARDED sidecar instead and pass it
+    * as `bloomPerBand` ([[indexBloomPerBand]] — same hash, same laws,
+    * bands x the capacity); the two flavors are mutually exclusive.
     */
   def incrementalMinhashDedup(index: DataFrame, corpus: DataFrame,
                               incoming: DataFrame, k: Int = 5,
@@ -596,9 +683,11 @@ object Dedup {
                               threshold: Double = 0.8, maxBucket: Int = 1000,
                               seed: Long = 42L,
                               wordGrams: Boolean = false,
-                              bloom: Option[Array[Byte]] = None): DataFrame = {
+                              bloom: Option[Array[Byte]] = None,
+                              bloomPerBand: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
     val verified = incrementalVerifiedPairs(index, corpus, incoming, k,
-      numHashes, bands, threshold, maxBucket, seed, wordGrams, bloom)
+      numHashes, bands, threshold, maxBucket, seed, wordGrams, bloom,
+      bloomPerBand)
     // the victim is the NEW side of a cross pair (the corpus is
     // immutable, whatever the ids say) and the higher id of a
     // within-slice pair (the minhashDedup rule)
@@ -620,13 +709,14 @@ object Dedup {
                                        threshold: Double, maxBucket: Int,
                                        seed: Long,
                                        wordGrams: Boolean,
-                                       bloom: Option[Array[Byte]] = None): DataFrame = {
+                                       bloom: Option[Array[Byte]] = None,
+                                       bloomPerBand: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     def shOf(c: org.apache.spark.sql.Column) =
       if (wordGrams) word_shingle_set(c, k) else shingle_set(c, k)
     val newBands = bandRows(incoming, k, numHashes, bands, seed, wordGrams)
     val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
-      bloom)
+      bloom, bloomPerBand)
     withReleased(owned) { released =>
       // exact verification, candidate-sized on BOTH sides: ONE flagged
       // candidate-id relation (persisted — it prunes both fetch-back
@@ -707,9 +797,11 @@ object Dedup {
                              threshold: Double = 0.8, maxBucket: Int = 1000,
                              seed: Long = 42L,
                              wordGrams: Boolean = false,
-                             bloom: Option[Array[Byte]] = None): DataFrame = {
+                             bloom: Option[Array[Byte]] = None,
+                             bloomPerBand: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
     val verified = incrementalVerifiedPairs(index, corpus, incoming, k,
-      numHashes, bands, threshold, maxBucket, seed, wordGrams, bloom)
+      numHashes, bands, threshold, maxBucket, seed, wordGrams, bloom,
+      bloomPerBand)
     // per incoming victim, the evidence kind: the victim of a cross
     // pair is its new side; of a within pair, the higher id
     val evidence = verified.select(
@@ -746,8 +838,11 @@ object Dedup {
     */
   private def incrementalCandidatePairs(index: DataFrame, newBands: DataFrame,
                                         maxBucket: Int,
-                                        bloom: Option[Array[Byte]] = None)
+                                        bloom: Option[Array[Byte]] = None,
+                                        bloomPerBand: Option[Map[Int, Array[Byte]]] = None)
       : (DataFrame, Seq[DataFrame]) = {
+    require(bloom.isEmpty || bloomPerBand.isEmpty,
+      "pass ONE sidecar flavor: bloom (single) or bloomPerBand (sharded)")
     // persisted: two consumers (the key probe and the bucket union)
     // would otherwise band the slice twice. A/B'd at bench scale
     // (PLANS.md "n150 orchestration"): FLAT — the cache fill's barrier
@@ -762,8 +857,12 @@ object Dedup {
     // sidecar (when published) rejects provably-absent keys BEFORE the
     // semi-join — the scan-side prune the index scaladoc promises.
     val allKeys = nb.select(col("band"), col("bucket")).distinct()
-    val keys = bloom.fold(allKeys)(bf => allKeys.filter(
-      might_contain(lit(bf), xxhash64(col("band"), col("bucket")))))
+    val keys = (bloom, bloomPerBand) match {
+      case (Some(bf), _) => allKeys.filter(
+        might_contain(lit(bf), xxhash64(col("band"), col("bucket"))))
+      case (_, Some(shards)) => allKeys.filter(perBandContains(shards))
+      case _ => allKeys
+    }
     val oldRelevant = index.join(keys, Seq("band", "bucket"), "left_semi")
     val tagged = nb.withColumn("is_new", lit(true))
       .unionByName(oldRelevant.select(col("doc_id"), col("band"), col("bucket"))
@@ -824,10 +923,11 @@ object Dedup {
                                 planes: Int = 12, tables: Int = 4,
                                 maxBucket: Int = 2000,
                                 dim: Int = -1,
-                                bloom: Option[Array[Byte]] = None): DataFrame = {
+                                bloom: Option[Array[Byte]] = None,
+                                bloomPerBand: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
     val newBands = signBucketIndex(incoming, planes, tables, dim)
     val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
-      bloom)
+      bloom, bloomPerBand)
     // the minhash path's release discipline, through the SAME helper:
     // verified pairs checkpoint-materialize, every internal persist is
     // dropped — nothing from the slice run survives in the CacheManager

@@ -988,6 +988,105 @@ class OpsSpec extends SparkSpec {
     assert(soloPruned == solo)
   }
 
+  test("indexBloomPerBand: shards serve key counts the single sidecar's guard refuses; pruned equals unpruned; per-shard guard trips at bands x the limit") {
+    import spark.implicits._
+    val a = "the alpine meadow stretches wide beneath a pale morning sky while marmots whistle across the scree"
+    val b = "quantum solvers iterate over sparse matrices until the residual drops below machine epsilon thresholds"
+    val c = "fermented tea leaves steep slowly in copper kettles as the market vendors argue about prices"
+    val d = "distributed shuffle services spill partitioned buffers to local disks when executors exceed memory fractions"
+    val old = Seq((1L, a), (2L, a + " v2"), (3L, b), (4L, c))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, a + " tail"), (102L, d), (103L, d + " x"), (104L, c + " y"),
+      (105L, "totally different short text about engines here")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(old, k = 5, numHashes = 64, bands = 16)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val unpruned = ids(Dedup.incrementalMinhashDedup(index, old, incoming,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5))
+    val keys = index.select(col("band"), col("bucket")).distinct()
+    val totalKeys = keys.count()
+    val maxPerBand = keys.groupBy("band").count()
+      .agg(max("count")).head().getLong(0)
+    assert(totalKeys > maxPerBand, "fixture must have multi-band keys")
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val saved = spark.conf.get(itemsConf, "4000000")
+    try {
+      // tighten the aggregate cap BETWEEN the largest band's key count
+      // and the whole index's: the single sidecar's guard now refuses
+      // this index (the r11 refuse-only regime) while every per-band
+      // shard still fits — the exact scale relationship the sharding
+      // exists for, scaled down to fixture size
+      spark.conf.set(itemsConf, maxPerBand.toString)
+      val refused = intercept[IllegalArgumentException](
+        Dedup.indexBloom(index))
+      assert(refused.getMessage.contains("indexBloomPerBand"))
+      val shards = Dedup.indexBloomPerBand(index)
+      assert(shards.keySet == (0 until 16).toSet,
+        "every populated band publishes a shard")
+      // no false negatives: every published key admitted by ITS shard
+      val dispatch = shards.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+        case (acc, (bd, bf)) => when(col("band") === bd,
+          might_contain(lit(bf), xxhash64(col("band"), col("bucket"))))
+          .otherwise(acc)
+      }
+      assert(keys.filter(!dispatch).count() == 0L,
+        "a shard rejected a key of its own band")
+      // planted-absent slice keys still prune (the sidecar's point)
+      val sliceKeys = Dedup.minhashBandIndex(incoming, k = 5,
+        numHashes = 64, bands = 16).select(col("band"), col("bucket")).distinct()
+      val admitted = sliceKeys.filter(dispatch).count()
+      assert(admitted < sliceKeys.count() / 2,
+        s"absent keys must prune: $admitted of ${sliceKeys.count()}")
+      // the law the driver gate re-proves: pruned ≡ unpruned
+      val pruned = ids(Dedup.incrementalMinhashDedup(index, old, incoming,
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5,
+        bloomPerBand = Some(shards)))
+      assert(pruned == unpruned,
+        "sharded-sidecar dedup must equal the unpruned result")
+      // the per-shard guard trips only once a BAND exceeds the cap —
+      // bands x the single sidecar's capacity, as designed
+      spark.conf.set(itemsConf, (maxPerBand - 1).toString)
+      val tripped = intercept[IllegalArgumentException](
+        Dedup.indexBloomPerBand(index))
+      assert(tripped.getMessage.contains("largest band shard"))
+    } finally spark.conf.set(itemsConf, saved)
+    // degeneracies: an empty index publishes no shards, and a probe
+    // against the empty map rejects everything — the within-slice-only
+    // run equals its unpruned twin; the two sidecar flavors are
+    // mutually exclusive
+    assert(Dedup.indexBloomPerBand(index.filter(lit(false))).isEmpty)
+    val soloPruned = ids(Dedup.incrementalMinhashDedup(
+      index.filter(lit(false)), old.filter(lit(false)), incoming,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5,
+      bloomPerBand = Some(Map.empty)))
+    val solo = ids(Dedup.incrementalMinhashDedup(
+      index.filter(lit(false)), old.filter(lit(false)), incoming,
+      k = 5, numHashes = 64, bands = 16, threshold = 0.5))
+    assert(soloPruned == solo)
+    intercept[IllegalArgumentException](
+      Dedup.incrementalMinhashDedup(index, old, incoming,
+        k = 5, numHashes = 64, bands = 16, threshold = 0.5,
+        bloom = Some(Array[Byte](1)), bloomPerBand = Some(Map.empty)))
+    // the embedding index shards through the same function (band =
+    // table id, long buckets hash identically): pruned ≡ unpruned
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val eOld = emb.filter(col("vec_id") < 20)
+    val eInc = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val eIndex = Dedup.signBucketIndex(eOld, planes = 12, tables = 4)
+    def vids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val eShards = Dedup.indexBloomPerBand(eIndex)
+    assert(vids(Dedup.incrementalEmbeddingDedup(eIndex, eOld, eInc,
+        threshold = 0.95, planes = 12, tables = 4,
+        bloomPerBand = Some(eShards))) ==
+      vids(Dedup.incrementalEmbeddingDedup(eIndex, eOld, eInc,
+        threshold = 0.95, planes = 12, tables = 4)),
+      "sharded-sidecar embedding dedup must equal the unpruned result")
+  }
+
   test("exactSubstrDedup removes arbitrary-boundary spans that chunkDedup's grid provably misses; keep-first; no surviving inter-doc span") {
     import spark.implicits._
     val span = (1 to 32).map(i => s"w$i").mkString(" ")
