@@ -1450,4 +1450,258 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming takedown: post-purge near-copy admitted, surviving claims bind, non-owner retract is a no-op, equals batch retraction on the drained input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val a1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val a2 = a1.replace("upsilon", "psi") // near-dup of a1
+      val b1 = "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"
+      val b2 = b1.replace("sixteen", "twenty") // near-dup of b1
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // batch 1 claims a1/b1; batch 2 purges doc 1 (the a1 owner);
+      // batch 3 presents near-copies of BOTH: the purged doc's copy
+      // must be ADMITTED (n154 admission), the survivor's must drop
+      def run(name: String, purgeId: Long): Map[Long, String] = {
+        val docs = MemoryStream[(Timestamp, Long, String)]
+        val tds = MemoryStream[(Timestamp, Long, String)]
+        val q = EventStreams.streamingMinhashYield(
+            docs.toDS().map(r => EventStreams.Doc(r._1, r._2, r._3)),
+            k = 3, numHashes = 64, bands = 32,
+            ttl = java.time.Duration.ofMinutes(10),
+            takedowns = Some(tds.toDS()
+              .map(r => EventStreams.Doc(r._1, r._2, r._3))))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          docs.addData((t(1), 1L, a1), (t(2), 3L, b1)); q.processAllAvailable()
+          tds.addData((t(3), purgeId, a1)); q.processAllAvailable()
+          docs.addData((t(4), 10L, a2), (t(5), 11L, b2)); q.processAllAvailable()
+        } finally q.stop()
+        spark.sql(s"SELECT doc_id, status FROM $name")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      val purged = run("takedown_owner", purgeId = 1L)
+      // partition law still holds: takedown rows emit NO verdict
+      assert(purged.keySet == Set(1L, 3L, 10L, 11L),
+        s"takedown rows must not appear in the verdict stream: $purged")
+      assert(purged(10L) == "admitted",
+        s"a post-purge near-copy of the removed doc must be admitted: $purged")
+      assert(purged(11L) == "cross",
+        s"claims owned by surviving docs must still bind: $purged")
+      // batch-retraction equivalence on the drained input: the same
+      // scenario through the batch operators — index built on the old
+      // horizon, retracted by the takedown list, slice deduped against
+      // it — admits exactly the streaming survivors of batch 3
+      val old = Seq((1L, a1), (3L, b1)).toDF("doc_id", "text")
+      val slice = Seq((10L, a2), (11L, b2)).toDF("doc_id", "text")
+      val index = graft.ops.Dedup.minhashBandIndex(old, k = 3,
+        numHashes = 64, bands = 32, wordGrams = true)
+      val retracted = graft.ops.Dedup.retractFromIndex(index,
+        Seq(1L).toDF("doc_id"))
+      val batchAdmitted = graft.ops.Dedup.incrementalMinhashDedup(
+          retracted, old.filter(col("doc_id") =!= 1L), slice,
+          k = 3, numHashes = 64, bands = 32, threshold = 0.5,
+          wordGrams = true)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val streamAdmitted = purged.collect {
+        case (id, "admitted") if id >= 10L => id }.toSet
+      assert(streamAdmitted == batchAdmitted,
+        s"streaming takedown must equal batch retraction: " +
+          s"stream $streamAdmitted vs batch $batchAdmitted")
+      // a retract by a NON-owner releases nothing: purging doc 99
+      // (same text, not the claimer) leaves doc 1's claims live, so
+      // the a1 near-copy still classifies cross
+      val noop = run("takedown_nonowner", purgeId = 99L)
+      assert(noop(10L) == "cross" && noop(11L) == "cross",
+        s"a non-owner retract must release nothing: $noop")
+      // the dedup stream honors the purge through the same filter
+      val docs2 = MemoryStream[(Timestamp, Long, String)]
+      val tds2 = MemoryStream[(Timestamp, Long, String)]
+      val q2 = EventStreams.streamingMinhashDedup(
+          docs2.toDS().map(r => EventStreams.Doc(r._1, r._2, r._3)),
+          k = 3, numHashes = 64, bands = 32,
+          ttl = java.time.Duration.ofMinutes(10),
+          takedowns = Some(tds2.toDS()
+            .map(r => EventStreams.Doc(r._1, r._2, r._3))))
+        .writeStream.format("memory").queryName("takedown_dedup")
+        .outputMode("append").start()
+      try {
+        docs2.addData((t(1), 1L, a1)); q2.processAllAvailable()
+        // purge and near-copy in the SAME micro-batch: the retract's
+        // earlier ts frees the bands before the copy presents
+        tds2.addData((t(2), 1L, a1))
+        docs2.addData((t(3), 20L, a2)); q2.processAllAvailable()
+      } finally q2.stop()
+      val kept = spark.sql("SELECT value FROM takedown_dedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 20L),
+        s"same-batch purge must free the bands for the copy: $kept")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
+  test("streaming embedding takedown: purged vector's copy admitted, survivor's still drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      val v1 = Array.tabulate(16)(i => 0.1f * (i + 1))
+      val v3 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else -0.5f)
+      def scaled(v: Array[Float]) = v.map(x => x * 1.000001f)
+      val vecs = MemoryStream[(Timestamp, Long, Array[Float])]
+      val tds = MemoryStream[(Timestamp, Long, Array[Float])]
+      val q = EventStreams.streamingEmbeddingYield(
+          vecs.toDS().map(r => EventStreams.Vec(r._1, r._2, r._3)),
+          threshold = 0.95,
+          takedowns = Some(tds.toDS()
+            .map(r => EventStreams.Vec(r._1, r._2, r._3))))
+        .writeStream.format("memory").queryName("etakedown")
+        .outputMode("append").start()
+      try {
+        vecs.addData((t(1), 1L, v1), (t(2), 3L, v3)); q.processAllAvailable()
+        tds.addData((t(3), 1L, v1)); q.processAllAvailable()
+        vecs.addData((t(4), 10L, scaled(v1)), (t(5), 11L, scaled(v3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val verdicts = spark.sql("SELECT doc_id, status FROM etakedown")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(verdicts.keySet == Set(1L, 3L, 10L, 11L))
+      assert(verdicts(10L) == "admitted",
+        s"the purged vector's scaled copy must be admitted: $verdicts")
+      assert(verdicts(11L) == "cross",
+        s"the surviving vector's claim must still bind: $verdicts")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
+  test("streamingYieldCounts: windowed counts partition the drained verdicts; admitted equals the dedup stream; batch path agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // the crawl-yield fixture: window 00:00 holds 3 admitted (1, 3,
+      // 5), 1 cross (2), 1 within (6); a late unrelated doc at 10:00
+      // advances the watermark past the window and flushes it
+      val a1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val a2 = a1.replace("upsilon", "psi")
+      val b1 = "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"
+      val c1 = "red orange yellow green blue indigo violet magenta cyan " +
+        "teal maroon olive navy coral amber jade"
+      val c2 = c1.replace("jade", "pearl")
+      val flush = "entirely unrelated flushing document about harbor " +
+        "cranes loading containers at dawn across the quay"
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      def drive[T](name: String,
+                   mk: org.apache.spark.sql.Dataset[EventStreams.Doc] =>
+                     org.apache.spark.sql.Dataset[T]): Unit = {
+        val mem = MemoryStream[(Timestamp, Long, String)]
+        val q = mk(mem.toDS().map(r => EventStreams.Doc(r._1, r._2, r._3)))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          mem.addData((t(1), 1L, a1), (t(2), 3L, b1)); q.processAllAvailable()
+          mem.addData((t(3), 2L, a2), (t(4), 5L, c1), (t(5), 6L, c2))
+          q.processAllAvailable()
+          mem.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 100L, flush))
+          q.processAllAvailable()
+          // emission trails the watermark by one batch: the 10:00 doc
+          // advanced it past the 00:00 window, this batch flushes it
+          mem.addData((Timestamp.valueOf("2024-01-01 11:00:00"), 101L,
+            flush + " second"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      def yld(d: org.apache.spark.sql.Dataset[EventStreams.Doc]) =
+        EventStreams.streamingMinhashYield(d, k = 3, numHashes = 64,
+          bands = 32, ttl = java.time.Duration.ofMinutes(10))
+      drive("yc_counts", d => EventStreams.streamingYieldCounts(yld(d),
+        window_ = "1 hour", watermark = "1 second").as[(Timestamp, String, Long)])
+      drive("yc_verdicts", yld)
+      drive("yc_dedup", d => EventStreams.streamingMinhashDedup(d, k = 3,
+        numHashes = 64, bands = 32, ttl = java.time.Duration.ofMinutes(10)))
+      val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val counts = spark.sql(
+          "SELECT window_start, status, n_docs FROM yc_counts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      // only the flushed window emits (the 10:00 window is still open)
+      assert(counts.forall(_._1 == w0), s"unflushed window leaked: ${counts.toSeq}")
+      val byStatus = counts.map(c => c._2 -> c._3).toMap
+      // the partition law, counted: the emitted rows agree with a
+      // groupBy over the drained per-doc verdicts in that window
+      val truth = spark.sql(
+          s"SELECT status, count(*) FROM yc_verdicts WHERE ts < '2024-01-01 01:00:00' GROUP BY status")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStatus == truth,
+        s"counts must partition the drained verdicts: $byStatus vs $truth")
+      assert(byStatus == Map("admitted" -> 3L, "cross" -> 1L, "within" -> 1L))
+      // admitted equals the dedup stream's output in the window (the
+      // flushing docs carry ids >= 100 and later windows)
+      val nDedup = spark.sql(
+        "SELECT count(*) FROM yc_dedup WHERE value < 100").head().getLong(0)
+      assert(byStatus("admitted") == nDedup,
+        s"admitted count ${byStatus("admitted")} must equal the dedup " +
+          s"stream's in-window output $nDedup")
+      // the batch path: the same aggregate over a bounded verdict
+      // relation (no watermark gate — every window reports)
+      val batchVerdicts = Seq(
+        EventStreams.YieldVerdict(1L, t(1), "admitted"),
+        EventStreams.YieldVerdict(2L, t(3), "cross"),
+        EventStreams.YieldVerdict(6L, t(5), "within")).toDS()
+      val batchCounts = EventStreams.streamingYieldCounts(batchVerdicts,
+          window_ = "1 hour")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+      assert(batchCounts == Map("admitted" -> 1L, "cross" -> 1L, "within" -> 1L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }

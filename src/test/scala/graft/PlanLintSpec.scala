@@ -269,6 +269,28 @@ class PlanLintSpec extends SparkSpec {
           () => m.addData((ts, 1L, Array.tabulate(16)(i => 0.1f * (i + 1)))))
       }
       locally {
+        val m = MemoryStream[(Timestamp, Long, String)]
+        val td = MemoryStream[(Timestamp, Long, String)]
+        drive("minhash_yield_takedown", EventStreams.streamingMinhashYield(
+          m.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3)),
+          k = 3, numHashes = 64, bands = 32,
+          takedowns = Some(td.toDS()
+            .map(t => EventStreams.Doc(t._1, t._2, t._3)))),
+          () => {
+            m.addData((ts, 1L, "alpha beta gamma delta epsilon"))
+            td.addData((ts2, 9L, "zeta eta theta iota kappa"))
+          })
+      }
+      locally {
+        val m = MemoryStream[(Timestamp, Long, String)]
+        drive("yield_counts", EventStreams.streamingYieldCounts(
+          EventStreams.streamingMinhashYield(
+            m.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3)),
+            k = 3, numHashes = 64, bands = 32),
+          window_ = "1 hour", watermark = "1 second"),
+          () => m.addData((ts, 1L, "alpha beta gamma delta epsilon")))
+      }
+      locally {
         val m = MemoryStream[EventStreams.GroupItem]
         drive("heavy_hitters", EventStreams.streamingHeavyHitters(m.toDS(), k = 3),
           () => m.addData(EventStreams.GroupItem("g", "x")))
@@ -287,8 +309,9 @@ class PlanLintSpec extends SparkSpec {
           () => m.addData((ts, 1L, "click", 1.0)))
       }
       // (a) the batch lint's scale-killer walk, applied to the EXECUTED
-      // micro-batch plans (VERDICT r10 #8: these 14 surfaces shipped
-      // unlinted)
+      // micro-batch plans (VERDICT r10 #8: the original 14 surfaces
+      // shipped unlinted; r12 adds the takedown-enabled yield and the
+      // windowed yield counts — 16 surfaces)
       val bad = plans.toSeq.flatMap { case (n, p) =>
         // walk the outer tree AND every adaptive sub-plan: stateless
         // micro-batch segments run under AQE, whose final plans a
@@ -317,6 +340,8 @@ class PlanLintSpec extends SparkSpec {
         "sessionize_timers" -> Seq("TransformWithStateExec"),
         "dedup_ttl" -> Seq("TransformWithStateExec"),
         "minhash_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
+        "minhash_yield_takedown" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
+        "yield_counts" -> Seq("TransformWithStateExec", "TransformWithStateExec", "StateStoreSaveExec"),
         "embedding_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
         "heavy_hitters" -> Seq("TransformWithStateExec"),
         "quantiles" -> Seq("TransformWithStateExec"),
@@ -330,7 +355,8 @@ class PlanLintSpec extends SparkSpec {
       // (c) watermark-bounded stores carry their watermark node into
       // the executed plan — the bound that reaps their state
       Seq("dedup_watermark", "tumbling", "sliding", "session_counts",
-        "ss_join", "ss_left_join", "sessionize_fmgws", "sessionize_timers")
+        "ss_join", "ss_left_join", "sessionize_fmgws", "sessionize_timers",
+        "yield_counts")
         .foreach { n =>
           assert(StreamingIntrospect.hasWatermarkNode(plans(n)),
             s"$n must carry its watermark into the executed plan")
