@@ -2765,6 +2765,27 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     }),
 
+    "n163_incremental_hamming" -> ((s, dir) => {
+      // the incremental ladder's IMAGE member (n150's stance for
+      // dHashes — VERDICT r11 #5): the corpus half's dHashes are
+      // published as a persisted Hamming band index, the slice half
+      // dedups against it WITHOUT re-banding the corpus, and because
+      // pigeonhole banding is recall-lossless the survivors must
+      // EQUAL the batch replay over the union restricted to the slice
+      // — the oracle replays n94's full pixel->dHash->banding formula
+      // and drops every slice doc a qualifying pair victimizes (the
+      // ids are ingest-ordered, so the victim is always the pair's
+      // higher side)
+      val media = Multimodal.bmpPixelMedia(t(s, dir, "documents"))
+      val hashes = Multimodal.dhashRelation(media)
+        .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
+      val old = hashes.filter(col("doc_id") < 250)
+      val incoming = hashes.filter(col("doc_id") >= 250)
+      val index = Dedup.hammingBandIndex(old, maxDistance = 2)
+      Dedup.incrementalHammingDedup(index, old, incoming, maxDistance = 2)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "n110_frame_offsets" -> ((s, dir) => {
       // real frame-extraction bookkeeping: per-frame byte ranges read
       // from genuine stsz (per-sample size table) + stco (chunk
@@ -7108,6 +7129,22 @@ object SparkEntry {
          |FROM a2 ORDER BY media_id""".stripMargin,
 
     "n94_image_dhash" -> pixelDhashOracleSql,
+
+    // the incremental path is recall-lossless (pigeonhole banding), so
+    // the oracle is n94's full replay with the victim rule applied to
+    // the slice: a slice doc drops iff a qualifying pair names it as
+    // the higher side (old ids < 250 <= slice ids, so cross and within
+    // victims are both doc_id_b)
+    "n163_incremental_hamming" -> {
+      val cand = pixelDhashOracleSql
+        .replaceAll("(?s)\\nSELECT doc_id_a, doc_id_b,.*$", "").trim
+      s"""$cand,
+         |victims AS (SELECT DISTINCT doc_id_b FROM cand
+         |  WHERE bit_count(xor(sha, shb)) <= 2 AND doc_id_b >= 250)
+         |SELECT doc_id FROM d
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id_b FROM victims)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "n108_png_dhash" ->
       // the SAME oracle as n94 on purpose: the PNG fixture encodes the

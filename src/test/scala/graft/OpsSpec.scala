@@ -1087,6 +1087,64 @@ class OpsSpec extends SparkSpec {
       "sharded-sidecar embedding dedup must equal the unpruned result")
   }
 
+  test("hammingBandIndex/incrementalHammingDedup: equals batch under ingest order, full lifecycle, sidecars serve, nothing cached") {
+    import spark.implicits._
+    // planted 64-bit fingerprints with controlled distances: 101 is 2
+    // bits from old 1 (cross drop), 103 is 1 bit from slice mate 102
+    // (within drop), 102/104 are far from everything (keep)
+    val old = Seq((1L, 0x0L), (2L, 0x0FF00FF00FF00FF0L),
+      (3L, 0x123456789ABCDEFL)).toDF("doc_id", "sh")
+    val incoming = Seq((101L, 0x3L), (102L, 0x7777000011110000L),
+      (103L, 0x7777000011110001L), (104L, 0x00000000FFFFFFFFL))
+      .toDF("doc_id", "sh")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val index = Dedup.hammingBandIndex(old, maxDistance = 2)
+    spark.catalog.clearCache()
+    val inc = ids(Dedup.incrementalHammingDedup(index, old, incoming,
+      maxDistance = 2))
+    assert(inc == Seq(102L, 104L), s"survivors: $inc")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "incrementalHammingDedup must release every internal persist")
+    // equals-batch law (exact, not approximate: pigeonhole banding is
+    // recall-lossless at the declared bound): the incremental survivors
+    // ARE the batch dedup over the union, restricted to the slice
+    val batch = ids(Dedup.hammingDedup(old.unionByName(incoming),
+      maxDistance = 2).filter(col("doc_id") >= 100L))
+    assert(inc == batch, s"incremental $inc must equal batch $batch")
+    // both sidecar flavors serve the long-bucket index unchanged
+    assert(ids(Dedup.incrementalHammingDedup(index, old, incoming,
+      maxDistance = 2, bloom = Some(Dedup.indexBloom(index)))) == inc,
+      "bloom-pruned hamming dedup must equal the unpruned result")
+    assert(ids(Dedup.incrementalHammingDedup(index, old, incoming,
+      maxDistance = 2,
+      bloomPerBand = Some(Dedup.indexBloomPerBand(index)))) == inc,
+      "sharded-sidecar hamming dedup must equal the unpruned result")
+    // lifecycle: retraction ≡ rebuild on survivors, and a purged
+    // fingerprint's near-copy is ADMITTED (the n154 admission law)
+    val retracted = Dedup.retractFromIndex(index, Seq(1L).toDF("doc_id"))
+    assert(retracted.collect().map(_.toSeq).toSet ==
+      Dedup.hammingBandIndex(old.filter(col("doc_id") =!= 1L),
+        maxDistance = 2).collect().map(_.toSeq).toSet,
+      "retraction must equal the index rebuilt on corpus minus removed")
+    val afterPurge = ids(Dedup.incrementalHammingDedup(retracted,
+      old.filter(col("doc_id") =!= 1L), incoming, maxDistance = 2))
+    assert(afterPurge == Seq(101L, 102L, 104L),
+      s"the purged fingerprint's near-copy must be admitted: $afterPurge")
+    // append ≡ rebuild: the survivors' index rows are the pure-append
+    // delta, and the maintained index equals the from-scratch build
+    val delta = Dedup.hammingBandIndex(
+      incoming.join(ids(Dedup.incrementalHammingDedup(index, old, incoming,
+          maxDistance = 2)).toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      maxDistance = 2)
+    val maintained = index.unionByName(delta)
+    val rebuilt = Dedup.hammingBandIndex(old.unionByName(
+      incoming.filter(col("doc_id").isin(102L, 104L))), maxDistance = 2)
+    assert(maintained.collect().map(_.toSeq).toSet ==
+      rebuilt.collect().map(_.toSeq).toSet,
+      "maintained index must equal the rebuild on corpus plus survivors")
+  }
+
   test("exactSubstrDedup removes arbitrary-boundary spans that chunkDedup's grid provably misses; keep-first; no surviving inter-doc span") {
     import spark.implicits._
     val span = (1 to 32).map(i => s"w$i").mkString(" ")
