@@ -2634,6 +2634,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n164_incremental_exactsubstr" -> ((s, dir) => {
+      // n155's fixture run INCREMENTALLY (VERDICT r11 #8): the corpus
+      // publishes its gram index once, the planted slice dedups
+      // against it WITHOUT re-anchoring the corpus — merged per-gram
+      // stats (counts add, first takes the min) make the excision
+      // equal batch exactSubstrDedup over the union restricted to the
+      // slice, which is exactly what the oracle replays
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val planted = base.filter(col("doc_id") === 0L)
+        .select((col("doc_id") + 4000001L).as("doc_id"),
+          concat(lit("zyxprefix "), col("text")).as("text"))
+        .unionAll(base.filter(col("doc_id") === 1L)
+          .select((col("doc_id") + 4000002L).as("doc_id"),
+            concat(col("text"), lit(" zyxsuffix trailing words appended"))
+              .as("text")))
+      val index = TextAnalysis.exactSubstrGramIndex(base, n = 8)
+      TextAnalysis.incrementalExactSubstrDedup(index, planted, n = 8)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_tokens_kept"), md5(col("text_clean")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "n50_line_dedup" -> ((s, dir) => {
       // C4-style boilerplate line removal over a planted multi-line
       // fixture (corpus texts are single-line): every doc gets a shared
@@ -6508,6 +6530,43 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_tokens_kept,
         |  md5(string_agg(word, ' ' ORDER BY pos)) AS text_md5
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the incremental path equals batch over corpus ∪ slice restricted
+    // to the slice (merged gram stats == union gram stats), so the
+    // oracle IS n155's replay filtered to the planted slice ids
+    "n164_incremental_exactsubstr" ->
+      """WITH u AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 4000001, 'zyxprefix ' || text
+        |   FROM documents WHERE doc_id = 0
+        | UNION ALL SELECT doc_id + 4000002,
+        |   text || ' zyxsuffix trailing words appended'
+        |   FROM documents WHERE doc_id = 1),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        | FROM u),
+        |w AS (SELECT doc_id, len(ws) AS n_tokens, s.pos AS pos, s.word AS word
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(list_transform(generate_series(1, len(ws)),
+        |      j -> {'pos': j, 'word': ws[j]})) AS s
+        |   FROM toks WHERE len(ws) > 0)),
+        |occ AS (SELECT doc_id, o.pos AS pos, o.g AS g
+        |  FROM (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 7),
+        |      j -> {'pos': j, 'g': array_to_string(ws[j:j+7], ' ')})) AS o
+        |   FROM toks WHERE len(ws) >= 8)),
+        |ranked AS (SELECT doc_id, pos,
+        |   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |   count(*) OVER (PARTITION BY g) AS cnt FROM occ),
+        |dup AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn >= 2),
+        |taint AS (SELECT DISTINCT w.doc_id, w.pos FROM w
+        |  JOIN dup d ON w.doc_id = d.doc_id AND w.pos BETWEEN d.pos AND d.pos + 7),
+        |kept AS (SELECT w.* FROM w ANTI JOIN taint USING (doc_id, pos))
+        |SELECT doc_id, CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_tokens_kept,
+        |  md5(string_agg(word, ' ' ORDER BY pos)) AS text_md5
+        |FROM kept WHERE doc_id >= 4000000
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "n50_line_dedup" ->
       // string-equality replay of the hash-keyed frequent-line set

@@ -503,28 +503,52 @@ object TextAnalysis {
     */
   def exactSubstrDedup(docs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, "span length must be >= 2 tokens")
-    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
-    val toks = docs.select(col("doc_id"), ws.as("ws"))
-    // every word-n-gram occurrence, anchored at its 0-based start
-    val occ = toks.filter(size(col("ws")) >= n)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
-          i => fnv64(array_join(slice(col("ws"), i + 1, lit(n)), " "))))
-          .as(Seq("pos", "g")))
+    val toks = substrToks(docs)
+    val occ = gramOccurrences(toks, n)
     // duplicated grams, each with its global first occurrence — the
     // one presentation that keeps its tokens
     val dupG = occ.groupBy("g")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-    // non-first occurrences taint their n-token cover; overlapping
-    // covers union into the maximal duplicated span
-    val tainted = occ.join(dupG, Seq("g"))
+    reassembleSurvivors(toks, taintedCovers(occ, dupG, n))
+  }
+
+  /** Word-token relation (doc_id, ws) shared by the exact-substring
+    * family — one tokenization, so the batch operator, the gram index,
+    * and the incremental path cannot disagree on what a token is.
+    */
+  private def substrToks(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    docs.select(col("doc_id"), ws.as("ws"))
+  }
+
+  /** Every word-n-gram occurrence, anchored at its 0-based start —
+    * (doc_id, pos, g) with g the fnv64 of the joined gram.
+    */
+  private def gramOccurrences(toks: DataFrame, n: Int): DataFrame =
+    toks.filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
+          i => fnv64(array_join(slice(col("ws"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "g")))
+
+  /** Non-first occurrences of duplicated grams taint their n-token
+    * cover; overlapping covers union into the maximal duplicated span.
+    * `dupG` rows are (g, first struct(doc_id, pos), cnt >= 2).
+    */
+  private def taintedCovers(occ: DataFrame, dupG: DataFrame, n: Int): DataFrame =
+    occ.join(dupG.select(col("g"), col("first")), Seq("g"))
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
+
+  /** Reassemble each document from its untainted tokens in order —
+    * the output stage shared by the batch and incremental paths.
+    */
+  private def reassembleSurvivors(toks: DataFrame, tainted: DataFrame): DataFrame = {
     val words = toks.select(col("doc_id"), size(col("ws")).as("n_tokens"),
       posexplode(col("ws")).as(Seq("pos", "word")))
     words.join(tainted, Seq("doc_id", "pos"), "left_anti")
@@ -534,6 +558,88 @@ object TextAnalysis {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("word")))),
             s => s("word")), " ").as("text_clean"))
+  }
+
+  /** The persisted GRAM INDEX of a corpus — the exact-substring
+    * family's member of the incremental-index ladder (VERDICT r11 #8:
+    * [[exactSubstrDedup]] was batch-only, so a weekly slice re-anchored
+    * the whole corpus): one row per distinct word-n-gram hash with its
+    * global first occurrence and occurrence count,
+    * (g, first struct(doc_id, pos), cnt). ALL grams are kept, not just
+    * the duplicated sliver — a gram the corpus holds once becomes
+    * duplicated the moment a slice re-presents it, and an index without
+    * it would silently admit that copy. Published at snapshot time
+    * (8-byte keys + a 12-byte struct + a long — gram-count-sized, far
+    * smaller than the text it summarizes); counts are ADDITIVE and
+    * first is a MIN, so maintenance is [[mergeGramIndex]] (the n159
+    * algebra: append/merge in any order equals the from-scratch build).
+    *
+    * 100 TB shape: one shuffle of (8-byte hash, doc_id, pos) rows with
+    * map-side partial aggregation — the [[exactSubstrDedup]] anchor
+    * pass, minus its cnt >= 2 filter. Lay it out hash-bucketed by `g`
+    * so slice probes co-locate.
+    */
+  def exactSubstrGramIndex(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    gramOccurrences(substrToks(docs), n)
+      .groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two gram indexes — the additive maintenance step after a
+    * slice is admitted: counts sum, first occurrences take the global
+    * min. Law (spec): `mergeGramIndex(gramIndex(a), gramIndex(b)) ==
+    * gramIndex(a ∪ b)` — so a maintained index never drifts from a
+    * from-scratch rebuild, whatever order slices landed in.
+    */
+  def mergeGramIndex(index: DataFrame, delta: DataFrame): DataFrame =
+    index.unionByName(delta)
+      .groupBy("g")
+      .agg(min(col("first")).as("first"), sum(col("cnt")).as("cnt"))
+
+  /** Incremental exact-substring dedup of a crawl slice against a
+    * published [[exactSubstrGramIndex]] — [[exactSubstrDedup]] without
+    * re-anchoring the corpus: excise from each INCOMING document every
+    * token covered by a non-first occurrence of a duplicated gram,
+    * where "duplicated" and "first" are judged over corpus ∪ slice by
+    * merging the slice's own anchor statistics with the index's
+    * (counts add, first takes the min — per gram, one index row).
+    * Corpus documents are never rewritten (the published text is
+    * immutable; under the ingest-order invariant every corpus
+    * occurrence precedes every slice occurrence, so the corpus side
+    * never loses a token to the slice anyway — slice copies always
+    * lose). Spec law: the output EQUALS batch [[exactSubstrDedup]]
+    * over corpus ∪ slice restricted to the slice's doc_ids, with the
+    * corpus side's anchors READ from the index, never recomputed.
+    *
+    * 100 TB shape: the slice re-anchors only ITSELF; the corpus
+    * enters through ONE g-keyed join against the slice's
+    * distinct-gram relation (slice-gram-sized — point lookups into
+    * the hash-bucketed index, the bloom-prunable shape); the taint
+    * explode is slice-occurrence-sized. Nothing corpus-sized moves.
+    */
+  def incrementalExactSubstrDedup(index: DataFrame, incoming: DataFrame,
+                                  n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    val toks = substrToks(incoming)
+    val occ = gramOccurrences(toks, n)
+    val sliceAgg = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("s_first"),
+        count(lit(1)).as("s_cnt"))
+    // merged per-gram statistics over corpus ∪ slice: only the slice's
+    // grams matter (a corpus gram the slice never presents taints
+    // nothing new), so the index joins slice-gram-sized
+    val dupG = sliceAgg
+      .join(index.withColumnsRenamed(
+        Map("first" -> "c_first", "cnt" -> "c_cnt")), Seq("g"), "left")
+      .select(col("g"),
+        when(col("c_first").isNotNull,
+          least(col("c_first"), col("s_first"))).otherwise(col("s_first"))
+          .as("first"),
+        (coalesce(col("c_cnt"), lit(0L)) + col("s_cnt")).as("cnt"))
+      .filter(col("cnt") >= 2)
+    reassembleSurvivors(toks, taintedCovers(occ, dupG, n))
   }
 
   /** Line-level dedup (the C4 / CCNet boilerplate pass): remove every

@@ -1190,6 +1190,54 @@ class OpsSpec extends SparkSpec {
       s"docs $ida/$idb still share an 8-gram: ${ga.intersect(gb).take(1)}")
   }
 
+  test("incrementalExactSubstrDedup equals batch on the slice; gram-index merge algebra equals the from-scratch build") {
+    import spark.implicits._
+    val span = (1 to 32).map(i => s"w$i").mkString(" ")
+    val once = (1 to 12).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, span), // a long span the slice will copy
+      // a 12-gram the corpus holds ONCE — not in the corpus's own dupG
+      // sliver, but it becomes duplicated the moment the slice
+      // re-presents it (the reason the index keeps ALL grams)
+      (2L, once + " unique corpus tail words following here"),
+      (3L, "entirely unrelated corpus prose about tide tables and moons")
+    ).toDF("doc_id", "text")
+    val slice = Seq(
+      (101L, "pad " + span),          // shifted copy of corpus doc 1
+      (102L, once + " with a different continuation attached"), // re-presents doc 2's 12-gram
+      (103L, "fresh slice document sharing nothing with anything else"),
+      // within-slice: a copy of 103's opener, 8+ tokens
+      (104L, "fresh slice document sharing nothing with anything else plus tail")
+    ).toDF("doc_id", "text")
+    val index = TextAnalysis.exactSubstrGramIndex(corpus, n = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_tokens_kept", "text_clean")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getString(3))).toSet
+    val inc = rows(TextAnalysis.incrementalExactSubstrDedup(index, slice, n = 8))
+    // THE law: equals batch over corpus ∪ slice restricted to the
+    // slice, with the corpus's anchors read from the index
+    val batch = rows(TextAnalysis.exactSubstrDedup(
+      corpus.unionByName(slice), n = 8).filter(col("doc_id") >= 100L))
+    assert(inc == batch, s"incremental must equal batch on the slice:\n$inc\nvs\n$batch")
+    // the single-occurrence-gram case the cnt>=2 sliver would miss:
+    // doc 102's copied 12-gram IS excised even though the corpus held
+    // it only once
+    val kept102 = inc.find(_._1 == 102L).get._4
+    assert(!kept102.contains("q1 q2 q3 q4 q5 q6 q7 q8"),
+      s"a gram the corpus holds once must still suppress its slice copy: $kept102")
+    assert(inc.find(_._1 == 103L).get._3 == 8L, "first occurrence keeps")
+    // merge algebra: counts additive, first = global min — the
+    // maintained index equals the from-scratch build on the union
+    val merged = TextAnalysis.mergeGramIndex(index,
+      TextAnalysis.exactSubstrGramIndex(slice, n = 8))
+    val rebuilt = TextAnalysis.exactSubstrGramIndex(
+      corpus.unionByName(slice), n = 8)
+    assert(merged.collect().map(_.toSeq).toSet ==
+      rebuilt.collect().map(_.toSeq).toSet,
+      "mergeGramIndex must equal the from-scratch gram index")
+  }
+
   test("Ivf.append: frozen assignment replays the builder's; append equals rebuild-with-same-centroids; recall audit flags planted drift") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
