@@ -280,7 +280,18 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get("BENCH_REF.json")
         if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
-        else ""
+        else {
+          // ADVICE r11: absence must be VISIBLE, not a silent degrade —
+          // without the reference the steadySlow/probeFamilyDrift rules
+          // run empty, and a sick box would go unflagged with no trace;
+          // a bench launched outside the repo root hits exactly this
+          if (!restricted) System.err.println(
+            "[bench] BENCH_REF.json not found in the working directory " +
+              s"(${p.toAbsolutePath.getParent}) — steady-slow and " +
+              "probe-drift adjudication will run against an empty " +
+              "reference (run from the repo root to enable it)")
+          ""
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_REF.json read failed: ${e.getMessage}")
         ""

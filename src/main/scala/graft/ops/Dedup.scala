@@ -287,12 +287,22 @@ object Dedup {
     *
     * Scale shape: the two pair relations are near-duplicate-sized
     * (both inputs already did their anti-quadratic work); this is one
-    * ids-only join plus three 1-row aggs. Empty inputs yield NULL
-    * ratios rather than a division artifact.
+    * ids-only join plus three 1-row aggs. Each input is eagerly
+    * checkpoint-materialized FIRST (the [[withReleased]] flavor —
+    * reliable checkpoint when a dir is configured, local otherwise):
+    * both relations are referenced twice below (their own count + the
+    * hit join), and Spark has no cross-branch subplan reuse, so
+    * without the cut the full pred AND truth pipelines — typically a
+    * banded-LSH pass and an exact prefix join — execute twice per
+    * audit (the r11 n84 bench regression: the audit priced at ~2x the
+    * sum of its inputs instead of the sum). The materialized relations
+    * are pair-sized, and nothing is left registered in the
+    * CacheManager. Empty inputs yield NULL ratios rather than a
+    * division artifact.
     */
   def pairRecall(pred: DataFrame, truth: DataFrame): DataFrame = {
-    val p = pred.select("doc_id_a", "doc_id_b")
-    val t = truth.select("doc_id_a", "doc_id_b")
+    val p = Iterate.checkpointed(pred.select("doc_id_a", "doc_id_b"))
+    val t = Iterate.checkpointed(truth.select("doc_id_a", "doc_id_b"))
     val np = p.agg(count(lit(1)).as("n_pred"))
     val nt = t.agg(count(lit(1)).as("n_truth"))
     val nh = p.join(t, Seq("doc_id_a", "doc_id_b"))
@@ -767,6 +777,19 @@ object Dedup {
     * CacheManager footprint (VERDICT r10 nit: the pre-r11 shape leaked
     * three persisted relations per slice that no caller could
     * unpersist).
+    *
+    * SERVICE-LOOP LIFECYCLE (ADVICE r11): with a RELIABLE checkpoint
+    * dir configured, `Dataset.checkpoint` runs the verify plan once
+    * more for the checkpoint write, and the checkpoint FILES are never
+    * deleted unless `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is set true (default false) — a long-lived weekly-slice service
+    * must set that conf (or sweep the dir itself) or it trades the old
+    * CacheManager leak for unbounded checkpoint-dir growth. The
+    * localCheckpoint fallback (no dir configured) has the opposite
+    * trade: no files and no double execution, but the materialized
+    * blocks are unrecoverable on executor loss — a failed executor
+    * fails the job instead of recomputing. Single-session batch runs
+    * (Bench, Verify, the driver gate) are indifferent to both.
     */
   private def withReleased(owned: Seq[DataFrame])(
       build: scala.collection.mutable.ListBuffer[DataFrame] => DataFrame)
