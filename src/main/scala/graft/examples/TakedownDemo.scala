@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Ivf}
+import graft.ops.{Dedup, Ivf, Multimodal, TextAnalysis}
 import graft.sources.Tables
 
 /** End-to-end TAKEDOWN demo — the purge path a production corpus runs
@@ -17,16 +17,22 @@ import graft.sources.Tables
   *                 written partitionBy(band)) + bloom sidecar
   *                 ([[Dedup.indexBloom]]) + sign-LSH bucket index over
   *                 the embeddings ([[Dedup.signBucketIndex]]) + the ANN
-  *                 serving indexes ([[Ivf.build]] / [[Ivf.buildPq]]) —
-  *                 all FIVE index families a production corpus serves;
+  *                 serving indexes ([[Ivf.build]] / [[Ivf.buildPq]]) +
+  *                 the image dHash Hamming index
+  *                 ([[Dedup.hammingBandIndex]]) + the exact-substring
+  *                 gram index ([[TextAnalysis.exactSubstrGramIndex]]) —
+  *                 all SEVEN index families a production corpus serves;
   *   2. purge    — drop the payload rows, retract the digests with
   *                 refcount semantics ([[Dedup.retractFromDigestCounts]]
   *                 — a text another live doc holds keeps suppressing),
   *                 retract both band indexes ([[Dedup.retractFromIndex]]),
   *                 retract BOTH ANN indexes ([[Ivf.retract]] /
   *                 [[Ivf.retractPq]] — before r12 a purged document's
-  *                 EMBEDDING stayed searchable here, so the purge story
-  *                 was complete for only 3 of 5 families), and REBUILD
+  *                 EMBEDDING stayed searchable here), retract the
+  *                 Hamming index (the same [[Dedup.retractFromIndex]])
+  *                 and the gram index
+  *                 ([[TextAnalysis.retractFromGramIndex]] — count
+  *                 decrement, the refcount algebra), and REBUILD
   *                 the bloom sidecar from the retracted index — blooms
   *                 cannot delete, so the sidecar refresh rides the
   *                 retraction rewrite (it is one aggregate over the
@@ -85,6 +91,13 @@ object TakedownDemo {
     val ivfIndex = Ivf.build(emb, nLists = 8, nRows = nEmb)
     val pqIndex = Ivf.buildPq(ivfIndex, m = 16, codebookSize = 32,
       nRows = nEmb)
+    // the image modality (dHash Hamming index) and the exact-substring
+    // gram index ride the same publish — with r12's additions, all
+    // SEVEN persisted index families are in the purge path
+    val imgHashes = Multimodal.dhashRelation(Multimodal.bmpPixelMedia(corpus))
+      .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
+    val hammingIndex = Dedup.hammingBandIndex(imgHashes, maxDistance = 2)
+    val gramIndex = TextAnalysis.exactSubstrGramIndex(corpus, n = 8)
 
     // ---- 2. the takedown request: docs 1 and 2, vectors 1 and 2 -----
     // (docs chosen without NATURAL near-dup partners at this SF — the
@@ -103,6 +116,12 @@ object TakedownDemo {
       col("doc_id").as("vec_id")))
     val pqAfter = Ivf.retractPq(pqIndex, removed.select(
       col("doc_id").as("vec_id")))
+    val hammingAfter = Dedup.retractFromIndex(hammingIndex, removed)
+    // gram counts DECREMENT by the removed docs' gram multiset (min is
+    // not invertible, so `first` may go stale — harmless by the spec'd
+    // inertness law; counts are what admission rides on)
+    val gramAfter = TextAnalysis.retractFromGramIndex(gramIndex,
+      removedDocs, n = 8)
     // the sidecar is rebuilt, not edited: blooms cannot delete
     val bloomAfter = Dedup.indexBloom(bandAfter)
 
@@ -125,6 +144,9 @@ object TakedownDemo {
     import spark.implicits._
     ivfAfter.centroids.toSeq.toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ivf_centroids")
+    hammingAfter.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$outDir/hamming_index")
+    gramAfter.write.mode("overwrite").parquet(s"$outDir/gram_index")
 
     // ---- 3. the next crawl slice against the purged state -----------
     // planted rows: an exact copy and a near-dup of PURGED doc 1 (both
@@ -172,6 +194,30 @@ object TakedownDemo {
         nProbe = 8, rerank = 100)
       .filter(col("vec_id").isin(removedIds: _*)).count()
 
+    // the image re-crawl: purged doc 1's image is still suppressed by
+    // its SURVIVING dHash-group kin (the fixture plants doc_id/4
+    // families — near-dup families outlive one member's purge, exactly
+    // as the text demo's comment says); a planted far fingerprint is
+    // genuinely new and admits
+    val imgHashesAfter = imgHashes.join(removed, Seq("doc_id"), "left_anti")
+    val imgSlice = imgHashes.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 3200000L).as("doc_id"), col("sh"))
+      .unionAll(Seq((3200002L, 0x5A5AC3C30F0FA5A5L)).toDF("doc_id", "sh"))
+    val imgAdmitted = Dedup.incrementalHammingDedup(
+      spark.read.parquet(s"$outDir/hamming_index")
+        .select("doc_id", "band", "bucket"),
+      imgHashesAfter, imgSlice, maxDistance = 2)
+
+    // the exact-substring re-crawl: a copy of PURGED doc 1's text keeps
+    // every token (its grams freed — nothing may cite a purged doc); a
+    // copy of SURVIVING doc 4's text is fully excised and disappears
+    val substrSlice = corpus.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 3300000L).as("doc_id"), col("text"))
+      .unionAll(corpus.filter(col("doc_id") === 4L)
+        .select((col("doc_id") + 3300000L).as("doc_id"), col("text")))
+    val substrOut = TextAnalysis.incrementalExactSubstrDedup(
+      spark.read.parquet(s"$outDir/gram_index"), substrSlice, n = 8)
+
     Map(
       "n_corpus" -> nCorpus,
       "n_removed" -> removed.count(),
@@ -186,6 +232,12 @@ object TakedownDemo {
       "n_ivf_rows_after" -> ivfAfter.assigned.count(),
       "n_pq_rows_after" -> pqAfter.encoded.count(),
       "n_ivf_leaked" -> nIvfLeaked,
-      "n_pq_leaked" -> nPqLeaked)
+      "n_pq_leaked" -> nPqLeaked,
+      "n_img_slice" -> imgSlice.count(),
+      "n_img_admitted" -> imgAdmitted.count(),
+      "n_substr_slice" -> substrSlice.count(),
+      "n_substr_out_rows" -> substrOut.count(),
+      "n_substr_full_kept" -> substrOut
+        .filter(col("n_tokens_kept") === col("n_tokens")).count())
   }
 }

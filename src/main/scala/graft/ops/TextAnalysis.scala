@@ -598,6 +598,45 @@ object TextAnalysis {
       .groupBy("g")
       .agg(min(col("first")).as("first"), sum(col("cnt")).as("cnt"))
 
+  /** Gram-index RETRACTION — the takedown third of the exact-substring
+    * lifecycle ([[exactSubstrGramIndex]] build / [[mergeGramIndex]]
+    * append / this): subtract the removed documents' gram multiset
+    * from the counts (the n159 refcount algebra — counts are additive,
+    * so retraction is a decrement, never a corpus re-anchor) and drop
+    * rows that reach zero. `removedDocs` carries the purged documents'
+    * TEXT (the purge request has the payload — the
+    * retractFromDigestCounts convention, including its replay
+    * contract: derive removedDocs from the LIVE corpus so retries
+    * subtract nothing twice).
+    *
+    * The `first` pointer is deliberately NOT recomputed: min is not
+    * invertible without the full occurrence list, and a first citing a
+    * purged document is semantically INERT for the incremental path —
+    * its only use is the exemption equality against SLICE occurrences
+    * ([[incrementalExactSubstrDedup]]), which can never match a corpus
+    * (doc_id, pos), stale or live. The spec therefore pins the law
+    * that matters, not pointer freshness: dedup against the retracted
+    * index EQUALS batch [[exactSubstrDedup]] over (corpus ∖ removed) ∪
+    * slice restricted to the slice — a gram held ONLY by purged docs
+    * frees (its re-crawled copy keeps its tokens, the n154 admission
+    * semantics), a gram a survivor still holds keeps suppressing.
+    *
+    * 100 TB shape: the removed docs' gram aggregate is
+    * takedown-sized, so the join broadcasts it; untouched grams
+    * rewrite unchanged (or become a merge-on-read delta in a
+    * deletion-vector lake).
+    */
+  def retractFromGramIndex(index: DataFrame, removedDocs: DataFrame,
+                           n: Int = 8): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    val removed = gramOccurrences(substrToks(removedDocs), n)
+      .groupBy("g").agg(count(lit(1)).as("r_cnt"))
+    index.join(removed, Seq("g"), "left")
+      .select(col("g"), col("first"),
+        (col("cnt") - coalesce(col("r_cnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") >= 1L)
+  }
+
   /** Incremental exact-substring dedup of a crawl slice against a
     * published [[exactSubstrGramIndex]] — [[exactSubstrDedup]] without
     * re-anchoring the corpus: excise from each INCOMING document every

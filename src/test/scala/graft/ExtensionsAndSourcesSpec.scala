@@ -343,6 +343,39 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(diskAssigned == rebuiltAssigned,
       "retracted IVF index must equal the frozen rebuild on survivors")
+    // the image family (r12): retracted Hamming index ≡ rebuild on
+    // survivors, and the re-crawl admits only the planted far
+    // fingerprint (purged doc 1's image is correctly still suppressed
+    // by its surviving dHash-group kin — families outlive one member)
+    val corpusDocs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+      "documents").filter(col("doc_id") < 250)
+    val hashes = graft.ops.Multimodal.dhashRelation(
+        graft.ops.Multimodal.bmpPixelMedia(corpusDocs))
+      .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
+    val rebuiltHam = graft.ops.Dedup.hammingBandIndex(
+      hashes.filter(!col("doc_id").isin(1L, 2L)), maxDistance = 2)
+    val diskHam = spark.read.parquet(s"$dir/hamming_index")
+      .select("doc_id", "band", "bucket")
+    assert(diskHam.exceptAll(rebuiltHam).isEmpty &&
+      rebuiltHam.exceptAll(diskHam).isEmpty,
+      "retracted Hamming index must equal the rebuild on survivors")
+    assert(s1("n_img_slice") == 2L && s1("n_img_admitted") == 1L,
+      "only the planted far fingerprint admits; group kin still bind")
+    // the gram-index family (r12): counts equal the rebuild on
+    // survivors (first may be stale — the spec'd inertness law), and
+    // the substring re-crawl keeps the PURGED doc's copy whole while
+    // the surviving doc's copy is fully excised (disappears)
+    val rebuiltGram = graft.ops.TextAnalysis.exactSubstrGramIndex(
+      spark.read.parquet(s"$dir/corpus"), n = 8)
+    val diskGram = spark.read.parquet(s"$dir/gram_index")
+    assert(diskGram.select("g", "cnt").exceptAll(
+        rebuiltGram.select("g", "cnt")).isEmpty &&
+      rebuiltGram.select("g", "cnt").exceptAll(
+        diskGram.select("g", "cnt")).isEmpty,
+      "retracted gram counts must equal the rebuild on survivors")
+    assert(s1("n_substr_slice") == 2L && s1("n_substr_out_rows") == 1L &&
+      s1("n_substr_full_kept") == 1L,
+      "purged doc's copy keeps every token; surviving doc's copy disappears")
     // determinism: a second run reproduces every count
     val dir2 = java.nio.file.Files.createTempDirectory("takedown_demo2").toString
     val s2 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir2)

@@ -1236,6 +1236,31 @@ class OpsSpec extends SparkSpec {
     assert(merged.collect().map(_.toSeq).toSet ==
       rebuilt.collect().map(_.toSeq).toSet,
       "mergeGramIndex must equal the from-scratch gram index")
+    // retraction (the n159 algebra): purge doc 1, and dedup against
+    // the retracted index equals batch over survivors ∪ slice — the
+    // span gram doc 1 alone held frees (its slice copy keeps every
+    // token), while doc 2's gram keeps suppressing its copy. The
+    // stale-first inertness law rides implicitly: equality holds even
+    // where the retained rows still cite the purged doc as first.
+    val removedDocs = corpus.filter(col("doc_id") === 1L)
+    val retracted = TextAnalysis.retractFromGramIndex(index, removedDocs,
+      n = 8)
+    // counts equal the survivor rebuild (first freshness NOT asserted)
+    val survRebuild = TextAnalysis.exactSubstrGramIndex(
+      corpus.filter(col("doc_id") =!= 1L), n = 8)
+    assert(retracted.select("g", "cnt").collect().map(_.toSeq).toSet ==
+      survRebuild.select("g", "cnt").collect().map(_.toSeq).toSet,
+      "retracted counts must equal the rebuild on survivors")
+    val afterPurge = rows(
+      TextAnalysis.incrementalExactSubstrDedup(retracted, slice, n = 8))
+    val batchPurge = rows(TextAnalysis.exactSubstrDedup(
+      corpus.filter(col("doc_id") =!= 1L).unionByName(slice), n = 8)
+      .filter(col("doc_id") >= 100L))
+    assert(afterPurge == batchPurge,
+      "post-purge incremental must equal batch on survivors plus slice")
+    val kept101 = afterPurge.find(_._1 == 101L).get
+    assert(kept101._3 == kept101._2.toLong,
+      s"the purged doc's span frees — its copy keeps every token: $kept101")
   }
 
   test("Ivf.append: frozen assignment replays the builder's; append equals rebuild-with-same-centroids; recall audit flags planted drift") {
