@@ -3367,6 +3367,112 @@ object SparkEntry {
       Dedup.dupClustersFast(pairs).orderBy("doc_id")
     }),
 
+    "n165_incremental_clusters" -> ((s, dir) => {
+      // incremental CC maintenance (the clustering family's APPEND
+      // member): n141's edge set — simhash near-dups welded to the
+      // diameter-249 chain — split at doc_id 125 into a published "old
+      // crawl" (both endpoints < 125, clustered from scratch) and a
+      // slice (every remaining pair, incl. the 124-125 chain link that
+      // bridges old and new). The maintained assignment relabels the
+      // old clusters through a slice-sized contracted CC and must
+      // equal the batch fixpoint over the UNION — the oracle is n141's
+      // algorithm-independent recursive-CTE closure verbatim (the
+      // split cannot show in a correct answer)
+      val docs = t(s, dir, "documents")
+      val chain = docs.filter(col("doc_id") < 249)
+        .select(col("doc_id").as("doc_id_a"),
+          (col("doc_id") + 1).as("doc_id_b"))
+      val pairs = graft.ops.Iterate.checkpointed(
+        Dedup.simhashNearDups(docs, maxDistance = 6)
+          .select("doc_id_a", "doc_id_b").unionAll(chain))
+      val old = pairs.filter(col("doc_id_a") < 125 && col("doc_id_b") < 125)
+      val slice = pairs.filter(!(col("doc_id_a") < 125 && col("doc_id_b") < 125))
+      val published = Dedup.dupClustersFast(old)
+      Dedup.incrementalDupClusters(published, slice).orderBy("doc_id")
+    }),
+
+    "n166_cluster_retraction" -> ((s, dir) => {
+      // component-local takedown for the clustering family: purge
+      // every doc_id % 83 == 0 holder from the published n141
+      // assignment. Removed chain bridges (83, 166) SPLIT the
+      // diameter-249 chain into segments — the split only the retained
+      // EDGE relation can decide — while clusters holding no removed
+      // doc pass through verbatim; the oracle re-closes over exactly
+      // the edges whose both endpoints survive
+      val docs = t(s, dir, "documents")
+      val chain = docs.filter(col("doc_id") < 249)
+        .select(col("doc_id").as("doc_id_a"),
+          (col("doc_id") + 1).as("doc_id_b"))
+      val pairs = graft.ops.Iterate.checkpointed(
+        Dedup.simhashNearDups(docs, maxDistance = 6)
+          .select("doc_id_a", "doc_id_b").unionAll(chain))
+      val published = Dedup.dupClustersFast(pairs)
+      val removed = docs.filter(col("doc_id") % 83 === 0).select("doc_id")
+      Dedup.retractFromClusters(published, pairs, removed).orderBy("doc_id")
+    }),
+
+    "n167_benchmark_decontamination" -> ((s, dir) => {
+      // n22's decontamination pass restructured as PUBLISH-then-PROBE:
+      // the eval suite's gram index published once, the train slice
+      // probed against it behind the bloom sidecar (map-side prune; no
+      // false negatives, so pruned == unpruned == the recompute-both-
+      // sides n22 semantics — the oracle is n22's replay verbatim)
+      val docs = t(s, dir, "documents")
+      val evalSet = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.1)
+      val train = docs.filter(!graft.ops.Sampling.hashFilter(col("doc_id"), 0.1))
+      // checkpoint = the PUBLISHED index artifact (in production the
+      // probe reads parquet, it never re-derives the suite's grams)
+      val index = graft.ops.Iterate.checkpointed(
+        TextAnalysis.benchmarkGramIndex(evalSet, 5))
+      val bloom = TextAnalysis.benchmarkGramBloom(index)
+      TextAnalysis.contaminationAgainstIndex(train, index, 5, Some(bloom))
+        .orderBy("doc_id")
+    }),
+
+    "n168_decontaminate" -> ((s, dir) => {
+      // the decontamination FILTER at maxContamination = 0 (any shared
+      // 5-gram drops the doc; gram-less docs survive): the surviving
+      // train rows against the published index + bloom sidecar
+      val docs = t(s, dir, "documents")
+      val evalSet = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.1)
+      val train = docs.filter(!graft.ops.Sampling.hashFilter(col("doc_id"), 0.1))
+      val index = graft.ops.Iterate.checkpointed(
+        TextAnalysis.benchmarkGramIndex(evalSet, 5))
+      val bloom = TextAnalysis.benchmarkGramBloom(index)
+      TextAnalysis.decontaminateAgainstIndex(train, index, 5, Some(bloom))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    "n169_card_state" -> ((s, dir) => {
+      // mergeable data-card state driven through its whole lifecycle:
+      // two shard states (doc_id % 3 split) merged, then a takedown
+      // (doc_id % 89) retracted — pure keyed addition, so the
+      // maintained state must equal the from-scratch state of the
+      // SURVIVORS, which is exactly what the oracle computes
+      val docs = t(s, dir, "documents")
+      val state = graft.ops.Profile.retractCardState(
+        graft.ops.Profile.mergeCardStates(
+          graft.ops.Profile.cardState(docs.filter(col("doc_id") % 3 =!= 0)),
+          graft.ops.Profile.cardState(docs.filter(col("doc_id") % 3 === 0))),
+        docs.filter(col("doc_id") % 89 === 0))
+      state.orderBy("kind", "key")
+    }),
+
+    "n170_card_render" -> ((s, dir) => {
+      // the release card rendered from the maintained state: corpus
+      // totals and language mix exact, p50 token count as the bracket
+      // of the bin holding rank ceil(0.5 n) under the FIXED edges
+      // (lo 0, hi 4096, 256 bins -> width 17)
+      val docs = t(s, dir, "documents")
+      val state = graft.ops.Profile.retractCardState(
+        graft.ops.Profile.mergeCardStates(
+          graft.ops.Profile.cardState(docs.filter(col("doc_id") % 3 =!= 0)),
+          graft.ops.Profile.cardState(docs.filter(col("doc_id") % 3 === 0))),
+        docs.filter(col("doc_id") % 89 === 0))
+      graft.ops.Profile.cardFromState(state, Seq(0.5))
+        .orderBy("section", "key")
+    }),
+
     "n142_trustrank" -> ((s, dir) => {
       // seed-biased PageRank (TrustRank / topic-sensitive PageRank)
       // over the n136 DIRECTED successor-word graph incl. its planted
@@ -5975,6 +6081,91 @@ object SparkEntry {
          |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin
     },
 
+    "n167_benchmark_decontamination" -> {
+      // n22's overlap replay VERBATIM: publish-then-probe with the
+      // bloom pre-prune must land on the recompute-both-sides answer
+      // (no false negatives + semi-join re-check), so the published
+      // index and the sidecar cannot appear in a correct oracle
+      val thr = graft.ops.Sampling.hexThreshold(0.1)
+      val grams = """list_distinct(list_transform(
+        | generate_series(1, len(ws) - 4),
+        | i -> array_to_string(ws[i:i+4], ' ')))""".stripMargin.replace("\n", "")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tg AS (SELECT doc_id, unnest($grams) AS gram FROM w
+         |       WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')),
+         |eg AS (SELECT DISTINCT unnest($grams) AS gram FROM w
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')
+         |SELECT tg.doc_id, count(*) AS n_grams, count(eg.gram) AS n_shared,
+         | CAST(count(eg.gram) AS DOUBLE) / count(*) AS contamination
+         |FROM tg LEFT JOIN eg ON tg.gram = eg.gram
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin
+    },
+
+    "n168_decontaminate" -> {
+      // survivors at maxContamination = 0: every train doc with NO
+      // shared gram — including the gram-less short docs the stats
+      // relation never lists (they cannot be flagged)
+      val thr = graft.ops.Sampling.hexThreshold(0.1)
+      val grams = """list_distinct(list_transform(
+        | generate_series(1, len(ws) - 4),
+        | i -> array_to_string(ws[i:i+4], ' ')))""".stripMargin.replace("\n", "")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tg AS (SELECT doc_id, unnest($grams) AS gram FROM w
+         |       WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')),
+         |eg AS (SELECT DISTINCT unnest($grams) AS gram FROM w
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'),
+         |fl AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE NOT (substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '$thr')
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM fl)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "n169_card_state" ->
+      // the from-scratch state of the SURVIVORS (doc_id % 89 <> 0):
+      // per-lang doc/token counts plus the fixed-edge token histogram
+      // (lo 0, hi 4096, 256 bins -> width (4096 + 256) // 256 = 17,
+      // clamped into the edge bins) — merge and retraction are keyed
+      // addition, so the maintained state must land here exactly
+      """WITH f AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tk
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |ld AS (SELECT 'lang_docs' AS kind, lang AS key,
+        |       CAST(count(*) AS BIGINT) AS value FROM f GROUP BY lang),
+        |lt AS (SELECT 'lang_tokens' AS kind, lang AS key,
+        |       CAST(sum(tk) AS BIGINT) AS value FROM f GROUP BY lang),
+        |tb AS (SELECT 'tok_bin' AS kind,
+        |       CAST(least(greatest(tk // 17, 0), 255) AS VARCHAR) AS key,
+        |       CAST(count(*) AS BIGINT) AS value FROM f GROUP BY 2)
+        |SELECT kind, key, value FROM
+        | (SELECT * FROM ld UNION ALL SELECT * FROM lt UNION ALL SELECT * FROM tb)
+        |ORDER BY kind, key""".stripMargin,
+
+    "n170_card_render" ->
+      // the rendered card over the survivors: exact corpus totals and
+      // language mix, p50 token bracket = the fixed-width bin holding
+      // rank ceil(0.5 n) (cumulative bin counts, the n43 bracket
+      // arithmetic), all values DOUBLE
+      """WITH f AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tk
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |tb AS (SELECT least(greatest(tk // 17, 0), 255) AS bin,
+        |       count(*) AS cnt FROM f GROUP BY 1),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM tb),
+        |nn AS (SELECT count(*) AS n FROM f),
+        |r AS (SELECT greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) AS rk FROM nn),
+        |b AS (SELECT min(bin) AS bin FROM cum, r WHERE cum >= r.rk)
+        |SELECT section, key, value FROM (
+        | SELECT 'corpus' AS section, 'n_docs' AS key,
+        |        CAST(count(*) AS DOUBLE) AS value FROM f
+        | UNION ALL SELECT 'corpus', 'n_tokens', CAST(sum(tk) AS DOUBLE) FROM f
+        | UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM f GROUP BY lang
+        | UNION ALL SELECT 'quality', 'p50_tokens_lo',
+        |        CAST(bin * 17 AS DOUBLE) FROM b
+        | UNION ALL SELECT 'quality', 'p50_tokens_hi',
+        |        CAST(least(4096, (bin + 1) * 17 - 1) AS DOUBLE) FROM b)
+        |ORDER BY section, key""".stripMargin,
+
     "n15_sql_surface" -> {
       // FNV-1a-64 over UTF-16 units (two byte steps per char) replayed
       // in HUGEINT mod 2^64; simhash = per-bit majority votes over
@@ -7367,6 +7558,46 @@ object SparkEntry {
          |       WHERE doc_id < 249),
          |pp AS (SELECT u, v FROM p UNION SELECT u, v FROM ch),
          |e AS (SELECT u, v FROM pp UNION SELECT v, u FROM pp),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "n165_incremental_clusters" ->
+      // n141's closure VERBATIM: the maintained assignment (old crawl
+      // clustered from scratch, slice folded in through the contracted
+      // CC) must land on the batch fixpoint over the union, so the
+      // old/slice split the engine used cannot appear in the oracle
+      s"""WITH RECURSIVE $simhashCte,
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM shs a, shs b
+         |      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6),
+         |ch AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+         |       WHERE doc_id < 249),
+         |pp AS (SELECT u, v FROM p UNION SELECT u, v FROM ch),
+         |e AS (SELECT u, v FROM pp UNION SELECT v, u FROM pp),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "n166_cluster_retraction" ->
+      // the closure over exactly the SURVIVING edges (both endpoints
+      // keep doc_id % 83 <> 0): removed bridges split the chain into
+      // segments, removed-touching simhash edges vanish, and a doc
+      // that lost its every edge carries no row — the component-local
+      // recompute must reproduce this global re-closure
+      s"""WITH RECURSIVE $simhashCte,
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM shs a, shs b
+         |      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 6),
+         |ch AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+         |       WHERE doc_id < 249),
+         |pp AS (SELECT u, v FROM p UNION SELECT u, v FROM ch),
+         |sv AS (SELECT u, v FROM pp WHERE u % 83 <> 0 AND v % 83 <> 0),
+         |e AS (SELECT u, v FROM sv UNION SELECT v, u FROM sv),
          |reach(u, v) AS (
          |  SELECT u, v FROM e
          |  UNION

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Ivf, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, Ivf, Multimodal, Profile, TextAnalysis}
 import graft.sources.Tables
 
 /** End-to-end TAKEDOWN demo — the purge path a production corpus runs
@@ -20,8 +20,12 @@ import graft.sources.Tables
   *                 serving indexes ([[Ivf.build]] / [[Ivf.buildPq]]) +
   *                 the image dHash Hamming index
   *                 ([[Dedup.hammingBandIndex]]) + the exact-substring
-  *                 gram index ([[TextAnalysis.exactSubstrGramIndex]]) —
-  *                 all SEVEN index families a production corpus serves;
+  *                 gram index ([[TextAnalysis.exactSubstrGramIndex]]) +
+  *                 the duplicate-cluster assignment
+  *                 ([[Dedup.dupClustersFast]], with its retained edge
+  *                 relation) + the mergeable data-card state
+  *                 ([[Profile.cardState]]) — all NINE maintained
+  *                 families a production corpus serves;
   *   2. purge    — drop the payload rows, retract the digests with
   *                 refcount semantics ([[Dedup.retractFromDigestCounts]]
   *                 — a text another live doc holds keeps suppressing),
@@ -32,7 +36,12 @@ import graft.sources.Tables
   *                 Hamming index (the same [[Dedup.retractFromIndex]])
   *                 and the gram index
   *                 ([[TextAnalysis.retractFromGramIndex]] — count
-  *                 decrement, the refcount algebra), and REBUILD
+  *                 decrement, the refcount algebra), retract the
+  *                 cluster assignment ([[Dedup.retractFromClusters]] —
+  *                 the one NON-local retraction: bridges split, so the
+  *                 affected components re-close over their retained
+  *                 edges), subtract the card state
+  *                 ([[Profile.retractCardState]]), and REBUILD
   *                 the bloom sidecar from the retracted index — blooms
   *                 cannot delete, so the sidecar refresh rides the
   *                 retraction rewrite (it is one aggregate over the
@@ -92,12 +101,20 @@ object TakedownDemo {
     val pqIndex = Ivf.buildPq(ivfIndex, m = 16, codebookSize = 32,
       nRows = nEmb)
     // the image modality (dHash Hamming index) and the exact-substring
-    // gram index ride the same publish — with r12's additions, all
-    // SEVEN persisted index families are in the purge path
+    // gram index ride the same publish — with r12's additions (incl.
+    // clusters + card state below), all NINE maintained families are
+    // in the purge path
     val imgHashes = Multimodal.dhashRelation(Multimodal.bmpPixelMedia(corpus))
       .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
     val hammingIndex = Dedup.hammingBandIndex(imgHashes, maxDistance = 2)
     val gramIndex = TextAnalysis.exactSubstrGramIndex(corpus, n = 8)
+    // r12 completes the set at NINE families: the duplicate-cluster
+    // assignment (with its retained edge relation — splits are only
+    // decidable from edges) and the mergeable data-card state
+    val nearPairs = Dedup.simhashNearDups(corpus, maxDistance = 6)
+      .select("doc_id_a", "doc_id_b")
+    val clusters = Dedup.dupClustersFast(nearPairs)
+    val cardState = Profile.cardState(corpus)
 
     // ---- 2. the takedown request: docs 1 and 2, vectors 1 and 2 -----
     // (docs chosen without NATURAL near-dup partners at this SF — the
@@ -122,6 +139,12 @@ object TakedownDemo {
     // inertness law; counts are what admission rides on)
     val gramAfter = TextAnalysis.retractFromGramIndex(gramIndex,
       removedDocs, n = 8)
+    // clusters: the one NON-local retraction — a removed doc may be a
+    // bridge, so the affected components re-close over their surviving
+    // edges (component-local; untouched clusters pass through)
+    val clustersAfter = Dedup.retractFromClusters(clusters, nearPairs, removed)
+    // card state: pure count subtraction (the n159 algebra)
+    val cardAfter = Profile.retractCardState(cardState, removedDocs)
     // the sidecar is rebuilt, not edited: blooms cannot delete
     val bloomAfter = Dedup.indexBloom(bandAfter)
 
@@ -147,6 +170,16 @@ object TakedownDemo {
     hammingAfter.write.mode("overwrite").partitionBy("band")
       .parquet(s"$outDir/hamming_index")
     gramAfter.write.mode("overwrite").parquet(s"$outDir/gram_index")
+    // the edge-retention contract: the pair relation persists BESIDE
+    // the assignment (candidate-sized) — the next takedown needs it
+    nearPairs.join(removed.withColumnRenamed("doc_id", "doc_id_a"),
+        Seq("doc_id_a"), "left_anti")
+      .join(removed.withColumnRenamed("doc_id", "doc_id_b"),
+        Seq("doc_id_b"), "left_anti")
+      .select("doc_id_a", "doc_id_b")
+      .write.mode("overwrite").parquet(s"$outDir/near_pairs")
+    clustersAfter.write.mode("overwrite").parquet(s"$outDir/clusters")
+    cardAfter.write.mode("overwrite").parquet(s"$outDir/card_state")
 
     // ---- 3. the next crawl slice against the purged state -----------
     // planted rows: an exact copy and a near-dup of PURGED doc 1 (both
@@ -218,7 +251,27 @@ object TakedownDemo {
     val substrOut = TextAnalysis.incrementalExactSubstrDedup(
       spark.read.parquet(s"$outDir/gram_index"), substrSlice, n = 8)
 
+    // the cluster re-crawl: fold the slice's own linkage into the
+    // retracted assignment — surviving doc 4 gains its near-copy, the
+    // within-slice exact pair forms a fresh cluster; the maintained
+    // assignment must equal the batch closure over surviving ∪ slice
+    // pairs (the spec replays that law from the disk state)
+    val slicePairs = Seq((4L, 3000004L), (3100001L, 3100002L))
+      .toDF("doc_id_a", "doc_id_b")
+    val clustersFinal = Dedup.incrementalDupClusters(
+      spark.read.parquet(s"$outDir/clusters"), slicePairs)
+
+    // the card re-crawl: the admitted near-dup slice merges in; the
+    // maintained card equals the from-scratch card of the grown corpus
+    val cardFinal = Profile.mergeCardStates(
+      spark.read.parquet(s"$outDir/card_state"),
+      Profile.cardState(nearAdmitted))
+
     Map(
+      "n_cluster_rows_after" -> clustersAfter.count(),
+      "n_cluster_rows_final" -> clustersFinal.count(),
+      "n_card_rows_after" -> cardAfter.count(),
+      "n_card_rows_final" -> cardFinal.count(),
       "n_corpus" -> nCorpus,
       "n_removed" -> removed.count(),
       "n_corpus_after" -> corpusAfter.count(),

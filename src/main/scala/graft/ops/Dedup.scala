@@ -513,11 +513,27 @@ object Dedup {
     * rejects — correct: there is nothing to collide with).
     */
   def indexBloom(index: DataFrame, expectedKeys: Long = -1L,
-                 fpp: Double = 0.01): Array[Byte] = {
+                 fpp: Double = 0.01): Array[Byte] =
+    keyedBloom(index.select(col("band"), col("bucket")).distinct(),
+      xxhash64(col("band"), col("bucket")), expectedKeys, fpp,
+      "publish the sharded sidecar (one indexBloom per band: indexBloomPerBand)")
+
+  /** The bloom-sidecar kernel shared by every keyed sidecar flavor
+    * ([[indexBloom]]'s (band, bucket) keys, [[indexBloomPerBand]]'s
+    * per-band shards, [[TextAnalysis.benchmarkGramBloom]]'s gram
+    * strings): one distinct-key pass serving both actions (count +
+    * aggregate), the fail-fast size guard at Spark's silent aggregate
+    * caps, and the empty-input all-reject sketch. `hashed` is the
+    * 64-bit probe key expression over `keys`' columns — probes must
+    * hash identically (the flavor owns that contract).
+    */
+  private[ops] def keyedBloom(keyRows: DataFrame, hashed: Column,
+                              expectedKeys: Long, fpp: Double,
+                              shardAdvice: String): Array[Byte] = {
     require(fpp > 0.0 && fpp < 1.0, "fpp in (0, 1)")
     // persisted: ONE distinct pass serves both actions (count +
     // aggregate), not two full key shuffles per publish
-    val keys = index.select(col("band"), col("bucket")).distinct()
+    val keys = keyRows
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = math.max(if (expectedKeys > 0) expectedKeys else keys.count(), 1L)
@@ -529,10 +545,8 @@ object Dedup {
       // the requested fpp in name only and saturates toward fpp ~ 1,
       // pruning nothing while still charging build + probe. Fail fast
       // instead (the maxGroups convention): raise both confs for a
-      // bigger index, or publish one sidecar PER BAND (each 1/bands of
-      // the keys; the partitionBy(band) layout already isolates probes
-      // per band).
-      val conf = index.sparkSession.conf
+      // bigger key set, or shard the sidecar.
+      val conf = keys.sparkSession.conf
       val maxItems = conf.get(
         "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
       val maxBits = conf.get(
@@ -541,12 +555,8 @@ object Dedup {
         s"sidecar for $n keys wants $numBits bits but the aggregate caps at " +
           s"$maxItems items / $maxBits bits (a capped sketch silently " +
           "saturates toward fpp 1) — raise spark.sql.optimizer.runtime." +
-          "bloomFilter.maxNumItems/maxNumBits or publish the sharded " +
-          "sidecar (one indexBloom per band: indexBloomPerBand)")
-      val row = keys
-        .agg(bloom_filter_agg(xxhash64(col("band"), col("bucket")), n, numBits)
-          .as("bf"))
-        .head()
+          s"bloomFilter.maxNumItems/maxNumBits or $shardAdvice")
+      val row = keys.agg(bloom_filter_agg(hashed, n, numBits).as("bf")).head()
       if (row.isNullAt(0)) {
         val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, 64L)
         val bos = new java.io.ByteArrayOutputStream()
@@ -1379,6 +1389,124 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Incremental duplicate-cluster maintenance — the [[dupClusters]]
+    * lifecycle's APPEND member (the n150/n156 stance for the cluster
+    * assignment): fold a slice's near-dup pairs into a persisted
+    * `(doc_id, cluster_id)` assignment WITHOUT re-clustering the
+    * corpus. The published assignment is [[dupClusters]]' fixpoint
+    * (cluster_id = min member id), so every old component is fully
+    * represented by that one id: contract each new edge's endpoints to
+    * their representatives (old docs → their cluster_id, unseen docs →
+    * themselves), run connected components on the CONTRACTED edge set
+    * — slice-sized, not corpus-sized — and the resulting rep→rep merge
+    * map relabels the old assignment in a single join. Correctness of
+    * the contraction: a representative is the minimum of its members,
+    * so the contracted component's minimum IS the union component's
+    * minimum, and relabeling through it reproduces the batch fixpoint
+    * (the equals-batch law in OpsSpec: incremental over old ∪ slice ==
+    * `dupClusters(oldPairs ∪ newPairs)`).
+    *
+    * Handles every slice-edge shape: new↔new (fresh component),
+    * new↔old (join an existing cluster), old↔old across clusters (two
+    * published clusters merge — re-crawls discover bridges), old↔old
+    * within a cluster (no-op). Self-pairs are dropped (no pair
+    * producer emits them). Like the batch operator, only docs that
+    * appear in some pair are assigned — singletons carry no row.
+    *
+    * 100 TB shape: the corpus-sized assignment is touched exactly
+    * TWICE — one slice-keyed point-lookup join that resolves every
+    * endpoint's representative and freshness in a single pass (the
+    * runtime-bloom-prunable semi-join shape; the slice-sized result is
+    * checkpoint-materialized so no later consumer re-runs the lookup),
+    * and one relabel join against the merge map, which is bounded by
+    * the contracted CC's node count (≤ 2·|slice pairs|, metadata-sized
+    * for a weekly slice) and therefore BROADCASTS. The CC iteration
+    * itself runs on the contracted graph: slice-sized rounds where a
+    * from-scratch [[dupClustersFast]] would iterate over the full
+    * corpus pair graph every week.
+    */
+  def incrementalDupClusters(assignment: DataFrame, newPairs: DataFrame,
+                             idA: String = "doc_id_a", idB: String = "doc_id_b",
+                             maxIter: Int = 50): DataFrame = {
+    val pairs = newPairs.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+    val asg = assignment.select(col("doc_id"), col("cluster_id"))
+    // ONE corpus lookup: every slice endpoint's representative (its
+    // published cluster, or itself if unseen) + freshness, materialized
+    // slice-sized so the three consumers below never re-touch `asg`
+    val endpoints = Iterate.checkpointed(
+      pairs.select(col("u").as("id")).unionAll(pairs.select(col("v").as("id")))
+        .distinct()
+        .join(asg.withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("rep"),
+          col("cluster_id").isNull.as("fresh")))
+    // contract: endpoint -> representative; slice-sized CC over the
+    // contracted edges; label floor = the union component's minimum
+    val contracted = pairs
+      .join(endpoints.select(col("id").as("u"), col("rep").as("ru")), Seq("u"))
+      .join(endpoints.select(col("id").as("v"), col("rep").as("rv")), Seq("v"))
+      .select(col("ru").as("a"), col("rv").as("b"))
+      .filter(col("a") =!= col("b"))
+    val mergeMap = dupClustersFast(contracted, "a", "b", maxIter)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("merged"))
+    // one broadcastable relabel join over the corpus-sized assignment
+    val relabeled = asg
+      .join(broadcast(mergeMap), asg("cluster_id") === mergeMap("rep"), "left")
+      .select(col("doc_id"), coalesce(col("merged"), col("cluster_id")).as("cluster_id"))
+    // docs the slice introduced: their rep is themselves
+    val freshRows = endpoints.filter(col("fresh"))
+      .join(broadcast(mergeMap), endpoints("rep") === mergeMap("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("merged"), col("id")).as("cluster_id"))
+    relabeled.unionByName(freshRows)
+  }
+
+  /** Cluster-assignment RETRACTION — the lifecycle third for the
+    * clustering family, and the one retraction that is NOT local:
+    * removing a doc can SPLIT its component (the removed doc may be
+    * the only bridge between two halves), so unlike the per-row index
+    * families ([[retractFromIndex]], [[Ivf.retract]]) the assignment
+    * alone cannot answer a takedown — splits are only decidable from
+    * the EDGES. That is the edge-retention contract: callers keep the
+    * verified-pair relation the incremental dedups already produce
+    * (candidate-sized, not corpus-sized) alongside the assignment.
+    *
+    * The recompute is COMPONENT-LOCAL: only clusters that actually
+    * contained a removed doc are re-clustered — their surviving
+    * members' edge subgraph (minus removed-touching edges) goes back
+    * through [[dupClustersFast]]; every untouched cluster's rows pass
+    * through verbatim (bit-identical, no shuffle beyond the
+    * broadcastable semi/anti-joins on the metadata-sized affected-
+    * cluster list). A survivor that lost its every edge drops out of
+    * the assignment — exactly what the batch operator over the
+    * surviving edge set produces (laws in OpsSpec: retraction ≡
+    * `dupClusters(pairs ∖ removed-touching)`; a removed bridge splits
+    * the chain; retract-then-append ≡ batch on survivors ∪ slice).
+    */
+  def retractFromClusters(assignment: DataFrame, pairs: DataFrame,
+                          removedIds: DataFrame, idA: String = "doc_id_a",
+                          idB: String = "doc_id_b", idCol: String = "doc_id",
+                          maxIter: Int = 50): DataFrame = {
+    val removed = removedIds.select(col(idCol).as("doc_id"))
+    val asg = assignment.select(col("doc_id"), col("cluster_id"))
+    // clusters that held a removed doc — metadata-sized, broadcasts
+    val affected = asg.join(broadcast(removed), Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouched = asg.join(broadcast(affected), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    // the affected components' surviving edge subgraph: drop edges
+    // touching a removed doc, keep edges of affected clusters (an
+    // edge's endpoints share a component, so one endpoint decides)
+    val affectedMembers = asg.join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+    val survivingEdges = pairs
+      .join(broadcast(removed.withColumnRenamed("doc_id", idA)), Seq(idA), "left_anti")
+      .join(broadcast(removed.withColumnRenamed("doc_id", idB)), Seq(idB), "left_anti")
+    val affectedEdges = survivingEdges.join(
+      affectedMembers.withColumnRenamed("doc_id", idA), Seq(idA), "left_semi")
+    untouched.unionByName(dupClustersFast(affectedEdges, idA, idB, maxIter))
   }
 
   /** Cluster-aware dedup that keeps the BEST-scored member of every

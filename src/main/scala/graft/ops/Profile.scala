@@ -70,6 +70,130 @@ object Profile {
     nDocs.unionAll(nTokens).unionAll(langs).unionAll(dupMass).unionAll(p50)
   }
 
+  /** MERGEABLE data-card state — [[dataCard]] restructured for the
+    * corpus that is maintained, not recomputed: a weekly slice's card
+    * statistics publish as a tall `(kind, key, value: long)` relation
+    * whose ONLY merge operation is keyed addition, so slices combine
+    * associatively ([[mergeCardStates]]) and a takedown subtracts
+    * ([[retractCardState]]) — the n159 count algebra applied to the
+    * observability layer. State kinds: per-language doc and token
+    * counts (`lang_docs` / `lang_tokens`, exact), and a FIXED-EDGE
+    * token-count histogram (`tok_bin`, the streaming-quantiles bin
+    * convention: edges are parameters, not data, so shard bins align
+    * by construction; out-of-range values clamp into the edge bins).
+    * Deliberately NO min/max/HLL rows: min/max cannot retract and HLL
+    * cannot subtract — everything in this state is a count, so
+    * append/retract interleavings commute exactly (spec law).
+    *
+    * 100 TB shape: one grouped agg per shard over a text-free slim
+    * projection (lang, token count) — the card state for a slice is
+    * langs+bins rows, metadata-sized; the corpus card is then
+    * [[cardFromState]] over the merged state and never rescans a byte
+    * of retained text.
+    */
+  def cardState(docs: DataFrame, bins: Int = 256, lo: Long = 0L,
+                hi: Long = 4096L): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    val w = (hi - lo + bins) / bins
+    val slim = docs.select(col("lang"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("tk"))
+    val langRows = slim.groupBy(col("lang")).agg(
+        count(lit(1)).as("nd"), sum(col("tk")).as("nt"))
+      .select(explode(array(
+        struct(lit("lang_docs").as("kind"), col("lang").as("key"),
+          col("nd").as("value")),
+        struct(lit("lang_tokens").as("kind"), col("lang").as("key"),
+          col("nt").cast("long").as("value")))).as("r"))
+      .select("r.kind", "r.key", "r.value")
+    // integer `div`, not `/` (Column./ is double division): the bin of
+    // a clamped token count under the FIXED edges
+    val binRows = slim.select(
+        least(greatest(expr(s"(tk - ${lo}L) div ${w}L"), lit(0L)),
+          lit(bins - 1L)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("value"))
+      .select(lit("tok_bin").as("kind"), col("bin").cast("string").as("key"),
+        col("value"))
+    langRows.unionByName(binRows)
+  }
+
+  /** Keyed addition over two card states — associative and
+    * commutative, so any merge tree of shard states lands on
+    * [[cardState]] of the union (spec law); zero rows are dropped so a
+    * fully-retracted key vanishes exactly as a rebuild would omit it.
+    */
+  def mergeCardStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("kind"), col("key"))
+      .agg(sum(col("value")).as("value"))
+      .filter(col("value") =!= 0L)
+
+  /** Card-state RETRACTION: subtract the removed docs' own shard state
+    * (negated merge — counts are the one statistic takedown can undo,
+    * which is why [[cardState]] carries nothing else). `removedDocs`
+    * is the removed rows themselves (lang + text — the purge pipeline
+    * has them in hand when it drops the payload); retraction ≡ the
+    * state of the survivors, and interleaves freely with appends.
+    */
+  def retractCardState(state: DataFrame, removedDocs: DataFrame,
+                       bins: Int = 256, lo: Long = 0L,
+                       hi: Long = 4096L): DataFrame =
+    mergeCardStates(state,
+      cardState(removedDocs, bins, lo, hi)
+        .select(col("kind"), col("key"), (-col("value")).as("value")))
+
+  /** Render the release card from a maintained state: corpus totals
+    * and language mix EXACT (they are sums of state rows), token
+    * quantiles as the [lo, hi] BRACKET of the bin holding rank
+    * ceil(q·n) (the [[Sketch.histQuantiles]] semantics — the state
+    * keeps bin counts, not values, so a bracket is what it can
+    * honestly answer; the spec pins bracket-contains-exact against
+    * [[dataCard]]'s percentile). Output: `(section, key, value)`
+    * doubles, the [[dataCard]] shape.
+    */
+  def cardFromState(state: DataFrame, qs: Seq[Double] = Seq(0.5),
+                    bins: Int = 256, lo: Long = 0L,
+                    hi: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val w = (hi - lo + bins) / bins
+    val st = state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def sec(section: String, key: Column, value: Column)
+             (df: DataFrame): DataFrame =
+        df.select(lit(section).as("section"), key.as("key"),
+          value.cast("double").as("value"))
+      val nDocs = sec("corpus", lit("n_docs"), col("v"))(
+        st.filter(col("kind") === "lang_docs")
+          .agg(coalesce(sum(col("value")), lit(0L)).as("v")))
+      val nTokens = sec("corpus", lit("n_tokens"), col("v"))(
+        st.filter(col("kind") === "lang_tokens")
+          .agg(coalesce(sum(col("value")), lit(0L)).as("v")))
+      val langs = sec("lang", col("key"), col("value"))(
+        st.filter(col("kind") === "lang_docs"))
+      val cum = st.filter(col("kind") === "tok_bin")
+        .select(col("key").cast("long").as("bin"), col("value"))
+        .withColumn("cum", sum(col("value")).over(Window.orderBy("bin")))
+      val total = st.filter(col("kind") === "tok_bin")
+        .agg(coalesce(sum(col("value")), lit(0L)).as("n"))
+      val probes = total
+        .select(col("n"), explode(array(qs.map(lit): _*)).as("q"))
+        .withColumn("r", greatest(ceil(col("q") * col("n")), lit(1L)))
+      val bracket = probes.join(cum, col("cum") >= col("r"))
+        .groupBy("q", "r").agg(min(col("bin")).as("bin"))
+        .select(col("q"), (lit(lo) + col("bin") * w).as("blo"),
+          least(lit(hi), lit(lo) + (col("bin") + 1) * w - 1).as("bhi"))
+      val qLo = sec("quality", concat(lit("p"), (col("q") * 100).cast("int"),
+        lit("_tokens_lo")), col("blo"))(bracket)
+      val qHi = sec("quality", concat(lit("p"), (col("q") * 100).cast("int"),
+        lit("_tokens_hi")), col("bhi"))(bracket)
+      // materialize before releasing the working set (reliable
+      // checkpoint when configured — the Iterate flavor choice)
+      graft.ops.Iterate.checkpointed(
+        nDocs.unionAll(nTokens).unionAll(langs).unionAll(qLo).unionAll(qHi)
+          .orderBy("section", "key"))
+    } finally st.unpersist(blocking = false)
+  }
+
   /** Per-group feature scaling — the normalization pass before numeric
     * features feed a model: z-score and min-max, with the moments
     * accumulated as INTEGERS (the value is long-cast first), so the

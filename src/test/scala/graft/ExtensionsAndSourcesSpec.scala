@@ -376,6 +376,30 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(s1("n_substr_slice") == 2L && s1("n_substr_out_rows") == 1L &&
       s1("n_substr_full_kept") == 1L,
       "purged doc's copy keeps every token; surviving doc's copy disappears")
+    // the cluster family (r12): the retracted assignment on disk
+    // equals the batch closure over the surviving edges (read from the
+    // persisted pair relation — the edge-retention contract), and the
+    // incremental fold of the slice pairs equals the batch closure
+    // over surviving ∪ slice
+    import spark.implicits._
+    val diskPairs = spark.read.parquet(s"$dir/near_pairs")
+    val diskClusters = spark.read.parquet(s"$dir/clusters")
+    def cmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cmap(diskClusters) == cmap(graft.ops.Dedup.dupClustersFast(diskPairs)),
+      "retracted cluster assignment must equal the re-closure over surviving edges")
+    val slicePairs = Seq((4L, 3000004L), (3100001L, 3100002L))
+      .toDF("doc_id_a", "doc_id_b")
+    assert(cmap(graft.ops.Dedup.incrementalDupClusters(diskClusters, slicePairs)) ==
+      cmap(graft.ops.Dedup.dupClustersFast(diskPairs.unionAll(slicePairs))),
+      "incremental fold must equal the batch closure over surviving ∪ slice")
+    // the card-state family (r12): the subtracted state on disk equals
+    // the from-scratch state of the survivors
+    def smap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(smap(spark.read.parquet(s"$dir/card_state")) ==
+      smap(graft.ops.Profile.cardState(corpusAfter)),
+      "retracted card state must equal the survivors' from-scratch state")
     // determinism: a second run reproduces every count
     val dir2 = java.nio.file.Files.createTempDirectory("takedown_demo2").toString
     val s2 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir2)
@@ -430,5 +454,49 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     val got = csvLines(1).split(",")(p0Col).toDouble
     val expect = ((2L * 13 + 2L * 29 + 1) * 2654435761L % 104729) / 1024.0 * 1000.0
     assert(got == expect, s"station value $got != grid-formula $expect")
+  }
+
+  test("Manifest: versioned atomic publish, time travel, orphan skip, vacuum") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val root = java.nio.file.Files.createTempDirectory("manifest").toString
+    val corpus1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val index1 = Seq((1L, 0, 10L), (2L, 1, 11L)).toDF("doc_id", "band", "bucket")
+    // v1: two families, one in the partitionBy(band) production layout
+    val v1 = Manifest.publish(root, Map(
+      "corpus" -> Manifest.Family(corpus1),
+      "band_index" -> Manifest.Family(index1, partitionBy = Seq("band"))))
+    assert(v1 == 1L && Manifest.currentVersion(root).contains(1L))
+    assert(Manifest.familiesOf(root, 1L) == Seq("band_index", "corpus"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
+    // the partitioned layout really landed partitioned
+    assert(new java.io.File(s"$root/v=1/band_index").listFiles()
+      .exists(_.getName.startsWith("band=")))
+    // v2: the purge — readers at the old pointer keep seeing v1 IN FULL
+    val v2 = Manifest.publish(root, Map(
+      "corpus" -> Manifest.Family(corpus1.filter($"doc_id" =!= 2L)),
+      "band_index" -> Manifest.Family(index1.filter($"doc_id" =!= 2L),
+        partitionBy = Seq("band"))))
+    assert(v2 == 2L)
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L))
+    assert(rows(Manifest.readAt(spark, root, "corpus", 1L)) == Set(1L, 2L),
+      "time travel must return the pre-purge corpus")
+    // a CRASHED publish (directory created, pointer never swapped) is
+    // invisible to readers and skipped over by the next publish
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "v=3"))
+    assert(Manifest.currentVersion(root).contains(2L))
+    val v4 = Manifest.publish(root, Map(
+      "corpus" -> Manifest.Family(corpus1)))
+    assert(v4 == 4L, "the orphan v=3 must be skipped, not reused")
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
+    // vacuum: old versions (incl. the orphan) drop; the pointer's stays
+    assert(Manifest.vacuum(root, keepFrom = 4L) == Seq(1L, 2L, 3L))
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v=1")))
+    // vacuum never drops the pointer's version even if asked
+    assert(Manifest.vacuum(root, keepFrom = 99L).isEmpty)
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
   }
 }

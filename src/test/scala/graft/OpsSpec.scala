@@ -1935,6 +1935,74 @@ class OpsSpec extends SparkSpec {
     assert((100L to 109L).forall(t2(_) == 100L))
   }
 
+  test("incrementalDupClusters: equals batch over the union for every slice-edge shape") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // published crawl: three clusters {1,2,3}, {7,9}, {20,21}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L))
+      .toDF("doc_id_a", "doc_id_b")
+    val published = Dedup.dupClustersFast(oldPairs)
+    // slice exercises all four edge shapes at once: new-new (50-51),
+    // new-old (52 joins {7,9}), old-old ACROSS clusters (3-20 bridges
+    // {1,2,3} and {20,21}), old-old WITHIN a cluster (1-3, no-op)
+    val slice = Seq((50L, 51L), (52L, 9L), (3L, 20L), (1L, 3L))
+      .toDF("doc_id_a", "doc_id_b")
+    val inc = asMap(Dedup.incrementalDupClusters(published, slice))
+    val batch = asMap(Dedup.dupClustersFast(oldPairs.unionAll(slice)))
+    assert(inc == batch, "incremental must equal the batch fixpoint on the union")
+    assert(inc(20L) == 1L && inc(21L) == 1L, "bridged clusters must merge to the union min")
+    assert(inc(52L) == 7L && inc(50L) == 50L && inc(51L) == 50L)
+    // a NEW doc with an id below every old member relabels the old
+    // cluster to it (the merge map can point old reps at new ids)
+    val low = Seq((0L, 9L)).toDF("doc_id_a", "doc_id_b")
+    val incLow = asMap(Dedup.incrementalDupClusters(published, low))
+    assert(incLow(7L) == 0L && incLow(9L) == 0L && incLow(0L) == 0L)
+    // empty-assignment degeneracy: incremental from nothing IS batch
+    val none = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(asMap(Dedup.incrementalDupClusters(none, oldPairs)) ==
+      asMap(Dedup.dupClustersFast(oldPairs)))
+    // a slice entirely inside existing clusters changes nothing
+    assert(asMap(Dedup.incrementalDupClusters(published,
+      Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b"))) == asMap(published))
+  }
+
+  test("retractFromClusters: component-local recompute equals the batch re-closure; bridges split") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one chain 0-1-2-3-4 (removing 2 splits it), one triangle-ish
+    // cluster {7,8,9} losing a non-bridge member, one untouched {20,21}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (20L, 21L)).toDF("doc_id_a", "doc_id_b")
+    val published = Dedup.dupClustersFast(pairs)
+    val removed = Seq(2L, 8L).toDF("doc_id")
+    val got = asMap(Dedup.retractFromClusters(published, pairs, removed))
+    // batch truth: re-close over edges whose BOTH endpoints survive
+    val surviving = pairs.filter(col("doc_id_a") =!= 2L && col("doc_id_b") =!= 2L &&
+      col("doc_id_a") =!= 8L && col("doc_id_b") =!= 8L)
+    assert(got == asMap(Dedup.dupClustersFast(surviving)),
+      "retraction must equal the batch closure over surviving edges")
+    assert(got(0L) == 0L && got(1L) == 0L, "left chain segment keeps its min")
+    assert(got(3L) == 3L && got(4L) == 3L, "right segment re-roots at ITS min — the split")
+    assert(!got.contains(2L) && !got.contains(8L), "removed docs carry no row")
+    assert(got(7L) == 7L && got(9L) == 7L, "the direct 7-9 edge keeps the cluster whole")
+    assert(got(20L) == 20L && got(21L) == 20L, "untouched clusters pass through verbatim")
+    // a survivor whose EVERY edge touched a removed doc drops out
+    // (matches batch: no edge, no row)
+    val star = Seq((30L, 31L), (30L, 32L)).toDF("doc_id_a", "doc_id_b")
+    val starGone = asMap(Dedup.retractFromClusters(
+      Dedup.dupClustersFast(star), star, Seq(30L).toDF("doc_id")))
+    assert(!starGone.contains(31L) && !starGone.contains(32L))
+    // lifecycle chaining: retract-then-append equals batch on
+    // survivors' edges plus the slice (the n154 law, cluster edition)
+    val slice = Seq((4L, 40L), (9L, 41L)).toDF("doc_id_a", "doc_id_b")
+    val chained = asMap(Dedup.incrementalDupClusters(
+      Dedup.retractFromClusters(published, pairs, removed), slice))
+    assert(chained == asMap(Dedup.dupClustersFast(surviving.unionAll(slice))),
+      "retract-then-append must equal the from-scratch rebuild")
+  }
+
   test("profile: exact counts hand-checked, HLL path within sketch error") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "a"))
@@ -1955,6 +2023,71 @@ class OpsSpec extends SparkSpec {
     val ex = Profile.profile(docs01, Seq("doc_id")).collect()(0).getLong(3)
     val ap = Profile.profile(docs01, Seq("doc_id"), exact = false).collect()(0).getLong(3)
     assert(math.abs(ap - ex).toDouble / ex <= 0.1, s"HLL err: exact $ex approx $ap")
+  }
+
+  test("cardState lifecycle: merge equals union, retract equals survivors, interleavings commute") {
+    import spark.implicits._
+    def mkDocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "lang", "text")
+    val a = mkDocs((1L, "en", "one two three"), (2L, "de", "eins zwei"),
+      (3L, "en", ""))
+    val b = mkDocs((4L, "en", "four five six seven"), (5L, "fr", "un"))
+    def st(df: org.apache.spark.sql.DataFrame) =
+      Profile.cardState(df, bins = 8, lo = 0L, hi = 16L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+    // merge law: shard states add to the union's from-scratch state
+    val merged = Profile.mergeCardStates(st(a), st(b))
+    assert(rows(merged) == rows(st(a.unionAll(b))))
+    // hand-check a few rows: 4 en docs? no — 3 en docs (1,3,4), tokens
+    // 3+0+4; the empty doc counts as a doc with 0 tokens in bin 0
+    val m = rows(merged).map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("lang_docs", "en")) == 3L && m(("lang_tokens", "en")) == 7L)
+    assert(m(("tok_bin", "0")) == 3L) // tk 0, 1, 2*... width (16+8)/8=3: bins of 0,2 -> 0; 1 -> 0
+    // retraction: subtracting the removed docs' own shard state lands
+    // on the survivors' from-scratch state; fully-freed keys vanish
+    val survivors = a.unionAll(b).filter($"doc_id" =!= 5L)
+    val retracted = Profile.retractCardState(merged,
+      b.filter($"doc_id" === 5L), bins = 8, lo = 0L, hi = 16L)
+    assert(rows(retracted) == rows(st(survivors)))
+    assert(!rows(retracted).exists(_._2 == "fr"), "freed lang key must vanish")
+    // append/retract commute: retract-then-merge == merge-then-retract
+    val other = Profile.mergeCardStates(
+      Profile.retractCardState(st(a), a.filter($"doc_id" === 2L),
+        bins = 8, lo = 0L, hi = 16L), st(b))
+    val expect = st(a.filter($"doc_id" =!= 2L).unionAll(b))
+    assert(rows(other) == rows(expect))
+    // clamping: an over-range token count lands in the top bin
+    val big = mkDocs((9L, "en", Seq.fill(99)("w").mkString(" ")))
+    val bs = rows(st(big)).map(t => (t._1, t._2) -> t._3).toMap
+    assert(bs(("tok_bin", "7")) == 1L, "99 tokens > hi 16 must clamp to bin 7")
+  }
+
+  test("cardFromState: exact fields match dataCard, quantile bracket contains the exact percentile") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val state = Profile.cardState(docs)
+    val card = Profile.cardFromState(state, Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val reference = Profile.dataCard(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact fields agree with the rescan card
+    assert(card(("corpus", "n_docs")) == reference(("corpus", "n_docs")))
+    assert(card(("corpus", "n_tokens")) == reference(("corpus", "n_tokens")))
+    val langs = reference.keys.filter(_._1 == "lang")
+    assert(langs.nonEmpty && langs.forall(k => card(k) == reference(k)))
+    // the bracket honestly contains the true rank-ceil(q·n) order
+    // statistic (the bracket's own rank convention — dataCard's
+    // INTERPOLATED percentile may legitimately fall between brackets
+    // on a gappy distribution, so the order statistic is the law)
+    val tks = docs.select(TextAnalysis.tokenCount(col("text")).as("tk"))
+      .collect().map(_.getLong(0)).sorted
+    val exactP50 = tks(math.max(math.ceil(0.5 * tks.length).toLong, 1L).toInt - 1)
+    assert(card(("quality", "p50_tokens_lo")) <= exactP50 &&
+      exactP50 <= card(("quality", "p50_tokens_hi")),
+      s"bracket [${card(("quality", "p50_tokens_lo"))}, " +
+        s"${card(("quality", "p50_tokens_hi"))}] must contain $exactP50")
   }
 
   test("stratified sampling: per-stratum rates, subset of full sample, stable") {
@@ -2032,6 +2165,68 @@ class OpsSpec extends SparkSpec {
     // the two planted shared grams: "the capital of france is",
     // "capital of france is paris"
     assert(r(1L)._2 == 2)
+  }
+
+  test("contaminationAgainstIndex: publish-then-probe equals ngramContamination; bloom pruned equals unpruned") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (100L, "the capital of france is paris obviously"),
+      (101L, "a second benchmark question about rivers in egypt today")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we know the capital of france is paris and more"),
+      (2L, "completely unrelated words about query engines and shuffles"),
+      (3L, "tiny doc"),
+      (4L, "rivers in egypt today are long the capital of france is paris")
+    ).toDF("doc_id", "text")
+    val index = TextAnalysis.benchmarkGramIndex(evalSet, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val viaIndex = rows(TextAnalysis.contaminationAgainstIndex(train, index, 5))
+    // the headline law: the published index reproduces the
+    // recompute-both-sides operator row-for-row
+    assert(viaIndex == rows(TextAnalysis.ngramContamination(train, evalSet, 5)),
+      "index probe must equal ngramContamination exactly")
+    // bloom pre-prune: no false negatives + semi-join re-check =>
+    // identical output
+    val bloom = TextAnalysis.benchmarkGramBloom(index)
+    assert(rows(TextAnalysis.contaminationAgainstIndex(train, index, 5,
+      Some(bloom))) == viaIndex, "bloom-pruned must equal unpruned")
+    // empty index: nothing shared, everything scores 0
+    val emptyIdx = Seq.empty[String].toDF("gram")
+    val z = rows(TextAnalysis.contaminationAgainstIndex(train, emptyIdx, 5,
+      Some(TextAnalysis.benchmarkGramBloom(emptyIdx))))
+    assert(z.forall(t => t._3 == 0L && t._4 == 0.0))
+  }
+
+  test("decontaminateAgainstIndex: any-hit drop at 0, threshold keeps partial overlap, gram-less docs survive") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "the capital of france is paris obviously"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we know the capital of france is paris and more"),
+      (2L, "completely unrelated words about query engines and shuffles"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val index = TextAnalysis.benchmarkGramIndex(evalSet, 5)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // maxContamination 0: the planted-overlap doc drops; the clean doc
+    // and the sub-n (gram-less, unflaggable) doc survive
+    assert(ids(TextAnalysis.decontaminateAgainstIndex(train, index, 5)) ==
+      Set(2L, 3L))
+    // doc 1 shares 2 of its 6 grams (1/3): a threshold above that
+    // keeps it, one below drops it
+    assert(ids(TextAnalysis.decontaminateAgainstIndex(train, index, 5,
+      maxContamination = 0.5)) == Set(1L, 2L, 3L))
+    assert(ids(TextAnalysis.decontaminateAgainstIndex(train, index, 5,
+      maxContamination = 0.1)) == Set(2L, 3L))
+    // survivors union flagged == train (the filter partitions)
+    val survivors = ids(TextAnalysis.decontaminateAgainstIndex(train, index, 5))
+    val flagged = ids(TextAnalysis.contaminationAgainstIndex(train, index, 5)
+      .filter($"contamination" > 0.0))
+    assert((survivors ++ flagged) == Set(1L, 2L, 3L) && (survivors & flagged).isEmpty)
   }
 
   test("driver-side lloyd k-means separates well-separated clusters") {
