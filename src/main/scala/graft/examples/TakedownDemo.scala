@@ -80,9 +80,11 @@ object TakedownDemo {
   }
 
   /** The purge as one function (spec-driven too). Returns stage counts;
-    * writes the purged corpus, both retracted indexes (band index
-    * partitionBy(band) — the spec-proven pruning layout), and the
-    * refreshed sidecar under `outDir`.
+    * publishes TWO manifest versions under `outDir` (the pre-purge
+    * state as v=N, the purged state as v=N+1 — one atomic pointer
+    * swap between them), band/sign/hamming indexes partitionBy(band)
+    * and IVF by list_id (the spec-proven pruning layouts), the bloom
+    * sidecar versioned beside the index it summarizes.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -92,10 +94,14 @@ object TakedownDemo {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").filter(col("vec_id") < 250)
     val nCorpus = corpus.count()
-    val digests = Dedup.digestCounts(corpus)
-    val bandIndex = Dedup.minhashBandIndex(corpus, k = 5, numHashes = 64,
-      bands = 16)
-    val signIndex = Dedup.signBucketIndex(emb, planes = 12, tables = 4)
+    // checkpoint the published relations once: each is an input to BOTH
+    // the v=1 publish and the retraction feeding v=2
+    import graft.ops.Iterate.checkpointed
+    val digests = checkpointed(Dedup.digestCounts(corpus))
+    val bandIndex = checkpointed(Dedup.minhashBandIndex(corpus, k = 5,
+      numHashes = 64, bands = 16))
+    val signIndex = checkpointed(Dedup.signBucketIndex(emb, planes = 12,
+      tables = 4))
     val nEmb = emb.count()
     val ivfIndex = Ivf.build(emb, nLists = 8, nRows = nEmb)
     val pqIndex = Ivf.buildPq(ivfIndex, m = 16, codebookSize = 32,
@@ -104,17 +110,20 @@ object TakedownDemo {
     // gram index ride the same publish — with r12's additions (incl.
     // clusters + card state below), all NINE maintained families are
     // in the purge path
-    val imgHashes = Multimodal.dhashRelation(Multimodal.bmpPixelMedia(corpus))
-      .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
-    val hammingIndex = Dedup.hammingBandIndex(imgHashes, maxDistance = 2)
-    val gramIndex = TextAnalysis.exactSubstrGramIndex(corpus, n = 8)
+    val imgHashes = checkpointed(
+      Multimodal.dhashRelation(Multimodal.bmpPixelMedia(corpus))
+        .select(col("media_id").as("doc_id"), col("dhash").as("sh")))
+    val hammingIndex = checkpointed(
+      Dedup.hammingBandIndex(imgHashes, maxDistance = 2))
+    val gramIndex = checkpointed(
+      TextAnalysis.exactSubstrGramIndex(corpus, n = 8))
     // r12 completes the set at NINE families: the duplicate-cluster
     // assignment (with its retained edge relation — splits are only
     // decidable from edges) and the mergeable data-card state
-    val nearPairs = Dedup.simhashNearDups(corpus, maxDistance = 6)
-      .select("doc_id_a", "doc_id_b")
+    val nearPairs = checkpointed(Dedup.simhashNearDups(corpus, maxDistance = 6)
+      .select("doc_id_a", "doc_id_b"))
     val clusters = Dedup.dupClustersFast(nearPairs)
-    val cardState = Profile.cardState(corpus)
+    val cardState = checkpointed(Profile.cardState(corpus))
 
     // ---- 2. the takedown request: docs 1 and 2, vectors 1 and 2 -----
     // (docs chosen without NATURAL near-dup partners at this SF — the
@@ -148,38 +157,63 @@ object TakedownDemo {
     // the sidecar is rebuilt, not edited: blooms cannot delete
     val bloomAfter = Dedup.indexBloom(bandAfter)
 
-    // the purged state persists in the production layout
-    corpusAfter.write.mode("overwrite").parquet(s"$outDir/corpus")
-    bandAfter.write.mode("overwrite").partitionBy("band")
-      .parquet(s"$outDir/band_index")
-    signAfter.write.mode("overwrite").partitionBy("band")
-      .parquet(s"$outDir/sign_index")
-    digestsAfter.write.mode("overwrite").parquet(s"$outDir/digests")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/band_index.bloom"), bloomAfter)
-    // the ANN serving state: assigned rows laid out by list (the
-    // partition-pruning layout), codes beside them, and the frozen
-    // centroids as a metadata-sized sidecar — enough for the spec to
-    // replay the frozen rebuild from disk
-    ivfAfter.assigned.write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$outDir/ivf_assigned")
-    pqAfter.encoded.write.mode("overwrite").parquet(s"$outDir/pq_encoded")
+    // the purged state publishes as ONE ATOMIC VERSION SWAP
+    // ([[graft.sources.Manifest]]): all nine families + the corpus +
+    // the retained edge relation land under v=2, then the pointer
+    // rename makes them visible TOGETHER — a reader mid-purge sees the
+    // pre-purge v=1 in full, never a mix where the text is gone but a
+    // band row still cites it (or vice versa). v=1 stays readable for
+    // time travel / slow-reader grace until a vacuum.
     import spark.implicits._
-    ivfAfter.centroids.toSeq.toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ivf_centroids")
-    hammingAfter.write.mode("overwrite").partitionBy("band")
-      .parquet(s"$outDir/hamming_index")
-    gramAfter.write.mode("overwrite").parquet(s"$outDir/gram_index")
-    // the edge-retention contract: the pair relation persists BESIDE
+    import graft.sources.Manifest
+    import graft.sources.Manifest.Family
+    val centroidsDf = ivfAfter.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1)
+    // the edge-retention contract: the pair relation versions BESIDE
     // the assignment (candidate-sized) — the next takedown needs it
-    nearPairs.join(removed.withColumnRenamed("doc_id", "doc_id_a"),
+    val pairsAfter = nearPairs
+      .join(removed.withColumnRenamed("doc_id", "doc_id_a"),
         Seq("doc_id_a"), "left_anti")
       .join(removed.withColumnRenamed("doc_id", "doc_id_b"),
         Seq("doc_id_b"), "left_anti")
       .select("doc_id_a", "doc_id_b")
-      .write.mode("overwrite").parquet(s"$outDir/near_pairs")
-    clustersAfter.write.mode("overwrite").parquet(s"$outDir/clusters")
-    cardAfter.write.mode("overwrite").parquet(s"$outDir/card_state")
+    val v1 = Manifest.publish(outDir, Map(
+      "corpus" -> Family(corpus),
+      "digests" -> Family(digests),
+      "band_index" -> Family(bandIndex, partitionBy = Seq("band")),
+      "sign_index" -> Family(signIndex, partitionBy = Seq("band")),
+      "ivf_assigned" -> Family(ivfIndex.assigned, partitionBy = Seq("list_id")),
+      "pq_encoded" -> Family(pqIndex.encoded),
+      "hamming_index" -> Family(hammingIndex, partitionBy = Seq("band")),
+      "gram_index" -> Family(gramIndex),
+      "near_pairs" -> Family(nearPairs),
+      "clusters" -> Family(clusters),
+      "card_state" -> Family(cardState),
+      "ivf_centroids" -> Family(centroidsDf)),
+      blobs = Map("band_index.bloom" -> Dedup.indexBloom(bandIndex)))
+    val v2 = Manifest.publish(outDir, Map(
+      "corpus" -> Family(corpusAfter),
+      "digests" -> Family(digestsAfter),
+      "band_index" -> Family(bandAfter, partitionBy = Seq("band")),
+      "sign_index" -> Family(signAfter, partitionBy = Seq("band")),
+      // the ANN serving state: assigned rows laid out by list (the
+      // partition-pruning layout), codes beside them, and the frozen
+      // centroids as a metadata-sized sidecar — enough for the spec
+      // to replay the frozen rebuild from disk
+      "ivf_assigned" -> Family(ivfAfter.assigned, partitionBy = Seq("list_id")),
+      "ivf_centroids" -> Family(centroidsDf),
+      "pq_encoded" -> Family(pqAfter.encoded),
+      "hamming_index" -> Family(hammingAfter, partitionBy = Seq("band")),
+      "gram_index" -> Family(gramAfter),
+      "near_pairs" -> Family(pairsAfter),
+      "clusters" -> Family(clustersAfter),
+      "card_state" -> Family(cardAfter)),
+      // the sidecar versions WITH the index it summarizes — a bloom
+      // outliving its index is exactly the skew the manifest prevents
+      blobs = Map("band_index.bloom" -> bloomAfter))
+    // re-running over an existing outDir keeps versioning upward; the
+    // purge is always exactly one version ahead of its publish
+    require(v2 == v1 + 1, s"unexpected versions $v1/$v2")
 
     // ---- 3. the next crawl slice against the purged state -----------
     // planted rows: an exact copy and a near-dup of PURGED doc 1 (both
@@ -192,15 +226,17 @@ object TakedownDemo {
         .withColumn("doc_id", col("doc_id") + 3100000L))
       .unionAll(corpus.filter(col("doc_id") === 1L)
         .withColumn("doc_id", col("doc_id") + 3100001L))
-    val bandRead = spark.read.parquet(s"$outDir/band_index")
+    // every read resolves through the manifest pointer (= v2 here):
+    // the slice dedups against the purged state AND its matching
+    // sidecar — the pair that versioned together
+    val bandRead = Manifest.read(spark, outDir, "band_index")
       .select("doc_id", "band", "bucket")
     val exactAdmitted = Dedup.incrementalDedupByDigests(
-      spark.read.parquet(s"$outDir/digests").select("__digest"), slice)
+      Manifest.read(spark, outDir, "digests").select("__digest"), slice)
     val nearAdmitted = Dedup.incrementalMinhashDedup(bandRead,
-      spark.read.parquet(s"$outDir/corpus"), exactAdmitted,
+      Manifest.read(spark, outDir, "corpus"), exactAdmitted,
       k = 5, numHashes = 64, bands = 16, threshold = 0.5,
-      bloom = Some(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$outDir/band_index.bloom"))))
+      bloom = Some(Manifest.readBlob(outDir, "band_index.bloom")))
     val nNear = nearAdmitted.count()
 
     // embeddings ride the same flow: a scaled copy of purged vec 1 is
@@ -210,7 +246,7 @@ object TakedownDemo {
         transform(col("embedding"), x => (x * lit(1.000001f)).cast("float"))
           .as("embedding"))
     val eAdmitted = Dedup.incrementalEmbeddingDedup(
-      spark.read.parquet(s"$outDir/sign_index")
+      Manifest.read(spark, outDir, "sign_index")
         .select("doc_id", "band", "bucket"),
       embAfter, eSlice, threshold = 0.95, planes = 12, tables = 4)
 
@@ -237,7 +273,7 @@ object TakedownDemo {
       .select((col("doc_id") + 3200000L).as("doc_id"), col("sh"))
       .unionAll(Seq((3200002L, 0x5A5AC3C30F0FA5A5L)).toDF("doc_id", "sh"))
     val imgAdmitted = Dedup.incrementalHammingDedup(
-      spark.read.parquet(s"$outDir/hamming_index")
+      Manifest.read(spark, outDir, "hamming_index")
         .select("doc_id", "band", "bucket"),
       imgHashesAfter, imgSlice, maxDistance = 2)
 
@@ -249,7 +285,7 @@ object TakedownDemo {
       .unionAll(corpus.filter(col("doc_id") === 4L)
         .select((col("doc_id") + 3300000L).as("doc_id"), col("text")))
     val substrOut = TextAnalysis.incrementalExactSubstrDedup(
-      spark.read.parquet(s"$outDir/gram_index"), substrSlice, n = 8)
+      Manifest.read(spark, outDir, "gram_index"), substrSlice, n = 8)
 
     // the cluster re-crawl: fold the slice's own linkage into the
     // retracted assignment — surviving doc 4 gains its near-copy, the
@@ -259,12 +295,12 @@ object TakedownDemo {
     val slicePairs = Seq((4L, 3000004L), (3100001L, 3100002L))
       .toDF("doc_id_a", "doc_id_b")
     val clustersFinal = Dedup.incrementalDupClusters(
-      spark.read.parquet(s"$outDir/clusters"), slicePairs)
+      Manifest.read(spark, outDir, "clusters"), slicePairs)
 
     // the card re-crawl: the admitted near-dup slice merges in; the
     // maintained card equals the from-scratch card of the grown corpus
     val cardFinal = Profile.mergeCardStates(
-      spark.read.parquet(s"$outDir/card_state"),
+      Manifest.read(spark, outDir, "card_state"),
       Profile.cardState(nearAdmitted))
 
     Map(

@@ -51,12 +51,19 @@ object Manifest {
     * under `root/v=N/<name>` (N = current version + 1), then swap the
     * pointer atomically. Returns N. Concurrent publishers are detected
     * by the version directory already existing (first-writer-wins;
-    * losers must re-read and retry on a fresh version).
+    * losers must re-read and retry on a fresh version). `blobs` are
+    * byte sidecars that version WITH the relations — bloom sketches,
+    * centroid dumps: a sidecar that outlives the index it summarizes
+    * is exactly the skew the manifest exists to prevent.
     */
-  def publish(root: String, families: Map[String, Family]): Long = {
+  def publish(root: String, families: Map[String, Family],
+              blobs: Map[String, Array[Byte]] = Map.empty): Long = {
     require(families.nonEmpty, "nothing to publish")
-    require(families.keys.forall(n => n.nonEmpty && !n.contains('/') &&
-      !n.contains('\\') && n != "." && n != ".."), "family names must be plain")
+    require((families.keys ++ blobs.keys).forall(n => n.nonEmpty &&
+      !n.contains('/') && !n.contains('\\') && n != "." && n != ".."),
+      "family/blob names must be plain")
+    require(families.keySet.intersect(blobs.keySet).isEmpty,
+      "a name cannot be both a relation and a blob")
     Files.createDirectories(Paths.get(root))
     // next = 1 + max(pointer, highest v= dir): a publisher that crashed
     // after creating its directory but before the pointer swap must not
@@ -73,6 +80,9 @@ object Manifest {
       val w2 = if (fam.partitionBy.nonEmpty)
         w.partitionBy(fam.partitionBy: _*) else w
       w2.parquet(vDir.resolve(name).toString)
+    }
+    blobs.foreach { case (name, bytes) =>
+      Files.write(vDir.resolve(name), bytes)
     }
     val json = ("{\"version\": " + next + ", \"families\": [" +
       families.keys.toSeq.sorted.map(n => "\"" + n + "\"").mkString(", ") +
@@ -132,6 +142,13 @@ object Manifest {
   def readAt(spark: SparkSession, root: String, name: String,
              version: Long): DataFrame =
     spark.read.parquet(Paths.get(root, s"v=$version", name).toString)
+
+  /** Read a byte sidecar at the pointer's current version. */
+  def readBlob(root: String, name: String): Array[Byte] = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no manifest at $root"))
+    Files.readAllBytes(Paths.get(root, s"v=$v", name))
+  }
 
   /** Drop every version strictly older than `keepFrom` (slow-reader
     * grace is the caller's policy — e.g. keep the pointer's version

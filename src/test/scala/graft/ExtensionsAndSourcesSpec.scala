@@ -295,18 +295,25 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     val s1 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir)
     assert(s1("n_removed") == 2L &&
       s1("n_corpus_after") == s1("n_corpus") - 2L)
+    // the purge is ONE atomic version swap: the pointer sits at v2
+    // (purged), while v1 time-travels to the full pre-purge corpus —
+    // no reader ever saw a nine-way mix
+    assert(graft.sources.Manifest.currentVersion(dir).contains(2L))
+    assert(graft.sources.Manifest.readAt(spark, dir, "corpus", 1L)
+      .filter(col("doc_id") === 1L).count() == 1L,
+      "v1 must still hold the later-purged doc (time travel)")
     // the purged state on disk equals a from-scratch publish of
     // corpus-minus-removed — the lifecycle law, per index family
-    val corpusAfter = spark.read.parquet(s"$dir/corpus")
+    val corpusAfter = graft.sources.Manifest.read(spark, dir, "corpus")
     val rebuiltBand = graft.ops.Dedup.minhashBandIndex(corpusAfter,
       k = 5, numHashes = 64, bands = 16)
-    val diskBand = spark.read.parquet(s"$dir/band_index")
+    val diskBand = graft.sources.Manifest.read(spark, dir, "band_index")
       .select("doc_id", "band", "bucket")
     assert(diskBand.exceptAll(rebuiltBand).isEmpty &&
       rebuiltBand.exceptAll(diskBand).isEmpty,
       "retracted band index must equal the rebuild on corpus minus removed")
     val rebuiltDigests = graft.ops.Dedup.digestCounts(corpusAfter)
-    val diskDigests = spark.read.parquet(s"$dir/digests")
+    val diskDigests = graft.sources.Manifest.read(spark, dir, "digests")
     assert(diskDigests.exceptAll(rebuiltDigests).isEmpty &&
       rebuiltDigests.exceptAll(diskDigests).isEmpty,
       "retracted refcounted digests must equal the rebuild")
@@ -330,7 +337,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       "both ANN indexes must drop exactly the removed vectors")
     assert(s1("n_ivf_leaked") == 0L && s1("n_pq_leaked") == 0L,
       "a purged embedding must not be retrievable through any ANN index")
-    val cents = spark.read.parquet(s"$dir/ivf_centroids").collect()
+    val cents = graft.sources.Manifest.read(spark, dir, "ivf_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val embAfter = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
@@ -338,7 +345,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     val rebuiltAssigned = graft.ops.Ivf.assignFrozen(embAfter, cents)
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
-    val diskAssigned = spark.read.parquet(s"$dir/ivf_assigned")
+    val diskAssigned = graft.sources.Manifest.read(spark, dir, "ivf_assigned")
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(diskAssigned == rebuiltAssigned,
@@ -354,7 +361,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
     val rebuiltHam = graft.ops.Dedup.hammingBandIndex(
       hashes.filter(!col("doc_id").isin(1L, 2L)), maxDistance = 2)
-    val diskHam = spark.read.parquet(s"$dir/hamming_index")
+    val diskHam = graft.sources.Manifest.read(spark, dir, "hamming_index")
       .select("doc_id", "band", "bucket")
     assert(diskHam.exceptAll(rebuiltHam).isEmpty &&
       rebuiltHam.exceptAll(diskHam).isEmpty,
@@ -366,8 +373,8 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // the substring re-crawl keeps the PURGED doc's copy whole while
     // the surviving doc's copy is fully excised (disappears)
     val rebuiltGram = graft.ops.TextAnalysis.exactSubstrGramIndex(
-      spark.read.parquet(s"$dir/corpus"), n = 8)
-    val diskGram = spark.read.parquet(s"$dir/gram_index")
+      graft.sources.Manifest.read(spark, dir, "corpus"), n = 8)
+    val diskGram = graft.sources.Manifest.read(spark, dir, "gram_index")
     assert(diskGram.select("g", "cnt").exceptAll(
         rebuiltGram.select("g", "cnt")).isEmpty &&
       rebuiltGram.select("g", "cnt").exceptAll(
@@ -382,8 +389,8 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // incremental fold of the slice pairs equals the batch closure
     // over surviving ∪ slice
     import spark.implicits._
-    val diskPairs = spark.read.parquet(s"$dir/near_pairs")
-    val diskClusters = spark.read.parquet(s"$dir/clusters")
+    val diskPairs = graft.sources.Manifest.read(spark, dir, "near_pairs")
+    val diskClusters = graft.sources.Manifest.read(spark, dir, "clusters")
     def cmap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cmap(diskClusters) == cmap(graft.ops.Dedup.dupClustersFast(diskPairs)),
@@ -397,7 +404,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // the from-scratch state of the survivors
     def smap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(smap(spark.read.parquet(s"$dir/card_state")) ==
+    assert(smap(graft.sources.Manifest.read(spark, dir, "card_state")) ==
       smap(graft.ops.Profile.cardState(corpusAfter)),
       "retracted card state must equal the survivors' from-scratch state")
     // determinism: a second run reproduces every count
