@@ -129,14 +129,14 @@ object SparkEntry {
     * multiplies by (dlit round-trips exactly) and every expression
     * tree is parenthesized identically to the Column tree.
     */
-  private def bm25Ctes(valuesSql: String): String = {
+  private def bm25Ctes(valuesSql: String, where: String = ""): String = {
     val k1 = dlit(1.2); val bb = dlit(0.75)
     val k1p1 = dlit(1.2 + 1.0); val oneMinusB = dlit(1.0 - 0.75)
     s"""q(query_id, qtext) AS (VALUES
        |  $valuesSql),
        |tok AS (SELECT doc_id,
        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
-       |  FROM documents),
+       |  FROM documents$where),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
        |       FROM tok GROUP BY doc_id),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS nd,
@@ -2683,6 +2683,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "n172_lm_state_score" -> ((s, dir) => {
+      // the ingestion-time perplexity gate against a PUBLISHED LM
+      // state driven through its lifecycle: the reference corpus
+      // (doc_id % 5 != 2) builds as two merged shards, a takedown
+      // (doc_id % 97) subtracts its contribution (the purge reaches
+      // the quality MODEL), then a DISJOINT incoming slice
+      // (doc_id % 5 == 2) scores against the maintained counts —
+      // never against its own statistics. The oracle recounts the
+      // surviving reference from scratch, so the maintained state
+      // cannot drift
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 5 =!= 2)
+      val state = TextAnalysis.retractBigramLmState(
+        TextAnalysis.mergeBigramLmStates(
+          TextAnalysis.bigramLmState(ref.filter(col("doc_id") % 3 =!= 0)),
+          TextAnalysis.bigramLmState(ref.filter(col("doc_id") % 3 === 0))),
+        ref.filter(col("doc_id") % 97 === 0))
+      TextAnalysis.bigramNllAgainstState(
+        docs.filter(col("doc_id") % 5 === 2), state).orderBy("doc_id")
+    }),
+
     "n57_nll_gate" -> ((s, dir) => {
       // the composed quality gate a curation pipeline actually runs:
       // score every doc by corpus surprise (n51), then drop the worst
@@ -4741,6 +4762,30 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "n171_bm25_index" -> ((s, dir) => {
+      // BM25 over the MAINTAINED postings state driven through its
+      // whole lifecycle: build on the old crawl (doc_id % 4 != 0),
+      // append the slice's postings (plain union — per-doc rows),
+      // retract the takedown (doc_id % 101) through the SAME
+      // doc-keyed anti-join every index family uses; the search must
+      // equal from-text BM25 over the survivors — which is exactly
+      // what the oracle replays (n65's CTE chain with the survivor
+      // WHERE), so the maintained state cannot drift from the text
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 4 =!= 0)
+      val slice = docs.filter(col("doc_id") % 4 === 0)
+      val removed = docs.filter(col("doc_id") % 101 === 0).select("doc_id")
+      val postings = Dedup.retractFromIndex(
+        TextAnalysis.retrievalPostings(old)
+          .unionByName(TextAnalysis.retrievalPostings(slice)), removed)
+      val docStats = TextAnalysis.retrievalDocStats(postings)
+      val qs = Seq((1L, "spark join"), (2L, "window agg row"),
+        (3L, "stream batch data"), (4L, "quantum")).toDF("query_id", "qtext")
+      TextAnalysis.bm25AgainstIndex(postings, docStats, qs, k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
     "n71_data_card" -> ((s, dir) => {
       // release datasheet over the planted corpus (the dup section is
       // non-vacuous only with the planted copies: 6 duplicate docs)
@@ -6216,6 +6261,24 @@ object SparkEntry {
          |  n_terms, round(score, 6) AS score
          |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
+    "n171_bm25_index" ->
+      // n65's from-text replay over the SURVIVORS (doc_id % 101 <> 0):
+      // the maintained postings (old build + slice append + takedown
+      // retraction) must produce exactly the search the surviving text
+      // produces — the old/slice split and the index itself cannot
+      // appear in a correct answer
+      s"""WITH ${bm25Ctes(
+           """(CAST(1 AS BIGINT), 'spark join'),
+             |  (CAST(2 AS BIGINT), 'window agg row'),
+             |  (CAST(3 AS BIGINT), 'stream batch data'),
+             |  (CAST(4 AS BIGINT), 'quantum')""".stripMargin,
+           where = " WHERE doc_id % 101 <> 0")}
+         |SELECT query_id, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+         |  n_terms, round(score, 6) AS score
+         |FROM pd QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
     "q35_exists_surface" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
@@ -6792,6 +6855,39 @@ object SparkEntry {
       // packing via unicode() (UTF-16 unit == codepoint for this BMP/
       // ASCII fixture). Shared with n57 via bigramNllSql.
       s"$bigramNllSql ORDER BY doc_id",
+
+    "n172_lm_state_score" ->
+      // the n51 replay with the COUNTS recounted from the surviving
+      // reference corpus from scratch (the lifecycle laws make the
+      // maintained state land exactly here) and the scored slice
+      // LEFT-joined: an unseen bigram scores coalesce(cnt, 1) —
+      // ln(1) = 0, the formula's maximum surprise
+      """WITH rg AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, strlen(text) - 1)) AS pos
+        | FROM documents
+        | WHERE doc_id % 5 <> 2 AND doc_id % 97 <> 0 AND strlen(text) >= 2),
+        |rc AS (SELECT
+        |  unicode(substr(text, pos, 1)) * 65536 + unicode(substr(text, pos + 1, 1)) AS bigram
+        | FROM rg),
+        |counts AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM rc GROUP BY bigram),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        |sg AS (SELECT doc_id, text,
+        |  unnest(generate_series(1, strlen(text) - 1)) AS pos
+        | FROM documents WHERE doc_id % 5 = 2 AND strlen(text) >= 2),
+        |s2 AS (SELECT doc_id,
+        |  unicode(substr(text, pos, 1)) * 65536 + unicode(substr(text, pos + 1, 1)) AS bigram
+        | FROM sg),
+        |dg AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS occ
+        |       FROM s2 GROUP BY doc_id, bigram),
+        |perdoc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(occ * ln(coalesce(cnt, 1)) ORDER BY bigram)),
+        |    (acc, x) -> acc + x) AS sum_ln
+        | FROM dg LEFT JOIN counts USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(ln(total) - sum_ln / n_bigrams, 6) AS avg_nll
+        |FROM perdoc, tot ORDER BY doc_id""".stripMargin,
 
     "n57_nll_gate" ->
       s"""WITH scores AS ($bigramNllSql)

@@ -24,8 +24,11 @@ import graft.sources.Tables
   *                 the duplicate-cluster assignment
   *                 ([[Dedup.dupClustersFast]], with its retained edge
   *                 relation) + the mergeable data-card state
-  *                 ([[Profile.cardState]]) — all NINE maintained
-  *                 families a production corpus serves;
+  *                 ([[Profile.cardState]]) + the BM25 text-search
+  *                 serving state ([[TextAnalysis.retrievalPostings]] +
+  *                 doc stats) + the char-bigram quality-model state
+  *                 ([[TextAnalysis.bigramLmState]]) — all ELEVEN
+  *                 maintained families a production corpus serves;
   *   2. purge    — drop the payload rows, retract the digests with
   *                 refcount semantics ([[Dedup.retractFromDigestCounts]]
   *                 — a text another live doc holds keeps suppressing),
@@ -108,8 +111,8 @@ object TakedownDemo {
       nRows = nEmb)
     // the image modality (dHash Hamming index) and the exact-substring
     // gram index ride the same publish — with r12's additions (incl.
-    // clusters + card state below), all NINE maintained families are
-    // in the purge path
+    // clusters, card state, BM25 postings, and the LM quality model
+    // below), all ELEVEN maintained families are in the purge path
     val imgHashes = checkpointed(
       Multimodal.dhashRelation(Multimodal.bmpPixelMedia(corpus))
         .select(col("media_id").as("doc_id"), col("dhash").as("sh")))
@@ -117,13 +120,22 @@ object TakedownDemo {
       Dedup.hammingBandIndex(imgHashes, maxDistance = 2))
     val gramIndex = checkpointed(
       TextAnalysis.exactSubstrGramIndex(corpus, n = 8))
-    // r12 completes the set at NINE families: the duplicate-cluster
-    // assignment (with its retained edge relation — splits are only
-    // decidable from edges) and the mergeable data-card state
+    // the duplicate-cluster assignment (with its retained edge
+    // relation — splits are only decidable from edges) and the
+    // mergeable data-card state
     val nearPairs = checkpointed(Dedup.simhashNearDups(corpus, maxDistance = 6)
       .select("doc_id_a", "doc_id_b"))
     val clusters = Dedup.dupClustersFast(nearPairs)
     val cardState = checkpointed(Profile.cardState(corpus))
+    // the TENTH family: text-search serving state (BM25 postings +
+    // doc stats — per-doc rows, so takedown is the same doc-keyed
+    // anti-join as every other index)
+    val postings = checkpointed(TextAnalysis.retrievalPostings(corpus))
+    val docStatsRel = TextAnalysis.retrievalDocStats(postings)
+    // the ELEVENTH family: the quality model itself (char-bigram LM
+    // counts — the n159 count algebra, so the purge reaches the model:
+    // machine unlearning for the perplexity gate)
+    val lmState = checkpointed(TextAnalysis.bigramLmState(corpus))
 
     // ---- 2. the takedown request: docs 1 and 2, vectors 1 and 2 -----
     // (docs chosen without NATURAL near-dup partners at this SF — the
@@ -152,6 +164,14 @@ object TakedownDemo {
     // bridge, so the affected components re-close over their surviving
     // edges (component-local; untouched clusters pass through)
     val clustersAfter = Dedup.retractFromClusters(clusters, nearPairs, removed)
+    // text search: the same doc-keyed anti-join (column order
+    // re-normalized — the join fronts its key)
+    val postingsAfter = Dedup.retractFromIndex(postings, removed)
+      .select("term", "doc_id", "tf")
+    val docStatsAfter = Dedup.retractFromIndex(docStatsRel, removed)
+      .select("doc_id", "dl")
+    // the quality model unlearns the purged docs' statistics
+    val lmAfter = TextAnalysis.retractBigramLmState(lmState, removedDocs)
     // card state: pure count subtraction (the n159 algebra)
     val cardAfter = Profile.retractCardState(cardState, removedDocs)
     // the sidecar is rebuilt, not edited: blooms cannot delete
@@ -189,7 +209,10 @@ object TakedownDemo {
       "near_pairs" -> Family(nearPairs),
       "clusters" -> Family(clusters),
       "card_state" -> Family(cardState),
-      "ivf_centroids" -> Family(centroidsDf)),
+      "ivf_centroids" -> Family(centroidsDf),
+      "postings" -> Family(postings),
+      "doc_stats" -> Family(docStatsRel),
+      "lm_state" -> Family(lmState)),
       blobs = Map("band_index.bloom" -> Dedup.indexBloom(bandIndex)))
     val v2 = Manifest.publish(outDir, Map(
       "corpus" -> Family(corpusAfter),
@@ -207,7 +230,10 @@ object TakedownDemo {
       "gram_index" -> Family(gramAfter),
       "near_pairs" -> Family(pairsAfter),
       "clusters" -> Family(clustersAfter),
-      "card_state" -> Family(cardAfter)),
+      "card_state" -> Family(cardAfter),
+      "postings" -> Family(postingsAfter),
+      "doc_stats" -> Family(docStatsAfter),
+      "lm_state" -> Family(lmAfter)),
       // the sidecar versions WITH the index it summarizes — a bloom
       // outliving its index is exactly the skew the manifest prevents
       blobs = Map("band_index.bloom" -> bloomAfter))
@@ -303,7 +329,20 @@ object TakedownDemo {
       Manifest.read(spark, outDir, "card_state"),
       Profile.cardState(nearAdmitted))
 
+    // the text-search half of the purge proof: query the purged
+    // state with the PURGED DOC'S OWN TEXT — the strongest query for
+    // leaking it through BM25 — and count removed ids in the top-k
+    val searchQ = removedDocs.filter(col("doc_id") === 1L)
+      .select(lit(1L).as("query_id"), col("text").as("qtext"))
+    val nBm25Leaked = TextAnalysis.bm25AgainstIndex(
+        Manifest.read(spark, outDir, "postings"),
+        Manifest.read(spark, outDir, "doc_stats"), searchQ, k = 10)
+      .filter(col("doc_id").isin(removedIds: _*)).count()
+
     Map(
+      "n_postings_after" -> postingsAfter.count(),
+      "n_bm25_leaked" -> nBm25Leaked,
+      "n_lm_rows_after" -> lmAfter.count(),
       "n_cluster_rows_after" -> clustersAfter.count(),
       "n_cluster_rows_final" -> clustersFinal.count(),
       "n_card_rows_after" -> cardAfter.count(),

@@ -862,6 +862,80 @@ object TextAnalysis {
         round(log(col("total")) - col("sum_ln") / col("n_bigrams"), 6).as("avg_nll"))
   }
 
+  /** The PUBLISHED char-bigram LM state — [[bigramCrossEntropy]]'s
+    * corpus statistics split out as a maintained relation
+    * `(bigram: long, cnt: long)`, the quality-model member of the
+    * lifecycle family: a production gate scores every incoming slice
+    * against the REFERENCE corpus's statistics (the CCNet/KenLM
+    * stance — the LM is trained once on curated text, then applied at
+    * ingestion), so the counts must be a published artifact, not a
+    * per-run recompute. Pure count algebra: slices merge by keyed
+    * addition ([[mergeBigramLmStates]]), a takedown subtracts the
+    * removed docs' own contribution ([[retractBigramLmState]] — the
+    * purge reaches the quality MODEL too: machine unlearning for the
+    * gate), rows free at zero, and interleavings commute. Char-vocab²
+    * rows — metadata-sized, broadcastable.
+    */
+  def bigramLmState(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 2)
+      .select(explode(char_bigrams(col("text"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+
+  /** Keyed addition over two LM states — associative/commutative;
+    * zero rows drop so a fully-retracted bigram vanishes exactly as a
+    * rebuild would omit it.
+    */
+  def mergeBigramLmStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bigram"))
+      .agg(sum(col("cnt")).as("cnt")).filter(col("cnt") =!= 0L)
+
+  /** LM-state retraction: subtract the removed docs' own bigram
+    * multiset (negated merge — the n159 algebra). Retraction ≡ the
+    * state built on the survivors (spec law).
+    */
+  def retractBigramLmState(state: DataFrame, removedDocs: DataFrame): DataFrame =
+    mergeBigramLmStates(state,
+      bigramLmState(removedDocs)
+        .select(col("bigram"), (-col("cnt")).as("cnt")))
+
+  /** Score documents against a PUBLISHED LM state — the ingestion-time
+    * perplexity gate: [[bigramCrossEntropy]]'s formula with the counts
+    * read from `state` instead of recomputed from the scored corpus
+    * itself (scoring a slice against ITS OWN statistics is exactly the
+    * self-reference the published state removes). A bigram the state
+    * has never seen scores cnt = 1 — ln(1) = 0, the maximum surprise
+    * the formula can express — so out-of-distribution text (new
+    * scripts, mojibake) gates hardest, which is the point. Parity law
+    * (spec): scoring a corpus against its own from-scratch state
+    * equals [[bigramCrossEntropy]] row-for-row.
+    *
+    * 100 TB shape: the state is char-vocab²-sized and BROADCASTS into
+    * the scoring join; the slice streams through once (per-doc
+    * multiplicities collapse map-side); the per-document fold runs in
+    * bigram order — the sequential-fold convention — so both engines
+    * add ln-terms identically.
+    */
+  def bigramNllAgainstState(docs: DataFrame, state: DataFrame): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(char_bigrams(col("text"))).as("bigram"))
+    val docGrams = grams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
+    val counts = state.select(col("bigram"), col("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    docGrams.join(broadcast(counts), Seq("bigram"), "left")
+      .select(col("doc_id"), col("bigram"), col("occ"),
+        coalesce(col("cnt"), lit(1L)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("bigram"), col("occ"), col("cnt")))),
+            s => s("occ") * log(s("cnt"))),
+          lit(0.0), (acc, x) => acc + x).as("sum_ln"))
+      .crossJoin(total)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(log(col("total")) - col("sum_ln") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
   /** Vocabulary coverage curve: for each k in `ks`, how many corpus
     * token occurrences the k most frequent words cover — the
     * measurement behind tokenizer vocabulary sizing (what does a 32k
@@ -1031,6 +1105,21 @@ object TextAnalysis {
     val tf = tok.join(broadcast(qterms), Seq("term"), "left_semi")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bm25ScoreTail(qt, tf, dl, stats, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared VERBATIM by [[bm25Search]] (tf/dl
+    * recomputed from text) and [[bm25AgainstIndex]] (tf/dl read from
+    * the maintained postings state) — one expression tree, so the two
+    * paths cannot drift. `tf` is candidate-sized (docs holding a query
+    * term); `dl` is the doc-length relation; `stats` one (nd, avgdl)
+    * row. df derives from tf HERE (count of candidate docs per term),
+    * so both flavors band df identically.
+    */
+  private def bm25ScoreTail(qt: DataFrame, tf: DataFrame, dl: DataFrame,
+                            stats: DataFrame, k: Int, k1: Double,
+                            b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // constants folded ONCE in Scala and reused verbatim by the oracle
     // generator, so both engines multiply by bit-identical doubles
@@ -1058,6 +1147,67 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("rnk"), col("n_terms"),
         round(col("score"), 6).as("score"))
+  }
+
+  /** The maintained RETRIEVAL POSTINGS — full-term (term, doc_id, tf)
+    * rows, the serving state behind [[bm25AgainstIndex]] and the
+    * text-search member of the index-lifecycle family. Per-DOC rows
+    * make the whole lifecycle compositional with operators that
+    * already exist:
+    *
+    *  - append: slice postings are plain `unionByName` rows (disjoint
+    *    doc ids — no merging, the per-doc shape guarantees it);
+    *  - retract: [[Dedup.retractFromIndex]]'s broadcast anti-join on
+    *    doc_id, verbatim — no new machinery;
+    *  - df / dl / N / avgdl all DERIVE from the state (df = rows per
+    *    term over candidates, dl = [[retrievalDocStats]]), so no
+    *    second statistic can fall out of sync with the postings.
+    *
+    * Laid out `partitionBy(term)`-bucketed in production so a query's
+    * term probe prunes to its terms' partitions (the band-index
+    * stance). Unlike [[invertedIndex]] (a df-banded EXPLORATION
+    * relation), this is the unbanded serving state: every term posts,
+    * and the scorer bands nothing — [[bm25Search]] equality is exact.
+    */
+  def retrievalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** Per-doc length stats derived from the postings state (dl = sum of
+    * the doc's term frequencies — total tokens). Published beside the
+    * postings; retracts through the same doc-keyed anti-join.
+    */
+  def retrievalDocStats(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** BM25 over the MAINTAINED index — [[bm25Search]] with tf and dl
+    * read from the published state instead of recomputed from text:
+    * the query's distinct terms broadcast-semi-join the postings (the
+    * partition-prunable probe), df counts the candidate rows per term,
+    * and N/avgdl come from one aggregate over the doc-sized stats
+    * relation (the metadata pass — never a token-scale scan). The
+    * scoring tail is [[bm25ScoreTail]], shared verbatim with the
+    * recompute flavor, so maintained-index search EQUALS from-text
+    * search bit-for-bit (the spec law) — and after a takedown, a
+    * purged doc is not retrievable by text search (TakedownDemo).
+    */
+  def bm25AgainstIndex(postings: DataFrame, docStats: DataFrame,
+                       queries: DataFrame, k: Int = 10,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val stats = docStats.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sumdl"))
+      .select(col("nd"),
+        (col("sumdl").cast("double") / col("nd")).as("avgdl"))
+    val qt = queries.select(col("query_id"),
+        explode(split(col("qtext"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val qterms = qt.select("term").distinct()
+    val tf = postings.join(broadcast(qterms), Seq("term"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bm25ScoreTail(qt, tf, docStats.select(col("doc_id"), col("dl")),
+      stats, k, k1, b)
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -407,6 +407,25 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(smap(graft.sources.Manifest.read(spark, dir, "card_state")) ==
       smap(graft.ops.Profile.cardState(corpusAfter)),
       "retracted card state must equal the survivors' from-scratch state")
+    // the text-search family (r12): retracted postings ≡ rebuild on
+    // survivors, and a BM25 query built from the purged doc's own text
+    // returns no removed id (the demo's n_bm25_leaked count)
+    val diskPostings = graft.sources.Manifest.read(spark, dir, "postings")
+      .select("term", "doc_id", "tf")
+    val rebuiltPostings = graft.ops.TextAnalysis.retrievalPostings(corpusAfter)
+    assert(diskPostings.exceptAll(rebuiltPostings).isEmpty &&
+      rebuiltPostings.exceptAll(diskPostings).isEmpty,
+      "retracted postings must equal the rebuild on survivors")
+    assert(s1("n_bm25_leaked") == 0L,
+      "a purged doc must not be retrievable by text search")
+    // the quality-model family (r12): the unlearned LM state equals
+    // the survivors' from-scratch counts
+    val diskLm = graft.sources.Manifest.read(spark, dir, "lm_state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuiltLm = graft.ops.TextAnalysis.bigramLmState(corpusAfter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(diskLm == rebuiltLm,
+      "retracted LM state must equal the survivors' from-scratch counts")
     // determinism: a second run reproduces every count
     val dir2 = java.nio.file.Files.createTempDirectory("takedown_demo2").toString
     val s2 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir2)

@@ -206,6 +206,54 @@ class OpsSpec extends SparkSpec {
     assert(rows((3L, 1L))._2 == 1L) // doc 1 has only 'rare'
   }
 
+  test("bm25AgainstIndex: maintained postings equal from-text search; lifecycle laws") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "rare rare pad1 pad2"),
+      (2L, "rare padA padB padC"),
+      (3L, "common x1 x2 x3"),
+      (4L, "common y1 y2 y3 y4 y5 y6 y7"),
+      (5L, "common z1 z2 z3")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare"), (2L, "common"), (3L, "rare common"), (4L, "absent"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._3)).toSeq
+    // the headline law: index search == from-text search bit-for-bit
+    // (the scoring tail is shared code; this pins the feeding relations)
+    val postings = TextAnalysis.retrievalPostings(corpus)
+    val docStats = TextAnalysis.retrievalDocStats(postings)
+    assert(rows(TextAnalysis.bm25AgainstIndex(postings, docStats, qs, k = 2)) ==
+      rows(TextAnalysis.bm25Search(corpus, qs, k = 2)))
+    // append law: per-doc rows make slice postings a plain union
+    val old = corpus.filter($"doc_id" <= 3L)
+    val slice = corpus.filter($"doc_id" > 3L)
+    val appended = TextAnalysis.retrievalPostings(old)
+      .unionByName(TextAnalysis.retrievalPostings(slice))
+    assert(appended.exceptAll(postings).isEmpty &&
+      postings.exceptAll(appended).isEmpty,
+      "appended postings must equal the from-scratch build")
+    // retraction law: the doc-keyed anti-join equals the rebuild on
+    // survivors, and search over the retracted state equals from-text
+    // search over the surviving corpus — a purged doc is not
+    // text-retrievable (doc 1 held 'rare' twice; after its takedown
+    // query 1's top hit must be doc 2)
+    val removed = Seq(1L).toDF("doc_id")
+    val retracted = Dedup.retractFromIndex(postings, removed)
+      .select("term", "doc_id", "tf") // the anti-join fronts its key
+    val survivors = corpus.filter($"doc_id" =!= 1L)
+    val rebuilt = TextAnalysis.retrievalPostings(survivors)
+    assert(retracted.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(retracted).isEmpty)
+    val afterSearch = rows(TextAnalysis.bm25AgainstIndex(retracted,
+      TextAnalysis.retrievalDocStats(retracted), qs, k = 2))
+    assert(afterSearch == rows(TextAnalysis.bm25Search(survivors, qs, k = 2)))
+    assert(!afterSearch.exists(_._2 == 1L), "purged doc must not be retrievable")
+    assert(afterSearch.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 1L),
+      "the surviving rare-holder takes rank 1")
+  }
+
   test("dsirWeights: content-determined weight, target separation, exact replay") {
     import spark.implicits._
     val d = Seq(
@@ -611,6 +659,45 @@ class OpsSpec extends SparkSpec {
     val n = TextAnalysis.bigramCrossEntropy(d).filter(col("doc_id") === 1L)
       .select("n_bigrams").head().getLong(0)
     assert(n == 9L)
+  }
+
+  test("bigramLmState lifecycle: parity with bigramCrossEntropy, merge/retract laws, unseen gates hardest") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaaaaaaaa"),
+      (2L, "aaaaaaaaaa"),
+      (3L, "ababababab"),
+      (4L, "qxzvqxzvqx")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    def smap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // parity: a corpus scored against ITS OWN from-scratch state is
+    // bigramCrossEntropy exactly (same counts, same pinned fold)
+    val state = TextAnalysis.bigramLmState(d)
+    assert(rows(TextAnalysis.bigramNllAgainstState(d, state)) ==
+      rows(TextAnalysis.bigramCrossEntropy(d)))
+    // merge ≡ union's from-scratch state; retract ≡ survivors'; the
+    // fully-freed bigrams of doc 4 vanish from the state
+    val a = d.filter($"doc_id" <= 2L); val b = d.filter($"doc_id" > 2L)
+    assert(smap(TextAnalysis.mergeBigramLmStates(
+      TextAnalysis.bigramLmState(a), TextAnalysis.bigramLmState(b))) ==
+      smap(state))
+    val retracted = TextAnalysis.retractBigramLmState(state,
+      d.filter($"doc_id" === 4L))
+    assert(smap(retracted) == smap(TextAnalysis.bigramLmState(
+      d.filter($"doc_id" =!= 4L))))
+    // the quality-model unlearning effect: after doc 4's takedown its
+    // bigrams are UNSEEN (cnt -> 1, ln 1 = 0 — maximum surprise), so a
+    // re-presented copy scores strictly above every in-distribution doc
+    val rescored = rows(TextAnalysis.bigramNllAgainstState(d, retracted))
+      .map(t => t._1 -> t._3).toMap
+    assert(rescored(4L) > rescored(1L) && rescored(4L) > rescored(3L))
+    assert(rescored(4L) == math.rint(
+      (math.log(smap(retracted).values.sum.toDouble)) * 1e6) / 1e6,
+      "all-unseen doc scores exactly ln(total) — the formula ceiling")
   }
 
   test("minhash LSH finds near-duplicates and verifies exact jaccard") {
