@@ -3721,6 +3721,34 @@ object SparkEntry {
         .orderBy("phrase_id", "doc_id", "pos")
     }),
 
+    "n173_phrase_index" -> ((s, dir) => {
+      // n105's quote sweep as an INDEX PROBE over maintained
+      // positional postings driven through the lifecycle: old/slice
+      // shards union (per-doc rows), the takedown (doc_id % 103)
+      // retracts through the shared doc-keyed anti-join, and the sweep
+      // probes the published state — the oracle replays the
+      // consecutive-word definition over the surviving text, so the
+      // index cannot drift from what a re-tokenization would find
+      import s.implicits._
+      val planted = Seq((9500002L,
+        "alpha beta gamma delta filler words alpha beta gamma delta",
+        "en", "planted", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val all = t(s, dir, "documents").unionByName(planted)
+      val removed = all.filter(col("doc_id") % 103 === 0).select("doc_id")
+      val postings = Dedup.retractFromIndex(
+        TextAnalysis.positionalPostings(all.filter(col("doc_id") % 2 === 0))
+          .unionByName(TextAnalysis.positionalPostings(
+            all.filter(col("doc_id") % 2 =!= 0))), removed)
+        .select("word", "doc_id", "pos")
+      TextAnalysis.multiPhraseSearchAgainstIndex(postings,
+          Seq(
+            "bench1" -> Seq("slow", "hash", "batch"),
+            "bench2" -> Seq("stream", "table", "hash"),
+            "planted" -> Seq("alpha", "beta", "gamma", "delta")))
+        .orderBy("phrase_id", "doc_id", "pos")
+    }),
+
     "n104_heavy_hitters_by_source" -> ((s, dir) => {
       // n95 stratified: per-source heavy hitters (count > n_source/24)
       // via one Misra-Gries summary per (group, partition) and a
@@ -8056,6 +8084,28 @@ object SparkEntry {
 
     "n105_multi_phrase" -> // definitional per phrase, unioned
       """WITH d AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT 9500002,
+        |  'alpha beta gamma delta filler words alpha beta gamma delta'),
+        |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |      FROM d),
+        |m AS (
+        | SELECT 'bench1' AS phrase_id, doc_id, i AS pos
+        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3 AND ws[i] = 'slow' AND ws[i+1] = 'hash' AND ws[i+2] = 'batch'
+        | UNION ALL
+        | SELECT 'bench2', doc_id, i
+        |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3 AND ws[i] = 'stream' AND ws[i+1] = 'table' AND ws[i+2] = 'hash'
+        | UNION ALL
+        | SELECT 'planted', doc_id, i
+        |  FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+        |  WHERE len(ws) >= 4 AND ws[i] = 'alpha' AND ws[i+1] = 'beta'
+        |    AND ws[i+2] = 'gamma' AND ws[i+3] = 'delta')
+        |SELECT phrase_id, doc_id, CAST(pos AS BIGINT) AS pos FROM m
+        |ORDER BY phrase_id, doc_id, pos""".stripMargin,
+
+    "n173_phrase_index" -> // n105's definition over the SURVIVORS
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 103 <> 0
         | UNION ALL SELECT 9500002,
         |  'alpha beta gamma delta filler words alpha beta gamma delta'),
         |w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws

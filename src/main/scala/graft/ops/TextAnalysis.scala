@@ -1580,6 +1580,17 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"),
       posexplode(filter(split(col("text"), " "), w => w =!= lit("")))
         .as(Seq("pos", "word")))
+    phraseAlignTail(toks, parts)
+  }
+
+  /** The offset-alignment tail shared VERBATIM by [[multiPhraseSearch]]
+    * (tokens re-derived from text) and
+    * [[multiPhraseSearchAgainstIndex]] (tokens read from the published
+    * positional postings) — one expression tree, the two probe flavors
+    * cannot drift. `toks` carries 0-based `pos` (the posexplode
+    * convention); matches emit 1-based phrase starts.
+    */
+  private def phraseAlignTail(toks: DataFrame, parts: DataFrame): DataFrame =
     toks.join(broadcast(parts), "word")
       .groupBy(col("phrase_id"), col("doc_id"),
         (col("pos") - col("offset")).as("start"), col("plen"))
@@ -1587,6 +1598,47 @@ object TextAnalysis {
       .filter(col("hits") === col("plen"))
       .select(col("phrase_id"), col("doc_id"),
         (col("start") + 1).cast("long").as("pos"))
+
+  /** The maintained POSITIONAL postings — `(word, doc_id, pos)` with
+    * 0-based word positions, the serving state that turns the
+    * contamination quote sweep ([[multiPhraseSearch]]) into an index
+    * probe: quote lists arrive weekly (new benchmarks, new takedown
+    * phrases), and re-tokenizing 100 TB per sweep is the cost this
+    * state removes — the corpus tokenizes ONCE at publish. Per-doc
+    * rows, so the lifecycle is the postings family's: append = plain
+    * union of the slice's rows, retract = [[Dedup.retractFromIndex]]'s
+    * doc-keyed anti-join verbatim. Laid out bucketed-by-word in
+    * production so a sweep's word probe prunes (the band-index
+    * stance); [[retrievalPostings]] (tf only, 3-4x smaller) remains
+    * the right state when only ranked retrieval is needed.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => w =!= lit("")))
+          .as(Seq("pos", "word")))
+      .select(col("word"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** [[multiPhraseSearch]] against the PUBLISHED positional postings:
+    * the phrase dimension broadcasts against the postings' word column
+    * (partition-pruned under the bucketed layout), and the alignment
+    * tail is [[phraseAlignTail]] — shared verbatim, so index-probed
+    * results equal from-text results row-for-row (spec law), including
+    * after a takedown (a purged doc's quotes stop matching — the
+    * contamination sweep respects the purge).
+    */
+  def multiPhraseSearchAgainstIndex(postings: DataFrame,
+                                    phrases: Seq[(String, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty &&
+      phrases.forall { case (_, ws) => ws.nonEmpty && ws.forall(w => w.nonEmpty && !w.contains(" ")) },
+      "phrases must be non-empty whitespace-free word lists")
+    require(phrases.map(_._1).distinct.size == phrases.size, "phrase ids must be unique")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val parts = phrases.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (w, i) => (id, i, w, ws.length) }
+    }.toDF("phrase_id", "offset", "word", "plen")
+    phraseAlignTail(postings.select(col("doc_id"), col("pos"), col("word")),
+      parts)
   }
 
   /** Vocabulary drift between two corpus slices — the distribution-

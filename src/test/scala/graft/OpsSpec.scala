@@ -254,6 +254,42 @@ class OpsSpec extends SparkSpec {
       "the surviving rare-holder takes rank 1")
   }
 
+  test("multiPhraseSearchAgainstIndex: index probe equals from-text sweep; purge drops a doc's quotes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta filler alpha beta gamma delta"),
+      (2L, "unrelated words only here"),
+      (3L, "prefix alpha beta gamma delta suffix"),
+      (4L, "alpha beta end")
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      "p4" -> Seq("alpha", "beta", "gamma", "delta"),
+      "p2" -> Seq("alpha", "beta"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val postings = TextAnalysis.positionalPostings(corpus)
+    // the headline law: index probe == from-text sweep row-for-row
+    // (shared alignment tail; this pins the feeding relation)
+    val viaIndex = rows(TextAnalysis.multiPhraseSearchAgainstIndex(postings, phrases))
+    assert(viaIndex == rows(TextAnalysis.multiPhraseSearch(corpus, phrases)))
+    // intra-doc repeats and 1-based starts: doc 1 matches p4 at 1 and 6
+    assert(viaIndex.filter(t => t._1 == "p4" && t._2 == 1L).map(_._3) == Seq(1L, 6L))
+    // retraction: the purged doc's quotes stop matching; survivors'
+    // matches are untouched (== from-text sweep over survivors)
+    val retracted = Dedup.retractFromIndex(postings, Seq(1L).toDF("doc_id"))
+      .select("word", "doc_id", "pos")
+    val after = rows(TextAnalysis.multiPhraseSearchAgainstIndex(retracted, phrases))
+    assert(after == rows(TextAnalysis.multiPhraseSearch(
+      corpus.filter($"doc_id" =!= 1L), phrases)))
+    assert(!after.exists(_._2 == 1L), "purged doc's quotes must not match")
+    assert(after.exists(t => t._1 == "p4" && t._2 == 3L && t._3 == 2L))
+    // append law: per-doc rows make slice postings a plain union
+    val appended = TextAnalysis.positionalPostings(corpus.filter($"doc_id" <= 2L))
+      .unionByName(TextAnalysis.positionalPostings(corpus.filter($"doc_id" > 2L)))
+    assert(appended.exceptAll(postings).isEmpty && postings.exceptAll(appended).isEmpty)
+  }
+
   test("dsirWeights: content-determined weight, target separation, exact replay") {
     import spark.implicits._
     val d = Seq(

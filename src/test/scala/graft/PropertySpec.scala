@@ -581,4 +581,42 @@ class PropertySpec extends SparkSpec {
       }
     }).passed, "distributed anchor+extend must equal the sequential reference")
   }
+
+  test("cluster-lifecycle law: incremental fold and component-local retraction equal batch closure on generated graphs") {
+    import spark.implicits._
+    // random edge sets over a small id space, random old/slice split
+    // point, random takedown set — every slice-edge shape (new-new,
+    // new-old, old-old bridging, within-cluster) and every retraction
+    // shape (bridge split, edge-starved survivor, untouched cluster)
+    // arises organically across the generated instances
+    val edge = for {
+      u <- Gen.choose(0L, 15L); v <- Gen.choose(0L, 15L) if u != v
+    } yield (math.min(u, v), math.max(u, v))
+    val graphs = for {
+      n <- Gen.choose(3, 12)
+      es <- Gen.listOfN(n, edge)
+      split <- Gen.choose(0L, 15L)
+      removed <- Gen.someOf(0L to 15L)
+    } yield (es.distinct, split, removed.toSeq)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, Prop.forAll(graphs) { case (es, split, rm) =>
+      val all = es.toDF("doc_id_a", "doc_id_b")
+      val old = es.filter(e => e._1 < split && e._2 < split)
+        .toDF("doc_id_a", "doc_id_b")
+      val slice = es.filter(e => !(e._1 < split && e._2 < split))
+        .toDF("doc_id_a", "doc_id_b")
+      def cmap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = cmap(graft.ops.Dedup.dupClustersFast(all))
+      val inc = cmap(graft.ops.Dedup.incrementalDupClusters(
+        graft.ops.Dedup.dupClustersFast(old), slice))
+      val surviving = es.filter(e => !rm.contains(e._1) && !rm.contains(e._2))
+        .toDF("doc_id_a", "doc_id_b")
+      val retracted = cmap(graft.ops.Dedup.retractFromClusters(
+        graft.ops.Dedup.dupClustersFast(all), all, rm.toDF("doc_id")))
+      inc == batch &&
+        retracted == cmap(graft.ops.Dedup.dupClustersFast(surviving))
+    }).passed,
+      "incremental == batch on the union AND retraction == batch on survivors")
+  }
 }
