@@ -6197,9 +6197,10 @@ object SparkEntry {
     "n169_card_state" ->
       // the from-scratch state of the SURVIVORS (doc_id % 89 <> 0):
       // per-lang doc/token counts plus the fixed-edge token histogram
-      // (lo 0, hi 4096, 256 bins -> width (4096 + 256) // 256 = 17,
-      // clamped into the edge bins) — merge and retraction are keyed
-      // addition, so the maintained state must land here exactly
+      // (lo 0, hi 4096, 256 bins -> width (4096 + 256) // 256 = 17;
+      // the VALUE clamps into [lo, hi] before binning) — merge and
+      // retraction are keyed addition and zero is the absent row, so
+      // the maintained state must land here exactly
       """WITH f AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tk
         |  FROM documents WHERE doc_id % 89 <> 0),
@@ -6208,10 +6209,11 @@ object SparkEntry {
         |lt AS (SELECT 'lang_tokens' AS kind, lang AS key,
         |       CAST(sum(tk) AS BIGINT) AS value FROM f GROUP BY lang),
         |tb AS (SELECT 'tok_bin' AS kind,
-        |       CAST(least(greatest(tk // 17, 0), 255) AS VARCHAR) AS key,
+        |       CAST(least(greatest(tk, 0), 4096) // 17 AS VARCHAR) AS key,
         |       CAST(count(*) AS BIGINT) AS value FROM f GROUP BY 2)
         |SELECT kind, key, value FROM
         | (SELECT * FROM ld UNION ALL SELECT * FROM lt UNION ALL SELECT * FROM tb)
+        |WHERE value <> 0
         |ORDER BY kind, key""".stripMargin,
 
     "n170_card_render" ->
@@ -6222,7 +6224,7 @@ object SparkEntry {
       """WITH f AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tk
         |  FROM documents WHERE doc_id % 89 <> 0),
-        |tb AS (SELECT least(greatest(tk // 17, 0), 255) AS bin,
+        |tb AS (SELECT least(greatest(tk, 0), 4096) // 17 AS bin,
         |       count(*) AS cnt FROM f GROUP BY 1),
         |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM tb),
         |nn AS (SELECT count(*) AS n FROM f),

@@ -190,12 +190,12 @@ object TakedownDemo {
     val centroidsDf = ivfAfter.centroids.toSeq.toDF("list_id", "centroid")
       .coalesce(1)
     // the edge-retention contract: the pair relation versions BESIDE
-    // the assignment (candidate-sized) — the next takedown needs it
-    val pairsAfter = nearPairs
-      .join(removed.withColumnRenamed("doc_id", "doc_id_a"),
-        Seq("doc_id_a"), "left_anti")
-      .join(removed.withColumnRenamed("doc_id", "doc_id_b"),
-        Seq("doc_id_b"), "left_anti")
+    // the assignment (candidate-sized) — the next takedown needs it;
+    // retraction is the shared anti-join applied to each endpoint
+    val pairsAfter = Dedup.retractFromIndex(
+        Dedup.retractFromIndex(nearPairs,
+          removed.withColumnRenamed("doc_id", "doc_id_a"), idCol = "doc_id_a"),
+        removed.withColumnRenamed("doc_id", "doc_id_b"), idCol = "doc_id_b")
       .select("doc_id_a", "doc_id_b")
     val v1 = Manifest.publish(outDir, Map(
       "corpus" -> Family(corpus),

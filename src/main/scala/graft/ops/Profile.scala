@@ -80,10 +80,20 @@ object Profile {
     * counts (`lang_docs` / `lang_tokens`, exact), and a FIXED-EDGE
     * token-count histogram (`tok_bin`, the streaming-quantiles bin
     * convention: edges are parameters, not data, so shard bins align
-    * by construction; out-of-range values clamp into the edge bins).
-    * Deliberately NO min/max/HLL rows: min/max cannot retract and HLL
-    * cannot subtract — everything in this state is a count, so
-    * append/retract interleavings commute exactly (spec law).
+    * by construction; a VALUE outside [lo, hi] is clamped to the
+    * nearest edge BEFORE binning, so every out-of-range token count is
+    * recorded as lo or hi — choose `hi` at or above the real range for
+    * exact brackets). Deliberately NO min/max/HLL rows: min/max cannot
+    * retract and HLL cannot subtract — everything in this state is a
+    * count, so append/retract interleavings commute exactly (spec
+    * law). Zero-valued rows are never emitted (zero IS the absent row
+    * — the same convention [[mergeCardStates]] enforces, so merge ≡
+    * from-scratch rebuild even for a language whose every text is
+    * empty). The edge parameters are part of the state's IDENTITY:
+    * every lifecycle call on a state must pass the same (bins, lo,
+    * hi) — publish them beside the state (e.g. a
+    * [[graft.sources.Manifest]] blob); a mismatched retraction shows
+    * up as negative counts, which [[cardFromState]] rejects.
     *
     * 100 TB shape: one grouped agg per shard over a text-free slim
     * projection (lang, token count) — the card state for a slice is
@@ -105,15 +115,20 @@ object Profile {
         struct(lit("lang_tokens").as("kind"), col("lang").as("key"),
           col("nt").cast("long").as("value")))).as("r"))
       .select("r.kind", "r.key", "r.value")
-    // integer `div`, not `/` (Column./ is double division): the bin of
-    // a clamped token count under the FIXED edges
+    // integer `div`, not `/` (Column./ is double division). The VALUE
+    // clamps into [lo, hi] before binning — so the occupied bins all
+    // lie at or below bin(hi), and every bin's bracket [lo + b*w,
+    // min(hi, lo + (b+1)*w - 1)] truly contains its members
     val binRows = slim.select(
-        least(greatest(expr(s"(tk - ${lo}L) div ${w}L"), lit(0L)),
-          lit(bins - 1L)).cast("long").as("bin"))
+        expr(s"(least(greatest(tk, ${lo}L), ${hi}L) - ${lo}L) div ${w}L")
+          .cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("value"))
       .select(lit("tok_bin").as("kind"), col("bin").cast("string").as("key"),
         col("value"))
-    langRows.unionByName(binRows)
+    // zero rows never enter the state: zero is the absent row (keeps
+    // merge ≡ rebuild when e.g. a language's every text is empty —
+    // its lang_tokens sum is 0 and must be absent on BOTH sides)
+    langRows.unionByName(binRows).filter(col("value") =!= 0L)
   }
 
   /** Keyed addition over two card states — associative and
@@ -145,9 +160,12 @@ object Profile {
     * quantiles as the [lo, hi] BRACKET of the bin holding rank
     * ceil(q·n) (the [[Sketch.histQuantiles]] semantics — the state
     * keeps bin counts, not values, so a bracket is what it can
-    * honestly answer; the spec pins bracket-contains-exact against
-    * [[dataCard]]'s percentile). Output: `(section, key, value)`
-    * doubles, the [[dataCard]] shape.
+    * honestly answer). The bracket law holds for the CLAMPED
+    * distribution: [[cardState]] records out-of-range values as
+    * lo/hi, so a rank landing in an edge bin brackets the clamp
+    * point — choose `hi` at or above the real range for exact
+    * brackets (the spec pins bracket-contains-clamped-order-statistic).
+    * Output: `(section, key, value)` doubles, the [[dataCard]] shape.
     */
   def cardFromState(state: DataFrame, qs: Seq[Double] = Seq(0.5),
                     bins: Int = 256, lo: Long = 0L,
@@ -155,9 +173,24 @@ object Profile {
     import org.apache.spark.sql.expressions.Window
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must lie in (0, 1]")
+    // quantile keys label as round(q*100) — a truncating cast would
+    // mislabel 0.29 as p28 (0.29*100 = 28.999... in binary); quantiles
+    // closer than 0.01 would collide on one label, so refuse them
+    val labels = qs.map(q => math.round(q * 100.0))
+    require(labels.distinct.size == qs.size,
+      s"quantile labels collide: $qs all label p{round(q*100)} — " +
+        "quantiles must differ by at least 0.01")
     val w = (hi - lo + bins) / bins
     val st = state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a negative count is ALWAYS lifecycle corruption (a retraction
+      // applied with different edges, or against the wrong state) —
+      // fail fast instead of rendering a silently-wrong card
+      val neg = st.filter(col("value") < 0L).limit(1).collect()
+      require(neg.isEmpty,
+        s"card state carries a negative count (${neg.headOption}) — a " +
+          "retraction ran with mismatched (bins, lo, hi) edges or " +
+          "against the wrong state; edges are part of the state's identity")
       def sec(section: String, key: Column, value: Column)
              (df: DataFrame): DataFrame =
         df.select(lit(section).as("section"), key.as("key"),
@@ -182,10 +215,12 @@ object Profile {
         .groupBy("q", "r").agg(min(col("bin")).as("bin"))
         .select(col("q"), (lit(lo) + col("bin") * w).as("blo"),
           least(lit(hi), lit(lo) + (col("bin") + 1) * w - 1).as("bhi"))
-      val qLo = sec("quality", concat(lit("p"), (col("q") * 100).cast("int"),
-        lit("_tokens_lo")), col("blo"))(bracket)
-      val qHi = sec("quality", concat(lit("p"), (col("q") * 100).cast("int"),
-        lit("_tokens_hi")), col("bhi"))(bracket)
+      val qLo = sec("quality", concat(lit("p"),
+        round(col("q") * 100).cast("int"), lit("_tokens_lo")),
+        col("blo"))(bracket)
+      val qHi = sec("quality", concat(lit("p"),
+        round(col("q") * 100).cast("int"), lit("_tokens_hi")),
+        col("bhi"))(bracket)
       // materialize before releasing the working set (reliable
       // checkpoint when configured — the Iterate flavor choice)
       graft.ops.Iterate.checkpointed(

@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic, versioned multi-relation publish — the coordination layer
@@ -107,25 +109,20 @@ object Manifest {
     }
   }
 
-  /** Family names recorded in version `version` (the pointer's version
-    * when omitted).
+  /** RELATION family names present in version `version`. Always read
+    * from the version directory — relations are DIRECTORIES, blob
+    * sidecars are plain files, so the listing filter keeps the answer
+    * identical for the current and for time-traveled versions (a
+    * pointer-JSON read would cover only the current one and drift).
     */
   def familiesOf(root: String, version: Long): Seq[String] = {
-    val p = pointerPath(root)
-    // the pointer lists the CURRENT families; older versions list their
-    // directory (names were validated plain at publish time)
-    if (currentVersion(root).contains(version) && Files.exists(p)) {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      """"([^"]+)"""".r.findAllMatchIn(
-          s.substring(s.indexOf('['))).map(_.group(1)).toSeq.sorted
-    } else {
-      val vDir = Paths.get(root, s"v=$version")
-      if (!Files.isDirectory(vDir)) Seq.empty
-      else {
-        val it = Files.list(vDir)
-        try it.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
-        finally it.close()
-      }
+    val vDir = Paths.get(root, s"v=$version")
+    if (!Files.isDirectory(vDir)) Seq.empty
+    else {
+      val it = Files.list(vDir)
+      try it.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally it.close()
     }
   }
 
@@ -159,6 +156,16 @@ object Manifest {
     val dropped = versionDirs(root).filter(_ < keep)
       .map(v => (Paths.get(root, s"v=$v"), v))
     dropped.foreach { case (p, _) => deleteRecursively(p) }
+    // a publish that crashed between writing its temp pointer and the
+    // atomic rename leaves .MANIFEST.json.tmp.N behind — reclaim those
+    // under the same version rule as the directories
+    val it = Files.list(Paths.get(root))
+    try it.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".MANIFEST.json.tmp."))
+      .filter(_.getFileName.toString.stripPrefix(".MANIFEST.json.tmp.")
+        .toLongOption.exists(_ < keep))
+      .foreach(Files.delete(_))
+    finally it.close()
     dropped.map(_._2).sorted
   }
 
@@ -183,12 +190,5 @@ object Manifest {
       finally it.close()
     }
     Files.delete(p)
-  }
-
-  private implicit class IterOps[A](private val it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
   }
 }

@@ -2153,7 +2153,7 @@ class OpsSpec extends SparkSpec {
     def mkDocs(rows: (Long, String, String)*) =
       rows.toDF("doc_id", "lang", "text")
     val a = mkDocs((1L, "en", "one two three"), (2L, "de", "eins zwei"),
-      (3L, "en", ""))
+      (3L, "en", ""), (6L, "xx", ""))
     val b = mkDocs((4L, "en", "four five six seven"), (5L, "fr", "un"))
     def st(df: org.apache.spark.sql.DataFrame) =
       Profile.cardState(df, bins = 8, lo = 0L, hi = 16L)
@@ -2163,11 +2163,17 @@ class OpsSpec extends SparkSpec {
     // merge law: shard states add to the union's from-scratch state
     val merged = Profile.mergeCardStates(st(a), st(b))
     assert(rows(merged) == rows(st(a.unionAll(b))))
-    // hand-check a few rows: 4 en docs? no — 3 en docs (1,3,4), tokens
-    // 3+0+4; the empty doc counts as a doc with 0 tokens in bin 0
+    // hand-check a few rows: 3 en docs (1,3,4), tokens 3+0+4; the
+    // empty doc counts as a doc with 0 tokens in bin 0
     val m = rows(merged).map(t => (t._1, t._2) -> t._3).toMap
     assert(m(("lang_docs", "en")) == 3L && m(("lang_tokens", "en")) == 7L)
-    assert(m(("tok_bin", "0")) == 3L) // tk 0, 1, 2*... width (16+8)/8=3: bins of 0,2 -> 0; 1 -> 0
+    assert(m(("tok_bin", "0")) == 4L) // tk 0 (docs 3,6), 1, 2 all bin 0 at width 3
+    // a language whose EVERY text is empty: the doc count row exists,
+    // the zero token-sum row is ABSENT on both the merged and the
+    // from-scratch side (zero is the absent row — the convention that
+    // keeps merge ≡ rebuild)
+    assert(m(("lang_docs", "xx")) == 1L)
+    assert(!m.contains(("lang_tokens", "xx")))
     // retraction: subtracting the removed docs' own shard state lands
     // on the survivors' from-scratch state; fully-freed keys vanish
     val survivors = a.unionAll(b).filter($"doc_id" =!= 5L)
@@ -2181,10 +2187,17 @@ class OpsSpec extends SparkSpec {
         bins = 8, lo = 0L, hi = 16L), st(b))
     val expect = st(a.filter($"doc_id" =!= 2L).unionAll(b))
     assert(rows(other) == rows(expect))
-    // clamping: an over-range token count lands in the top bin
+    // clamping: an over-range token count is recorded AS hi and lands
+    // in hi's own bin (16 div 3 = 5 at width 3) — never in a bin whose
+    // bracket it would falsify
     val big = mkDocs((9L, "en", Seq.fill(99)("w").mkString(" ")))
     val bs = rows(st(big)).map(t => (t._1, t._2) -> t._3).toMap
-    assert(bs(("tok_bin", "7")) == 1L, "99 tokens > hi 16 must clamp to bin 7")
+    assert(bs(("tok_bin", "5")) == 1L, "99 tokens > hi 16 must clamp to hi's bin")
+    // a retraction with mismatched edges corrupts counts negative —
+    // cardFromState refuses to render such a state
+    val bad = Profile.retractCardState(st(big), big, bins = 4, lo = 0L, hi = 16L)
+    assertThrows[IllegalArgumentException](
+      Profile.cardFromState(bad, Seq(0.5), bins = 4, lo = 0L, hi = 16L).collect())
   }
 
   test("cardFromState: exact fields match dataCard, quantile bracket contains the exact percentile") {
@@ -2200,13 +2213,15 @@ class OpsSpec extends SparkSpec {
     assert(card(("corpus", "n_tokens")) == reference(("corpus", "n_tokens")))
     val langs = reference.keys.filter(_._1 == "lang")
     assert(langs.nonEmpty && langs.forall(k => card(k) == reference(k)))
-    // the bracket honestly contains the true rank-ceil(q·n) order
+    // the bracket honestly contains the CLAMPED rank-ceil(q·n) order
     // statistic (the bracket's own rank convention — dataCard's
     // INTERPOLATED percentile may legitimately fall between brackets
-    // on a gappy distribution, so the order statistic is the law)
+    // on a gappy distribution, so the order statistic is the law; the
+    // state records out-of-range values as lo/hi, hence the clamp)
     val tks = docs.select(TextAnalysis.tokenCount(col("text")).as("tk"))
       .collect().map(_.getLong(0)).sorted
-    val exactP50 = tks(math.max(math.ceil(0.5 * tks.length).toLong, 1L).toInt - 1)
+    val exactP50 = math.min(4096L, math.max(0L,
+      tks(math.max(math.ceil(0.5 * tks.length).toLong, 1L).toInt - 1)))
     assert(card(("quality", "p50_tokens_lo")) <= exactP50 &&
       exactP50 <= card(("quality", "p50_tokens_hi")),
       s"bracket [${card(("quality", "p50_tokens_lo"))}, " +
