@@ -825,6 +825,36 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("status"), col("n_docs"))
   }
 
+  /** One ingested document for [[streamingCardCounts]]. */
+  final case class CardDoc(ts: Timestamp, doc_id: Long, lang: String,
+                           text: String)
+
+  /** Streaming data-card ledger — the card family's streaming member
+    * (batch = [[graft.ops.Profile.cardState]], incremental =
+    * merge/retract, and THIS for the live ingest view): per
+    * (event-time window, lang) doc and token counts via ONE
+    * watermarked tumbling aggregate — no custom state. Each flushed
+    * window's rows are a card-state LEDGER SHARD: summing a window's
+    * rows over langs reproduces `cardState`'s `lang_docs` /
+    * `lang_tokens` entries for exactly the docs in that window (the
+    * spec law), so folding a flushed window into the published card
+    * state is pure keyed addition — the n169 algebra, fed by the
+    * stream. Bounded (batch) inputs run the same aggregate without
+    * the watermark gate, so backfills and the live path cannot
+    * disagree.
+    */
+  def streamingCardCounts(docs: Dataset[CardDoc],
+                          window_ : String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val df = docs.toDF()
+    val src = if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    src.groupBy(window(col("ts"), window_).as("w"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      .select(col("w.start").as("window_start"), col("lang"),
+        col("n_docs"), col("n_tokens"))
+  }
+
   /** One observed (group, item) occurrence for [[streamingHeavyHitters]]. */
   final case class GroupItem(group: String, item: String)
   /** Summary row: `est` is the SpaceSaving estimate (always >= the true

@@ -1704,4 +1704,66 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingCardCounts: flushed windows are card-state ledger shards; batch path agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      // window 00:00 holds 3 en docs (7 tokens total, one empty text)
+      // and 1 de doc (2 tokens); later docs advance the watermark
+      val rows0 = Seq(
+        (t(1), 1L, "en", "one two three"),
+        (t(2), 2L, "de", "eins zwei"),
+        (t(3), 3L, "en", ""),
+        (t(4), 4L, "en", "four five six seven"))
+      val mem = MemoryStream[(Timestamp, Long, String, String)]
+      val q = EventStreams.streamingCardCounts(
+          mem.toDS().map(r => EventStreams.CardDoc(r._1, r._2, r._3, r._4)),
+          window_ = "1 hour", watermark = "1 second")
+        .writeStream.format("memory").queryName("card_counts")
+        .outputMode("append").start()
+      try {
+        mem.addData(rows0.take(2)); q.processAllAvailable()
+        mem.addData(rows0.drop(2)); q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 100L, "en", "flush doc"))
+        q.processAllAvailable()
+        mem.addData((Timestamp.valueOf("2024-01-01 11:00:00"), 101L, "en", "flush two"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.sql(
+          "SELECT window_start, lang, n_docs, n_tokens FROM card_counts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+      val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      // only the watermark-flushed window emits
+      assert(got.forall(_._1 == w0), s"unflushed window leaked: ${got.toSeq}")
+      // the ledger-shard law: the window's rows ARE cardState's
+      // lang_docs/lang_tokens entries for exactly the docs it holds
+      // (cross-batch aggregation: en spans both micro-batches)
+      val byLang = got.map(r => r._2 -> ((r._3, r._4))).toMap
+      assert(byLang == Map("en" -> ((3L, 7L)), "de" -> ((1L, 2L))))
+      val state = graft.ops.Profile.cardState(
+          rows0.toDF("ts", "doc_id", "lang", "text"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(byLang.forall { case (lang, (nd, nt)) =>
+        state(("lang_docs", lang)) == nd &&
+          state.getOrElse(("lang_tokens", lang), 0L) == nt
+      }, "flushed window rows must be a card-state ledger shard")
+      // bounded input: same aggregate, no watermark gate — every
+      // window reports, including the open one
+      val batch = EventStreams.streamingCardCounts(
+          rows0.map(r => EventStreams.CardDoc(r._1, r._2, r._3, r._4)).toDS(),
+          window_ = "1 hour")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch == Set(("en", 3L, 7L), ("de", 1L, 2L)))
+    } finally {
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 }

@@ -291,6 +291,13 @@ class PlanLintSpec extends SparkSpec {
           () => m.addData((ts, 1L, "alpha beta gamma delta epsilon")))
       }
       locally {
+        val m = MemoryStream[(Timestamp, Long, String, String)]
+        drive("card_counts", EventStreams.streamingCardCounts(
+          m.toDS().map(t => EventStreams.CardDoc(t._1, t._2, t._3, t._4)),
+          window_ = "1 hour", watermark = "1 second"),
+          () => m.addData((ts, 1L, "en", "alpha beta gamma")))
+      }
+      locally {
         val m = MemoryStream[EventStreams.GroupItem]
         drive("heavy_hitters", EventStreams.streamingHeavyHitters(m.toDS(), k = 3),
           () => m.addData(EventStreams.GroupItem("g", "x")))
@@ -310,8 +317,8 @@ class PlanLintSpec extends SparkSpec {
       }
       // (a) the batch lint's scale-killer walk, applied to the EXECUTED
       // micro-batch plans (VERDICT r10 #8: the original 14 surfaces
-      // shipped unlinted; r12 adds the takedown-enabled yield and the
-      // windowed yield counts — 16 surfaces)
+      // shipped unlinted; r12 adds the takedown-enabled yield, the
+      // windowed yield counts, and the card ledger — 17 surfaces)
       val bad = plans.toSeq.flatMap { case (n, p) =>
         // walk the outer tree AND every adaptive sub-plan: stateless
         // micro-batch segments run under AQE, whose final plans a
@@ -342,6 +349,7 @@ class PlanLintSpec extends SparkSpec {
         "minhash_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
         "minhash_yield_takedown" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
         "yield_counts" -> Seq("TransformWithStateExec", "TransformWithStateExec", "StateStoreSaveExec"),
+        "card_counts" -> Seq("StateStoreSaveExec"),
         "embedding_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
         "heavy_hitters" -> Seq("TransformWithStateExec"),
         "quantiles" -> Seq("TransformWithStateExec"),
@@ -356,7 +364,7 @@ class PlanLintSpec extends SparkSpec {
       // the executed plan — the bound that reaps their state
       Seq("dedup_watermark", "tumbling", "sliding", "session_counts",
         "ss_join", "ss_left_join", "sessionize_fmgws", "sessionize_timers",
-        "yield_counts")
+        "yield_counts", "card_counts")
         .foreach { n =>
           assert(StreamingIntrospect.hasWatermarkNode(plans(n)),
             s"$n must carry its watermark into the executed plan")
