@@ -619,4 +619,41 @@ class PropertySpec extends SparkSpec {
     }).passed,
       "incremental == batch on the union AND retraction == batch on survivors")
   }
+
+  test("card-state algebra law: merge/retract equal from-scratch states on generated corpora") {
+    import spark.implicits._
+    // random corpora over a tiny lang set with empty texts mixed in
+    // (the zero-row convention's hard case), a random shard split, and
+    // a random takedown subset — merge ≡ union's state and
+    // retract-after-merge ≡ survivors' state must hold for all of it
+    val docGen = for {
+      lang <- Gen.oneOf("en", "de", "fr")
+      n <- Gen.frequency(2 -> Gen.const(0), 8 -> Gen.choose(1, 40))
+    } yield (lang, Seq.fill(n)("w").mkString(" "))
+    val corpora = for {
+      k <- Gen.choose(2, 10)
+      ds <- Gen.listOfN(k, docGen)
+      split <- Gen.choose(0, k)
+      rm <- Gen.someOf(0 until k)
+    } yield (ds.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) },
+      split, rm.toSeq.map(_.toLong))
+    def smap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    assert(SCTest.check(params, Prop.forAll(corpora) { case (ds, split, rm) =>
+      val bins = 8; val lo = 0L; val hi = 32L
+      def st(rows: Seq[(Long, String, String)]) =
+        graft.ops.Profile.cardState(rows.toDF("doc_id", "lang", "text"),
+          bins, lo, hi)
+      val merged = graft.ops.Profile.mergeCardStates(
+        st(ds.take(split)), st(ds.drop(split)))
+      val mergeLaw = smap(merged) == smap(st(ds))
+      val removedRows = ds.filter(d => rm.contains(d._1))
+      val retracted = graft.ops.Profile.retractCardState(merged,
+        removedRows.toDF("doc_id", "lang", "text"), bins, lo, hi)
+      val retractLaw =
+        smap(retracted) == smap(st(ds.filterNot(d => rm.contains(d._1))))
+      mergeLaw && retractLaw
+    }).passed, "merge ≡ union state AND retract ≡ survivors' state")
+  }
 }
