@@ -83,7 +83,16 @@ object Profile {
     * by construction; a VALUE outside [lo, hi] is clamped to the
     * nearest edge BEFORE binning, so every out-of-range token count is
     * recorded as lo or hi — choose `hi` at or above the real range for
-    * exact brackets). Deliberately NO min/max/HLL rows: min/max cannot
+    * exact brackets). Bin-occupancy note (ADVICE r12): the integer
+    * width `w = ceil((hi - lo + 1) / bins)` over-covers whenever
+    * bins does not divide the range, so only bins `0 .. (hi - lo) / w`
+    * are reachable — `floor((hi - lo) / w) + 1` occupied bins (241 of
+    * 256 at the defaults: w = 17 over [0, 4096]); the effective
+    * histogram resolution is that occupied count, not `bins`. The
+    * width formula is part of the state's IDENTITY exactly like the
+    * edges (changing it orphans every published state), so it is
+    * documented rather than repacked. Deliberately NO min/max/HLL
+    * rows: min/max cannot
     * retract and HLL cannot subtract — everything in this state is a
     * count, so append/retract interleavings commute exactly (spec
     * law). Zero-valued rows are never emitted (zero IS the absent row

@@ -916,6 +916,15 @@ object TextAnalysis {
     * add ln-terms identically.
     */
   def bigramNllAgainstState(docs: DataFrame, state: DataFrame): DataFrame = {
+    // a negative count is ALWAYS lifecycle corruption (a retraction run
+    // against the wrong state — mergeBigramLmStates only drops exact
+    // zeros): log(negative) would silently yield null avg_nll, so fail
+    // fast instead — the cardFromState convention for the same
+    // corruption class
+    val neg = state.filter(col("cnt") < 0L).limit(1).collect()
+    require(neg.isEmpty,
+      s"LM state carries a negative count (${neg.headOption}) — a " +
+        "retraction ran against the wrong state")
     val grams = docs
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), explode(char_bigrams(col("text"))).as("bigram"))
@@ -1105,7 +1114,15 @@ object TextAnalysis {
     val tf = tok.join(broadcast(qterms), Seq("term"), "left_semi")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bm25ScoreTail(qt, tf, dl, stats, k, k1, b)
+    // the top-k is queries x k sized — materialize it, then release
+    // the internal persists (the contaminationAgainstIndex convention:
+    // repeated searches in a long-lived session must not accumulate
+    // cached relations)
+    try graft.ops.Iterate.checkpointed(bm25ScoreTail(qt, tf, dl, stats, k, k1, b))
+    finally {
+      tf.unpersist(blocking = false)
+      dl.unpersist(blocking = false)
+    }
   }
 
   /** The BM25 scoring tail shared VERBATIM by [[bm25Search]] (tf/dl
@@ -1206,8 +1223,12 @@ object TextAnalysis {
     val tf = postings.join(broadcast(qterms), Seq("term"), "left_semi")
       .select(col("doc_id"), col("term"), col("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bm25ScoreTail(qt, tf, docStats.select(col("doc_id"), col("dl")),
-      stats, k, k1, b)
+    // materialize the top-k and release tf before returning (the
+    // contaminationAgainstIndex convention)
+    try graft.ops.Iterate.checkpointed(
+      bm25ScoreTail(qt, tf, docStats.select(col("doc_id"), col("dl")),
+        stats, k, k1, b))
+    finally tf.unpersist(blocking = false)
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -6,6 +6,50 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+// ---------------------------------------------------------------------
+// Streaming STATE case classes live at the TOP LEVEL of the package, not
+// nested in the object (VERDICT r12 #2): Janino cannot resolve the
+// accessors of object-nested classes in generated encoder code ("No
+// applicable constructor/method found ... EventStreams$SessSt.start()"),
+// so every stateful micro-batch paid a failed compile + interpreted
+// (row-at-a-time) state encode/decode and flooded logs with
+// CodeGenerator ERRORs. Top-level classes codegen cleanly.
+// CHECKPOINT COMPATIBILITY: the hoist renames the encoder target class
+// (EventStreams$SessSt -> graft.streaming.SessSt) — a query restarted
+// from a pre-r13 checkpoint fails state schema validation BY DESIGN;
+// restart stateful queries from a fresh checkpoint location (the r11
+// ADVICE convention).
+// ---------------------------------------------------------------------
+
+/** flatMapGroupsWithState session accumulator ([[EventStreams.sessionize]]). */
+final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+/** Pending-interval state of [[EventStreams.sessionizeWithTimers]]. */
+private[streaming] final case class SessSt(start: Long, last: Long, n: Long)
+
+/** Per-doc verdict tally of the yield streams' stage 2. */
+private[streaming] final case class BandTally(seen: Int, collided: Boolean,
+                                              cross: Boolean, tsMax: Long)
+
+/** A live minhash band claim: the OWNING doc_id plus the evidence the
+  * verifier scores against (the full signature). The owner id is what
+  * makes takedown possible at all — a claim that cannot name its owner
+  * cannot be released by a purge of that owner.
+  */
+private[streaming] final case class Claim(owner: Long, s: Array[Long])
+
+/** A live sign-LSH bucket claim: owner id + int8 codes ([[Claim]]'s
+  * embedding twin).
+  */
+private[streaming] final case class EmbClaim(owner: Long, c: Array[Int])
+
+/** One SpaceSaving counter slot ([[EventStreams.streamingHeavyHitters]]). */
+private[streaming] final case class HhSlot(item: String, cnt: Long, err: Long)
+
+/** Per-group fixed-bin histogram state ([[EventStreams.streamingQuantiles]]). */
+private[streaming] final case class QHist(counts: Array[Long], n: Long,
+                                          mn: Long, mx: Long)
+
 /** Structured Streaming slice (SURVEY.md §2.12): the reference is pure
   * batch, so these re-express its time-window aggregate (A1) over an
   * unbounded `events(ts, user_id, event_type, value, ...)` source, plus
@@ -125,7 +169,6 @@ object EventStreams {
     events.join(broadcast(dim), key)
 
   final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
 
@@ -230,8 +273,6 @@ object EventStreams {
     */
   final case class SessionRow(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Long)
-
-  private final case class SessSt(start: Long, last: Long, n: Long)
 
   /** Per-user sessionization as an explicit state machine with
     * EVENT-TIME TIMERS — the transformWithState mechanism neither
@@ -379,14 +420,6 @@ object EventStreams {
     */
   final case class BandVerdict(doc_id: Long, ts: Timestamp, fresh: Boolean,
                                prior: Boolean)
-  private final case class BandTally(seen: Int, collided: Boolean,
-                                     cross: Boolean, tsMax: Long)
-  /** A live band claim: the OWNING doc_id plus the evidence the
-    * verifier scores against (full signature / int8 codes). The owner
-    * id is what makes takedown possible at all — a claim that cannot
-    * name its owner cannot be released by a purge of that owner.
-    */
-  private final case class Claim(owner: Long, s: Array[Long])
   /** Per-document crawl-yield verdict ([[streamingMinhashYield]] /
     * [[streamingEmbeddingYield]]): status is `admitted` (every band
     * fresh — the doc the dedup stream emits), `cross` (suppressed by
@@ -647,10 +680,6 @@ object EventStreams {
     */
   final case class EmbBandRow(band_key: String, ts: Timestamp, doc_id: Long,
                               codes: Array[Int], retract: Boolean = false)
-  /** A live bucket claim: owner id + its int8 codes ([[Claim]]'s
-    * embedding twin — the owner id is what makes takedown possible).
-    */
-  private final case class EmbClaim(owner: Long, c: Array[Int])
 
   /** Stage 1 of streaming embedding near-dup, keyed by SIGN-LSH BUCKET:
     * the first vector to present a bucket claims it, storing its INT8
@@ -865,7 +894,6 @@ object EventStreams {
     */
   final case class HhRow(group: String, item: String, est: Long, err: Long,
                          n_seen: Long)
-  private final case class HhSlot(item: String, cnt: Long, err: Long)
 
   /** SpaceSaving (Metwally, Agrawal & El Abbadi 2005) over a stream,
     * keyed by group: k counter slots per group; a known item
@@ -960,8 +988,6 @@ object EventStreams {
     */
   final case class QBracket(group: String, q: Double, n_seen: Long,
                             bracket_lo: Long, bracket_hi: Long)
-  private final case class QHist(counts: Array[Long], n: Long,
-                                 mn: Long, mx: Long)
 
   /** Fixed-bin integer histogram per group: counts are ADDITIVE, so the
     * sketch is mergeable and every emitted bracket is invariant to

@@ -734,6 +734,15 @@ class OpsSpec extends SparkSpec {
     assert(rescored(4L) == math.rint(
       (math.log(smap(retracted).values.sum.toDouble)) * 1e6) / 1e6,
       "all-unseen doc scores exactly ln(total) — the formula ceiling")
+    // lifecycle-corruption guard (ADVICE r12): a retraction run against
+    // the WRONG state leaves negative counts, and scoring must fail
+    // fast instead of silently folding log(negative) into null avg_nll
+    val corrupt = TextAnalysis.retractBigramLmState(
+      TextAnalysis.bigramLmState(a), d.filter($"doc_id" === 4L))
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bigramNllAgainstState(d, corrupt)
+    }
+    assert(ex.getMessage.contains("negative count"))
   }
 
   test("minhash LSH finds near-duplicates and verifies exact jaccard") {
