@@ -83,11 +83,14 @@ object TakedownDemo {
   }
 
   /** The purge as one function (spec-driven too). Returns stage counts;
-    * publishes TWO manifest versions under `outDir` (the pre-purge
+    * publishes THREE manifest versions under `outDir` (the pre-purge
     * state as v=N, the purged state as v=N+1 — one atomic pointer
-    * swap between them), band/sign/hamming indexes partitionBy(band)
-    * and IVF by list_id (the spec-proven pruning layouts), the bloom
-    * sidecar versioned beside the index it summarizes.
+    * swap between them — and the admitted re-crawl slice as an
+    * O(slice) DELTA at v=N+2: corpus + band index appended, card
+    * state rewritten, everything else carried forward by reference),
+    * band/sign/hamming indexes partitionBy(band) and IVF by list_id
+    * (the spec-proven pruning layouts), the bloom sidecar versioned
+    * beside the index it summarizes.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -214,17 +217,21 @@ object TakedownDemo {
       "doc_stats" -> Family(docStatsRel),
       "lm_state" -> Family(lmState)),
       blobs = Map("band_index.bloom" -> Dedup.indexBloom(bandIndex)))
+    // DELTA PUBLISH (r13): v2 carries only the families the purge
+    // CHANGED — ivf_centroids are frozen across retraction (the whole
+    // point of frozen-centroid maintenance), so they are NOT passed
+    // and their snapshot entry carries forward to v=1's directory
+    // with zero bytes written; every read still resolves them
     val v2 = Manifest.publish(outDir, Map(
       "corpus" -> Family(corpusAfter),
       "digests" -> Family(digestsAfter),
       "band_index" -> Family(bandAfter, partitionBy = Seq("band")),
       "sign_index" -> Family(signAfter, partitionBy = Seq("band")),
       // the ANN serving state: assigned rows laid out by list (the
-      // partition-pruning layout), codes beside them, and the frozen
-      // centroids as a metadata-sized sidecar — enough for the spec
+      // partition-pruning layout), codes beside them; the frozen
+      // centroids ride v=1 by reference — enough for the spec
       // to replay the frozen rebuild from disk
       "ivf_assigned" -> Family(ivfAfter.assigned, partitionBy = Seq("list_id")),
-      "ivf_centroids" -> Family(centroidsDf),
       "pq_encoded" -> Family(pqAfter.encoded),
       "hamming_index" -> Family(hammingAfter, partitionBy = Seq("band")),
       "gram_index" -> Family(gramAfter),
@@ -339,7 +346,31 @@ object TakedownDemo {
         Manifest.read(spark, outDir, "doc_stats"), searchQ, k = 10)
       .filter(col("doc_id").isin(removedIds: _*)).count()
 
+    // ---- 4. the slice lands as an O(slice) DELTA publish (r13) ------
+    // the admitted docs APPEND to the corpus and band index as delta
+    // segments (slice-sized writes — readers union them with the base),
+    // the metadata-sized card state rewrites, and the other TWELVE
+    // entries carry forward by reference with zero bytes written: the
+    // weekly ingest cycle stops re-materializing the corpus
+    val admitted = checkpointed(nearAdmitted)
+    val sliceBands = checkpointed(Dedup.minhashBandIndex(admitted, k = 5,
+      numHashes = 64, bands = 16))
+    // the bloom sidecar must cover the delta too (a bloom that
+    // under-covers its index re-admits near-dups of just-appended
+    // docs): the refresh is one aggregate over the index rows —
+    // compute-linear but WRITE-O(KB), so the publish stays O(slice)
+    // on bytes, which is what delta publish buys
+    val v3 = Manifest.publish(outDir, Map(
+      "corpus" -> Family(admitted, append = true),
+      "band_index" -> Family(sliceBands, partitionBy = Seq("band"),
+        append = true),
+      "card_state" -> Family(cardFinal)),
+      blobs = Map("band_index.bloom" ->
+        Dedup.indexBloom(bandAfter.unionByName(sliceBands))))
+    require(v3 == v2 + 1, s"unexpected version $v3")
+
     Map(
+      "n_corpus_v3" -> Manifest.read(spark, outDir, "corpus").count(),
       "n_postings_after" -> postingsAfter.count(),
       "n_bm25_leaked" -> nBm25Leaked,
       "n_lm_rows_after" -> lmAfter.count(),

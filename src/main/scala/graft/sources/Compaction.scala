@@ -31,14 +31,24 @@ object Compaction {
     * target get a bin of their own). Deterministic: files sort by
     * (size desc, path) and bins are scanned in creation order.
     */
-  def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[PlanEntry] = {
+  def plan(spark: SparkSession, dir: String, targetBytes: Long): Seq[PlanEntry] =
+    plan(spark, Seq(dir), targetBytes)
+
+  /** The multi-directory form — one FFD packing over the combined file
+    * listing, so small files from SEPARATE delta segments (the
+    * [[Manifest.compactFamily]] case: one dir per published delta)
+    * pack into shared bins instead of per-dir remainders.
+    */
+  def plan(spark: SparkSession, dirs: Seq[String],
+           targetBytes: Long): Seq[PlanEntry] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.toString, s.getLen))
-      .sortBy { case (p, len) => (-len, p) }
+    val files = dirs.flatMap { dir =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.toString, s.getLen))
+    }.sortBy { case (p, len) => (-len, p) }
     val binLoads = scala.collection.mutable.ArrayBuffer.empty[Long]
     files.map { case (path, len) =>
       val fit = binLoads.indexWhere(_ + len <= targetBytes)

@@ -295,25 +295,56 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     val s1 = graft.examples.TakedownDemo.run(spark, "/root/testdata/sf0.001", dir)
     assert(s1("n_removed") == 2L &&
       s1("n_corpus_after") == s1("n_corpus") - 2L)
-    // the purge is ONE atomic version swap: the pointer sits at v2
-    // (purged), while v1 time-travels to the full pre-purge corpus —
-    // no reader ever saw a nine-way mix
-    assert(graft.sources.Manifest.currentVersion(dir).contains(2L))
+    // the purge is ONE atomic version swap (the purged state is v2,
+    // asserted via time travel below), then the admitted re-crawl
+    // slice lands as the v3 DELTA publish the pointer now sits at —
+    // no reader ever saw a mix at any step
+    assert(graft.sources.Manifest.currentVersion(dir).contains(3L))
     assert(graft.sources.Manifest.readAt(spark, dir, "corpus", 1L)
       .filter(col("doc_id") === 1L).count() == 1L,
       "v1 must still hold the later-purged doc (time travel)")
+    // DELTA PUBLISH laws (r13): the v2 purge rewrote only what it
+    // changed — the frozen centroids were NOT passed, carry forward to
+    // v=1's directory, and still resolve at v2 and v3
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "v=2", "ivf_centroids")),
+      "the unchanged centroids must write zero bytes in the purge publish")
+    assert(graft.sources.Manifest.snapshotAt(dir, 2L)
+      .families("ivf_centroids").segments == Seq(1L))
+    // v3 wrote ONLY the slice deltas + the rewritten card state + the
+    // refreshed bloom: everything else carries forward by reference
+    val v3Names = new java.io.File(s"$dir/v=3").listFiles()
+      .map(_.getName).toSet
+    assert(v3Names == Set("corpus", "band_index", "card_state",
+      "band_index.bloom", "_manifest.json"),
+      s"v3 must hold only the delta families, got $v3Names")
+    val snap3 = graft.sources.Manifest.snapshotAt(dir, 3L)
+    assert(snap3.families("corpus").segments == Seq(2L, 3L) &&
+      snap3.families("band_index").segments == Seq(2L, 3L),
+      "appended families must read base + delta")
+    assert(snap3.families("postings").segments == Seq(2L) &&
+      snap3.families("ivf_centroids").segments == Seq(1L),
+      "untouched families carry forward by reference")
+    // the mixed-version read law: the current corpus is the purged
+    // base UNION the admitted slice, exactly
+    assert(s1("n_corpus_v3") == s1("n_corpus_after") + s1("n_near_admitted"))
+    val curCorpus = graft.sources.Manifest.read(spark, dir, "corpus")
+    assert(curCorpus.filter(col("doc_id") === 1L).isEmpty,
+      "the purged doc must not resurface through the delta")
+    assert(curCorpus.filter(col("doc_id") >= 3000000L).count() ==
+      s1("n_near_admitted"))
     // the purged state on disk equals a from-scratch publish of
     // corpus-minus-removed — the lifecycle law, per index family
-    val corpusAfter = graft.sources.Manifest.read(spark, dir, "corpus")
+    val corpusAfter = graft.sources.Manifest.readAt(spark, dir, "corpus", 2L)
     val rebuiltBand = graft.ops.Dedup.minhashBandIndex(corpusAfter,
       k = 5, numHashes = 64, bands = 16)
-    val diskBand = graft.sources.Manifest.read(spark, dir, "band_index")
+    val diskBand = graft.sources.Manifest.readAt(spark, dir, "band_index", 2L)
       .select("doc_id", "band", "bucket")
     assert(diskBand.exceptAll(rebuiltBand).isEmpty &&
       rebuiltBand.exceptAll(diskBand).isEmpty,
       "retracted band index must equal the rebuild on corpus minus removed")
     val rebuiltDigests = graft.ops.Dedup.digestCounts(corpusAfter)
-    val diskDigests = graft.sources.Manifest.read(spark, dir, "digests")
+    val diskDigests = graft.sources.Manifest.readAt(spark, dir, "digests", 2L)
     assert(diskDigests.exceptAll(rebuiltDigests).isEmpty &&
       rebuiltDigests.exceptAll(diskDigests).isEmpty,
       "retracted refcounted digests must equal the rebuild")
@@ -337,7 +368,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       "both ANN indexes must drop exactly the removed vectors")
     assert(s1("n_ivf_leaked") == 0L && s1("n_pq_leaked") == 0L,
       "a purged embedding must not be retrievable through any ANN index")
-    val cents = graft.sources.Manifest.read(spark, dir, "ivf_centroids").collect()
+    val cents = graft.sources.Manifest.readAt(spark, dir, "ivf_centroids", 2L).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     val embAfter = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
@@ -345,7 +376,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     val rebuiltAssigned = graft.ops.Ivf.assignFrozen(embAfter, cents)
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
-    val diskAssigned = graft.sources.Manifest.read(spark, dir, "ivf_assigned")
+    val diskAssigned = graft.sources.Manifest.readAt(spark, dir, "ivf_assigned", 2L)
       .select("vec_id", "list_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(diskAssigned == rebuiltAssigned,
@@ -361,7 +392,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       .select(col("media_id").as("doc_id"), col("dhash").as("sh"))
     val rebuiltHam = graft.ops.Dedup.hammingBandIndex(
       hashes.filter(!col("doc_id").isin(1L, 2L)), maxDistance = 2)
-    val diskHam = graft.sources.Manifest.read(spark, dir, "hamming_index")
+    val diskHam = graft.sources.Manifest.readAt(spark, dir, "hamming_index", 2L)
       .select("doc_id", "band", "bucket")
     assert(diskHam.exceptAll(rebuiltHam).isEmpty &&
       rebuiltHam.exceptAll(diskHam).isEmpty,
@@ -373,8 +404,8 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // the substring re-crawl keeps the PURGED doc's copy whole while
     // the surviving doc's copy is fully excised (disappears)
     val rebuiltGram = graft.ops.TextAnalysis.exactSubstrGramIndex(
-      graft.sources.Manifest.read(spark, dir, "corpus"), n = 8)
-    val diskGram = graft.sources.Manifest.read(spark, dir, "gram_index")
+      graft.sources.Manifest.readAt(spark, dir, "corpus", 2L), n = 8)
+    val diskGram = graft.sources.Manifest.readAt(spark, dir, "gram_index", 2L)
     assert(diskGram.select("g", "cnt").exceptAll(
         rebuiltGram.select("g", "cnt")).isEmpty &&
       rebuiltGram.select("g", "cnt").exceptAll(
@@ -389,8 +420,8 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // incremental fold of the slice pairs equals the batch closure
     // over surviving ∪ slice
     import spark.implicits._
-    val diskPairs = graft.sources.Manifest.read(spark, dir, "near_pairs")
-    val diskClusters = graft.sources.Manifest.read(spark, dir, "clusters")
+    val diskPairs = graft.sources.Manifest.readAt(spark, dir, "near_pairs", 2L)
+    val diskClusters = graft.sources.Manifest.readAt(spark, dir, "clusters", 2L)
     def cmap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cmap(diskClusters) == cmap(graft.ops.Dedup.dupClustersFast(diskPairs)),
@@ -404,13 +435,13 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // the from-scratch state of the survivors
     def smap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(smap(graft.sources.Manifest.read(spark, dir, "card_state")) ==
+    assert(smap(graft.sources.Manifest.readAt(spark, dir, "card_state", 2L)) ==
       smap(graft.ops.Profile.cardState(corpusAfter)),
       "retracted card state must equal the survivors' from-scratch state")
     // the text-search family (r12): retracted postings ≡ rebuild on
     // survivors, and a BM25 query built from the purged doc's own text
     // returns no removed id (the demo's n_bm25_leaked count)
-    val diskPostings = graft.sources.Manifest.read(spark, dir, "postings")
+    val diskPostings = graft.sources.Manifest.readAt(spark, dir, "postings", 2L)
       .select("term", "doc_id", "tf")
     val rebuiltPostings = graft.ops.TextAnalysis.retrievalPostings(corpusAfter)
     assert(diskPostings.exceptAll(rebuiltPostings).isEmpty &&
@@ -420,7 +451,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       "a purged doc must not be retrievable by text search")
     // the quality-model family (r12): the unlearned LM state equals
     // the survivors' from-scratch counts
-    val diskLm = graft.sources.Manifest.read(spark, dir, "lm_state")
+    val diskLm = graft.sources.Manifest.readAt(spark, dir, "lm_state", 2L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rebuiltLm = graft.ops.TextAnalysis.bigramLmState(corpusAfter)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -482,7 +513,7 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(got == expect, s"station value $got != grid-formula $expect")
   }
 
-  test("Manifest: versioned atomic publish, time travel, orphan skip, vacuum") {
+  test("Manifest: versioned atomic publish, delta carry-forward, time travel, orphan skip, vacuum") {
     import spark.implicits._
     import graft.sources.Manifest
     val root = java.nio.file.Files.createTempDirectory("manifest").toString
@@ -491,7 +522,8 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // v1: two families, one in the partitionBy(band) production layout
     val v1 = Manifest.publish(root, Map(
       "corpus" -> Manifest.Family(corpus1),
-      "band_index" -> Manifest.Family(index1, partitionBy = Seq("band"))))
+      "band_index" -> Manifest.Family(index1, partitionBy = Seq("band"))),
+      blobs = Map("band_index.bloom" -> Array[Byte](1, 2, 3)))
     assert(v1 == 1L && Manifest.currentVersion(root).contains(1L))
     assert(Manifest.familiesOf(root, 1L) == Seq("band_index", "corpus"))
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -500,29 +532,89 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // the partitioned layout really landed partitioned
     assert(new java.io.File(s"$root/v=1/band_index").listFiles()
       .exists(_.getName.startsWith("band=")))
-    // v2: the purge — readers at the old pointer keep seeing v1 IN FULL
+    // v2: the purge rewrites ONLY the corpus — the band index and the
+    // blob are NOT passed, so their entries carry forward by reference
+    // (DELTA PUBLISH: zero bytes written for unchanged families)
     val v2 = Manifest.publish(root, Map(
-      "corpus" -> Manifest.Family(corpus1.filter($"doc_id" =!= 2L)),
-      "band_index" -> Manifest.Family(index1.filter($"doc_id" =!= 2L),
-        partitionBy = Seq("band"))))
+      "corpus" -> Manifest.Family(corpus1.filter($"doc_id" =!= 2L))))
     assert(v2 == 2L)
     assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L))
     assert(rows(Manifest.readAt(spark, root, "corpus", 1L)) == Set(1L, 2L),
       "time travel must return the pre-purge corpus")
+    // the carried-forward family resolves at v2 — bit-identical to v1,
+    // out of v=1's directory, which v2's own dir does not contain
+    assert(Manifest.familiesOf(root, 2L) == Seq("band_index", "corpus"))
+    assert(rows(Manifest.read(spark, root, "band_index")) == Set(1L, 2L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=2", "band_index")),
+      "an unchanged family must write nothing under the new version")
+    assert(Manifest.readBlob(root, "band_index.bloom").toSeq == Seq[Byte](1, 2, 3),
+      "a carried-forward blob resolves to the version that wrote it")
+    assert(Manifest.currentSnapshot(root).families("band_index").segments == Seq(1L))
     // a CRASHED publish (directory created, pointer never swapped) is
     // invisible to readers and skipped over by the next publish
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "v=3"))
     assert(Manifest.currentVersion(root).contains(2L))
+    assert(Manifest.familiesOf(root, 3L).isEmpty, "orphans have no snapshot")
+    // v4: APPEND flavor — the slice lands as a delta segment; readers
+    // union base + delta, and the mixed-version read equals what a
+    // full rewrite of the union would serve (the delta-publish law)
     val v4 = Manifest.publish(root, Map(
-      "corpus" -> Manifest.Family(corpus1)))
+      "corpus" -> Manifest.Family(Seq((7L, "g")).toDF("doc_id", "text"),
+        append = true),
+      "band_index" -> Manifest.Family(Seq((7L, 0, 10L))
+        .toDF("doc_id", "band", "bucket"), partitionBy = Seq("band"),
+        append = true)))
     assert(v4 == 4L, "the orphan v=3 must be skipped, not reused")
-    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
-    // vacuum: old versions (incl. the orphan) drop; the pointer's stays
-    assert(Manifest.vacuum(root, keepFrom = 4L) == Seq(1L, 2L, 3L))
-    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v=1")))
-    // vacuum never drops the pointer's version even if asked
-    assert(Manifest.vacuum(root, keepFrom = 99L).isEmpty)
-    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 2L))
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 7L))
+    assert(Manifest.currentSnapshot(root).families("corpus").segments ==
+      Seq(2L, 4L))
+    // the partitioned union keeps the partition column readable AND
+    // matches a from-scratch rewrite row-for-row
+    val bandUnion = Manifest.read(spark, root, "band_index")
+      .select("doc_id", "band", "bucket")
+    val bandRewrite = index1.unionAll(Seq((7L, 0, 10L))
+      .toDF("doc_id", "band", "bucket"))
+    assert(bandUnion.exceptAll(bandRewrite).isEmpty &&
+      bandRewrite.exceptAll(bandUnion).isEmpty,
+      "mixed-version segmented read must equal the full-rewrite relation")
+    // an append may not silently change the family's layout
+    val ex = intercept[IllegalArgumentException] {
+      Manifest.publish(root, Map("band_index" -> Manifest.Family(
+        Seq((9L, 1, 3L)).toDF("doc_id", "band", "bucket"), append = true)))
+    }
+    assert(ex.getMessage.contains("layout"))
+    // the aborted publish left an orphan dir (v=5); the pointer is
+    // untouched and versions keep moving up past it
+    assert(Manifest.currentVersion(root).contains(4L))
+    // vacuum: keepFrom=4 retains snapshot v4 AND every version it
+    // still references — corpus segments [2, 4], band_index [1, 4],
+    // the blob at 1 — so only the orphan v=3 drops; a referenced old
+    // version must survive its age
+    val dropped = Manifest.vacuum(root, keepFrom = 4L)
+    assert(dropped == Seq(3L),
+      s"vacuum must refuse to drop referenced v=1/v=2 (dropped: $dropped)")
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 7L))
+    assert(rows(Manifest.read(spark, root, "band_index")) == Set(1L, 2L, 7L))
+    // COMPACTION: fold the corpus deltas into one base segment via an
+    // ordinary publish — content equal, single segment, orphan v=5
+    // skipped for numbering, carried-forward families untouched
+    val v6 = Manifest.compactFamily(spark, root, "corpus")
+    assert(v6 == 6L, "compaction publishes past the orphan v=5")
+    assert(Manifest.currentSnapshot(root).families("corpus").segments == Seq(6L))
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 7L),
+      "compacted family must equal the uncompacted union row-for-row")
+    assert(rows(Manifest.read(spark, root, "band_index")) == Set(1L, 2L, 7L),
+      "compaction must not disturb carried-forward families")
+    // final vacuum, keep only the pointer's snapshot: compaction freed
+    // the corpus's old segments (v=2 drops) and the orphan v=5 drops,
+    // but v=1 and v=4 STAY — the live snapshot still reads band_index
+    // segments and the blob from them; age alone never frees a
+    // referenced version
+    assert(Manifest.vacuum(root, keepFrom = 99L) == Seq(2L, 5L),
+      "referenced versions survive; compaction-freed and orphan drop")
+    assert(rows(Manifest.read(spark, root, "corpus")) == Set(1L, 7L))
+    assert(rows(Manifest.read(spark, root, "band_index")) == Set(1L, 2L, 7L))
+    assert(Manifest.readBlob(root, "band_index.bloom").toSeq == Seq[Byte](1, 2, 3))
   }
 }
