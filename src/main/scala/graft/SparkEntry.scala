@@ -3749,6 +3749,31 @@ object SparkEntry {
         .orderBy("phrase_id", "doc_id", "pos")
     }),
 
+    "n174_benchmark_lifecycle" -> ((s, dir) => {
+      // the benchmark gram index driven through its LIFECYCLE (r13):
+      // two eval suites publish as per-doc postings (suite A = the
+      // n167 hash sample, suite B = every 7th remaining doc), suite B
+      // retires through the doc-keyed anti-join, the bloom sidecar
+      // rebuilds from the survivors, and the train slice probes the
+      // retracted index — which must equal the from-scratch
+      // single-suite recompute (the oracle: n167's replay with eval =
+      // suite A only)
+      val docs = t(s, dir, "documents")
+      val inA = graft.ops.Sampling.hashFilter(col("doc_id"), 0.1)
+      val suiteA = docs.filter(inA)
+      val suiteB = docs.filter(!inA && col("doc_id") % 7 === 0)
+      val train = docs.filter(!inA && col("doc_id") % 7 =!= 0)
+      val postings = graft.ops.Iterate.checkpointed(
+        TextAnalysis.appendToBenchmarkIndex(
+          TextAnalysis.benchmarkGramPostings(suiteA, 5), suiteB, 5))
+      val retracted = graft.ops.Iterate.checkpointed(
+        TextAnalysis.retractFromBenchmarkIndex(postings,
+          suiteB.select("doc_id")))
+      val bloom = TextAnalysis.benchmarkGramBloom(retracted)
+      TextAnalysis.contaminationAgainstIndex(train, retracted, 5, Some(bloom))
+        .orderBy("doc_id")
+    }),
+
     "n104_heavy_hitters_by_source" -> ((s, dir) => {
       // n95 stratified: per-source heavy hitters (count > n_source/24)
       // via one Misra-Gries summary per (group, partition) and a
@@ -8127,6 +8152,27 @@ object SparkEntry {
         |    AND ws[i+2] = 'gamma' AND ws[i+3] = 'delta')
         |SELECT phrase_id, doc_id, CAST(pos AS BIGINT) AS pos FROM m
         |ORDER BY phrase_id, doc_id, pos""".stripMargin,
+
+    "n174_benchmark_lifecycle" -> {
+      // the retracted two-suite index must equal the from-scratch
+      // single-suite recompute, so the oracle is n167's replay with
+      // eval = suite A and train excluding BOTH suites — the lifecycle
+      // (append then retract) cannot appear in a correct oracle
+      val thr = graft.ops.Sampling.hexThreshold(0.1)
+      val grams = """list_distinct(list_transform(
+        | generate_series(1, len(ws) - 4),
+        | i -> array_to_string(ws[i:i+4], ' ')))""".stripMargin.replace("\n", "")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tg AS (SELECT doc_id, unnest($grams) AS gram FROM w
+         |       WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')
+         |         AND doc_id % 7 <> 0),
+         |eg AS (SELECT DISTINCT unnest($grams) AS gram FROM w
+         |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$thr')
+         |SELECT tg.doc_id, count(*) AS n_grams, count(eg.gram) AS n_shared,
+         | CAST(count(eg.gram) AS DOUBLE) / count(*) AS contamination
+         |FROM tg LEFT JOIN eg ON tg.gram = eg.gram
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin
+    },
 
     "n104_heavy_hitters_by_source" -> // definitional per group
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word

@@ -489,4 +489,130 @@ object Ivf {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // -------------------------------------------------------------------
+  // Retrain-and-republish orchestration (VERDICT r12 "Next round #5"):
+  // the gauges exist (recallAudit / recallAuditPq) and the manifest
+  // versions centroids and codebooks beside the relations — this closes
+  // the loop: audit, retrain only when the gain clears a declared bar,
+  // republish index + sidecars as ONE atomic version.
+  // -------------------------------------------------------------------
+
+  /** Serialize per-subspace PQ codebooks as a byte sidecar (m
+    * subspaces x codebookSize codes x dsub floats — kilobytes), the
+    * [[graft.sources.Manifest]] blob format: a codebook that outlives
+    * the codes it decodes is exactly the skew the manifest prevents.
+    */
+  def codebooksToBytes(books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(books.length)
+    books.foreach { sub =>
+      out.writeInt(sub.length)
+      out.writeInt(if (sub.isEmpty) 0 else sub.head.length)
+      sub.foreach(_.foreach(out.writeFloat))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Inverse of [[codebooksToBytes]] — bit-exact round trip (floats
+    * serialize as raw IEEE bits).
+    */
+  def codebooksFromBytes(bytes: Array[Byte]): Array[Array[Array[Float]]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    Array.fill(in.readInt()) {
+      val k = in.readInt(); val d = in.readInt()
+      Array.fill(k)(Array.fill(d)(in.readFloat()))
+    }
+  }
+
+  /** Publish the ANN serving family as ONE manifest version: the
+    * assigned relation laid out by list (the partition-pruning
+    * layout), the centroid table, the PQ code relation, and the
+    * codebooks as a blob sidecar. Atomicity comes from the manifest's
+    * pointer swap — a concurrent reader resolves either the old
+    * centroids WITH the old codes or the new WITH the new, never a
+    * mix (mixed centroids/codes decode garbage distances silently,
+    * which is why the whole family republishes together or not at
+    * all). Unrelated families at `root` carry forward untouched (the
+    * delta-publish contract).
+    */
+  def publishAnn(root: String, index: Index, pq: PqIndex): Long = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    import graft.sources.Manifest
+    val centDf = index.centroids.toSeq.toDF("list_id", "centroid").coalesce(1)
+    Manifest.publish(root, Map(
+      "ivf_assigned" -> Manifest.Family(index.assigned,
+        partitionBy = Seq("list_id")),
+      "ivf_centroids" -> Manifest.Family(centDf),
+      "pq_encoded" -> Manifest.Family(pq.encoded)),
+      blobs = Map("pq_codebooks" -> codebooksToBytes(pq.codebooks)))
+  }
+
+  /** Read the published ANN family back at the pointer's current
+    * version — the serving state [[publishAnn]] wrote, self-sufficient
+    * for search, append, retract, and the next audit.
+    */
+  def readAnn(spark: org.apache.spark.sql.SparkSession,
+              root: String): (Index, PqIndex) = {
+    import graft.sources.Manifest
+    val cents = Manifest.read(spark, root, "ivf_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val idx = Index(Manifest.read(spark, root, "ivf_assigned"), cents)
+    val pq = PqIndex(Manifest.read(spark, root, "pq_encoded"), cents,
+      codebooksFromBytes(Manifest.readBlob(root, "pq_codebooks")))
+    (idx, pq)
+  }
+
+  /** One [[retrainAndRepublish]] decision: the audited recalls, the
+    * gain a retrain offered, and the version published iff it cleared
+    * the bar.
+    */
+  final case class AnnMaintenance(retrained: Boolean, gain: Double,
+      recallFrozen: Double, recallRetrained: Double, version: Option[Long])
+
+  /** The scheduled ANN maintenance step — the closed loop over the
+    * gauges: audit the PUBLISHED index's partial-probe recall on a
+    * query sample, fit a RETRAIN CANDIDATE (k-means on a capped
+    * sample — cheap; its assigned relation stays lazy), audit the
+    * candidate on the same queries, and republish through
+    * [[publishAnn]] ONLY when the retrain gain exceeds `bar`. A
+    * healthy corpus (appends drawn from the old distribution) audits
+    * a small gain and pays nothing beyond the two sampled audits; a
+    * drifted corpus (the planted boundary-straddling fixture of the
+    * n156/n158 specs) trips the bar and pays the one full re-encode +
+    * atomic republish a retrain costs anyway. `corpus` is the CURRENT
+    * full embedding relation (survivors + appended slices — the
+    * caller's corpus of record, which the assigned relation must
+    * mirror).
+    *
+    * 100 TB shape: the decision path touches a driver-sized training
+    * sample and two audit searches over `auditQueries` (each probes
+    * nProbe lists per query — audit-priced, never a corpus scan); the
+    * corpus-sized work (re-assign + PQ re-encode + write) happens only
+    * on a tripped bar, and lands behind the manifest pointer so
+    * readers never see mixed centroids/codes.
+    */
+  def retrainAndRepublish(root: String, corpus: DataFrame,
+      auditQueries: DataFrame, bar: Double, nLists: Int = 16,
+      m: Int = 8, codebookSize: Int = 16, k: Int = 10, nProbe: Int = 2,
+      seed: Long = 42L, nRows: Long = -1L): AnnMaintenance = {
+    val spark = corpus.sparkSession
+    val (cur, _) = readAnn(spark, root)
+    val n = math.max(if (nRows >= 0L) nRows else corpus.count(), 1L)
+    def recallOf(ix: Index): Double =
+      recallAudit(ix, auditQueries, k, nProbe).head().getAs[Double]("recall")
+    val rFrozen = recallOf(cur)
+    val cand = build(corpus, nLists = nLists, seed = seed, nRows = n)
+    val rCand = recallOf(cand)
+    val gain = rCand - rFrozen
+    if (gain > bar) {
+      val pq = buildPq(cand, m = m, codebookSize = codebookSize,
+        seed = seed, nRows = n)
+      AnnMaintenance(retrained = true, gain, rFrozen, rCand,
+        Some(publishAnn(root, cand, pq)))
+    } else AnnMaintenance(retrained = false, gain, rFrozen, rCand, None)
+  }
 }

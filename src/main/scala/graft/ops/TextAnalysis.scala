@@ -307,6 +307,51 @@ object TextAnalysis {
       xxhash64(col("gram")), expectedKeys, fpp,
       "split the suite and publish one benchmarkGramBloom per shard")
 
+  /** The LIFECYCLE form of the benchmark index — per-doc (doc_id,
+    * gram) postings instead of [[benchmarkGramIndex]]'s gram-distinct
+    * set (VERDICT r12 #8: benchmark suites rotate — new releases
+    * append, retired evals retract — and a bare gram set cannot say
+    * which suite contributed a gram, so it can only rebuild). The
+    * per-doc shape makes the lifecycle compositional with the
+    * machinery that already exists:
+    *
+    *  - append (a new benchmark release): plain `unionByName` of the
+    *    new suite's postings ([[appendToBenchmarkIndex]]);
+    *  - retract (a retired eval): [[Dedup.retractFromIndex]]'s
+    *    doc-keyed broadcast anti-join ([[retractFromBenchmarkIndex]]),
+    *    after which a gram survives iff a LIVE suite doc still holds
+    *    it — exactly the rebuild-on-survivors answer;
+    *  - the probe is UNCHANGED: [[contaminationAgainstIndex]] reads
+    *    only the `gram` column and its semi-join is duplicate-
+    *    indifferent, and [[benchmarkGramBloom]] distincts before
+    *    sketching — both accept either index form, so publish and
+    *    probe cannot drift across the migration. Rebuild the bloom
+    *    sidecar with every retraction (blooms cannot delete — the
+    *    TakedownDemo convention).
+    *
+    * Eval suites are metadata-sized (thousands of docs), so the whole
+    * lifecycle is metadata-priced; the n174 oracle drives
+    * build-two-suites → retract-one → probe against the from-scratch
+    * single-suite recompute.
+    */
+  def benchmarkGramPostings(eval: DataFrame, n: Int = 5): DataFrame =
+    distinctGramRows(eval, n)
+
+  /** Append a new benchmark release to the postings index (disjoint
+    * doc ids by the suite convention — no merging needed).
+    */
+  def appendToBenchmarkIndex(postings: DataFrame, newEval: DataFrame,
+                             n: Int = 5): DataFrame =
+    postings.unionByName(benchmarkGramPostings(newEval, n))
+
+  /** Retract a retired eval suite from the postings index — the
+    * doc-keyed anti-join shared with every per-doc index family.
+    * `removedDocIds` is one `doc_id` column.
+    */
+  def retractFromBenchmarkIndex(postings: DataFrame,
+                                removedDocIds: DataFrame): DataFrame =
+    Dedup.retractFromIndex(postings, removedDocIds)
+
   /** Contamination stats of a train slice against a PUBLISHED
     * [[benchmarkGramIndex]] — output and semantics identical to
     * [[ngramContamination]] (the spec pins row-for-row equality), with

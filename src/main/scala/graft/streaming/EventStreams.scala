@@ -43,6 +43,20 @@ private[streaming] final case class Claim(owner: Long, s: Array[Long])
   */
 private[streaming] final case class EmbClaim(owner: Long, c: Array[Int])
 
+/** One fingerprint presentation for [[EventStreams.streamingExactDedup]]:
+  * the md5 key, the presenting doc and whether the row is a TAKEDOWN
+  * (releases the claim its doc owns instead of presenting).
+  */
+final case class FpRow(band_key: String, ts: Timestamp, doc_id: Long,
+                       retract: Boolean)
+
+/** An admitted presentation ([[EventStreams.streamingExactDedup]]'s
+  * processor output — a case class rather than a bare Long because
+  * Spark 4.1's TransformWithState planning NPEs on primitive output
+  * encoders; the id-only view maps off this afterward).
+  */
+final case class FpAdmitted(doc_id: Long, ts: Timestamp)
+
 /** One SpaceSaving counter slot ([[EventStreams.streamingHeavyHitters]]). */
 private[streaming] final case class HhSlot(item: String, cnt: Long, err: Long)
 
@@ -67,7 +81,11 @@ object EventStreams {
     * event time, which is what makes exact dedup feasible on an
     * unbounded 100 TB stream — state holds one fingerprint per distinct
     * payload per horizon, not per all time. Batch input degrades to a
-    * plain dropDuplicates on the same key.
+    * plain dropDuplicates on the same key. The engine-managed state
+    * here carries NO owner, so it cannot honor a takedown mid-horizon —
+    * corpus pipelines that need the purge contract use
+    * [[streamingExactDedup]] (owner-carrying claims, the
+    * [[streamingMinhashDedup]] machinery at J = 1).
     */
   def streamingDedup(events: DataFrame, payloadCols: Seq[String],
                      watermark: String = "1 hour"): DataFrame = {
@@ -78,6 +96,91 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("__fp")
         .drop("__fp")
     else keyed.dropDuplicates("__fp").drop("__fp")
+  }
+
+  /** The fingerprint claim machine behind [[streamingExactDedup]] —
+    * the exact-dedup member of the owner-carrying claim family
+    * ([[BandClaimProcessor]] with J = 1 semantics, no verification
+    * needed because the key IS the full evidence): the first doc to
+    * present a fingerprint claims it and is emitted; every later
+    * presentation within the TTL horizon drops, including a replay of
+    * the owner itself (each kept id emits exactly once per horizon —
+    * the at-least-once-source property). A TAKEDOWN row releases the
+    * claim iff its doc_id OWNS it — a fingerprint claimed by a
+    * surviving doc keeps suppressing, and a non-owner retract is a
+    * no-op — after which the fingerprint is claimable again, within
+    * the same micro-batch (rows process in (ts, doc_id) order).
+    */
+  private final class FpClaimProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, FpRow, FpAdmitted] {
+    @transient private var owner:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[FpRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FpAdmitted] = {
+      val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id))
+      sorted.iterator.flatMap { r =>
+        if (r.retract) {
+          if (owner.exists() && owner.get() == r.doc_id) owner.clear()
+          Iterator.empty
+        } else if (!owner.exists()) {
+          owner.update(r.doc_id)
+          Iterator.single(FpAdmitted(r.doc_id, r.ts))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming exact dedup WITH the purge contract — the takedown-
+    * aware flavor [[streamingDedup]] cannot express (VERDICT r12:
+    * `dropDuplicatesWithinWatermark` state is fingerprint-keyed with
+    * no owner, so a purged doc's fingerprint keeps suppressing
+    * re-crawls until watermark expiry): emit the doc_ids of documents
+    * whose md5 text fingerprint no live claim holds, with claims that
+    * NAME their owner so a takedown can release exactly the purged
+    * doc's. `takedowns` carries the purged documents (id + text — the
+    * [[graft.ops.Dedup.retractFromDigestCounts]] contract: the purge
+    * has the payload in hand); a post-purge copy is admitted in the
+    * next micro-batch, a fingerprint owned by a survivor still binds.
+    *
+    * Owner-claims ARE the n159 refcount here: the corpus this stream
+    * admits holds at most one live doc per fingerprint, so the
+    * refcount is 0 or 1 and "release iff owner" equals "decrement and
+    * free at zero" — the spec law replays the drained scenario through
+    * the batch digest lifecycle (digestCounts → retract →
+    * incrementalDedupByDigests) and matches. 100 TB shape: text never
+    * enters the shuffle — rows carry (16-byte fingerprint, ts, id);
+    * state is one long per live fingerprint, TTL-bounded (the
+    * processing-time analog of the exact-dedup watermark horizon).
+    * Requires the RocksDB state store provider. Restart from a fresh
+    * checkpoint when switching from [[streamingDedup]] (different
+    * state machinery by design).
+    */
+  def streamingExactDedup(docs: Dataset[Doc],
+      ttl: java.time.Duration = java.time.Duration.ofHours(1),
+      takedowns: Option[Dataset[Doc]] = None): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // claims and takedowns hash through the SAME expression, so a
+    // purge lands on exactly the fingerprint its claim sits under
+    def fpRowsOf(d: Dataset[Doc], retract: Boolean) =
+      d.select(md5(col("text")).as("band_key"), col("ts"), col("doc_id"),
+        lit(retract).as("retract"))
+    val rows = takedowns.fold(fpRowsOf(docs, retract = false))(td =>
+      fpRowsOf(docs, retract = false)
+        .unionByName(fpRowsOf(td, retract = true)))
+    rows.as[FpRow]
+      .groupByKey(_.band_key)
+      .transformWithState(new FpClaimProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+      .map(_.doc_id)
   }
 
   /** Tumbling event-time window aggregate with late-data watermark. */

@@ -1559,6 +1559,76 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-dedup takedown: post-purge copy admitted, surviving fingerprints bind, equals batch digest lifecycle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // ProcessingTime TimeMode busy-loops no-data microbatches (the
+    // dedupWithTtl spec's documented eviction-tick behavior)
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val ta = "the quick brown fox jumps over the lazy dog"
+      val tb = "pack my box with five dozen liquor jugs"
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+      val docs = MemoryStream[(Timestamp, Long, String)]
+      val tds = MemoryStream[(Timestamp, Long, String)]
+      val q = EventStreams.streamingExactDedup(
+          docs.toDS().map(r => EventStreams.Doc(r._1, r._2, r._3)),
+          ttl = java.time.Duration.ofMinutes(10),
+          takedowns = Some(tds.toDS()
+            .map(r => EventStreams.Doc(r._1, r._2, r._3))))
+        .writeStream.format("memory").queryName("exact_takedown")
+        .outputMode("append").start()
+      try {
+        // batch 1: docs 1 (ta) and 3 (tb) claim; replays + copies drop
+        docs.addData((t(1), 1L, ta), (t(2), 3L, tb), (t(3), 5L, ta))
+        q.processAllAvailable()
+        // batch 2: replay of owner 1 must NOT re-emit
+        docs.addData((t(4), 1L, ta)); q.processAllAvailable()
+        // batch 3: purge doc 1 (owns ta's claim) and doc 99 (owns
+        // nothing — same text as tb but NOT the claimer)
+        tds.addData((t(5), 1L, ta), (t(5), 99L, tb)); q.processAllAvailable()
+        // batch 4: ta's copy is ADMITTED (claim released), tb's copy
+        // still drops (surviving owner 3 binds)
+        docs.addData((t(6), 10L, ta), (t(7), 11L, tb)); q.processAllAvailable()
+      } finally q.stop()
+      val kept = spark.sql("SELECT value FROM exact_takedown")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 10L),
+        s"expected {1, 3, 10}: owner replay suppressed, post-purge copy " +
+          s"admitted, survivor's fingerprint still binding — got $kept")
+      // batch degradation law: the drained scenario through the n159
+      // refcounted digest lifecycle admits the same post-purge slice —
+      // digests of the admitted horizon, retract the purged doc,
+      // incremental exact dedup of the final batch against them
+      val horizon = Seq((1L, ta), (3L, tb)).toDF("doc_id", "text")
+      val digests = graft.ops.Dedup.digestCounts(horizon)
+      val retracted = graft.ops.Dedup.retractFromDigestCounts(digests,
+        horizon.filter(col("doc_id") === 1L))
+      val batchAdmitted = graft.ops.Dedup.incrementalDedupByDigests(
+          retracted.select("__digest"),
+          Seq((10L, ta), (11L, tb)).toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchAdmitted == kept.filter(_ >= 10L),
+        s"streaming takedown must equal the batch digest lifecycle: " +
+          s"batch $batchAdmitted vs stream ${kept.filter(_ >= 10L)}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevNoData match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", p)
+        case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
+
   test("streaming embedding takedown: purged vector's copy admitted, survivor's still drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1618,6 +1618,78 @@ class OpsSpec extends SparkSpec {
         s"from a healthy slice (gain $gainNat)")
   }
 
+  test("Ivf.retrainAndRepublish: planted drift trips the bar and republishes atomically; a natural slice does not") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 200)
+    val idx = Ivf.build(old, nLists = 8, nRows = 200L)
+    val pq = Ivf.buildPq(idx, m = 16, codebookSize = 32, nRows = 200L)
+    // the drift fixture of the audit specs: a tight cluster straddling
+    // the Voronoi boundary of the two most separated frozen centroids
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val cs = idx.centroids
+    val (ca, cb) = (for (x <- cs; y <- cs if x._1 < y._1) yield (x, y))
+      .maxBy { case (x, y) => d2(x._2, y._2) }
+    val dim = ca._2.length
+    val planted = (0 until 20).map { t =>
+      val s = (if (t % 2 == 0) 1.0f else -1.0f) * (0.05f + 0.001f * t)
+      (10000L + t, Array.tabulate(dim) { u =>
+        (ca._2(u) + cb._2(u)) / 2 + s * (ca._2(u) - cb._2(u))
+      })
+    }.toDF("vec_id", "embedding")
+    // --- drifted corpus: the weekly append landed, then maintenance ---
+    val root = java.nio.file.Files.createTempDirectory("ann_maint").toString
+    val v1 = Ivf.publishAnn(root,
+      Ivf.append(idx, planted), Ivf.appendPq(pq, planted))
+    assert(v1 == 1L)
+    // the published family round-trips: centroids, codes and the
+    // codebook blob read back bit-exactly (IEEE bits through the blob)
+    val (rIdx, rPq) = Ivf.readAnn(spark, root)
+    assert(rIdx.centroids.map(c => (c._1, c._2.toSeq)).toSeq ==
+      idx.centroids.map(c => (c._1, c._2.toSeq)).toSeq)
+    assert(rPq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val driftCorpus = old.unionByName(planted)
+    val m1 = Ivf.retrainAndRepublish(root, driftCorpus, planted,
+      bar = 0.25, nLists = 8, m = 16, codebookSize = 32, nProbe = 1,
+      nRows = 220L)
+    assert(m1.retrained && m1.version.contains(2L),
+      s"planted drift must trip the bar and republish: $m1")
+    assert(m1.gain > 0.25 && m1.recallRetrained == 1.0,
+      s"the refit must give the shifted cluster its own list: $m1")
+    // post-republish, the read-back state serves correctly: the
+    // retrained index's partial-probe recall is 1 on the drifted
+    // queries, and PQ exhaustive-intent search over the published
+    // codes equals the exact full-probe search (the n21/n158 law,
+    // replayed from disk — codes, centroids and codebooks versioned
+    // TOGETHER, so no mixed state can decode)
+    val (pubIdx, pubPq) = Ivf.readAnn(spark, root)
+    assert(Ivf.recallAudit(pubIdx, planted, k = 10, nProbe = 1)
+      .head().getAs[Double]("recall") == 1.0)
+    val probeQ = planted.filter(col("vec_id") < 10003L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Ivf.searchPq(pubPq, driftCorpus, probeQ, k = 5,
+        nProbe = 8, rerank = Ivf.rerankFor(220L))) ==
+      pairs(Ivf.search(pubIdx, probeQ, k = 5, nProbe = 8)),
+      "published PQ state at exhaustive intent must equal exact search")
+    // --- natural slice: same machinery, gain stays under the bar ---
+    val natural = emb.filter(col("vec_id") >= 200 && col("vec_id") < 220)
+    val root2 = java.nio.file.Files.createTempDirectory("ann_maint_nat").toString
+    Ivf.publishAnn(root2,
+      Ivf.append(idx, natural), Ivf.appendPq(pq, natural))
+    val m2 = Ivf.retrainAndRepublish(root2, old.unionByName(natural),
+      natural, bar = 0.25, nLists = 8, m = 16, codebookSize = 32,
+      nProbe = 1, nRows = 220L)
+    assert(!m2.retrained && m2.version.isEmpty,
+      s"a healthy slice must not trip the bar: $m2")
+    assert(graft.sources.Manifest.currentVersion(root2).contains(1L),
+      "no publish may land when the bar is not tripped")
+  }
+
   test("the band index round-trips its production layout: partitioned parquet, band predicate prunes, dedup identical") {
     import spark.implicits._
     // the scaladoc's storage claim, proved: the index written

@@ -298,6 +298,18 @@ class PlanLintSpec extends SparkSpec {
           () => m.addData((ts, 1L, "en", "alpha beta gamma")))
       }
       locally {
+        val m = MemoryStream[(Timestamp, Long, String)]
+        val td = MemoryStream[(Timestamp, Long, String)]
+        drive("exact_dedup_takedown", EventStreams.streamingExactDedup(
+          m.toDS().map(t => EventStreams.Doc(t._1, t._2, t._3)),
+          takedowns = Some(td.toDS()
+            .map(t => EventStreams.Doc(t._1, t._2, t._3)))),
+          () => {
+            m.addData((ts, 1L, "alpha beta gamma"))
+            td.addData((ts2, 9L, "zeta eta theta"))
+          })
+      }
+      locally {
         val m = MemoryStream[EventStreams.GroupItem]
         drive("heavy_hitters", EventStreams.streamingHeavyHitters(m.toDS(), k = 3),
           () => m.addData(EventStreams.GroupItem("g", "x")))
@@ -318,7 +330,8 @@ class PlanLintSpec extends SparkSpec {
       // (a) the batch lint's scale-killer walk, applied to the EXECUTED
       // micro-batch plans (VERDICT r10 #8: the original 14 surfaces
       // shipped unlinted; r12 adds the takedown-enabled yield, the
-      // windowed yield counts, and the card ledger — 17 surfaces)
+      // windowed yield counts, and the card ledger; r13 the takedown-
+      // aware exact dedup — 18 surfaces)
       val bad = plans.toSeq.flatMap { case (n, p) =>
         // walk the outer tree AND every adaptive sub-plan: stateless
         // micro-batch segments run under AQE, whose final plans a
@@ -351,6 +364,7 @@ class PlanLintSpec extends SparkSpec {
         "yield_counts" -> Seq("TransformWithStateExec", "TransformWithStateExec", "StateStoreSaveExec"),
         "card_counts" -> Seq("StateStoreSaveExec"),
         "embedding_yield" -> Seq("TransformWithStateExec", "TransformWithStateExec"),
+        "exact_dedup_takedown" -> Seq("TransformWithStateExec"),
         "heavy_hitters" -> Seq("TransformWithStateExec"),
         "quantiles" -> Seq("TransformWithStateExec"),
         "enrich" -> Seq.empty)
