@@ -178,7 +178,12 @@ class OpsSpec extends SparkSpec {
     val qs = Seq((1L, "rare"), (2L, "common"), (3L, "rare common"), (4L, "absent"))
       .toDF("query_id", "qtext")
     val res = TextAnalysis.bm25Search(corpus, qs, k = 2)
-    val plan = res.queryExecution.executedPlan.toString
+    // plan-shape lint on the LAZY flavor: the materialized default
+    // checkpoints its result (no cache leak — the r13 ADVICE closure),
+    // which truncates the returned plan to a Scan ExistingRDD, so the
+    // shape is asserted on materialize = false (same tree, unexecuted)
+    val plan = TextAnalysis.bm25Search(corpus, qs, k = 2,
+      materialize = false).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
     // the postings probe is a broadcast left-semi on the query terms —
     // the term filter must run BEFORE any corpus aggregation
