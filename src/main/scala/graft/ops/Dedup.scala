@@ -1297,13 +1297,18 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "doc_id_a",
                   idB: String = "doc_id_b", maxIter: Int = 50): DataFrame = {
-    // Eager checkpoint after every step: truncates the logical plan so
+    // Checkpoint after every step: truncates the logical plan so
     // iteration N does not carry N levels of join lineage (a growing
     // plan OOMs the driver long before the data would), and makes each
     // join read a materialized relation instead of re-deriving
-    // same-lineage branches. Flavor choice lives in Iterate.checkpointed
+    // same-lineage branches. The checkpoints are LAZY and the labelSum
+    // convergence probe doubles as each round's materializing action,
+    // so a round is one driver round-trip, not two (the r13 job-count
+    // profile put the CC loops at ~2 jobs/round, half of them pure
+    // checkpoint fills; edges materialize inside the first probe's
+    // job the same way). Flavor choice lives in Iterate.lazyCheckpointed
     // (reliable checkpoint when a dir is configured, local otherwise).
-    def ckpt(df: DataFrame): DataFrame = Iterate.checkpointed(df)
+    def ckpt(df: DataFrame): DataFrame = Iterate.lazyCheckpointed(df)
     val edges = ckpt(pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct())
@@ -1318,12 +1323,19 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val incoming = edges
+      // the round's update is ONE keyed aggregation over the current
+      // labels unioned with the raw neighbor contributions:
+      // min(label(v), min over incoming lu) — algebraically the old
+      // groupBy-then-left-join-then-least, with one exchange fewer per
+      // round, no outer join, and map-side partial aggregation
+      // collapsing each node's contributions before the shuffle
+      // (guide §2.3/§2.4); a node with no incoming rows keeps its
+      // label (its own row is in the union)
+      val contrib = edges
         .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
-        .groupBy(col("v").as("id")).agg(min(col("lu")).as("cand"))
-      labels = ckpt(labels.join(incoming, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label")))
+        .select(col("v").as("id"), col("lu").as("label"))
+      labels = ckpt(labels.unionByName(contrib)
+        .groupBy(col("id")).agg(min(col("label")).as("label")))
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
@@ -1357,7 +1369,9 @@ object Dedup {
     */
   def dupClustersFast(pairs: DataFrame, idA: String = "doc_id_a",
                       idB: String = "doc_id_b", maxIter: Int = 50): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame = Iterate.checkpointed(df)
+    // lazy checkpoints, labelSum as the materializer — the dupClusters
+    // one-job-per-round discipline (see the comment there)
+    def ckpt(df: DataFrame): DataFrame = Iterate.lazyCheckpointed(df)
     val edges = ckpt(pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionAll(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct())
@@ -1369,12 +1383,14 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val incoming = edges
+      // hook = one keyed aggregation over labels ∪ raw contributions
+      // (the dupClusters round shape — one exchange fewer than the old
+      // groupBy + left join, map-side partial agg)
+      val contrib = edges
         .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
-        .groupBy(col("v").as("id")).agg(min(col("lu")).as("cand"))
-      val hooked = labels.join(incoming, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .select(col("v").as("id"), col("lu").as("label"))
+      val hooked = labels.unionByName(contrib)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
       // shortcut: a label is always a node id (self-initialized, only
       // ever replaced by another node's label), so label(label) is a
       // nodes-bounded self-join; left + coalesce keeps the row if the

@@ -203,11 +203,22 @@ object Graph {
     var cur = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     for (_ <- 1 to rounds) {
+      // each round references `cur` three times (degree agg + both join
+      // prunes), so an un-truncated plan grows 3^rounds references to
+      // the edge build — ReusedExchange collapses the EXECUTION, but
+      // analysis/codegen/task binaries still carry the exponential tree
+      // (r13 profile: 10 MiB task binaries, wall 3.7x the task time,
+      // all driver). A LAZY per-round checkpoint truncates the lineage
+      // to a round-sized plan while adding no job — the chain
+      // materializes inside the caller's one action, and the per-round
+      // persisted blocks make each round's recompute O(1) (guide §7.2:
+      // plan size is a first-class cost).
       val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("src")
-      cur = cur.join(keep, "src")
-        .join(keep.withColumnRenamed("src", "dst"), "dst")
-        .select(col("src"), col("dst"))
+      cur = graft.ops.Iterate.lazyCheckpointed(
+        cur.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select(col("src"), col("dst")))
     }
     cur.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))

@@ -30,6 +30,25 @@ object Iterate {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** [[checkpointed]] with the materialization DEFERRED to the caller's
+    * next action (eager = false): the returned relation has the same
+    * O(1) lineage, but no job runs until something consumes it — so a
+    * loop whose very next statement is an action (the convergence
+    * probe) pays ONE job per round instead of two (checkpoint fill +
+    * probe), and a fixed-round chain pays its whole materialization in
+    * the single final action (r13 job-count profile: the CC loops were
+    * 2 driver round-trips per round, ~half the wall of the
+    * orchestration-bound queries at local[32]). NOT a drop-in for
+    * [[checkpointed]] where eagerness is the contract — e.g. the
+    * incremental dedups materialize BEFORE releasing internal persists
+    * (a lazy swap there would recompute released internals), and
+    * one-shot "publish the artifact now" sites stay eager.
+    */
+  def lazyCheckpointed(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Run `step` from `init` until `measure` stops changing or
     * `maxIter` rounds pass, checkpointing every state so lineage
     * stays O(1) regardless of round count. `measure` is the
@@ -40,12 +59,16 @@ object Iterate {
   def toFixpoint(init: DataFrame, maxIter: Int)(step: DataFrame => DataFrame)(
       measure: DataFrame => Long): (DataFrame, Int) = {
     require(maxIter >= 1, "maxIter must be >= 1")
-    var state = checkpointed(init)
+    // lazy checkpoint + probe-as-materializer: `measure` is the action
+    // that fills each round's checkpoint, so a round is ONE driver
+    // round-trip, not two (guide §1.2 — the per-round fixed cost IS
+    // the distributed algorithm at local bench scale)
+    var state = lazyCheckpointed(init)
     var prev = measure(state)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      state = checkpointed(step(state))
+      state = lazyCheckpointed(step(state))
       val cur = measure(state)
       converged = cur == prev
       prev = cur

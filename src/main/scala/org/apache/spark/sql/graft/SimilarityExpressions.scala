@@ -59,17 +59,44 @@ object SimilarityKernels {
     val s = text.toString
     val len = s.length
     val nShingles = math.max(1, len - k + 1)
+    val hs = new Array[Long](nShingles)
+    var j = 0
+    while (j < nShingles) {
+      hs(j) = Hashing.fnv1a64(s, j, math.min(len, j + k))
+      j += 1
+    }
+    minOverDistinct(hs, numHashes, seed)
+  }
+
+  /** The minhash inner loop over the DISTINCT shingle hashes: natural
+    * text repeats shingles heavily, and a duplicate hash contributes
+    * the identical fmix64 row to every permutation — min over the
+    * distinct set IS min over the multiset, so sorting the hashes and
+    * skipping equal neighbors removes the duplicate share of the
+    * nShingles x numHashes work (the kernel's dominant cost) while the
+    * signature stays bit-identical (spec-pinned against the
+    * per-occurrence form).
+    */
+  private def minOverDistinct(hs: Array[Long], numHashes: Int,
+                              seed: Long): ArrayData = {
+    java.util.Arrays.sort(hs)
     val p = perms(seed, numHashes)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var j = 0
-    while (j < nShingles) {
-      val h = Hashing.fnv1a64(s, j, math.min(len, j + k))
-      var i = 0
-      while (i < numHashes) {
-        val v = Hashing.fmix64(h ^ p(i))
-        if (v < sig(i)) sig(i) = v
-        i += 1
+    var prev = 0L
+    var first = true
+    while (j < hs.length) {
+      val h = hs(j)
+      if (first || h != prev) {
+        var i = 0
+        while (i < numHashes) {
+          val v = Hashing.fmix64(h ^ p(i))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        prev = h
+        first = false
       }
       j += 1
     }
@@ -276,15 +303,28 @@ object SimilarityKernels {
     val s = text.toString
     val len = s.length
     val nShingles = math.max(1, len - k + 1)
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val hs = new Array[Long](nShingles)
     var j = 0
     while (j < nShingles) {
-      set.add(Hashing.fnv1a64(s, j, math.min(len, j + k)))
+      hs(j) = Hashing.fnv1a64(s, j, math.min(len, j + k))
       j += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator(); var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    sortedDistinct(hs)
+  }
+
+  /** Sorted distinct of a primitive long array — the shingle-set tail
+    * (same sorted-distinct output the former boxed TreeSet produced,
+    * without the per-element boxing and tree rebalancing).
+    */
+  private def sortedDistinct(hs: Array[Long]): ArrayData = {
+    java.util.Arrays.sort(hs)
+    var n = 0
+    var j = 0
+    while (j < hs.length) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(n) = hs(j); n += 1 }
+      j += 1
+    }
+    val out = if (n == hs.length) hs else java.util.Arrays.copyOf(hs, n)
     new GenericArrayData(out)
   }
 
@@ -308,14 +348,33 @@ object SimilarityKernels {
   /** Word n-gram j = words[j .. j+n-1] joined with a single space —
     * hashed as that STRING so the oracle can rebuild the exact gram
     * text with array_to_string. Fewer than n words collapse to one
-    * gram of all words (empty text -> the empty-string gram).
+    * gram of all words (empty text -> the empty-string gram). The FNV
+    * fold runs directly over the word chars with the joining space
+    * hashed between words — char-for-char the fold of the joined
+    * string, without materializing it (the former StringBuilder was
+    * one allocation per gram on the kernel's hottest path).
     */
   private def gramHash(words: Array[String], j: Int, n: Int): Long = {
     val end = math.min(words.length, j + n)
-    val sb = new java.lang.StringBuilder()
+    var h = Hashing.FnvOffset
     var i = j
-    while (i < end) { if (i > j) sb.append(' '); sb.append(words(i)); i += 1 }
-    Hashing.fnv1a64(sb)
+    while (i < end) {
+      if (i > j) {
+        // the ' ' separator: low byte 0x20, high byte 0
+        h ^= 0x20L; h *= Hashing.FnvPrime
+        h *= Hashing.FnvPrime
+      }
+      val w = words(i)
+      var c = 0
+      while (c < w.length) {
+        val ch = w.charAt(c)
+        h ^= (ch & 0xff); h *= Hashing.FnvPrime
+        h ^= ((ch >> 8) & 0xff); h *= Hashing.FnvPrime
+        c += 1
+      }
+      i += 1
+    }
+    h
   }
 
   /** MinHash signature over word n-grams — the word-granularity twin of
@@ -326,21 +385,10 @@ object SimilarityKernels {
   def minhashWords(text: UTF8String, n: Int, numHashes: Int, seed: Long): ArrayData = {
     val words = splitWords(text.toString)
     val nGrams = math.max(1, words.length - n + 1)
-    val p = perms(seed, numHashes)
-    val sig = new Array[Long](numHashes)
-    java.util.Arrays.fill(sig, Long.MaxValue)
+    val hs = new Array[Long](nGrams)
     var j = 0
-    while (j < nGrams) {
-      val h = gramHash(words, j, n)
-      var i = 0
-      while (i < numHashes) {
-        val v = Hashing.fmix64(h ^ p(i))
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(sig)
+    while (j < nGrams) { hs(j) = gramHash(words, j, n); j += 1 }
+    minOverDistinct(hs, numHashes, seed)
   }
 
   /** Word n-gram set (distinct, sorted hashes) — exact-Jaccard
@@ -349,13 +397,10 @@ object SimilarityKernels {
   def wordShingleSet(text: UTF8String, n: Int): ArrayData = {
     val words = splitWords(text.toString)
     val nGrams = math.max(1, words.length - n + 1)
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val hs = new Array[Long](nGrams)
     var j = 0
-    while (j < nGrams) { set.add(gramHash(words, j, n)); j += 1 }
-    val out = new Array[Long](set.size)
-    val it = set.iterator(); var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    while (j < nGrams) { hs(j) = gramHash(words, j, n); j += 1 }
+    sortedDistinct(hs)
   }
 }
 

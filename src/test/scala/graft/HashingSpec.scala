@@ -54,4 +54,33 @@ class HashingSpec extends SparkSpec {
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
+
+  test("property: char-shingle kernels equal a naive reimplementation") {
+    // pins the r13 kernel optimization (shingle hashes deduplicated
+    // BEFORE the numHashes loop): min over the distinct set must equal
+    // the naive per-occurrence min over the multiset, and the shingle
+    // set must stay sorted-distinct — on repetitive text especially
+    // (the dedup's own hot case)
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.graft.SimilarityKernels
+    import org.scalacheck.Gen
+    val pieceGen = Gen.oneOf("abcab", "the the ", "xyz", "ababab", "Über!", "д")
+    val prop = forAll(Gen.listOf(pieceGen), Gen.choose(1, 7)) { (ps, k) =>
+      val text = ps.mkString
+      val len = text.length
+      val nShingles = math.max(1, len - k + 1)
+      val hs = (0 until nShingles).map(j =>
+        Hashing.fnv1a64(text, j, math.min(len, j + k)))
+      val expectSet = hs.distinct.sorted
+      val gotSet = SimilarityKernels
+        .shingleSet(UTF8String.fromString(text), k).toLongArray.toSeq
+      val perms = SimilarityKernels.perms(42L, 8)
+      val expectSig = Array.tabulate(8)(i =>
+        hs.map(h => Hashing.fmix64(h ^ perms(i))).min)
+      val gotSig = SimilarityKernels
+        .minhash(UTF8String.fromString(text), k, 8, 42L).toLongArray
+      gotSet == expectSet && gotSig.sameElements(expectSig)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
 }
