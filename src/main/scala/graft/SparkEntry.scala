@@ -3403,7 +3403,7 @@ object SparkEntry {
       val chain = docs.filter(col("doc_id") < 249)
         .select(col("doc_id").as("doc_id_a"),
           (col("doc_id") + 1).as("doc_id_b"))
-      val pairs = graft.ops.Iterate.checkpointed(
+      val pairs = graft.ops.Iterate.lazyCheckpointed(
         Dedup.simhashNearDups(docs, maxDistance = 6)
           .select("doc_id_a", "doc_id_b").unionAll(chain))
       val old = pairs.filter(col("doc_id_a") < 125 && col("doc_id_b") < 125)
@@ -3424,7 +3424,7 @@ object SparkEntry {
       val chain = docs.filter(col("doc_id") < 249)
         .select(col("doc_id").as("doc_id_a"),
           (col("doc_id") + 1).as("doc_id_b"))
-      val pairs = graft.ops.Iterate.checkpointed(
+      val pairs = graft.ops.Iterate.lazyCheckpointed(
         Dedup.simhashNearDups(docs, maxDistance = 6)
           .select("doc_id_a", "doc_id_b").unionAll(chain))
       val published = Dedup.dupClustersFast(pairs)
@@ -3443,7 +3443,7 @@ object SparkEntry {
       val train = docs.filter(!graft.ops.Sampling.hashFilter(col("doc_id"), 0.1))
       // checkpoint = the PUBLISHED index artifact (in production the
       // probe reads parquet, it never re-derives the suite's grams)
-      val index = graft.ops.Iterate.checkpointed(
+      val index = graft.ops.Iterate.lazyCheckpointed(
         TextAnalysis.benchmarkGramIndex(evalSet, 5))
       val bloom = TextAnalysis.benchmarkGramBloom(index)
       TextAnalysis.contaminationAgainstIndex(train, index, 5, Some(bloom))
@@ -3457,7 +3457,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val evalSet = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.1)
       val train = docs.filter(!graft.ops.Sampling.hashFilter(col("doc_id"), 0.1))
-      val index = graft.ops.Iterate.checkpointed(
+      val index = graft.ops.Iterate.lazyCheckpointed(
         TextAnalysis.benchmarkGramIndex(evalSet, 5))
       val bloom = TextAnalysis.benchmarkGramBloom(index)
       TextAnalysis.decontaminateAgainstIndex(train, index, 5, Some(bloom))
@@ -3763,10 +3763,14 @@ object SparkEntry {
       val suiteA = docs.filter(inA)
       val suiteB = docs.filter(!inA && col("doc_id") % 7 === 0)
       val train = docs.filter(!inA && col("doc_id") % 7 =!= 0)
-      val postings = graft.ops.Iterate.checkpointed(
+      // lazy checkpoints: same published-artifact lineage cuts, but the
+      // materialization rides the bloom build's count action instead of
+      // two standalone fill jobs (r13 — the postings artifact feeds
+      // only the retraction, the retraction only the bloom + probe)
+      val postings = graft.ops.Iterate.lazyCheckpointed(
         TextAnalysis.appendToBenchmarkIndex(
           TextAnalysis.benchmarkGramPostings(suiteA, 5), suiteB, 5))
-      val retracted = graft.ops.Iterate.checkpointed(
+      val retracted = graft.ops.Iterate.lazyCheckpointed(
         TextAnalysis.retractFromBenchmarkIndex(postings,
           suiteB.select("doc_id")))
       val bloom = TextAnalysis.benchmarkGramBloom(retracted)
