@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver runs `sbt "runMain graft.Bench"` and parses the FINAL
+// JSON line in the last ~2000 chars of output. By default sbt (a) prefixes
+// forked-process stdout with "[info] " and (b) prints "[success] Total
+// time: ..." after the task — both of which defeated the driver's parser
+// in every previous round (BENCH_r01..r13 all record parsed:null). Route
+// the forked JVM's stdout straight through, and drop the success banner so
+// the bench's compact JSON line is the literal last line of output.
+// (Test results are unaffected: ScalaTest's own summary lines and sbt's
+// exit code still report pass/fail.)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

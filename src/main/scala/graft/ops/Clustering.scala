@@ -47,8 +47,18 @@ object Clustering {
     require(k >= 2, s"need k >= 2 clusters, got $k")
     require(rounds >= 1 && rounds <= 4,
       "rounds outside [1,4]: deeper Lloyd iterations need checkpointing")
+    // persisted: the quantized code relation is read by every round's
+    // assignment AND the final assignment, but each round's centroid
+    // table nests the previous round's whole assign+update pipeline in
+    // its lineage, so without the cache the scan+quantize pass executes
+    // once per NESTED reference — ~3^rounds corpus passes (the r14
+    // profile measured the n132 plan at 245 KB with ~9 embedded scans
+    // at rounds = 2). One fill, every later pass reads blocks
+    // (guide §5: reuse justifies the cache; caller/Bench owns release
+    // via clearCache, the dsir counts convention).
     val sq = Similarity.scalarQuantize(emb)
       .select(col("vec_id"), col("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def dist2(a: Column, b: Column): Column = aggregate(
       zip_with(a, b, (x, y) => ((x - y) * (x - y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
@@ -81,9 +91,15 @@ object Clustering {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           e => e.getField("cv")).as("cent"))
-      // empty clusters keep their previous centroid
-      cents = upd.unionByName(
-        cents.join(upd.select("cluster"), Seq("cluster"), "left_anti"))
+      // empty clusters keep their previous centroid. The new centroid
+      // table is LAZY-checkpointed: it references `upd` twice (union +
+      // anti-join probe) and `cents` nests the previous round, so an
+      // un-truncated chain grows ~3^rounds references to the corpus
+      // scan (the kCore disease; guide §7.2 — plan size is a
+      // first-class cost). The k-row checkpoint materializes inside
+      // the caller's one action and adds no job.
+      cents = Iterate.lazyCheckpointed(upd.unionByName(
+        cents.join(upd.select("cluster"), Seq("cluster"), "left_anti")))
     }
     assign(cents).select(col("vec_id"), col("cluster").cast("long").as("cluster"),
       col("dist"))
@@ -100,16 +116,18 @@ object Clustering {
     */
   def clusterProfile(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
     val assigned = kMeans(emb, k, rounds)
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    val reps = assigned.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cluster"), col("vec_id").as("rep_id"),
-        col("dist").as("rep_dist"))
-    val stats = assigned.groupBy("cluster")
-      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sdist"))
-    stats.join(reps, "cluster")
-      .select(col("cluster"), col("n"), col("rep_id"), col("rep_dist"),
-        expr("sdist div n").as("mean_dist"))
+    // ONE grouped pass: the representative argmin is min over
+    // (dist, vec_id) structs — identical winner to the old
+    // row_number-over-(dist asc, vec_id asc) window — computed beside
+    // the count/sum stats, so the assignment relation (which nests the
+    // whole Lloyd pipeline) is referenced ONCE instead of twice and no
+    // window sort or stats-vs-reps join runs (guide §2.3 aggregate
+    // before shuffle, §2.4 shared exchange).
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist")).as("sdist"),
+        min(struct(col("dist"), col("vec_id"))).as("m"))
+      .select(col("cluster"), col("n"), col("m.vec_id").as("rep_id"),
+        col("m.dist").as("rep_dist"), expr("sdist div n").as("mean_dist"))
   }
 }

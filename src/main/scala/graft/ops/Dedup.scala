@@ -396,7 +396,12 @@ object Dedup {
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // sorted_intersect_count: the shingle sets are sorted-distinct by
+      // construction (the r13 kernel contract), so a merge scan counts
+      // |A∩B| with zero allocation where array_intersect builds a boxed
+      // hash set per candidate pair (2.5x in the r14 microbench);
+      // identical count, identical jaccard (guide: codegen/expressions)
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
@@ -738,36 +743,32 @@ object Dedup {
     val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
       bloom, bloomPerBand)
     withReleased(owned) { released =>
-      // exact verification, candidate-sized on BOTH sides: ONE flagged
-      // candidate-id relation (persisted — it prunes both fetch-back
-      // branches, and each branch is read by both verify join sides),
-      // one unioned text fetch, one shingle projection. The pre-r10
-      // shape built four filtered-union id branches and two separate
+      // exact verification, candidate-sized on BOTH sides: one inline
+      // candidate-id explode over the persisted pair cache pruning one
+      // unioned text fetch, one shingle projection. The pre-r10 shape
+      // built four filtered-union id branches and two separate
       // semi-join trees, which compounded — through the doubled verify
       // reference — into ~50 broadcast exchanges of the SAME tiny
       // relations and a 140-stage orchestration bill (2.5x the batch
-      // operator on identical data); this tree runs the same candidate
-      // work in a fraction of the stages.
-      val candIds = pairs.select(explode(array(
-          struct(col("a").as("doc_id"), col("a_new").as("is_new")),
-          struct(col("b").as("doc_id"), col("b_new").as("is_new")))).as("s"))
-        .select(col("s.doc_id").as("doc_id"), col("s.is_new").as("is_new"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      released += candIds
+      // operator on identical data). r14 trims further: id spaces are
+      // disjoint by contract, so the fetch-back needs no is_new
+      // routing — ONE semi-join against corpus ∪ slice by bare id —
+      // and semi-join build sides tolerate duplicate ids, so the
+      // candidate ids need no distinct exchange and no persist of
+      // their own (the explode re-reads the pair cache, guide §2.4).
+      val candIds = pairs.select(explode(array(col("a"), col("b"))).as("doc_id"))
       // old texts come from the corpus via semi-join (point reads — the
       // corpus is never re-shingled wholesale), new from the slice
-      val texts = corpus.join(candIds.filter(!col("is_new")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"))
-        .unionByName(incoming.join(candIds.filter(col("is_new")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("text")))
+      val texts = corpus.select(col("doc_id"), col("text"))
+        .unionByName(incoming.select(col("doc_id"), col("text")))
+        .join(candIds, Seq("doc_id"), "left_semi")
       val sh = texts.select(col("doc_id"), shOf(col("text")).as("sh"))
       val verified = pairs
         .join(sh.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
         .join(sh.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        // merge-scan intersection over the sorted-distinct shingle sets
+        // (allocation-free; identical count — see minhashNearDups)
+        .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
         .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
         .filter(col("inter").cast("double") / col("uni") >= threshold)
         .select(col("a"), col("a_new"), col("b"), col("b_new"))
@@ -965,21 +966,14 @@ object Dedup {
     // verified pairs checkpoint-materialize, every internal persist is
     // dropped — nothing from the slice run survives in the CacheManager
     val verified = withReleased(owned) { released =>
-      // one flagged candidate-id relation pruning both fetch-back
-      // branches (the incrementalVerifiedPairs stage-count lesson)
-      val candIds = pairs.select(explode(array(
-          struct(col("a").as("vec_id"), col("a_new").as("is_new")),
-          struct(col("b").as("vec_id"), col("b_new").as("is_new")))).as("s"))
-        .select(col("s.vec_id").as("vec_id"), col("s.is_new").as("is_new"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      released += candIds
-      val e = corpus.join(candIds.filter(!col("is_new")).select("vec_id"),
-          Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding"))
-        .unionByName(incoming.join(candIds.filter(col("is_new")).select("vec_id"),
-          Seq("vec_id"), "left_semi")
-          .select(col("vec_id"), col("embedding")))
+      // one inline candidate-id explode pruning one unioned fetch —
+      // disjoint id spaces need no is_new routing, and semi-join build
+      // sides tolerate duplicate ids, so no distinct exchange and no
+      // extra persist (the incrementalVerifiedPairs r14 shape)
+      val candIds = pairs.select(explode(array(col("a"), col("b"))).as("vec_id"))
+      val e = corpus.select(col("vec_id"), col("embedding"))
+        .unionByName(incoming.select(col("vec_id"), col("embedding")))
+        .join(candIds, Seq("vec_id"), "left_semi")
       pairs
         .join(e.withColumnsRenamed(Map("vec_id" -> "a", "embedding" -> "emb_a")), Seq("a"))
         .join(e.withColumnsRenamed(Map("vec_id" -> "b", "embedding" -> "emb_b")), Seq("b"))
@@ -1121,21 +1115,14 @@ object Dedup {
     val (pairs, owned) = incrementalCandidatePairs(index, newBands, maxBucket,
       bloom, bloomPerBand)
     val verified = withReleased(owned) { released =>
-      // one flagged candidate-id relation pruning both fetch-back
-      // branches (the incrementalVerifiedPairs stage-count lesson)
-      val candIds = pairs.select(explode(array(
-          struct(col("a").as("doc_id"), col("a_new").as("is_new")),
-          struct(col("b").as("doc_id"), col("b_new").as("is_new")))).as("s"))
-        .select(col("s.doc_id").as("doc_id"), col("s.is_new").as("is_new"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      released += candIds
-      val fps = corpus.join(candIds.filter(!col("is_new")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("sh"))
-        .unionByName(incoming.join(candIds.filter(col("is_new")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("sh")))
+      // one inline candidate-id explode pruning one unioned fetch —
+      // disjoint id spaces need no is_new routing, and semi-join build
+      // sides tolerate duplicate ids, so no distinct exchange and no
+      // extra persist (the incrementalVerifiedPairs r14 shape)
+      val candIds = pairs.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      val fps = corpus.select(col("doc_id"), col("sh"))
+        .unionByName(incoming.select(col("doc_id"), col("sh")))
+        .join(candIds, Seq("doc_id"), "left_semi")
       pairs
         .join(fps.withColumnsRenamed(Map("doc_id" -> "a", "sh" -> "sh_a")), Seq("a"))
         .join(fps.withColumnsRenamed(Map("doc_id" -> "b", "sh" -> "sh_b")), Seq("b"))
@@ -1331,12 +1318,17 @@ object Dedup {
       // collapsing each node's contributions before the shuffle
       // (guide §2.3/§2.4); a node with no incoming rows keeps its
       // label (its own row is in the union)
+      val old = labels
       val contrib = edges
         .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
         .select(col("v").as("id"), col("lu").as("label"))
       labels = ckpt(labels.unionByName(contrib)
         .groupBy(col("id")).agg(min(col("label")).as("label")))
       val s = labelSum(labels)
+      // the probe materialized the new round, so the superseded label
+      // state's checkpoint blocks are dead (edges stay live — every
+      // round reads them); release instead of leaking to GC
+      Iterate.releaseCheckpointed(old)
       converged = s == prevSum
       prevSum = s
       iter += 1
@@ -1386,6 +1378,7 @@ object Dedup {
       // hook = one keyed aggregation over labels ∪ raw contributions
       // (the dupClusters round shape — one exchange fewer than the old
       // groupBy + left join, map-side partial agg)
+      val old = labels
       val contrib = edges
         .join(labels.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), Seq("u"))
         .select(col("v").as("id"), col("lu").as("label"))
@@ -1400,6 +1393,9 @@ object Dedup {
         .select(hooked("id"),
           least(hooked("label"), coalesce(col("jl"), hooked("label"))).as("label")))
       val s = labelSum(labels)
+      // superseded round's blocks are dead once the probe materialized
+      // the new one (edges stay live); release instead of leaking
+      Iterate.releaseCheckpointed(old)
       converged = s == prevSum
       prevSum = s
       iter += 1
@@ -1654,7 +1650,9 @@ object Dedup {
       col("hs").as("hsa"), col("sz").as("la"))
     val gb = grams.select(col("doc_id").as("doc_id_container"), col("hs").as("hsb"))
     cand.join(ga, Seq("doc_id_contained")).join(gb, Seq("doc_id_container"))
-      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      // merge-scan intersection over sorted-distinct gram sets
+      // (allocation-free; identical count — see minhashNearDups)
+      .withColumn("inter", sorted_intersect_count(col("hsa"), col("hsb")).cast("long"))
       .withColumn("containment", col("inter").cast("double") / col("la"))
       .filter(col("containment") >= threshold)
       .select(col("doc_id_contained"), col("doc_id_container"), col("containment"))
@@ -1702,7 +1700,9 @@ object Dedup {
     val gb = grams.select(col("doc_id").as("doc_id_b"), col("hs").as("hsb"),
       col("sz").as("lb"))
     cand.join(ga, Seq("doc_id_a")).join(gb, Seq("doc_id_b"))
-      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      // merge-scan intersection over sorted-distinct gram sets
+      // (allocation-free; identical count — see minhashNearDups)
+      .withColumn("inter", sorted_intersect_count(col("hsa"), col("hsb")).cast("long"))
       .select(col("doc_id_a"), col("doc_id_b"), col("inter"), col("la"), col("lb"))
   }
 

@@ -107,9 +107,25 @@ object Graph {
     if (!hasDangling) {
       // dangling-free (symmetrized or probed): dst ⊆ src, so the node
       // universe is the src set and the plan stays fully lazy — the
-      // probe relation (if any) was probe-only, release it
+      // probe relation (if any) was probe-only, release it.
+      //
+      // Per-round LAZY checkpoints (r14): the un-truncated chain's
+      // round r referenced `nodes` twice and `ranks_{r-1}` once, so
+      // the analyzed plan carried ~3·iters copies of the whole
+      // edge-pipeline subtree (92-134 KB for the n76/n89 callers —
+      // guide §7.2, plan size is a first-class cost). This is NOT the
+      // restructure the r9 A/B rejected: that A/B measured the lazy
+      // 1-row crossJoin(dsum) (plan-doubling) and eager per-round
+      // checkpoints (extra job per round) on the DANGLING path; a
+      // lazy checkpoint adds no job — the chain materializes inside
+      // the caller's one action (the kCore/LPA treatment) — and the
+      // result stays fully lazy as documented. `nodes` is checkpointed
+      // once so the per-round self-references read round-sized blocks
+      // instead of re-deriving the distinct per segment (checkpoint
+      // boundaries end ReusedExchange sharing).
       univ.foreach(_.unpersist())
-      val nodes = ed.select(col("src").as("node")).distinct()
+      val nodes = Iterate.lazyCheckpointed(
+        ed.select(col("src").as("node")).distinct())
       val n = nodes.agg(count(lit(1)).as("n"))
       var ranks = nodes.crossJoin(n)
         .select(col("node"), expr(s"$Scale div n").as("rank"))
@@ -117,11 +133,12 @@ object Graph {
         val contrib = ed.join(ranks, ed("src") === ranks("node"))
           .select(col("dst"), expr("(rank * wt) div wdeg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("csum"))
-        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .crossJoin(n)
-          .select(nodes("node"),
-            (expr(s"(15 * $Scale div 100) div n") +
-              expr("(85 * coalesce(csum, 0)) div 100")).as("rank"))
+        ranks = Iterate.lazyCheckpointed(
+          nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+            .crossJoin(n)
+            .select(nodes("node"),
+              (expr(s"(15 * $Scale div 100) div n") +
+                expr("(85 * coalesce(csum, 0)) div 100")).as("rank")))
       }
       ranks
     } else {
@@ -591,14 +608,21 @@ object Graph {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cnt").desc, col("label").asc)
     for (_ <- 1 to rounds) {
+      // each round references `labels` twice (neighbor join + self-vote
+      // union), so an un-truncated plan carries ~2^rounds references to
+      // the symmetrized edge build — the kCore disease in miniature,
+      // bounded only by rounds <= 6. A LAZY per-round checkpoint
+      // truncates the lineage to a round-sized plan while adding no
+      // job: the chain materializes inside the caller's one action
+      // (guide §7.2 — plan size is a first-class cost).
       val votes = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src"), col("label"))
         .unionAll(labels.select(col("node").as("src"), col("label")))
-      labels = votes
+      labels = graft.ops.Iterate.lazyCheckpointed(votes
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
+        .select(col("src").as("node"), col("label")))
     }
     labels
   }

@@ -644,13 +644,28 @@ object TextAnalysis {
     require(n >= 2, "span length must be >= 2 tokens")
     val toks = substrToks(docs)
     val occ = gramOccurrences(toks, n)
-    // duplicated grams, each with its global first occurrence — the
-    // one presentation that keeps its tokens
-    val dupG = occ.groupBy("g")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
-        count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-    reassembleSurvivors(toks, taintedCovers(occ, dupG, n))
+    // per-gram first occurrence and count via ONE g-keyed window over
+    // the occurrence relation, instead of the old groupBy + join-back:
+    // Spark has no cross-branch subplan reuse, so the agg+join shape
+    // re-ran the corpus scan + tokenize + gram-hash explode once per
+    // reference — the exact pattern [[duplicatedSpans]] measured 1.7x
+    // slower than the window (its scaladoc). Skew exposure is the
+    // same: a hot boilerplate gram's partition holds its occurrence
+    // rows either way, and the window computes only min/count over
+    // them. The non-first occurrences of duplicated grams taint their
+    // n-token cover exactly as before (same rows by construction —
+    // min(struct) over the partition IS the groupBy min).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val tainted = occ
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") >= 2 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    reassembleSurvivors(toks, tainted)
   }
 
   /** Word-token relation (doc_id, ws) shared by the exact-substring
@@ -1313,8 +1328,15 @@ object TextAnalysis {
     val grams = docs.filter(length(col("text")) >= 2)
       .select(col("doc_id"), isTarget.as("__t"),
         explode(char_bigrams(col("text"))).as("bigram"))
+    // persisted: dg feeds BOTH the vocabulary counts below and the
+    // scoring join, and Spark has no cross-branch subplan reuse — the
+    // unpersisted shape re-ran the corpus scan + per-char bigram
+    // explode + (doc, bigram) aggregation once per branch (the
+    // dominant cost of this operator; guide §5 — reuse justifies the
+    // cache). Same caller-owned lifecycle as `counts`.
     val dg = grams.groupBy("doc_id", "__t", "bigram")
       .agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = dg.groupBy("bigram").agg(
         sum(col("occ")).as("cnt_r"),
         sum(when(col("__t"), col("occ")).otherwise(0L)).as("cnt_t"))

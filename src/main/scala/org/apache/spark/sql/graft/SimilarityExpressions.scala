@@ -312,6 +312,28 @@ object SimilarityKernels {
     sortedDistinct(hs)
   }
 
+  /** Intersection size of two SORTED DISTINCT long arrays (the
+    * [[shingleSet]] / [[wordShingleSet]] output contract) by a single
+    * merge scan — the exact-Jaccard verify kernel. Replaces
+    * `size(array_intersect(a, b))`, whose generic implementation
+    * builds a boxed hash set per ROW (one box per element, rebuilt for
+    * every candidate pair): the merge scan allocates nothing and
+    * reads both arrays once. On sorted-distinct inputs the count is
+    * identical to array_intersect's by definition (distinct common
+    * elements).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Sorted distinct of a primitive long array — the shingle-set tail
     * (same sorted-distinct output the former boxed TreeSet produced,
     * without the per-element boxing and tree rebalancing).
@@ -415,6 +437,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"org.apache.spark.sql.graft.SimilarityKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.SimilarityKernels.sortedIntersectCount($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -604,6 +642,11 @@ object GraftFunctions {
     column(CosineSimilarity(expression(a), expression(b)))
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  /** |A ∩ B| of two sorted-distinct long arrays (the shingle-set
+    * contract) — the allocation-free exact-Jaccard verify kernel.
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
   def sign_buckets(emb: Column, planes: Int, tables: Int): Column =
     column(SignBuckets(expression(emb), planes, tables))
   def random_project(emb: Column, k: Int): Column =
